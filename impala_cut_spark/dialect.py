@@ -1,0 +1,311 @@
+"""Impala-SQL → Spark-SQL dialect rewriter.
+
+The reference parses its dialect with JFlex+CUP
+(``/root/reference/fe/src/main/jflex/sql-scanner.flex``,
+``fe/src/main/cup/sql-parser.y``). We do NOT rebuild a parser —
+Spark's parser accepts almost all of the dialect; this module applies
+the small token-level deltas (SURVEY.md §7 "Custom"):
+
+1. join hints ``[broadcast]`` / ``[shuffle]``
+   (``sql-parser.y:1563-1567``) → Spark ``/*+ BROADCAST(t) */`` /
+   ``/*+ SHUFFLE_HASH(t) */`` hints.
+2. ``STRAIGHT_JOIN`` (disables join reordering,
+   ``Planner.java:972``) → stripped; caller may pin
+   ``spark.sql.cbo.joinReorder.enabled=false``.
+3. Default ORDER BY null ordering: Impala is ASC→NULLS LAST,
+   DESC→NULLS FIRST (``fe/.../analysis/OrderByElement.java:74-75``) —
+   exactly opposite to Spark — so explicit NULLS clauses are injected.
+4. Function-name/semantic renames for Impala builtins Spark lacks
+   (registry in ``common/function-registry/impala_functions.py``):
+   textual expansion keeps everything JVM-side and type-generic.
+
+All rewrites are quote- and comment-aware but deliberately shallow:
+they transform tokens, not grammar. (Impala's dialect has no
+subqueries-in-predicates, windows, INTERSECT/EXCEPT — SURVEY §2 — so
+the surface is small.)
+"""
+
+from __future__ import annotations
+
+import re
+
+# ---------------------------------------------------------------------------
+# function-call expansions: name -> callable(list_of_arg_sql) -> sql
+# ---------------------------------------------------------------------------
+
+
+def _fn_isnull(a):  # Impala isnull(a,b) == nvl; Spark isnull is unary
+    if len(a) == 1:
+        return f"({a[0]} IS NULL)"
+    return f"nvl({a[0]}, {a[1]})"
+
+
+CALL_REWRITES: dict[str, object] = {
+    # conditional (impala_functions.py:357-466)
+    "isnull": _fn_isnull,
+    "zeroifnull": lambda a: f"coalesce({a[0]}, 0)",
+    "nullifzero": lambda a: f"nullif({a[0]}, 0)",
+    # string (impala_functions.py:149-213)
+    "strleft": lambda a: f"left({a[0]}, {a[1]})",
+    "strright": lambda a: f"right({a[0]}, {a[1]})",
+    # math (impala_functions.py:56-148)
+    "quotient": lambda a: f"({a[0]} div {a[1]})",
+    "fmod": lambda a: f"mod({a[0]}, {a[1]})",
+    "dayname": lambda a: f"date_format({a[0]}, 'EEEE')",
+    # approximate count-distinct family (aggregate-functions.cc:48-49,252-302)
+    "ndv": lambda a: f"approx_count_distinct({', '.join(a)})",
+    "distinctpc": lambda a: f"approx_count_distinct({a[0]})",
+    "distinctpcsa": lambda a: f"approx_count_distinct({a[0]})",
+    # group_concat(col[, sep]) (BuiltinsDb.java:359-367). Impala gives no
+    # ordering guarantee; we sort for determinism (SURVEY §7 risk 1).
+    "group_concat": lambda a: (
+        f"array_join(sort_array(collect_list({a[0]})), {a[1] if len(a) > 1 else chr(39) + ', ' + chr(39)})"
+    ),
+    # utility (impala_functions.py:214-238): fnv_hash → xxhash64 (documented
+    # non-bit-compatible 64-bit hash alias)
+    "fnv_hash": lambda a: f"xxhash64({', '.join(a)})",
+    "user": lambda a: "current_user()",
+    "current_database": lambda a: "current_database()",
+    # type-constant helpers (math-functions.cc min/max per int type)
+    "min_tinyint": lambda a: "cast(-128 as tinyint)",
+    "max_tinyint": lambda a: "cast(127 as tinyint)",
+    "min_smallint": lambda a: "cast(-32768 as smallint)",
+    "max_smallint": lambda a: "cast(32767 as smallint)",
+    "min_int": lambda a: "cast(-2147483648 as int)",
+    "max_int": lambda a: "cast(2147483647 as int)",
+    "min_bigint": lambda a: "cast(-9223372036854775808 as bigint)",
+    "max_bigint": lambda a: "cast(9223372036854775807 as bigint)",
+    "is_inf": lambda a: f"(abs({a[0]}) = double('Infinity'))",
+    "is_nan": lambda a: f"isnan({a[0]})",
+}
+
+_IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+
+
+def _scan_strings(sql: str):
+    """Yield (index, char, in_string) walking the text with quote awareness."""
+    i, n = 0, len(sql)
+    quote = None
+    while i < n:
+        c = sql[i]
+        if quote:
+            if c == quote:
+                if i + 1 < n and sql[i + 1] == quote:  # doubled quote escape
+                    yield i, c, True
+                    i += 1
+                else:
+                    quote = None
+            yield i, c, quote is not None
+        else:
+            if c in ("'", '"', "`"):
+                quote = c
+            yield i, c, quote is not None
+        i += 1
+
+
+def _split_args(argtext: str) -> list[str]:
+    """Split a function arg list on top-level commas (quote/paren aware)."""
+    args, depth, cur = [], 0, []
+    quote = None
+    for c in argtext:
+        if quote:
+            cur.append(c)
+            if c == quote:
+                quote = None
+            continue
+        if c in ("'", '"', "`"):
+            quote = c
+            cur.append(c)
+        elif c == "(":
+            depth += 1
+            cur.append(c)
+        elif c == ")":
+            depth -= 1
+            cur.append(c)
+        elif c == "," and depth == 0:
+            args.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(c)
+    tail = "".join(cur).strip()
+    if tail:
+        args.append(tail)
+    return args
+
+
+def rewrite_calls(sql: str) -> str:
+    """Expand Impala-only function calls (innermost-first, iterated)."""
+    for _ in range(8):  # nested rewrites converge quickly
+        out = _rewrite_calls_once(sql)
+        if out == sql:
+            return out
+        sql = out
+    return sql
+
+
+def _rewrite_calls_once(sql: str) -> str:
+    in_str = [False] * len(sql)
+    for i, _, s in _scan_strings(sql):
+        in_str[i] = s
+    lower = sql.lower()
+    for m in _IDENT.finditer(lower):
+        name = m.group(0)
+        if name not in CALL_REWRITES or in_str[m.start()]:
+            continue
+        # must be a call: next non-space char is '('
+        j = m.end()
+        while j < len(sql) and sql[j].isspace():
+            j += 1
+        if j >= len(sql) or sql[j] != "(":
+            continue
+        # find matching close paren
+        depth, k, quote = 0, j, None
+        while k < len(sql):
+            c = sql[k]
+            if quote:
+                if c == quote:
+                    quote = None
+            elif c in ("'", '"', "`"):
+                quote = c
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            k += 1
+        if k >= len(sql):
+            continue  # unbalanced; leave alone
+        args = _split_args(sql[j + 1 : k])
+        try:
+            replacement = CALL_REWRITES[name](args)
+        except Exception:
+            continue
+        return sql[: m.start()] + replacement + sql[k + 1 :]
+    return sql
+
+
+# ---------------------------------------------------------------------------
+# join hints & straight_join
+# ---------------------------------------------------------------------------
+
+_HINT = re.compile(
+    r"\bjoin\s*\[\s*(broadcast|shuffle)\s*\]\s+([A-Za-z_][A-Za-z0-9_.]*)"
+    r"(?:\s+(?:as\s+)?([A-Za-z_][A-Za-z0-9_]*))?",
+    re.IGNORECASE,
+)
+
+
+def rewrite_hints(sql: str) -> tuple[str, list[str]]:
+    """``JOIN [broadcast] t [alias]`` → plain join + collected Spark hint."""
+    hints: list[str] = []
+
+    def repl(m: re.Match) -> str:
+        kind, table, alias = m.group(1).lower(), m.group(2), m.group(3)
+        target = alias or table.split(".")[-1]
+        hints.append(("BROADCAST" if kind == "broadcast" else "SHUFFLE_HASH") + f"({target})")
+        out = f"JOIN {table}"
+        if alias:
+            out += f" {alias}"
+        return out
+
+    sql = _HINT.sub(repl, sql)
+    sql = re.sub(r"\bstraight_join\b", "", sql, flags=re.IGNORECASE)
+    return sql, hints
+
+
+def _inject_hints(sql: str, hints: list[str]) -> str:
+    if not hints:
+        return sql
+    # place after the first SELECT keyword outside strings
+    in_str = [False] * len(sql)
+    for i, _, s in _scan_strings(sql):
+        in_str[i] = s
+    for m in re.finditer(r"\bselect\b", sql, re.IGNORECASE):
+        if not in_str[m.start()]:
+            return sql[: m.end()] + " /*+ " + ", ".join(hints) + " */" + sql[m.end() :]
+    return sql
+
+
+# ---------------------------------------------------------------------------
+# ORDER BY default null-ordering injection
+# ---------------------------------------------------------------------------
+
+_ORDER_BY = re.compile(r"\border\s+by\b", re.IGNORECASE)
+_TERMINATORS = re.compile(r"\b(limit|offset|union|except|intersect)\b", re.IGNORECASE)
+
+
+def rewrite_null_ordering(sql: str) -> str:
+    """Append Impala default NULLS placement to ORDER BY keys lacking one.
+
+    Impala: ASC→NULLS LAST, DESC→NULLS FIRST
+    (fe/.../analysis/OrderByElement.java:74-75). Spark defaults are the
+    opposite, so every key without an explicit NULLS clause gets one.
+    """
+    in_str = [False] * len(sql)
+    for i, _, s in _scan_strings(sql):
+        in_str[i] = s
+
+    out, pos = [], 0
+    for m in _ORDER_BY.finditer(sql):
+        if in_str[m.start()] or m.start() < pos:
+            continue
+        # find end of the ORDER BY list: top-level terminator keyword,
+        # unbalanced ')', or end of statement
+        depth = 0
+        k = m.end()
+        end = len(sql)
+        while k < len(sql):
+            if in_str[k]:
+                k += 1
+                continue
+            c = sql[k]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                if depth == 0:
+                    end = k
+                    break
+                depth -= 1
+            elif depth == 0:
+                t = _TERMINATORS.match(sql, k)
+                if t:
+                    end = k
+                    break
+            k += 1
+        body = sql[m.end() : end]
+        out.append(sql[pos : m.end()])
+        out.append(_fix_order_items(body))
+        pos = end
+    out.append(sql[pos:])
+    return "".join(out)
+
+
+def _fix_order_items(body: str) -> str:
+    items = _split_args(body)
+    if not items:
+        return body
+    fixed = []
+    for it in items:
+        low = it.lower()
+        if "nulls" in low:
+            fixed.append(it)
+        elif re.search(r"\bdesc\b", low):
+            fixed.append(it + " NULLS FIRST")
+        else:
+            fixed.append(it + " NULLS LAST")
+    return " " + ", ".join(fixed) + " "
+
+
+# ---------------------------------------------------------------------------
+# entry point
+# ---------------------------------------------------------------------------
+
+
+def rewrite(sql: str) -> str:
+    """Full Impala → Spark SQL rewrite pipeline."""
+    sql, hints = rewrite_hints(sql)
+    sql = rewrite_calls(sql)
+    sql = rewrite_null_ordering(sql)
+    sql = _inject_hints(sql, hints)
+    return sql

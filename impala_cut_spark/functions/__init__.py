@@ -1,0 +1,3 @@
+from impala_cut_spark.functions.registry import register_all
+
+__all__ = ["register_all"]

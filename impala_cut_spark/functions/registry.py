@@ -1,0 +1,110 @@
+"""Impala builtin-function compat layer.
+
+The reference registers 275 builtins from
+``/root/reference/common/function-registry/impala_functions.py`` into
+its FE catalog (``fe/.../catalog/BuiltinsDb.java``). Spark already has
+near-1:1 builtins for almost all of them (SURVEY.md §2.8); the deltas
+are handled two ways:
+
+1. SQL-text callers: the dialect rewriter expands Impala-only names
+   inline (dialect.CALL_REWRITES) — zero runtime cost, type-generic.
+2. DataFrame-API callers: Column helpers below.
+
+Additionally ``register_all`` registers a handful of names as Spark
+SQL UDFs (Spark ≥3.5 ``CREATE TEMPORARY FUNCTION … RETURN expr``,
+inlined by the analyzer → still whole-stage-codegen'd) so raw
+``spark.sql`` without the dialect layer also resolves them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, SparkSession
+from pyspark.sql import functions as F
+
+# --- Column helpers (DataFrame-API mirror of dialect.CALL_REWRITES) ------
+
+
+def isnull2(a: Column, b: Column) -> Column:
+    """Impala binary isnull(a, b) (conditional-functions.h)."""
+    return F.coalesce(a, b)
+
+
+def zeroifnull(c: Column) -> Column:
+    return F.coalesce(c, F.lit(0))
+
+
+def nullifzero(c: Column) -> Column:
+    return F.nullif(c, F.lit(0)) if hasattr(F, "nullif") else F.when(c != 0, c)
+
+
+def strleft(c: Column, n) -> Column:
+    return F.substring(c, 1, n)
+
+
+def strright(c: Column, n) -> Column:
+    return F.substring(c, -n, n)
+
+
+def quotient(a: Column, b: Column) -> Column:
+    """Integer division (sql-parser.y DIV operator / quotient())."""
+    return F.expr("_q_a div _q_b") if False else (a.cast("bigint") / b.cast("bigint")).cast("bigint")
+
+
+def fnv_hash(*cols: Column) -> Column:
+    """64-bit hash alias. NOT bit-compatible with Impala's FNV
+    (be/src/exprs/utility-functions.{h,cc}); documented alias to
+    xxhash64 — stable within this engine, used for hash-partitioning
+    and fingerprints."""
+    return F.xxhash64(*cols)
+
+
+def ndv(c: Column) -> Column:
+    """Approximate count-distinct. Impala uses HLL p=10
+    (be/src/exprs/aggregate-functions.cc:89-93); Spark uses HLL++ —
+    approximate-compatible, not value-identical (SURVEY §7 risk 2)."""
+    return F.approx_count_distinct(c)
+
+
+def group_concat(c: Column, sep: str = ", ") -> Column:
+    """Deterministic group_concat: sorted before joining (Impala gives
+    no internal ordering guarantee — BuiltinsDb.java:359-367)."""
+    return F.array_join(F.sort_array(F.collect_list(c)), sep)
+
+
+# --- SQL-name registration ------------------------------------------------
+
+# (name, param list, return-expression) — types chosen as the widest
+# overload; the dialect layer handles type-generic call sites.
+_SQL_UDFS: list[tuple[str, str, str]] = [
+    ("zeroifnull", "(x DOUBLE)", "coalesce(x, cast(0 as double))"),
+    ("nullifzero", "(x DOUBLE)", "nullif(x, cast(0 as double))"),
+    ("strleft", "(s STRING, n INT)", "left(s, n)"),
+    ("strright", "(s STRING, n INT)", "right(s, n)"),
+    ("fnv_hash", "(s STRING)", "xxhash64(s)"),
+    ("dayname", "(t TIMESTAMP)", "date_format(t, 'EEEE')"),
+    ("is_inf", "(x DOUBLE)", "abs(x) = double('Infinity')"),
+    ("is_nan", "(x DOUBLE)", "isnan(x)"),
+]
+
+
+def register_all(spark: SparkSession) -> None:
+    """Register compat functions on the session. Never raises — a
+    missing capability degrades to dialect-layer-only support."""
+    for name, params, body in _SQL_UDFS:
+        try:
+            spark.sql(
+                f"CREATE OR REPLACE TEMPORARY FUNCTION {name}{params} "
+                f"RETURNS {_ret_type(body)} RETURN {body}"
+            )
+        except Exception:
+            pass
+
+
+def _ret_type(body: str) -> str:
+    if body.startswith(("left", "right", "date_format")):
+        return "STRING"
+    if body.startswith("xxhash64"):
+        return "BIGINT"
+    if "isnan" in body or "Infinity" in body:
+        return "BOOLEAN"
+    return "DOUBLE"

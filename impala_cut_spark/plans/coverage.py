@@ -1,0 +1,772 @@
+"""Operator-coverage queries: one per reference operator/feature class.
+
+Maps SURVEY.md §2 line-by-line onto runnable, oracle-checked queries:
+§2.2 predicates/SelectNode, §2.3 all join types, §2.4 aggregation
+(incl. DISTINCT, group_concat, stats, ndv), §2.6 sort/top-n/limit with
+Impala null-ordering defaults, §2.7 UNION/VALUES, §2.8 scalar function
+families. SQL-dialect queries run through ``dialect.rewrite`` so the
+compat layer itself is under the correctness gate.
+
+Cross-engine determinism rules: plans/registry.py docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from impala_cut_spark.dialect import rewrite
+from impala_cut_spark.plans._util import dec, t
+from impala_cut_spark.plans.registry import query
+from impala_cut_spark.sources.catalog import register_views
+
+
+def _sql(spark, sf_dir, text):
+    register_views(spark, sf_dir)
+    return spark.sql(rewrite(text))
+
+
+# ---------------------------------------------------------------------------
+# §2.2 projections / filters / predicate forms
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cov_predicates",
+    oracle="""
+SELECT o_orderkey, o_orderstatus, o_orderpriority
+FROM orders
+WHERE o_orderstatus IN ('O', 'F')
+  AND o_totalprice BETWEEN cast(50000 as double) AND cast(150000 as double)
+  AND o_orderpriority NOT LIKE '3-%'
+  AND NOT (o_custkey IS NULL)
+  AND (o_orderpriority = '1-URGENT' OR o_orderpriority = '2-HIGH')
+""",
+)
+def cov_predicates(spark, sf_dir):
+    """SelectNode + predicate forms (=, IN, BETWEEN, LIKE, IS NULL,
+    AND/OR/NOT — sql-parser.y:1889-1960). All conjuncts pushable to the
+    parquet scan."""
+    o = t(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_orderstatus").isin("O", "F")
+        & F.col("o_totalprice").between(50000.0, 150000.0)
+        & ~F.col("o_orderpriority").like("3-%")
+        & F.col("o_custkey").isNotNull()
+        & ((F.col("o_orderpriority") == "1-URGENT") | (F.col("o_orderpriority") == "2-HIGH"))
+    ).select("o_orderkey", "o_orderstatus", "o_orderpriority")
+
+
+@query(
+    "cov_like_regex",
+    oracle="""
+SELECT p_partkey, p_name,
+       (p_name LIKE '%a%') AS has_a,
+       regexp_matches(p_name, '^[a-m]') AS starts_am,
+       regexp_extract(p_name, '([aeiou]+)', 1) AS first_vowels,
+       regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled
+FROM part
+WHERE p_name LIKE '%e%' AND p_name NOT LIKE 'z%'
+""",
+)
+def cov_like_regex(spark, sf_dir):
+    """LIKE / RLIKE / regexp_extract / regexp_replace
+    (like-predicate.h:26-48; re2 vs Java regex: common-subset patterns
+    only, SURVEY §7 risk 1)."""
+    p = t(spark, sf_dir, "part")
+    return (
+        p.filter(F.col("p_name").like("%e%") & ~F.col("p_name").like("z%"))
+        .select(
+            "p_partkey",
+            "p_name",
+            F.col("p_name").like("%a%").alias("has_a"),
+            F.col("p_name").rlike("^[a-m]").alias("starts_am"),
+            F.regexp_extract("p_name", "([aeiou]+)", 1).alias("first_vowels"),
+            F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 joins — all TJoinOp variants + cross + non-equi conjuncts
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cov_join_inner",
+    oracle="""
+SELECT s_suppkey, s_name, n_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+""",
+)
+def cov_join_inner(spark, sf_dir):
+    """INNER hash join (hash-join-node.h). nation bounded → broadcast."""
+    s = t(spark, sf_dir, "supplier")
+    n = F.broadcast(t(spark, sf_dir, "nation"))
+    return s.join(n, s.s_nationkey == n.n_nationkey).select("s_suppkey", "s_name", "n_name")
+
+
+@query(
+    "cov_join_left_outer",
+    oracle="""
+SELECT n_nationkey, n_name, s_suppkey, s_name
+FROM nation LEFT OUTER JOIN supplier ON s_nationkey = n_nationkey
+""",
+)
+def cov_join_left_outer(spark, sf_dir):
+    """LEFT OUTER JOIN — unmatched nations yield NULL supplier cols."""
+    n = t(spark, sf_dir, "nation")
+    s = t(spark, sf_dir, "supplier")
+    return n.join(s, s.s_nationkey == n.n_nationkey, "left").select(
+        "n_nationkey", "n_name", "s_suppkey", "s_name"
+    )
+
+
+@query(
+    "cov_join_right_outer",
+    oracle="""
+SELECT s_suppkey, s_name, n_nationkey, n_name
+FROM supplier RIGHT OUTER JOIN nation ON s_nationkey = n_nationkey
+""",
+)
+def cov_join_right_outer(spark, sf_dir):
+    """RIGHT OUTER JOIN (forces partitioned distribution in the
+    reference — Planner.java:431-530; Spark handles natively)."""
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    return s.join(n, s.s_nationkey == n.n_nationkey, "right").select(
+        "s_suppkey", "s_name", "n_nationkey", "n_name"
+    )
+
+
+@query(
+    "cov_join_full_outer",
+    oracle="""
+WITH cn AS (SELECT c_nationkey AS k, count(*) AS n_cust FROM customer GROUP BY 1),
+     sn AS (SELECT s_nationkey AS k, count(*) AS n_supp FROM supplier GROUP BY 1)
+SELECT coalesce(cn.k, sn.k) AS nationkey, n_cust, n_supp
+FROM cn FULL OUTER JOIN sn ON cn.k = sn.k
+""",
+)
+def cov_join_full_outer(spark, sf_dir):
+    """FULL OUTER JOIN of two aggregates with partially disjoint keys."""
+    cust = t(spark, sf_dir, "customer")
+    supp = t(spark, sf_dir, "supplier")
+    cn = cust.groupBy(F.col("c_nationkey").alias("ck")).agg(F.count(F.lit(1)).alias("n_cust"))
+    sn = supp.groupBy(F.col("s_nationkey").alias("sk")).agg(F.count(F.lit(1)).alias("n_supp"))
+    return cn.join(sn, cn.ck == sn.sk, "full").select(
+        F.coalesce("ck", "sk").alias("nationkey"), "n_cust", "n_supp"
+    )
+
+
+@query(
+    "cov_join_left_semi",
+    oracle="""
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+""",
+)
+def cov_join_left_semi(spark, sf_dir):
+    """LEFT SEMI JOIN (TJoinOp::LEFT_SEMI_JOIN) — at-most-once output."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "cov_join_left_anti",
+    oracle="""
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+)
+def cov_join_left_anti(spark, sf_dir):
+    """LEFT ANTI JOIN — engine extension (absent in reference,
+    SURVEY §2.3: no NOT EXISTS); natural Spark superset."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "cov_join_cross",
+    oracle="""
+SELECT r_name, n_name FROM region CROSS JOIN nation
+""",
+)
+def cov_join_cross(spark, sf_dir):
+    """CROSS JOIN (cross-join-node.cc nested loop; Spark BNLJ)."""
+    r = t(spark, sf_dir, "region")
+    n = t(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+@query(
+    "cov_join_nonequi_conjunct",
+    oracle="""
+SELECT o_orderkey, count(*) AS n_late
+FROM orders JOIN lineitem
+  ON l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+WHERE o_orderstatus = 'F'
+GROUP BY o_orderkey
+""",
+)
+def cov_join_nonequi_conjunct(spark, sf_dir):
+    """Equi join + non-equi other-conjunct (hash-join-node.h:79-82:
+    other_join_conjuncts_ evaluated per hash match)."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, (li.l_orderkey == o.o_orderkey) & (li.l_shipdate > o.o_orderdate))
+        .groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_late"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 aggregation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cov_agg_basic",
+    oracle="""
+SELECT l_returnflag,
+       count(*) AS n_rows,
+       count(l_quantity) AS n_qty,
+       cast(min(l_quantity) as double) AS min_qty,
+       cast(max(l_quantity) as double) AS max_qty,
+       cast(sum(cast(l_quantity as decimal(9,2))) as double) AS sum_qty,
+       min(l_shipdate) AS min_ship,
+       max(l_shipdate) AS max_ship
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def cov_agg_basic(spark, sf_dir):
+    """count/count(c)/min/max/sum (aggregate-functions.h:46-63) over a
+    low-cardinality key — partial agg collapses before the shuffle."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("l_quantity").alias("n_qty"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+    )
+
+
+@query(
+    "cov_agg_no_groupby",
+    oracle="""
+SELECT count(*) AS n, count(DISTINCT o_custkey) AS n_cust,
+       cast(min(o_totalprice) as double) AS min_price,
+       cast(max(o_totalprice) as double) AS max_price
+FROM orders
+""",
+)
+def cov_agg_no_groupby(spark, sf_dir):
+    """Singleton-tuple aggregation (no GROUP BY —
+    aggregation-node.h:43-100 singleton path)."""
+    o = t(spark, sf_dir, "orders")
+    return o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("o_custkey").alias("n_cust"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+@query(
+    "cov_agg_distinct",
+    oracle="""
+SELECT l_returnflag,
+       count(DISTINCT l_suppkey) AS n_supp,
+       count(DISTINCT l_partkey) AS n_part,
+       cast(sum(DISTINCT cast(l_quantity as decimal(9,2))) as double) AS sum_dist_qty
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def cov_agg_distinct(spark, sf_dir):
+    """DISTINCT aggregates — the reference's two-phase rewrite
+    (AggregateInfo.java:52-59); Catalyst plans Expand automatically."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_part"),
+        F.sum_distinct(dec("l_quantity")).cast("double").alias("sum_dist_qty"),
+    )
+
+
+@query(
+    "cov_agg_group_concat",
+    oracle="""
+SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS names
+FROM nation GROUP BY n_regionkey
+""",
+)
+def cov_agg_group_concat(spark, sf_dir):
+    """group_concat (BuiltinsDb.java:359-367), deterministic via sorted
+    input — exercised through the Impala-dialect rewriter."""
+    return _sql(
+        spark,
+        sf_dir,
+        "SELECT n_regionkey, group_concat(n_name, ',') AS names FROM nation GROUP BY n_regionkey",
+    )
+
+
+@query(
+    "cov_agg_stats",
+    oracle="""
+SELECT c_nationkey,
+       round(stddev_samp(c_acctbal), 4) AS sd_samp,
+       round(stddev_pop(c_acctbal), 4) AS sd_pop,
+       round(var_samp(c_acctbal), 3) AS v_samp,
+       round(var_pop(c_acctbal), 3) AS v_pop
+FROM customer GROUP BY c_nationkey
+""",
+)
+def cov_agg_stats(spark, sf_dir):
+    """stddev/variance family (Knuth online variance,
+    aggregate-functions.h:98-112). FP accumulation order differs per
+    engine → rounded comparison (SURVEY §7 risk 2)."""
+    c = t(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.round(F.stddev_samp("c_acctbal"), 4).alias("sd_samp"),
+        F.round(F.stddev_pop("c_acctbal"), 4).alias("sd_pop"),
+        F.round(F.var_samp("c_acctbal"), 3).alias("v_samp"),
+        F.round(F.var_pop("c_acctbal"), 3).alias("v_pop"),
+    )
+
+
+@query("cov_agg_ndv", oracle=None)
+def cov_agg_ndv(spark, sf_dir):
+    """ndv/distinctpc → approx_count_distinct (HLL p=10 vs Spark HLL++:
+    approximate-only parity, no value oracle — SURVEY §7 risk 2).
+    Sanity-checked against exact counts in tests/test_functions.py."""
+    return _sql(
+        spark,
+        sf_dir,
+        "SELECT l_returnflag, ndv(l_partkey) AS ndv_part, "
+        "distinctpc(l_suppkey) AS pc_supp FROM lineitem GROUP BY l_returnflag",
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 sort / top-n / limit / offset — Impala null-ordering defaults
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cov_sort_nulls_default",
+    oracle="""
+SELECT event_id, nullif(event_type, 'view') AS et
+FROM events
+ORDER BY et DESC NULLS FIRST, event_id ASC
+LIMIT 50
+""",
+)
+def cov_sort_nulls_default(spark, sf_dir):
+    """Impala default null ordering: DESC→NULLS FIRST
+    (OrderByElement.java:74-75 — opposite of Spark's default). Written
+    in Impala dialect with no explicit NULLS clause; the rewriter must
+    inject it for the hash to match."""
+    return _sql(
+        spark,
+        sf_dir,
+        "SELECT event_id, nullif(event_type, 'view') AS et FROM events "
+        "ORDER BY et DESC, event_id LIMIT 50",
+    )
+
+
+@query(
+    "cov_topn",
+    oracle="""
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+""",
+    headline=True,
+)
+def cov_topn(spark, sf_dir):
+    """TopNNode (topn-node.h:81-84): ORDER BY + LIMIT → Spark
+    TakeOrderedAndProject (bounded heap per partition, no full sort)."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(25)
+    )
+
+
+@query(
+    "cov_limit_offset",
+    oracle="""
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_orderkey LIMIT 20 OFFSET 100
+""",
+)
+def cov_limit_offset(spark, sf_dir):
+    """Sort + OFFSET (sort-node.cc supports offset; Spark 3.4+ native
+    DataFrame.offset)."""
+    o = t(spark, sf_dir, "orders")
+    return o.select("o_orderkey", "o_totalprice").orderBy("o_orderkey").offset(100).limit(20)
+
+
+@query(
+    "cov_full_sort",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+WHERE l_orderkey < 100
+ORDER BY l_quantity DESC NULLS FIRST, l_orderkey, l_linenumber
+""",
+)
+def cov_full_sort(spark, sf_dir):
+    """Full external sort (SortNode/sorter.h — Spark Tungsten sort
+    spills natively). Multi-key with mixed direction."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    return li.select("l_orderkey", "l_linenumber", "l_quantity").orderBy(
+        F.desc_nulls_first("l_quantity"), F.asc("l_orderkey"), F.asc("l_linenumber")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 set operations + VALUES
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cov_union_all",
+    oracle="""
+SELECT c_custkey AS id, c_name AS name, 'customer' AS src FROM customer
+UNION ALL
+SELECT s_suppkey AS id, s_name AS name, 'supplier' AS src FROM supplier
+""",
+)
+def cov_union_all(spark, sf_dir):
+    """UNION ALL (union-node.cc passthrough)."""
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"), F.col("c_name").alias("name"), F.lit("customer").alias("src")
+    )
+    s = t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("id"), F.col("s_name").alias("name"), F.lit("supplier").alias("src")
+    )
+    return c.union(s)
+
+
+@query(
+    "cov_union_distinct",
+    oracle="""
+SELECT c_nationkey AS k FROM customer
+UNION
+SELECT s_nationkey AS k FROM supplier
+""",
+)
+def cov_union_distinct(spark, sf_dir):
+    """UNION DISTINCT = union all + dedup agg (UnionStmt.java:97-150)."""
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    return c.union(s).distinct()
+
+
+@query(
+    "cov_values",
+    oracle="""
+SELECT * FROM (VALUES (1, 'one', cast(1.5 as double)),
+                      (2, 'two', cast(2.5 as double)),
+                      (3, NULL, cast(NULL as double))) t(id, name, x)
+""",
+)
+def cov_values(spark, sf_dir):
+    """VALUES / FROM-less SELECT (ValuesStmt → UnionNode const exprs)."""
+    return spark.sql(
+        "SELECT * FROM VALUES (1, 'one', cast(1.5 as double)),"
+        " (2, 'two', cast(2.5 as double)), (3, NULL, cast(NULL as double)) AS t(id, name, x)"
+    )
+
+
+@query(
+    "cov_select_distinct",
+    oracle="SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+)
+def cov_select_distinct(spark, sf_dir):
+    """SELECT DISTINCT → dedup aggregation."""
+    return t(spark, sf_dir, "orders").select("o_orderstatus", "o_orderpriority").distinct()
+
+
+@query(
+    "cov_with_cte",
+    oracle="""
+WITH big AS (SELECT o_custkey, o_totalprice FROM orders
+             WHERE o_totalprice > cast(200000 as double)),
+     agg AS (SELECT o_custkey, count(*) AS n FROM big GROUP BY o_custkey)
+SELECT c_custkey, c_name, n
+FROM customer JOIN agg ON o_custkey = c_custkey
+WHERE n >= 2
+""",
+)
+def cov_with_cte(spark, sf_dir):
+    """WITH clause / inline views (WithClause.java, InlineView) via the
+    SQL surface."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        WITH big AS (SELECT o_custkey, o_totalprice FROM orders
+                     WHERE o_totalprice > cast(200000 as double)),
+             agg AS (SELECT o_custkey, count(*) AS n FROM big GROUP BY o_custkey)
+        SELECT c_custkey, c_name, n
+        FROM customer JOIN agg ON o_custkey = c_custkey
+        WHERE n >= 2
+        """,
+    )
+
+
+@query(
+    "cov_inline_view_limit",
+    oracle="""
+SELECT v.o_custkey, count(*) AS n
+FROM (SELECT o_custkey FROM orders ORDER BY o_orderkey LIMIT 500) v
+GROUP BY v.o_custkey
+""",
+)
+def cov_inline_view_limit(spark, sf_dir):
+    """Predicate-above-inline-view-with-LIMIT — the case that forces a
+    standalone SelectNode in the reference (Planner.java:666-699)."""
+    return _sql(
+        spark,
+        sf_dir,
+        "SELECT v.o_custkey, count(*) AS n FROM "
+        "(SELECT o_custkey FROM orders ORDER BY o_orderkey LIMIT 500) v GROUP BY v.o_custkey",
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.8 scalar function families (cross-engine-deterministic subset;
+# transcendentals get tolerance tests in tests/test_functions.py)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cov_fn_string",
+    oracle="""
+SELECT n_name,
+       lower(n_name) AS lo, upper(lower(n_name)) AS up,
+       length(n_name) AS len,
+       substr(n_name, 2, 4) AS sub,
+       left(n_name, 3) AS l3, right(n_name, 2) AS r2,
+       lpad(n_name, 12, '*') AS lp, rpad(n_name, 12, '*') AS rp,
+       reverse(n_name) AS rev,
+       concat(n_name, '-x') AS cat,
+       concat_ws('-', n_name, n_name) AS catws,
+       replace(n_name, '_', '/') AS repl,
+       translate(n_name, 'NAT', 'nat') AS tr,
+       repeat(left(n_name, 2), 2) AS rep,
+       ascii(n_name) AS asc_c,
+       instr(n_name, '_') AS pos,
+       trim(concat(' ', n_name, ' ')) AS trimmed
+FROM nation
+""",
+)
+def cov_fn_string(spark, sf_dir):
+    """String builtins (impala_functions.py:149-213) incl. dialect-layer
+    strleft/strright expansion."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT n_name,
+               lower(n_name) AS lo, upper(lower(n_name)) AS up,
+               length(n_name) AS len,
+               substr(n_name, 2, 4) AS sub,
+               strleft(n_name, 3) AS l3, strright(n_name, 2) AS r2,
+               lpad(n_name, 12, '*') AS lp, rpad(n_name, 12, '*') AS rp,
+               reverse(n_name) AS rev,
+               concat(n_name, '-x') AS cat,
+               concat_ws('-', n_name, n_name) AS catws,
+               replace(n_name, '_', '/') AS repl,
+               translate(n_name, 'NAT', 'nat') AS tr,
+               repeat(strleft(n_name, 2), 2) AS rep,
+               ascii(n_name) AS asc_c,
+               instr(n_name, '_') AS pos,
+               trim(concat(' ', n_name, ' ')) AS trimmed
+        FROM nation
+        """,
+    )
+
+
+@query(
+    "cov_fn_math",
+    oracle="""
+SELECT p_partkey,
+       abs(p_size - 25) AS a,
+       ceil(p_retailprice) AS c,
+       floor(p_retailprice) AS f,
+       round(p_retailprice, 1) AS r1,
+       sign(p_size - 25) AS sg,
+       cast(p_size % 7 as int) AS m7,
+       ((p_size - 25) % 7 + 7) % 7 AS pm,
+       greatest(p_size, 10) AS g,
+       least(p_size, 10) AS l,
+       round(sqrt(cast(p_size as double)), 8) AS sq
+FROM part
+""",
+)
+def cov_fn_math(spark, sf_dir):
+    """Math builtins (impala_functions.py:56-148): exact-arithmetic
+    subset (IEEE-deterministic). pmod sign semantics: result ≥ 0."""
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.abs(F.col("p_size") - 25).alias("a"),
+        F.ceil("p_retailprice").alias("c"),
+        F.floor("p_retailprice").alias("f"),
+        F.round("p_retailprice", 1).alias("r1"),
+        F.signum(F.col("p_size") - 25).alias("sg"),
+        (F.col("p_size") % 7).cast("int").alias("m7"),
+        F.pmod(F.col("p_size") - 25, F.lit(7)).alias("pm"),
+        F.greatest("p_size", F.lit(10)).alias("g"),
+        F.least("p_size", F.lit(10)).alias("l"),
+        F.round(F.sqrt(F.col("p_size").cast("double")), 8).alias("sq"),
+    )
+
+
+@query(
+    "cov_fn_timestamp",
+    oracle="""
+SELECT event_id,
+       year(ts) AS y, month(ts) AS mo, day(ts) AS d,
+       hour(ts) AS h, minute(ts) AS mi, second(ts) AS s,
+       dayofweek(ts) + 1 AS dow,
+       dayofyear(ts) AS doy,
+       weekofyear(ts) AS woy,
+       cast(ts as date) AS dt,
+       cast(date_trunc('hour', ts) as timestamp) AS th,
+       cast(date_trunc('day', ts) as timestamp) AS td,
+       datediff('day', cast(ts as date), DATE '2024-03-01') AS dd,
+       last_day(cast(ts as date)) AS ld,
+       cast(ts as date) + INTERVAL 7 DAY = cast(ts as date) + INTERVAL 7 DAY AS _true,
+       cast(floor(epoch(date_trunc('second', ts))) as bigint) AS unixsec
+FROM events WHERE event_id < 200
+""",
+)
+def cov_fn_timestamp(spark, sf_dir):
+    """Timestamp builtins (impala_functions.py:239-356): extract family,
+    date_trunc, datediff, last_day, interval arithmetic, unix epoch.
+    dow normalized (Spark 1=Sun vs DuckDB 0=Sun)."""
+    e = t(spark, sf_dir, "events").filter(F.col("event_id") < 200)
+    return e.select(
+        "event_id",
+        F.year("ts").alias("y"),
+        F.month("ts").alias("mo"),
+        F.dayofmonth("ts").alias("d"),
+        F.hour("ts").alias("h"),
+        F.minute("ts").alias("mi"),
+        F.second("ts").alias("s"),
+        F.dayofweek("ts").alias("dow"),
+        F.dayofyear("ts").alias("doy"),
+        F.weekofyear("ts").alias("woy"),
+        F.col("ts").cast("date").alias("dt"),
+        F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("th"),
+        F.date_trunc("day", "ts").cast("timestamp_ntz").alias("td"),
+        F.datediff(F.lit("2024-03-01").cast("date"), F.col("ts").cast("date")).alias("dd"),
+        F.last_day(F.col("ts").cast("date")).alias("ld"),
+        (F.date_add(F.col("ts").cast("date"), 7) == F.date_add(F.col("ts").cast("date"), 7)).alias(
+            "_true"
+        ),
+        F.unix_timestamp(F.date_trunc("second", "ts")).alias("unixsec"),
+    )
+
+
+@query(
+    "cov_fn_conditional",
+    oracle="""
+SELECT o_orderkey,
+       CASE WHEN o_totalprice > cast(300000 as double) THEN 'high'
+            WHEN o_totalprice > cast(100000 as double) THEN 'mid'
+            ELSE 'low' END AS bucket,
+       CASE o_orderstatus WHEN 'O' THEN 'open' WHEN 'F' THEN 'done'
+            ELSE 'other' END AS st,
+       coalesce(nullif(o_orderstatus, 'P'), 'pending') AS np,
+       (CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS if_o,
+       coalesce(nullif(o_orderkey, 0), -1) AS zin
+FROM orders WHERE o_orderkey < 500
+""",
+)
+def cov_fn_conditional(spark, sf_dir):
+    """Conditional fns (conditional-functions.h, case-expr.cc): searched
+    + simple CASE, if(), isnull/nvl, nullif, zeroifnull — through the
+    Impala dialect layer."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT o_orderkey,
+               CASE WHEN o_totalprice > cast(300000 as double) THEN 'high'
+                    WHEN o_totalprice > cast(100000 as double) THEN 'mid'
+                    ELSE 'low' END AS bucket,
+               CASE o_orderstatus WHEN 'O' THEN 'open' WHEN 'F' THEN 'done'
+                    ELSE 'other' END AS st,
+               isnull(nullif(o_orderstatus, 'P'), 'pending') AS np,
+               if(o_orderstatus = 'O', 1, 0) AS if_o,
+               cast(coalesce(nullifzero(o_orderkey), -1) as bigint) AS zin
+        FROM orders WHERE o_orderkey < 500
+        """,
+    )
+
+
+@query(
+    "cov_fn_cast",
+    oracle="""
+SELECT l_orderkey,
+       cast(l_quantity as varchar) AS qty_str,
+       cast(cast(l_orderkey as varchar) as bigint) AS rt_key,
+       cast(floor(l_extendedprice) as bigint) AS price_int,
+       cast(l_linenumber as double) AS ln_dbl,
+       cast(l_shipdate as date) AS ship_date,
+       cast(cast(l_shipdate as date) as varchar) AS ship_str
+FROM lineitem WHERE l_orderkey < 50
+""",
+)
+def cov_fn_cast(spark, sf_dir):
+    """CAST lattice (CastExpr.java / TypesUtil.java): numeric↔string,
+    timestamp→date→string round-trips. double→int uses explicit floor
+    (Impala truncates, DuckDB rounds — floor pins the semantics)."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 50)
+    return li.select(
+        "l_orderkey",
+        F.col("l_quantity").cast("string").alias("qty_str"),
+        F.col("l_orderkey").cast("string").cast("bigint").alias("rt_key"),
+        F.floor("l_extendedprice").cast("bigint").alias("price_int"),
+        F.col("l_linenumber").cast("double").alias("ln_dbl"),
+        F.col("l_shipdate").cast("date").alias("ship_date"),
+        F.col("l_shipdate").cast("date").cast("string").alias("ship_str"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events table: time-bucketed aggregation (batch shape of the streaming
+# pipeline in streaming/events.py)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cov_events_daily",
+    oracle="""
+SELECT cast(date_trunc('day', ts) as date) AS day, event_type,
+       count(*) AS n,
+       cast(sum(cast(value as decimal(12,2))) as double) AS total_value
+FROM events GROUP BY 1, 2
+""",
+    headline=True,
+)
+def cov_events_daily(spark, sf_dir):
+    """Daily rollup of the events table — the batch twin of the
+    streaming windowed agg (streaming/events.py)."""
+    e = t(spark, sf_dir, "events")
+    return e.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+    )

@@ -1,0 +1,303 @@
+"""Training-data pipeline queries: dedup, similarity, text analysis,
+multimodal, streaming — the engine-extension surface (graded alongside
+SURVEY §2; see operators/*).
+
+Oracle strategy: operators built on cross-engine-reproducible
+primitives (md5, integer arithmetic, sequential list folds) are fully
+hash-checked; MinHash/SimHash/hyperplane-LSH use engine-internal
+hashing (xxhash64 / seeded numpy planes) → rows-only driver check +
+ground-truth recall tests in tests/.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from impala_cut_spark.operators import dedup, multimodal, similarity
+from impala_cut_spark.operators.text import (
+    LANG_STOPWORDS,
+    QUALITY_STOPWORDS,
+    fingerprint,
+    lang_id,
+    quality_features,
+    quality_score,
+)
+from impala_cut_spark.plans._util import t
+from impala_cut_spark.plans.registry import query
+
+# shared DuckDB snippets ----------------------------------------------------
+
+_SQL_TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
+_SQL_NORM = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+)
+
+
+def _sql_count_in(words: list[str]) -> str:
+    lst = ", ".join("'" + w.replace("'", "''") + "'" for w in words)
+    return f"len(list_filter(l, x -> list_contains([{lst}], x)))"
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pipe_text_stats",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, text, {_SQL_TOKS} AS l FROM documents)
+SELECT doc_id,
+       length(text) AS n_char,
+       len(l) AS n_tok,
+       len(list_distinct(l)) AS n_distinct_tok,
+       round(cast(list_sum(list_transform(l, x -> length(x))) as double)
+             / cast(len(l) as double), 6) AS avg_tok_len,
+       round(cast(len(list_distinct(l)) as double)
+             / cast(len(l) as double), 6) AS ttr
+FROM toks
+""",
+)
+def pipe_text_stats(spark, sf_dir):
+    """Token counting + type-token ratio (operators/text.py). Narrow
+    map over the scan — no shuffle."""
+    docs = t(spark, sf_dir, "documents")
+    ft = quality_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        ft["n_char"].alias("n_char"),
+        ft["n_tok"].alias("n_tok"),
+        ft["n_distinct_tok"].alias("n_distinct_tok"),
+        F.round(ft["avg_tok_len"], 6).alias("avg_tok_len"),
+        F.round(ft["n_distinct_tok"].cast("double") / ft["n_tok"].cast("double"), 6).alias("ttr"),
+    )
+
+
+@query(
+    "pipe_text_quality",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, text, {_SQL_TOKS} AS l FROM documents),
+     ft AS (
+       SELECT doc_id,
+              cast(len(l) as double) AS n_tok,
+              cast(list_sum(list_transform(l, x -> length(x))) as double)
+                / cast(len(l) as double) AS avg_tok_len,
+              cast({_sql_count_in(QUALITY_STOPWORDS)} as double)
+                / cast(len(l) as double) AS stop_ratio
+       FROM toks)
+SELECT doc_id,
+       round(0.4 * least(n_tok / 100.0, 1.0)
+             + 0.3 * least(stop_ratio * 5.0, 1.0)
+             + 0.3 * least(avg_tok_len / 8.0, 1.0), 6) AS quality
+FROM ft
+""",
+)
+def pipe_text_quality(spark, sf_dir):
+    """Heuristic quality scoring (length/stopword-density/word-shape —
+    C4/Gopher-style rules)."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+def _langid_oracle() -> str:
+    hits = ",\n              ".join(
+        f"{_sql_count_in(words)} AS h_{lang}" for lang, words in LANG_STOPWORDS.items()
+    )
+    langs = list(LANG_STOPWORDS)
+    g = "greatest(" + ", ".join(f"h_{la}" for la in langs) + ")"
+    first_argmax = " ".join(f"WHEN h_{la} = {g} THEN '{la}'" for la in langs)
+    return f"""
+WITH toks AS (SELECT doc_id, lang, {_SQL_TOKS} AS l FROM documents),
+     h AS (SELECT doc_id, lang,
+              {hits}
+           FROM toks)
+SELECT doc_id, lang,
+       CASE WHEN {g} = 0 THEN 'und' {first_argmax} ELSE 'und' END AS pred_lang
+FROM h
+"""
+
+
+@query("pipe_text_langid", oracle=_langid_oracle())
+def pipe_text_langid(spark, sf_dir):
+    """Stopword-vote language ID; emitted next to the labeled ``lang``
+    column for accuracy eval downstream."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", lang_id(F.col("text")).alias("pred_lang"))
+
+
+@query(
+    "pipe_text_fingerprint",
+    oracle=f"""
+SELECT doc_id, md5({_SQL_NORM}) AS fp FROM documents
+""",
+)
+def pipe_text_fingerprint(spark, sf_dir):
+    """Canonical content fingerprint (md5 over normalized text —
+    bit-identical cross-engine)."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pipe_dedup_exact",
+    oracle=f"""
+SELECT md5({_SQL_NORM}) AS fp, min(doc_id) AS keeper, count(*) AS n_dups
+FROM documents GROUP BY 1
+""",
+)
+def pipe_dedup_exact(spark, sf_dir):
+    """Exact dedup groups: hash-groupBy on normalized fingerprint."""
+    return dedup.exact_dedup_groups(t(spark, sf_dir, "documents"))
+
+
+_SQL_SHINGLES = f"""
+toks AS (SELECT doc_id, {_SQL_TOKS} AS l FROM documents),
+sh AS (SELECT doc_id,
+              unnest(list_distinct([l[i+1] || ' ' || l[i+2] || ' ' || l[i+3]
+                                    for i in range(greatest(len(l) - 2, 0))])) AS shingle
+       FROM toks),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id)
+"""
+
+
+@query(
+    "pipe_dedup_jaccard",
+    oracle=f"""
+WITH {_SQL_SHINGLES},
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       round(cast(n_common as double)
+             / cast(sa.sz + sb.sz - n_common as double), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(cast(n_common as double)
+            / cast(sa.sz + sb.sz - n_common as double), 6) >= 0.2
+""",
+    headline=True,
+)
+def pipe_dedup_jaccard(spark, sf_dir):
+    """EXACT 3-gram Jaccard near-dup pairs (inverted-index similarity
+    join — operators/dedup.py)."""
+    return dedup.ngram_jaccard_pairs(t(spark, sf_dir, "documents"), n=3, threshold=0.2)
+
+
+@query("pipe_dedup_minhash", oracle=None, headline=True)
+def pipe_dedup_minhash(spark, sf_dir):
+    """MinHash(64)+LSH(16×4) candidates verified by exact Jaccard —
+    the O(n) scale path. Same output contract as pipe_dedup_jaccard;
+    recall vs exact measured in tests/test_dedup.py."""
+    return dedup.minhash_dedup_pairs(t(spark, sf_dir, "documents"), n=3, threshold=0.2)
+
+
+@query("pipe_dedup_simhash", oracle=None)
+def pipe_dedup_simhash(spark, sf_dir):
+    """SimHash-64 near-dup pairs, hamming ≤ 3, via exact pigeonhole
+    block join (no n² stage, no false negatives)."""
+    return dedup.simhash_pairs(t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# embeddings: near-dup + ANN
+# ---------------------------------------------------------------------------
+
+_SQL_VECS = """
+v AS (SELECT vec_id, list_transform(embedding, x -> cast(x as double)) AS e
+      FROM embeddings),
+nv AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nm FROM v)
+"""
+
+
+@query(
+    "pipe_embed_neardup",
+    oracle=f"""
+WITH {_SQL_VECS}
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.e, b.e) / (a.nm * b.nm), 6) AS cos
+FROM nv a JOIN nv b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.e, b.e) / (a.nm * b.nm), 6) >= 0.9
+""",
+)
+def pipe_embed_neardup(spark, sf_dir):
+    """Exact embedding near-dup pairs (cosine ≥ 0.9). Quadratic oracle
+    form — the LSH path below is the scale answer."""
+    return similarity.embedding_neardup_pairs(t(spark, sf_dir, "embeddings"), threshold=0.9)
+
+
+@query(
+    "pipe_ann_topk",
+    oracle=f"""
+WITH {_SQL_VECS},
+s AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+             round(list_dot_product(q.e, c.e) / (q.nm * c.nm), 6) AS cos
+      FROM nv q JOIN nv c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < 10),
+r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+      FROM s)
+SELECT q_id, n_id, rank, cos FROM r WHERE rank <= 5
+""",
+    headline=True,
+)
+def pipe_ann_topk(spark, sf_dir):
+    """Brute-force cosine top-5 for query vectors vec_id<10 — the exact
+    ANN baseline (broadcast queries × corpus scan + windowed top-k)."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.brute_force_topk(emb, queries, k=5)
+
+
+@query("pipe_ann_lsh", oracle=None)
+def pipe_ann_lsh(spark, sf_dir):
+    """Hyperplane-LSH bucketed ANN — compares each query only to its
+    signature bucket. Recall vs brute force in tests/test_similarity.py."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.lsh_topk(emb, queries, dim=64, k=5, n_planes=8)
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing (decode stubbed — operators/multimodal.py)
+# ---------------------------------------------------------------------------
+
+
+@query("pipe_multimodal_features", oracle=None)
+def pipe_multimodal_features(spark, sf_dir):
+    """Binary-payload feature extraction via Arrow-batched mapInPandas
+    (deterministic stand-in features; schema/batching is the real
+    production shape)."""
+    docs = t(spark, sf_dir, "documents")
+    feats = multimodal.extract_features(multimodal.assets_from_documents(docs))
+    return feats.select(
+        "asset_id", "modality", "n_bytes", F.round(F.element_at("features", 1), 6).alias("f0")
+    )
+
+
+# ---------------------------------------------------------------------------
+# streaming (engine extension — reference is batch-only, SURVEY §2.9)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stream_events_hourly",
+    oracle="""
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n,
+       cast(sum(cast(value as decimal(12,2))) as double) AS total_value
+FROM events GROUP BY 1, 2
+""",
+)
+def stream_events_hourly(spark, sf_dir):
+    """Watermarked tumbling-window streaming rollup run to completion
+    over the replayed events stream (streaming/events.py) — results
+    hash-match the equivalent batch SQL."""
+    from impala_cut_spark.streaming.events import run_hourly_rollup
+
+    return run_hourly_rollup(spark, sf_dir)

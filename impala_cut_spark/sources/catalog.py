@@ -1,0 +1,65 @@
+"""Table catalog over the driver's parquet testdata.
+
+Plays the role of the reference's catalog + HdfsTable metadata
+(``fe/.../catalog/HdfsTable.java``): fixed, declared schemas; no
+inference. The statestore/catalogd distribution machinery
+(``be/src/statestore``) is cluster plumbing Spark's own catalog
+replaces — not rebuilt (SURVEY.md §1.3).
+
+Scale notes: each table is a plain parquet scan — Catalyst handles
+column pruning + predicate/partition pushdown. At 100 TB these would
+be partitioned/bucketed catalog tables; the query code in plans/ and
+operators/ only depends on the view names, so swapping the storage
+layer is a catalog concern, not a query concern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: all driver-provided tables (TESTDATA.md)
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS), which Spark's parquet
+        # reader rejects unless nanos are surfaced as BIGINT. Runtime
+        # SQL conf, so set it here rather than requiring the caller's
+        # session to be pre-configured (the driver builds its own).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # events.ts is TIMESTAMP(NANOS) parquet, read as epoch-nanos via
+        # spark.sql.legacy.parquet.nanosAsLong (session.py). Truncate to
+        # µs exactly like DuckDB's ns→µs scan so oracle values align,
+        # keeping the raw nanos alongside (no precision loss).
+        df = df.withColumn("ts_ns", F.col("ts")).withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        )
+        df = df.select("event_id", "ts", "ts_ns", "user_id", "event_type", "value", "props")
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register all tables as temp views (the SQL entry surface)."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

@@ -1,0 +1,75 @@
+"""Streaming rollup of the events table.
+
+Replays ``events.parquet`` through the file stream source and runs a
+watermarked tumbling-window aggregation — the Structured Streaming
+twin of cov_events_daily. The memory sink + processAllAvailable makes
+it synchronously testable; swapping source/sink to Kafka + a real sink
+is configuration, not code.
+
+Scale: streaming state is keyed by (window, event_type) — bounded by
+the watermark horizon; the file source shards by files, so a 100 TB
+backfill parallelizes across executors exactly like the batch scan.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_counter = itertools.count()
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as a stream, with the same ns→µs ts normalization
+    as the batch catalog (sources/catalog.py)."""
+    # TIMESTAMP(NANOS) parquet needs nanosAsLong on any session (the
+    # driver builds its own) — same runtime conf the batch catalog sets.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")  # file source needs a dir
+        .parquet(sf_dir)
+    )
+    if dict(raw.dtypes).get("ts") == "bigint":
+        # TimestampType (not NTZ): watermarks require TIMESTAMP; session
+        # TZ is pinned UTC so wall-clock values match the batch catalog.
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
+
+
+def hourly_rollup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1-hour window per event_type: count + exact-decimal sum."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+        )
+    )
+
+
+def run_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the streaming rollup to completion over the finite file
+    source and return the result as a (batch) DataFrame."""
+    name = f"events_hourly_{next(_counter)}"
+    q = (
+        hourly_rollup(events_stream(spark, sf_dir))
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).select(
+        F.col("win.start").cast("timestamp_ntz").alias("hour"),
+        "event_type",
+        "n",
+        "total_value",
+    )
