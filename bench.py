@@ -1,0 +1,65 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Run directly: ``python bench.py``. Per-query wall time covers plan
+construction + execution to a driver-side count (results are small
+aggregates; count() forces the full pipeline without result transfer
+cost dominating).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from impala_cut_spark.session import build_session
+    from impala_cut_spark.plans import REGISTRY
+
+    spark = build_session(
+        app_name="impala-cut-spark-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    headline = {n: s for n, s in REGISTRY.items() if s.headline}
+
+    # Warm the JVM + parquet footers once so per-query numbers measure
+    # the engine, not first-touch JIT/classloading (BASELINE.md: sf0.1
+    # is dominated by fixed overhead otherwise).
+    warm = next(iter(headline.values()))
+    warm.spark(spark, sf_dir).count()
+
+    times: dict[str, float] = {}
+    for name, spec in headline.items():
+        t0 = time.perf_counter()
+        spec.spark(spark, sf_dir).count()
+        times[name] = round(time.perf_counter() - t0, 4)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_wall",
+                "value": round(sum(times.values()), 4),
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
