@@ -189,9 +189,12 @@ def _rewrite_calls_once(sql: str) -> str:
 # join hints & straight_join
 # ---------------------------------------------------------------------------
 
+#: keywords that can follow a table ref and must not parse as an alias
+_NOT_ALIAS = "on|using|where|join|left|right|inner|outer|full|cross|semi|anti|group|order|limit|union|having"
+
 _HINT = re.compile(
     r"\bjoin\s*\[\s*(broadcast|shuffle)\s*\]\s+([A-Za-z_][A-Za-z0-9_.]*)"
-    r"(?:\s+(?:as\s+)?([A-Za-z_][A-Za-z0-9_]*))?",
+    rf"(?:\s+(?:as\s+)?(?!(?:{_NOT_ALIAS})\b)([A-Za-z_][A-Za-z0-9_]*))?",
     re.IGNORECASE,
 )
 

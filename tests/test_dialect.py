@@ -1,0 +1,102 @@
+"""Unit tests for the Impala→Spark dialect rewriter (pure strings).
+
+Models the reference's parser tests
+(fe/src/test/java/com/cloudera/impala/analysis/ParserTest.java) at the
+rewrite layer — we assert on the emitted Spark SQL, not an AST.
+"""
+
+from __future__ import annotations
+
+from impala_cut_spark.dialect import (
+    rewrite,
+    rewrite_calls,
+    rewrite_hints,
+    rewrite_null_ordering,
+)
+
+
+class TestCallRewrites:
+    def test_isnull_two_arg_is_nvl(self):
+        assert rewrite_calls("select isnull(a, b) from t") == "select nvl(a, b) from t"
+
+    def test_isnull_one_arg_is_predicate(self):
+        assert rewrite_calls("select isnull(a) from t") == "select (a IS NULL) from t"
+
+    def test_zeroifnull_nullifzero(self):
+        assert rewrite_calls("select zeroifnull(x)") == "select coalesce(x, 0)"
+        assert rewrite_calls("select nullifzero(x)") == "select nullif(x, 0)"
+
+    def test_nested_calls_converge(self):
+        out = rewrite_calls("select zeroifnull(isnull(a, b))")
+        assert out == "select coalesce(nvl(a, b), 0)"
+
+    def test_string_literal_untouched(self):
+        sql = "select 'isnull(a,b)' as lit"
+        assert rewrite_calls(sql) == sql
+
+    def test_not_a_call_untouched(self):
+        sql = "select isnull from t"  # bare identifier, no parens
+        assert rewrite_calls(sql) == sql
+
+    def test_args_with_nested_parens_and_commas(self):
+        out = rewrite_calls("select isnull(f(a, b), g(c))")
+        assert out == "select nvl(f(a, b), g(c))"
+
+    def test_ndv_and_group_concat(self):
+        assert rewrite_calls("select ndv(x)") == "select approx_count_distinct(x)"
+        out = rewrite_calls("select group_concat(s, '|')")
+        assert out == "select array_join(sort_array(collect_list(s)), '|')"
+
+    def test_case_insensitive(self):
+        assert rewrite_calls("select ISNULL(a, b)") == "select nvl(a, b)"
+
+
+class TestHints:
+    def test_broadcast_hint(self):
+        sql, hints = rewrite_hints("select * from a join [broadcast] b on a.x = b.x")
+        assert hints == ["BROADCAST(b)"]
+        assert "[broadcast]" not in sql.lower()
+
+    def test_shuffle_hint_with_alias(self):
+        sql, hints = rewrite_hints("select * from a join [shuffle] big_table bt on a.x = bt.x")
+        assert hints == ["SHUFFLE_HASH(bt)"]
+
+    def test_full_rewrite_places_hint_after_select(self):
+        out = rewrite("select * from a join [broadcast] b on a.x = b.x")
+        assert out.lower().startswith("select /*+ broadcast(b) */")
+
+    def test_straight_join_stripped(self):
+        sql, _ = rewrite_hints("select straight_join * from a, b")
+        assert "straight_join" not in sql.lower()
+
+
+class TestNullOrdering:
+    def test_asc_gets_nulls_last(self):
+        out = rewrite_null_ordering("select x from t order by x")
+        assert "NULLS LAST" in out
+
+    def test_desc_gets_nulls_first(self):
+        out = rewrite_null_ordering("select x from t order by x desc")
+        assert "NULLS FIRST" in out
+
+    def test_explicit_nulls_preserved(self):
+        sql = "select x from t order by x desc nulls last"
+        out = rewrite_null_ordering(sql)
+        assert out.count("nulls") + out.count("NULLS") == 1
+
+    def test_multiple_keys(self):
+        out = rewrite_null_ordering("select * from t order by a, b desc, c limit 5")
+        assert out.index("NULLS LAST") < out.index("NULLS FIRST")
+        assert out.rstrip().endswith("limit 5")
+
+    def test_order_by_in_string_untouched(self):
+        sql = "select 'order by x' as lit from t"
+        assert rewrite_null_ordering(sql) == sql
+
+    def test_subquery_scoping(self):
+        out = rewrite_null_ordering(
+            "select * from (select x from t order by x limit 3) v order by x desc"
+        )
+        # inner ASC key and outer DESC key each get their own default
+        assert "x NULLS LAST" in out
+        assert "x desc NULLS FIRST" in out

@@ -1,0 +1,124 @@
+"""Invariant tests for the pipeline operators (dedup / similarity /
+text / multimodal) on the documents + embeddings tables at sf0.001.
+
+These complement the oracle comparisons in test_correctness.py with
+semantic properties an oracle can't express (recall of LSH vs exact,
+canonical pair order, stub behavior).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from impala_cut_spark.operators import dedup, multimodal, similarity
+from impala_cut_spark.sources.catalog import load_table
+
+EMB_DIM = 64
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").cache()
+
+
+class TestDedup:
+    def test_exact_keep_first_is_idempotent(self, docs):
+        once = dedup.exact_dedup_keep_first(docs)
+        twice = dedup.exact_dedup_keep_first(once)
+        assert once.count() == twice.count()
+
+    def test_exact_groups_account_for_every_row(self, docs):
+        total = docs.count()
+        groups = dedup.exact_dedup_groups(docs)
+        assert groups.agg({"n_dups": "sum"}).collect()[0][0] == total
+        assert dedup.exact_dedup_keep_first(docs).count() == groups.count()
+
+    def test_jaccard_pairs_are_canonical_and_thresholded(self, docs):
+        rows = dedup.ngram_jaccard_pairs(docs, threshold=0.2).collect()
+        assert rows, "expected some near-dup pairs in synthetic corpus"
+        for r in rows:
+            assert r.id_a < r.id_b  # canonical order, no mirrored pairs
+            assert 0.2 <= r.jaccard <= 1.0
+
+    def test_minhash_lsh_recall_against_exact_jaccard(self, docs):
+        # banded LSH (16 bands × 4) at j ≥ 0.5: candidate probability
+        # 1-(1-j^4)^16 ≥ 0.65, and verification keeps only true pairs —
+        # so approx ⊆ exact, with high recall at the high-sim end
+        exact = {
+            (r.id_a, r.id_b)
+            for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+        }
+        approx = {
+            (r.id_a, r.id_b)
+            for r in dedup.minhash_dedup_pairs(docs, threshold=0.5).collect()
+        }
+        assert approx <= exact, "LSH must verify candidates exactly (no false positives)"
+        if exact:
+            recall = len(approx) / len(exact)
+            assert recall >= 0.6, f"minhash recall {recall:.2f} over {len(exact)} pairs"
+
+    def test_simhash_is_deterministic_64bit(self, docs):
+        a = {(r.doc_id, r.sig) for r in dedup.simhash(docs).collect()}
+        b = {(r.doc_id, r.sig) for r in dedup.simhash(docs).collect()}
+        assert a == b
+
+    def test_simhash_pairs_within_hamming_budget(self, docs):
+        for r in dedup.simhash_pairs(docs, max_hamming=3).collect():
+            assert r.id_a < r.id_b
+            assert 0 <= r.hamming <= 3
+
+
+class TestSimilarity:
+    def test_brute_force_topk_shape_and_order(self, emb):
+        k = 5
+        probe = emb.limit(2)
+        rows = similarity.brute_force_topk(emb, probe, k=k).collect()
+        by_query = {}
+        for r in rows:
+            by_query.setdefault(r.q_id, []).append(r)
+        assert len(by_query) == 2
+        for neighbors in by_query.values():
+            assert len(neighbors) <= k
+            ranks = sorted(n.rank for n in neighbors)
+            assert ranks == list(range(1, len(neighbors) + 1))
+            sims = [n.cos for n in sorted(neighbors, key=lambda x: x.rank)]
+            assert sims == sorted(sims, reverse=True)
+
+    def test_lsh_topk_subset_of_exact_scores(self, emb):
+        # every LSH result must carry the exact cosine the brute-force
+        # path would compute for that (query, neighbor) pair
+        probe = emb.limit(3)
+        brute = {
+            (r.q_id, r.n_id): r.cos
+            for r in similarity.brute_force_topk(emb, probe, k=500).collect()
+        }
+        lsh = similarity.lsh_topk(emb, probe, dim=EMB_DIM, k=5).collect()
+        assert lsh, "LSH should return neighbors for in-corpus probes"
+        for r in lsh:
+            assert brute[(r.q_id, r.n_id)] == r.cos
+
+
+class TestMultimodal:
+    def test_decode_image_is_stubbed(self):
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_image(b"\x89PNG")
+
+    def test_feature_extraction_plumbing(self, docs):
+        assets = multimodal.assets_from_documents(docs)
+        feats = multimodal.extract_features(assets.limit(20))
+        rows = feats.collect()
+        assert rows
+        dims = {len(r.features) for r in rows}
+        assert dims == {multimodal.FEATURE_DIM}
+
+    def test_fake_features_deterministic(self):
+        import numpy as np
+
+        a = multimodal.fake_features(b"payload")
+        b = multimodal.fake_features(b"payload")
+        assert np.allclose(a, b)
