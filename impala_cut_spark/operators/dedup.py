@@ -4,28 +4,43 @@ Four strategies, each a pure DataFrame composition:
 
 - exact           — hash-groupBy on a normalized fingerprint.
 - ngram Jaccard   — EXACT set-similarity join via an inverted
-                    shingle index (explode → equi-join → count), the
-                    classic sparse-similarity-join plan. Oracle-checked.
-- MinHash + LSH   — shingle → 64 minhashes → banded bucket join →
+                    shingle index (explode → group-by-shingle →
+                    pair-combination explode → count), the classic
+                    sparse-similarity-join plan. Oracle-checked.
+- MinHash + LSH   — shingle → 64 minhashes → banded buckets →
                     candidate pairs → exact-Jaccard verification. The
                     100 TB scale path (candidates ≪ n²).
-- SimHash         — 64-bit signature; pigeonhole block join (4×16-bit
-                    blocks) finds ALL pairs with hamming ≤ 3 without
-                    an n² comparison, then verifies hamming exactly.
+- SimHash         — 64-bit signature; pigeonhole block grouping
+                    (4×16-bit blocks) finds ALL pairs with hamming ≤ 3
+                    without an n² comparison, then verifies exactly.
+
+Design note (scale + local): every "find colliding pairs" step is a
+single ``groupBy(key) → collect_set → explode(combinations)`` — one
+shuffle keyed by the collision key, NO self-join. A self-join of the
+index reads/recomputes the index twice and doubles the shuffle; the
+group-then-combine form shuffles the index once, and pair generation
+is local within each group. Group sizes are bounded by construction
+(bucket collisions ≈ near-duplicates only); degenerate hot keys are
+capped at scale (``candidate_pairs_from_groups`` / MAX_BUCKET —
+standard LSH practice). Shared intermediates (the shingle inverted
+index, candidate sets) are persisted MEMORY_AND_DISK: at 100 TB the
+materialized index is the expensive artifact you never build twice.
 
 MinHash/SimHash use xxhash64 (engine-internal hash, not reproducible
-in DuckDB) → rows-only driver check; tests/test_dedup.py verifies
+in DuckDB) → rows-only driver check; tests/test_operators.py verifies
 them against the exact-Jaccard ground truth.
+
+Reference parity: the reference has no dedup surface (pure SQL MPP,
+SURVEY.md §2) — this is the training-pipeline extension.
 """
 
 from __future__ import annotations
 
-from functools import reduce
-
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
-from impala_cut_spark.operators.text import fingerprint, normalized, tokens
+from impala_cut_spark.operators.text import fingerprint, tokens
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -52,6 +67,55 @@ def exact_dedup_keep_first(docs: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# pair generation from collision groups (shared by jaccard/LSH/simhash)
+# ---------------------------------------------------------------------------
+
+
+def _pair_combos(ids: Column) -> Column:
+    """All ordered pairs (a<b) from an id array, as structs."""
+    sorted_ids = F.array_sort(ids)
+    return F.flatten(
+        F.transform(
+            sorted_ids,
+            lambda x, i: F.transform(
+                F.slice(sorted_ids, i + 2, F.size(sorted_ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+
+
+#: at-scale cap on a collision group: a key shared by this many docs
+#: carries no discriminating signal (boilerplate) and would generate
+#: O(group²) pairs — drop it (standard LSH practice)
+MAX_BUCKET = 10_000
+
+
+def candidate_pairs_from_groups(
+    keyed: DataFrame, id_col: str = "doc_id", max_group: int | None = MAX_BUCKET
+) -> DataFrame:
+    """(key…, id) → distinct (id_a, id_b) for ids sharing any key.
+
+    One shuffle (groupBy the key columns) + local combination explode —
+    no self-join, the index is consumed once. Exact callers pass
+    ``max_group=None``.
+    """
+    key_cols = [c for c in keyed.columns if c != id_col]
+    grouped = (
+        keyed.groupBy(*key_cols)
+        .agg(F.collect_set(id_col).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    if max_group is not None:
+        grouped = grouped.filter(F.size("ids") <= max_group)
+    return (
+        grouped.select(F.explode(_pair_combos(F.col("ids"))).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
 # shingles + exact n-gram Jaccard similarity join
 # ---------------------------------------------------------------------------
 
@@ -69,19 +133,21 @@ def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
 
 
 def _pair_jaccard(sh: DataFrame, threshold: float) -> DataFrame:
-    """Exact Jaccard over an inverted index: join docs sharing a
-    shingle, count common, |A∪B| = |A|+|B|−common.
+    """Exact Jaccard over an inverted index: group docs by shingle,
+    count common shingles per pair, |A∪B| = |A|+|B|−common.
 
-    Scale: the join key is the shingle — document frequency of word
-    3-grams is Zipfian but bounded; AQE skew-join splits hot shingles.
-    Output pairs are grouped on (a, b) — integers, uniform.
+    Scale: one shuffle keyed by shingle (word-3-gram document
+    frequency is Zipfian but bounded; a 100 TB run adds the standard
+    prefix-filter / df-cap); the pair-count groupBy keys on
+    (id_a, id_b) — integers, uniform. Per-doc sizes broadcast.
     """
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
     common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        sh.groupBy("shingle")
+        .agg(F.collect_set("doc_id").alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode(_pair_combos(F.col("ids"))).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     sz_a = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
@@ -90,16 +156,21 @@ def _pair_jaccard(sh: DataFrame, threshold: float) -> DataFrame:
         F.col("sz_a") + F.col("sz_b") - F.col("n_common")
     ).cast("double")
     return (
-        common.join(sz_a, "id_a")
-        .join(sz_b, "id_b")
+        common.join(F.broadcast(sz_a), "id_a")
+        .join(F.broadcast(sz_b), "id_b")
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
 
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.2) -> DataFrame:
-    """EXACT near-duplicate pairs by word-n-gram Jaccard ≥ threshold."""
-    return _pair_jaccard(shingles(docs, n), threshold)
+    """EXACT near-duplicate pairs by word-n-gram Jaccard ≥ threshold.
+
+    The shingle index feeds both the per-doc sizes and the pair
+    counts — persisted so the tokenize/shingle scan runs once.
+    """
+    sh = shingles(docs, n).persist(StorageLevel.MEMORY_AND_DISK)
+    return _pair_jaccard(sh, threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -126,9 +197,10 @@ def lsh_candidate_pairs(sig: DataFrame, band_size: int = BAND_SIZE) -> DataFrame
     """Banded LSH: docs agreeing on any band become a candidate pair.
 
     Scale: bucket keys are 64-bit hashes of band tuples — collisions
-    group only near-identical bands. The union of per-band self-joins
-    is computed as one explode(bands)→groupBy join, so the shuffle
-    volume is (#docs × #bands) rows, linear in corpus size.
+    group only near-identical bands. One explode(bands) → groupBy on
+    (band, bucket) → local pair combinations; shuffle volume is
+    (#docs × #bands) rows, linear in corpus size, and the signature
+    input is consumed exactly once (no self-join).
     """
     num_hashes = len([c for c in sig.columns if c.startswith("mh_")])
     n_bands = num_hashes // band_size
@@ -139,34 +211,24 @@ def lsh_candidate_pairs(sig: DataFrame, band_size: int = BAND_SIZE) -> DataFrame
         ]
     )
     buckets = sig.select("doc_id", F.posexplode(bands).alias("band", "bucket"))
-    a = buckets.alias("a")
-    b = buckets.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .distinct()
-    )
+    return candidate_pairs_from_groups(buckets)
 
 
 def minhash_dedup_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.2) -> DataFrame:
     """MinHash-LSH candidates verified with exact Jaccard — same output
     contract as ngram_jaccard_pairs, but candidate generation is O(n)
-    instead of an inverted-index join over every shared shingle."""
-    sh = shingles(docs, n)
-    cands = lsh_candidate_pairs(minhash_signatures(sh))
+    instead of an inverted-index pair explosion over every shared
+    shingle."""
+    sh = shingles(docs, n).persist(StorageLevel.MEMORY_AND_DISK)
+    cands = lsh_candidate_pairs(minhash_signatures(sh)).persist(StorageLevel.MEMORY_AND_DISK)
     # verify candidates only: semi-join the inverted index down to
     # candidate docs, then exact Jaccard on that restricted set
     cand_docs = cands.select(F.col("id_a").alias("doc_id")).union(
         cands.select(F.col("id_b"))
     ).distinct()
-    sh_small = sh.join(cand_docs, "doc_id", "left_semi")
+    sh_small = sh.join(F.broadcast(cand_docs), "doc_id", "left_semi")
     exact = _pair_jaccard(sh_small, threshold)
-    return exact.join(cands, ["id_a", "id_b"], "left_semi")
+    return exact.join(F.broadcast(cands), ["id_a", "id_b"], "left_semi")
 
 
 # ---------------------------------------------------------------------------
@@ -187,6 +249,7 @@ def simhash(docs: DataFrame) -> DataFrame:
     tok = docs.select(
         "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok")
     ).withColumn("h", F.xxhash64("tok"))
+
     def _bit(i: int):
         # bit 63 is the sign bit of BIGINT — its mask is the negative literal
         return F.lit(1 << i if i < 63 else -(1 << 63)).cast("bigint")
@@ -199,12 +262,9 @@ def simhash(docs: DataFrame) -> DataFrame:
             for i in range(SIMHASH_BITS)
         ]
     )
-    sig = reduce(
-        lambda acc, i: acc
-        + F.when(F.col(f"s_{i}") > 0, _bit(i)).otherwise(F.lit(0).cast("bigint")),
-        range(SIMHASH_BITS),
-        F.lit(0).cast("bigint"),
-    )
+    sig = F.lit(0).cast("bigint")
+    for i in range(SIMHASH_BITS):
+        sig = sig + F.when(F.col(f"s_{i}") > 0, _bit(i)).otherwise(F.lit(0).cast("bigint"))
     return sums.select("doc_id", sig.alias("sig"))
 
 
@@ -213,38 +273,29 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
 
     Scale: pigeonhole — split the 64-bit signature into
     ``max_hamming+1`` blocks; any pair within the distance budget must
-    agree exactly on ≥1 block, so an equi-join per block finds every
-    such pair with NO quadratic comparison. Exact (no false negatives),
-    then hamming verified on the narrow candidate set.
+    agree exactly on ≥1 block, so grouping by block value finds every
+    such pair with NO quadratic comparison and no self-join. Exact (no
+    false negatives); hamming verified by joining candidates back to
+    the persisted signature table (16 bytes/doc — broadcastable far
+    beyond any realistic dedup corpus).
     """
     n_blocks = max_hamming + 1
     width = SIMHASH_BITS // n_blocks
-    sigs = simhash(docs)
+    sigs = simhash(docs).persist(StorageLevel.MEMORY_AND_DISK)
     blocks = F.array(
         *[
             F.shiftright(F.col("sig"), b * width).bitwiseAND(F.lit((1 << width) - 1).cast("bigint"))
             for b in range(n_blocks)
         ]
     )
-    bl = sigs.select("doc_id", "sig", F.posexplode(blocks).alias("blk", "val"))
-    a = bl.alias("a")
-    b = bl.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.val") == F.col("b.val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
-        .distinct()
-    )
+    bl = sigs.select("doc_id", F.posexplode(blocks).alias("blk", "val"))
+    cands = candidate_pairs_from_groups(bl)
+    sa = sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return cands.select("id_a", "id_b", hamming.alias("hamming")).filter(
-        F.col("hamming") <= max_hamming
+    return (
+        cands.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .select("id_a", "id_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
     )

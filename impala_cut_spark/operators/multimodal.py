@@ -22,6 +22,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from impala_cut_spark.partitioning import fan_out
+
 #: schema of a multimodal asset table
 ASSET_SCHEMA = T.StructType(
     [
@@ -91,7 +93,7 @@ def extract_features(assets: DataFrame) -> DataFrame:
                 }
             )
 
-    return assets.mapInPandas(_extract, FEATURE_SCHEMA)
+    return fan_out(assets).mapInPandas(_extract, FEATURE_SCHEMA)
 
 
 def resize_stub(assets: DataFrame, width: int, height: int) -> DataFrame:

@@ -15,6 +15,8 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from impala_cut_spark.partitioning import fan_out
+
 
 def dot(a: Column, b: Column) -> Column:
     """Σ a[i]·b[i] as a strict left fold (deterministic order)."""
@@ -46,7 +48,7 @@ def brute_force_topk(
     |Q| is small (the corpus side streams; queries broadcast). The
     window top-k never materializes the full sorted list.
     """
-    corpus = with_norm(embeddings).select(
+    corpus = with_norm(fan_out(embeddings)).select(
         F.col("vec_id").alias("n_id"), F.col("embedding").alias("n_vec"), F.col("_norm").alias("n_norm")
     )
     q = F.broadcast(
@@ -75,7 +77,7 @@ def embedding_neardup_pairs(embeddings: DataFrame, threshold: float = 0.9) -> Da
     Scale: the quadratic baseline — at 100 TB use lsh_topk's bucketing
     to restrict the pair space first; this exact form is the oracle.
     """
-    a = with_norm(embeddings).select(
+    a = with_norm(fan_out(embeddings)).select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("vec_a"), F.col("_norm").alias("norm_a")
     )
     b = with_norm(embeddings).select(
@@ -132,7 +134,7 @@ def lsh_topk(
     brute_force_topk in tests/test_similarity.py. Multi-probe (flip one
     bit) would raise recall at 2× probe cost.
     """
-    corpus = hyperplane_signature(with_norm(embeddings), dim, n_planes).select(
+    corpus = hyperplane_signature(with_norm(fan_out(embeddings)), dim, n_planes).select(
         F.col("vec_id").alias("n_id"),
         F.col("embedding").alias("n_vec"),
         F.col("_norm").alias("n_norm"),

@@ -1,0 +1,31 @@
+"""Partitioning helpers.
+
+``fan_out`` fixes the small-source / expensive-derivation case: a scan
+of a few under-split files (one row group ⇒ one Spark split) serializes
+downstream per-row compute on one core. Operators whose per-row work
+dominates their shuffle cost (tokenization, shingling, hashing, vector
+math, Arrow UDF batches) call it before the heavy projection.
+
+Deliberately conditional: when the source already provides at least
+cluster parallelism (the 100 TB case — thousands of splits), it is a
+no-op, so no shuffle is added at scale. The reference has the same
+split-driven parallelism model (scan-range assignment,
+``be/src/runtime/plan-fragment-executor.cc`` + scanner-thread pools in
+``be/src/exec/hdfs-scan-node.h:77-95``); Spark's equivalent knob is
+partition count, which is what we adjust here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def fan_out(df: DataFrame, multiplier: int = 1) -> DataFrame:
+    """Round-robin repartition up to ``cores × multiplier`` partitions,
+    only when the current plan has fewer — never coalesces, never
+    shuffles an already-parallel source."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism * multiplier
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

@@ -22,6 +22,7 @@ from impala_cut_spark.operators.text import (
     quality_features,
     quality_score,
 )
+from impala_cut_spark.partitioning import fan_out
 from impala_cut_spark.plans._util import t
 from impala_cut_spark.plans.registry import query
 
@@ -61,7 +62,7 @@ FROM toks
 def pipe_text_stats(spark, sf_dir):
     """Token counting + type-token ratio (operators/text.py). Narrow
     map over the scan — no shuffle."""
-    docs = t(spark, sf_dir, "documents")
+    docs = fan_out(t(spark, sf_dir, "documents"))
     ft = quality_features(F.col("text"))
     return docs.select(
         "doc_id",
@@ -95,7 +96,7 @@ FROM ft
 def pipe_text_quality(spark, sf_dir):
     """Heuristic quality scoring (length/stopword-density/word-shape —
     C4/Gopher-style rules)."""
-    docs = t(spark, sf_dir, "documents")
+    docs = fan_out(t(spark, sf_dir, "documents"))
     return docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
 
 
@@ -121,7 +122,7 @@ FROM h
 def pipe_text_langid(spark, sf_dir):
     """Stopword-vote language ID; emitted next to the labeled ``lang``
     column for accuracy eval downstream."""
-    docs = t(spark, sf_dir, "documents")
+    docs = fan_out(t(spark, sf_dir, "documents"))
     return docs.select("doc_id", "lang", lang_id(F.col("text")).alias("pred_lang"))
 
 
@@ -134,7 +135,7 @@ SELECT doc_id, md5({_SQL_NORM}) AS fp FROM documents
 def pipe_text_fingerprint(spark, sf_dir):
     """Canonical content fingerprint (md5 over normalized text —
     bit-identical cross-engine)."""
-    docs = t(spark, sf_dir, "documents")
+    docs = fan_out(t(spark, sf_dir, "documents"))
     return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
 
 
