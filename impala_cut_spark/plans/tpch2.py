@@ -1,0 +1,425 @@
+"""TPC-H queries 8–21 (second batch) adapted to the driver's schema.
+
+Same adaptation rules as plans/tpch.py: the driver testdata has no
+partsupp table and no commitdate/receiptdate/shipmode/comment columns,
+so q9/q12/q16/q20/q21 substitute the nearest available predicate while
+keeping the reference query's operator shape (the thing the golden
+tests in /root/reference/testdata/workloads/tpch/queries/ actually
+exercise: join topology, agg phases, subquery decorrelation shape).
+q2/q11 are wholly partsupp-centric and are omitted; q7 is absent in
+the reference itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from impala_cut_spark.plans._util import (
+    SQL_DISC_PRICE,
+    dec,
+    disc_price,
+    t,
+)
+from impala_cut_spark.plans.registry import query
+
+_TS = "timestamp_ntz"
+
+
+def _ts(lit: str):
+    return F.lit(lit).cast(_TS)
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q8",
+    oracle=f"""
+WITH all_nations AS (
+  SELECT extract(year FROM o_orderdate) AS o_year,
+         {SQL_DISC_PRICE} AS volume,
+         n2.n_name AS nation
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region    ON n1.n_regionkey = r_regionkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'AMERICA' AND p_type = 'PROMO'
+    AND o_orderdate BETWEEN TIMESTAMP '1997-01-01 00:00:00'
+                        AND TIMESTAMP '1998-12-31 00:00:00'
+)
+SELECT o_year,
+       round(cast(sum(CASE WHEN nation = 'NATION_1' THEN volume
+                           ELSE cast(0 as decimal(20,4)) END) as double)
+             / cast(sum(volume) as double), 6) AS mkt_share
+FROM all_nations GROUP BY o_year ORDER BY o_year
+""",
+)
+def tpch_q8(spark, sf_dir):
+    """National market share (tpch-q8.test): 8-table join, conditional
+    share aggregation per year.
+
+    Scale: nation/region broadcast (bounded dims); the join spine is
+    lineitem⋈orders⋈customer on uniform keys; part filter (p_type)
+    prunes the probe side at scan. Two nation roles = two broadcast
+    aliases, exactly the reference's plan shape.
+    """
+    part = t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    li = t(spark, sf_dir, "lineitem")
+    supp = t(spark, sf_dir, "supplier")
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1997-01-01 00:00:00"))
+        & (F.col("o_orderdate") <= _ts("1998-12-31 00:00:00"))
+    )
+    cust = t(spark, sf_dir, "customer")
+    n1 = t(spark, sf_dir, "nation").alias("n1")
+    n2 = t(spark, sf_dir, "nation").alias("n2")
+    region = t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+
+    all_nations = (
+        part.join(li, part.p_partkey == li.l_partkey)
+        .join(supp, supp.s_suppkey == li.l_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), cust.c_nationkey == F.col("n1.n_nationkey"))
+        .join(F.broadcast(region), F.col("n1.n_regionkey") == region.r_regionkey)
+        .join(F.broadcast(n2), supp.s_nationkey == F.col("n2.n_nationkey"))
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            disc_price().alias("volume"),
+            F.col("n2.n_name").alias("nation"),
+        )
+    )
+    zero = F.lit(0).cast("decimal(20,4)")
+    return (
+        all_nations.groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("nation") == "NATION_1", F.col("volume")).otherwise(zero)).cast(
+                    "double"
+                )
+                / F.sum("volume").cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q9",
+    oracle=f"""
+SELECT nation, o_year, cast(sum({SQL_DISC_PRICE}) as double) AS sum_profit
+FROM (
+  SELECT n_name AS nation,
+         extract(year FROM o_orderdate) AS o_year,
+         l_extendedprice, l_discount
+  FROM supplier
+  JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN part     ON p_partkey = l_partkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE p_name LIKE '%a%'
+) profit
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+""",
+)
+def tpch_q9(spark, sf_dir):
+    """Product-type profit (tpch-q9.test shape). ADAPTED: no partsupp
+    table → profit omits the ps_supplycost·l_quantity term (revenue
+    only); join topology and agg keys match the reference query.
+
+    Scale: part LIKE filter prunes before the join spine; nation
+    broadcast; agg on (nation, year) — 25×N years groups, tiny merge.
+    """
+    supp = t(spark, sf_dir, "supplier")
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    part = t(spark, sf_dir, "part").filter(F.col("p_name").like("%a%"))
+    nation = F.broadcast(t(spark, sf_dir, "nation"))
+    return (
+        supp.join(li, supp.s_suppkey == li.l_suppkey)
+        .join(orders, orders.o_orderkey == li.l_orderkey)
+        .join(part, part.p_partkey == li.l_partkey)
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(F.sum(disc_price()).cast("double").alias("sum_profit"))
+        .orderBy(F.asc("nation"), F.desc("o_year"))
+    )
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q12",
+    oracle="""
+SELECT l_returnflag,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate > o_orderdate
+  AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def tpch_q12(spark, sf_dir):
+    """Shipping-mode priority (tpch-q12.test shape). ADAPTED: no
+    l_shipmode/receiptdate → groups by l_returnflag with the late-ship
+    predicate l_shipdate > o_orderdate standing in for the
+    receipt-after-commit condition; the priority CASE aggregation is
+    verbatim from the reference query.
+
+    Scale: one join shuffle on orderkey; group key has 3 values →
+    partial agg collapses to ≤3 rows per task.
+    """
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1998-01-01 00:00:00"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q13",
+    oracle="""
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+)
+def tpch_q13(spark, sf_dir):
+    """Customer distribution (tpch-q13.test). ADAPTED: no o_comment
+    column → the NOT LIKE '%special%requests%' filter is dropped; the
+    double-aggregation over a LEFT OUTER join (the actual operator
+    under test) is faithful.
+
+    Scale: outer join + first agg share the custkey shuffle; second
+    agg groups on c_count (small domain). count(o_orderkey) correctly
+    counts 0 for order-less customers.
+    """
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    c_orders = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        c_orders.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q15",
+    oracle=f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no, cast(sum({SQL_DISC_PRICE}) as double) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-10-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+""",
+)
+def tpch_q15(spark, sf_dir):
+    """Top supplier (tpch-q15.test): view + scalar-max subquery.
+
+    Scale: revenue agg shuffles on suppkey once; the scalar max is a
+    one-row broadcast joined back — no second shuffle of the base data
+    (the reference plans the same: view reused, max as a child query).
+    """
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-10-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1998-01-01 00:00:00"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(disc_price()).cast("double").alias("total_revenue")
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("mx"))
+    supp = t(spark, sf_dir, "supplier")
+    return (
+        supp.join(revenue, supp.s_suppkey == revenue.supplier_no)
+        .crossJoin(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q16",
+    oracle="""
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1' AND p_type NOT LIKE 'PROMO%'
+  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+""",
+)
+def tpch_q16(spark, sf_dir):
+    """Parts/supplier relationship (tpch-q16.test shape). ADAPTED: no
+    partsupp → the (partkey, suppkey) relation comes from lineitem; the
+    supplier-complaints NOT IN subquery is dropped (no s_comment).
+    Exercises the reference's two-phase DISTINCT-aggregate rewrite
+    (AggregateInfo.java:52-59) via count(DISTINCT suppkey).
+
+    Scale: Catalyst plans Expand + two-phase agg; group key is
+    (brand, type, size) — bounded domain, no skew.
+    """
+    part = t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & ~F.col("p_type").like("PROMO%")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.join(part, part.p_partkey == li.l_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q20",
+    oracle="""
+WITH shipped AS (
+  SELECT l_suppkey, l_partkey,
+         sum(cast(l_quantity as decimal(9,2))) AS qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY l_suppkey, l_partkey
+)
+SELECT s_name, s_suppkey
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM shipped
+  JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE 'small%' AND qty > 50
+)
+ORDER BY s_suppkey
+""",
+)
+def tpch_q20(spark, sf_dir):
+    """Potential part promotion (tpch-q20.test shape). ADAPTED: no
+    partsupp/availqty → "supplier with meaningful stock of promo parts"
+    becomes "supplier who shipped > 30 units of a matching part last
+    year". Keeps the reference's nested IN-subquery → semi-join chain.
+
+    Scale: agg on (suppkey, partkey) then semi joins — each a single
+    shuffle; part name filter prunes via broadcast semi join.
+    """
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1998-01-01 00:00:00"))
+    )
+    shipped = li.groupBy("l_suppkey", "l_partkey").agg(F.sum(dec("l_quantity")).alias("qty"))
+    part = t(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    qualifying = (
+        shipped.join(part, part.p_partkey == shipped.l_partkey)
+        .filter(F.col("qty") > 50)
+        .select("l_suppkey")
+    )
+    supp = t(spark, sf_dir, "supplier")
+    return (
+        supp.join(qualifying, supp.s_suppkey == qualifying.l_suppkey, "left_semi")
+        .select("s_name", "s_suppkey")
+        .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q21",
+    oracle="""
+WITH l1 AS (
+  SELECT l_orderkey, l_suppkey FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderstatus = 'F' AND l_shipdate > o_orderdate
+)
+SELECT s_name, count(*) AS numwait
+FROM supplier
+JOIN l1 ON s_suppkey = l1.l_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_1'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+""",
+)
+def tpch_q21(spark, sf_dir):
+    """Suppliers who kept orders waiting (tpch-q21.test shape).
+    ADAPTED: no receipt/commit dates → "late" = l_shipdate >
+    o_orderdate; the NOT-EXISTS (no other supplier was late) leg is
+    dropped with the date columns, keeping the EXISTS (multi-supplier
+    order) leg as a LEFT SEMI self-join on lineitem.
+
+    Scale: the lineitem self-semi-join shuffles on orderkey (same
+    partitioning as the orders join — exchange reuse); nation
+    broadcast; final agg on s_name.
+    """
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = t(spark, sf_dir, "lineitem")
+    l1 = (
+        li.join(orders, orders.o_orderkey == li.l_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    l2 = li.select(F.col("l_orderkey").alias("l2_orderkey"), F.col("l_suppkey").alias("l2_suppkey"))
+    multi = l1.join(
+        l2,
+        (F.col("l2_orderkey") == l1.l_orderkey) & (F.col("l2_suppkey") != l1.l_suppkey),
+        "left_semi",
+    )
+    supp = t(spark, sf_dir, "supplier")
+    nation = F.broadcast(
+        t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    )
+    return (
+        supp.join(nation, supp.s_nationkey == nation.n_nationkey)
+        .join(multi, supp.s_suppkey == multi.l_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+    )
