@@ -301,12 +301,85 @@ def _fix_order_items(body: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# statement-level (DDL/DML/utility) rewrites — SURVEY.md §2.11
+# ---------------------------------------------------------------------------
+
+#: Impala file formats → Spark USING providers. The reference WRITES
+#: only text and parquet (be/src/exec/hdfs-table-sink.cc:341-347);
+#: rcfile/sequencefile are read-only legacy (not in this build) and
+#: avro requires the external spark-avro module (absent here).
+_FORMAT_MAP = {
+    "textfile": "csv",
+    "parquet": "parquet",
+    "parquetfile": "parquet",
+}
+
+_STORED_AS = re.compile(r"\bstored\s+as\s+([A-Za-z_]+)", re.IGNORECASE)
+_ROW_FORMAT = re.compile(
+    r"\brow\s+format\s+delimited"
+    r"(?:\s+fields\s+terminated\s+by\s+('(?:[^']|'')*'))?"
+    r"(?:\s+escaped\s+by\s+('(?:[^']|'')*'))?"
+    r"(?:\s+lines\s+terminated\s+by\s+('(?:[^']|'')*'))?",
+    re.IGNORECASE,
+)
+
+
+def rewrite_statements(sql: str) -> str:
+    """DDL/utility statement deltas (grammar: sql-parser.y:407-810):
+
+    - ``CREATE [EXTERNAL] TABLE … [ROW FORMAT …] STORED AS fmt`` →
+      Spark ``CREATE TABLE … USING provider [OPTIONS (…)]``
+    - ``COMPUTE STATS t`` → ``ANALYZE TABLE t COMPUTE STATISTICS``
+    - ``REFRESH t`` / ``INVALIDATE METADATA [t]`` → ``REFRESH TABLE t``
+      / ``CLEAR CACHE`` (the statestore-free equivalents)
+    """
+    head = sql.lstrip().lower()
+
+    m = re.match(r"compute\s+stats\s+([A-Za-z_][\w.]*)", head)
+    if m:
+        return f"ANALYZE TABLE {m.group(1)} COMPUTE STATISTICS"
+    m = re.match(r"refresh\s+(?!table\b)([A-Za-z_][\w.]*)\s*$", head)
+    if m:
+        return f"REFRESH TABLE {m.group(1)}"
+    m = re.match(r"invalidate\s+metadata\s*([A-Za-z_][\w.]*)?\s*$", head)
+    if m:
+        return f"REFRESH TABLE {m.group(1)}" if m.group(1) else "CLEAR CACHE"
+
+    if head.startswith(("create table", "create external table")):
+        options: list[str] = []
+        rf = _ROW_FORMAT.search(sql)
+        if rf:
+            sep, esc, _lines = rf.group(1), rf.group(2), rf.group(3)
+            if sep:
+                options.append(f"sep {sep}")
+            if esc:
+                options.append(f"escape {esc}")
+            sql = sql[: rf.start()] + sql[rf.end() :]
+        sa = _STORED_AS.search(sql)
+        if sa:
+            fmt = sa.group(1).lower()
+            provider = _FORMAT_MAP.get(fmt)
+            if provider is None:
+                raise ValueError(
+                    f"unsupported file format {fmt!r}: this engine writes "
+                    "text and parquet (reference hdfs-table-sink.cc:341-347)"
+                )
+            using = f"USING {provider}"
+            if options and provider == "csv":
+                using += " OPTIONS (" + ", ".join(options) + ")"
+            sql = sql[: sa.start()] + using + sql[sa.end() :]
+        sql = re.sub(r"\bcreate\s+external\s+table\b", "CREATE TABLE", sql, flags=re.IGNORECASE)
+    return sql
+
+
+# ---------------------------------------------------------------------------
 # entry point
 # ---------------------------------------------------------------------------
 
 
 def rewrite(sql: str) -> str:
     """Full Impala → Spark SQL rewrite pipeline."""
+    sql = rewrite_statements(sql)
     sql, hints = rewrite_hints(sql)
     sql = rewrite_calls(sql)
     sql = rewrite_null_ordering(sql)

@@ -1,0 +1,149 @@
+"""Table sinks: the write surface of the engine.
+
+Mirrors the reference's ``HdfsTableSink``
+(``/root/reference/be/src/exec/hdfs-table-sink.cc:341-347`` — INSERT
+INTO/OVERWRITE into TEXT or PARQUET tables, static + dynamic
+partitions; FE semantics ``fe/.../analysis/InsertStmt.java:63-110``)
+plus LOAD DATA (``sql-parser.y:470-481``) and CTAS
+(``sql-parser.y:645``).
+
+Scale notes:
+- Writers inherit the input DataFrame's partitioning — an INSERT of a
+  shuffled aggregate writes one file per task, no driver funnel.
+- Dynamic-partition INSERT OVERWRITE uses Spark's dynamic
+  partitionOverwriteMode (session.py) so only touched partitions are
+  replaced — the exact semantics of the reference's partition-staging
+  finalize (hdfs-table-sink.cc + coordinator FinalizeQuery).
+- At 100 TB: prefer repartition(partition_cols) before a dynamic-
+  partition write so each task writes few files (small-files problem);
+  exposed here as ``cluster_by_partitions``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: formats the reference's table sink writes (hdfs-table-sink.cc:341-347)
+WRITE_FORMATS = {"text": "csv", "textfile": "csv", "csv": "csv", "parquet": "parquet"}
+
+
+def _provider(fmt: str) -> str:
+    p = WRITE_FORMATS.get(fmt.lower())
+    if p is None:
+        raise ValueError(
+            f"unsupported write format {fmt!r}: the engine writes text and "
+            "parquet only (reference hdfs-table-sink.cc:341-347)"
+        )
+    return p
+
+
+def create_table(
+    spark: SparkSession,
+    name: str,
+    schema_ddl: str,
+    fmt: str = "parquet",
+    partitioned_by: list[str] | None = None,
+    location: str | None = None,
+    options: dict[str, str] | None = None,
+) -> None:
+    """CREATE TABLE … [PARTITIONED BY …] STORED AS fmt [LOCATION …]."""
+    parts = [f"CREATE TABLE {name} ({schema_ddl}) USING {_provider(fmt)}"]
+    if options:
+        parts.append("OPTIONS (" + ", ".join(f"{k} '{v}'" for k, v in options.items()) + ")")
+    if partitioned_by:
+        parts.append(f"PARTITIONED BY ({', '.join(partitioned_by)})")
+    if location:
+        parts.append(f"LOCATION '{location}'")
+    spark.sql(" ".join(parts))
+
+
+def ctas(
+    spark: SparkSession,
+    name: str,
+    df: DataFrame,
+    fmt: str = "parquet",
+    partitioned_by: list[str] | None = None,
+) -> None:
+    """CREATE TABLE AS SELECT (sql-parser.y:645)."""
+    writer = df.write.format(_provider(fmt))
+    if partitioned_by:
+        writer = writer.partitionBy(*partitioned_by)
+    writer.saveAsTable(name)
+
+
+def cluster_by_partitions(df: DataFrame, partition_cols: list[str]) -> DataFrame:
+    """Repartition on the partition columns before a partitioned write
+    so each task owns whole partitions — one file per (task, partition)
+    instead of #tasks × #partitions small files at scale."""
+    return df.repartition(*partition_cols)
+
+
+def insert_into(
+    df: DataFrame,
+    table: str,
+    overwrite: bool = False,
+    partition: dict[str, object] | None = None,
+) -> None:
+    """INSERT INTO/OVERWRITE [PARTITION (…)] (InsertStmt.java:63-110).
+
+    ``partition`` maps partition-key → value for STATIC keys, or → None
+    for DYNAMIC keys (the reference allows mixing: static keys first).
+    Static values become literal columns appended in partition order;
+    dynamic keys must already be trailing columns of ``df``.
+    """
+    from pyspark.sql import functions as F
+
+    if partition:
+        for k, v in partition.items():
+            if v is not None:  # static partition key: inject the literal
+                df = df.withColumn(k, F.lit(v))
+        # partition columns must be the trailing columns, in table order
+        data_cols = [c for c in df.columns if c not in partition]
+        df = df.select(*data_cols, *partition.keys())
+    df.write.insertInto(table, overwrite=overwrite)
+
+
+def load_data(spark: SparkSession, path: str, table: str, overwrite: bool = False) -> None:
+    """LOAD DATA INPATH '<path>' INTO TABLE t (sql-parser.y:470-481).
+
+    File-move semantics via Spark's own LOAD DATA (same contract: files
+    are moved into the table directory, format must already match).
+    """
+    ow = "OVERWRITE " if overwrite else ""
+    spark.sql(f"LOAD DATA INPATH '{path}' {ow}INTO TABLE {table}")
+
+
+def write_text_table(
+    df: DataFrame,
+    path: str,
+    sep: str = ",",
+    escape: str = "\\",
+    header: bool = False,
+    mode: str = "overwrite",
+) -> None:
+    """Delimited-text writer (hdfs-text-table-writer.cc parity: field
+    delimiter + escape char)."""
+    df.write.mode(mode).options(sep=sep, escape=escape, header=header).csv(path)
+
+
+def read_text_table(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+    sep: str = ",",
+    escape: str = "\\",
+    header: bool = False,
+) -> DataFrame:
+    """Delimited-text scanner (hdfs-text-scanner.cc parity: delimiters
+    + escaping; SSE4.2 search is Spark-internal)."""
+    reader = spark.read.options(sep=sep, escape=escape, header=header)
+    if schema:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def write_parquet_table(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Parquet writer (hdfs-parquet-table-writer.cc parity)."""
+    df.write.mode(mode).parquet(path)

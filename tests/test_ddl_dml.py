@@ -1,0 +1,133 @@
+"""DDL/DML statement surface through ImpalaSession.sql (SURVEY §2.11)
+and the sinks module (§2.1 HdfsTableSink parity): CREATE TABLE with
+Impala syntax (STORED AS, ROW FORMAT, EXTERNAL), CTAS, INSERT
+INTO/OVERWRITE with static + dynamic partitions, text/parquet round
+trips, COMPUTE STATS, SHOW/DESCRIBE, REFRESH.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from impala_cut_spark.session import ImpalaSession
+from impala_cut_spark.sources import sinks
+
+
+@pytest.fixture(scope="module")
+def sess(spark):
+    s = ImpalaSession(spark)
+    s.sql("create database if not exists ddltest")
+    s.sql("use ddltest")
+    yield s
+    s.sql("use default")
+    s.spark.sql("drop database if exists ddltest cascade")
+
+
+def test_create_stored_as_parquet_and_insert(sess):
+    sess.sql("drop table if exists t1")
+    sess.sql("create table t1 (x int, y string) stored as parquet")
+    sess.sql("insert into t1 values (1, 'a'), (2, 'b')")
+    assert sess.sql("select count(*) as n from t1").collect()[0].n == 2
+    sess.sql("insert overwrite table t1 values (9, 'z')")
+    rows = sess.sql("select x, y from t1").collect()
+    assert [(r.x, r.y) for r in rows] == [(9, "z")]
+
+
+def test_create_textfile_with_row_format(sess):
+    sess.sql("drop table if exists t2")
+    sess.sql(
+        "create table t2 (a int, b string) "
+        "row format delimited fields terminated by '|' stored as textfile"
+    )
+    sess.sql("insert into t2 values (1, 'x|y')")
+    assert sess.sql("select b from t2").collect()[0].b == "x|y"
+
+
+def test_stored_as_unsupported_format_raises(sess):
+    with pytest.raises(ValueError, match="unsupported file format"):
+        sess.sql("create table t_rc (x int) stored as rcfile")
+
+
+def test_ctas(sess, sf_dir):
+    sess.spark.read.parquet(f"{sf_dir}/nation.parquet").createOrReplaceTempView("nation_v")
+    sess.sql("drop table if exists nation_copy")
+    sess.sql("create table nation_copy stored as parquet as select * from nation_v")
+    n = sess.sql("select count(*) as n from nation_copy").collect()[0].n
+    assert n == sess.spark.table("nation_v").count()
+
+
+def test_partitioned_insert_static_and_dynamic(sess):
+    sess.sql("drop table if exists pt")
+    sess.sql("create table pt (v int, k string) using parquet partitioned by (k)")
+
+    # dynamic: trailing column drives the partition
+    df = sess.spark.createDataFrame([(1, "a"), (2, "b")], "v int, k string")
+    sinks.insert_into(df, "pt", partition={"k": None})
+    # static: literal injected
+    sinks.insert_into(sess.spark.createDataFrame([(3,)], "v int"), "pt", partition={"k": "c"})
+    got = {(r.v, r.k) for r in sess.sql("select v, k from pt").collect()}
+    assert got == {(1, "a"), (2, "b"), (3, "c")}
+
+    # dynamic OVERWRITE replaces only the touched partition (dynamic
+    # partitionOverwriteMode — hdfs-table-sink.cc finalize semantics)
+    sinks.insert_into(
+        sess.spark.createDataFrame([(99, "a")], "v int, k string"),
+        "pt",
+        overwrite=True,
+        partition={"k": None},
+    )
+    got = {(r.v, r.k) for r in sess.sql("select v, k from pt").collect()}
+    assert got == {(99, "a"), (2, "b"), (3, "c")}
+
+
+def test_compute_stats_and_show(sess):
+    sess.sql("drop table if exists st")
+    sess.sql("create table st (x int) using parquet")
+    sess.sql("insert into st values (1), (2), (3)")
+    sess.sql("compute stats st")  # → ANALYZE TABLE
+    stats = sess.sql("describe extended st").collect()
+    txt = "\n".join(str(r) for r in stats)
+    assert "3" in txt  # row count recorded in catalog stats
+
+    tables = {r.tableName for r in sess.sql("show tables").collect()}
+    assert "st" in tables
+    cols = sess.sql("describe st").collect()
+    assert cols[0].col_name == "x"
+
+
+def test_refresh_and_invalidate(sess):
+    sess.sql("drop table if exists rt")
+    sess.sql("create table rt (x int) using parquet")
+    sess.sql("refresh rt")  # Impala bare-name form
+    sess.sql("invalidate metadata rt")
+    sess.sql("invalidate metadata")  # whole-catalog → CLEAR CACHE
+
+
+def test_text_round_trip(sess, tmp_path, sf_dir):
+    nation = sess.spark.read.parquet(f"{sf_dir}/nation.parquet")
+    path = str(tmp_path / "nation_text")
+    sinks.write_text_table(nation, path, sep="|")
+    back = sinks.read_text_table(
+        sess.spark, path, schema="n_nationkey bigint, n_name string, n_regionkey bigint", sep="|"
+    )
+    assert back.count() == nation.count()
+    assert {r.n_name for r in back.collect()} == {r.n_name for r in nation.collect()}
+
+
+def test_parquet_round_trip_partitioned_write(sess, tmp_path, sf_dir):
+    orders = sess.spark.read.parquet(f"{sf_dir}/orders.parquet").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    path = str(tmp_path / "orders_by_year")
+    sinks.cluster_by_partitions(orders, ["o_year"]).write.partitionBy("o_year").mode(
+        "overwrite"
+    ).parquet(path)
+    back = sess.spark.read.parquet(path)
+    assert back.count() == orders.count()
+    # partition pruning: a year filter must prune input files
+    one_year = back.filter(F.col("o_year") == 1997)
+    plan = one_year._jdf.queryExecution().executedPlan().toString()
+    assert one_year.count() == orders.filter(F.col("o_year") == 1997).count()
+    assert "PartitionFilters: [isnotnull(o_year" in plan
