@@ -77,7 +77,54 @@ CALL_REWRITES: dict[str, object] = {
     "max_bigint": lambda a: "cast(9223372036854775807 as bigint)",
     "is_inf": lambda a: f"(abs({a[0]}) = double('Infinity'))",
     "is_nan": lambda a: f"isnan({a[0]})",
+    # numeric truncation toward zero (decimal-functions.cc trunc/truncate)
+    "truncate": lambda a: (
+        f"(cast({a[0]} * pow(10, {a[1]}) as bigint) / pow(10, {a[1]}))"
+        if len(a) > 1
+        else f"cast({a[0]} as bigint)"
+    ),
 }
+
+
+# interval arithmetic (impala_functions.py:272-356): <unit>s_add/_sub on
+# TIMESTAMP. Spark's timestampadd covers every unit except nanoseconds
+# (no ns type — truncated to µs, documented in SURVEY §7 risk 1).
+_INTERVAL_UNITS = {
+    "years": "YEAR",
+    "months": "MONTH",
+    "weeks": "WEEK",
+    "days": "DAY",
+    "hours": "HOUR",
+    "minutes": "MINUTE",
+    "seconds": "SECOND",
+    "milliseconds": "MILLISECOND",
+    "microseconds": "MICROSECOND",
+}
+
+
+def _make_interval_fns():
+    def add(unit):
+        return lambda a: f"timestampadd({unit}, {a[1]}, {a[0]})"
+
+    def sub(unit):
+        return lambda a: f"timestampadd({unit}, -({a[1]}), {a[0]})"
+
+    fns = {}
+    for name, unit in _INTERVAL_UNITS.items():
+        fns[f"{name}_add"] = add(unit)
+        fns[f"{name}_sub"] = sub(unit)
+    fns["nanoseconds_add"] = lambda a: f"timestampadd(MICROSECOND, ({a[1]}) div 1000, {a[0]})"
+    fns["nanoseconds_sub"] = lambda a: f"timestampadd(MICROSECOND, -(({a[1]}) div 1000), {a[0]})"
+    # date_add/date_sub & aliases: Impala's 2-arg form is timestamp ± n
+    # days yielding TIMESTAMP (Spark's builtin date_add returns DATE)
+    fns["date_add"] = lambda a: f"timestampadd(DAY, {a[1]}, {a[0]})"
+    fns["adddate"] = fns["date_add"]
+    fns["date_sub"] = lambda a: f"timestampadd(DAY, -({a[1]}), {a[0]})"
+    fns["subdate"] = fns["date_sub"]
+    return fns
+
+
+CALL_REWRITES.update(_make_interval_fns())
 
 _IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
 

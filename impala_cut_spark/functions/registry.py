@@ -84,6 +84,24 @@ _SQL_UDFS: list[tuple[str, str, str]] = [
     ("dayname", "(t TIMESTAMP)", "date_format(t, 'EEEE')"),
     ("is_inf", "(x DOUBLE)", "abs(x) = double('Infinity')"),
     ("is_nan", "(x DOUBLE)", "isnan(x)"),
+    ("truncate", "(x DOUBLE, n INT)", "cast(x * pow(10, n) as bigint) / pow(10, n)"),
+    ("quotient", "(a BIGINT, b BIGINT)", "a div b"),
+] + [
+    # interval arithmetic on TIMESTAMP (impala_functions.py:272-356);
+    # ns variants truncate to µs (Spark has no ns type)
+    (f"{name}_{suffix}", "(t TIMESTAMP, n INT)", f"timestampadd({unit}, {sign}n, t)")
+    for name, unit in {
+        "years": "YEAR",
+        "months": "MONTH",
+        "weeks": "WEEK",
+        "days": "DAY",
+        "hours": "HOUR",
+        "minutes": "MINUTE",
+        "seconds": "SECOND",
+        "milliseconds": "MILLISECOND",
+        "microseconds": "MICROSECOND",
+    }.items()
+    for suffix, sign in (("add", ""), ("sub", "-"))
 ]
 
 
@@ -103,7 +121,9 @@ def register_all(spark: SparkSession) -> None:
 def _ret_type(body: str) -> str:
     if body.startswith(("left", "right", "date_format")):
         return "STRING"
-    if body.startswith("xxhash64"):
+    if body.startswith("timestampadd"):
+        return "TIMESTAMP"
+    if body.startswith("xxhash64") or body == "a div b":
         return "BIGINT"
     if "isnan" in body or "Infinity" in body:
         return "BOOLEAN"

@@ -37,6 +37,12 @@ ENGINE_CONF: dict[str, str] = {
     "spark.sql.optimizer.dynamicPartitionPruning.enabled": "true",
     "spark.sql.cbo.enabled": "true",
     "spark.sql.cbo.joinReorder.enabled": "true",
+    # --- dialect semantics ---
+    # The reference engine (pre-ANSI Impala era) returns NULL for
+    # division by zero and failed casts rather than erroring
+    # (be/src/exprs/ arithmetic + cast semantics); Spark 4 defaults to
+    # ANSI errors — switch to the permissive dialect for parity.
+    "spark.sql.ansi.enabled": "false",
     # --- deterministic cross-engine comparison ---
     "spark.sql.session.timeZone": "UTC",
     # --- python boundary ---
