@@ -770,3 +770,34 @@ def cov_events_daily(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "cov_external_scan",
+    oracle="""
+SELECT i AS id, i * i AS square
+FROM range(1000) t(i)
+WHERE i > 494
+""",
+)
+def cov_external_scan(spark, sf_dir):
+    """DataSourceScanNode parity (SURVEY §2.1): pluggable external
+    source via the prepare/open/getNext/close contract
+    (sources/external.py), with the id-predicate accepted by the
+    source at prepare time (ExternalDataSource.thrift:58-153
+    accepted-conjuncts semantics) — Spark's scan shows no residual
+    Filter for it."""
+    from impala_cut_spark.sources.external import RangeExternalSource, make_datasource
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        spark.dataSource.register(make_datasource("extrange", RangeExternalSource))
+    except Exception:
+        pass  # already registered on this session
+    return (
+        spark.read.format("extrange")
+        .options(n=1000, parts=4)
+        .load()
+        .filter(F.col("id") > 494)
+    )

@@ -47,6 +47,9 @@ ENGINE_CONF: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     # --- python boundary ---
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Python DataSource predicate offer (sources/external.py — the
+    # ExternalDataSource.thrift accepted-conjuncts semantics)
+    "spark.sql.python.filterPushdown.enabled": "true",
     # --- storage quirks of the driver testdata ---
     # events.parquet stores TIMESTAMP(NANOS); Spark has no ns type, so
     # read as epoch-nanos BIGINT and convert at the catalog layer
@@ -127,6 +130,24 @@ class ImpalaSession:
         from impala_cut_spark.dialect import rewrite
 
         return self.spark.sql(rewrite(text))
+
+    #: Impala EXPLAIN levels (Types.thrift:65-70) → Spark explain modes
+    _EXPLAIN_LEVELS = {
+        "minimal": "simple",
+        "standard": "formatted",
+        "extended": "extended",
+        "verbose": "codegen",
+    }
+
+    def explain(self, text: str, level: str = "standard") -> str:
+        """EXPLAIN [level] query — returns the plan as a string."""
+        mode = self._EXPLAIN_LEVELS.get(level.lower())
+        if mode is None:
+            raise ValueError(f"unknown explain level {level!r}; one of {list(self._EXPLAIN_LEVELS)}")
+        df = self.sql(text)
+        return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[union-attr]
+            df._jdf.queryExecution(), mode
+        )
 
     def set_option(self, key: str, value: str) -> None:
         """`SET key=value` — Impala query option surface."""

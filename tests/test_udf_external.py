@@ -1,0 +1,98 @@
+"""UDF registration surface (§2.10) and external data source (§2.1
+DataSourceScanNode parity), plus EXPLAIN levels (§2.11)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from impala_cut_spark.functions import udf as udfmod
+from impala_cut_spark.session import ImpalaSession
+from impala_cut_spark.sources.external import RangeExternalSource, make_datasource
+
+
+class TestUdf:
+    def test_scalar_python_udf(self, spark):
+        udfmod.create_function(spark, "shout", lambda s: (s or "") + "!", "string")
+        got = spark.sql("select shout('hi') as v").collect()[0].v
+        assert got == "hi!"
+        assert udfmod.show_functions()["shout"] == "scalar"
+
+    def test_vectorized_udf(self, spark):
+        udfmod.create_function(
+            spark, "vec_double", lambda s: s * 2, "double", vectorized=True
+        )
+        vals = spark.sql(
+            "select vec_double(cast(x as double)) as v from values (1),(2),(3) t(x)"
+        ).collect()
+        assert [r.v for r in vals] == [2.0, 4.0, 6.0]
+
+    def test_aggregate_udf(self, spark):
+        udfmod.create_aggregate_function(
+            spark, "geo_mean", lambda s: float(pd.Series(s).prod() ** (1 / len(s))), "double"
+        )
+        got = spark.sql(
+            "select geo_mean(cast(x as double)) as v from values (2),(8) t(x)"
+        ).collect()[0].v
+        assert got == pytest.approx(4.0)
+        assert udfmod.show_functions()["geo_mean"] == "aggregate"
+
+    def test_drop_function(self, spark):
+        udfmod.create_function(spark, "tmp_fn", lambda x: x, "int")
+        udfmod.drop_function(spark, "tmp_fn")
+        assert "tmp_fn" not in udfmod.show_functions()
+        with pytest.raises(Exception):
+            spark.sql("select tmp_fn(1)").collect()
+
+    def test_drop_unknown_raises(self, spark):
+        with pytest.raises(ValueError, match="not created"):
+            udfmod.drop_function(spark, "never_was")
+
+
+class TestExternalSource:
+    @pytest.fixture(scope="class", autouse=True)
+    def register(self, spark):
+        spark.dataSource.register(make_datasource("extrange", RangeExternalSource))
+
+    def test_full_scan_partitions(self, spark):
+        df = spark.read.format("extrange").options(n=100, parts=4).load()
+        assert df.count() == 100
+        assert df.rdd.getNumPartitions() == 4
+
+    def test_filter_pushdown_accepted(self, spark):
+        # id > 89: the source accepts this (prepare/accepted_conjuncts
+        # semantics) and only emits qualifying rows
+        df = (
+            spark.read.format("extrange")
+            .options(n=100, parts=4)
+            .load()
+            .filter("id > 89")
+        )
+        rows = df.collect()
+        assert sorted(r.id for r in rows) == list(range(90, 100))
+
+    def test_residual_filter_stays_with_spark(self, spark):
+        # square < 100 is NOT accepted by the source → Spark evaluates it
+        df = (
+            spark.read.format("extrange")
+            .options(n=100, parts=2)
+            .load()
+            .filter("square < 100")
+        )
+        assert sorted(r.id for r in df.collect()) == list(range(10))
+
+
+class TestExplain:
+    def test_levels(self, spark, sf_dir):
+        sess = ImpalaSession(spark)
+        spark.read.parquet(f"{sf_dir}/nation.parquet").createOrReplaceTempView("nation_e")
+        q = "select count(*) from nation_e"
+        assert "Aggregate" in sess.explain(q, "minimal")
+        formatted = sess.explain(q, "standard")
+        assert "HashAggregate" in formatted and "(1)" in formatted
+        assert "== Analyzed Logical Plan ==" in sess.explain(q, "extended")
+        assert "WholeStageCodegen" in sess.explain(q, "verbose")
+
+    def test_unknown_level_raises(self, spark):
+        with pytest.raises(ValueError, match="unknown explain level"):
+            ImpalaSession(spark).explain("select 1", "bogus")
