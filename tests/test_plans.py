@@ -1,0 +1,95 @@
+"""Physical-plan quality gates — the PlannerTest analogue
+(fe/src/test/java/com/cloudera/impala/planner/PlannerTest.java):
+instead of golden EXPLAIN text, assert the plan properties that
+matter at 100 TB: filters pushed to the parquet scan, bounded dims
+broadcast, top-n via TakeOrderedAndProject (not full sort), partial
+aggregation before the exchange, whole-stage codegen active, no
+accidental cartesian products.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from impala_cut_spark.plans import REGISTRY
+
+
+def executed_plan(spark, sf_dir, name: str) -> str:
+    df = REGISTRY[name].spark(spark, sf_dir)
+    df.collect()  # drive to the AQE final plan
+    full = df._jdf.queryExecution().executedPlan().toString()
+    # keep only the final adaptive plan (the trailing "== Initial
+    # Plan ==" section would double-count nodes)
+    return full.split("== Initial Plan ==")[0]
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    cache: dict[str, str] = {}
+
+    def get(name: str) -> str:
+        if name not in cache:
+            cache[name] = executed_plan(spark, sf_dir, name)
+        return cache[name]
+
+    return get
+
+
+def test_q1_partial_agg_and_pushdown(plans):
+    p = plans("tpch_q1")
+    assert "isnotnull(l_shipdate" in p and "l_shipdate" in p.split("DataFilters")[1][:200]
+    assert "partial_sum" in p  # map-side combine before the exchange
+    assert p.count("*(") >= 2  # whole-stage codegen spans
+    assert "CartesianProduct" not in p
+
+
+def test_q3_broadcast_join_and_topn(plans):
+    p = plans("tpch_q3")
+    assert p.count("BroadcastHashJoin") >= 2  # filtered cust + orders broadcast
+    assert "TakeOrderedAndProject(limit=10" in p  # top-n, not global sort
+    assert "isFinalPlan=true" in p  # AQE re-planned at runtime
+
+
+def test_q5_bounded_dims_broadcast(plans):
+    p = plans("tpch_q5")
+    assert p.count("BroadcastHashJoin") >= 3  # nation/region/supplier side
+    assert "= ASIA" in p  # r_name filter reaches the region scan
+    assert "CartesianProduct" not in p
+
+
+def test_q6_pure_scan_pushdown(plans):
+    p = plans("tpch_q6")
+    # every predicate reaches the scan (DataFilters on the FileScan)
+    scan = p.split("FileScan parquet")[1]
+    for f in ("isnotnull(l_shipdate", "l_discount", "l_quantity"):
+        assert f in scan, f
+    assert "Exchange hashpartitioning" not in p  # single global agg only
+
+
+def test_q18_having_on_merge_agg(plans):
+    p = plans("tpch_q18")
+    assert "partial_sum" in p
+    assert "TakeOrderedAndProject(limit=100" in p
+
+
+def test_topn_is_take_ordered(plans):
+    assert "TakeOrderedAndProject" in plans("cov_topn")
+
+
+def test_events_daily_single_shuffle(plans):
+    p = plans("cov_events_daily")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "partial_count" in p or "partial_sum" in p
+
+
+def test_dedup_exact_single_shuffle(plans):
+    p = plans("pipe_dedup_exact")
+    assert p.count("Exchange hashpartitioning") == 1  # one shuffle on fp
+    assert "partial_min" in p  # keeper chosen map-side first
+
+
+def test_ann_topk_broadcasts_queries_not_corpus(plans):
+    p = plans("pipe_ann_topk")
+    # the small query set is broadcast; the corpus streams
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
