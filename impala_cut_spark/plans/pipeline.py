@@ -302,3 +302,46 @@ def stream_events_hourly(spark, sf_dir):
     from impala_cut_spark.streaming.events import run_hourly_rollup
 
     return run_hourly_rollup(spark, sf_dir)
+
+
+@query(
+    "pipe_sessions",
+    oracle="""
+WITH marks AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events),
+isl AS (
+  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marks)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       count(*) AS n_events,
+       cast(sum(cast(value as decimal(12,2))) as double) AS total_value
+FROM isl GROUP BY user_id, sid
+""",
+)
+def pipe_sessions(spark, sf_dir):
+    """Gap-based sessionization (30-min) of the events stream via
+    Spark's session_window — an operator the reference lacks entirely
+    (SURVEY §2.9); oracle is the classic gaps-and-islands rewrite.
+    The same function runs unchanged on readStream (streaming/sessions
+    .py); the custom stateful twin is sessionize_stateful."""
+    from impala_cut_spark.streaming.sessions import user_sessions
+
+    return user_sessions(t(spark, sf_dir, "events"))
+
+
+@query("stream_sessions_stateful", oracle=None)
+def stream_sessions_stateful(spark, sf_dir):
+    """Custom stateful streaming operator: applyInPandasWithState
+    sessionization with event-time timeouts (streaming/sessions.py) —
+    semantics proven equal to session_window in tests/test_sessions.py
+    (rows-only driver check: streaming replay isn't SQL-expressible)."""
+    from impala_cut_spark.streaming.sessions import run_stateful_sessions
+
+    return run_stateful_sessions(spark, sf_dir)
