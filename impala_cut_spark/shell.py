@@ -1,0 +1,130 @@
+"""Interactive shell — the ``impala-shell`` surface (SURVEY.md §3).
+
+The reference's shell (``/root/reference/shell/impala_shell.py``)
+connects over thrift Beeswax and provides: SQL execution with tabular
+output, ``SET key=value`` query options, ``EXPLAIN``, ``USE``,
+``HELP``/``QUIT``, and multi-line statements terminated by ``;``.
+This shell provides the same surface over an in-process
+ImpalaSession. Run: ``python -m impala_cut_spark.shell [--sf-dir D]``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from impala_cut_spark.session import ImpalaSession
+
+PROMPT = "impala-spark> "
+CONT = "            > "
+
+
+def format_table(cols: list[str], rows: list[tuple], max_rows: int = 100) -> str:
+    """Plain-text table in the shell's +---+ style."""
+    shown = rows[:max_rows]
+    cells = [[("NULL" if v is None else str(v)) for v in r] for r in shown]
+    widths = [
+        max(len(c), *(len(row[i]) for row in cells)) if cells else len(c)
+        for i, c in enumerate(cols)
+    ]
+    sep = "+" + "+".join("-" * (w + 2) for w in widths) + "+"
+    out = [sep, "| " + " | ".join(c.ljust(w) for c, w in zip(cols, widths)) + " |", sep]
+    for row in cells:
+        out.append("| " + " | ".join(v.ljust(w) for v, w in zip(row, widths)) + " |")
+    out.append(sep)
+    if len(rows) > max_rows:
+        out.append(f"({len(rows)} rows, showing first {max_rows})")
+    else:
+        out.append(f"({len(rows)} rows)")
+    return "\n".join(out)
+
+
+def execute_line(sess: ImpalaSession, stmt: str) -> str:
+    """One statement → printable result (the shell's command dispatch:
+    impala_shell.py do_* methods)."""
+    s = stmt.strip().rstrip(";").strip()
+    if not s:
+        return ""
+    low = s.lower()
+    if low in ("quit", "exit"):
+        raise EOFError
+    if low == "help":
+        return (
+            "statements: any Impala-dialect SQL; SET k=v; SET; "
+            "EXPLAIN [minimal|standard|extended|verbose] <query>; USE db; quit"
+        )
+    if low == "set":
+        opts = sess.options()
+        return "\n".join(f"{k}={v}" for k, v in sorted(opts.items())) or "(no options set)"
+    if low.startswith("set ") and "=" in s:
+        k, v = s[4:].split("=", 1)
+        sess.set_option(k.strip(), v.strip())
+        return f"{k.strip()} set to {v.strip()}"
+    if low.startswith("explain "):
+        rest = s[8:].strip()
+        level = "standard"
+        first = rest.split(None, 1)[0].lower() if rest else ""
+        if first in ("minimal", "standard", "extended", "verbose"):
+            level, rest = first, rest.split(None, 1)[1]
+        return sess.explain(rest, level)
+    df = sess.sql(s)
+    rows = df.collect()
+    return format_table(df.columns, [tuple(r) for r in rows])
+
+
+def repl(sess: ImpalaSession, stdin=None, stdout=None) -> None:
+    stdin = stdin or sys.stdin
+    stdout = stdout or sys.stdout
+    buf: list[str] = []
+    interactive = stdin.isatty()
+    while True:
+        if interactive:
+            stdout.write(CONT if buf else PROMPT)
+            stdout.flush()
+        line = stdin.readline()
+        if not line:
+            break
+        buf.append(line)
+        joined = "".join(buf)
+        if not joined.strip():
+            buf = []
+            continue
+        if not joined.rstrip().endswith(";") and interactive:
+            continue  # multi-line statement, keep reading
+        buf = []
+        for stmt in joined.split(";"):
+            if not stmt.strip():
+                continue
+            try:
+                out = execute_line(sess, stmt)
+            except EOFError:
+                return
+            except Exception as e:  # surface the engine error, keep the shell
+                first = next((ln for ln in str(e).splitlines() if ln.strip()), "")
+                out = f"ERROR: {type(e).__name__}: {first}"
+            if out:
+                stdout.write(out + "\n")
+                stdout.flush()
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description="impala-cut-spark shell")
+    ap.add_argument("--sf-dir", default=None, help="register testdata tables from this dir")
+    ap.add_argument("-q", "--query", default=None, help="execute one statement and exit")
+    args = ap.parse_args(argv)
+
+    sess = ImpalaSession()
+    sess.spark.sparkContext.setLogLevel("ERROR")
+    if args.sf_dir:
+        from impala_cut_spark.sources.catalog import register_views
+
+        register_views(sess.spark, args.sf_dir)
+    if args.query is not None:
+        print(execute_line(sess, args.query))
+        return 0
+    repl(sess)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
