@@ -423,3 +423,125 @@ def tpch_q21(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
     )
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q2",
+    oracle="""
+WITH supply AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         min(round(cast(l_extendedprice as double)
+                   / cast(l_quantity as double), 6)) AS ps_supplycost
+  FROM lineitem WHERE l_quantity > 0 GROUP BY 1, 2),
+regional AS (
+  SELECT ps_partkey, ps_suppkey, ps_supplycost,
+         s_name, s_acctbal, n_name
+  FROM supply
+  JOIN supplier ON s_suppkey = ps_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'),
+min_cost AS (
+  SELECT ps_partkey AS mc_partkey, min(ps_supplycost) AS mc
+  FROM regional GROUP BY 1)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_type
+FROM regional
+JOIN part ON p_partkey = ps_partkey
+JOIN min_cost ON mc_partkey = ps_partkey AND ps_supplycost = mc
+WHERE p_size = 15 AND p_type = 'STANDARD'
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+""",
+)
+def tpch_q2(spark, sf_dir):
+    """Minimum-cost supplier (tpch-q2.test shape). ADAPTED: no partsupp
+    → per-(part, supplier) supply cost is derived from lineitem unit
+    price (min extendedprice/quantity); the correlated min-cost
+    subquery → per-part min + join-back is the operator under test.
+
+    Scale: the supply view shuffles once on (partkey, suppkey); the
+    per-part min reuses the partkey side; nation/region broadcast.
+    """
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    supply = li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
+    ).agg(
+        F.min(
+            F.round(F.col("l_extendedprice").cast("double") / F.col("l_quantity").cast("double"), 6)
+        ).alias("ps_supplycost")
+    )
+    supp = t(spark, sf_dir, "supplier")
+    nation = F.broadcast(t(spark, sf_dir, "nation"))
+    region = F.broadcast(t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE"))
+    regional = (
+        supply.join(supp, supp.s_suppkey == supply.ps_suppkey)
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .select("ps_partkey", "ps_suppkey", "ps_supplycost", "s_name", "s_acctbal", "n_name")
+    )
+    min_cost = regional.groupBy(F.col("ps_partkey").alias("mc_partkey")).agg(
+        F.min("ps_supplycost").alias("mc")
+    )
+    part = t(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    )
+    return (
+        regional.join(part, part.p_partkey == regional.ps_partkey)
+        .join(
+            min_cost,
+            (F.col("mc_partkey") == F.col("ps_partkey")) & (F.col("ps_supplycost") == F.col("mc")),
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q11",
+    oracle="""
+WITH nat_value AS (
+  SELECT l_partkey AS pk,
+         sum(cast(l_extendedprice as decimal(9,2))) AS value_dec
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_2'
+  GROUP BY 1),
+total AS (SELECT sum(value_dec) AS tot FROM nat_value)
+SELECT pk AS ps_partkey, cast(value_dec as double) AS value
+FROM nat_value, total
+WHERE value_dec > tot * cast(0.001 as decimal(10,6))
+ORDER BY value DESC, ps_partkey
+""",
+)
+def tpch_q11(spark, sf_dir):
+    """Important stock identification (tpch-q11.test shape). ADAPTED:
+    no partsupp/availqty → per-part "stock value" is the lineitem
+    revenue from one nation's suppliers; the global-fraction HAVING
+    (scalar subquery over the same view) is the operator under test.
+
+    Scale: one shuffle on partkey for the value agg; the total is a
+    one-row broadcast; reference plans the same two-phase shape
+    (Planner.java two-phase agg + cross join of the scalar).
+    """
+    li = t(spark, sf_dir, "lineitem")
+    supp = t(spark, sf_dir, "supplier")
+    nation = F.broadcast(t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_2"))
+    nat_value = (
+        li.join(supp, supp.s_suppkey == li.l_suppkey)
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+        .groupBy(F.col("l_partkey").alias("pk"))
+        .agg(F.sum(dec("l_extendedprice")).alias("value_dec"))
+    )
+    total = nat_value.agg(F.sum("value_dec").alias("tot"))
+    return (
+        nat_value.crossJoin(F.broadcast(total))
+        .filter(F.col("value_dec") > F.col("tot") * F.lit(0.001).cast("decimal(10,6)"))
+        .select(
+            F.col("pk").alias("ps_partkey"), F.col("value_dec").cast("double").alias("value")
+        )
+        .orderBy(F.desc("value"), "ps_partkey")
+    )
