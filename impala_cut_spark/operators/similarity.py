@@ -159,3 +159,133 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "n_id", "rank", "cos")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN: k-means coarse quantizer + probe-nearest-lists search
+# ---------------------------------------------------------------------------
+
+
+def _nearest_centroid(vec: Column, cents: np.ndarray) -> Column:
+    """1-based index of the L2-nearest centroid, as pure column
+    expressions: argmin_c(||v-c||²) = argmin_c(c·c − 2·v·c)."""
+    scores = F.array(
+        *[
+            F.lit(float(c @ c)) - 2.0 * dot(vec, F.array(*[F.lit(float(x)) for x in c]))
+            for c in cents
+        ]
+    )
+    return F.array_position(scores, F.array_min(scores)).cast("int")
+
+
+def train_ivf_centroids(
+    embeddings: DataFrame,
+    dim: int,
+    n_centroids: int = 16,
+    iters: int = 4,
+    vec: str = "embedding",
+) -> np.ndarray:
+    """Lloyd's k-means over the corpus — the coarse quantizer of an IVF
+    index. Deterministic init: evenly spaced vec_ids.
+
+    Scale: each iteration is one assignment pass (pure column exprs,
+    no Python per row) + one groupBy mean of exploded components; only
+    the k×dim centroid matrix ever reaches the driver. At 100 TB train
+    on a sample — the quantizer doesn't need every vector.
+    """
+    n = embeddings.count()
+    step = max(n // n_centroids, 1)
+    seed_rows = (
+        embeddings.filter((F.col("vec_id") % step == 0) & (F.col("vec_id") < step * n_centroids))
+        .orderBy("vec_id")
+        .select(vec)
+        .collect()
+    )
+    cents = np.array([r[0] for r in seed_rows], dtype=np.float64)[:n_centroids]
+
+    for _ in range(iters):
+        assigned = embeddings.withColumn("cid", _nearest_centroid(F.col(vec), cents))
+        means = (
+            assigned.select("cid", F.posexplode(F.col(vec)).alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new = cents.copy()
+        by_cid: dict[int, list] = {}
+        for r in means:
+            by_cid.setdefault(r.cid - 1, [None] * dim)[r.pos] = r.m
+        for cid, comps in by_cid.items():
+            if all(v is not None for v in comps):
+                new[cid] = np.array(comps, dtype=np.float64)
+        cents = new
+    return cents
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF ANN top-k: corpus vectors are bucketed by nearest centroid
+    (the inverted lists); each query scans only its ``n_probe`` nearest
+    lists.
+
+    Scale: the assignment is a materializable index — at 100 TB write
+    the corpus partitioned/bucketed by cid once, then each query is a
+    partition-pruned scan of n_probe/n_centroids of the data. Recall
+    measured against brute force in tests/test_operators.py.
+    """
+    cents = train_ivf_centroids(embeddings, dim, n_centroids)
+
+    corpus = with_norm(embeddings).withColumn(
+        "cid", _nearest_centroid(F.col("embedding"), cents)
+    ).select(
+        F.col("vec_id").alias("n_id"),
+        F.col("embedding").alias("n_vec"),
+        F.col("_norm").alias("n_norm"),
+        "cid",
+    )
+    # per-query distances to every centroid → n_probe nearest lists
+    qdists = F.array(
+        *[
+            F.lit(float(c @ c)) - 2.0 * dot(F.col("embedding"), F.array(*[F.lit(float(x)) for x in c]))
+            for c in cents
+        ]
+    )
+    probes = F.slice(
+        F.transform(
+            F.array_sort(
+                F.transform(qdists, lambda d, i: F.struct(d.alias("d"), (i + 1).alias("cid")))
+            ),
+            lambda s: s["cid"],
+        ),
+        1,
+        n_probe,
+    )
+    q = (
+        with_norm(queries)
+        .withColumn("cid", F.explode(probes))
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_vec"),
+            F.col("_norm").alias("q_norm"),
+            "cid",
+        )
+    )
+    scored = corpus.join(F.broadcast(q), "cid").filter(F.col("n_id") != F.col("q_id")).select(
+        "q_id",
+        "n_id",
+        F.round(
+            cosine(F.col("q_vec"), F.col("n_vec"), F.col("q_norm"), F.col("n_norm")), 6
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "rank", "cos")
+    )

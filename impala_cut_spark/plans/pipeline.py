@@ -345,3 +345,13 @@ def stream_sessions_stateful(spark, sf_dir):
     from impala_cut_spark.streaming.sessions import run_stateful_sessions
 
     return run_stateful_sessions(spark, sf_dir)
+
+
+@query("pipe_ann_ivf", oracle=None)
+def pipe_ann_ivf(spark, sf_dir):
+    """IVF-bucketed ANN (k-means coarse quantizer, probe-4-of-16
+    lists) — the partition-pruned scale path beside pipe_ann_lsh;
+    recall vs brute force in tests/test_operators.py."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.ivf_topk(emb, queries, dim=64, k=5)

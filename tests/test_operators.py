@@ -122,3 +122,30 @@ class TestMultimodal:
         a = multimodal.fake_features(b"payload")
         b = multimodal.fake_features(b"payload")
         assert np.allclose(a, b)
+
+
+class TestIvf:
+    def test_ivf_scores_exact_and_recall(self, emb):
+        probe = emb.filter("vec_id < 5")
+        brute = {
+            (r.q_id, r.n_id): r.cos
+            for r in similarity.brute_force_topk(emb, probe, k=500).collect()
+        }
+        top5 = {}
+        for (q, n), c in brute.items():
+            top5.setdefault(q, []).append((c, n))
+        exact_sets = {
+            q: {n for _, n in sorted(v, reverse=True)[:5]} for q, v in top5.items()
+        }
+        ivf = similarity.ivf_topk(emb, probe, dim=EMB_DIM, k=5).collect()
+        assert ivf
+        for r in ivf:
+            # every reported neighbor carries the exact cosine
+            assert brute[(r.q_id, r.n_id)] == r.cos
+        got_sets: dict = {}
+        for r in ivf:
+            got_sets.setdefault(r.q_id, set()).add(r.n_id)
+        recall = sum(
+            len(got_sets.get(q, set()) & exact_sets[q]) for q in exact_sets
+        ) / sum(len(s) for s in exact_sets.values())
+        assert recall >= 0.5, f"IVF recall@5 = {recall:.2f}"
