@@ -121,13 +121,20 @@ def candidate_pairs_from_groups(
 
 
 def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, shingle) with DISTINCT word-n-gram shingles per doc."""
+    """(doc_id, shingle) with DISTINCT word-n-gram shingles per doc.
+
+    fan_out parallelizes the tokenize+shingle hot loop when the source
+    is under-split (both callers persist the result, so the repartition
+    runs exactly once — never inside a recomputed branch).
+    """
+    from impala_cut_spark.partitioning import fan_out
+
     toks = tokens(F.col("text"))
     grams = F.transform(
         F.sequence(F.lit(0), F.size(toks) - n),
         lambda i: F.concat_ws(" ", *[F.get(toks, i + k) for k in range(n)]),
     )
-    return docs.select(
+    return fan_out(docs).select(
         "doc_id", F.explode(F.array_distinct(grams)).alias("shingle")
     )
 
