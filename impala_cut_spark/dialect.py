@@ -52,6 +52,14 @@ CALL_REWRITES: dict[str, object] = {
     "quotient": lambda a: f"({a[0]} div {a[1]})",
     "fmod": lambda a: f"mod({a[0]}, {a[1]})",
     "dayname": lambda a: f"date_format({a[0]}, 'EEEE')",
+    # Impala to_date(ts) returns STRING 'yyyy-MM-dd'
+    # (timestamp-functions.cc; impala_functions.py:239-356); Spark's
+    # to_date returns DATE — keep the string contract.
+    "to_date": lambda a: f"date_format({a[0]}, 'yyyy-MM-dd')",
+    # variance family (BuiltinsDb.java:273-320): Impala names
+    # variance_samp/variance_pop; Spark spells them var_samp/var_pop
+    "variance_samp": lambda a: f"var_samp({a[0]})",
+    "variance_pop": lambda a: f"var_pop({a[0]})",
     # approximate count-distinct family (aggregate-functions.cc:48-49,252-302)
     "ndv": lambda a: f"approx_count_distinct({', '.join(a)})",
     "distinctpc": lambda a: f"approx_count_distinct({a[0]})",
