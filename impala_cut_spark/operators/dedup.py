@@ -123,8 +123,14 @@ def candidate_pairs_from_groups(
 def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, shingle) with DISTINCT word-n-gram shingles per doc.
 
+    Deliberately thin: do NOT also emit size(grams) here — any second
+    reference to the gram array makes Catalyst inline the (expensive)
+    tokenize+3-gram HOF expression twice per row after
+    CollapseProject, tripling the build cost. Per-doc sizes are a
+    cheap re-aggregation of this (persisted) index instead.
+
     fan_out parallelizes the tokenize+shingle hot loop when the source
-    is under-split (both callers persist the result, so the repartition
+    is under-split (callers persist the result, so the repartition
     runs exactly once — never inside a recomputed branch).
     """
     from impala_cut_spark.partitioning import fan_out
@@ -140,21 +146,28 @@ def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
 
 
 def _pair_jaccard(sh: DataFrame, threshold: float) -> DataFrame:
-    """Exact Jaccard over an inverted index: group docs by shingle,
-    count common shingles per pair, |A∪B| = |A|+|B|−common.
+    """Exact Jaccard over an inverted index: count common shingles per
+    pair via a self-join on the shingle key, |A∪B| = |A|+|B|−common.
 
-    Scale: one shuffle keyed by shingle (word-3-gram document
+    Pair generation is a relational self-join — Catalyst/AQE picks the
+    physical strategy: broadcast hash join on a small corpus, shuffled
+    hash join (with AQE skew-split for hot shingles) at scale. A
+    hand-built collect_set→explode pins the pair blow-up onto whatever
+    partitioning the aggregate left behind (AQE coalesces the tiny
+    grouped output, then the explode serializes on few tasks); the
+    join form keeps the expansion distributed. Word-3-gram document
     frequency is Zipfian but bounded; a 100 TB run adds the standard
-    prefix-filter / df-cap); the pair-count groupBy keys on
-    (id_a, id_b) — integers, uniform. Per-doc sizes broadcast.
+    prefix-filter / df-cap. The pair-count groupBy keys on
+    (id_a, id_b) — integers, uniform. Per-doc sizes re-aggregate the
+    persisted index (small) and broadcast onto the pair counts.
     """
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    common = (
-        sh.groupBy("shingle")
-        .agg(F.collect_set("doc_id").alias("ids"))
-        .filter(F.size("ids") > 1)
-        .select(F.explode(_pair_combos(F.col("ids"))).alias("p"))
-        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+    a = sh.select(F.col("shingle"), F.col("doc_id").alias("id_a"))
+    b = sh.select(F.col("shingle"), F.col("doc_id").alias("id_b"))
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     sz_a = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
@@ -163,7 +176,7 @@ def _pair_jaccard(sh: DataFrame, threshold: float) -> DataFrame:
         F.col("sz_a") + F.col("sz_b") - F.col("n_common")
     ).cast("double")
     return (
-        common.join(F.broadcast(sz_a), "id_a")
+        pairs.join(F.broadcast(sz_a), "id_a")
         .join(F.broadcast(sz_b), "id_b")
         .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
@@ -173,8 +186,8 @@ def _pair_jaccard(sh: DataFrame, threshold: float) -> DataFrame:
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.2) -> DataFrame:
     """EXACT near-duplicate pairs by word-n-gram Jaccard ≥ threshold.
 
-    The shingle index feeds both the per-doc sizes and the pair
-    counts — persisted so the tokenize/shingle scan runs once.
+    The shingle index feeds both sides of the similarity self-join —
+    persisted so tokenize/shingle runs once.
     """
     sh = shingles(docs, n).persist(StorageLevel.MEMORY_AND_DISK)
     return _pair_jaccard(sh, threshold)
@@ -221,21 +234,38 @@ def lsh_candidate_pairs(sig: DataFrame, band_size: int = BAND_SIZE) -> DataFrame
     return candidate_pairs_from_groups(buckets)
 
 
+def verify_pairs_jaccard(sh: DataFrame, cands: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard for an explicit (id_a, id_b) candidate list.
+
+    Join each side to its per-doc shingle set and intersect the
+    arrays — the standard LSH verify step (same shape as Spark ML
+    MinHashLSH's approxSimilarityJoin verify). The candidate list is
+    the small side: Catalyst broadcasts it against the doc-set table;
+    at scale both joins degrade gracefully to shuffles on the id.
+    """
+    docsets = sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("shset"))
+    a = docsets.select(F.col("doc_id").alias("id_a"), F.col("shset").alias("set_a"))
+    b = docsets.select(F.col("doc_id").alias("id_b"), F.col("shset").alias("set_b"))
+    inter = F.size(F.array_intersect("set_a", "set_b"))
+    jac = inter.cast("double") / (
+        F.size("set_a") + F.size("set_b") - inter
+    ).cast("double")
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def minhash_dedup_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.2) -> DataFrame:
     """MinHash-LSH candidates verified with exact Jaccard — same output
     contract as ngram_jaccard_pairs, but candidate generation is O(n)
     instead of an inverted-index pair explosion over every shared
     shingle."""
     sh = shingles(docs, n).persist(StorageLevel.MEMORY_AND_DISK)
-    cands = lsh_candidate_pairs(minhash_signatures(sh)).persist(StorageLevel.MEMORY_AND_DISK)
-    # verify candidates only: semi-join the inverted index down to
-    # candidate docs, then exact Jaccard on that restricted set
-    cand_docs = cands.select(F.col("id_a").alias("doc_id")).union(
-        cands.select(F.col("id_b"))
-    ).distinct()
-    sh_small = sh.join(F.broadcast(cand_docs), "doc_id", "left_semi")
-    exact = _pair_jaccard(sh_small, threshold)
-    return exact.join(F.broadcast(cands), ["id_a", "id_b"], "left_semi")
+    cands = lsh_candidate_pairs(minhash_signatures(sh))
+    return verify_pairs_jaccard(sh, cands, threshold)
 
 
 # ---------------------------------------------------------------------------
