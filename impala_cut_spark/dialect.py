@@ -40,6 +40,28 @@ def _fn_isnull(a):  # Impala isnull(a,b) == nvl; Spark isnull is unary
     return f"nvl({a[0]}, {a[1]})"
 
 
+_DECIMAL_TYPE_RE = re.compile(r"decimal\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)\s*\)?\s*$", re.I)
+_NUMERIC_LITERAL_RE = re.compile(r"^\s*-?\s*(\d+)(?:\.(\d*))?\s*$")
+
+
+def _decimal_meta(arg: str, which: str) -> str:
+    """Fold precision(e)/scale(e) to an int literal (analysis-time fold
+    in the reference, fe/.../analysis; constant for a given type)."""
+    m = _DECIMAL_TYPE_RE.search(arg)
+    if m:
+        p, s = int(m.group(1)), int(m.group(2))
+        return f"cast({p if which == 'precision' else s} as int)"
+    m = _NUMERIC_LITERAL_RE.match(arg)
+    if m:
+        ip = m.group(1).lstrip("0")
+        fp = m.group(2) or ""
+        p = max(len(ip) + len(fp), 1)
+        return f"cast({p if which == 'precision' else len(fp)} as int)"
+    # unresolvable form: leave the call — surfaces as a clear
+    # unresolved-function error rather than a silent wrong answer
+    return f"{which}({arg})"
+
+
 CALL_REWRITES: dict[str, object] = {
     # conditional (impala_functions.py:357-466)
     "isnull": _fn_isnull,
@@ -85,6 +107,12 @@ CALL_REWRITES: dict[str, object] = {
     "max_bigint": lambda a: "cast(9223372036854775807 as bigint)",
     "is_inf": lambda a: f"(abs({a[0]}) = double('Infinity'))",
     "is_nan": lambda a: f"isnan({a[0]})",
+    # decimal introspection (decimal-functions.cc; impala_functions.py:467-490).
+    # The reference folds precision(e)/scale(e) to literals at analysis
+    # from the argument's resolved type; we fold textually for the two
+    # resolvable forms — an explicit decimal cast and a numeric literal.
+    "precision": lambda a: _decimal_meta(a[0], "precision"),
+    "scale": lambda a: _decimal_meta(a[0], "scale"),
     # numeric truncation toward zero (decimal-functions.cc trunc/truncate)
     "truncate": lambda a: (
         f"(cast({a[0]} * pow(10, {a[1]}) as bigint) / pow(10, {a[1]}))"

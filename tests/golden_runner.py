@@ -82,7 +82,8 @@ def parse_test_file(path: Path) -> list[GoldenCase]:
         if "TYPES" in sections:
             tline = " ".join(sections["TYPES"]).strip()
             if tline:
-                types = [t.strip().lower() for t in tline.split(",")]
+                # split on commas outside parens (decimal(p,s))
+                types = [t.strip().lower() for t in re.split(r",(?![^()]*\))", tline)]
         results = [l for l in sections.get("RESULTS", []) if l.strip() != ""]
         # ORDER BY in the outermost query (not inside a subquery paren) -> ordered
         depth, ordered = 0, False
