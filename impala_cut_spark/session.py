@@ -129,7 +129,25 @@ class ImpalaSession:
     def sql(self, text: str) -> DataFrame:
         from impala_cut_spark.dialect import rewrite
 
-        return self.spark.sql(rewrite(text))
+        return self.spark.sql(rewrite(self._expand_like_file(text)))
+
+    #: CREATE TABLE t LIKE PARQUET '<hdfs-path>' (sql-parser.y:661-810;
+    #: fe/.../analysis/CreateTableLikeFileStmt.java): infer the column
+    #: list from the parquet footer. Needs the session (schema read),
+    #: so it lives here rather than in the pure-text dialect layer.
+    _LIKE_FILE = __import__("re").compile(
+        r"(?i)^(\s*create\s+(?:external\s+)?table\s+(?:if\s+not\s+exists\s+)?"
+        r"[\w.]+)\s+like\s+parquet\s+'([^']+)'(.*)$",
+        __import__("re").DOTALL,
+    )
+
+    def _expand_like_file(self, text: str) -> str:
+        m = self._LIKE_FILE.match(text)
+        if not m:
+            return text
+        schema = self.spark.read.parquet(m.group(2)).schema
+        cols = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)
+        return f"{m.group(1)} ({cols}){m.group(3)}"
 
     #: Impala EXPLAIN levels (Types.thrift:65-70) → Spark explain modes
     _EXPLAIN_LEVELS = {
