@@ -184,41 +184,43 @@ def train_ivf_centroids(
     n_centroids: int = 16,
     iters: int = 4,
     vec: str = "embedding",
+    sample_size: int = 20_000,
 ) -> np.ndarray:
-    """Lloyd's k-means over the corpus — the coarse quantizer of an IVF
-    index. Deterministic init: evenly spaced vec_ids.
+    """Lloyd's k-means on a deterministic corpus SAMPLE, driver-side —
+    the coarse quantizer of an IVF index.
 
-    Scale: each iteration is one assignment pass (pure column exprs,
-    no Python per row) + one groupBy mean of exploded components; only
-    the k×dim centroid matrix ever reaches the driver. At 100 TB train
-    on a sample — the quantizer doesn't need every vector.
+    This is the FAISS-style split: the quantizer trains on a bounded
+    sample in memory (one collect of ≤ sample_size vectors, then numpy
+    Lloyd's — microseconds), and the CLUSTER ASSIGNMENT is the
+    distributed pass. Training distributedly was strictly worse: every
+    iteration re-built a fresh k×dim literal expression tree (new
+    centroids → new plan → full recompile) plus a driver round-trip.
+    At 100 TB the sample cap is also what makes training feasible at
+    all — the quantizer doesn't need every vector.
+
+    Deterministic: sample = evenly spaced vec_ids, init = evenly
+    spaced sample rows.
     """
     n = embeddings.count()
-    step = max(n // n_centroids, 1)
-    seed_rows = (
-        embeddings.filter((F.col("vec_id") % step == 0) & (F.col("vec_id") < step * n_centroids))
+    step = max(n // sample_size, 1)
+    rows = (
+        embeddings.filter(F.col("vec_id") % step == 0)
         .orderBy("vec_id")
         .select(vec)
+        .limit(sample_size)
         .collect()
     )
-    cents = np.array([r[0] for r in seed_rows], dtype=np.float64)[:n_centroids]
+    X = np.array([r[0] for r in rows], dtype=np.float64)
+    cents = X[:: max(len(X) // n_centroids, 1)][:n_centroids].copy()
 
     for _ in range(iters):
-        assigned = embeddings.withColumn("cid", _nearest_centroid(F.col(vec), cents))
-        means = (
-            assigned.select("cid", F.posexplode(F.col(vec)).alias("pos", "x"))
-            .groupBy("cid", "pos")
-            .agg(F.avg("x").alias("m"))
-            .collect()
-        )
-        new = cents.copy()
-        by_cid: dict[int, list] = {}
-        for r in means:
-            by_cid.setdefault(r.cid - 1, [None] * dim)[r.pos] = r.m
-        for cid, comps in by_cid.items():
-            if all(v is not None for v in comps):
-                new[cid] = np.array(comps, dtype=np.float64)
-        cents = new
+        # ||x-c||² = x·x − 2 x·c + c·c; argmin over c drops x·x
+        d2 = -2.0 * X @ cents.T + np.sum(cents * cents, axis=1)
+        assign = np.argmin(d2, axis=1)
+        for cid in range(len(cents)):
+            members = X[assign == cid]
+            if len(members):
+                cents[cid] = members.mean(axis=0)
     return cents
 
 
