@@ -124,6 +124,51 @@ def select_query(draw):
     return sql
 
 
+@st.composite
+def join_query(draw):
+    """lineitem ⋈ orders with predicates on both sides, aggregated —
+    exercises join + pushdown-through-join + two-phase agg."""
+    l_pred = draw(st.one_of(st.none(), predicate()))
+    o_pred = draw(
+        st.one_of(
+            st.none(),
+            st.sampled_from(
+                [
+                    "o_orderstatus = 'F'",
+                    "o_totalprice > 150000",
+                    "o_orderpriority <> '5-LOW'",
+                    "year(o_orderdate) BETWEEN 1996 AND 1999",
+                ]
+            ),
+        )
+    )
+    conds = [p for p in (l_pred, o_pred) if p]
+    where_sql = (" WHERE " + " AND ".join(f"({c})" for c in conds)) if conds else ""
+    jt = draw(st.sampled_from(["JOIN", "LEFT JOIN"]))
+    key = draw(st.sampled_from(["o_orderstatus", "l_returnflag", "o_orderpriority"]))
+    aggs = draw(
+        st.lists(
+            st.sampled_from(
+                [
+                    "count(*) AS agg_cnt",
+                    "count(o_orderkey) AS agg_cnt_o",
+                    "cast(sum(cast(l_quantity as decimal(9,2))) as double) AS agg_sum",
+                    "min(l_orderkey) AS agg_min",
+                    "count(distinct l_suppkey) AS agg_ndv",
+                ]
+            ),
+            min_size=1,
+            max_size=3,
+            unique=True,
+        )
+    )
+    cols = ", ".join([f"{key} AS k0"] + aggs)
+    return (
+        f"SELECT {cols} FROM lineitem {jt} orders ON l_orderkey = o_orderkey"
+        f"{where_sql} GROUP BY 1"
+    )
+
+
 @pytest.fixture(scope="module")
 def views(spark, sf_dir):
     from impala_cut_spark.sources.catalog import register_views
@@ -151,3 +196,20 @@ def test_random_query_matches_duckdb(sql, spark, oracle, views):
         assert len(srows) == len(orows), sql
         bad = [(a, b) for a, b in zip(srows, orows) if a != b]
         assert not bad, f"{sql}\nfirst diff: {bad[0] if bad else None}"
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(sql=join_query())
+def test_random_join_matches_duckdb(sql, spark, oracle, views):
+    sdf = spark.sql(sql)
+    scols, srows = frame_to_rows([c.lower() for c in sdf.columns], sdf.collect())
+    orel = oracle.sql(sql)
+    ocols, orows = frame_to_rows([c.lower() for c in orel.columns], orel.fetchall())
+    assert scols == ocols, sql
+    assert len(srows) == len(orows), sql
+    bad = [(a, b) for a, b in zip(srows, orows) if a != b]
+    assert not bad, f"{sql}\nfirst diff: {bad[0] if bad else None}"
