@@ -88,6 +88,23 @@ def test_dedup_exact_single_shuffle(plans):
     assert "partial_min" in p  # keeper chosen map-side first
 
 
+def test_dedup_jaccard_join_shape(plans):
+    p = plans("pipe_dedup_jaccard")
+    # similarity self-join must be a hash join Catalyst chose (broadcast
+    # here; shuffled+skew-split at scale) — never a cartesian product
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p or "ShuffledHashJoin" in p or "SortMergeJoin" in p
+    assert "partial_count" in p  # pair counts combine map-side
+    assert "InMemoryTableScan" in p  # shingle index built once, reused
+
+
+def test_dedup_minhash_verify_shape(plans):
+    p = plans("pipe_dedup_minhash")
+    assert "CartesianProduct" not in p
+    assert "array_intersect" in p  # LSH-style candidate verify
+    assert "InMemoryTableScan" in p
+
+
 def test_ann_topk_broadcasts_queries_not_corpus(plans):
     p = plans("pipe_ann_topk")
     # the small query set is broadcast; the corpus streams
