@@ -52,6 +52,45 @@ def hourly_rollup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     )
 
 
+def stream_rollup_to_parquet(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Append-mode windowed rollup streamed into a parquet table — the
+    Structured-Streaming twin of the INSERT sink (hdfs-table-sink.cc
+    semantics: files land atomically per epoch; the checkpoint gives
+    exactly-once).
+
+    Append mode emits a window only once the watermark passes its end
+    — this IS the late-data policy: events later than ``watermark``
+    are dropped, everything else lands exactly once. On a finite
+    replay the trailing windows inside the watermark horizon stay
+    open (correctly) and never emit.
+    """
+    q = (
+        hourly_rollup(events_stream(spark, sf_dir), watermark)
+        .select(
+            F.col("win.start").cast("timestamp_ntz").alias("hour"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(out_dir)
+
+
 def run_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the streaming rollup to completion over the finite file
     source and return the result as a (batch) DataFrame."""

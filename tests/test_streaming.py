@@ -30,3 +30,43 @@ def test_stream_rollup_equals_batch(spark, sf_dir):
     s = {tuple(r) for r in streamed.collect()}
     b = {tuple(r) for r in batch.collect()}
     assert s == b
+
+
+def test_stream_append_sink_emits_closed_windows(spark, sf_dir, tmp_path):
+    """Append-mode parquet sink: exactly the watermark-closed windows
+    land, each matching the batch rollup; trailing windows inside the
+    watermark horizon stay open and must NOT emit."""
+    from impala_cut_spark.streaming.events import stream_rollup_to_parquet
+
+    written = stream_rollup_to_parquet(
+        spark,
+        sf_dir,
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        watermark="2 hours",
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    batch = (
+        events.groupBy(
+            F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("hour"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+        )
+    )
+
+    got = {tuple(r) for r in written.select("hour", "event_type", "n", "total_value").collect()}
+    want_all = {tuple(r) for r in batch.collect()}
+    assert got, "append sink wrote nothing"
+    assert got <= want_all  # every emitted row matches batch exactly
+    # nothing newer than the watermark horizon may have been emitted
+    import datetime
+
+    horizon = max_ts - datetime.timedelta(hours=2)
+    assert all(row[0] <= horizon for row in got)
+    # and everything strictly older than the horizon's previous hour emitted
+    closed = {t for t in want_all if t[0] < horizon.replace(minute=0, second=0, microsecond=0)}
+    assert closed <= got
