@@ -20,6 +20,7 @@ Scale notes (100 TB / 1000-executor design intent):
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -129,16 +130,22 @@ class ImpalaSession:
     def sql(self, text: str) -> DataFrame:
         from impala_cut_spark.dialect import rewrite
 
+        m = re.match(r"^\s*set\s+([A-Za-z_]\w*)\s*=\s*(\S+)\s*;?\s*$", text, re.IGNORECASE)
+        if m and m.group(1).lower() in self._OPTION_MAP:
+            # Impala query option (SET k=v through SQL, as impala-shell
+            # issues it) — route to the option map, not Spark's SET
+            self.set_option(m.group(1), m.group(2))
+            return self.spark.sql("select 1 where false")
         return self.spark.sql(rewrite(self._expand_like_file(text)))
 
     #: CREATE TABLE t LIKE PARQUET '<hdfs-path>' (sql-parser.y:661-810;
     #: fe/.../analysis/CreateTableLikeFileStmt.java): infer the column
     #: list from the parquet footer. Needs the session (schema read),
     #: so it lives here rather than in the pure-text dialect layer.
-    _LIKE_FILE = __import__("re").compile(
+    _LIKE_FILE = re.compile(
         r"(?i)^(\s*create\s+(?:external\s+)?table\s+(?:if\s+not\s+exists\s+)?"
         r"[\w.]+)\s+like\s+parquet\s+'([^']+)'(.*)$",
-        __import__("re").DOTALL,
+        re.DOTALL,
     )
 
     def _expand_like_file(self, text: str) -> str:

@@ -133,10 +133,20 @@ def read_text_table(
     sep: str = ",",
     escape: str = "\\",
     header: bool = False,
+    abort_on_error: bool = False,
 ) -> DataFrame:
     """Delimited-text scanner (hdfs-text-scanner.cc parity: delimiters
-    + escaping; SSE4.2 search is Spark-internal)."""
-    reader = spark.read.options(sep=sep, escape=escape, header=header)
+    + escaping; SSE4.2 search is Spark-internal).
+
+    Malformed-row policy mirrors the reference's ``abort_on_error``
+    query option (ImpalaService.thrift; tests/data_errors/): False →
+    ragged/unparseable fields become NULL and the scan continues
+    (PERMISSIVE); True → the query fails on the first bad row
+    (FAILFAST).
+    """
+    reader = spark.read.options(
+        sep=sep, escape=escape, header=header, mode="FAILFAST" if abort_on_error else "PERMISSIVE"
+    )
     if schema:
         reader = reader.schema(schema)
     else:

@@ -116,6 +116,40 @@ def test_text_round_trip(sess, tmp_path, sf_dir):
     assert {r.n_name for r in back.collect()} == {r.n_name for r in nation.collect()}
 
 
+def test_text_data_errors_permissive_vs_abort(sess, tmp_path):
+    """Malformed-row policy = the reference's abort_on_error option
+    (tests/data_errors/, TblWithRaggedColumns): permissive scans
+    null-fill ragged/unparseable fields; abort fails fast."""
+    p = tmp_path / "ragged"
+    p.mkdir()
+    (p / "part-0.csv").write_text("1,a,2.5\n2,b\nnotanint,c,1.0\n4,d,4.25\n")
+
+    ok = sinks.read_text_table(
+        sess.spark, str(p), schema="id int, name string, v double"
+    )
+    rows = {(r.id, r.name, r.v) for r in ok.collect()}
+    assert (1, "a", 2.5) in rows and (4, "d", 4.25) in rows
+    assert (2, "b", None) in rows  # ragged row null-filled
+    assert (None, "c", 1.0) in rows  # bad int null-filled
+
+    with pytest.raises(Exception):
+        sinks.read_text_table(
+            sess.spark, str(p), schema="id int, name string, v double", abort_on_error=True
+        ).collect()
+
+
+def test_set_option_through_sql(sess):
+    """SET k=v issued as SQL (impala-shell style) lands in the option
+    map, not Spark's conf SET."""
+    sess.sql("set mem_limit=2g")
+    assert sess.options()["mem_limit"] == "2g"
+    sess.sql("SET DISABLE_CODEGEN=1")
+    assert sess.options()["disable_codegen"] == "1"
+    assert sess.spark.conf.get("spark.sql.codegen.wholeStage") == "false"
+    sess.sql("set disable_codegen=0")
+    assert sess.spark.conf.get("spark.sql.codegen.wholeStage") == "true"
+
+
 def test_parquet_round_trip_partitioned_write(sess, tmp_path, sf_dir):
     orders = sess.spark.read.parquet(f"{sf_dir}/orders.parquet").withColumn(
         "o_year", F.year("o_orderdate")
