@@ -108,6 +108,9 @@ _SQL_UDFS: list[tuple[str, str, str]] = [
 def register_all(spark: SparkSession) -> None:
     """Register compat functions on the session. Never raises — a
     missing capability degrades to dialect-layer-only support."""
+    import os
+    import time
+
     for name, params, body in _SQL_UDFS:
         try:
             spark.sql(
@@ -116,6 +119,18 @@ def register_all(spark: SparkSession) -> None:
             )
         except Exception:
             pass
+    try:
+        # utility builtins (utility-functions.{h,cc}): pid() is the
+        # coordinator pid here (one JVM, no per-backend daemons);
+        # sleep(ms) -> true after sleeping, as in the reference.
+        spark.sql(
+            f"CREATE OR REPLACE TEMPORARY FUNCTION pid() RETURNS INT RETURN {os.getpid()}"
+        )
+        spark.udf.register(
+            "sleep", lambda ms: (time.sleep((ms or 0) / 1000.0), True)[1], "boolean"
+        )
+    except Exception:
+        pass
 
 
 def _ret_type(body: str) -> str:

@@ -6,9 +6,46 @@ expression and its expected value, evaluated through ImpalaSession.sql.
 
 from __future__ import annotations
 
+import re
+from pathlib import Path
+
 import pytest
 
 from impala_cut_spark.session import ImpalaSession
+
+REF_REGISTRY = Path("/root/reference/common/function-registry/impala_functions.py")
+
+#: reference registry names deliberately out of scope: MADlib interop
+#: vestiges (not in SURVEY §2.8) and the UDF-interface SAMPLE entries
+#: (impala_functions.py:491 — they demo CREATE FUNCTION, they are not
+#: builtins of the dialect)
+EXEMPT = {
+    "madlib_decode_vector",
+    "madlib_encode_vector",
+    "madlib_print_vector",
+    "madlib_vector",
+    "madlib_vector_get",
+    "udf_abs",
+    "udf_lower",
+    "udf_pi",
+}
+
+
+def test_every_reference_builtin_resolves(spark):
+    """Audit: every function name in the reference's registry (275
+    entries incl. overloads, 133 distinct names) resolves here —
+    Spark-builtin, dialect-rewritten, or session-registered."""
+    from impala_cut_spark.dialect import CALL_REWRITES
+    from impala_cut_spark.functions.registry import register_all
+
+    register_all(spark)
+    names = set(re.findall(r"^\s*\[\['([a-z_0-9]+)'", REF_REGISTRY.read_text(), re.M))
+    assert len(names) > 120  # the registry parsed
+    known = {
+        r.function.split(".")[-1].lower() for r in spark.sql("show functions").collect()
+    }
+    missing = sorted(names - EXEMPT - known - set(CALL_REWRITES))
+    assert not missing, f"unimplemented reference builtins: {missing}"
 
 # (impala expression, expected python value)
 GOLDEN = [
