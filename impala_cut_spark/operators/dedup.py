@@ -133,16 +133,13 @@ def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     is under-split (callers persist the result, so the repartition
     runs exactly once — never inside a recomputed branch).
     """
+    from pyspark.ml.feature import NGram
+
     from impala_cut_spark.partitioning import fan_out
 
-    toks = tokens(F.col("text"))
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.concat_ws(" ", *[F.get(toks, i + k) for k in range(n)]),
-    )
-    return fan_out(docs).select(
-        "doc_id", F.explode(F.array_distinct(grams)).alias("shingle")
-    )
+    tok = fan_out(docs).select("doc_id", tokens(F.col("text")).alias("toks"))
+    grams = NGram(n=n, inputCol="toks", outputCol="grams").transform(tok)
+    return grams.select("doc_id", F.explode(F.array_distinct("grams")).alias("shingle"))
 
 
 def _pair_jaccard(sh: DataFrame, threshold: float) -> DataFrame:
