@@ -744,6 +744,43 @@ def cov_fn_cast(spark, sf_dir):
     )
 
 
+@query(
+    "cov_fn_decimal",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       cast(cast(l_quantity as decimal(9,2)) + cast(l_tax as decimal(9,2)) as double) AS add_d,
+       cast(cast(l_quantity as decimal(9,2)) * cast(l_discount as decimal(9,4)) as double) AS mul_d,
+       round(cast(cast(l_extendedprice as decimal(12,2))
+                  / nullif(cast(l_quantity as decimal(9,2)), 0) as double), 6) AS div_d,
+       cast(sum(cast(l_quantity as decimal(9,2))) OVER () as double) AS sum_all
+FROM lineitem WHERE l_orderkey < 100
+""",
+)
+def cov_fn_decimal(spark, sf_dir):
+    """DECIMAL(p,s) arithmetic (decimal-value.h int32/64/128 backing;
+    decimal-operators.cc result p/s rules): +, *, / on explicit casts,
+    plus a decimal SUM. Results surface as double (engines widen
+    p/s differently; the VALUES must agree)."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    q2 = F.col("l_quantity").cast("decimal(9,2)")
+    from pyspark.sql import Window
+
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (q2 + F.col("l_tax").cast("decimal(9,2)")).cast("double").alias("add_d"),
+        (q2 * F.col("l_discount").cast("decimal(9,4)")).cast("double").alias("mul_d"),
+        F.round(
+            (
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                / F.nullif(q2, F.lit(0).cast("decimal(9,2)"))
+            ).cast("double"),
+            6,
+        ).alias("div_d"),
+        F.sum(q2).over(Window.partitionBy()).cast("double").alias("sum_all"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # events table: time-bucketed aggregation (batch shape of the streaming
 # pipeline in streaming/events.py)
