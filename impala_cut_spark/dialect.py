@@ -34,6 +34,16 @@ import re
 # ---------------------------------------------------------------------------
 
 
+def _least_greatest(fn: str, a: list[str]) -> str:
+    # emitted as array_min/array_max so the fixpoint rewriter doesn't
+    # re-expand the call; the CASE supplies the any-NULL→NULL contract
+    if len(a) == 1:
+        return f"({a[0]})"
+    nulls = " OR ".join(f"({x}) IS NULL" for x in a)
+    agg = "array_min" if fn == "least" else "array_max"
+    return f"(CASE WHEN {nulls} THEN NULL ELSE {agg}(array({', '.join(a)})) END)"
+
+
 def _fn_isnull(a):  # Impala isnull(a,b) == nvl; Spark isnull is unary
     if len(a) == 1:
         return f"({a[0]} IS NULL)"
@@ -71,6 +81,11 @@ CALL_REWRITES: dict[str, object] = {
     "strleft": lambda a: f"left({a[0]}, {a[1]})",
     "strright": lambda a: f"right({a[0]}, {a[1]})",
     # math (impala_functions.py:56-148)
+    # least/greatest return NULL when ANY argument is NULL
+    # (math-functions.cc:568-584 LeastGreatest: `if (val == NULL)
+    # return NULL`); Spark's skip nulls — wrap with the null check.
+    "least": lambda a: _least_greatest("least", a),
+    "greatest": lambda a: _least_greatest("greatest", a),
     "quotient": lambda a: f"({a[0]} div {a[1]})",
     "fmod": lambda a: f"mod({a[0]}, {a[1]})",
     "dayname": lambda a: f"date_format({a[0]}, 'EEEE')",
