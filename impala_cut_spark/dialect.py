@@ -44,6 +44,12 @@ def _least_greatest(fn: str, a: list[str]) -> str:
     return f"(CASE WHEN {nulls} THEN NULL ELSE {agg}(array({', '.join(a)})) END)"
 
 
+def _substr_zero(a: list[str]) -> str:
+    if len(a) >= 2 and a[1].strip() == "0":
+        return "''"
+    raise ValueError("not the literal-zero form; leave the call as-is")
+
+
 def _fn_isnull(a):  # Impala isnull(a,b) == nvl; Spark isnull is unary
     if len(a) == 1:
         return f"({a[0]} IS NULL)"
@@ -80,6 +86,20 @@ CALL_REWRITES: dict[str, object] = {
     # string (impala_functions.py:149-213)
     "strleft": lambda a: f"left({a[0]}, {a[1]})",
     "strright": lambda a: f"right({a[0]}, {a[1]})",
+    # concat_ws returns NULL when ANY argument is NULL
+    # (string-functions.cc:545-564); Spark's skips null strings.
+    # array_join carries no rewritable names, so no re-expansion.
+    "concat_ws": lambda a: (
+        "(CASE WHEN "
+        + " OR ".join(f"({x}) IS NULL" for x in a)
+        + f" THEN NULL ELSE array_join(array({', '.join(a[1:])}), {a[0]}) END)"
+    ),
+    # substr(s, 0[, n]) is EMPTY in the reference
+    # (string-functions.cc:39-58 `fixed_pos != 0` guard); Spark treats
+    # pos 0 as 1. Fold only the literal-zero form; raising skips the
+    # rewrite (rewriter catches and leaves the call untouched).
+    "substr": lambda a: _substr_zero(a),
+    "substring": lambda a: _substr_zero(a),
     # math (impala_functions.py:56-148)
     # least/greatest return NULL when ANY argument is NULL
     # (math-functions.cc:568-584 LeastGreatest: `if (val == NULL)
