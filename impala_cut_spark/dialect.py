@@ -50,6 +50,12 @@ def _substr_zero(a: list[str]) -> str:
     raise ValueError("not the literal-zero form; leave the call as-is")
 
 
+def _pad_negative(a: list[str]) -> str:
+    if len(a) >= 2 and re.fullmatch(r"-\s*\d+", a[1].strip()):
+        return "CAST(NULL AS STRING)"
+    raise ValueError("not the literal-negative form; leave the call as-is")
+
+
 def _fn_isnull(a):  # Impala isnull(a,b) == nvl; Spark isnull is unary
     if len(a) == 1:
         return f"({a[0]} IS NULL)"
@@ -100,6 +106,11 @@ CALL_REWRITES: dict[str, object] = {
     # rewrite (rewriter catches and leaves the call untouched).
     "substr": lambda a: _substr_zero(a),
     "substring": lambda a: _substr_zero(a),
+    # lpad/rpad with negative target length are NULL in the reference
+    # (string-functions.cc:132-137 `*len < 0` guard); Spark yields ''.
+    # Literal-form fold, like substr-zero.
+    "lpad": lambda a: _pad_negative(a),
+    "rpad": lambda a: _pad_negative(a),
     # math (impala_functions.py:56-148)
     # least/greatest return NULL when ANY argument is NULL
     # (math-functions.cc:568-584 LeastGreatest: `if (val == NULL)
