@@ -56,6 +56,12 @@ def _pad_negative(a: list[str]) -> str:
     raise ValueError("not the literal-negative form; leave the call as-is")
 
 
+def _empty_needle(a: list[str], needle_idx: int) -> str:
+    if len(a) > needle_idx and a[needle_idx].strip() in ("''", '""'):
+        return "cast(0 as int)"
+    raise ValueError("needle not the empty literal; leave the call as-is")
+
+
 def _fn_isnull(a):  # Impala isnull(a,b) == nvl; Spark isnull is unary
     if len(a) == 1:
         return f"({a[0]} IS NULL)"
@@ -111,6 +117,10 @@ CALL_REWRITES: dict[str, object] = {
     # Literal-form fold, like substr-zero.
     "lpad": lambda a: _pad_negative(a),
     "rpad": lambda a: _pad_negative(a),
+    # empty-needle search is 0 in the reference (expr-test.cc:1388-1397
+    # instr/locate goldens); Spark returns 1. Literal-form fold.
+    "instr": lambda a: _empty_needle(a, 1),
+    "locate": lambda a: _empty_needle(a, 0),
     # math (impala_functions.py:56-148)
     # least/greatest return NULL when ANY argument is NULL
     # (math-functions.cc:568-584 LeastGreatest: `if (val == NULL)
