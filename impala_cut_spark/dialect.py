@@ -222,7 +222,10 @@ _IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
 
 
 def _scan_strings(sql: str):
-    """Yield (index, char, in_string) walking the text with quote awareness."""
+    """Yield (index, char, in_string) walking the text with quote AND
+    comment awareness.  ``-- …\\n`` and ``/* … */`` spans are reported as
+    in_string=True so rewrites never fire inside them and quotes inside
+    them (e.g. ``-- don't``) cannot flip the string state."""
     i, n = 0, len(sql)
     quote = None
     while i < n:
@@ -235,6 +238,18 @@ def _scan_strings(sql: str):
                 else:
                     quote = None
             yield i, c, quote is not None
+        elif c == "-" and i + 1 < n and sql[i + 1] == "-":
+            while i < n and sql[i] != "\n":
+                yield i, sql[i], True
+                i += 1
+            continue
+        elif c == "/" and i + 1 < n and sql[i + 1] == "*":
+            end = sql.find("*/", i + 2)
+            end = n if end < 0 else end + 2
+            while i < end:
+                yield i, sql[i], True
+                i += 1
+            continue
         else:
             if c in ("'", '"', "`"):
                 quote = c
@@ -273,13 +288,22 @@ def _split_args(argtext: str) -> list[str]:
 
 
 def rewrite_calls(sql: str) -> str:
-    """Expand Impala-only function calls (innermost-first, iterated)."""
-    for _ in range(8):  # nested rewrites converge quickly
+    """Expand Impala-only function calls (innermost-first, iterated to a
+    true fixpoint — one call is replaced per pass, so the bound must
+    cover every call in the statement, not a small constant)."""
+    # Generous fixpoint bound: each pass eliminates one rewritable call;
+    # expansions may themselves contain further rewritable calls, but
+    # convergence is structural (rewrites emit non-rewritable names).
+    for _ in range(10_000):
         out = _rewrite_calls_once(sql)
         if out == sql:
             return out
         sql = out
-    return sql
+    raise ValueError(
+        "dialect.rewrite_calls did not converge; a CALL_REWRITES entry "
+        "likely re-emits its own (or another rewritable) call name: "
+        + sql[:200]
+    )
 
 
 def _rewrite_calls_once(sql: str) -> str:
@@ -430,7 +454,7 @@ def _fix_order_items(body: str) -> str:
     fixed = []
     for it in items:
         low = it.lower()
-        if "nulls" in low:
+        if re.search(r"\bnulls\s+(first|last)\b", low):
             fixed.append(it)
         elif re.search(r"\bdesc\b", low):
             fixed.append(it + " NULLS FIRST")

@@ -46,8 +46,12 @@ def strright(c: Column, n) -> Column:
 
 
 def quotient(a: Column, b: Column) -> Column:
-    """Integer division (sql-parser.y DIV operator / quotient())."""
-    return F.expr("_q_a div _q_b") if False else (a.cast("bigint") / b.cast("bigint")).cast("bigint")
+    """Integer division (sql-parser.y DIV operator / quotient()).
+
+    True integer ``div`` (truncates toward zero, exact for the full
+    bigint range) — not double division then cast, which loses
+    precision for |values| >= 2**53."""
+    return F.call_function("div", a.cast("bigint"), b.cast("bigint"))
 
 
 def fnv_hash(*cols: Column) -> Column:

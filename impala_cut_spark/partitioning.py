@@ -22,10 +22,21 @@ from pyspark.sql import DataFrame
 
 def fan_out(df: DataFrame, multiplier: int = 1) -> DataFrame:
     """Round-robin repartition up to ``cores × multiplier`` partitions,
-    only when the current plan has fewer — never coalesces, never
-    shuffles an already-parallel source."""
+    only when the source is visibly under-split — never coalesces,
+    never shuffles an already-parallel source.
+
+    Under-split detection uses ``df.inputFiles()`` (cheap metadata; no
+    ``df.rdd`` plan conversion, which would analyze the plan twice per
+    call).  A file-backed plan with >= cores input files is assumed
+    already parallel — at 100 TB every table has thousands of splits,
+    making this a guaranteed no-op there; the repartition fires only in
+    the few-files/one-row-group case it exists for."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism * multiplier
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    try:
+        nfiles = len(df.inputFiles())
+    except Exception:
+        nfiles = 0
+    if nfiles >= target:
+        return df
+    return df.repartition(target)

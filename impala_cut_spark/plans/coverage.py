@@ -600,10 +600,10 @@ def cov_fn_string(spark, sf_dir):
     oracle="""
 SELECT p_partkey,
        abs(p_size - 25) AS a,
-       ceil(p_retailprice) AS c,
-       floor(p_retailprice) AS f,
+       CAST(ceil(p_retailprice) AS BIGINT) AS c,
+       CAST(floor(p_retailprice) AS BIGINT) AS f,
        round(p_retailprice, 1) AS r1,
-       sign(p_size - 25) AS sg,
+       CAST(sign(p_size - 25) AS DOUBLE) AS sg,
        cast(p_size % 7 as int) AS m7,
        ((p_size - 25) % 7 + 7) % 7 AS pm,
        greatest(p_size, 10) AS g,

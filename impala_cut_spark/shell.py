@@ -72,6 +72,21 @@ def execute_line(sess: ImpalaSession, stmt: str) -> str:
     return format_table(df.columns, [tuple(r) for r in rows])
 
 
+def split_statements(text: str) -> list[str]:
+    """Split buffered input on ';' quote- and comment-aware, so
+    ``SELECT 'a;b'`` stays one statement (reference impala-shell does
+    quote-aware splitting; shell/impala_shell.py cmdloop)."""
+    from impala_cut_spark.dialect import _scan_strings
+
+    stmts, start = [], 0
+    for i, c, in_str in _scan_strings(text):
+        if c == ";" and not in_str:
+            stmts.append(text[start:i])
+            start = i + 1
+    stmts.append(text[start:])
+    return stmts
+
+
 def repl(sess: ImpalaSession, stdin=None, stdout=None) -> None:
     stdin = stdin or sys.stdin
     stdout = stdout or sys.stdout
@@ -92,7 +107,7 @@ def repl(sess: ImpalaSession, stdin=None, stdout=None) -> None:
         if not joined.rstrip().endswith(";") and interactive:
             continue  # multi-line statement, keep reading
         buf = []
-        for stmt in joined.split(";"):
+        for stmt in split_statements(joined):
             if not stmt.strip():
                 continue
             try:

@@ -100,3 +100,44 @@ class TestNullOrdering:
         # inner ASC key and outer DESC key each get their own default
         assert "x NULLS LAST" in out
         assert "x desc NULLS FIRST" in out
+
+
+class TestAdviceRound2Fixes:
+    """Regressions for ADVICE.md round-1 findings."""
+
+    def test_many_calls_all_rewritten(self):
+        # >8 Impala-only calls in one statement (old loop capped at 8)
+        expr = ", ".join(f"isnull(a{i}, b{i})" for i in range(20))
+        out = rewrite_calls(f"select {expr} from t")
+        assert "isnull" not in out
+        assert out.count("nvl(") == 20
+
+    def test_line_comment_quote_does_not_poison_state(self):
+        sql = "select isnull(a, b) -- don't reorder\n, isnull(c, d) from t"
+        out = rewrite_calls(sql)
+        assert "isnull" not in out
+        assert "don't reorder" in out
+
+    def test_block_comment_quote_does_not_poison_state(self):
+        sql = "select /* can't */ isnull(a, b) from t"
+        assert rewrite_calls(sql) == "select /* can't */ nvl(a, b) from t"
+
+    def test_call_inside_comment_untouched(self):
+        sql = "select a -- isnull(a, b)\nfrom t"
+        assert rewrite_calls(sql) == sql
+
+    def test_nulls_named_column_still_gets_injection(self):
+        out = rewrite_null_ordering("select * from t order by nulls_cnt")
+        assert "nulls_cnt NULLS LAST" in out
+
+    def test_shell_split_respects_quotes(self):
+        from impala_cut_spark.shell import split_statements
+
+        parts = [s.strip() for s in split_statements("select 'a;b'; select 1;") if s.strip()]
+        assert parts == ["select 'a;b'", "select 1"]
+
+    def test_shell_split_respects_comments(self):
+        from impala_cut_spark.shell import split_statements
+
+        parts = [s.strip() for s in split_statements("select 1 -- x;y\n; select 2;") if s.strip()]
+        assert parts == ["select 1 -- x;y", "select 2"]

@@ -89,6 +89,9 @@ GOLDEN = [
     ("truncate(3.999, 2)", 3.99),
     ("truncate(-3.999)", -3),
     ("quotient(7, 2)", 3),
+    # exact beyond 2**53 (double division would round)
+    ("quotient(9007199254740993, 1)", 9007199254740993),
+    ("quotient(-17, 5)", -3),
     ("7 DIV 2", 3),
     ("fmod(10, 3)", 1.0),
     ("pmod(-3, 5)", 2),

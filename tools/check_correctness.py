@@ -5,7 +5,13 @@ over the same sf dir, then compares: row count, column names, and
 order-insensitive values (columns sorted by name, rows sorted, values
 normalized). Usage:
 
-    python tools/check_correctness.py [sf_dir] [query ...]
+    python tools/check_correctness.py [--strict] [sf_dir] [query ...]
+
+``--strict`` additionally mimics the driver's value-hash: both results
+are pulled through pandas and compared as *rendered strings* with no
+type normalization, so type-rendering skew (DuckDB HUGEINT/DOUBLE vs
+Spark BIGINT → "3.0" vs "3") fails locally the way it fails the
+driver's hash_match.
 """
 
 from __future__ import annotations
@@ -52,9 +58,64 @@ def frame_to_rows(cols, rows):
     return [cols[i] for i in order], out
 
 
+def _render_cell(v):
+    """str(v) with only the skews the driver is known to tolerate
+    normalized: nulls, and date-vs-midnight-datetime (r1 evidence:
+    cov_fn_timestamp driver-hash-matched with Spark DATE vs DuckDB
+    datetime64).  Numeric dtype skew (HUGEINT→float64 "3.0" vs BIGINT
+    "3") intentionally stays visible — that is what the driver hashes."""
+    import datetime
+
+    import pandas as pd
+
+    if v is None or (isinstance(v, float) and v != v) or v is pd.NaT:
+        return "NULL"
+    if isinstance(v, pd.Timestamp):
+        v = v.to_pydatetime()
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat(sep=" ")
+    if isinstance(v, datetime.date):
+        return v.isoformat() + " 00:00:00"
+    return str(v)
+
+
+def render_frame(pdf):
+    """Driver-style rendering: lowercase columns sorted by name, every
+    cell rendered from the pandas-materialized value, rows sorted. Any
+    numeric dtype skew between engines shows up as a string diff."""
+    pdf = pdf.copy()
+    pdf.columns = [c.lower() for c in pdf.columns]
+    pdf = pdf[sorted(pdf.columns)]
+    rows = [
+        tuple(_render_cell(v) for v in r)
+        for r in pdf.itertuples(index=False, name=None)
+    ]
+    rows.sort()
+    return list(pdf.columns), rows
+
+
+def strict_compare(name, sdf, orel):
+    """Return error string or None. Mimics the driver's hash compare."""
+    spdf = sdf.toPandas()
+    opdf = orel.df()
+    sc, sr = render_frame(spdf)
+    oc, orw = render_frame(opdf)
+    if sc != oc:
+        return f"strict columns {sc} vs {oc}"
+    if len(sr) != len(orw):
+        return f"strict rowcount {len(sr)} vs {len(orw)}"
+    bad = [(a, b) for a, b in zip(sr, orw) if a != b]
+    if bad:
+        return f"strict {len(bad)}/{len(sr)} differing rendered rows; first: {bad[0]}"
+    return None
+
+
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    strict = "--strict" in argv
+    argv = [a for a in argv if a != "--strict"]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as e
@@ -111,6 +172,12 @@ def main():
             failures.append(name)
             print(f"FAIL  {name}: {len(bad)}/{len(sr)} differing rows; first: {bad[0]}")
             continue
+        if strict:
+            err = strict_compare(name, sdf, con.sql(oracles[name]))
+            if err:
+                failures.append(name)
+                print(f"FAIL  {name}: {err}")
+                continue
         print(f"ok    {name}: {len(sr)} rows match ({time.time()-t0:.1f}s)")
 
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
