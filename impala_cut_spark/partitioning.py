@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def fan_out(df: DataFrame, multiplier: int = 1) -> DataFrame:
+def fan_out(df: DataFrame, multiplier: int = 1, min_bytes: int = 0) -> DataFrame:
     """Round-robin repartition up to ``cores × multiplier`` partitions,
     only when the source is visibly under-split — never coalesces,
     never shuffles an already-parallel source.
@@ -30,13 +30,30 @@ def fan_out(df: DataFrame, multiplier: int = 1) -> DataFrame:
     call).  A file-backed plan with >= cores input files is assumed
     already parallel — at 100 TB every table has thousands of splits,
     making this a guaranteed no-op there; the repartition fires only in
-    the few-files/one-row-group case it exists for."""
+    the few-files/one-row-group case it exists for.
+
+    ``min_bytes`` (opt-in): callers whose per-row work is an
+    Arrow-batched numpy kernel (cost ∝ bytes, not rows×interpretation)
+    can skip the round-robin shuffle when the local source is smaller
+    than this — the repartition+worker spin-up costs more than the
+    compute it parallelizes. Callers with JVM-interpreted per-row hot
+    loops (tokenize/shingle/explode) keep the default 0 = always fan
+    out an under-split source."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism * multiplier
     try:
-        nfiles = len(df.inputFiles())
+        files = df.inputFiles()
     except Exception:
-        nfiles = 0
-    if nfiles >= target:
+        files = []
+    if len(files) >= target:
         return df
+    if min_bytes and files and all(f.startswith("file:") for f in files):
+        import os
+
+        try:
+            total = sum(os.path.getsize(f[len("file:") :]) for f in files)
+        except OSError:
+            total = min_bytes
+        if total < min_bytes:
+            return df
     return df.repartition(target)

@@ -149,3 +149,44 @@ class TestIvf:
             len(got_sets.get(q, set()) & exact_sets[q]) for q in exact_sets
         ) / sum(len(s) for s in exact_sets.values())
         assert recall >= 0.5, f"IVF recall@5 = {recall:.2f}"
+
+
+class TestNeardupBanded:
+    """embedding_neardup_pairs is banded sign-LSH + exact verify (the
+    registered, scale-safe form); ground truth is the quadratic
+    embedding_neardup_pairs_exact. The synthetic corpus has no pairs
+    above cos 0.52, so recall is measured on constructed near-dups."""
+
+    @pytest.fixture(scope="class")
+    def cluster_emb(self, spark):
+        import numpy as np
+
+        rng = np.random.RandomState(7)
+        base = rng.normal(size=(20, EMB_DIM)).astype(np.float32)
+        rows = []
+        vid = 0
+        for i in range(len(base)):
+            rows.append((vid, [float(x) for x in base[i]])); vid += 1
+            # two tight perturbations → true near-dups (cos > 0.99)
+            for _ in range(2):
+                pert = base[i] + rng.normal(scale=0.02, size=EMB_DIM).astype(np.float32)
+                rows.append((vid, [float(x) for x in pert])); vid += 1
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def test_banded_subset_of_exact_with_same_cos(self, cluster_emb):
+        exact = {
+            (r.id_a, r.id_b): r.cos
+            for r in similarity.embedding_neardup_pairs_exact(cluster_emb, 0.9).collect()
+        }
+        banded = similarity.embedding_neardup_pairs(cluster_emb, 0.9).collect()
+        assert exact, "constructed corpus must contain true near-dups"
+        for r in banded:
+            assert (r.id_a, r.id_b) in exact  # verify step → no false positives
+            assert exact[(r.id_a, r.id_b)] == r.cos  # identical exact cosine
+        recall = len(banded) / len(exact)
+        assert recall >= 0.8, f"banded neardup recall {recall:.2f}"
+
+    def test_registered_corpus_has_no_900_pairs(self, emb):
+        # documents the 0-row result at the contract threshold on the
+        # synthetic corpus (max pair cosine ≈ 0.51)
+        assert similarity.embedding_neardup_pairs(emb, 0.9).count() == 0
