@@ -62,6 +62,86 @@ def _empty_needle(a: list[str], needle_idx: int) -> str:
     raise ValueError("needle not the empty literal; leave the call as-is")
 
 
+#: Impala date/time format token letters (timestamp-parse-util.h
+#: DateTimeFormatTokenType: year/month/day/hour/minute/second/fraction)
+_DT_TOKEN_LETTERS = set("yMdHmsS")
+
+
+def _normalize_dt_format(raw: str) -> str:
+    """Impala format literal → Spark DateTimeFormatter pattern literal.
+
+    Token runs (y M d H m s S) pass through — identical letters in both
+    dialects; any OTHER letter run (e.g. the ISO 'T' separator, which
+    Impala treats as a literal but Spark reserves) is single-quoted.
+    Raises (→ rewrite skipped) for non-literal formats.
+    """
+    raw = raw.strip()
+    if not (len(raw) >= 2 and raw[0] == raw[-1] == "'"):
+        raise ValueError("format is not a simple string literal")
+    body = raw[1:-1]
+    if "'" in body or '"' in body:
+        raise ValueError("quoted section already present; leave as-is")
+    out, i = [], 0
+    while i < len(body):
+        c = body[i]
+        if c.isalpha():
+            j = i
+            while j < len(body) and body[j] == c:
+                j += 1
+            run = body[i:j]
+            # formatter-quoting a literal run uses single quotes INSIDE
+            # an SQL single-quoted literal → escape them by doubling
+            out.append(run if c in _DT_TOKEN_LETTERS else f"''{run}''")
+            i = j
+        else:
+            out.append(c)
+            i += 1
+    return "'" + "".join(out) + "'"
+
+
+def _from_unixtime_fmt(a: list[str]) -> str:
+    """from_unixtime(t, 'fmt') with a normalizable literal format.
+    Raises (→ skip) when nothing changes, so the fixpoint terminates."""
+    if len(a) != 2:
+        raise ValueError("1-arg/NULL-format forms match Spark; leave as-is")
+    nf = _normalize_dt_format(a[1])
+    if nf == a[1].strip():
+        raise ValueError("already normalized")
+    return f"from_unixtime({a[0]}, {nf})"
+
+
+def _unix_timestamp_fmt(a: list[str]) -> str:
+    """unix_timestamp dialect (emits to_unix_timestamp — a different
+    name, so the rewrite cannot re-expand):
+
+    - 1 arg: Impala tries its default fixed contexts (date-only,
+      ISO-T, full — timestamp-parse-util.cc:49-75); Spark's
+      unix_timestamp(string) accepts ONLY 'yyyy-MM-dd HH:mm:ss'.
+      A timestamp CAST accepts the same families Impala does →
+      to_unix_timestamp(cast(x as timestamp)).
+    - 2 args, literal format: Impala parses by FIXED POSITION and
+      ignores trailing text (expr-test.cc:2534-2536); Spark requires a
+      full match → truncate the input to the format's width first.
+      All Impala tokens are fixed-width, so width = len(format body).
+    """
+    if len(a) == 1:
+        # Impala's default contexts all start yyyy-MM-dd (date-only /
+        # ' ' / 'T' variants); a bare Spark CAST would also accept
+        # time-only strings by filling in TODAY (expr-test.cc:2538
+        # wants NULL) — gate on the date-prefix shape first.
+        x = a[0]
+        return (
+            f"to_unix_timestamp(CASE WHEN cast({x} as string) rlike "
+            "'^\\\\d{4}-\\\\d{2}-\\\\d{2}([T ].*)?$' "
+            f"THEN cast({x} as timestamp) END)"
+        )
+    if len(a) == 2:
+        nf = _normalize_dt_format(a[1])
+        width = len(a[1].strip()) - 2  # fixed-width tokens: width = body length
+        return f"to_unix_timestamp(substr({a[0]}, 1, {width}), {nf})"
+    raise ValueError("0-arg form matches Spark; leave as-is")
+
+
 def _fn_isnull(a):  # Impala isnull(a,b) == nvl; Spark isnull is unary
     if len(a) == 1:
         return f"({a[0]} IS NULL)"
@@ -147,6 +227,19 @@ CALL_REWRITES: dict[str, object] = {
     "group_concat": lambda a: (
         f"array_join(sort_array(collect_list({a[0]})), {a[1] if len(a) > 1 else chr(39) + ', ' + chr(39)})"
     ),
+    # from_unixtime/unix_timestamp format dialect (SURVEY §2.8 delta;
+    # timestamp-functions.cc:60-120, impala_functions.py:239-356):
+    # Impala formats are fixed-position SimpleDateFormat-ish tokens
+    # (timestamp-parse-util.h DateTimeFormatToken pos/len) —
+    # unquoted literal letters like the ISO 'T' are accepted, and
+    # PARSING is a prefix match (expr-test.cc:2534-2536: trailing text
+    # beyond the format is ignored). Spark's DateTimeFormatter throws
+    # on unquoted reserved letters and requires a full-input match.
+    # Normalizer: quote non-token letter runs, and for parsing
+    # truncate the input to the format's fixed width. Literal-format
+    # forms only; non-literal formats raise-to-skip (left to Spark).
+    "from_unixtime": lambda a: _from_unixtime_fmt(a),
+    "unix_timestamp": lambda a: _unix_timestamp_fmt(a),
     # utility (impala_functions.py:214-238): fnv_hash → xxhash64 (documented
     # non-bit-compatible 64-bit hash alias)
     "fnv_hash": lambda a: f"xxhash64({', '.join(a)})",
@@ -532,7 +625,63 @@ def rewrite_statements(sql: str) -> str:
                 using += " OPTIONS (" + ", ".join(options) + ")"
             sql = sql[: sa.start()] + using + sql[sa.end() :]
         sql = re.sub(r"\bcreate\s+external\s+table\b", "CREATE TABLE", sql, flags=re.IGNORECASE)
+        sql = _rewrite_partitioned_create(sql)
     return sql
+
+
+_PARTITIONED_BY = re.compile(r"\bpartitioned\s+by\s*\(", re.IGNORECASE)
+
+
+def _rewrite_partitioned_create(sql: str) -> str:
+    """Impala partitioned CREATE → Spark form.
+
+    Impala (sql-parser.y create_tbl): partition columns are TYPED and
+    NOT part of the main column list —
+        CREATE TABLE t (a INT) PARTITIONED BY (k STRING) STORED AS …
+    Spark wants them IN the column list with a names-only clause AFTER
+    the provider —
+        CREATE TABLE t (a INT, k STRING) USING parquet PARTITIONED BY (k)
+    Names-only clauses (already Spark-style) pass through untouched.
+    """
+    m = _PARTITIONED_BY.search(sql)
+    if not m:
+        return sql
+    # matching close paren of the partition list (types may nest parens)
+    depth, k = 1, m.end()
+    while k < len(sql) and depth:
+        if sql[k] == "(":
+            depth += 1
+        elif sql[k] == ")":
+            depth -= 1
+        k += 1
+    plist = sql[m.end() : k - 1]
+    entries = _split_args(plist)
+    if not entries or any(len(e.split()) < 2 for e in entries):
+        return sql  # names-only → already Spark-style
+    names = [e.split()[0] for e in entries]
+    # main column list = first top-level paren group before PARTITIONED BY
+    open_idx = sql.find("(")
+    if open_idx < 0 or open_idx >= m.start():
+        return sql  # CTAS-style partitioned create: no column list
+    depth, j = 1, open_idx + 1
+    while j < len(sql) and depth:
+        if sql[j] == "(":
+            depth += 1
+        elif sql[j] == ")":
+            depth -= 1
+        j += 1
+    close_idx = j - 1
+    out = (
+        sql[:close_idx]
+        + ", "
+        + ", ".join(entries)
+        + sql[close_idx : m.start()]
+        + sql[k:].strip()
+        + " PARTITIONED BY ("
+        + ", ".join(names)
+        + ")"
+    )
+    return re.sub(r"\s+", " ", out).strip()
 
 
 # ---------------------------------------------------------------------------

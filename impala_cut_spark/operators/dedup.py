@@ -142,7 +142,16 @@ def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     return grams.select("doc_id", F.explode(F.array_distinct("grams")).alias("shingle"))
 
 
-def _pair_jaccard(sh: DataFrame, threshold: float) -> DataFrame:
+#: document-frequency cap on a shingle before the similarity self-join:
+#: a shingle shared by this many documents is boilerplate (zero
+#: discriminating signal) and would contribute O(df²) join rows — the
+#: classic Zipf hot key. High enough to be a provable no-op at test
+#: scale (df ≤ corpus size ≪ cap at sf ≤ 0.1); at 100 TB it bounds the
+#: worst join key at cap² rows instead of unbounded.
+MAX_SHINGLE_DF = 100_000
+
+
+def _pair_jaccard(sh: DataFrame, threshold: float, max_df: int = MAX_SHINGLE_DF) -> DataFrame:
     """Exact Jaccard over an inverted index: count common shingles per
     pair via a self-join on the shingle key, |A∪B| = |A|+|B|−common.
 
@@ -152,15 +161,30 @@ def _pair_jaccard(sh: DataFrame, threshold: float) -> DataFrame:
     hand-built collect_set→explode pins the pair blow-up onto whatever
     partitioning the aggregate left behind (AQE coalesces the tiny
     grouped output, then the explode serializes on few tasks); the
-    join form keeps the expansion distributed. Word-3-gram document
-    frequency is Zipfian but bounded; a 100 TB run adds the standard
-    prefix-filter / df-cap. The pair-count groupBy keys on
-    (id_a, id_b) — integers, uniform. Per-doc sizes re-aggregate the
-    persisted index (small) and broadcast onto the pair counts.
+    join form keeps the expansion distributed. The pair-count groupBy
+    keys on (id_a, id_b) — integers, uniform. Per-doc sizes
+    re-aggregate the persisted index (small) and broadcast onto the
+    pair counts.
+
+    df-cap (the 100 TB prefilter): shingles with document frequency >
+    ``max_df`` are dropped from BOTH join sides before the self-join —
+    one extra aggregation over the persisted index producing the (tiny)
+    hot-shingle list, broadcast anti-joined against each side. Per-doc
+    sizes still count every shingle, so |A∪B| stays exact; only
+    n_common can undercount for pairs whose overlap is boilerplate —
+    at the default cap this is a strict no-op below ~100k-doc corpora
+    (df ≤ corpus size), asserted against the oracle at sf0.01.
     """
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.select(F.col("shingle"), F.col("doc_id").alias("id_a"))
-    b = sh.select(F.col("shingle"), F.col("doc_id").alias("id_b"))
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("shingle")
+    )
+    pruned = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    a = pruned.select(F.col("shingle"), F.col("doc_id").alias("id_a"))
+    b = pruned.select(F.col("shingle"), F.col("doc_id").alias("id_b"))
     pairs = (
         a.join(b, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))

@@ -25,10 +25,19 @@ TABLES = (
 
 
 @pytest.fixture(scope="session")
-def spark():
+def spark(tmp_path_factory):
     from impala_cut_spark.session import build_session
 
-    s = build_session(app_name="impala-cut-spark-tests", master="local[8]", shuffle_partitions=8)
+    # isolated warehouse: DDL/DML golden cases create managed tables;
+    # a repo-local spark-warehouse would leak orphan dirs across
+    # sessions (in-memory catalog forgets them → LOCATION_ALREADY_EXISTS)
+    wh = tmp_path_factory.mktemp("spark-warehouse")
+    s = build_session(
+        app_name="impala-cut-spark-tests",
+        master="local[8]",
+        shuffle_partitions=8,
+        extra_conf={"spark.sql.warehouse.dir": str(wh)},
+    )
     s.sparkContext.setLogLevel("ERROR")
     yield s
     s.stop()

@@ -48,6 +48,7 @@ class GoldenCase:
     types: list[str] | None = None
     results: list[str] = field(default_factory=list)
     ordered: bool = False  # outermost ORDER BY -> positional compare
+    setup: list[str] = field(default_factory=list)  # stmts run before QUERY
 
     @property
     def id(self) -> str:
@@ -85,6 +86,17 @@ def parse_test_file(path: Path) -> list[GoldenCase]:
                 # split on commas outside parens (decimal(p,s))
                 types = [t.strip().lower() for t in re.split(r",(?![^()]*\))", tline)]
         results = [l for l in sections.get("RESULTS", []) if l.strip() != ""]
+        # ---- SETUP: ';'-separated statements (DDL/DML) run before the
+        # query — the reference insert.test's RESET analogue, expressed
+        # as real SQL (quote-aware split, comments allowed)
+        setup: list[str] = []
+        if "SETUP" in sections:
+            from impala_cut_spark.shell import split_statements
+
+            raw = "\n".join(
+                l for l in sections["SETUP"] if not l.lstrip().startswith("#")
+            )
+            setup = [st.strip() for st in split_statements(raw) if st.strip()]
         # ORDER BY in the outermost query (not inside a subquery paren) -> ordered
         depth, ordered = 0, False
         for tok in re.finditer(r"[()]|order\s+by", _strip_strings(query), re.I):
@@ -96,7 +108,7 @@ def parse_test_file(path: Path) -> list[GoldenCase]:
             elif depth == 0:
                 ordered = True
         cases.append(
-            GoldenCase(path.name, idx, name, query, types, results, ordered)
+            GoldenCase(path.name, idx, name, query, types, results, ordered, setup)
         )
         idx += 1
     return cases
@@ -199,6 +211,8 @@ def spark_types(df) -> list[str]:
 
 def run_case(session, case: GoldenCase) -> None:
     """Execute one golden case; raise AssertionError with a diff on mismatch."""
+    for stmt in case.setup:
+        session.sql(stmt)
     df = session.sql(case.query)
     actual_types = spark_types(df)
     if case.types is not None:

@@ -183,3 +183,19 @@ def test_driver_window_is_first_50():
     }
     for fam, members in families.items():
         assert all(m in DRIVER_WINDOW for m in members), fam
+
+
+def test_jaccard_df_cap_prefilter_in_plan(spark, sf_dir):
+    """The 100 TB df-cap: hot-shingle list is broadcast anti-joined
+    against the index before the similarity self-join. Below the cap
+    the list is empty and AQE ELIMINATES the anti-join at runtime
+    (empty build side → pass-through) — so the prefilter must appear
+    in the initial plan, and correctness stays oracle-identical
+    (test_correctness)."""
+    df = REGISTRY["pipe_dedup_jaccard"].spark(spark, sf_dir)
+    df.collect()
+    full = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in full  # planned prefilter (initial plan)
+    final = full.split("== Initial Plan ==")[0]
+    # at test scale the cap is a no-op: AQE removed the empty anti-join
+    assert "LeftAnti" not in final
