@@ -57,6 +57,13 @@ def _cos_pairs(a: pd.Series, b: pd.Series, na: pd.Series, nb: pd.Series) -> pd.S
     return pd.Series(d / (na.to_numpy() * nb.to_numpy()))
 
 
+#: filter-safe variant: marking the (deterministic) kernel
+#: non-deterministic stops Catalyst from INLINING it into a filter
+#: above it — otherwise `select(cos).filter(cos >= τ)` evaluates the
+#: Arrow kernel twice (two ArrowEvalPython nodes over the same pairs)
+_cos_pairs_once = _cos_pairs.asNondeterministic()
+
+
 def norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 
@@ -219,7 +226,7 @@ def embedding_neardup_pairs(
         "id_a",
         "id_b",
         F.round(
-            _cos_pairs(F.col("vec_a"), F.col("vec_b"), F.col("norm_a"), F.col("norm_b")), 6
+            _cos_pairs_once(F.col("vec_a"), F.col("vec_b"), F.col("norm_a"), F.col("norm_b")), 6
         ).alias("cos"),
     )
     return pairs.filter(F.col("cos") >= threshold).select("id_a", "id_b", "cos")
@@ -241,7 +248,7 @@ def embedding_neardup_pairs_exact(embeddings: DataFrame, threshold: float = 0.9)
         "id_a",
         "id_b",
         F.round(
-            _cos_pairs(F.col("vec_a"), F.col("vec_b"), F.col("norm_a"), F.col("norm_b")), 6
+            _cos_pairs_once(F.col("vec_a"), F.col("vec_b"), F.col("norm_a"), F.col("norm_b")), 6
         ).alias("cos"),
     )
     return pairs.filter(F.col("cos") >= threshold)

@@ -88,6 +88,23 @@ def _fill_block(block: str, session, con, spark_types, format_row, refresh: bool
         l for l in "".join(sections.get("ORACLE", [])).splitlines() if not l.lstrip().startswith("#")
     ).strip()
 
+    # ---- SETUP runs on BOTH engines (plain-SQL DDL like CREATE VIEW);
+    # engine-specific setup (STORED AS …) needs an ORACLE section whose
+    # setup-equivalent DuckDB can express, or hand-pinned RESULTS.
+    if "SETUP" in sections:
+        from impala_cut_spark.shell import split_statements
+
+        raw = "\n".join(
+            l
+            for l in "".join(sections["SETUP"]).splitlines()
+            if not l.lstrip().startswith("#")
+        )
+        for stmt in split_statements(raw):
+            if not stmt.strip():
+                continue
+            session.sql(stmt)
+            con.sql(stmt)
+
     sdf = session.sql(query)
     types = spark_types(sdf)
     srows = sdf.collect()
