@@ -376,3 +376,460 @@ def tpcds_q96(spark, sf_dir):
         .join(s, li.l_suppkey == s.s_suppkey)
         .agg(F.count(F.lit(1)).alias("total"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Remaining shapes of the reference's 22-query subset, as SQL pairs.
+# The Spark text runs on registered views (standard ANSI — no dialect
+# rewrites needed); the oracle text is identical unless an engine
+# function differs (noted per query). Determinism: decimal-cast sums
+# surfaced as double, fully-tiebroken ORDER BY under every LIMIT.
+# ---------------------------------------------------------------------------
+
+from impala_cut_spark.sources.catalog import register_views  # noqa: E402
+
+
+def _sql_query(name: str, doc: str, spark_sql: str, oracle_sql: str | None = None):
+    """Register a TPC-DS shape whose Spark side is plain SQL."""
+
+    def fn(spark, sf_dir, _sql=spark_sql):
+        register_views(spark, sf_dir)
+        return spark.sql(_sql)
+
+    fn.__doc__ = doc
+    fn.__name__ = name
+    query(name, oracle=(oracle_sql or spark_sql))(fn)
+
+
+_DSUM = "cast(sum(cast({c} as decimal(12,2))) as double)"
+
+
+_sql_query(
+    "tpcds_q8",
+    """TPC-DS Q8 shape (tpcds-q8.test): store revenue restricted to
+    customers in qualifying zips — an agg-with-HAVING subquery LEFT
+    SEMI joined against a literal IN-list zone, then the outer star
+    agg. ADAPTED: zip prefix→customer nation; preferred flag
+    c_preferred_cust_flag='Y'→c_acctbal>0; store→supplier.""",
+    f"""
+SELECT s_name, {_DSUM.format(c='l_extendedprice')} AS net
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN (
+  SELECT a.nk FROM
+    (SELECT c_nationkey AS nk, count(*) AS cnt FROM customer
+     WHERE c_acctbal > 0 GROUP BY c_nationkey HAVING count(*) > 10) a
+  LEFT SEMI JOIN
+    (SELECT n_nationkey AS nk FROM nation
+     WHERE n_nationkey IN (0, 2, 4, 6, 8, 10, 12, 14, 16, 18, 20)) b
+  ON a.nk = b.nk
+) q ON s_nationkey = q.nk
+GROUP BY s_name
+ORDER BY s_name
+LIMIT 100
+""",
+    f"""
+SELECT s_name, {_DSUM.format(c='l_extendedprice')} AS net
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN (
+  SELECT a.nk FROM
+    (SELECT c_nationkey AS nk, count(*) AS cnt FROM customer
+     WHERE c_acctbal > 0 GROUP BY c_nationkey HAVING count(*) > 10) a
+  SEMI JOIN
+    (SELECT n_nationkey AS nk FROM nation
+     WHERE n_nationkey IN (0, 2, 4, 6, 8, 10, 12, 14, 16, 18, 20)) b
+  ON a.nk = b.nk
+) q ON s_nationkey = q.nk
+GROUP BY s_name
+ORDER BY s_name
+LIMIT 100
+""",
+)
+
+
+_sql_query(
+    "tpcds_q27",
+    """TPC-DS Q27 shape (tpcds-q27.test): four AVGs at item × store-state
+    grain under a demographic filter. ADAPTED: cd_* → c_mktsegment;
+    s_state IN (…) → supplier nation IN; avg = exact decimal SUM/COUNT
+    (registry rule).""",
+    """
+SELECT p_brand, n_name AS s_state,
+       round(cast(sum(cast(l_quantity as decimal(9,2))) as double) / count(*), 6) AS agg1,
+       round(cast(sum(cast(l_extendedprice as decimal(12,2))) as double) / count(*), 6) AS agg2,
+       round(cast(sum(cast(l_discount as decimal(9,4))) as double) / count(*), 6) AS agg3,
+       round(cast(sum(cast(l_tax as decimal(9,4))) as double) / count(*), 6) AS agg4
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE c_mktsegment = 'MACHINERY'
+  AND year(l_shipdate) = 1999
+  AND n_name IN ('NATION_2', 'NATION_5')
+GROUP BY p_brand, n_name
+ORDER BY p_brand, s_state
+LIMIT 100
+""",
+)
+
+
+_sql_query(
+    "tpcds_q34",
+    """TPC-DS Q34 shape (tpcds-q34.test): per-ticket line counts in a
+    dom-window + demographic filter, outer join to customer names,
+    count-band filter. ADAPTED: ticket→l_orderkey, dom windows on
+    o_orderdate, hd_buy_potential→o_orderpriority; cnt band 5-7
+    matches this generator's lines-per-order.""",
+    """
+SELECT c_name, dn.ticket, dn.cnt
+FROM (
+  SELECT l_orderkey AS ticket, o_custkey AS ck, count(*) AS cnt
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE (day(o_orderdate) BETWEEN 1 AND 3 OR day(o_orderdate) BETWEEN 25 AND 28)
+    AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+    AND year(o_orderdate) IN (1995, 1996, 1997)
+  GROUP BY l_orderkey, o_custkey
+) dn
+JOIN customer ON dn.ck = c_custkey
+WHERE dn.cnt BETWEEN 5 AND 7
+ORDER BY c_name, dn.ticket
+LIMIT 1000
+""",
+)
+
+
+_sql_query(
+    "tpcds_q46",
+    """TPC-DS Q46 shape (tpcds-q46.test): weekend sales per ticket with
+    the bought-city ≠ home-city cross-dimension inequality. ADAPTED:
+    city→nation (bought = supplier's nation, home = customer's),
+    dow IN (6,0) on l_shipdate (engine dow normalized), hd filter →
+    o_orderpriority.""",
+    f"""
+SELECT c_name, hn.n_name AS home_city, bn.n_name AS bought_city,
+       dn.ticket, dn.amt
+FROM (
+  SELECT l_orderkey AS ticket, o_custkey AS ck, s_nationkey AS bk,
+         {_DSUM.format(c='l_extendedprice')} AS amt
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  WHERE dayofweek(l_shipdate) IN (1, 7)
+    AND year(l_shipdate) IN (1996, 1997, 1998)
+    AND o_orderpriority = '1-URGENT'
+  GROUP BY l_orderkey, o_custkey, s_nationkey
+) dn
+JOIN customer ON dn.ck = c_custkey
+JOIN nation hn ON c_nationkey = hn.n_nationkey
+JOIN nation bn ON dn.bk = bn.n_nationkey
+WHERE bn.n_name <> hn.n_name
+ORDER BY c_name, dn.ticket, bought_city
+LIMIT 100
+""",
+    f"""
+SELECT c_name, hn.n_name AS home_city, bn.n_name AS bought_city,
+       dn.ticket, dn.amt
+FROM (
+  SELECT l_orderkey AS ticket, o_custkey AS ck, s_nationkey AS bk,
+         {_DSUM.format(c='l_extendedprice')} AS amt
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  WHERE dayofweek(l_shipdate) + 1 IN (1, 7)
+    AND year(l_shipdate) IN (1996, 1997, 1998)
+    AND o_orderpriority = '1-URGENT'
+  GROUP BY l_orderkey, o_custkey, s_nationkey
+) dn
+JOIN customer ON dn.ck = c_custkey
+JOIN nation hn ON c_nationkey = hn.n_nationkey
+JOIN nation bn ON dn.bk = bn.n_nationkey
+WHERE bn.n_name <> hn.n_name
+ORDER BY c_name, dn.ticket, bought_city
+LIMIT 100
+""",
+)
+
+
+_sql_query(
+    "tpcds_q53",
+    """TPC-DS Q53 shape (tpcds-q53.test): manufacturer × quarter rollup
+    under OR-of-(category,class,brand) item filters, with the quarter
+    key GROUPED but NOT projected (the reference's unprojected-group-
+    key quirk, kept). ADAPTED: i_manufact_id→p_size, category/brand
+    →p_type/p_brand.""",
+    """
+SELECT * FROM (
+  SELECT p_size AS manufact,
+         cast(sum(cast(l_extendedprice as decimal(12,2))) as double) AS sum_sales
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate BETWEEN TIMESTAMP '1997-01-01' AND TIMESTAMP '1997-12-31'
+    AND ((p_type LIKE 'SMALL%' AND p_brand LIKE 'Brand#1%')
+         OR (p_type LIKE 'LARGE%' AND p_brand LIKE 'Brand#2%'))
+  GROUP BY p_size, quarter(l_shipdate)
+) tmp1
+ORDER BY sum_sales, manufact
+LIMIT 100
+""",
+)
+
+
+_sql_query(
+    "tpcds_q59",
+    """TPC-DS Q59 shape (tpcds-q59.test): week-over-week store sales
+    ratios — the weekly day-pivot aggregate SELF-JOINED across two
+    years on (store, week). ADAPTED: store→supplier, d_week_seq→
+    weekofyear, two pivot columns instead of seven (same join
+    algebra); ratio = double division of decimal-exact sums.""",
+    """
+WITH wss AS (
+  SELECT weekofyear(l_shipdate) AS wk, year(l_shipdate) AS yr, l_suppkey AS sk,
+         cast(sum(CASE WHEN dayofweek(l_shipdate) = 2 THEN cast(l_extendedprice as decimal(12,2)) END) as double) AS mon_sales,
+         cast(sum(CASE WHEN dayofweek(l_shipdate) = 6 THEN cast(l_extendedprice as decimal(12,2)) END) as double) AS fri_sales
+  FROM lineitem
+  GROUP BY weekofyear(l_shipdate), year(l_shipdate), l_suppkey
+)
+SELECT y1.sk AS suppkey, y1.wk AS week_seq,
+       round(y1.mon_sales / y2.mon_sales, 6) AS mon_ratio,
+       round(y1.fri_sales / y2.fri_sales, 6) AS fri_ratio
+FROM (SELECT * FROM wss WHERE yr = 1996) y1
+JOIN (SELECT * FROM wss WHERE yr = 1997) y2
+  ON y1.sk = y2.sk AND y1.wk = y2.wk
+WHERE y1.mon_sales > 0 AND y2.mon_sales > 0
+ORDER BY suppkey, week_seq
+LIMIT 100
+""",
+    """
+WITH wss AS (
+  SELECT weekofyear(l_shipdate) AS wk, year(l_shipdate) AS yr, l_suppkey AS sk,
+         cast(sum(CASE WHEN dayofweek(l_shipdate) + 1 = 2 THEN cast(l_extendedprice as decimal(12,2)) END) as double) AS mon_sales,
+         cast(sum(CASE WHEN dayofweek(l_shipdate) + 1 = 6 THEN cast(l_extendedprice as decimal(12,2)) END) as double) AS fri_sales
+  FROM lineitem
+  GROUP BY weekofyear(l_shipdate), year(l_shipdate), l_suppkey
+)
+SELECT y1.sk AS suppkey, y1.wk AS week_seq,
+       round(y1.mon_sales / y2.mon_sales, 6) AS mon_ratio,
+       round(y1.fri_sales / y2.fri_sales, 6) AS fri_ratio
+FROM (SELECT * FROM wss WHERE yr = 1996) y1
+JOIN (SELECT * FROM wss WHERE yr = 1997) y2
+  ON y1.sk = y2.sk AND y1.wk = y2.wk
+WHERE y1.mon_sales > 0 AND y2.mon_sales > 0
+ORDER BY suppkey, week_seq
+LIMIT 100
+""",
+)
+
+
+_sql_query(
+    "tpcds_q63",
+    """TPC-DS Q63 shape (tpcds-q63.test): q53's twin at manager × month
+    grain (unprojected month group key kept). ADAPTED as q53 with the
+    opposite projection/ordering.""",
+    """
+SELECT * FROM (
+  SELECT p_size AS manager,
+         cast(sum(cast(l_extendedprice as decimal(12,2))) as double) AS sum_sales
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate BETWEEN TIMESTAMP '1997-01-01' AND TIMESTAMP '1997-12-31'
+    AND ((p_type LIKE 'SMALL%' AND p_brand LIKE 'Brand#1%')
+         OR (p_type LIKE 'LARGE%' AND p_brand LIKE 'Brand#2%'))
+  GROUP BY p_size, month(l_shipdate)
+) tmp1
+ORDER BY manager, sum_sales
+LIMIT 100
+""",
+)
+
+
+_sql_query(
+    "tpcds_q65",
+    """TPC-DS Q65 shape (tpcds-q65.test): store-item revenue vs the
+    store's AVERAGE item revenue (the same aggregate reused at two
+    grains), keeping items under 50%% of the store average. ADAPTED:
+    store→supplier, item→part; avg = sum/count exact.""",
+    """
+WITH sc AS (
+  SELECT l_suppkey AS sk, l_partkey AS pk,
+         cast(sum(cast(l_extendedprice as decimal(12,2))) as double) AS revenue
+  FROM lineitem
+  WHERE l_shipdate BETWEEN TIMESTAMP '1997-01-01' AND TIMESTAMP '1997-12-31'
+  GROUP BY l_suppkey, l_partkey
+),
+sa AS (
+  SELECT sk, round(sum(revenue) / count(*), 6) AS ave FROM sc GROUP BY sk
+)
+SELECT s_name, p_name, round(sc.revenue, 6) AS revenue, round(sa.ave, 6) AS ave
+FROM sc
+JOIN sa ON sc.sk = sa.sk
+JOIN supplier ON sc.sk = s_suppkey
+JOIN part ON sc.pk = p_partkey
+WHERE sc.revenue <= 0.5 * sa.ave
+ORDER BY s_name, p_name
+LIMIT 100
+""",
+)
+
+
+_sql_query(
+    "tpcds_q68",
+    """TPC-DS Q68 shape (tpcds-q68.test): q46's family with three
+    pivoted sums and the city inequality applied OUTSIDE the subquery.
+    ADAPTED: cities→nations, dom IN (1,2) on the ship date.""",
+    f"""
+SELECT c_name, hn.n_name AS home_city, bn.n_name AS bought_city, dn.ticket,
+       dn.extended_price, dn.extended_tax
+FROM (
+  SELECT l_orderkey AS ticket, o_custkey AS ck, s_nationkey AS bk,
+         {_DSUM.format(c='l_extendedprice')} AS extended_price,
+         cast(sum(cast(l_tax as decimal(9,4))) as double) AS extended_tax
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  WHERE day(l_shipdate) IN (1, 2)
+    AND year(l_shipdate) BETWEEN 1996 AND 1998
+    AND o_orderpriority IN ('2-HIGH', '3-MEDIUM')
+  GROUP BY l_orderkey, o_custkey, s_nationkey
+) dn
+JOIN customer ON dn.ck = c_custkey
+JOIN nation hn ON c_nationkey = hn.n_nationkey
+JOIN nation bn ON dn.bk = bn.n_nationkey
+WHERE bn.n_name <> hn.n_name
+ORDER BY c_name, dn.ticket, bought_city
+LIMIT 100
+""",
+)
+
+
+_sql_query(
+    "tpcds_q73",
+    """TPC-DS Q73 shape (tpcds-q73.test): q34's twin with a narrower
+    dom window and low count band, ordered by cnt DESC. ADAPTED as
+    q34; full tiebreak appended for a deterministic LIMIT.""",
+    """
+SELECT c_name, dj.ticket, dj.cnt
+FROM (
+  SELECT l_orderkey AS ticket, o_custkey AS ck, count(*) AS cnt
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE day(o_orderdate) BETWEEN 1 AND 2
+    AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+    AND year(o_orderdate) IN (1996, 1997, 1998)
+  GROUP BY l_orderkey, o_custkey
+) dj
+JOIN customer ON dj.ck = c_custkey
+WHERE dj.cnt BETWEEN 1 AND 5
+ORDER BY dj.cnt DESC, c_name, dj.ticket
+LIMIT 100
+""",
+)
+
+
+_sql_query(
+    "tpcds_q79",
+    """TPC-DS Q79 shape (tpcds-q79.test): Monday per-ticket profit by
+    store city with an employee-band store filter. ADAPTED:
+    s_number_employees band→s_acctbal band, city→supplier nation,
+    profit→decimal-exact extended price minus tax-weighted price.""",
+    f"""
+SELECT c_name, dn.city, dn.ticket, dn.amt
+FROM (
+  SELECT l_orderkey AS ticket, o_custkey AS ck, n_name AS city,
+         {_DSUM.format(c='l_extendedprice')} AS amt
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE dayofweek(l_shipdate) = 2
+    AND year(l_shipdate) IN (1996, 1997, 1998)
+    AND s_acctbal BETWEEN 0 AND 5000
+  GROUP BY l_orderkey, o_custkey, n_name
+) dn
+JOIN customer ON dn.ck = c_custkey
+ORDER BY c_name, dn.city, dn.ticket
+LIMIT 100
+""",
+    f"""
+SELECT c_name, dn.city, dn.ticket, dn.amt
+FROM (
+  SELECT l_orderkey AS ticket, o_custkey AS ck, n_name AS city,
+         {_DSUM.format(c='l_extendedprice')} AS amt
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE dayofweek(l_shipdate) + 1 = 2
+    AND year(l_shipdate) IN (1996, 1997, 1998)
+    AND s_acctbal BETWEEN 0 AND 5000
+  GROUP BY l_orderkey, o_custkey, n_name
+) dn
+JOIN customer ON dn.ck = c_custkey
+ORDER BY c_name, dn.city, dn.ticket
+LIMIT 100
+""",
+)
+
+
+_sql_query(
+    "tpcds_q89",
+    """TPC-DS Q89 shape (tpcds-q89.test): category × brand × store ×
+    month rollup under OR-of-(category,class) filters. ADAPTED:
+    category/class→p_type LIKE arms, store/company→supplier; full
+    tiebreak appended.""",
+    """
+SELECT * FROM (
+  SELECT p_type, p_brand, s_name, month(l_shipdate) AS moy,
+         cast(sum(cast(l_extendedprice as decimal(12,2))) as double) AS sum_sales
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  WHERE l_shipdate BETWEEN TIMESTAMP '1997-01-01' AND TIMESTAMP '1997-12-31'
+    AND (p_type LIKE 'SMALL%' OR p_type LIKE 'MEDIUM%')
+  GROUP BY p_type, p_brand, s_name, month(l_shipdate)
+) tmp1
+ORDER BY sum_sales, s_name, p_type, p_brand, moy
+LIMIT 100
+""",
+)
+
+
+_sql_query(
+    "tpcds_q98",
+    """TPC-DS Q98 shape (tpcds-q98.test): 30-day item revenue by
+    category/class. ADAPTED: i_item_desc→p_name, i_category→p_type,
+    i_class→p_brand, i_current_price→p_retailprice.""",
+    """
+SELECT p_name, p_type, p_brand, p_retailprice,
+       cast(sum(cast(l_extendedprice as decimal(12,2))) as double) AS itemrevenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_type IN ('SMALL', 'LARGE', 'MEDIUM')
+  AND l_shipdate BETWEEN TIMESTAMP '1997-01-12' AND TIMESTAMP '1997-02-11'
+GROUP BY p_name, p_type, p_brand, p_retailprice
+ORDER BY p_type, p_brand, p_name, p_retailprice
+LIMIT 1000
+""",
+)
+
+
+_sql_query(
+    "tpcds_count",
+    """TPC-DS count.test: per-table row counts as one tagged union —
+    the workload's smoke check over every driver table.""",
+    """
+SELECT 'region' AS tbl, count(*) AS n FROM region
+UNION ALL SELECT 'nation', count(*) FROM nation
+UNION ALL SELECT 'customer', count(*) FROM customer
+UNION ALL SELECT 'supplier', count(*) FROM supplier
+UNION ALL SELECT 'part', count(*) FROM part
+UNION ALL SELECT 'orders', count(*) FROM orders
+UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+UNION ALL SELECT 'events', count(*) FROM events
+UNION ALL SELECT 'documents', count(*) FROM documents
+UNION ALL SELECT 'embeddings', count(*) FROM embeddings
+""",
+)
