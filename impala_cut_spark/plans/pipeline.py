@@ -417,6 +417,23 @@ def pipe_sessions(spark, sf_dir):
     return user_sessions(t(spark, sf_dir, "events"))
 
 
+@query(
+    "stream_dedup",
+    oracle="""
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+)
+def stream_dedup(spark, sf_dir):
+    """Streaming exact dedup (dropDuplicatesWithinWatermark on
+    (user_id, event_type), watermark-bounded state) replayed to
+    completion; kept-rows-per-type equals the batch COUNT(DISTINCT)
+    oracle on a single-batch replay (streaming/events.py)."""
+    from impala_cut_spark.streaming.events import run_stream_dedup
+
+    return run_stream_dedup(spark, sf_dir)
+
+
 @query("stream_sessions_stateful", oracle=None)
 def stream_sessions_stateful(spark, sf_dir):
     """Custom stateful streaming operator: applyInPandasWithState

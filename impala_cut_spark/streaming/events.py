@@ -91,6 +91,49 @@ def stream_rollup_to_parquet(
     return spark.read.parquet(out_dir)
 
 
+def stream_dedup(events: DataFrame, keys: list[str], watermark: str = "1 hour") -> DataFrame:
+    """Streaming deduplication: keep the first event per key, dropping
+    duplicates that arrive within the watermark horizon
+    (``dropDuplicatesWithinWatermark`` — bounded state, unlike plain
+    dropDuplicates whose key state never expires).
+
+    Scale: state is one entry per in-horizon key, evicted as the
+    watermark advances — the streaming twin of the batch exact-dedup
+    operator (operators/dedup.py); at 100 TB/day ingest the horizon
+    bounds memory regardless of total corpus size.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def run_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay events through streaming dedup on (user_id, event_type),
+    then aggregate the kept rows per type.
+
+    The finite replay is a single micro-batch (watermark never
+    advances mid-batch), so the kept set is exactly the distinct keys
+    — making the result oracle-checkable: count per event_type equals
+    batch COUNT(DISTINCT user_id).
+    """
+    name = f"events_dedup_{next(_counter)}"
+    q = (
+        stream_dedup(events_stream(spark, sf_dir), ["user_id", "event_type"])
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("event_type")
+    )
+
+
 def run_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the streaming rollup to completion over the finite file
     source and return the result as a (batch) DataFrame."""

@@ -70,3 +70,47 @@ def test_stream_append_sink_emits_closed_windows(spark, sf_dir, tmp_path):
     # and everything strictly older than the horizon's previous hour emitted
     closed = {t for t in want_all if t[0] < horizon.replace(minute=0, second=0, microsecond=0)}
     assert closed <= got
+
+
+def test_stream_dedup_drops_real_duplicates(spark, tmp_path):
+    """dropDuplicatesWithinWatermark must collapse genuine duplicate
+    rows: replay a corpus where every event appears 3x and assert the
+    kept set equals the distinct keys."""
+    import datetime
+
+    from impala_cut_spark.streaming.events import events_stream, stream_dedup
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for copy in range(3):
+        for u in range(10):
+            for et in ("view", "click"):
+                rows.append(
+                    (eid, base + datetime.timedelta(minutes=u), u, et, 1.0, "{}")
+                )
+                eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    src = str(tmp_path / "dups")
+    df.coalesce(1).write.parquet(src)
+    import os, glob
+
+    part = glob.glob(f"{src}/part-*.parquet")[0]
+    os.rename(part, f"{src}/events.parquet")  # match the source's glob
+
+    kept = (
+        stream_dedup(events_stream(spark, src), ["user_id", "event_type"])
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_dups_test")
+        .start()
+    )
+    try:
+        kept.processAllAvailable()
+    finally:
+        kept.stop()
+    out = spark.table("dedup_dups_test")
+    assert out.count() == 20  # 10 users x 2 types, 60 inputs collapsed
+    assert out.select("user_id", "event_type").distinct().count() == 20
