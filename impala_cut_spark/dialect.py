@@ -614,6 +614,19 @@ def rewrite_statements(sql: str) -> str:
         sa = _STORED_AS.search(sql)
         if sa:
             fmt = sa.group(1).lower()
+            if fmt in ("avro", "avrofile"):
+                # the session layer intercepts LOCATION-bearing avro
+                # DDL and mounts it via the pyavro reader
+                # (ImpalaSession.sql → sources/avro.py); reaching here
+                # means a managed/writable avro table was requested
+                raise ValueError(
+                    "STORED AS AVRO is read-only here: give the table a "
+                    "LOCATION '<file|dir|glob>' (mounted via the pure-"
+                    "Python pyavro scan, sources/avro.py) or use "
+                    "read_avro(); avro WRITES are unsupported (engine "
+                    "writes text and parquet — reference "
+                    "hdfs-table-sink.cc:341-347)"
+                )
             provider = _FORMAT_MAP.get(fmt)
             if provider is None:
                 raise ValueError(

@@ -58,6 +58,7 @@ date_dim AS (SELECT DISTINCT cast(l_shipdate as date) AS d_date,
 # ---------------------------------------------------------------------------
 @query(
     "tpcds_q3",
+    headline=True,
     oracle="""
 SELECT year(l_shipdate) AS year_sold, p_brand AS brand,
        cast(sum(cast(l_extendedprice as decimal(12,2))) as double) AS sum_agg

@@ -126,6 +126,11 @@ class ImpalaSession:
     def __init__(self, spark: SparkSession | None = None):
         self.spark = spark or build_session()
         self._options: dict[str, str] = {}
+        # avro scan DDL (STORED AS AVRO … LOCATION) resolves to the
+        # pyavro Python DataSource — register it up front
+        from impala_cut_spark.sources.avro import register_avro_source
+
+        register_avro_source(self.spark)
 
     def sql(self, text: str) -> DataFrame:
         from impala_cut_spark.dialect import rewrite
@@ -135,6 +140,17 @@ class ImpalaSession:
             # Impala query option (SET k=v through SQL, as impala-shell
             # issues it) — route to the option map, not Spark's SET
             self.set_option(m.group(1), m.group(2))
+            return self.spark.sql("select 1 where false")
+        m = self._AVRO_TABLE.match(text)
+        if m:
+            # STORED AS AVRO … LOCATION → mount the file through the
+            # pure-Python avro scan as a session view (Spark's catalog
+            # does not replay DataSource options to Python sources at
+            # read time, so a persistent USING pyavro table can't work)
+            from impala_cut_spark.sources.avro import read_avro
+
+            name, path = m.group(1), m.group(2).replace("''", "'")
+            read_avro(self.spark, path).createOrReplaceTempView(name)
             return self.spark.sql("select 1 where false")
         return self.spark.sql(rewrite(self._expand_like_file(text)))
 
@@ -146,6 +162,14 @@ class ImpalaSession:
         r"(?i)^(\s*create\s+(?:external\s+)?table\s+(?:if\s+not\s+exists\s+)?"
         r"[\w.]+)\s+like\s+parquet\s+'([^']+)'(.*)$",
         re.DOTALL,
+    )
+
+    #: CREATE [EXTERNAL] TABLE t [(…)] STORED AS AVRO … LOCATION '<p>'
+    _AVRO_TABLE = re.compile(
+        r"^\s*create\s+(?:external\s+)?table\s+(?:if\s+not\s+exists\s+)?"
+        r"([A-Za-z_][\w.]*)\s*(?:\([^)]*\))?\s*stored\s+as\s+avro\b.*?"
+        r"\blocation\s+'((?:[^']|'')*)'",
+        re.IGNORECASE | re.DOTALL,
     )
 
     def _expand_like_file(self, text: str) -> str:
