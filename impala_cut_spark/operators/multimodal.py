@@ -1,10 +1,13 @@
 """Multimodal-column plumbing: opaque ``binary`` payloads + typed metadata.
 
-The container has no image/audio codecs, so DECODE IS STUBBED
-(``decode_image`` raises NotImplementedError; ``fake_features`` is the
-deterministic stand-in) — but the Spark-side plumbing is real and
-tested: schema, Arrow batch shape, mapInPandas signatures, and the
-partitioning story all match what a production decode would use.
+Decode is REAL for codec-free raster formats — binary PPM (P6) and
+uncompressed 24-bit BMP are parsed with pure numpy — and STUBBED for
+codec-bearing formats (JPEG/PNG/audio need libjpeg/PIL, absent in
+this container: ``decode_image`` raises NotImplementedError for those,
+and ``fake_features`` is the deterministic byte-level stand-in). The
+Spark-side plumbing is identical either way: schema, Arrow batch
+shape, mapInPandas signatures, and the partitioning story match what
+a full-codec production decode would use.
 
 Scale: payloads stay in the executor as Arrow binary buffers; the
 feature extractor is a mapInPandas over size-bounded batches
@@ -62,10 +65,80 @@ def assets_from_documents(docs: DataFrame) -> DataFrame:
 
 
 def decode_image(payload: bytes) -> "np.ndarray":
-    """Real decode requires PIL/libjpeg — not in this container."""
+    """Decode a raster payload to an (H, W, 3) uint8 array.
+
+    Real for codec-free formats: binary PPM (P6) and uncompressed
+    24-bit BMP. Codec-bearing formats (JPEG/PNG/…) raise — the
+    documented stub boundary (no codec libs in this container)."""
+    if payload[:2] == b"P6":
+        return _decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
     raise NotImplementedError(
-        "image decode stub: install pillow and replace with PIL.Image.open"
+        "image decode stub for codec-bearing formats: install pillow "
+        "and replace with PIL.Image.open (PPM/BMP decode natively here)"
     )
+
+
+def _decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6): ASCII header 'P6 <w> <h> <maxval>' + raw RGB."""
+    parts, pos = [], 2
+    while len(parts) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to EOL
+            pos = payload.index(b"\n", pos) + 1
+            continue
+        end = pos
+        while end < len(payload) and not payload[end : end + 1].isspace():
+            end += 1
+        parts.append(int(payload[pos:end]))
+        pos = end
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = parts
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM not supported")
+    arr = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return arr.reshape(h, w, 3).copy()
+
+
+def _decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP (BITMAPINFOHEADER, BI_RGB)."""
+    import struct
+
+    off = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    comp = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError("only uncompressed 24-bit BMP supported")
+    flip = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+    rows = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=off)
+    img = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)[..., ::-1]  # BGR→RGB
+    return (img[::-1] if flip else img).copy()
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 → binary PPM payload (fixture/sink helper)."""
+    h, w = arr.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.astype(np.uint8).tobytes()
+
+
+def image_features(img: np.ndarray, dim: int = FEATURE_DIM) -> np.ndarray:
+    """Real pixel-level features for decoded images: per-channel
+    mean/std (scaled to [0,1]) + a 10-bin luminance histogram —
+    ``dim`` values, deterministic."""
+    f = np.zeros(dim, dtype=np.float64)
+    pix = img.reshape(-1, 3).astype(np.float64)
+    f[0:3] = pix.mean(axis=0) / 255.0
+    f[3:6] = pix.std(axis=0) / 255.0
+    lum = pix @ np.array([0.299, 0.587, 0.114])
+    hist, _ = np.histogram(lum, bins=dim - 6, range=(0.0, 255.0))
+    total = hist.sum()
+    f[6:] = hist / total if total else hist
+    return f
 
 
 def fake_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
@@ -81,9 +154,16 @@ def extract_features(assets: DataFrame) -> DataFrame:
     """mapInPandas feature extraction — the production shape: Arrow
     batches in, one feature row per asset out, no driver involvement."""
 
+    def _one(p: bytes | None) -> np.ndarray:
+        p = p if p is not None else b""
+        try:
+            return image_features(decode_image(bytes(p)))
+        except (NotImplementedError, ValueError, IndexError):
+            return fake_features(p)  # codec-bearing/opaque → byte features
+
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [fake_features(p if p is not None else b"") for p in pdf["payload"]]
+            feats = [_one(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
@@ -96,13 +176,31 @@ def extract_features(assets: DataFrame) -> DataFrame:
     return fan_out(assets).mapInPandas(_extract, FEATURE_SCHEMA)
 
 
+def resize_image(img: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resize via pure numpy indexing."""
+    h, w = img.shape[:2]
+    yi = (np.arange(height) * h // height).clip(0, h - 1)
+    xi = (np.arange(width) * w // width).clip(0, w - 1)
+    return img[yi][:, xi]
+
+
 def resize_stub(assets: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize plumbing: passes payloads through a mapInPandas stage and
-    rewrites metadata. The pixel work is the documented stub."""
+    """Resize through a mapInPandas stage: REAL nearest-neighbor pixel
+    work for decodable payloads (PPM/BMP, re-encoded as PPM); for
+    codec-bearing payloads only the metadata is rewritten (the
+    documented stub boundary)."""
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = pdf.copy()
+            payloads = []
+            for p in out["payload"]:
+                try:
+                    img = decode_image(bytes(p) if p is not None else b"")
+                    payloads.append(encode_ppm(resize_image(img, width, height)))
+                except (NotImplementedError, ValueError, IndexError):
+                    payloads.append(p)  # stub: metadata-only
+            out["payload"] = payloads
             out["width"] = np.int32(width)
             out["height"] = np.int32(height)
             yield out
