@@ -6,8 +6,10 @@ REGISTRY ORDER IS EVIDENCE: the round driver records CORRECTNESS rows
 for only the FIRST 50 registry entries (round-1 verdict — entries
 51-71 got no driver row at all).  DRIVER_WINDOW below pins the first
 50 to one row per operator *family*: all 21 TPC-H, 4 TPC-DS shapes,
-the merged §2 coverage rows (coverage2.py), and every
-pipeline/streaming operator.  Fine-grained coverage variants and
+the merged §2 coverage rows (coverage2.py), and the
+pipeline/streaming operators (oracle-bearing members preferred —
+e.g. stream_dedup holds the slot over the rows-only pipe_ann_lsh,
+which keeps its oracle-less check below the window).  Fine-grained coverage variants and
 redundant family members stay registered after the window — they keep
 their oracles and are still verified by tools/check_correctness.py
 and tests/test_correctness.py, just without a driver row.
@@ -73,10 +75,10 @@ DRIVER_WINDOW: list[str] = [
     "pipe_dedup_simhash",
     "pipe_embed_neardup",
     "pipe_ann_topk",
-    "pipe_ann_lsh",
     "pipe_ann_ivf",
     "pipe_multimodal_features",
     "stream_events_hourly",
+    "stream_dedup",
     "pipe_sessions",
 ]
 

@@ -6,8 +6,9 @@ so q9/q12/q16/q20/q21 substitute the nearest available predicate while
 keeping the reference query's operator shape (the thing the golden
 tests in /root/reference/testdata/workloads/tpch/queries/ actually
 exercise: join topology, agg phases, subquery decorrelation shape).
-q2/q11 are wholly partsupp-centric and are omitted; q7 is absent in
-the reference itself.
+q2/q11 are wholly partsupp-centric and adapted separately; q7 is
+absent from the reference's workload but included at the end of this
+module for the full public TPC-H surface (engine superset).
 """
 
 from __future__ import annotations
@@ -544,4 +545,71 @@ def tpch_q11(spark, sf_dir):
             F.col("pk").alias("ps_partkey"), F.col("value_dec").cast("double").alias("value")
         )
         .orderBy(F.desc("value"), "ps_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "tpch_q7",
+    oracle=f"""
+SELECT supp_nation, cust_nation, l_year,
+       cast(sum(volume) as double) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         year(l_shipdate) AS l_year,
+         {SQL_DISC_PRICE} AS volume
+  FROM supplier
+  JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+      OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+    AND l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+""",
+)
+def tpch_q7(spark, sf_dir):
+    """TPC-H Q7 volume shipping — the ONE query the reference's TPC-H
+    workload omits (testdata/workloads/tpch has q1-q22 except q7);
+    included here for the full public TPC-H surface. Two nation-dim
+    roles (supplier vs customer side) with the symmetric cross-nation
+    OR predicate; exact decimal volume.
+
+    Scale: both nation sides broadcast; the OR-pair predicate prunes
+    the dims before the fact joins; one agg shuffle on a 2×2×|years|
+    group space.
+    """
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between("1995-01-01", "1996-12-31")
+    )
+    s = t(spark, sf_dir, "supplier")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n1 = F.broadcast(
+        t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    n2 = F.broadcast(
+        t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+        )
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
+    ) | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+    return (
+        s.join(li, s.s_suppkey == li.l_suppkey)
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(n1, s.s_nationkey == F.col("n1_key"))
+        .join(n2, c.c_nationkey == F.col("n2_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(disc_price()).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
     )

@@ -176,10 +176,9 @@ def test_driver_window_is_first_50():
         "text": ["pipe_text_all"],
         "dedup": ["pipe_dedup_exact", "pipe_dedup_jaccard",
                   "pipe_dedup_minhash", "pipe_dedup_simhash"],
-        "similarity": ["pipe_embed_neardup", "pipe_ann_topk",
-                       "pipe_ann_lsh", "pipe_ann_ivf"],
+        "similarity": ["pipe_embed_neardup", "pipe_ann_topk", "pipe_ann_ivf"],
         "multimodal": ["pipe_multimodal_features"],
-        "streaming": ["stream_events_hourly", "pipe_sessions"],
+        "streaming": ["stream_events_hourly", "stream_dedup", "pipe_sessions"],
     }
     for fam, members in families.items():
         assert all(m in DRIVER_WINDOW for m in members), fam
