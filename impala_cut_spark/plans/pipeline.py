@@ -453,3 +453,28 @@ def pipe_ann_ivf(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return similarity.ivf_topk(emb, queries, dim=64, k=5)
+
+
+@query(
+    "stream_join",
+    oracle="""
+SELECT c.user_id,
+       count(*) AS n_attributed,
+       cast(sum(cast(p.value as decimal(12,2))) as double) AS attributed_value
+FROM events c
+JOIN events p
+  ON p.user_id = c.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+GROUP BY c.user_id
+ORDER BY c.user_id
+""",
+)
+def stream_join(spark, sf_dir):
+    """Watermarked stream-stream INNER join (click→purchase attribution
+    within 30 min, state bounded on both sides) replayed to completion;
+    per-user attributed counts/values hash-match the batch time-range
+    self-join oracle (streaming/events.py)."""
+    from impala_cut_spark.streaming.events import run_stream_attribution
+
+    return run_stream_attribution(spark, sf_dir)

@@ -155,3 +155,65 @@ def run_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "total_value",
     )
+
+
+def stream_stream_attribution(
+    clicks: DataFrame, purchases: DataFrame, horizon: str = "30 minutes"
+) -> DataFrame:
+    """Stream-stream INNER join: attribute each purchase to the same
+    user's click(s) in the preceding ``horizon`` — the canonical
+    watermarked stream-stream join (state on both sides, bounded by
+    watermark + the time-range condition).
+
+    Scale: state per side is only the watermark horizon's events,
+    co-partitioned by user_id; the range condition lets Spark expire
+    rows deterministically — the 100 TB-stream-safe join shape.
+    """
+    c = (
+        clicks.withWatermark("ts", horizon)
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"))
+    )
+    p = (
+        purchases.withWatermark("ts", horizon)
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    return c.join(
+        p,
+        F.expr(
+            "c_user = p_user AND purchase_ts >= click_ts "
+            f"AND purchase_ts <= click_ts + interval {horizon}"
+        ),
+    )
+
+
+def run_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the events stream through the click→purchase attribution
+    join and aggregate attributed purchases per user — deterministic on
+    a finite replay (every in-horizon pair emits exactly once)."""
+    name = f"events_attr_{next(_counter)}"
+    clicks = events_stream(spark, sf_dir).filter(F.col("event_type") == "click")
+    purchases = events_stream(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    q = (
+        stream_stream_attribution(clicks, purchases)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .groupBy(F.col("c_user").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_attributed"),
+            F.sum(F.col("purchase_value").cast("decimal(12,2)")).cast("double").alias("attributed_value"),
+        )
+        .orderBy("user_id")
+    )
