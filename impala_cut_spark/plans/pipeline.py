@@ -478,3 +478,36 @@ def stream_join(spark, sf_dir):
     from impala_cut_spark.streaming.events import run_stream_attribution
 
     return run_stream_attribution(spark, sf_dir)
+
+
+@query(
+    "pipe_asof",
+    oracle="""
+WITH p AS (SELECT user_id, ts, cast(max(value) as double) AS purchase_value
+           FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts),
+     c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+SELECT c.event_id, c.user_id,
+       round(p.purchase_value, 6) AS asof_purchase_value
+FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND p.ts <= c.ts
+""",
+)
+def pipe_asof(spark, sf_dir):
+    """AS-OF join (operators/temporal.py): every click event carries the
+    same user's latest preceding purchase value — kdb aj / pandas
+    merge_asof semantics via the single-shuffle union + last_value
+    window (no range-join blow-up). Oracle: DuckDB's native ASOF LEFT
+    JOIN. Right side pre-aggregated to unique (user, ts) so both
+    engines' tie behavior coincides."""
+    from impala_cut_spark.operators.temporal import asof_join
+
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").cast("double").alias("purchase_value"))
+    )
+    out = asof_join(clicks, purchases, on="ts", by="user_id", value_cols=["purchase_value"])
+    return out.select(
+        "event_id", "user_id", F.round("asof_purchase_value", 6).alias("asof_purchase_value")
+    )

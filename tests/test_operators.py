@@ -250,3 +250,47 @@ class TestMultimodalRealDecode:
         assert not np.allclose(real, fake)
         # channel means land in [0,1]
         assert (0 <= real[:6]).all() and (real[:6] <= 1).all()
+
+
+class TestAsofJoin:
+    """asof_join (operators/temporal.py) vs hand-computed point-in-time
+    semantics; the registered pipe_asof is hash-checked against
+    DuckDB's native ASOF JOIN in test_correctness."""
+
+    def test_semantics(self, spark):
+        import datetime
+
+        T = lambda m: datetime.datetime(2024, 1, 1, 0, m)
+        left = spark.createDataFrame(
+            [(1, 1, T(5)), (2, 1, T(10)), (3, 1, T(2)), (4, 2, T(7))],
+            "event_id long, user_id long, ts timestamp",
+        )
+        right = spark.createDataFrame(
+            [(1, T(4), 10.0), (1, T(10), 20.0), (2, T(9), 99.0)],
+            "user_id long, ts timestamp, purchase_value double",
+        )
+        from impala_cut_spark.operators.temporal import asof_join
+
+        got = {
+            r.event_id: r.asof_purchase_value
+            for r in asof_join(left, right, value_cols=["purchase_value"]).collect()
+        }
+        assert got[1] == 10.0  # latest preceding (T4 < T5)
+        assert got[2] == 20.0  # simultaneous right included (inclusive as-of)
+        assert got[3] is None  # nothing precedes T2
+        assert got[4] is None  # user 2's purchase is later (T9 > T7)
+
+    def test_single_shuffle_plan(self, spark):
+        import datetime
+
+        T = lambda m: datetime.datetime(2024, 1, 1, 0, m)
+        left = spark.createDataFrame([(1, 1, T(5))], "event_id long, user_id long, ts timestamp")
+        right = spark.createDataFrame([(1, T(4), 1.0)], "user_id long, ts timestamp, v double")
+        from impala_cut_spark.operators.temporal import asof_join
+
+        df = asof_join(left, right, value_cols=["v"])
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+        # one hash shuffle on the key (the window), never a join node
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "Join" not in plan
