@@ -213,3 +213,78 @@ def test_random_join_matches_duckdb(sql, spark, oracle, views):
     assert len(srows) == len(orows), sql
     bad = [(a, b) for a, b in zip(srows, orows) if a != b]
     assert not bad, f"{sql}\nfirst diff: {bad[0] if bad else None}"
+
+
+@st.composite
+def setop_having_query(draw):
+    """UNION [ALL] of two filtered projections + grouped HAVING with a
+    CASE aggregate — the §2.7/§2.4 surfaces the other strategies skip."""
+    p1 = draw(st.one_of(st.none(), predicate()))
+    p2 = draw(st.one_of(st.none(), predicate()))
+    w1 = f" WHERE {p1}" if p1 else ""
+    w2 = f" WHERE {p2}" if p2 else ""
+    setop = draw(st.sampled_from(["UNION ALL", "UNION"]))
+    case_arm = draw(st.sampled_from(["l_returnflag = 'R'", "l_linenumber > 3", "l_quantity > 25"]))
+    having_n = draw(st.integers(0, 50))
+    return (
+        "SELECT k, count(*) AS n, "
+        f"cast(sum(CASE WHEN {case_arm} THEN 1 ELSE 0 END) AS bigint) AS n_case "
+        "FROM ("
+        f"SELECT l_returnflag AS k, l_returnflag, l_linenumber, l_quantity FROM lineitem{w1} "
+        f"{setop} "
+        f"SELECT l_linestatus AS k, l_returnflag, l_linenumber, l_quantity FROM lineitem{w2}"
+        ") u GROUP BY k "
+        f"HAVING count(*) > {having_n}"
+    )
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(sql=setop_having_query())
+def test_random_setop_having_matches_duckdb(sql, spark, oracle, views):
+    sdf = spark.sql(sql)
+    scols, srows = frame_to_rows([c.lower() for c in sdf.columns], sdf.collect())
+    orel = oracle.sql(sql)
+    ocols, orows = frame_to_rows([c.lower() for c in orel.columns], orel.fetchall())
+    assert scols == ocols, sql
+    assert len(srows) == len(orows), sql
+    bad = [(a, b) for a, b in zip(srows, orows) if a != b]
+    assert not bad, f"{sql}\nfirst diff: {bad[0] if bad else None}"
+
+
+@st.composite
+def exists_subquery_query(draw):
+    """[NOT] EXISTS / IN correlated subqueries — decorrelation surface."""
+    neg = draw(st.booleans())
+    kind = draw(st.sampled_from(["exists", "in"]))
+    o_pred = draw(
+        st.sampled_from(
+            ["o_orderstatus = 'F'", "o_totalprice > 200000", "o_orderpriority = '1-URGENT'"]
+        )
+    )
+    if kind == "exists":
+        sub = f"SELECT 1 FROM orders WHERE o_custkey = c_custkey AND {o_pred}"
+        cond = f"{'NOT ' if neg else ''}EXISTS ({sub})"
+    else:
+        sub = f"SELECT o_custkey FROM orders WHERE {o_pred}"
+        cond = f"c_custkey {'NOT ' if neg else ''}IN ({sub})"
+    return f"SELECT count(*) AS n, min(c_custkey) AS mn FROM customer WHERE {cond}"
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(sql=exists_subquery_query())
+def test_random_subquery_matches_duckdb(sql, spark, oracle, views):
+    sdf = spark.sql(sql)
+    scols, srows = frame_to_rows([c.lower() for c in sdf.columns], sdf.collect())
+    orel = oracle.sql(sql)
+    ocols, orows = frame_to_rows([c.lower() for c in orel.columns], orel.fetchall())
+    assert scols == ocols, sql
+    bad = [(a, b) for a, b in zip(srows, orows) if a != b]
+    assert not bad, f"{sql}\nfirst diff: {bad[0] if bad else None}"
