@@ -452,3 +452,98 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "n_id", "rank", "cos")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF index materialization: the 100 TB form of ivf_topk
+# ---------------------------------------------------------------------------
+
+
+def build_ivf_index(
+    embeddings: DataFrame,
+    path: str,
+    dim: int,
+    n_centroids: int = 16,
+) -> np.ndarray:
+    """Materialize the IVF inverted lists as a parquet table
+    PARTITIONED BY the coarse-quantizer cell id.
+
+    This is the index build a 100 TB corpus runs ONCE: after it, every
+    query reads only its ``n_probe`` list partitions — a
+    partition-pruned scan of n_probe/n_centroids of the data
+    (asserted against PartitionFilters in tests). Returns the trained
+    centroids (persist them next to the index in production).
+    """
+    cents = train_ivf_centroids(embeddings, dim, n_centroids)
+    (
+        with_norm(embeddings)
+        .withColumn("cid", _nearest_centroid(F.col("embedding"), cents))
+        .write.partitionBy("cid")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    return cents
+
+
+def ivf_topk_from_index(
+    spark,
+    path: str,
+    cents: np.ndarray,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+) -> DataFrame:
+    """ANN top-k over a materialized IVF index: per-query probe lists
+    become a partition-column filter, so the scan reads ONLY those
+    list partitions (Catalyst partition pruning — no full-corpus I/O).
+    """
+    corpus = spark.read.parquet(path).select(
+        F.col("vec_id").alias("n_id"),
+        F.col("embedding").alias("n_vec"),
+        F.col("_norm").alias("n_norm"),
+        "cid",
+    )
+    qdists = F.array(
+        *[
+            F.lit(float(c @ c)) - 2.0 * dot(F.col("embedding"), F.array(*[F.lit(float(x)) for x in c]))
+            for c in cents
+        ]
+    )
+    probes = F.slice(
+        F.transform(
+            F.array_sort(
+                F.transform(qdists, lambda d, i: F.struct(d.alias("d"), (i + 1).alias("cid")))
+            ),
+            lambda s: s["cid"],
+        ),
+        1,
+        n_probe,
+    )
+    q = (
+        with_norm(queries)
+        .withColumn("cid", F.explode(probes))
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_vec"),
+            F.col("_norm").alias("q_norm"),
+            "cid",
+        )
+    )
+    qrows = q.collect()  # bounded by contract (small query set)
+    probe_cids = sorted({r["cid"] for r in qrows})
+    # partition-column filter → Catalyst prunes to the probed lists only
+    pruned = corpus.filter(F.col("cid").isin(probe_cids))
+    qdf = F.broadcast(spark.createDataFrame(qrows, q.schema))
+    scored = pruned.join(qdf, "cid").filter(F.col("n_id") != F.col("q_id")).select(
+        "q_id",
+        "n_id",
+        F.round(
+            _cos_pairs(F.col("q_vec"), F.col("n_vec"), F.col("q_norm"), F.col("n_norm")), 6
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "rank", "cos")
+    )
