@@ -656,12 +656,22 @@ def _rewrite_partitioned_create(sql: str) -> str:
         CREATE TABLE t (a INT, k STRING) USING parquet PARTITIONED BY (k)
     Names-only clauses (already Spark-style) pass through untouched.
     """
-    m = _PARTITIONED_BY.search(sql)
+    # quote-aware search: a string literal containing "partitioned by ("
+    # (e.g. in TBLPROPERTIES) must not trigger the rewrite (ADVICE r2 #3)
+    in_str = {i: s for i, _, s in _scan_strings(sql)}
+    m = None
+    for cand in _PARTITIONED_BY.finditer(sql):
+        if not in_str.get(cand.start(), False):
+            m = cand
+            break
     if not m:
         return sql
     # matching close paren of the partition list (types may nest parens)
     depth, k = 1, m.end()
     while k < len(sql) and depth:
+        if in_str.get(k, False):
+            k += 1
+            continue
         if sql[k] == "(":
             depth += 1
         elif sql[k] == ")":
@@ -678,6 +688,9 @@ def _rewrite_partitioned_create(sql: str) -> str:
         return sql  # CTAS-style partitioned create: no column list
     depth, j = 1, open_idx + 1
     while j < len(sql) and depth:
+        if in_str.get(j, False):
+            j += 1
+            continue
         if sql[j] == "(":
             depth += 1
         elif sql[j] == ")":
@@ -694,7 +707,24 @@ def _rewrite_partitioned_create(sql: str) -> str:
         + ", ".join(names)
         + ")"
     )
-    return re.sub(r"\s+", " ", out).strip()
+    return _collapse_ws_outside_strings(out).strip()
+
+
+def _collapse_ws_outside_strings(sql: str) -> str:
+    """``\\s+`` → one space, but ONLY outside quoted spans — a LOCATION
+    path or TBLPROPERTIES value keeps its internal whitespace verbatim
+    (ADVICE r2 #3)."""
+    out: list[str] = []
+    pending_ws = False
+    for _, c, in_string in _scan_strings(sql):
+        if not in_string and c.isspace():
+            pending_ws = True
+            continue
+        if pending_ws:
+            out.append(" ")
+            pending_ws = False
+        out.append(c)
+    return "".join(out)
 
 
 # ---------------------------------------------------------------------------

@@ -120,8 +120,14 @@ def brute_force_topk(
             for j in range(len(qids)):
                 keep = nids != qids[j]
                 cj, nj = cos[keep, j], nids[keep]
-                # exact (cos DESC, n_id ASC) per-batch top-k cut
-                order = np.lexsort((nj, -cj))[:k]
+                # exact (round(cos,6) DESC, n_id ASC) per-batch top-k
+                # cut — the SAME key the final window (and the DuckDB
+                # oracle) rank by.  Cutting on the UNROUNDED value
+                # could drop a candidate that ties the k-th kept value
+                # after rounding with a smaller n_id (ADVICE r2 #1).
+                # HALF_UP to 6dp like Spark's round()/the oracle:
+                cj_key = np.copysign(np.floor(np.abs(cj) * 1e6 + 0.5), cj)
+                order = np.lexsort((nj, -cj_key))[:k]
                 out_q.append(np.full(len(order), qids[j], dtype=np.int64))
                 out_n.append(nj[order])
                 out_c.append(cj[order])

@@ -47,6 +47,17 @@ def fan_out(df: DataFrame, multiplier: int = 1, min_bytes: int = 0) -> DataFrame
         files = []
     if len(files) >= target:
         return df
+    if not files:
+        # Non-file-backed plan (createDataFrame, post-exchange input):
+        # inputFiles() is empty, not "one split" — fall back to the
+        # actual partition count and only repartition when genuinely
+        # under-split (ADVICE r2 #2: don't add a redundant round-robin
+        # shuffle to an already-parallel in-memory source).
+        try:
+            if df.rdd.getNumPartitions() >= target:
+                return df
+        except Exception:
+            pass
     if min_bytes and files and all(f.startswith("file:") for f in files):
         import os
 

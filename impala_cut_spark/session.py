@@ -150,6 +150,11 @@ class ImpalaSession:
             from impala_cut_spark.sources.avro import read_avro
 
             name, path = m.group(1), m.group(2).replace("''", "'")
+            if "." in name:
+                raise ValueError(
+                    f"STORED AS AVRO mounts as a session temp view; qualified "
+                    f"name {name!r} is not valid — use an unqualified name"
+                )
             read_avro(self.spark, path).createOrReplaceTempView(name)
             return self.spark.sql("select 1 where false")
         return self.spark.sql(rewrite(self._expand_like_file(text)))
@@ -165,9 +170,11 @@ class ImpalaSession:
     )
 
     #: CREATE [EXTERNAL] TABLE t [(…)] STORED AS AVRO … LOCATION '<p>'
+    #: — the optional column list tolerates one paren-nesting level so
+    #: typed columns like decimal(10,2) still match (ADVICE r2 #4)
     _AVRO_TABLE = re.compile(
         r"^\s*create\s+(?:external\s+)?table\s+(?:if\s+not\s+exists\s+)?"
-        r"([A-Za-z_][\w.]*)\s*(?:\([^)]*\))?\s*stored\s+as\s+avro\b.*?"
+        r"([A-Za-z_][\w.]*)\s*(?:\((?:[^()]|\([^()]*\))*\))?\s*stored\s+as\s+avro\b.*?"
         r"\blocation\s+'((?:[^']|'')*)'",
         re.IGNORECASE | re.DOTALL,
     )

@@ -56,18 +56,29 @@ def _read_long(buf: io.BufferedReader) -> int:
     return (acc >> 1) ^ -(acc & 1)
 
 
+def _read_exact(buf, n: int) -> bytes:
+    """Read exactly n bytes or raise EOFError — a truncated file must
+    fail loudly, not decode garbage (ADVICE r2 #5)."""
+    data = buf.read(n)
+    if len(data) != n:
+        raise EOFError(
+            f"truncated avro data: wanted {n} bytes, got {len(data)}"
+        )
+    return data
+
+
 def _read_bytes(buf) -> bytes:
     n = _read_long(buf)
-    return buf.read(n)
+    return _read_exact(buf, n)
 
 
 _PRIMITIVE_DECODERS = {
     "null": lambda buf: None,
-    "boolean": lambda buf: buf.read(1) == b"\x01",
+    "boolean": lambda buf: _read_exact(buf, 1) == b"\x01",
     "int": _read_long,
     "long": _read_long,
-    "float": lambda buf: struct.unpack("<f", buf.read(4))[0],
-    "double": lambda buf: struct.unpack("<d", buf.read(8))[0],
+    "float": lambda buf: struct.unpack("<f", _read_exact(buf, 4))[0],
+    "double": lambda buf: struct.unpack("<d", _read_exact(buf, 8))[0],
     "bytes": _read_bytes,
     "string": lambda buf: _read_bytes(buf).decode("utf-8"),
 }
@@ -120,7 +131,7 @@ def read_header(buf):
         for _ in range(n):
             key = _read_bytes(buf).decode("utf-8")
             meta[key] = _read_bytes(buf)
-    sync = buf.read(16)
+    sync = _read_exact(buf, 16)
     schema = json.loads(meta["avro.schema"].decode("utf-8"))
     codec = meta.get("avro.codec", b"null").decode("utf-8")
     if codec not in ("null", "deflate"):
@@ -142,13 +153,13 @@ def read_avro_file(path: str) -> Iterator[tuple]:
             f.seek(-1, os.SEEK_CUR)
             count = _read_long(f)
             size = _read_long(f)
-            block = f.read(size)
+            block = _read_exact(f, size)
             if codec == "deflate":
                 block = zlib.decompress(block, -15)
             buf = io.BytesIO(block)
             for _ in range(count):
                 yield tuple(d(buf) for d in decoders)
-            if f.read(16) != sync:
+            if _read_exact(f, 16) != sync:
                 raise ValueError("avro sync marker mismatch")
 
 
