@@ -54,6 +54,35 @@ def main() -> None:
             per_run.append(time.perf_counter() - t0)
         times[name] = round(min(per_run), 4)
 
+    # DuckDB proxy baseline beside each Spark number (warm, min-of-2 —
+    # the same methodology the judge uses against BASELINE.md) for
+    # self-serve ratio tracking round over round.
+    duck: dict[str, float] = {}
+    try:
+        import duckdb
+
+        con = duckdb.connect()
+        con.execute(f"SET threads TO {int(cpus)}")
+        for tname in (
+            "region nation customer supplier part orders lineitem "
+            "events documents embeddings"
+        ).split():
+            con.sql(
+                f"CREATE VIEW {tname} AS "
+                f"SELECT * FROM read_parquet('{sf_dir}/{tname}.parquet')"
+            )
+        for name, spec in headline.items():
+            if not spec.oracle:
+                continue
+            per_run = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                con.sql(spec.oracle).fetchall()
+                per_run.append(time.perf_counter() - t0)
+            duck[name] = round(min(per_run), 4)
+    except Exception:
+        duck = {}
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -62,6 +91,7 @@ def main() -> None:
                 "value": round(sum(times.values()), 4),
                 "unit": "sec",
                 "queries": times,
+                "duckdb_proxy": duck,
                 "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
             }
         )

@@ -732,9 +732,32 @@ def _collapse_ws_outside_strings(sql: str) -> str:
 # ---------------------------------------------------------------------------
 
 
-def rewrite(sql: str) -> str:
-    """Full Impala → Spark SQL rewrite pipeline."""
+def rewrite(sql: str, csv_mode: str | None = None) -> str:
+    """Full Impala → Spark SQL rewrite pipeline.
+
+    ``csv_mode``: malformed-row policy captured into text-table DDL
+    (``USING csv`` OPTIONS) — the session passes FAILFAST when the
+    Impala ``abort_on_error`` query option is set (PERMISSIVE
+    otherwise), mirroring hdfs-text-scanner's per-scan policy at the
+    one point Spark lets a table pin read options."""
     sql = rewrite_statements(sql)
+    if csv_mode and re.search(r"\busing\s+csv\b", sql, re.IGNORECASE):
+        if re.search(r"\busing\s+csv\s+options\s*\(", sql, re.IGNORECASE):
+            sql = re.sub(
+                r"(\busing\s+csv\s+options\s*\()",
+                rf"\1mode '{csv_mode}', ",
+                sql,
+                count=1,
+                flags=re.IGNORECASE,
+            )
+        else:
+            sql = re.sub(
+                r"(\busing\s+csv\b)",
+                rf"\1 OPTIONS (mode '{csv_mode}')",
+                sql,
+                count=1,
+                flags=re.IGNORECASE,
+            )
     sql, hints = rewrite_hints(sql)
     sql = rewrite_calls(sql)
     sql = rewrite_null_ordering(sql)

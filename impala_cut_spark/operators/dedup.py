@@ -205,13 +205,65 @@ def _pair_jaccard(sh: DataFrame, threshold: float, max_df: int = MAX_SHINGLE_DF)
 
 
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.2) -> DataFrame:
-    """EXACT near-duplicate pairs by word-n-gram Jaccard ≥ threshold.
+    """EXACT near-duplicate pairs by word-n-gram Jaccard ≥ threshold —
+    the count-based inverted-index similarity join (_pair_jaccard).
 
-    The shingle index feeds both sides of the similarity self-join —
-    persisted so tokenize/shingle runs once.
+    Stays the registered form after a measured bake-off against
+    PPJoin prefix filtering (ngram_jaccard_pairs_prefix below, built
+    for the round-2 verdict perf item): on this corpus (sf0.1: ~27k
+    distinct shingles over 5k docs, mean shingle df ≈ 10, ~52 shingles
+    per doc) a τ=0.2 prefix keeps 81% of index rows and cuts candidate
+    pairs only 1.13M → 0.79M, while swapping the cheap streaming
+    pair-count for a per-candidate array_intersect verify — measured
+    NET SLOWER end-to-end.  Prefix filtering pays at high thresholds /
+    long documents where the prefix is a small fraction of the doc;
+    both forms are exact and differential-tested identical.
     """
     sh = shingles(docs, n).persist(StorageLevel.MEMORY_AND_DISK)
     return _pair_jaccard(sh, threshold)
+
+
+def ngram_jaccard_pairs_prefix(docs: DataFrame, n: int = 3, threshold: float = 0.2) -> DataFrame:
+    """PPJoin/AllPairs-style prefix-filtered exact Jaccard join
+    (Chaudhuri SSJoin / Xiao et al., public literature).
+
+    Candidate generation joins only each document's PREFIX — its
+    ⌈(1−τ)·|d|⌉+1 globally RAREST shingles (ascending document
+    frequency, shingle string as total-order tiebreak) — instead of
+    every shared shingle.  Exactness: if J(A,B) ≥ τ then
+    |A∩B| ≥ ⌈τ·|A|⌉, and the smallest (in the global order) common
+    shingle provably lies in BOTH prefixes, so no qualifying pair is
+    missed; candidates are then verified with exact Jaccard.
+
+    Wins when (1−τ)·|d| is small — high thresholds or long documents —
+    where the prefix join touches a tiny, rare-keyed slice of the
+    index.  At low τ on short docs the count-based form above is
+    faster (see its docstring for the measured numbers); the
+    equivalence of the two is pinned in tests/test_plans.py.
+    """
+    from pyspark.sql import Window
+
+    sh = shingles(docs, n).persist(StorageLevel.MEMORY_AND_DISK)
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    wdoc = Window.partitionBy("doc_id")
+    wrank = wdoc.orderBy("df", "shingle")
+    ranked = (
+        sh.join(dfreq, "shingle")
+        .withColumn("pos", F.row_number().over(wrank))
+        .withColumn("sz", F.count(F.lit(1)).over(wdoc))
+    )
+    prefix = ranked.filter(
+        F.col("pos") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    ).select("shingle", "doc_id")
+    a = prefix.select(F.col("shingle"), F.col("doc_id").alias("id_a"))
+    b = prefix.select(F.col("shingle"), F.col("doc_id").alias("id_b"))
+    cands = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return verify_pairs_jaccard(sh, cands, threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -221,42 +273,115 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.2) -> 
 NUM_HASHES = 64
 BAND_SIZE = 4  # 16 bands × 4 rows: ~P(candidate) = 1-(1-j^4)^16
 
+#: 2^31 − 1 (Mersenne prime): modulus of the cross-engine affine hash
+#: family.  a·h + b with a, h' < 2^31 stays < 2^62 — no BIGINT overflow
+#: in either engine.
+MINHASH_PRIME = 2_147_483_647
 
-def minhash_signatures(sh: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
+#: seed of the affine-family parameters — shared with the DuckDB oracle
+#: generator (plans/pipeline.py) so both engines use identical (a, b).
+MINHASH_SEED = 20240813
+
+
+def md5_hash60(col: Column) -> Column:
+    """Cross-engine 60-bit string hash: first 15 hex chars of md5 as a
+    positive BIGINT.  Spark: ``conv(substr(md5(x),1,15),16,10)``;
+    DuckDB: ``CAST('0x' || substr(md5(x),1,15) AS BIGINT)`` — verified
+    identical (both engines implement the public MD5 spec)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def affine_params(num_hashes: int = NUM_HASHES, seed: int = MINHASH_SEED) -> list[tuple[int, int]]:
+    """The (a_i, b_i) of the universal hash family h_i(x) = (a_i·x + b_i)
+    mod P — deterministic from the seed; embedded as plan literals on
+    the Spark side and as SQL literals in the DuckDB oracle."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, MINHASH_PRIME), rng.randrange(0, MINHASH_PRIME))
+        for _ in range(num_hashes)
+    ]
+
+
+def minhash_signatures(
+    sh: DataFrame, num_hashes: int = NUM_HASHES, hash_family: str = "xxhash64"
+) -> DataFrame:
     """(doc_id, mh_0..mh_{k-1}): min over shingles of the k-th hash.
 
     One explode + one groupBy — the signature is k aggregations over
     the same shuffle, not k passes. The variable-length shingle STRING
-    is hashed exactly once (``xxhash64(shingle)``); the k hash-family
-    members then re-hash that fixed 8-byte long (``xxhash64(h, i)``) —
-    same uniformity, ~string-length× less hashing work per row than
-    hashing the string k times.
+    is hashed exactly once; the k hash-family members then re-hash that
+    fixed-width integer — same uniformity, ~string-length× less hashing
+    work per row than hashing the string k times.
+
+    hash_family:
+    - ``xxhash64`` — engine-native (fastest; not reproducible outside
+      Spark): h = xxhash64(shingle), h_i = xxhash64(h, i).
+    - ``md5_affine`` — cross-engine: h = md5-60bit(shingle) mod P,
+      h_i = (a_i·h + b_i) mod P (classic universal-hash minhash).
+      Bit-identical in DuckDB → fully oracle-checkable; the family
+      members are pure integer ops, so the only extra cost vs xxhash64
+      is md5-vs-xxhash on the shingle string.
     """
-    pre = sh.withColumn("_h", F.xxhash64("shingle"))
-    aggs = [
-        F.min(F.xxhash64(F.col("_h"), F.lit(i))).alias(f"mh_{i}") for i in range(num_hashes)
-    ]
+    if hash_family == "md5_affine":
+        pre = sh.withColumn("_h", md5_hash60(F.col("shingle")) % MINHASH_PRIME)
+        aggs = [
+            F.min((F.lit(a) * F.col("_h") + F.lit(b)) % MINHASH_PRIME).alias(f"mh_{i}")
+            for i, (a, b) in enumerate(affine_params(num_hashes))
+        ]
+    else:
+        pre = sh.withColumn("_h", F.xxhash64("shingle"))
+        aggs = [
+            F.min(F.xxhash64(F.col("_h"), F.lit(i))).alias(f"mh_{i}")
+            for i in range(num_hashes)
+        ]
     return pre.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_candidate_pairs(sig: DataFrame, band_size: int = BAND_SIZE) -> DataFrame:
+def lsh_candidate_pairs(
+    sig: DataFrame, band_size: int = BAND_SIZE, exact_bands: bool = False
+) -> DataFrame:
     """Banded LSH: docs agreeing on any band become a candidate pair.
 
-    Scale: bucket keys are 64-bit hashes of band tuples — collisions
-    group only near-identical bands. One explode(bands) → groupBy on
-    (band, bucket) → local pair combinations; shuffle volume is
-    (#docs × #bands) rows, linear in corpus size, and the signature
-    input is consumed exactly once (no self-join).
+    Scale: one explode(bands) → groupBy on the band key → local pair
+    combinations; shuffle volume is (#docs × #bands) rows, linear in
+    corpus size, and the signature input is consumed exactly once (no
+    self-join).
+
+    Band key: by default each band tuple is collapsed to one 64-bit
+    xxhash64 bucket (8 bytes/row shuffled).  ``exact_bands=True`` keys
+    on the RAW minhash tuple instead — band_size× wider shuffle rows,
+    zero collision risk, and (the point) reproducible verbatim in the
+    DuckDB oracle, which cannot compute xxhash64.
     """
     num_hashes = len([c for c in sig.columns if c.startswith("mh_")])
     n_bands = num_hashes // band_size
-    bands = F.array(
-        *[
-            F.xxhash64(*[F.col(f"mh_{b * band_size + r}") for r in range(band_size)], F.lit(b))
-            for b in range(n_bands)
-        ]
-    )
-    buckets = sig.select("doc_id", F.posexplode(bands).alias("band", "bucket"))
+    if exact_bands:
+        bands = F.array(
+            *[
+                F.struct(
+                    *[
+                        F.col(f"mh_{b * band_size + r}").alias(f"v{r}")
+                        for r in range(band_size)
+                    ]
+                )
+                for b in range(n_bands)
+            ]
+        )
+        buckets = sig.select(
+            "doc_id", F.posexplode(bands).alias("band", "vals")
+        ).select("doc_id", "band", "vals.*")
+    else:
+        bands = F.array(
+            *[
+                F.xxhash64(
+                    *[F.col(f"mh_{b * band_size + r}") for r in range(band_size)], F.lit(b)
+                )
+                for b in range(n_bands)
+            ]
+        )
+        buckets = sig.select("doc_id", F.posexplode(bands).alias("band", "bucket"))
     return candidate_pairs_from_groups(buckets)
 
 
@@ -284,13 +409,19 @@ def verify_pairs_jaccard(sh: DataFrame, cands: DataFrame, threshold: float) -> D
     )
 
 
-def minhash_dedup_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.2) -> DataFrame:
+def minhash_dedup_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.2, hash_family: str = "xxhash64"
+) -> DataFrame:
     """MinHash-LSH candidates verified with exact Jaccard — same output
     contract as ngram_jaccard_pairs, but candidate generation is O(n)
     instead of an inverted-index pair explosion over every shared
-    shingle."""
+    shingle.  ``hash_family='md5_affine'`` selects the cross-engine
+    hash (and raw-tuple band keys) so the full pipeline is
+    DuckDB-oracle-checkable; the xxhash64 default is the engine-native
+    fast path."""
     sh = shingles(docs, n).persist(StorageLevel.MEMORY_AND_DISK)
-    cands = lsh_candidate_pairs(minhash_signatures(sh))
+    sig = minhash_signatures(sh, hash_family=hash_family)
+    cands = lsh_candidate_pairs(sig, exact_bands=(hash_family == "md5_affine"))
     return verify_pairs_jaccard(sh, cands, threshold)
 
 
@@ -301,17 +432,29 @@ def minhash_dedup_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.2) -> 
 SIMHASH_BITS = 64
 SIMHASH_BLOCKS = 4  # pigeonhole: hamming ≤ 3 ⇒ ≥1 of 4 blocks equal
 
+#: md5_affine variant uses the 60-bit md5-derived token hash directly:
+#: 60 bits → 4 pigeonhole blocks of 15 bits, no sign-bit special case.
+SIMHASH_BITS_MD5 = 60
 
-def simhash(docs: DataFrame) -> DataFrame:
-    """(doc_id, sig): 64-bit SimHash over distinct tokens.
 
-    bit_i(sig) = sign of Σ_tokens (bit_i(xxhash64(token)) ? +1 : −1).
-    Computed as explode → 64 conditional sums → bit-pack; one shuffle
-    on doc_id.
+def simhash(docs: DataFrame, hash_family: str = "xxhash64") -> DataFrame:
+    """(doc_id, sig): SimHash over distinct tokens.
+
+    bit_i(sig) = sign of Σ_tokens (bit_i(h(token)) ? +1 : −1).
+    Computed as explode → n_bits conditional sums → bit-pack; one
+    shuffle on doc_id.  hash_family ``xxhash64`` (engine-native, 64
+    bits) or ``md5_affine`` (cross-engine md5-derived 60-bit hash —
+    every op below it is integer arithmetic both engines share, so the
+    DuckDB oracle reproduces the signature bit-for-bit).
     """
+    n_bits = SIMHASH_BITS_MD5 if hash_family == "md5_affine" else SIMHASH_BITS
     tok = docs.select(
         "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
+    )
+    if hash_family == "md5_affine":
+        tok = tok.withColumn("h", md5_hash60(F.col("tok")))
+    else:
+        tok = tok.withColumn("h", F.xxhash64("tok"))
 
     def _bit(i: int):
         # bit 63 is the sign bit of BIGINT — its mask is the negative literal
@@ -322,29 +465,32 @@ def simhash(docs: DataFrame) -> DataFrame:
             F.sum(
                 F.when(F.col("h").bitwiseAND(_bit(i)) != 0, 1).otherwise(-1)
             ).alias(f"s_{i}")
-            for i in range(SIMHASH_BITS)
+            for i in range(n_bits)
         ]
     )
     sig = F.lit(0).cast("bigint")
-    for i in range(SIMHASH_BITS):
+    for i in range(n_bits):
         sig = sig + F.when(F.col(f"s_{i}") > 0, _bit(i)).otherwise(F.lit(0).cast("bigint"))
     return sums.select("doc_id", sig.alias("sig"))
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+def simhash_pairs(
+    docs: DataFrame, max_hamming: int = 3, hash_family: str = "xxhash64"
+) -> DataFrame:
     """ALL pairs with hamming(sig_a, sig_b) ≤ max_hamming.
 
-    Scale: pigeonhole — split the 64-bit signature into
-    ``max_hamming+1`` blocks; any pair within the distance budget must
-    agree exactly on ≥1 block, so grouping by block value finds every
-    such pair with NO quadratic comparison and no self-join. Exact (no
-    false negatives); hamming verified by joining candidates back to
-    the persisted signature table (16 bytes/doc — broadcastable far
-    beyond any realistic dedup corpus).
+    Scale: pigeonhole — split the signature into ``max_hamming+1``
+    blocks; any pair within the distance budget must agree exactly on
+    ≥1 block, so grouping by block value finds every such pair with NO
+    quadratic comparison and no self-join. Exact (no false negatives);
+    hamming verified by joining candidates back to the persisted
+    signature table (16 bytes/doc — broadcastable far beyond any
+    realistic dedup corpus).
     """
+    n_bits = SIMHASH_BITS_MD5 if hash_family == "md5_affine" else SIMHASH_BITS
     n_blocks = max_hamming + 1
-    width = SIMHASH_BITS // n_blocks
-    sigs = simhash(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    width = n_bits // n_blocks
+    sigs = simhash(docs, hash_family=hash_family).persist(StorageLevel.MEMORY_AND_DISK)
     blocks = F.array(
         *[
             F.shiftright(F.col("sig"), b * width).bitwiseAND(F.lit((1 << width) - 1).cast("bigint"))

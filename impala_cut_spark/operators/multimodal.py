@@ -155,11 +155,14 @@ def extract_features(assets: DataFrame) -> DataFrame:
     batches in, one feature row per asset out, no driver involvement."""
 
     def _one(p: bytes | None) -> np.ndarray:
+        import struct
+
         p = p if p is not None else b""
         try:
             return image_features(decode_image(bytes(p)))
-        except (NotImplementedError, ValueError, IndexError):
-            return fake_features(p)  # codec-bearing/opaque → byte features
+        except (NotImplementedError, ValueError, IndexError, struct.error):
+            # codec-bearing/opaque/truncated → byte features
+            return fake_features(p)
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -460,6 +460,110 @@ def ivf_topk(
     )
 
 
+#: deterministic frozen-quantizer cell count / probe width / centroid
+#: rows (evenly spaced vec_ids, present at every test SF) — shared with
+#: the DuckDB oracle generator in plans/pipeline.py.
+IVF_FIXED_CENTROID_IDS = tuple(i * 31 for i in range(16))
+IVF_FIXED_N_PROBE = 4
+
+
+def _rounded_centroid_dists(vec: Column, cents: list[list[float]], cc: list[float]) -> Column:
+    """Array of round(‖v−c‖² − ‖v‖², 6) per centroid: cc_c − 2·(v·c)
+    with the centroid norms precomputed as literals and the dot a
+    strict sequential fold — the SAME arithmetic (and rounding) the
+    DuckDB oracle runs, so argmin/probe selection agrees cross-engine
+    (ulp-level engine skew is absorbed by the rounding; ties break by
+    centroid id in both engines)."""
+    return F.array(
+        *[
+            F.round(F.lit(cc[i]) - 2.0 * dot(vec, F.array(*[F.lit(x) for x in c])), 6)
+            for i, c in enumerate(cents)
+        ]
+    )
+
+
+def ivf_topk_fixed(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    centroid_ids: tuple[int, ...] = IVF_FIXED_CENTROID_IDS,
+    n_probe: int = IVF_FIXED_N_PROBE,
+) -> DataFrame:
+    """IVF ANN top-k against a FROZEN coarse quantizer: the centroids
+    are corpus vectors at fixed, evenly spaced vec_ids (the k-means++
+    -style seeding a production index build starts from).
+
+    This is the shape a materialized IVF index has in production: the
+    quantizer is trained ONCE at index-build time and every query
+    thereafter runs against those frozen centroids — so a
+    deterministic, literal quantizer is the honest query-time model,
+    and (the point here) it is exactly reproducible in the DuckDB
+    oracle, which computes the same argmin-assignment, probe lists and
+    cosine top-k from the same 16 corpus vectors.  The TRAINED
+    quantizer path (Lloyd's on a bounded sample) stays in ivf_topk /
+    build_ivf_index above.
+
+    Scale: identical plan to ivf_topk — assignment is a narrow map,
+    the probe join broadcasts |Q|·n_probe rows, the corpus shuffles
+    once on cid (or never, with the materialized index).
+    """
+    cent_rows = (
+        embeddings.filter(F.col("vec_id").isin(list(centroid_ids)))
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )  # bounded by contract: len(centroid_ids) rows
+    cents = [[float(x) for x in r["embedding"]] for r in cent_rows]
+    cc = []
+    for c in cents:
+        acc = 0.0
+        for x in c:  # sequential fold — matches DuckDB list_dot_product
+            acc = acc + x * x
+        cc.append(acc)
+
+    dists = _rounded_centroid_dists(F.col("embedding"), cents, cc)
+    nearest = F.array_position(dists, F.array_min(dists)).cast("int")
+    corpus = with_norm(embeddings).withColumn("cid", nearest).select(
+        F.col("vec_id").alias("n_id"),
+        F.col("embedding").alias("n_vec"),
+        F.col("_norm").alias("n_norm"),
+        "cid",
+    )
+    probes = F.slice(
+        F.transform(
+            F.array_sort(
+                F.transform(dists, lambda d, i: F.struct(d.alias("d"), (i + 1).alias("cid")))
+            ),
+            lambda s: s["cid"],
+        ),
+        1,
+        n_probe,
+    )
+    q = (
+        with_norm(queries)
+        .withColumn("cid", F.explode(probes))
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_vec"),
+            F.col("_norm").alias("q_norm"),
+            "cid",
+        )
+    )
+    scored = corpus.join(F.broadcast(q), "cid").filter(F.col("n_id") != F.col("q_id")).select(
+        "q_id",
+        "n_id",
+        F.round(
+            _cos_pairs(F.col("q_vec"), F.col("n_vec"), F.col("q_norm"), F.col("n_norm")), 6
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "rank", "cos")
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF index materialization: the 100 TB form of ivf_topk
 # ---------------------------------------------------------------------------

@@ -25,8 +25,12 @@ from impala_cut_spark.plans import coverage2  # noqa: E402,F401
 from impala_cut_spark.plans import pipeline  # noqa: E402,F401
 
 #: the first 50 registry entries — the driver's correctness window.
+#: Round-3 rotation (verdict Next-round #7): tpch_q15/q16 (near-dup
+#: shapes of q14/q13 — still oracle-checked below the window) ceded
+#: their slots to tpcds_q65 (two-agg join) and tpcds_q59
+#: (week-over-week self-join) for broader star-join shape coverage.
 DRIVER_WINDOW: list[str] = [
-    # TPC-H (21)
+    # TPC-H (19 of 22 — q15/q16 below the window since round 3)
     "tpch_q1",
     "tpch_q2",
     "tpch_q3",
@@ -40,19 +44,19 @@ DRIVER_WINDOW: list[str] = [
     "tpch_q12",
     "tpch_q13",
     "tpch_q14",
-    "tpch_q15",
-    "tpch_q16",
     "tpch_q17",
     "tpch_q18",
     "tpch_q19",
     "tpch_q20",
     "tpch_q21",
     "tpch_q22",
-    # TPC-DS shapes (4 of 8 — the rest follow below the window)
+    # TPC-DS shapes (6 of 22 — the rest follow below the window)
     "tpcds_q3",
     "tpcds_q19",
     "tpcds_q42",
     "tpcds_q43",
+    "tpcds_q59",
+    "tpcds_q65",
     # §2 operator families, merged one-per-row (coverage2.py)
     "cov_predicates_views",
     "cov_join_all",

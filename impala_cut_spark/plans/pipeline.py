@@ -248,18 +248,134 @@ def pipe_dedup_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(t(spark, sf_dir, "documents"), n=3, threshold=0.2)
 
 
-@query("pipe_dedup_minhash", oracle=None, headline=True)
+def _minhash_oracle() -> str:
+    """DuckDB replica of the FULL md5-affine MinHash+LSH+verify
+    pipeline (not a stand-in): same 60-bit md5 shingle hash, same
+    (a_i, b_i) affine family literals, same banded candidate
+    generation on raw minhash tuples, same exact-Jaccard verify."""
+    P = dedup.MINHASH_PRIME
+    params = dedup.affine_params(dedup.NUM_HASHES)
+    bs = dedup.BAND_SIZE
+    n_bands = dedup.NUM_HASHES // bs
+    mh = ",\n            ".join(
+        f"min(({a} * h + {b}) % {P}) AS mh_{i}" for i, (a, b) in enumerate(params)
+    )
+    arms = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, {b} AS band, "
+        + ", ".join(f"mh_{b * bs + r} AS v{r}" for r in range(bs))
+        + " FROM sig"
+        for b in range(n_bands)
+    )
+    veq = " AND ".join(f"a.v{r} = b.v{r}" for r in range(bs))
+    return f"""
+WITH {_SQL_SHINGLES},
+hs AS (SELECT doc_id,
+              (CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % {P}) AS h
+       FROM sh),
+sig AS (SELECT doc_id,
+            {mh}
+        FROM hs GROUP BY doc_id),
+bands AS (
+  {arms}),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND {veq} AND a.doc_id < b.doc_id),
+ds AS (SELECT doc_id, list(shingle) AS s FROM sh GROUP BY doc_id),
+sc AS (SELECT id_a, id_b,
+              len(list_intersect(x.s, y.s)) AS ni,
+              sa.sz AS sza, sb.sz AS szb
+       FROM cand
+       JOIN ds x ON x.doc_id = id_a
+       JOIN ds y ON y.doc_id = id_b
+       JOIN sizes sa ON sa.doc_id = id_a
+       JOIN sizes sb ON sb.doc_id = id_b)
+SELECT id_a, id_b,
+       round(cast(ni as double) / cast(sza + szb - ni as double), 6) AS jaccard
+FROM sc
+WHERE round(cast(ni as double) / cast(sza + szb - ni as double), 6) >= 0.2
+"""
+
+
+@query("pipe_dedup_minhash", oracle=_minhash_oracle(), headline=True)
 def pipe_dedup_minhash(spark, sf_dir):
     """MinHash(64)+LSH(16×4) candidates verified by exact Jaccard —
-    the O(n) scale path. Same output contract as pipe_dedup_jaccard;
-    recall vs exact measured in tests/test_dedup.py."""
+    the O(n) scale path. Same output contract as pipe_dedup_jaccard.
+    The registered variant uses the cross-engine md5-affine hash family
+    (dedup.minhash_signatures: 60-bit md5 shingle hash + universal
+    (a·h+b) mod p members, raw-tuple band keys) so the ENTIRE pipeline
+    — signatures, LSH candidates, verify — is replicated verbatim by
+    the DuckDB oracle; pipe_dedup_minhash_xx below the window keeps the
+    engine-native xxhash64 fast path. Recall vs exact measured in
+    tests/test_operators.py."""
+    return dedup.minhash_dedup_pairs(
+        t(spark, sf_dir, "documents"), n=3, threshold=0.2, hash_family="md5_affine"
+    )
+
+
+@query("pipe_dedup_minhash_xx", oracle=None)
+def pipe_dedup_minhash_xx(spark, sf_dir):
+    """Engine-native MinHash fast path (xxhash64 family, hashed band
+    buckets — not reproducible outside Spark → rows-only check;
+    equivalence to the md5-affine variant's contract is tested in
+    tests/test_operators.py)."""
     return dedup.minhash_dedup_pairs(t(spark, sf_dir, "documents"), n=3, threshold=0.2)
 
 
-@query("pipe_dedup_simhash", oracle=None)
+def _simhash_oracle() -> str:
+    """DuckDB replica of the md5-variant SimHash pipeline: identical
+    60-bit token hash, bit votes, pigeonhole blocks and hamming verify
+    — pure integer arithmetic both engines share."""
+    bits = dedup.SIMHASH_BITS_MD5
+    n_blocks = dedup.SIMHASH_BLOCKS
+    width = bits // n_blocks
+    mask = (1 << width) - 1
+    sums = ",\n            ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{i}"
+        for i in range(bits)
+    )
+    pack = " + ".join(
+        f"(CASE WHEN s_{i} > 0 THEN {1 << i}::BIGINT ELSE 0::BIGINT END)" for i in range(bits)
+    )
+    arms = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, {b} AS blk, (sig >> {b * width}) & {mask} AS val FROM sig"
+        for b in range(n_blocks)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS l FROM documents),
+tk AS (SELECT doc_id, unnest(list_distinct(l)) AS tok FROM toks),
+th AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM tk),
+sums AS (SELECT doc_id,
+            {sums}
+         FROM th GROUP BY doc_id),
+sig AS (SELECT doc_id, {pack} AS sig FROM sums),
+blocks AS (
+  {arms}),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM blocks a JOIN blocks b
+           ON a.blk = b.blk AND a.val = b.val AND a.doc_id < b.doc_id)
+SELECT id_a, id_b,
+       CAST(bit_count(xor(x.sig, y.sig)) AS INTEGER) AS hamming
+FROM cand JOIN sig x ON x.doc_id = id_a JOIN sig y ON y.doc_id = id_b
+WHERE bit_count(xor(x.sig, y.sig)) <= 3
+"""
+
+
+@query("pipe_dedup_simhash", oracle=_simhash_oracle())
 def pipe_dedup_simhash(spark, sf_dir):
-    """SimHash-64 near-dup pairs, hamming ≤ 3, via exact pigeonhole
-    block join (no n² stage, no false negatives)."""
+    """SimHash near-dup pairs, hamming ≤ 3, via exact pigeonhole block
+    join (no n² stage, no false negatives). Registered variant uses the
+    cross-engine 60-bit md5 token hash (4×15-bit blocks) so signature,
+    candidate and verify stages are all DuckDB-oracle-checked;
+    pipe_dedup_simhash_xx keeps the xxhash64/64-bit fast path."""
+    return dedup.simhash_pairs(
+        t(spark, sf_dir, "documents"), max_hamming=3, hash_family="md5_affine"
+    )
+
+
+@query("pipe_dedup_simhash_xx", oracle=None)
+def pipe_dedup_simhash_xx(spark, sf_dir):
+    """Engine-native SimHash fast path (xxhash64, 64-bit signatures) —
+    rows-only check; verified vs exact hamming in tests."""
     return dedup.simhash_pairs(t(spark, sf_dir, "documents"), max_hamming=3)
 
 
@@ -350,15 +466,52 @@ def pipe_ann_lsh(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@query("pipe_multimodal_features", oracle=None)
+def _multimodal_oracle() -> str:
+    """DuckDB replica of the byte-feature projection: the asset table
+    payloads are the documents' utf-8 bytes (pure ASCII in this corpus
+    — asserted in tests), so the 16-bin byte histogram's informative
+    bins are per-character class counts SQL can compute: bin 2
+    (0x20-0x2F: space + punctuation), bin 4 (0x40-0x4F: '@'+A-O),
+    bin 6 (0x60-0x6F: backtick+a-o)."""
+    bins = {"f_space": (32, 48), "f_upper": (64, 80), "f_lower": (96, 112)}
+    feat_cols = ",\n       ".join(
+        f"round(CASE WHEN nb = 0 THEN 0.0 ELSE "
+        f"cast(len(list_filter(cps, c -> c >= {lo} AND c < {hi})) as double)"
+        f" / cast(nb as double) END, 6) AS {name}"
+        for name, (lo, hi) in bins.items()
+    )
+    return f"""
+WITH cp AS (SELECT doc_id, strlen(text) AS nb,
+                   list_transform(range(1, length(text) + 1),
+                                  i -> unicode(substr(text, i, 1))) AS cps
+            FROM documents)
+SELECT doc_id AS asset_id,
+       CASE CAST(doc_id % 3 AS INTEGER)
+         WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+       CAST(nb AS INTEGER) AS n_bytes,
+       {feat_cols}
+FROM cp
+"""
+
+
+@query("pipe_multimodal_features", oracle=_multimodal_oracle())
 def pipe_multimodal_features(spark, sf_dir):
     """Binary-payload feature extraction via Arrow-batched mapInPandas
-    (deterministic stand-in features; schema/batching is the real
-    production shape)."""
+    — the REAL production plumbing (binary payloads in Arrow buffers,
+    size-bounded batches, decode-or-fallback per asset), projected to
+    the oracle-expressible invariants: byte length + the informative
+    16-bin byte-histogram fractions (bins 2/4/6 = punctuation /
+    upper-case / lower-case byte classes), which DuckDB derives from
+    the same utf-8 payloads character-wise."""
     docs = t(spark, sf_dir, "documents")
     feats = multimodal.extract_features(multimodal.assets_from_documents(docs))
     return feats.select(
-        "asset_id", "modality", "n_bytes", F.round(F.element_at("features", 1), 6).alias("f0")
+        "asset_id",
+        "modality",
+        "n_bytes",
+        F.round(F.element_at("features", 3), 6).alias("f_space"),
+        F.round(F.element_at("features", 5), 6).alias("f_upper"),
+        F.round(F.element_at("features", 7), 6).alias("f_lower"),
     )
 
 
@@ -391,7 +544,7 @@ def stream_events_hourly(spark, sf_dir):
 WITH marks AS (
   SELECT user_id, ts, value,
          CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                   >= INTERVAL 30 MINUTE
+                   > INTERVAL 30 MINUTE
               THEN 1 ELSE 0 END AS new_sess
   FROM events),
 isl AS (
@@ -445,11 +598,66 @@ def stream_sessions_stateful(spark, sf_dir):
     return run_stateful_sessions(spark, sf_dir)
 
 
-@query("pipe_ann_ivf", oracle=None)
+def _ivf_oracle() -> str:
+    """DuckDB replica of the frozen-quantizer IVF search: the same 16
+    centroid rows (fixed vec_ids), the same rounded argmin assignment
+    (ties → lowest cid), the same 4-probe lists and cosine top-k.
+    Rounding d to 6dp absorbs last-ulp dot-product skew between the
+    engines' accumulation, making assignment deterministic."""
+    ids = ", ".join(str(i) for i in similarity.IVF_FIXED_CENTROID_IDS)
+    n_probe = similarity.IVF_FIXED_N_PROBE
+    return f"""
+WITH {_SQL_VECS},
+cents AS (SELECT row_number() OVER (ORDER BY vec_id) AS cid,
+                 e AS ce, list_dot_product(e, e) AS cc
+          FROM v WHERE vec_id IN ({ids})),
+dist AS (SELECT n.vec_id, c.cid,
+                round(c.cc - 2.0 * list_dot_product(n.e, c.ce), 6) AS d
+         FROM v n CROSS JOIN cents c),
+assign AS (SELECT vec_id, cid FROM (
+             SELECT vec_id, cid,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+             FROM dist) WHERE rn = 1),
+probes AS (SELECT vec_id AS q_id, cid FROM (
+             SELECT vec_id, cid,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+             FROM dist WHERE vec_id < 10) WHERE rn <= {n_probe}),
+corpus AS (SELECT a.cid, n.vec_id AS n_id, n.e AS ne, n.nm AS nn
+           FROM nv n JOIN assign a ON a.vec_id = n.vec_id),
+qs AS (SELECT p.q_id, p.cid, q.e AS qe, q.nm AS qn
+       FROM probes p JOIN nv q ON q.vec_id = p.q_id),
+s AS (SELECT q_id, n_id,
+             round(list_dot_product(qe, ne) / (qn * nn), 6) AS cos
+      FROM corpus c JOIN qs ON qs.cid = c.cid
+      WHERE n_id <> q_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+      FROM s)
+SELECT q_id, n_id, rank, cos FROM r WHERE rank <= 5
+"""
+
+
+@query("pipe_ann_ivf", oracle=_ivf_oracle())
 def pipe_ann_ivf(spark, sf_dir):
-    """IVF-bucketed ANN (k-means coarse quantizer, probe-4-of-16
-    lists) — the partition-pruned scale path beside pipe_ann_lsh;
-    recall vs brute force in tests/test_operators.py."""
+    """IVF-bucketed ANN (probe-4-of-16 inverted lists) — the
+    partition-pruned scale path beside pipe_ann_lsh.  Registered
+    variant runs against a FROZEN coarse quantizer (16 corpus vectors
+    at fixed vec_ids — the production shape: an index's quantizer is
+    trained once at build time, then every query sees it as constants),
+    which the DuckDB oracle replicates end-to-end: assignment, probe
+    lists, cosine top-k.  The k-means-TRAINED quantizer stays at
+    pipe_ann_ivf_trained below the window; recall vs brute force in
+    tests/test_operators.py."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.ivf_topk_fixed(emb, queries, k=5)
+
+
+@query("pipe_ann_ivf_trained", oracle=None)
+def pipe_ann_ivf_trained(spark, sf_dir):
+    """IVF with the Lloyd's-trained coarse quantizer (driver-side
+    bounded-sample k-means, FAISS-style) — rows-only check (the trained
+    centroids are not SQL-expressible); recall vs brute force in
+    tests/test_operators.py."""
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return similarity.ivf_topk(emb, queries, dim=64, k=5)

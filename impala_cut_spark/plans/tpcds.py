@@ -390,7 +390,8 @@ def tpcds_q96(spark, sf_dir):
 from impala_cut_spark.sources.catalog import register_views  # noqa: E402
 
 
-def _sql_query(name: str, doc: str, spark_sql: str, oracle_sql: str | None = None):
+def _sql_query(name: str, doc: str, spark_sql: str, oracle_sql: str | None = None,
+               headline: bool = False):
     """Register a TPC-DS shape whose Spark side is plain SQL."""
 
     def fn(spark, sf_dir, _sql=spark_sql):
@@ -399,7 +400,7 @@ def _sql_query(name: str, doc: str, spark_sql: str, oracle_sql: str | None = Non
 
     fn.__doc__ = doc
     fn.__name__ = name
-    query(name, oracle=(oracle_sql or spark_sql))(fn)
+    query(name, oracle=(oracle_sql or spark_sql), headline=headline)(fn)
 
 
 _DSUM = "cast(sum(cast({c} as decimal(12,2))) as double)"
@@ -673,6 +674,7 @@ WHERE sc.revenue <= 0.5 * sa.ave
 ORDER BY s_name, p_name
 LIMIT 100
 """,
+    headline=True,
 )
 
 

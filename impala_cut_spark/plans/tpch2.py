@@ -111,6 +111,7 @@ def tpch_q8(spark, sf_dir):
 # ---------------------------------------------------------------------------
 @query(
     "tpch_q9",
+    headline=True,
     oracle=f"""
 SELECT nation, o_year, cast(sum({SQL_DISC_PRICE}) as double) AS sum_profit
 FROM (
@@ -372,6 +373,7 @@ def tpch_q20(spark, sf_dir):
 # ---------------------------------------------------------------------------
 @query(
     "tpch_q21",
+    headline=True,
     oracle="""
 WITH l1 AS (
   SELECT l_orderkey, l_suppkey FROM lineitem JOIN orders ON o_orderkey = l_orderkey

@@ -157,7 +157,18 @@ class ImpalaSession:
                 )
             read_avro(self.spark, path).createOrReplaceTempView(name)
             return self.spark.sql("select 1 where false")
-        return self.spark.sql(rewrite(self._expand_like_file(text)))
+        # abort_on_error (ImpalaService.thrift; tests/data_errors/):
+        # 1 → text scans FAILFAST on malformed rows, 0 → PERMISSIVE
+        # (bad cells become NULL, ragged rows pad/truncate). Spark pins
+        # read options at DDL time, so the policy is captured into
+        # text-table CREATEs; read_text_table applies it per-read.
+        abort = self._options.get("abort_on_error") in ("1", "true")
+        return self.spark.sql(
+            rewrite(
+                self._expand_like_file(text),
+                csv_mode="FAILFAST" if abort else None,
+            )
+        )
 
     #: CREATE TABLE t LIKE PARQUET '<hdfs-path>' (sql-parser.y:661-810;
     #: fe/.../analysis/CreateTableLikeFileStmt.java): infer the column

@@ -33,10 +33,15 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")  # file source needs a dir
         .parquet(sf_dir)
     )
-    if dict(raw.dtypes).get("ts") == "bigint":
+    ts_type = dict(raw.dtypes).get("ts", "")
+    if ts_type == "bigint":
         # TimestampType (not NTZ): watermarks require TIMESTAMP; session
         # TZ is pinned UTC so wall-clock values match the batch catalog.
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type.startswith("timestamp_ntz"):
+        # TIMESTAMP(MICROS) parquet reads as NTZ; watermarks require
+        # TIMESTAMP — UTC session TZ keeps wall-clock values identical.
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
     return raw
 
 

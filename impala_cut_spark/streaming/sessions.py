@@ -125,9 +125,12 @@ def make_sessionizer(gap: str = DEFAULT_GAP):
             n, total = 0, 0
         for t_us, v in zip(ts_us, cents):
             t_us = int(t_us)
-            # ts exactly gap after the last event starts a NEW session
-            # (session_window intervals are [t, t+gap) — end exclusive)
-            if n > 0 and t_us - last >= gap_us:
+            # a new session starts only when the gap is STRICTLY
+            # exceeded: session_window merges an event landing exactly
+            # at last+gap (verified by the randomized differential in
+            # tests/test_differential.py — the >= form diverged on
+            # exact-gap boundaries)
+            if n > 0 and t_us - last > gap_us:
                 closed.append((start, last, n, total))
                 start, n, total = t_us, 0, 0
             last = t_us

@@ -24,6 +24,10 @@ from pathlib import Path
 
 GOLDEN_DIR = Path(__file__).resolve().parent / "golden"
 
+#: malformed-input fixture files (data-errors corpus) — referenced from
+#: .test files as ${FIXTURES}/<path>
+FIXTURES_DIR = Path(__file__).resolve().parent / "fixtures"
+
 # Spark simpleString dtype -> reference type name (be/src/runtime/types.h:27-48)
 _SPARK_TO_IMPALA = {
     "boolean": "boolean",
@@ -49,6 +53,7 @@ class GoldenCase:
     results: list[str] = field(default_factory=list)
     ordered: bool = False  # outermost ORDER BY -> positional compare
     setup: list[str] = field(default_factory=list)  # stmts run before QUERY
+    catch: str | None = None  # expected-error substring (reference CATCH)
 
     @property
     def id(self) -> str:
@@ -76,9 +81,17 @@ def parse_test_file(path: Path) -> list[GoldenCase]:
             if current is not None:
                 sections[current].append(line)
         qlines = [l for l in sections.get("QUERY", []) if not l.lstrip().startswith("#")]
-        query = "\n".join(qlines).strip()
+        query = "\n".join(qlines).strip().replace("${FIXTURES}", str(FIXTURES_DIR))
         if not query:
             continue
+        # ---- CATCH: expected-error substring (the reference test
+        # format's CATCH section — impala_test_suite.py); the case
+        # passes iff running it raises an error containing the text
+        catch = None
+        if "CATCH" in sections:
+            catch = "\n".join(
+                l for l in sections["CATCH"] if not l.lstrip().startswith("#")
+            ).strip() or None
         types = None
         if "TYPES" in sections:
             tline = " ".join(sections["TYPES"]).strip()
@@ -95,7 +108,7 @@ def parse_test_file(path: Path) -> list[GoldenCase]:
 
             raw = "\n".join(
                 l for l in sections["SETUP"] if not l.lstrip().startswith("#")
-            )
+            ).replace("${FIXTURES}", str(FIXTURES_DIR))
             setup = [st.strip() for st in split_statements(raw) if st.strip()]
         # ORDER BY in the outermost query (not inside a subquery paren) -> ordered
         depth, ordered = 0, False
@@ -108,7 +121,7 @@ def parse_test_file(path: Path) -> list[GoldenCase]:
             elif depth == 0:
                 ordered = True
         cases.append(
-            GoldenCase(path.name, idx, name, query, types, results, ordered, setup)
+            GoldenCase(path.name, idx, name, query, types, results, ordered, setup, catch)
         )
         idx += 1
     return cases
@@ -211,6 +224,22 @@ def spark_types(df) -> list[str]:
 
 def run_case(session, case: GoldenCase) -> None:
     """Execute one golden case; raise AssertionError with a diff on mismatch."""
+    if case.catch is not None:
+        # expected-error case: setup + query + materialization must
+        # raise, and the message must carry the pinned substring
+        try:
+            for stmt in case.setup:
+                session.sql(stmt)
+            session.sql(case.query).collect()
+        except AssertionError:
+            raise
+        except Exception as e:  # noqa: BLE001 — any engine error qualifies
+            assert case.catch in str(e), (
+                f"{case.id}: error does not contain CATCH text\n"
+                f" expected substring: {case.catch}\n   actual: {str(e)[:500]}"
+            )
+            return
+        raise AssertionError(f"{case.id}: expected an error containing {case.catch!r}")
     for stmt in case.setup:
         session.sql(stmt)
     df = session.sql(case.query)

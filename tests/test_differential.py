@@ -288,3 +288,160 @@ def test_random_subquery_matches_duckdb(sql, spark, oracle, views):
     assert scols == ocols, sql
     bad = [(a, b) for a, b in zip(srows, orows) if a != b]
     assert not bad, f"{sql}\nfirst diff: {bad[0] if bad else None}"
+
+
+# --- round-3 strategies: as-of ties + session-window boundaries ----------
+#
+# These diff the round-2 OPERATORS (not the SQL dialect) on randomized
+# in-memory data engineered to hit the exact edge cases the verdict
+# called out: equal-timestamp as-of ties and gap==threshold session
+# boundaries.
+
+_EPOCH = "2024-01-01 00:00:00"
+
+
+def _ts(minutes: int) -> str:
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 1, 1)
+    return (base + timedelta(minutes=minutes)).strftime("%Y-%m-%d %H:%M:%S")
+
+
+@st.composite
+def asof_case(draw):
+    """Random left/right rows over 1-3 keys; timestamps from a SMALL
+    minute grid so equal-ts left/right collisions (the inclusive-asof
+    tie case) occur constantly."""
+    n_l = draw(st.integers(1, 12))
+    n_r = draw(st.integers(0, 12))
+    row = st.tuples(st.integers(1, 3), st.integers(0, 20))  # (user, minute)
+    left = draw(st.lists(row, min_size=n_l, max_size=n_l))
+    right = draw(
+        st.lists(st.tuples(st.integers(1, 3), st.integers(0, 20), st.integers(1, 99)),
+                 min_size=n_r, max_size=n_r)
+    )
+    return left, right
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(case=asof_case())
+def test_random_asof_matches_duckdb(case, spark, oracle, views):
+    """asof_join vs DuckDB's native ASOF LEFT JOIN on identical rows —
+    right side pre-deduped to unique (user, ts) via max(value) so both
+    engines' tie behavior is defined; left ties and equal left/right
+    timestamps remain (inclusive semantics: right at ts == left ts is
+    carried)."""
+    from impala_cut_spark.operators.temporal import asof_join
+
+    left, right = case
+    lrows = [(i, u, _ts(m)) for i, (u, m) in enumerate(left)]
+    rrows = [(u, _ts(m), v) for (u, m, v) in right]
+    ldf = spark.createDataFrame(lrows, "event_id long, user_id long, ts string").withColumn(
+        "ts", st_col_ts()
+    )
+    rdf = (
+        spark.createDataFrame(rrows, "user_id long, ts string, value long")
+        .withColumn("ts", st_col_ts())
+        .groupBy("user_id", "ts")
+        .agg(__import__("pyspark.sql.functions", fromlist=["max"]).max("value").alias("v"))
+    )
+    got = {
+        (r["event_id"], r["asof_v"])
+        for r in asof_join(ldf, rdf, on="ts", by="user_id", value_cols=["v"]).collect()
+    }
+
+    con = oracle
+    con.execute("CREATE OR REPLACE TABLE _al (event_id BIGINT, user_id BIGINT, ts TIMESTAMP)")
+    con.execute("CREATE OR REPLACE TABLE _ar (user_id BIGINT, ts TIMESTAMP, value BIGINT)")
+    if lrows:
+        con.executemany("INSERT INTO _al VALUES (?, ?, ?)", lrows)
+    if rrows:
+        con.executemany("INSERT INTO _ar VALUES (?, ?, ?)", rrows)
+    want = {
+        (eid, v)
+        for eid, v in con.execute(
+            """
+            WITH r AS (SELECT user_id, ts, max(value) AS v FROM _ar GROUP BY 1, 2)
+            SELECT l.event_id, r.v
+            FROM _al l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts
+            """
+        ).fetchall()
+    }
+    assert got == want
+
+
+def st_col_ts():
+    from pyspark.sql import functions as F
+
+    return F.to_timestamp("ts").cast("timestamp_ntz")
+
+
+@st.composite
+def sessions_case(draw):
+    """Random per-user event times on a 10-minute grid with a 30-minute
+    gap threshold — every draw lands gaps on {10,20,30,40,...} minutes,
+    so the gap == threshold boundary (NEW session in both engines'
+    definition: close at gap >= threshold) is hit constantly."""
+    n = draw(st.integers(1, 20))
+    rows = draw(
+        st.lists(
+            st.tuples(st.integers(1, 3), st.integers(0, 30), st.integers(1, 9)),
+            min_size=n, max_size=n,
+        )
+    )
+    return rows
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(rows=sessions_case())
+def test_random_sessions_match_duckdb(rows, spark, oracle, views):
+    """session_window sessionization vs the gaps-and-islands oracle on
+    identical rows (10-minute grid → exact 30-minute gaps occur):
+    Spark's session_window closes a session when the next event is
+    STRICTLY more than gap after the previous one, matching the
+    lag() > INTERVAL rewrite (exact-gap events merge)."""
+    from impala_cut_spark.streaming.sessions import user_sessions
+
+    data = [(u, _ts(m * 10), float(v)) for (u, m, v) in rows]
+    df = (
+        spark.createDataFrame(data, "user_id long, ts string, value double")
+        .withColumn("ts", st_col_ts())
+    )
+    got = {
+        (r["user_id"], r["session_start"].isoformat(), r["session_end"].isoformat(),
+         r["n_events"], round(r["total_value"], 2))
+        for r in user_sessions(df).collect()
+    }
+
+    con = oracle
+    con.execute("CREATE OR REPLACE TABLE _se (user_id BIGINT, ts TIMESTAMP, value DOUBLE)")
+    con.executemany("INSERT INTO _se VALUES (?, ?, ?)", data)
+    want = {
+        (u, s.isoformat(), e.isoformat(), n, round(t, 2))
+        for u, s, e, n, t in con.execute(
+            """
+            WITH marks AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                               > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+              FROM _se),
+            isl AS (
+              SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                            ROWS UNBOUNDED PRECEDING) AS sid
+              FROM marks)
+            SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+                   count(*) AS n_events,
+                   cast(sum(cast(value as decimal(12,2))) as double) AS total_value
+            FROM isl GROUP BY user_id, sid
+            """
+        ).fetchall()
+    }
+    assert got == want

@@ -90,7 +90,7 @@ def test_dedup_exact_single_shuffle(plans):
 
 def test_dedup_jaccard_join_shape(plans):
     p = plans("pipe_dedup_jaccard")
-    # similarity self-join must be a hash join Catalyst chose (broadcast
+    # candidate self-join must be a hash join Catalyst chose (broadcast
     # here; shuffled+skew-split at scale) — never a cartesian product
     assert "CartesianProduct" not in p
     assert "BroadcastHashJoin" in p or "ShuffledHashJoin" in p or "SortMergeJoin" in p
@@ -191,6 +191,8 @@ def test_jaccard_df_cap_prefilter_in_plan(spark, sf_dir):
     (empty build side → pass-through) — so the prefilter must appear
     in the initial plan, and correctness stays oracle-identical
     (test_correctness)."""
+    from impala_cut_spark.plans._util import t
+
     df = REGISTRY["pipe_dedup_jaccard"].spark(spark, sf_dir)
     df.collect()
     full = df._jdf.queryExecution().executedPlan().toString()
@@ -198,3 +200,18 @@ def test_jaccard_df_cap_prefilter_in_plan(spark, sf_dir):
     final = full.split("== Initial Plan ==")[0]
     # at test scale the cap is a no-op: AQE removed the empty anti-join
     assert "LeftAnti" not in final
+
+
+def test_jaccard_prefix_filter_matches_count_form(spark, sf_dir):
+    """PPJoin prefix filtering is EXACT: the prefix-filtered form and
+    the count-based inverted-index form must produce identical pairs."""
+    from impala_cut_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+    from impala_cut_spark.plans._util import t
+
+    docs = t(spark, sf_dir, "documents")
+    got = {tuple(r) for r in ngram_jaccard_pairs_prefix(docs).collect()}
+    want = {tuple(r) for r in ngram_jaccard_pairs(docs).collect()}
+    assert got == want and len(want) > 0

@@ -144,10 +144,10 @@ def main():
             scols = sdf.columns
         except Exception:
             failures.append(name)
-            print(f"FAIL  {name}: spark error\n{traceback.format_exc()}")
+            print(f"FAIL  {name}: spark error\n{traceback.format_exc()}", flush=True)
             continue
         if name not in oracles:
-            print(f"ok*   {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            print(f"ok*   {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)", flush=True)
             continue
         try:
             orel = con.sql(oracles[name])
@@ -155,30 +155,30 @@ def main():
             orows = orel.fetchall()
         except Exception:
             failures.append(name)
-            print(f"FAIL  {name}: duckdb error\n{traceback.format_exc()}")
+            print(f"FAIL  {name}: duckdb error\n{traceback.format_exc()}", flush=True)
             continue
         sc, sr = frame_to_rows([c.lower() for c in scols], srows)
         oc, orw = frame_to_rows(ocols, orows)
         if sc != oc:
             failures.append(name)
-            print(f"FAIL  {name}: columns {sc} vs {oc}")
+            print(f"FAIL  {name}: columns {sc} vs {oc}", flush=True)
             continue
         if len(sr) != len(orw):
             failures.append(name)
-            print(f"FAIL  {name}: rowcount {len(sr)} vs {len(orw)}")
+            print(f"FAIL  {name}: rowcount {len(sr)} vs {len(orw)}", flush=True)
             continue
         bad = [(a, b) for a, b in zip(sr, orw) if a != b]
         if bad:
             failures.append(name)
-            print(f"FAIL  {name}: {len(bad)}/{len(sr)} differing rows; first: {bad[0]}")
+            print(f"FAIL  {name}: {len(bad)}/{len(sr)} differing rows; first: {bad[0]}", flush=True)
             continue
         if strict:
             err = strict_compare(name, sdf, con.sql(oracles[name]))
             if err:
                 failures.append(name)
-                print(f"FAIL  {name}: {err}")
+                print(f"FAIL  {name}: {err}", flush=True)
                 continue
-        print(f"ok    {name}: {len(sr)} rows match ({time.time()-t0:.1f}s)")
+        print(f"ok    {name}: {len(sr)} rows match ({time.time()-t0:.1f}s)", flush=True)
 
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     sys.exit(1 if failures else 0)
