@@ -634,7 +634,15 @@ def rewrite_statements(sql: str) -> str:
                     "text and parquet (reference hdfs-table-sink.cc:341-347)"
                 )
             using = f"USING {provider}"
-            if options and provider == "csv":
+            if provider == "csv":
+                # Impala text format: NULL is stored as \N
+                # (HdfsTable.java:93 DEFAULT_NULL_COLUMN_VALUE,
+                # text-converter.inline.h:41). '\\N' in Spark SQL
+                # literal syntax → the two chars \N.  Known delta:
+                # Spark's csv parser reads an EMPTY unquoted string
+                # field as NULL, where the reference yields '' for
+                # STRING columns (numerics are NULL either way).
+                options.append(r"nullValue '\\N'")
                 using += " OPTIONS (" + ", ".join(options) + ")"
             sql = sql[: sa.start()] + using + sql[sa.end() :]
         sql = re.sub(r"\bcreate\s+external\s+table\b", "CREATE TABLE", sql, flags=re.IGNORECASE)

@@ -122,8 +122,11 @@ def write_text_table(
     mode: str = "overwrite",
 ) -> None:
     """Delimited-text writer (hdfs-text-table-writer.cc parity: field
-    delimiter + escape char)."""
-    df.write.mode(mode).options(sep=sep, escape=escape, header=header).csv(path)
+    delimiter + escape char + \\N null sentinel — HdfsTable.java:93
+    DEFAULT_NULL_COLUMN_VALUE)."""
+    df.write.mode(mode).options(
+        sep=sep, escape=escape, header=header, nullValue="\\N"
+    ).csv(path)
 
 
 def read_text_table(
@@ -145,7 +148,11 @@ def read_text_table(
     (FAILFAST).
     """
     reader = spark.read.options(
-        sep=sep, escape=escape, header=header, mode="FAILFAST" if abort_on_error else "PERMISSIVE"
+        sep=sep,
+        escape=escape,
+        header=header,
+        nullValue="\\N",  # \N sentinel (text-converter.inline.h:41)
+        mode="FAILFAST" if abort_on_error else "PERMISSIVE",
     )
     if schema:
         reader = reader.schema(schema)

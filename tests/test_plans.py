@@ -215,3 +215,47 @@ def test_jaccard_prefix_filter_matches_count_form(spark, sf_dir):
     got = {tuple(r) for r in ngram_jaccard_pairs_prefix(docs).collect()}
     want = {tuple(r) for r in ngram_jaccard_pairs(docs).collect()}
     assert got == want and len(want) > 0
+
+
+def _load_plan_pins():
+    import json
+    from pathlib import Path
+
+    p = Path(__file__).resolve().parent / "plan_pins.json"
+    if not p.exists():  # regenerate: python tools/gen_plan_pins.py
+        return {}
+    return json.loads(p.read_text())
+
+
+_PLAN_PINS = _load_plan_pins()
+
+
+@pytest.mark.parametrize("name", sorted(_PLAN_PINS))
+def test_window_plan_pins(plans, name):
+    """Plan-shape regression pin for every driver-window query
+    (round-2 verdict #5), against tests/plan_pins.json.
+
+    Direction-aware compare — a regression is MORE shuffles, FEWER
+    broadcast joins, any NEW nested-loop/cartesian, or lost pushdown;
+    strictly-better drift (AQE dropping a shuffle, an extra broadcast)
+    is tolerated because AQE's runtime choices can vary with session
+    warmth at tiny SF. Regenerate intentionally with
+    python tools/gen_plan_pins.py."""
+    from gen_plan_pins import plan_signals
+
+    pin = _PLAN_PINS[name]
+    got = plan_signals(plans(name))
+    problems = []
+    if got["shuffles"] > pin["shuffles"]:
+        problems.append(f"shuffles {got['shuffles']} > pinned {pin['shuffles']}")
+    if got["broadcast_joins"] < pin["broadcast_joins"]:
+        problems.append(
+            f"broadcast_joins {got['broadcast_joins']} < pinned {pin['broadcast_joins']}"
+        )
+    if got["bnlj"] > pin["bnlj"]:
+        problems.append(f"bnlj {got['bnlj']} > pinned {pin['bnlj']}")
+    if got["cartesian"] > pin["cartesian"]:
+        problems.append(f"cartesian {got['cartesian']} > pinned {pin['cartesian']}")
+    if pin["pushdown"] and not got["pushdown"]:
+        problems.append("filter pushdown lost")
+    assert not problems, f"{name}: plan regressed — {'; '.join(problems)}\n pinned: {pin}\n    got: {got}"
