@@ -54,6 +54,21 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
 
+#: BPE-ish pre-tokenization pattern (GPT-2-style word/number/punct
+#: splitting, simplified to ASCII classes): letter runs, digit runs,
+#: and single punctuation marks each count as one token. The class
+#: syntax is identical in Java regex (Spark) and RE2 (DuckDB), so the
+#: count is oracle-checkable.
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Token count under BPE-ish regex pre-tokenization — the
+    LLM-pipeline budget estimator (whitespace counting undercounts
+    punctuation-heavy text)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_PATTERN), F.lit(0)))
+
+
 def distinct_token_count(text: Column) -> Column:
     return F.size(F.array_distinct(tokens(text)))
 

@@ -15,8 +15,10 @@ from pyspark.sql import functions as F
 
 from impala_cut_spark.operators import dedup, multimodal, similarity
 from impala_cut_spark.operators.text import (
+    BPE_TOKEN_PATTERN,
     LANG_STOPWORDS,
     QUALITY_STOPWORDS,
+    bpe_token_count,
     fingerprint,
     lang_id,
     quality_features,
@@ -161,6 +163,7 @@ WITH toks AS (SELECT doc_id, lang, text, {_SQL_TOKS} AS l FROM documents),
        FROM toks)
 SELECT doc_id,
        n_char, n_tok, n_distinct_tok,
+       len(regexp_extract_all(text, '{BPE_TOKEN_PATTERN}')) AS n_bpe_tok,
        round(avg_tok_len, 6) AS avg_tok_len,
        round(cast(n_distinct_tok as double) / cast(n_tok as double), 6) AS ttr,
        round(0.4 * least(cast(n_tok as double) / 100.0, 1.0)
@@ -177,7 +180,8 @@ FROM ft
 def pipe_text_all(spark, sf_dir):
     """All four text-analysis families in ONE driver row (merged for
     the driver's 50-row window; fine-grained pipe_text_* entries stay
-    registered below it): token stats + TTR, heuristic quality score,
+    registered below it): token stats (whitespace + BPE-ish regex
+    pre-tokenization counts) + TTR, heuristic quality score,
     stopword-vote language ID, md5 content fingerprint — a single
     narrow projection over the scan, no shuffle (operators/text.py)."""
     docs = fan_out(t(spark, sf_dir, "documents"))
@@ -187,6 +191,7 @@ def pipe_text_all(spark, sf_dir):
         ft["n_char"].alias("n_char"),
         ft["n_tok"].alias("n_tok"),
         ft["n_distinct_tok"].alias("n_distinct_tok"),
+        bpe_token_count(F.col("text")).alias("n_bpe_tok"),
         F.round(ft["avg_tok_len"], 6).alias("avg_tok_len"),
         F.round(ft["n_distinct_tok"].cast("double") / ft["n_tok"].cast("double"), 6).alias("ttr"),
         quality_score(F.col("text")).alias("quality"),

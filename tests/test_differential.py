@@ -445,3 +445,66 @@ def test_random_sessions_match_duckdb(rows, spark, oracle, views):
         ).fetchall()
     }
     assert got == want
+
+
+# --- round-3: timestamp format round-trips through the dialect ------------
+
+
+@st.composite
+def ts_format_case(draw):
+    """Random Impala-style format (fixed-width tokens + separator),
+    random datetime, optional trailing garbage after the formatted
+    value (Impala parses by fixed position and ignores the tail —
+    expr-test.cc:2534-2536)."""
+    import datetime
+
+    sep = draw(st.sampled_from(["-", "/", " ", "."]))
+    with_time = draw(st.booleans())
+    with_secs = draw(st.booleans())
+    tokens = ["yyyy", "MM", "dd"] + (
+        (["HH", "mm"] + (["ss"] if with_secs else [])) if with_time else []
+    )
+    fmt = sep.join(tokens)
+    base = datetime.datetime(2020, 1, 1)
+    dt = base + datetime.timedelta(
+        days=draw(st.integers(0, 1500)),
+        hours=draw(st.integers(0, 23)),
+        minutes=draw(st.integers(0, 59)),
+        seconds=draw(st.integers(0, 59)),
+    )
+    strf = {"yyyy": "%Y", "MM": "%m", "dd": "%d", "HH": "%H", "mm": "%M", "ss": "%S"}
+    value = sep.join(dt.strftime(strf[t]) for t in tokens)
+    garbage = draw(st.sampled_from(["", " trailing", "Z", "xyz123"]))
+    # expected epoch: unparsed fields are zero (midnight)
+    filled = dt.replace(
+        hour=dt.hour if with_time else 0,
+        minute=dt.minute if with_time else 0,
+        second=dt.second if (with_time and with_secs) else 0,
+    )
+    import calendar
+
+    epoch = calendar.timegm(filled.timetuple())
+    return fmt, value, garbage, epoch
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(case=ts_format_case())
+def test_random_timestamp_format_roundtrip(case, spark):
+    """unix_timestamp(s, fmt) through the Impala dialect == the epoch
+    computed in Python (UTC session), including fixed-position prefix
+    parsing with trailing garbage; from_unixtime(epoch, fmt) restores
+    the exact formatted string."""
+    from impala_cut_spark.session import ImpalaSession
+
+    fmt, value, garbage, epoch = case
+    s = ImpalaSession(spark)
+    row = s.sql(
+        f"select unix_timestamp('{value}{garbage}', '{fmt}') as t, "
+        f"from_unixtime({epoch}, '{fmt}') as f"
+    ).collect()[0]
+    assert row["t"] == epoch, (fmt, value, garbage, epoch, row["t"])
+    assert row["f"] == value, (fmt, epoch, row["f"], value)
