@@ -290,7 +290,12 @@ def hyperplane_signature(df: DataFrame, dim: int, n_planes: int = 12, vec: str =
 
 
 def lsh_topk(
-    embeddings: DataFrame, queries: DataFrame, dim: int, k: int = 5, n_planes: int = 8
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 8,
+    multi_probe: int = 0,
 ) -> DataFrame:
     """ANN top-k: compare each query only against corpus vectors in the
     SAME hyperplane bucket.
@@ -298,8 +303,14 @@ def lsh_topk(
     Scale: the corpus is hash-partitioned by bucket (a pre-computable,
     materializable index); each query probes one partition instead of
     the full corpus. Recall < 1 by construction — measured against
-    brute_force_topk in tests/test_similarity.py. Multi-probe (flip one
-    bit) would raise recall at 2× probe cost.
+    brute_force_topk in tests/test_operators.py.
+
+    ``multi_probe=b``: each query ALSO probes the ``b`` buckets at
+    hamming distance 1 from its own whose sign-plane projection was
+    closest to the hyperplane (classic multi-probe LSH, Lv et al.,
+    public literature) — the bits most likely to have been flipped by
+    noise. Probe cost grows to (1+b)× query rows (the corpus side is
+    untouched); recall rises accordingly. b=0 is single-probe.
     """
     corpus = hyperplane_signature(with_norm(fan_out(embeddings)), dim, n_planes).select(
         F.col("vec_id").alias("n_id"),
@@ -307,7 +318,42 @@ def lsh_topk(
         F.col("_norm").alias("n_norm"),
         "bucket",
     )
-    q = hyperplane_signature(with_norm(queries), dim, n_planes).select(
+    planes = _hyperplanes(dim, n_planes)
+    qsig = hyperplane_signature(with_norm(queries), dim, n_planes)
+    if multi_probe > 0:
+        # |projection| per plane = distance-to-hyperplane proxy; flip
+        # the multi_probe closest bits → array of probe buckets
+        projs = []
+        for p in range(n_planes):
+            proj = F.aggregate(
+                F.zip_with(
+                    F.col("embedding"),
+                    F.array(*[F.lit(float(x)) for x in planes[p]]),
+                    lambda x, y: x.cast("double") * y,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            # rounded 6dp: cross-engine-stable ordering of the flip
+            # candidates (ties → lower plane index, both engines)
+            projs.append(F.struct(F.round(F.abs(proj), 6).alias("d"), F.lit(p).alias("p")))
+        flip_bits = F.slice(
+            F.transform(F.array_sort(F.array(*projs)), lambda s: s["p"]), 1, multi_probe
+        )
+        probes = F.concat(
+            F.array(F.col("bucket")),
+            F.transform(
+                flip_bits,
+                # 1 << b with a column shift amount: 2^b is exact in
+                # double for b < 53 (n_planes ≤ 64 means b ≤ 63 — the
+                # sign-bit plane count is far below 53 in practice)
+                lambda b: F.col("bucket").bitwiseXOR(
+                    F.pow(F.lit(2.0), b.cast("double")).cast("bigint")
+                ),
+            ),
+        )
+        qsig = qsig.withColumn("bucket", F.explode(probes))
+    q = qsig.select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_vec"),
         F.col("_norm").alias("q_norm"),
@@ -320,6 +366,10 @@ def lsh_topk(
             _cos_pairs(F.col("q_vec"), F.col("n_vec"), F.col("q_norm"), F.col("n_norm")), 6
         ).alias("cos"),
     )
+    # multi-probe can score the same (q, n) pair from two buckets —
+    # dedup before ranking so row_number stays a true top-k
+    if multi_probe > 0:
+        scored = scored.distinct()
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -2,11 +2,14 @@
 multimodal, streaming — the engine-extension surface (graded alongside
 SURVEY §2; see operators/*).
 
-Oracle strategy: operators built on cross-engine-reproducible
-primitives (md5, integer arithmetic, sequential list folds) are fully
-hash-checked; MinHash/SimHash/hyperplane-LSH use engine-internal
-hashing (xxhash64 / seeded numpy planes) → rows-only driver check +
-ground-truth recall tests in tests/.
+Oracle strategy (since round 3, EVERY registered operator family is
+oracle-checked): cross-engine-reproducible primitives — md5-derived
+hashes, integer arithmetic, seeded literals, rounded sequential folds
+— let DuckDB replay even MinHash/SimHash/LSH/IVF pipelines verbatim.
+The engine-internal fast paths (xxhash64 families, trained quantizers)
+stay registered as ``_xx``/``_trained`` rows-only variants with
+ground-truth recall tests in tests/; streaming replay rows
+(stream_sessions_stateful) remain rows-only by nature.
 """
 
 from __future__ import annotations
@@ -457,13 +460,80 @@ def pipe_ann_topk(spark, sf_dir):
     return similarity.brute_force_topk(emb, queries, k=5)
 
 
-@query("pipe_ann_lsh", oracle=None)
+def _lsh_oracle(multi_probe: int = 0) -> str:
+    """DuckDB replica of the hyperplane-LSH search: the same seeded
+    plane matrix as SQL literals, the same sign-bit bucket packing,
+    (optionally) the same rounded multi-probe bit-flip selection, and
+    the cosine top-k. Sign tests flip cross-engine only when a
+    projection sits within ~1 ulp of zero (~1e-13 per test) —
+    negligible; the probe ORDERING is rounded to 6dp in both engines."""
+    from impala_cut_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, 8)
+    plane_lits = [
+        "[" + ",".join(repr(float(x)) for x in pl) + "]" for pl in planes
+    ]
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(e, {pl}) > 0 THEN {1 << p} ELSE 0 END)"
+        for p, pl in enumerate(plane_lits)
+    )
+    if multi_probe:
+        dists = "\nUNION ALL\n".join(
+            f"SELECT vec_id, {p} AS pl, round(abs(list_dot_product(e, {pl})), 6) AS d"
+            " FROM nv WHERE vec_id < 10"
+            for p, pl in enumerate(plane_lits)
+        )
+        probes = f"""
+pd AS ({dists}),
+flips AS (SELECT vec_id, pl FROM (
+            SELECT vec_id, pl, row_number() OVER (PARTITION BY vec_id ORDER BY d, pl) AS rn
+            FROM pd) WHERE rn <= {multi_probe}),
+qb AS (SELECT q.vec_id AS q_id, xor(q.bucket, (1::BIGINT << f.pl)) AS bucket
+       FROM sigs q JOIN flips f ON f.vec_id = q.vec_id
+       WHERE q.vec_id < 10
+       UNION
+       SELECT vec_id AS q_id, bucket FROM sigs WHERE vec_id < 10),"""
+    else:
+        probes = """
+qb AS (SELECT vec_id AS q_id, bucket FROM sigs WHERE vec_id < 10),"""
+    return f"""
+WITH {_SQL_VECS},
+sigs AS (SELECT vec_id, e, nm, ({bucket})::BIGINT AS bucket FROM nv),
+{probes.lstrip()}
+s AS (SELECT DISTINCT qb.q_id, c.vec_id AS n_id,
+             round(list_dot_product(q.e, c.e) / (q.nm * c.nm), 6) AS cos
+      FROM qb
+      JOIN sigs c ON c.bucket = qb.bucket
+      JOIN nv q ON q.vec_id = qb.q_id
+      WHERE c.vec_id <> qb.q_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+      FROM s)
+SELECT q_id, n_id, rank, cos FROM r WHERE rank <= 5
+"""
+
+
+@query("pipe_ann_lsh", oracle=_lsh_oracle())
 def pipe_ann_lsh(spark, sf_dir):
     """Hyperplane-LSH bucketed ANN — compares each query only to its
-    signature bucket. Recall vs brute force in tests/test_similarity.py."""
+    signature bucket. Oracle-green since r3: the seeded plane matrix
+    is plan literals both engines share, so DuckDB replays signature,
+    bucket join and top-k. Recall vs brute force in
+    tests/test_operators.py."""
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return similarity.lsh_topk(emb, queries, dim=64, k=5, n_planes=8)
+
+
+@query("pipe_ann_lsh_multiprobe", oracle=_lsh_oracle(multi_probe=2))
+def pipe_ann_lsh_multiprobe(spark, sf_dir):
+    """Multi-probe hyperplane LSH (Lv et al.): each query also probes
+    the 2 hamming-1 buckets whose sign bit sat closest to the
+    hyperplane — recall rises toward brute force at (1+2)x query-side
+    probe cost, corpus side untouched. Recall dominance vs single
+    probe asserted in tests/test_operators.py."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.lsh_topk(emb, queries, dim=64, k=5, n_planes=8, multi_probe=2)
 
 
 # ---------------------------------------------------------------------------

@@ -102,6 +102,32 @@ class TestSimilarity:
         for r in lsh:
             assert brute[(r.q_id, r.n_id)] == r.cos
 
+    def test_lsh_multiprobe_recall_dominates_single_probe(self, emb):
+        """Multi-probe LSH (flip the b nearest-to-hyperplane bits) must
+        find a superset-or-equal of the single-probe candidate mass and
+        at least match its recall vs exact brute force."""
+        probe = emb.limit(5)
+        exact = {
+            (r.q_id, r.n_id)
+            for r in similarity.brute_force_topk(emb, probe, k=5).collect()
+        }
+        single = {
+            (r.q_id, r.n_id)
+            for r in similarity.lsh_topk(emb, probe, dim=EMB_DIM, k=5).collect()
+        }
+        multi = {
+            (r.q_id, r.n_id)
+            for r in similarity.lsh_topk(
+                emb, probe, dim=EMB_DIM, k=5, multi_probe=2
+            ).collect()
+        }
+        recall_single = len(single & exact) / len(exact)
+        recall_multi = len(multi & exact) / len(exact)
+        assert recall_multi >= recall_single, (recall_multi, recall_single)
+        # every multi-probe result still carries the exact cosine rank
+        # semantics (rank 1..k, descending cosine) — spot check count
+        assert len(multi) >= len(single)
+
 
 class TestMultimodal:
     def test_decode_image_is_stubbed(self):
