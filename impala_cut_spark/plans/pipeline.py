@@ -8,8 +8,9 @@ hashes, integer arithmetic, seeded literals, rounded sequential folds
 — let DuckDB replay even MinHash/SimHash/LSH/IVF pipelines verbatim.
 The engine-internal fast paths (xxhash64 families, trained quantizers)
 stay registered as ``_xx``/``_trained`` rows-only variants with
-ground-truth recall tests in tests/; streaming replay rows
-(stream_sessions_stateful) remain rows-only by nature.
+ground-truth recall tests in tests/; even the stateful streaming
+sessionizer is result-checked (the replay isn't SQL, its closed-session
+RESULT is — same gaps-and-islands oracle as pipe_sessions).
 """
 
 from __future__ import annotations
@@ -662,12 +663,34 @@ def stream_dedup(spark, sf_dir):
     return run_stream_dedup(spark, sf_dir)
 
 
-@query("stream_sessions_stateful", oracle=None)
+_SESSIONS_ORACLE = """
+WITH marks AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events),
+isl AS (
+  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marks)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       count(*) AS n_events,
+       cast(sum(cast(value as decimal(12,2))) as double) AS total_value
+FROM isl GROUP BY user_id, sid
+"""
+
+
+@query("stream_sessions_stateful", oracle=_SESSIONS_ORACLE)
 def stream_sessions_stateful(spark, sf_dir):
     """Custom stateful streaming operator: applyInPandasWithState
     sessionization with event-time timeouts (streaming/sessions.py) —
-    semantics proven equal to session_window in tests/test_sessions.py
-    (rows-only driver check: streaming replay isn't SQL-expressible)."""
+    semantics proven equal to session_window in tests/test_sessions.py.
+    Oracle-green since r3: the streaming REPLAY is not SQL-expressible,
+    but its RESULT is — the closed-session table must hash-match the
+    same gaps-and-islands SQL that checks pipe_sessions."""
     from impala_cut_spark.streaming.sessions import run_stateful_sessions
 
     return run_stateful_sessions(spark, sf_dir)
