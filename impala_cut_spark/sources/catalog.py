@@ -33,7 +33,30 @@ TABLES = (
 )
 
 
+#: runtime confs every registered query's oracle contract depends on —
+#: set defensively because the round driver runs queries() on ITS OWN
+#: bare SparkSession (__spark_entry__), where Spark 4 defaults would
+#: flip the semantics: ANSI on (errors instead of the reference's
+#: NULL-on-error dialect), arbitrary local TZ (timestamp rendering must
+#: be UTC to hash-match the DuckDB oracle). Both are runtime-settable;
+#: load_table is the one funnel every registered query reads through.
+_RUNTIME_CONTRACT = {
+    "spark.sql.ansi.enabled": "false",
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def _ensure_runtime_contract(spark: SparkSession) -> None:
+    for k, v in _RUNTIME_CONTRACT.items():
+        try:
+            if spark.conf.get(k, None) != v:
+                spark.conf.set(k, v)
+        except Exception:  # noqa: BLE001 — a locked conf must not kill the scan
+            pass
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_runtime_contract(spark)
     if name == "events":
         # events.parquet stores TIMESTAMP(NANOS), which Spark's parquet
         # reader rejects unless nanos are surfaced as BIGINT. Runtime
