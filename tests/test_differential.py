@@ -20,6 +20,17 @@ from hypothesis import strategies as st
 
 from check_correctness import frame_to_rows
 
+# extended-budget hunting: DIFF_MAX_EXAMPLES=N multiplies every
+# strategy's example budget (run a long session before a round lands:
+#   DIFF_MAX_EXAMPLES=200 python -m pytest tests/test_differential.py)
+import os
+
+_BUDGET = int(os.environ.get("DIFF_MAX_EXAMPLES", "0"))
+
+
+def _n(default: int) -> int:
+    return _BUDGET if _BUDGET > 0 else default
+
 # --- expression grammar (shared SQL between Spark and DuckDB) -------------
 
 INT_COLS = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"]
@@ -177,7 +188,7 @@ def views(spark, sf_dir):
 
 
 @settings(
-    max_examples=40,
+    max_examples=_n(40),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
@@ -199,7 +210,7 @@ def test_random_query_matches_duckdb(sql, spark, oracle, views):
 
 
 @settings(
-    max_examples=25,
+    max_examples=_n(25),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
@@ -239,7 +250,7 @@ def setop_having_query(draw):
 
 
 @settings(
-    max_examples=25,
+    max_examples=_n(25),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
@@ -275,7 +286,7 @@ def exists_subquery_query(draw):
 
 
 @settings(
-    max_examples=20,
+    max_examples=_n(20),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
@@ -324,7 +335,7 @@ def asof_case(draw):
 
 
 @settings(
-    max_examples=25,
+    max_examples=_n(25),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
@@ -397,7 +408,7 @@ def sessions_case(draw):
 
 
 @settings(
-    max_examples=25,
+    max_examples=_n(25),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
@@ -488,7 +499,7 @@ def ts_format_case(draw):
 
 
 @settings(
-    max_examples=40,
+    max_examples=_n(40),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
