@@ -83,7 +83,12 @@ def build_session(
 
     builder = SparkSession.builder.appName(app_name).master(master)
     builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-    builder = builder.config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+    # local mode: the driver JVM IS the executor — 32 threads at 16g
+    # (~0.5g/thread) was GC-bound on cached indexes + broadcasts
+    # (measured: minhash bench -40% at a larger heap); 32g leaves
+    # headroom for the rest of the box. Cluster mode: spark-submit owns
+    # executor sizing and this only affects the driver process.
+    builder = builder.config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "32g"))
     builder = builder.config("spark.ui.enabled", "false")
     for k, v in ENGINE_CONF.items():
         builder = builder.config(k, v)
