@@ -591,6 +591,36 @@ def pipe_multimodal_features(spark, sf_dir):
     )
 
 
+@query(
+    "pipe_multimodal_resize",
+    oracle="""
+SELECT doc_id AS asset_id,
+       CASE CAST(doc_id % 3 AS INTEGER)
+         WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+       64 AS width, 48 AS height,
+       CAST(strlen(text) AS INTEGER) AS n_bytes
+FROM documents
+""",
+)
+def pipe_multimodal_resize(spark, sf_dir):
+    """Resize pipeline stage through mapInPandas (operators/multimodal
+    .resize_stub): decodable payloads get REAL nearest-neighbor pixel
+    resampling (PPM re-encode); codec-bearing/opaque payloads pass
+    through with metadata rewritten — the documented stub boundary.
+    Oracle projection: every asset carries the target dimensions and,
+    for the (all-opaque) synthetic corpus, an unchanged payload byte
+    length — which DuckDB derives from the same utf-8 source."""
+    docs = t(spark, sf_dir, "documents")
+    resized = multimodal.resize_stub(multimodal.assets_from_documents(docs), 64, 48)
+    return resized.select(
+        "asset_id",
+        "modality",
+        "width",
+        "height",
+        F.octet_length(F.col("payload")).cast("int").alias("n_bytes"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # streaming (engine extension — reference is batch-only, SURVEY §2.9)
 # ---------------------------------------------------------------------------
