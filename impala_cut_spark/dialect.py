@@ -591,6 +591,21 @@ def rewrite_statements(sql: str) -> str:
     """
     head = sql.lstrip().lower()
 
+    # Impala CREATE/ALTER VIEW (sql-parser.y:407-660; catalog/View.java)
+    # → session temp views: this engine's tables mount as session-scoped
+    # views (sources/catalog.py register_views, the avro LOCATION mount),
+    # and Spark refuses a PERSISTENT view over temp relations — so the
+    # catalog-view surface maps to temp views with matching semantics:
+    # plain CREATE errors on exists (like Impala), IF NOT EXISTS is
+    # preserved, ALTER VIEW ... AS redefines in place.
+    if re.match(r"create\s+view\s+", head):
+        rest = sql[sql.lower().index("create view") + len("create view") :]
+        return f"CREATE TEMPORARY VIEW {rest.strip()}"
+    m = re.match(r"alter\s+view\s+([A-Za-z_][\w.]*)\s+as\s+", head)
+    if m:
+        body = sql[re.search(r"(?i)\bas\b", sql).end() :]
+        return f"CREATE OR REPLACE TEMPORARY VIEW {m.group(1)} AS {body.strip()}"
+
     m = re.match(r"compute\s+stats\s+([A-Za-z_][\w.]*)", head)
     if m:
         return f"ANALYZE TABLE {m.group(1)} COMPUTE STATISTICS"

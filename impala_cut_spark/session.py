@@ -162,6 +162,22 @@ class ImpalaSession:
                 )
             read_avro(self.spark, path).createOrReplaceTempView(name)
             return self.spark.sql("select 1 where false")
+        # CREATE VIEW IF NOT EXISTS: catalog views map to session temp
+        # views (dialect.rewrite_statements), but Spark's temp-view
+        # grammar has no IF NOT EXISTS — emulate it with a catalog
+        # existence check (Impala semantics: silently keep the old
+        # definition).
+        m = re.match(
+            r"^\s*create\s+view\s+if\s+not\s+exists\s+([A-Za-z_][\w.]*)",
+            text,
+            re.IGNORECASE,
+        )
+        if m:
+            if self.spark.catalog.tableExists(m.group(1)):
+                return self.spark.sql("select 1 where false")
+            text = re.sub(
+                r"(?i)^(\s*create\s+view\s+)if\s+not\s+exists\s+", r"\1", text, count=1
+            )
         # abort_on_error (ImpalaService.thrift; tests/data_errors/):
         # 1 → text scans FAILFAST on malformed rows, 0 → PERMISSIVE
         # (bad cells become NULL, ragged rows pad/truncate). Spark pins
