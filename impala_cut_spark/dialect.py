@@ -456,10 +456,19 @@ _HINT = re.compile(
 
 
 def rewrite_hints(sql: str) -> tuple[str, list[str]]:
-    """``JOIN [broadcast] t [alias]`` → plain join + collected Spark hint."""
+    """``JOIN [broadcast] t [alias]`` → plain join + collected Spark hint.
+
+    Quote/comment-aware: a literal like ``'join [broadcast] x'`` must
+    pass through untouched (same rule as every other rewrite here).
+    """
     hints: list[str] = []
+    in_str = [False] * len(sql)
+    for i, _, s in _scan_strings(sql):
+        in_str[i] = s
 
     def repl(m: re.Match) -> str:
+        if in_str[m.start()]:
+            return m.group(0)
         kind, table, alias = m.group(1).lower(), m.group(2), m.group(3)
         target = alias or table.split(".")[-1]
         hints.append(("BROADCAST" if kind == "broadcast" else "SHUFFLE_HASH") + f"({target})")
@@ -469,7 +478,16 @@ def rewrite_hints(sql: str) -> tuple[str, list[str]]:
         return out
 
     sql = _HINT.sub(repl, sql)
-    sql = re.sub(r"\bstraight_join\b", "", sql, flags=re.IGNORECASE)
+    # recompute offsets: the hint rewrite above may have shifted text
+    in_str2 = [False] * len(sql)
+    for i, _, s in _scan_strings(sql):
+        in_str2[i] = s
+    sql = re.sub(
+        r"\bstraight_join\b",
+        lambda m: m.group(0) if in_str2[m.start()] else "",
+        sql,
+        flags=re.IGNORECASE,
+    )
     return sql, hints
 
 

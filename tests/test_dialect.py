@@ -69,6 +69,20 @@ class TestHints:
         sql, _ = rewrite_hints("select straight_join * from a, b")
         assert "straight_join" not in sql.lower()
 
+    def test_hints_inside_string_literals_untouched(self):
+        src = "select 'join [broadcast] x' as a, 'straight_join y' as b from t"
+        sql, hints = rewrite_hints(src)
+        assert sql == src
+        assert hints == []
+
+    def test_hint_rewrite_then_literal_preserved(self):
+        src = (
+            "select 'straight_join z' lit from a join [broadcast] b on a.x = b.x"
+        )
+        sql, hints = rewrite_hints(src)
+        assert "'straight_join z'" in sql
+        assert hints == ["BROADCAST(b)"]
+
 
 class TestNullOrdering:
     def test_asc_gets_nulls_last(self):
