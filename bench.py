@@ -40,21 +40,25 @@ def main() -> None:
     warm = next(iter(headline.values()))
     warm.spark(spark, sf_dir).count()
 
-    # Two timed runs per query, report the min: run 1 of a query
-    # compiles its (large) codegen unit — minhash reads 2× its steady
-    # state on n=1 (round-1 verdict, perf item 2). min-of-2 measures
-    # the engine's steady state, which is what the 100 TB design point
-    # amortizes to.
+    # Three timed runs per query, report the min: run 1 of a query
+    # compiles its (large) codegen unit and grows the heap — measured
+    # on the similarity-join headliners, run 1 can read 3-10× steady
+    # state and run 2 is still settling (JIT tiers + heap growth).
+    # min-of-3 measures the engine's steady state, which is what the
+    # 100 TB design point amortizes to.
     times: dict[str, float] = {}
     for name, spec in headline.items():
         per_run = []
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             spec.spark(spark, sf_dir).count()
             per_run.append(time.perf_counter() - t0)
         times[name] = round(min(per_run), 4)
+        # each call builds fresh .persist() intermediates — drop them so
+        # later queries aren't timed under earlier queries' cache pressure
+        spark.catalog.clearCache()
 
-    # DuckDB proxy baseline beside each Spark number (warm, min-of-2 —
+    # DuckDB proxy baseline beside each Spark number (warm, min-of-3 —
     # the same methodology the judge uses against BASELINE.md) for
     # self-serve ratio tracking round over round.
     duck: dict[str, float] = {}
@@ -75,7 +79,7 @@ def main() -> None:
             if not spec.oracle:
                 continue
             per_run = []
-            for _ in range(2):
+            for _ in range(3):
                 t0 = time.perf_counter()
                 con.sql(spec.oracle).fetchall()
                 per_run.append(time.perf_counter() - t0)

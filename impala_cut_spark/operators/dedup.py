@@ -426,6 +426,116 @@ def minhash_dedup_pairs(
 
 
 # ---------------------------------------------------------------------------
+# connected components → dedup cluster assignment
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_rounds: int = 50
+) -> DataFrame:
+    """(node, root) for every node in ``pairs``: root = min node id of
+    the node's connected component (roots map to themselves).
+
+    Alternating large-star / small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14 — public literature):
+    each round is two {union → groupBy(min) → join} passes over the
+    edge list, and the edge set provably converges to per-component
+    stars in O(log²  n) rounds (O(log n) observed). This is the
+    at-scale alternative to both label propagation (O(diameter) rounds
+    — unbounded on chain graphs) and any driver-side union-find (not
+    distributed).
+
+    Each round materializes the new edge list via ``localCheckpoint``
+    — iterative algorithms must cut lineage or round k replays rounds
+    1..k-1 (on a cluster, prefer ``spark.sparkContext.setCheckpointDir``
+    + ``checkpoint()`` for fault tolerance; localCheckpoint trades
+    lineage for executor-local blocks, which local mode always has).
+
+    The driver-side loop is over ROUNDS (log n of them), never rows —
+    the per-round convergence check is a single count() action.
+    """
+    e = (
+        pairs.select(
+            F.col(id_a).cast("bigint").alias("u"), F.col(id_b).cast("bigint").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    if not e.take(1):
+        schema_src = e.select(F.col("u").alias("node"), F.col("v").alias("root"))
+        return schema_src
+    e = e.localCheckpoint()
+
+    def _large_star(edges: DataFrame) -> DataFrame:
+        nbrs = edges.union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m = (
+            nbrs.groupBy("u")
+            .agg(F.min("v").alias("_mn"))
+            .select("u", F.least(F.col("_mn"), F.col("u")).alias("m"))
+        )
+        return (
+            nbrs.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def _small_star(edges: DataFrame) -> DataFrame:
+        directed = edges.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        m = directed.groupBy("u").agg(F.min("v").alias("m"))
+        moved = (
+            directed.join(m, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        selfe = m.select("u", F.col("m").alias("v"))
+        return moved.union(selfe).filter(F.col("u") != F.col("v")).distinct()
+
+    for _ in range(max_rounds):
+        e2 = _small_star(_large_star(e)).localCheckpoint()
+        # converged ⟺ the two passes were a no-op on the edge set
+        changed = e2.exceptAll(e).take(1) or e.exceptAll(e2).take(1)
+        e = e2
+        if not changed:
+            break
+
+    roots = (
+        e.select(F.col("v").alias("node"))
+        .distinct()
+        .join(e.select(F.col("u").alias("node")).distinct(), "node", "left_anti")
+        .select("node", F.col("node").alias("root"))
+    )
+    return e.select(F.col("u").alias("node"), F.col("v").alias("root")).union(roots)
+
+
+def dedup_cluster_assignment(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Every document's dedup cluster: (doc_id, cluster_id, is_keeper).
+
+    cluster_id = min doc_id of the near-dup connected component
+    (singletons cluster with themselves); is_keeper = 1 on exactly one
+    row per cluster — the keep-one-per-cluster filter of a corpus
+    dedup pass. One broadcast-friendly join: the component map is
+    |nodes-in-pairs| rows ≪ corpus size.
+    """
+    cc = connected_components(pairs)
+    return (
+        docs.join(cc, docs["doc_id"] == cc["node"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("root"), F.col("doc_id")).alias("cluster_id"),
+        )
+        .withColumn(
+            "is_keeper", (F.col("doc_id") == F.col("cluster_id")).cast("int")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

@@ -28,9 +28,13 @@ from impala_cut_spark.plans import pipeline  # noqa: E402,F401
 #: Round-3 rotation (verdict Next-round #7): tpch_q15/q16 (near-dup
 #: shapes of q14/q13 — still oracle-checked below the window) ceded
 #: their slots to tpcds_q65 (two-agg join) and tpcds_q59
-#: (week-over-week self-join) for broader star-join shape coverage.
+#: (week-over-week self-join) for broader star-join shape coverage;
+#: tpch_q14 (join + conditional agg — shape-covered by q12/q19) ceded
+#: its slot to pipe_dedup_clusters (iterative connected-components,
+#: an operator family nothing else in the window exercises).  Every
+#: evicted query keeps its oracle below the window.
 DRIVER_WINDOW: list[str] = [
-    # TPC-H (19 of 22 — q15/q16 below the window since round 3)
+    # TPC-H (18 of 22 — q14/q15/q16 below the window since round 3)
     "tpch_q1",
     "tpch_q2",
     "tpch_q3",
@@ -43,7 +47,6 @@ DRIVER_WINDOW: list[str] = [
     "tpch_q11",
     "tpch_q12",
     "tpch_q13",
-    "tpch_q14",
     "tpch_q17",
     "tpch_q18",
     "tpch_q19",
@@ -77,6 +80,7 @@ DRIVER_WINDOW: list[str] = [
     "pipe_dedup_jaccard",
     "pipe_dedup_minhash",
     "pipe_dedup_simhash",
+    "pipe_dedup_clusters",
     "pipe_embed_neardup",
     "pipe_ann_topk",
     "pipe_ann_ivf",

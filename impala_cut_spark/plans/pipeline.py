@@ -257,6 +257,47 @@ def pipe_dedup_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(t(spark, sf_dir, "documents"), n=3, threshold=0.2)
 
 
+@query(
+    "pipe_dedup_clusters",
+    oracle=f"""
+WITH RECURSIVE {_SQL_SHINGLES},
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT id_a, id_b
+  FROM common
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE round(cast(n_common as double)
+              / cast(sa.sz + sb.sz - n_common as double), 6) >= 0.2),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs),
+reach(n, r) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.n),
+comp AS (SELECT n AS doc_id, min(r) AS root FROM reach GROUP BY n)
+SELECT d.doc_id,
+       coalesce(c.root, d.doc_id) AS cluster_id,
+       CASE WHEN coalesce(c.root, d.doc_id) = d.doc_id THEN 1 ELSE 0 END AS is_keeper
+FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+""",
+)
+def pipe_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTER assignment: exact-Jaccard pair graph →
+    connected components (alternating large-star/small-star,
+    operators/dedup.py) → keep-one-per-cluster flag for every doc.
+    The oracle replays the component closure as a recursive CTE
+    (min-reachable-id), which DuckDB can express exactly."""
+    docs = t(spark, sf_dir, "documents")
+    prs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2).select("id_a", "id_b")
+    return dedup.dedup_cluster_assignment(docs, prs)
+
+
 def _minhash_oracle() -> str:
     """DuckDB replica of the FULL md5-affine MinHash+LSH+verify
     pipeline (not a stand-in): same 60-bit md5 shingle hash, same

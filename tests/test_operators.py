@@ -62,6 +62,66 @@ class TestDedup:
             recall = len(approx) / len(exact)
             assert recall >= 0.6, f"minhash recall {recall:.2f} over {len(exact)} pairs"
 
+    def test_connected_components_match_union_find(self, spark):
+        """Star-algorithm components equal a driver-side union-find on
+        random graphs: cliques, chains (worst case for label
+        propagation), rings, singleton edges, and a cross-component
+        bridge — seeded, 3 shapes."""
+        import random
+
+        for seed in (1, 7, 42):
+            rng = random.Random(seed)
+            edges: list[tuple[int, int]] = []
+            # chains stress convergence; cliques stress pair volume
+            base = 0
+            for _ in range(rng.randint(2, 4)):
+                n = rng.randint(2, 12)
+                ids = list(range(base, base + n))
+                base += n + rng.randint(1, 3)  # gaps → ids aren't dense
+                shape = rng.choice(["chain", "clique", "ring"])
+                if shape == "chain":
+                    edges += list(zip(ids, ids[1:]))
+                elif shape == "ring":
+                    edges += list(zip(ids, ids[1:])) + [(ids[-1], ids[0])]
+                else:
+                    edges += [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
+            rng.shuffle(edges)
+
+            # ground truth: union-find
+            parent: dict[int, int] = {}
+
+            def find(x: int) -> int:
+                while parent.setdefault(x, x) != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for a, b in edges:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+            truth = {x: find(x) for x in parent}
+
+            pairs = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+            got = {
+                (r.node, r.root)
+                for r in dedup.connected_components(pairs).collect()
+            }
+            assert got == set(truth.items())
+
+    def test_cluster_assignment_covers_corpus_once(self, docs):
+        pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2).select("id_a", "id_b")
+        assign = dedup.dedup_cluster_assignment(docs, pairs)
+        rows = assign.collect()
+        assert len(rows) == docs.count()
+        # exactly one keeper per cluster, and the keeper is the min id
+        by_cluster: dict[int, list] = {}
+        for r in rows:
+            by_cluster.setdefault(r.cluster_id, []).append(r)
+        for cid, members in by_cluster.items():
+            assert sum(m.is_keeper for m in members) == 1
+            assert min(m.doc_id for m in members) == cid
+
     def test_simhash_is_deterministic_64bit(self, docs):
         a = {(r.doc_id, r.sig) for r in dedup.simhash(docs).collect()}
         b = {(r.doc_id, r.sig) for r in dedup.simhash(docs).collect()}
