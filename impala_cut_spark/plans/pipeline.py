@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from impala_cut_spark.operators import dedup, multimodal, similarity
+from impala_cut_spark.operators import corpus, dedup, multimodal, similarity
 from impala_cut_spark.operators.text import (
     BPE_TOKEN_PATTERN,
     LANG_STOPWORDS,
@@ -888,3 +888,139 @@ def pipe_asof(spark, sf_dir):
     return out.select(
         "event_id", "user_id", F.round("asof_purchase_value", 6).alias("asof_purchase_value")
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus management: splits, sampling, distribution stats (operators/corpus.py)
+# ---------------------------------------------------------------------------
+
+#: DuckDB replica of md5_hash60 (operators/dedup.py) — the shared
+#: cross-engine 60-bit hash primitive.
+_SQL_H60 = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
+
+
+@query(
+    "pipe_split_hash",
+    oracle=f"""
+WITH b AS (
+  SELECT doc_id, {_SQL_H60.format(x="cast(doc_id as varchar)")} % 10000 AS bucket
+  FROM documents)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < 9800 THEN 'train'
+            WHEN bucket < 9900 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+""",
+)
+def pipe_split_hash(spark, sf_dir):
+    """Deterministic train/val/test split (operators/corpus.py):
+    md5-bucket of the row key, stable under corpus growth — no
+    test-set leakage across incremental builds. Narrow map, no
+    shuffle."""
+    docs = t(spark, sf_dir, "documents")
+    out = corpus.hash_split(docs, {"train": 0.98, "val": 0.01, "test": 0.01})
+    return out.select(
+        "doc_id",
+        corpus.split_bucket(F.col("doc_id").cast("string")).alias("bucket"),
+        "split",
+    )
+
+
+@query(
+    "pipe_sample_stratified",
+    oracle=f"""
+SELECT doc_id, lang
+FROM documents
+WHERE {_SQL_H60.format(x="lang || '|' || cast(doc_id as varchar)")} % 10000 < 500
+""",
+)
+def pipe_sample_stratified(spark, sf_dir):
+    """Deterministic 5% stratified sample within each lang
+    (operators/corpus.py): reproducible under retries/repartitioning,
+    unlike df.sample. Pure pushed-down filter — no shuffle."""
+    docs = t(spark, sf_dir, "documents")
+    return corpus.stratified_sample(docs, 0.05, strata="lang").select("doc_id", "lang")
+
+
+@query(
+    "pipe_corpus_stats",
+    oracle="""
+SELECT lang,
+       count(n_chars) AS n,
+       round(avg(n_chars), 6) AS mean,
+       round(quantile_cont(n_chars, 0.25), 6) AS p25,
+       round(quantile_cont(n_chars, 0.50), 6) AS p50,
+       round(quantile_cont(n_chars, 0.75), 6) AS p75,
+       round(quantile_cont(n_chars, 0.95), 6) AS p95
+FROM documents GROUP BY lang
+""",
+)
+def pipe_corpus_stats(spark, sf_dir):
+    """Exact per-lang length distribution (operators/corpus.py):
+    linear-interpolation percentiles — Spark ``percentile`` and DuckDB
+    ``quantile_cont`` share the classic linear rule, making the exact
+    form oracle-checkable (at 100 TB swap in approx_percentile; this
+    exact form stays the small-SF oracle)."""
+    docs = t(spark, sf_dir, "documents")
+    return corpus.distribution_stats(docs, F.col("n_chars"), by="lang")
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (operators/packing.py)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pipe_pack_greedy",
+    oracle=f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id,
+         cast(doc_id % 64 as int) AS grp,
+         cast(len(regexp_extract_all(text, '{BPE_TOKEN_PATTERN}')) as int) AS n_tok,
+         row_number() OVER (PARTITION BY doc_id % 64 ORDER BY doc_id) AS rn
+  FROM documents),
+rec AS (
+  SELECT grp, rn, doc_id, n_tok, n_tok AS fill, cast(0 as bigint) AS pack_id
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.grp, t.rn, t.doc_id, t.n_tok,
+         CASE WHEN rec.fill + t.n_tok > 256 THEN t.n_tok
+              ELSE rec.fill + t.n_tok END,
+         CASE WHEN rec.fill + t.n_tok > 256 THEN rec.pack_id + 1
+              ELSE rec.pack_id END
+  FROM rec JOIN t ON t.grp = rec.grp AND t.rn = rec.rn + 1)
+SELECT doc_id, grp, n_tok, pack_id FROM rec
+""",
+)
+def pipe_pack_greedy(spark, sf_dir):
+    """Greedy sequence packing into 256-token bins
+    (operators/packing.py): the sequential fold runs per hash-group
+    via applyInPandas (Arrow-batched; groups are the parallelism
+    unit). The oracle replays the identical fold as a recursive CTE —
+    order, overflow rule, and BPE-ish token counts all shared."""
+    from impala_cut_spark.operators.packing import pack_greedy
+
+    return pack_greedy(t(spark, sf_dir, "documents"), max_tokens=256, n_groups=64)
+
+
+@query(
+    "stream_sliding",
+    oracle="""
+WITH w AS (
+  SELECT time_bucket(INTERVAL 15 MINUTE, ts) - k * INTERVAL 15 MINUTE AS win_start,
+         event_type, value
+  FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k))
+SELECT win_start, event_type,
+       count(*) AS n,
+       cast(sum(cast(value as decimal(12,2))) as double) AS total_value
+FROM w GROUP BY 1, 2
+""",
+)
+def stream_sliding(spark, sf_dir):
+    """Sliding-window (1h window / 15m slide) streaming rollup run to
+    completion (streaming/events.py). The oracle expands each event to
+    its 4 overlapping windows via the 15-minute grid — the exact
+    inverse of Spark's window() expansion."""
+    from impala_cut_spark.streaming.events import run_sliding_rollup
+
+    return run_sliding_rollup(spark, sf_dir)

@@ -162,6 +162,53 @@ def run_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sliding_rollup(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding-window rollup: every event lands in window/slide
+    overlapping windows (here 4) — the rate-monitoring shape tumbling
+    windows can't express (a spike straddling a tumbling boundary
+    halves; sliding windows see it whole).
+
+    Scale: state is (#open windows × #keys) — window/slide × the
+    tumbling equivalent, still watermark-bounded; Spark expands each
+    event to its windows BEFORE the shuffle, so shuffle volume is
+    window/slide × linear (no self-join)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+        )
+    )
+
+
+def run_sliding_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the sliding rollup to completion over the finite replay."""
+    name = f"events_sliding_{next(_counter)}"
+    q = (
+        sliding_rollup(events_stream(spark, sf_dir))
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).select(
+        F.col("win.start").cast("timestamp_ntz").alias("win_start"),
+        "event_type",
+        "n",
+        "total_value",
+    )
+
+
 def stream_stream_attribution(
     clicks: DataFrame, purchases: DataFrame, horizon: str = "30 minutes"
 ) -> DataFrame:

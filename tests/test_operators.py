@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import pytest
 
-from impala_cut_spark.operators import dedup, multimodal, similarity
+from impala_cut_spark.operators import corpus, dedup, multimodal, similarity
 from impala_cut_spark.sources.catalog import load_table
 
 EMB_DIM = 64
@@ -24,6 +24,86 @@ def docs(spark, sf_dir):
 @pytest.fixture(scope="module")
 def emb(spark, sf_dir):
     return load_table(spark, sf_dir, "embeddings").cache()
+
+
+class TestCorpus:
+    def test_hash_split_partitions_and_is_stable_under_growth(self, docs):
+        out = corpus.hash_split(docs)
+        rows = {r.doc_id: r.split for r in out.collect()}
+        assert len(rows) == docs.count()
+        assert set(rows.values()) <= {"train", "val", "test"}
+        # growth stability: splitting HALF the corpus assigns the same
+        # splits those rows get in the full corpus (no reshuffling on
+        # incremental builds — the property random splits lack)
+        from pyspark.sql import functions as F
+
+        half = docs.filter(F.col("doc_id") % 2 == 0)
+        sub = {r.doc_id: r.split for r in corpus.hash_split(half).collect()}
+        assert all(rows[d] == s for d, s in sub.items())
+
+    def test_stratified_sample_rate_per_stratum(self, docs):
+        from pyspark.sql import functions as F
+
+        frac = 0.2
+        got = corpus.stratified_sample(docs, frac)
+        per = {
+            r.lang: r.n
+            for r in got.groupBy("lang").agg(F.count("*").alias("n")).collect()
+        }
+        tot = {
+            r.lang: r.n
+            for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+        }
+        # binomial tolerance: ±4·sqrt(n·p(1-p)) per stratum
+        for lang, n in tot.items():
+            mu = n * frac
+            tol = 4 * (n * frac * (1 - frac)) ** 0.5 + 1
+            assert abs(per.get(lang, 0) - mu) <= tol, (lang, per.get(lang, 0), mu)
+        # deterministic: a second call returns the identical set
+        again = corpus.stratified_sample(docs, frac)
+        assert sorted(r.doc_id for r in got.collect()) == sorted(
+            r.doc_id for r in again.collect()
+        )
+
+    def test_pack_greedy_invariants(self, docs):
+        from impala_cut_spark.operators.packing import pack_greedy, pack_stats
+
+        max_tokens = 128
+        packed = pack_greedy(docs, max_tokens=max_tokens, n_groups=16)
+        rows = packed.collect()
+        assert len(rows) == docs.count()
+        # replay the fold per group and check bin fills + contiguity
+        by_grp: dict[int, list] = {}
+        for r in rows:
+            by_grp.setdefault(r.grp, []).append(r)
+        for grp, members in by_grp.items():
+            members.sort(key=lambda r: r.doc_id)
+            packs = [r.pack_id for r in members]
+            assert packs[0] == 0
+            assert all(b - a in (0, 1) for a, b in zip(packs, packs[1:]))
+            fills: dict[int, list[int]] = {}
+            for r in members:
+                fills.setdefault(r.pack_id, []).append(r.n_tok)
+            for toks in fills.values():
+                # a bin exceeds max_tokens only as a single oversized doc
+                assert sum(toks) <= max_tokens or len(toks) == 1
+        stats = pack_stats(packed, max_tokens=max_tokens)
+        assert stats.count() == len({(r.grp, r.pack_id) for r in rows})
+
+    def test_distribution_stats_match_numpy_linear_percentile(self, docs):
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        out = {r.lang: r for r in corpus.distribution_stats(docs, F.col("n_chars")).collect()}
+        vals: dict[str, list[int]] = {}
+        for r in docs.select("lang", "n_chars").collect():
+            vals.setdefault(r.lang, []).append(r.n_chars)
+        for lang, xs in vals.items():
+            r = out[lang]
+            assert r.n == len(xs)
+            for p, col in ((25, r.p25), (50, r.p50), (75, r.p75), (95, r.p95)):
+                want = float(np.percentile(xs, p))  # numpy default = linear rule
+                assert abs(col - want) < 1e-4, (lang, p, col, want)
 
 
 class TestDedup:

@@ -32,6 +32,36 @@ def test_stream_rollup_equals_batch(spark, sf_dir):
     assert s == b
 
 
+def test_sliding_rollup_equals_batch_window_expansion(spark, sf_dir):
+    """Every event must appear in exactly window/slide = 4 sliding
+    windows, and the streamed result must equal the batch F.window
+    aggregation (same expansion, batch execution)."""
+    from impala_cut_spark.streaming.events import run_sliding_rollup
+
+    streamed = run_sliding_rollup(spark, sf_dir)
+    events = load_table(spark, sf_dir, "events")
+    batch = (
+        events.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("win"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("win.start").cast("timestamp_ntz").alias("win_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    s = {tuple(r) for r in streamed.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert s == b
+    # 4× expansion invariant
+    assert sum(r[2] for r in s) == 4 * events.count()
+
+
 def test_stream_append_sink_emits_closed_windows(spark, sf_dir, tmp_path):
     """Append-mode parquet sink: exactly the watermark-closed windows
     land, each matching the batch rollup; trailing windows inside the
