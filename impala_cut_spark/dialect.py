@@ -626,7 +626,10 @@ def rewrite_statements(sql: str) -> str:
 
     m = re.match(r"compute\s+stats\s+([A-Za-z_][\w.]*)", head)
     if m:
-        return f"ANALYZE TABLE {m.group(1)} COMPUTE STATISTICS"
+        # ComputeStatsStmt computes table AND per-column stats in one
+        # statement (fe/.../analysis/ComputeStatsStmt.java) — Spark's
+        # FOR ALL COLUMNS is the equivalent
+        return f"ANALYZE TABLE {m.group(1)} COMPUTE STATISTICS FOR ALL COLUMNS"
     m = re.match(r"refresh\s+(?!table\b)([A-Za-z_][\w.]*)\s*$", head)
     if m:
         return f"REFRESH TABLE {m.group(1)}"

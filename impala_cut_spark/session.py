@@ -162,6 +162,23 @@ class ImpalaSession:
                 )
             read_avro(self.spark, path).createOrReplaceTempView(name)
             return self.spark.sql("select 1 where false")
+        # SHOW TABLE STATS / SHOW COLUMN STATS / SHOW PARTITIONS
+        # (sql-parser.y:1306-1314, ShowStatsStmt/ShowPartitionsStmt):
+        # synthesized from Spark's catalog statistics (ANALYZE output).
+        m = re.match(
+            r"^\s*show\s+(table|column)\s+stats\s+([A-Za-z_][\w.]*)\s*;?\s*$",
+            text,
+            re.IGNORECASE,
+        )
+        if m:
+            if m.group(1).lower() == "table":
+                return self._show_table_stats(m.group(2))
+            return self._show_column_stats(m.group(2))
+        m = re.match(
+            r"^\s*show\s+partitions\s+([A-Za-z_][\w.]*)\s*;?\s*$", text, re.IGNORECASE
+        )
+        if m:
+            return self.spark.sql(f"SHOW PARTITIONS {m.group(1)}")
         # CREATE VIEW IF NOT EXISTS: catalog views map to session temp
         # views (dialect.rewrite_statements), but Spark's temp-view
         # grammar has no IF NOT EXISTS — emulate it with a catalog
@@ -210,6 +227,62 @@ class ImpalaSession:
         r"\blocation\s+'((?:[^']|'')*)'",
         re.IGNORECASE | re.DOTALL,
     )
+
+    def _show_table_stats(self, name: str) -> DataFrame:
+        """SHOW TABLE STATS t (ShowStatsStmt, sql-parser.y:1306-1308):
+        (#rows, size, format) from the catalog statistics that
+        COMPUTE STATS → ANALYZE wrote; -1 row count before stats exist
+        (Impala's unknown marker)."""
+        n_rows, size_bytes, fmt = -1, -1, ""
+        for r in self.spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect():
+            key = (r.col_name or "").strip().lower()
+            if key == "statistics":
+                m = re.search(r"(\d+)\s+bytes(?:,\s*(\d+)\s+rows)?", r.data_type or "")
+                if m:
+                    size_bytes = int(m.group(1))
+                    if m.group(2) is not None:
+                        n_rows = int(m.group(2))
+            elif key == "provider":
+                fmt = (r.data_type or "").strip().upper()
+        return self.spark.createDataFrame(
+            [(n_rows, size_bytes, fmt)], "n_rows bigint, size_bytes bigint, format string"
+        )
+
+    def _show_column_stats(self, name: str) -> DataFrame:
+        """SHOW COLUMN STATS t (sql-parser.y:1309-1310): one row per
+        column — (column, type, #distinct, #nulls, max_size, avg_size)
+        assembled from Spark's per-column DESCRIBE EXTENDED (populated
+        by ANALYZE … FOR ALL COLUMNS, which COMPUTE STATS issues).
+        The loop is over the SCHEMA (bounded by column count), not
+        data."""
+        rows = []
+        for f in self.spark.table(name).schema.fields:
+            stats = {
+                (r.info_name or "").strip().lower(): (r.info_value or "").strip()
+                for r in self.spark.sql(
+                    f"DESCRIBE TABLE EXTENDED {name} {f.name}"
+                ).collect()
+            }
+
+            def _i(key: str) -> int:
+                v = stats.get(key, "")
+                return int(v) if v.isdigit() else -1
+
+            rows.append(
+                (
+                    f.name,
+                    f.dataType.simpleString(),
+                    _i("distinct_count"),
+                    _i("num_nulls"),
+                    _i("max_col_len"),
+                    _i("avg_col_len"),
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "column string, type string, ndv bigint, num_nulls bigint, "
+            "max_size bigint, avg_size bigint",
+        )
 
     def _expand_like_file(self, text: str) -> str:
         m = self._LIKE_FILE.match(text)
