@@ -519,3 +519,68 @@ def test_random_timestamp_format_roundtrip(case, spark):
     ).collect()[0]
     assert row["t"] == epoch, (fmt, value, garbage, epoch, row["t"])
     assert row["f"] == value, (fmt, epoch, row["f"], value)
+
+
+# --- round-3: decimal arithmetic at varied precision/scale ----------------
+
+
+@st.composite
+def decimal_expr(draw):
+    """Random exact-decimal expression over the lineitem money columns:
+    leaves are double→decimal(p,s) casts (p 9-15, s 2-4), combined
+    with +/-/* so the widest product stays ≤ decimal(33,8) — inside
+    both engines' 38-digit ceiling, so every intermediate is exact and
+    overflow-free (the cross-engine comparability precondition)."""
+
+    def leaf():
+        c = draw(st.sampled_from(NUM_COLS))
+        p = draw(st.integers(9, 15))
+        s = draw(st.integers(2, 4))
+        return f"cast({c} as decimal({p},{s}))"
+
+    a, b = leaf(), leaf()
+    form = draw(st.sampled_from(["add", "sub", "mul", "mixed"]))
+    if form == "add":
+        return f"({a} + {b})"
+    if form == "sub":
+        return f"({a} - {b})"
+    if form == "mul":
+        return f"({a} * {b})"
+    return f"(({a} + {b}) * {leaf()})"
+
+
+@st.composite
+def decimal_query(draw):
+    e = draw(decimal_expr())
+    where = draw(st.one_of(st.none(), predicate()))
+    w = f" WHERE {where}" if where else ""
+    if draw(st.booleans()):
+        # scalar form: rescale UP to (38,8) — exact in both engines
+        # (never a rounding tie; max generated scale is 8)
+        return (
+            f"SELECT l_orderkey, l_linenumber, cast({e} as decimal(38,8)) AS d "
+            f"FROM lineitem{w}"
+        )
+    # aggregate form: exact decimal SUM emitted as double (the
+    # registered-query convention, registry.py determinism rules)
+    return (
+        f"SELECT l_returnflag, cast(sum({e}) as double) AS s, count(*) AS n "
+        f"FROM lineitem{w} GROUP BY l_returnflag"
+    )
+
+
+@settings(
+    max_examples=_n(30),
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(sql=decimal_query())
+def test_random_decimal_arithmetic_matches_duckdb(sql, spark, oracle, views):
+    sdf = spark.sql(sql)
+    scols, srows = frame_to_rows([c.lower() for c in sdf.columns], sdf.collect())
+    orel = oracle.sql(sql)
+    ocols, orows = frame_to_rows([c.lower() for c in orel.columns], orel.fetchall())
+    assert scols == ocols, sql
+    assert len(srows) == len(orows), sql
+    bad = [(a, b) for a, b in zip(srows, orows) if a != b]
+    assert not bad, f"{sql}\nfirst diff: {bad[0] if bad else None}"
