@@ -707,3 +707,78 @@ def ivf_topk_from_index(
         .filter(F.col("rank") <= k)
         .select("q_id", "n_id", "rank", "cos")
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding preprocessing: L2 normalization + per-label centroids
+# ---------------------------------------------------------------------------
+
+
+def l2_normalize(df: DataFrame, vec: str = "embedding", out: str = "unit_vec") -> DataFrame:
+    """Unit-normalize the embedding column (the standard pre-index
+    step: after this, cosine == dot product, so downstream ANN skips
+    the per-pair norm divide).
+
+    Pure JVM-side expression — a narrow map over the scan, no shuffle,
+    no Python. Elements emitted as round(x·(1/‖v‖), 6) doubles: sqrt,
+    the sequential fold, and the multiply are identically rounded in
+    DuckDB, so the result is oracle-checkable.
+
+    Plan note: the inverse norm is passed through ``array_repeat`` and
+    ``zip_with`` rather than referenced inside a ``transform`` lambda —
+    a lambda body re-evaluates every captured subexpression PER
+    ELEMENT (the O(dim²) fold-in-lambda trap; verified via the
+    optimized plan), while a function argument is evaluated once per
+    row.
+    """
+    inv = F.lit(1.0) / norm(F.col(vec))
+    return df.withColumn(
+        out,
+        F.zip_with(
+            F.col(vec),
+            F.array_repeat(inv, F.size(F.col(vec))),
+            lambda x, i: F.round(x.cast("double") * i, 6),
+        ),
+    )
+
+
+def label_centroids(df: DataFrame, vec: str = "embedding", label: str = "label") -> DataFrame:
+    """Per-label mean vector: (label, n, centroid array<double>).
+
+    posexplode → exact-decimal sum per (label, dim) → re-assemble with
+    array_agg ordered by dim. The decimal(18,9) accumulator makes the
+    distributed sum ASSOCIATIVE-EXACT — the result is independent of
+    partition order (a double sum would drift at 1e-15 per permutation
+    and is not oracle-stable).
+
+    Scale: one shuffle keyed by (label, dim) — dim fans the hot label
+    key out 64-way for free (built-in skew resistance); the re-
+    assembly groupBy(label) moves #labels×dim tiny rows.
+    """
+    exploded = df.select(
+        F.col(label), F.posexplode(F.col(vec)).alias("dim", "x")
+    )
+    per_dim = exploded.groupBy(label, "dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(18,9)")).alias("s"),
+    )
+    return (
+        per_dim.withColumn(
+            # cast the EXACT decimal sum to double BEFORE dividing:
+            # decimal/bigint quotient scales differ between engines,
+            # double division is bit-identical IEEE in both
+            "mean", F.round(F.col("s").cast("double") / F.col("n"), 6)
+        )
+        .groupBy(label)
+        .agg(
+            F.first("n").alias("n"),
+            F.array_sort(
+                F.collect_list(F.struct(F.col("dim"), F.col("mean")))
+            ).alias("_dm"),
+        )
+        .select(
+            label,
+            "n",
+            F.transform(F.col("_dm"), lambda s: s["mean"]).alias("centroid"),
+        )
+    )

@@ -1024,3 +1024,50 @@ def stream_sliding(spark, sf_dir):
     from impala_cut_spark.streaming.events import run_sliding_rollup
 
     return run_sliding_rollup(spark, sf_dir)
+
+
+@query(
+    "pipe_embed_normalize",
+    oracle=f"""
+WITH {_SQL_VECS}
+SELECT vec_id,
+       list_transform(e, x -> round(x * (1.0 / nm), 6)) AS unit_vec
+FROM nv
+""",
+)
+def pipe_embed_normalize(spark, sf_dir):
+    """L2 unit-normalization of the embedding column
+    (operators/similarity.py l2_normalize): narrow JVM-side map, no
+    shuffle — the standard pre-index step (cosine becomes dot)."""
+    from impala_cut_spark.operators.similarity import l2_normalize
+
+    return l2_normalize(t(spark, sf_dir, "embeddings")).select("vec_id", "unit_vec")
+
+
+@query(
+    "pipe_embed_centroids",
+    oracle="""
+WITH vl AS (SELECT label, list_transform(embedding, x -> cast(x as double)) AS e
+            FROM embeddings),
+ex AS (SELECT label, i AS dim, e[i + 1] AS x
+       FROM vl CROSS JOIN (SELECT unnest(range(64)) AS i)),
+pd AS (SELECT label, dim, count(*) AS n,
+              sum(cast(x as decimal(18,9))) AS s
+       FROM ex GROUP BY label, dim)
+SELECT label, max(n) AS n,
+       list_transform(
+         list_sort(list(struct_pack(dim := dim,
+                                    mean := round(cast(s as double) / n, 6)))),
+         r -> r.mean) AS centroid
+FROM pd GROUP BY label
+""",
+)
+def pipe_embed_centroids(spark, sf_dir):
+    """Per-label mean embedding (operators/similarity.py
+    label_centroids): posexplode → EXACT decimal(18,9) sums per
+    (label, dim) — associative, partition-order independent — then
+    per-dim means re-assembled in dim order. One (label, dim)-keyed
+    shuffle; the dim axis fans hot labels out 64-way."""
+    from impala_cut_spark.operators.similarity import label_centroids
+
+    return label_centroids(t(spark, sf_dir, "embeddings"))

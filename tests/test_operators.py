@@ -229,6 +229,27 @@ class TestSimilarity:
             sims = [n.cos for n in sorted(neighbors, key=lambda x: x.rank)]
             assert sims == sorted(sims, reverse=True)
 
+    def test_l2_normalize_unit_length(self, emb):
+        out = similarity.l2_normalize(emb).select("vec_id", "unit_vec").collect()
+        assert len(out) == emb.count()
+        for r in out[:50]:
+            n2 = sum(x * x for x in r.unit_vec)
+            assert abs(n2 - 1.0) < 1e-4, (r.vec_id, n2)
+
+    def test_label_centroids_match_numpy(self, emb):
+        import numpy as np
+
+        got = {r.label: (r.n, r.centroid) for r in similarity.label_centroids(emb).collect()}
+        rows = emb.select("label", "embedding").collect()
+        by_label: dict[int, list] = {}
+        for r in rows:
+            by_label.setdefault(r.label, []).append(np.array(r.embedding, dtype=np.float64))
+        for label, vecs in by_label.items():
+            n, cent = got[label]
+            assert n == len(vecs)
+            want = np.mean(np.vstack(vecs), axis=0)
+            assert np.allclose(np.array(cent), want, atol=1e-5), label
+
     def test_lsh_topk_subset_of_exact_scores(self, emb):
         # every LSH result must carry the exact cosine the brute-force
         # path would compute for that (query, neighbor) pair
