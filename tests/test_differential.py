@@ -532,10 +532,15 @@ def decimal_expr(draw):
     both engines' 38-digit ceiling, so every intermediate is exact and
     overflow-free (the cross-engine comparability precondition)."""
 
+    # integer digits each column's domain needs (sf ≤ 1 data):
+    # quantity ≤ 50, extendedprice ≤ ~1.06M, discount/tax < 1 — the
+    # cast must hold them or DuckDB errors where Spark yields NULL
+    int_digits = {"l_quantity": 2, "l_extendedprice": 7, "l_discount": 1, "l_tax": 1}
+
     def leaf():
         c = draw(st.sampled_from(NUM_COLS))
-        p = draw(st.integers(9, 15))
         s = draw(st.integers(2, 4))
+        p = draw(st.integers(s + int_digits[c], 15))
         return f"cast({c} as decimal({p},{s}))"
 
     a, b = leaf(), leaf()
