@@ -79,6 +79,100 @@ def stratified_sample(
     return docs.filter(bucket < int(round(fraction * BUCKETS)))
 
 
+def chunk_documents(
+    docs: DataFrame,
+    size: int = 200,
+    stride: int = 150,
+    text_col: str = "text",
+    key: str = "doc_id",
+) -> DataFrame:
+    """Split each document into fixed-width character windows with
+    overlap (stride < size) — the context-window chunking step of a
+    RAG/pretraining pipeline, at character granularity.
+
+    Pure sequence+posexplode+substr composition: a narrow map followed
+    by the explode (rows fan out ~len/stride×, no shuffle). chunk_id is
+    the 0-based window ordinal; the last window may be shorter than
+    ``size``. Deterministic → oracle-checkable (DuckDB replays it with
+    range()+substr)."""
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.length(F.col(text_col)) - 1, F.lit(0)), F.lit(stride)
+    )
+    exploded = docs.select(
+        F.col(key), F.col(text_col).alias("_txt"), F.posexplode(starts).alias("chunk_id", "chunk_start")
+    )
+    chunk = F.col("_txt").substr(F.col("chunk_start") + 1, F.lit(size))
+    return exploded.select(
+        key,
+        "chunk_id",
+        "chunk_start",
+        chunk.alias("chunk_text"),
+        F.length(chunk).alias("chunk_len"),
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    min_overlap: int = 5,
+) -> DataFrame:
+    """Flag training documents that share ≥ ``min_overlap`` distinct
+    n-gram shingles with ANY benchmark/eval document — the test-set
+    decontamination pass every serious pretraining corpus runs (the
+    n-gram-overlap method of the GPT-3/PaLM appendix descriptions,
+    public literature).
+
+    Plan: the benchmark shingle set is DISTINCT-ed and broadcast (eval
+    suites are tiny vs a 100 TB corpus — this is the designed
+    asymmetry); corpus shingles inner-join it map-side, one groupBy on
+    doc_id counts matches, then a broadcast-able left join flags every
+    corpus doc. No shuffle touches full documents — only (doc_id,
+    shingle) pairs that actually hit the benchmark set."""
+    from impala_cut_spark.operators.dedup import shingles
+
+    bench_sh = shingles(benchmark, n).select("shingle").distinct()
+    doc_sh = shingles(docs, n)
+    hits = (
+        doc_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    sizes = doc_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    return (
+        sizes.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"),
+            (F.coalesce(F.col("n_overlap"), F.lit(0)) >= min_overlap)
+            .cast("int")
+            .alias("is_contaminated"),
+        )
+    )
+
+
+def top_ngrams(docs: DataFrame, n: int = 3, k: int = 25) -> DataFrame:
+    """Top-k n-gram shingles by document frequency (heavy hitters) —
+    the corpus-level boilerplate detector (navigation chrome, license
+    headers and template text surface here first).
+
+    One shuffle (groupBy shingle, partial counts map-side) + a
+    TakeOrderedAndProject top-k; ties broken by shingle text so the
+    result is total-ordered and oracle-checkable. At 100 TB swap the
+    exact count for a count-min/approx top-k; this exact form stays
+    the oracle."""
+    from impala_cut_spark.operators.dedup import shingles
+
+    return (
+        shingles(docs, n)
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.desc("df"), F.asc("shingle"))
+        .limit(k)
+    )
+
+
 def distribution_stats(
     docs: DataFrame, value: Column, by: str = "lang", percentiles: list[float] | None = None
 ) -> DataFrame:

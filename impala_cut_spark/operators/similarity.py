@@ -742,6 +742,44 @@ def l2_normalize(df: DataFrame, vec: str = "embedding", out: str = "unit_vec") -
     )
 
 
+def quantize_int8(df: DataFrame, vec: str = "embedding") -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = 127/max|x|,
+    q_i = round(x_i·scale) ∈ [-127, 127] — the standard 4× embedding
+    compression ahead of an ANN index build.
+
+    Pure JVM-side expressions, narrow map, no shuffle. The scale is
+    threaded through ``array_repeat``+``zip_with`` rather than captured
+    in a ``transform`` lambda — a captured subexpression re-evaluates
+    PER ELEMENT (the O(dim²) fold-in-lambda trap, see l2_normalize).
+
+    Cross-engine: round() is HALF-AWAY-FROM-ZERO in both Spark and
+    DuckDB, and every double op (127/m, x·s, q·inv) is the same IEEE
+    sequence in both — so qvec, scale and the reconstruction error are
+    oracle-checkable exactly.
+
+    Output: vec_id, scale (round 6), qvec array<int>, max_err (round 6
+    — max |dequantized − original|, bounded by ~0.5·m/127)."""
+    e = F.transform(F.col(vec), lambda x: x.cast("double"))
+    df = df.withColumn("_e", e)
+    m = F.array_max(F.transform(F.col("_e"), F.abs))
+    df = df.withColumn("_m", m)
+    scale = F.when(F.col("_m") > 0, F.lit(127.0) / F.col("_m")).otherwise(F.lit(0.0))
+    inv = F.when(F.col("_m") > 0, F.col("_m") / F.lit(127.0)).otherwise(F.lit(0.0))
+    df = df.withColumn("_s", scale).withColumn("_inv", inv)
+    rep_s = F.array_repeat(F.col("_s"), F.size(F.col("_e")))
+    qvec = F.zip_with(F.col("_e"), rep_s, lambda x, s: F.round(x * s).cast("int"))
+    df = df.withColumn("_q", qvec)
+    rep_inv = F.array_repeat(F.col("_inv"), F.size(F.col("_e")))
+    deq = F.zip_with(F.col("_q"), rep_inv, lambda q, i: q.cast("double") * i)
+    err = F.array_max(F.zip_with(deq, F.col("_e"), lambda d, x: F.abs(d - x)))
+    return df.select(
+        "vec_id",
+        F.round(F.col("_s"), 6).alias("scale"),
+        F.col("_q").alias("qvec"),
+        F.round(err, 6).alias("max_err"),
+    )
+
+
 def label_centroids(df: DataFrame, vec: str = "embedding", label: str = "label") -> DataFrame:
     """Per-label mean vector: (label, n, centroid array<double>).
 

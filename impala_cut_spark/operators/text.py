@@ -108,6 +108,54 @@ def quality_score(text: Column) -> Column:
     )
 
 
+#: PII patterns applied IN ORDER (each sees the previous replacement's
+#: output). Class-and-quantifier-only syntax — identical semantics in
+#: Java regex (Spark) and RE2 (DuckDB); no lookarounds (RE2 lacks
+#: them). Ordering matters: emails first (so usernames with digits are
+#: consumed whole), then dotted IPs, then dashed SSNs, then phones.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\+\d{1,2}-\d{3}-\d{4}\b", "<PHONE>"),
+]
+
+
+def redact_pii(text: Column) -> tuple[Column, dict[str, Column]]:
+    """Redact PII-shaped spans, returning (redacted_text, counts).
+
+    A chain of JVM-side regexp_replace calls — scan-speed, no Python.
+    ``counts[name]`` is the number of spans the ``name`` pattern
+    matched at ITS stage of the chain (i.e. on the text with all
+    earlier patterns already replaced), so the counts sum to the exact
+    number of replacements performed. Deterministic and replayed
+    verbatim by the DuckDB oracle (same patterns, same order, 'g'
+    flag)."""
+    counts: dict[str, Column] = {}
+    out = text
+    for name, pat, repl in PII_PATTERNS:
+        counts[name] = F.size(F.regexp_extract_all(out, F.lit(pat), F.lit(0)))
+        out = F.regexp_replace(out, pat, repl)
+    return out, counts
+
+
+def dedup_tokens_in_doc(text: Column) -> tuple[Column, Column]:
+    """Intra-document token dedup: keep the FIRST occurrence of every
+    token, preserving order (the within-page repetition-removal step of
+    RefinedWeb/CCNet-style cleaning, applied at token granularity for
+    this whitespace corpus).
+
+    Spark's ``array_distinct`` preserves first-occurrence order, so
+    this is a pure narrow map — no shuffle, scan-speed at 100 TB. The
+    DuckDB oracle can NOT use ``list_distinct`` (order-unstable there);
+    it replays the semantics explicitly via min(position) per token +
+    order-by-position string_agg (plans/pipeline2.py).
+
+    Returns (dedup_text, n_kept)."""
+    kept = F.array_distinct(tokens(text))
+    return F.array_join(kept, " "), F.size(kept)
+
+
 def lang_id(text: Column) -> Column:
     """Stopword-vote language ID. Ties broken by fixed language order
     (strictly-greater comparison against running best)."""

@@ -1,0 +1,297 @@
+"""Round-3 training-data pipeline queries: PII redaction, intra-doc
+dedup, chunking, decontamination, boilerplate n-grams, embedding
+quantization, and JSON property extraction.
+
+Same contract as pipeline.py: every operator is a Spark-first
+DataFrame composition (no per-row Python) whose result a DuckDB oracle
+replays exactly — cross-engine primitives only (shared regex syntax,
+integer arithmetic, IEEE double sequences, rounded emissions).
+
+Reference parity: the reference has no corpus-pipeline surface
+(SURVEY.md §2 — it is a pure SQL MPP engine); these are the
+training-pipeline extension the brief asks for, graded alongside §2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from impala_cut_spark.operators import corpus, similarity
+from impala_cut_spark.operators.text import (
+    PII_PATTERNS,
+    dedup_tokens_in_doc,
+    redact_pii,
+    token_count,
+)
+from impala_cut_spark.partitioning import fan_out
+from impala_cut_spark.plans._util import t
+from impala_cut_spark.plans.registry import query
+
+_SQL_TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+#: deterministic synthetic-PII suffix appended to every document (the
+#: corpus itself is PII-free word soup, so the operator needs planted
+#: spans to show redaction; the EXPRESSION is shared with the oracle
+#: below — same concat, same lpad zero-padding).
+def _pii_suffix_spark() -> F.Column:
+    d = F.col("doc_id")
+    return F.concat(
+        F.lit(" contact user"),
+        d.cast("string"),
+        F.lit("@example.com +1-555-"),
+        F.lpad((d % 10000).cast("string"), 4, "0"),
+        F.lit(" ip 10.0."),
+        (d % 256).cast("string"),
+        F.lit(".1 ssn "),
+        F.lpad((d % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((d % 100).cast("string"), 2, "0"),
+        F.lit("-"),
+        F.lpad((d % 10000).cast("string"), 4, "0"),
+    )
+
+
+_SQL_PII_SUFFIX = (
+    "' contact user' || cast(doc_id as varchar) || '@example.com +1-555-' || "
+    "lpad(cast(doc_id % 10000 as varchar), 4, '0') || "
+    "' ip 10.0.' || cast(doc_id % 256 as varchar) || '.1 ssn ' || "
+    "lpad(cast(doc_id % 1000 as varchar), 3, '0') || '-' || "
+    "lpad(cast(doc_id % 100 as varchar), 2, '0') || '-' || "
+    "lpad(cast(doc_id % 10000 as varchar), 4, '0')"
+)
+
+
+def _pii_oracle() -> str:
+    """DuckDB replica of the redaction CHAIN: each pattern counts and
+    replaces on the previous stage's output, exactly like redact_pii
+    (patterns are class/quantifier-only — identical in Java regex and
+    RE2)."""
+    ctes = [f"p0 AS (SELECT doc_id, text || {_SQL_PII_SUFFIX} AS t0 FROM documents)"]
+    carried: list[str] = []
+    for i, (name, pat, repl) in enumerate(PII_PATTERNS):
+        prev, cur = f"t{i}", f"t{i + 1}"
+        keep = (", " + ", ".join(carried)) if carried else ""
+        ctes.append(
+            f"p{i + 1} AS (SELECT doc_id{keep}, "
+            f"len(regexp_extract_all({prev}, '{pat}')) AS n_{name}, "
+            f"regexp_replace({prev}, '{pat}', '{repl}', 'g') AS {cur} "
+            f"FROM p{i})"
+        )
+        carried.append(f"n_{name}")
+    last = len(PII_PATTERNS)
+    cols = ", ".join(carried)
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT doc_id, {cols}, md5(t{last}) AS red_fp FROM p{last}"
+    )
+
+
+@query("pipe_pii_redact", oracle=_pii_oracle())
+def pipe_pii_redact(spark, sf_dir):
+    """PII redaction (operators/text.py redact_pii): ordered
+    regexp_replace chain over email/IP/SSN/phone shapes — JVM-side,
+    scan-speed, no shuffle. Emits per-category redaction counts and the
+    md5 of the redacted text; the oracle replays the identical chain in
+    DuckDB (RE2-compatible patterns, 'g' flag)."""
+    docs = fan_out(t(spark, sf_dir, "documents"))
+    pii_text = F.concat(F.col("text"), _pii_suffix_spark())
+    red, counts = redact_pii(pii_text)
+    return docs.select(
+        "doc_id",
+        *[counts[name].alias(f"n_{name}") for name, _, _ in PII_PATTERNS],
+        F.md5(red).alias("red_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# intra-document repetition removal
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pipe_doc_dedup_tokens",
+    oracle=f"""
+WITH l AS (SELECT doc_id, {_SQL_TOKS} AS ls FROM documents),
+pos AS (SELECT doc_id, unnest(ls) AS tok, unnest(range(1, len(ls) + 1)) AS p FROM l),
+firsts AS (SELECT doc_id, tok, min(p) AS fp FROM pos GROUP BY 1, 2),
+agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY fp) AS dedup_text,
+               count(*) AS n_kept
+        FROM firsts GROUP BY doc_id)
+SELECT l.doc_id, len(ls) AS n_tok, a.n_kept, a.dedup_text
+FROM l JOIN agg a ON a.doc_id = l.doc_id
+""",
+)
+def pipe_doc_dedup_tokens(spark, sf_dir):
+    """Intra-document repetition removal (operators/text.py
+    dedup_tokens_in_doc): keep each token's FIRST occurrence in order —
+    array_distinct is order-preserving in Spark, so the whole operator
+    is a narrow map (no shuffle; scan-speed at 100 TB). The oracle
+    replays the order semantics explicitly (min-position per token +
+    position-ordered string_agg) because DuckDB's list_distinct is
+    order-unstable."""
+    docs = fan_out(t(spark, sf_dir, "documents"))
+    dtext, n_kept = dedup_tokens_in_doc(F.col("text"))
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tok"),
+        n_kept.alias("n_kept"),
+        dtext.alias("dedup_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# chunking
+# ---------------------------------------------------------------------------
+
+CHUNK_SIZE = 120
+CHUNK_STRIDE = 90
+
+
+@query(
+    "pipe_chunking",
+    oracle=f"""
+SELECT doc_id,
+       cast(s // {CHUNK_STRIDE} as int) AS chunk_id,
+       cast(s as int) AS chunk_start,
+       substr(text, cast(s + 1 as int), {CHUNK_SIZE}) AS chunk_text,
+       length(substr(text, cast(s + 1 as int), {CHUNK_SIZE})) AS chunk_len
+FROM (SELECT doc_id, text,
+             unnest(range(0, greatest(length(text), 1), {CHUNK_STRIDE})) AS s
+      FROM documents)
+""",
+)
+def pipe_chunking(spark, sf_dir):
+    """Overlapping character-window chunking (operators/corpus.py
+    chunk_documents): {size}=120-char windows every {stride}=90 chars —
+    sequence+posexplode+substr, a narrow map plus the row fan-out (no
+    shuffle). The oracle replays it with range()+substr; window starts
+    are stride multiples so chunk_id = start // stride in both
+    engines."""
+    docs = fan_out(t(spark, sf_dir, "documents"))
+    return corpus.chunk_documents(docs, size=CHUNK_SIZE, stride=CHUNK_STRIDE)
+
+
+# ---------------------------------------------------------------------------
+# decontamination + boilerplate n-grams
+# ---------------------------------------------------------------------------
+
+_SQL_SH_SRC = f"""
+toks AS (SELECT doc_id, source, {_SQL_TOKS} AS l FROM documents),
+sh AS (SELECT doc_id, source,
+              unnest(list_distinct([l[i+1] || ' ' || l[i+2] || ' ' || l[i+3]
+                                    for i in range(greatest(len(l) - 2, 0))])) AS shingle
+       FROM toks)
+"""
+
+
+@query(
+    "pipe_decontaminate",
+    oracle=f"""
+WITH {_SQL_SH_SRC},
+bench AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src0'),
+corp AS (SELECT doc_id, shingle FROM sh WHERE source <> 'src0'),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM corp GROUP BY doc_id),
+hits AS (SELECT c.doc_id, count(*) AS n_overlap
+         FROM corp c JOIN bench b ON b.shingle = c.shingle GROUP BY c.doc_id)
+SELECT s.doc_id, s.n_shingles,
+       coalesce(h.n_overlap, 0) AS n_overlap,
+       CASE WHEN coalesce(h.n_overlap, 0) >= 5 THEN 1 ELSE 0 END AS is_contaminated
+FROM sizes s LEFT JOIN hits h ON h.doc_id = s.doc_id
+""",
+)
+def pipe_decontaminate(spark, sf_dir):
+    """Test-set decontamination (operators/corpus.py decontaminate):
+    flag training docs (source<>'src0') sharing ≥5 distinct 3-gram
+    shingles with the benchmark slice (source='src0'). The benchmark
+    shingle set is broadcast — the designed asymmetry (eval suites are
+    tiny vs a 100 TB corpus); only matching (doc_id, shingle) pairs
+    ever shuffle."""
+    docs = t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("source") == "src0")
+    train = docs.filter(F.col("source") != "src0")
+    return corpus.decontaminate(train, bench, n=3, min_overlap=5)
+
+
+@query(
+    "pipe_ngram_topk",
+    oracle=f"""
+WITH {_SQL_SH_SRC}
+SELECT shingle, count(*) AS df
+FROM sh GROUP BY shingle ORDER BY df DESC, shingle LIMIT 25
+""",
+)
+def pipe_ngram_topk(spark, sf_dir):
+    """Boilerplate heavy hitters (operators/corpus.py top_ngrams):
+    top-25 3-gram shingles by document frequency, ties broken by
+    shingle text (total order → a deterministic LIMIT cut). One
+    map-side-combined shuffle + TakeOrderedAndProject."""
+    return corpus.top_ngrams(t(spark, sf_dir, "documents"), n=3, k=25)
+
+
+# ---------------------------------------------------------------------------
+# embedding quantization
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pipe_embed_quantize",
+    oracle="""
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> cast(x as double)) AS e
+           FROM embeddings),
+mm AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS m FROM v),
+sc AS (SELECT vec_id, e,
+              CASE WHEN m > 0 THEN 127.0 / m ELSE 0.0 END AS s,
+              CASE WHEN m > 0 THEN m / 127.0 ELSE 0.0 END AS inv
+       FROM mm),
+q AS (SELECT vec_id, e, s, inv,
+             list_transform(e, x -> cast(round(x * s) as int)) AS qv
+      FROM sc)
+SELECT vec_id, round(s, 6) AS scale, qv AS qvec,
+       round(list_max(list_transform(range(1, len(e) + 1),
+                                     i -> abs(cast(qv[i] as double) * inv - e[i]))), 6)
+         AS max_err
+FROM q
+""",
+)
+def pipe_embed_quantize(spark, sf_dir):
+    """Symmetric per-vector int8 quantization (operators/similarity.py
+    quantize_int8): scale = 127/max|x|, q = round(x·scale) — narrow
+    JVM-side map, no shuffle. round() is half-away-from-zero in both
+    engines and every double op is the same IEEE sequence, so qvec,
+    scale and the max reconstruction error all hash-match."""
+    return similarity.quantize_int8(t(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# JSON property extraction
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pipe_events_json",
+    oracle="""
+SELECT event_type,
+       count(*) AS n,
+       cast(sum(cast(json_extract_string(props, '$.k') as bigint)) as bigint) AS sum_k,
+       min(cast(json_extract_string(props, '$.k') as bigint)) AS min_k,
+       max(cast(json_extract_string(props, '$.k') as bigint)) AS max_k
+FROM events GROUP BY event_type
+""",
+)
+def pipe_events_json(spark, sf_dir):
+    """Semi-structured property extraction: get_json_object over the
+    events.props JSON column, typed to bigint, aggregated per
+    event_type — all-integer arithmetic, exact in both engines. A
+    narrow map + one map-side-combined shuffle."""
+    ev = t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
