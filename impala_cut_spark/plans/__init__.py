@@ -32,25 +32,27 @@ from impala_cut_spark.plans import pipeline2  # noqa: E402,F401
 #: (week-over-week self-join) for broader star-join shape coverage;
 #: tpch_q14 (join + conditional agg — shape-covered by q12/q19) ceded
 #: its slot to pipe_dedup_clusters (iterative connected-components,
-#: an operator family nothing else in the window exercises).  Every
-#: evicted query keeps its oracle below the window.
+#: an operator family nothing else in the window exercises).  Second
+#: r3 rotation: tpch_q4 (EXISTS semi — q21/q22 keep exists/not-exists
+#: in-window), tpch_q12 (join + CASE agg — q8 and cov_agg_all cover)
+#: and tpch_q19 (OR-of-ANDs pushdown — cov_predicates_views covers)
+#: ceded their slots to three NEW pipeline families: decontamination,
+#: PII redaction, int8 quantization (pipeline2.py).  Every evicted
+#: query keeps its oracle below the window.
 DRIVER_WINDOW: list[str] = [
-    # TPC-H (18 of 22 — q14/q15/q16 below the window since round 3)
+    # TPC-H (15 of 22 — q4/q12/q14/q15/q16/q19 below the window)
     "tpch_q1",
     "tpch_q2",
     "tpch_q3",
-    "tpch_q4",
     "tpch_q5",
     "tpch_q6",
     "tpch_q8",
     "tpch_q9",
     "tpch_q10",
     "tpch_q11",
-    "tpch_q12",
     "tpch_q13",
     "tpch_q17",
     "tpch_q18",
-    "tpch_q19",
     "tpch_q20",
     "tpch_q21",
     "tpch_q22",
@@ -89,6 +91,10 @@ DRIVER_WINDOW: list[str] = [
     "stream_events_hourly",
     "stream_dedup",
     "pipe_sessions",
+    # round-3 pipeline families (pipeline2.py)
+    "pipe_decontaminate",
+    "pipe_pii_redact",
+    "pipe_embed_quantize",
 ]
 
 

@@ -574,6 +574,115 @@ def decimal_query(draw):
     )
 
 
+# --- round-3: NULL join keys across join types ----------------------------
+
+
+@st.composite
+def null_join_query(draw):
+    """Join with NULL-injected keys on both sides: NULL = NULL must
+    never match in any join type, and outer rows with NULL keys must
+    still surface — the §2.3 semantics most likely to skew between
+    engines. Keys collide heavily (small modulus) so every join type
+    exercises matched, unmatched and null-key rows at once."""
+    p = draw(st.integers(2, 9))
+    q = draw(st.integers(2, 9))
+    m = draw(st.integers(3, 17))
+    jt = draw(st.sampled_from(["JOIN", "LEFT JOIN", "FULL JOIN"]))
+    cap = draw(st.sampled_from([1000, 3000]))
+    return (
+        f"WITH a AS (SELECT CASE WHEN l_suppkey % {p} = 0 THEN NULL "
+        f"ELSE l_suppkey % {m} END AS k, l_orderkey AS v "
+        f"FROM lineitem WHERE l_orderkey < {cap}), "
+        f"b AS (SELECT CASE WHEN o_custkey % {q} = 0 THEN NULL "
+        f"ELSE o_custkey % {m} END AS k, o_orderkey AS w "
+        f"FROM orders WHERE o_orderkey < {cap}) "
+        f"SELECT coalesce(a.k, b.k) AS k, count(*) AS n, "
+        f"count(a.v) AS n_left, count(b.w) AS n_right, "
+        f"min(a.v) AS mn_v, max(b.w) AS mx_w "
+        f"FROM a {jt} b ON a.k = b.k "
+        f"GROUP BY coalesce(a.k, b.k)"
+    )
+
+
+@settings(
+    max_examples=_n(25),
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(sql=null_join_query())
+def test_random_null_key_join_matches_duckdb(sql, spark, oracle, views):
+    sdf = spark.sql(sql)
+    scols, srows = frame_to_rows([c.lower() for c in sdf.columns], sdf.collect())
+    orel = oracle.sql(sql)
+    ocols, orows = frame_to_rows([c.lower() for c in orel.columns], orel.fetchall())
+    assert scols == ocols, sql
+    assert len(srows) == len(orows), sql
+    bad = [(a, b) for a, b in zip(srows, orows) if a != b]
+    assert not bad, f"{sql}\nfirst diff: {bad[0] if bad else None}"
+
+
+# --- round-3: string-function composition trees ---------------------------
+
+
+@st.composite
+def string_fn_expr(draw, depth=2):
+    """Random composition of the shared string surface (§2.8): every
+    generated form has identical semantics in Spark and DuckDB with
+    positive/ASCII-only arguments."""
+    if depth == 0:
+        return draw(
+            st.sampled_from(["l_returnflag", "l_linestatus", "concat(l_returnflag, l_linestatus)"])
+        )
+    inner = draw(string_fn_expr(depth=depth - 1))
+    form = draw(
+        st.sampled_from(
+            ["lower", "upper", "trim", "reverse", "substr", "concat", "replace", "lpad", "plain"]
+        )
+    )
+    if form in ("lower", "upper", "trim", "reverse"):
+        return f"{form}({inner})"
+    if form == "substr":
+        start = draw(st.integers(1, 3))
+        ln = draw(st.integers(1, 5))
+        return f"substr({inner}, {start}, {ln})"
+    if form == "concat":
+        lit = draw(st.sampled_from(["_x", "Q", "09"]))
+        return f"concat({inner}, '{lit}')"
+    if form == "replace":
+        a = draw(st.sampled_from(["A", "R", "I", "RA"]))
+        return f"replace({inner}, '{a}', '~')"
+    if form == "lpad":
+        n = draw(st.integers(1, 8))
+        return f"lpad({inner}, {n}, '*')"
+    return inner
+
+
+@st.composite
+def string_fn_query(draw):
+    e = draw(string_fn_expr())
+    return (
+        f"SELECT {e} AS s, count(*) AS n, cast(sum(length({e})) as bigint) AS tot_len "
+        f"FROM lineitem GROUP BY 1"
+    )
+
+
+@settings(
+    max_examples=_n(30),
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(sql=string_fn_query())
+def test_random_string_functions_match_duckdb(sql, spark, oracle, views):
+    sdf = spark.sql(sql)
+    scols, srows = frame_to_rows([c.lower() for c in sdf.columns], sdf.collect())
+    orel = oracle.sql(sql)
+    ocols, orows = frame_to_rows([c.lower() for c in orel.columns], orel.fetchall())
+    assert scols == ocols, sql
+    assert len(srows) == len(orows), sql
+    bad = [(a, b) for a, b in zip(srows, orows) if a != b]
+    assert not bad, f"{sql}\nfirst diff: {bad[0] if bad else None}"
+
+
 @settings(
     max_examples=_n(30),
     deadline=None,

@@ -179,6 +179,7 @@ def test_driver_window_is_first_50():
         "similarity": ["pipe_embed_neardup", "pipe_ann_topk", "pipe_ann_ivf"],
         "multimodal": ["pipe_multimodal_features"],
         "streaming": ["stream_events_hourly", "stream_dedup", "pipe_sessions"],
+        "pipeline2": ["pipe_decontaminate", "pipe_pii_redact", "pipe_embed_quantize"],
     }
     for fam, members in families.items():
         assert all(m in DRIVER_WINDOW for m in members), fam
