@@ -79,6 +79,33 @@ def stratified_sample(
     return docs.filter(bucket < int(round(fraction * BUCKETS)))
 
 
+def mixture_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    strata: str = "source",
+    key: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic weighted data-mixture sampling: each stratum is
+    downsampled at its OWN rate — how a pretraining mix is built
+    (e.g. keep 100% of curated sources, 10% of crawl).
+
+    Same md5-bucket machinery as stratified_sample (reproducible under
+    retries/repartitioning/incremental growth), but with a per-stratum
+    threshold selected by a CASE over the stratum value. Pure
+    pushed-down filter — no shuffle, no Python."""
+    bucket = split_bucket(F.concat_ws("|", F.col(strata), F.col(key).cast("string")))
+    thr: Column | None = None
+    for name, rate in rates.items():
+        cond = F.col(strata) == name
+        lim = int(round(rate * BUCKETS))
+        thr = F.when(cond, lim) if thr is None else thr.when(cond, lim)
+    thr = F.lit(int(round(default_rate * BUCKETS))) if thr is None else thr.otherwise(
+        int(round(default_rate * BUCKETS))
+    )
+    return docs.filter(bucket < thr)
+
+
 def chunk_documents(
     docs: DataFrame,
     size: int = 200,

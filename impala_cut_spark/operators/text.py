@@ -156,6 +156,46 @@ def dedup_tokens_in_doc(text: Column) -> tuple[Column, Column]:
     return F.array_join(kept, " "), F.size(kept)
 
 
+def repetition_features(text: Column, n: int = 3) -> dict[str, Column]:
+    """Intra-document repetition signals (the Gopher/MassiveText
+    repetition filters, public literature): the fraction of n-grams
+    that are duplicates of an earlier n-gram, and the duplicate
+    fraction of whole tokens.
+
+    dup_ngram_frac = 1 − distinct(ngrams)/total(ngrams); a page whose
+    content loops (navigation chrome, generated spam) scores high and
+    is dropped by a threshold filter downstream. Pure narrow map —
+    n-grams built inline with transform over token indexes (no ML
+    stage, no shuffle)."""
+    toks = tokens(text)
+    n_tok = F.size(toks)
+    # n-grams as joined token windows: indexes 0..n_tok-n (guarded —
+    # Spark's sequence(0, -1) would DESCEND, not return empty)
+    idx = F.when(n_tok >= n, F.sequence(F.lit(0), n_tok - n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    n_gram = F.size(grams)
+    n_distinct_gram = F.size(F.array_distinct(grams))
+    n_distinct_tok = F.size(F.array_distinct(toks))
+    return {
+        "n_gram": n_gram,
+        "dup_ngram_frac": F.when(
+            n_gram > 0,
+            F.lit(1.0) - n_distinct_gram.cast("double") / n_gram.cast("double"),
+        ).otherwise(F.lit(0.0)),
+        "dup_token_frac": F.when(
+            n_tok > 0,
+            F.lit(1.0) - n_distinct_tok.cast("double") / n_tok.cast("double"),
+        ).otherwise(F.lit(0.0)),
+    }
+
+
 def lang_id(text: Column) -> Column:
     """Stopword-vote language ID. Ties broken by fixed language order
     (strictly-greater comparison against running best)."""

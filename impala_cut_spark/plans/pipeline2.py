@@ -233,6 +233,80 @@ def pipe_ngram_topk(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# repetition signals + data-mixture sampling
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pipe_text_repetition",
+    oracle=f"""
+WITH l AS (SELECT doc_id, {_SQL_TOKS} AS ls FROM documents),
+g AS (SELECT doc_id, len(ls) AS n_tok, len(list_distinct(ls)) AS nd_tok,
+             CASE WHEN len(ls) >= 3
+                  THEN [ls[i+1] || ' ' || ls[i+2] || ' ' || ls[i+3]
+                        for i in range(len(ls) - 2)]
+                  ELSE [] END AS grams
+      FROM l)
+SELECT doc_id,
+       len(grams) AS n_gram,
+       round(CASE WHEN len(grams) > 0
+                  THEN 1.0 - cast(len(list_distinct(grams)) as double)
+                             / cast(len(grams) as double)
+                  ELSE 0.0 END, 6) AS dup_ngram_frac,
+       round(CASE WHEN n_tok > 0
+                  THEN 1.0 - cast(nd_tok as double) / cast(n_tok as double)
+                  ELSE 0.0 END, 6) AS dup_token_frac
+FROM g
+""",
+)
+def pipe_text_repetition(spark, sf_dir):
+    """Gopher/MassiveText-style repetition signals (operators/text.py
+    repetition_features): duplicate-3-gram and duplicate-token
+    fractions per document — the looping-content filter input. N-grams
+    built inline with transform over token indexes; pure narrow map,
+    no shuffle, no ML stage."""
+    from impala_cut_spark.operators.text import repetition_features
+
+    docs = fan_out(t(spark, sf_dir, "documents"))
+    ft = repetition_features(F.col("text"), n=3)
+    return docs.select(
+        "doc_id",
+        ft["n_gram"].alias("n_gram"),
+        F.round(ft["dup_ngram_frac"], 6).alias("dup_ngram_frac"),
+        F.round(ft["dup_token_frac"], 6).alias("dup_token_frac"),
+    )
+
+
+#: the registered mixture: keep all of src0 (curated), 40% of src1,
+#: 5% of everything else (crawl-like tail).
+MIXTURE_RATES = {"src0": 1.0, "src1": 0.4}
+MIXTURE_DEFAULT = 0.05
+
+_SQL_H60 = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
+
+
+@query(
+    "pipe_mixture_sample",
+    oracle=f"""
+SELECT doc_id, source
+FROM documents
+WHERE {_SQL_H60.format(x="source || '|' || cast(doc_id as varchar)")} % 10000
+      < CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 4000 ELSE 500 END
+""",
+)
+def pipe_mixture_sample(spark, sf_dir):
+    """Deterministic weighted data-mixture sampling (operators/
+    corpus.py mixture_sample): per-source keep rates (100% curated /
+    40% mid / 5% crawl tail) via the shared md5-bucket hash — stable
+    under retries, repartitioning and corpus growth. Pure pushed-down
+    filter; no shuffle."""
+    docs = t(spark, sf_dir, "documents")
+    return corpus.mixture_sample(
+        docs, MIXTURE_RATES, strata="source", default_rate=MIXTURE_DEFAULT
+    ).select("doc_id", "source")
+
+
+# ---------------------------------------------------------------------------
 # embedding quantization
 # ---------------------------------------------------------------------------
 

@@ -118,6 +118,46 @@ def test_top_ngrams_ordering(spark, docs):
             assert a["shingle"] < b["shingle"]
 
 
+def test_repetition_features_reference(spark):
+    """dup fractions against a python reference on crafted docs,
+    including the <n-token edge case."""
+    from impala_cut_spark.operators.text import repetition_features
+
+    samples = ["a b a b a b", "x y z w", "one two", "", "q q q q q q"]
+    df = spark.createDataFrame([(s,) for s in samples], "text string")
+    ft = repetition_features(F.col("text"), n=3)
+    rows = df.select(
+        ft["n_gram"].alias("g"), ft["dup_ngram_frac"].alias("dg"), ft["dup_token_frac"].alias("dt")
+    ).collect()
+    for s, r in zip(samples, rows):
+        toks = [x for x in s.split(" ") if x]
+        grams = [" ".join(toks[i : i + 3]) for i in range(max(len(toks) - 2, 0))]
+        assert r["g"] == len(grams)
+        exp_dg = 1.0 - len(set(grams)) / len(grams) if grams else 0.0
+        exp_dt = 1.0 - len(set(toks)) / len(toks) if toks else 0.0
+        assert r["dg"] == pytest.approx(exp_dg)
+        assert r["dt"] == pytest.approx(exp_dt)
+
+
+def test_mixture_sample_rates(spark, docs):
+    """Per-source keep rates honored: rate-1.0 strata keep everything,
+    rate-0 strata drop everything, and the sample is a determinstic
+    subset (re-run identical)."""
+    out = corpus.mixture_sample(docs, {"src0": 1.0, "src1": 0.0}, strata="source", default_rate=0.1)
+    got = out.groupBy("source").count().collect()
+    counts = {r["source"]: r["count"] for r in got}
+    total = {r["source"]: r["count"] for r in docs.groupBy("source").count().collect()}
+    assert counts.get("src0") == total["src0"]
+    assert "src1" not in counts
+    again = {
+        r["source"]: r["count"]
+        for r in corpus.mixture_sample(
+            docs, {"src0": 1.0, "src1": 0.0}, strata="source", default_rate=0.1
+        ).groupBy("source").count().collect()
+    }
+    assert counts == again
+
+
 def test_quantize_int8_bounds(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings").limit(100)
     out = similarity.quantize_int8(emb).collect()
