@@ -1,0 +1,167 @@
+"""Scale-smoke harness: measure how the headline operators scale when
+the data grows 10× — the local, measurable stand-in for the "would
+this survive 100×?" question the 100 TB design targets.
+
+Builds a ~sf1 replica set in /tmp by unioning the sf0.1 tables 10×
+with key offsets (documents get a per-replica prefix token so the
+corpus doesn't become 10 exact copies — that would quadratically
+inflate dedup pair counts and measure skew, not scaling), then runs a
+spread of operator families at BOTH scales and reports the wall-clock
+ratio next to the 10× data ratio.
+
+A ratio ≈ 10 (or below, as fixed per-query overhead amortizes) means
+the plan is linear in the data — shuffles keyed correctly, no
+quadratic candidate stage, no driver-side collect growing with the
+corpus. Ratios well above 10 flag a scale problem.
+
+    python tools/scale_smoke.py            # writes SCALE.md + prints JSON
+
+Replicated tables: lineitem, orders, events, documents, embeddings
+(the ones the smoke queries touch). Output: SCALE.md at the repo root.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+SRC = "/root/testdata/sf0.1"
+DST = "/tmp/scale_sf1"
+REPLICAS = 10
+
+#: query name -> family label (all from the registry, run unchanged)
+SMOKE = {
+    "tpch_q1": "scan+agg (1 shuffle)",
+    "tpch_q6": "pushed-down scan (0 shuffles)",
+    "tpch_q18": "join + HAVING-on-merge agg",
+    "pipe_text_all": "text features (narrow map)",
+    "pipe_dedup_exact": "exact dedup (1 shuffle)",
+    "pipe_dedup_minhash": "MinHash+LSH (3 shuffles, linear volume)",
+    "pipe_ann_topk": "brute-force ANN (mapInPandas kernel)",
+    "pipe_sessions": "sessionization (1 shuffle)",
+    "pipe_events_json": "JSON extract + agg",
+    "pipe_mixture_sample": "mixture sample (pushed filter)",
+}
+
+#: table -> {column: key_domain}. Columns sharing a domain shift by the
+#: SAME offset, so every replica preserves referential integrity (the
+#: orders⋈lineitem⋈customer joins in replica i match exactly like the
+#: original — without this, FK joins misalign and the smoke measures a
+#: different selectivity at the big scale).
+KEYS = {
+    "lineitem": {"l_orderkey": "order"},
+    "orders": {"o_orderkey": "order", "o_custkey": "cust"},
+    "customer": {"c_custkey": "cust"},
+    "events": {"event_id": "event"},
+    "documents": {"doc_id": "doc"},
+    "embeddings": {"vec_id": "vec"},
+}
+
+
+def build_replicas(spark) -> None:
+    from pyspark.sql import functions as F
+
+    from impala_cut_spark.sources.catalog import load_table
+
+    dst = Path(DST)
+    if dst.exists():
+        shutil.rmtree(dst)
+    dst.mkdir(parents=True)
+    # one offset per key DOMAIN = max over every column in the domain
+    dom_max: dict[str, int] = {}
+    for name, cols in KEYS.items():
+        base = load_table(spark, SRC, name)
+        for col, dom in cols.items():
+            m = int(base.agg(F.max(F.col(col))).collect()[0][0])
+            dom_max[dom] = max(dom_max.get(dom, 0), m)
+    offs = {dom: m + 1 for dom, m in dom_max.items()}
+    for name, cols in KEYS.items():
+        base = load_table(spark, SRC, name)
+        parts = []
+        for i in range(REPLICAS):
+            r = base
+            for col, dom in cols.items():
+                r = r.withColumn(col, F.col(col) + F.lit(i * offs[dom]))
+            if name == "documents" and i > 0:
+                # tag EVERY token with the replica id: replica i shares
+                # ZERO shingles with any other replica, so the corpus is
+                # 10 disjoint shards with the original's internal dup
+                # structure — dup pairs grow 10× (linear). A weaker
+                # perturbation (one prefix token) left replicas at
+                # Jaccard ≈0.97 vs their originals: every doc gained 9
+                # near-duplicates and the measured "scaling" was the
+                # ~100× growth of TRUE OUTPUT PAIRS, not operator cost
+                # (the smoke's own first finding).
+                r = r.withColumn(
+                    "text", F.regexp_replace("text", "(^| )", f"$1r{i}x")
+                )
+            parts.append(r)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionAll(p)
+        out.write.mode("overwrite").parquet(f"{DST}/{name}.parquet")
+        print(f"replicated {name}: {REPLICAS}x", flush=True)
+
+
+def run(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
+    from impala_cut_spark.plans import REGISTRY
+
+    times: dict[str, float] = {}
+    for name in names:
+        spec = REGISTRY[name]
+        # warm once at the small scale only is unfair; time the second
+        # run at each scale so codegen/JIT costs drop out of the ratio
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            spec.spark(spark, sf_dir).collect()
+            best = min(best, time.time() - t0)
+        times[name] = round(best, 3)
+        print(f"  {sf_dir.split('/')[-1]} {name}: {best:.2f}s", flush=True)
+    return times
+
+
+def main() -> None:
+    from impala_cut_spark.session import build_session
+
+    spark = build_session(app_name="scale-smoke", master="local[32]", shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    build_replicas(spark)
+    names = list(SMOKE)
+    # per-query small→big back-to-back: both scales see the same JVM
+    # warmth and machine load, so the ratio is apples-to-apples
+    small: dict[str, float] = {}
+    big: dict[str, float] = {}
+    for name in names:
+        small.update(run(spark, SRC, [name]))
+        big.update(run(spark, DST, [name]))
+
+    rows = []
+    for name in names:
+        ratio = big[name] / small[name] if small[name] > 0 else float("nan")
+        rows.append((name, SMOKE[name], small[name], big[name], round(ratio, 1)))
+
+    lines = [
+        "# SCALE — 10× growth smoke (tools/scale_smoke.py)\n",
+        f"\nsf0.1 → {REPLICAS}× replicas (~sf1), local[32], min-of-2 wall per scale.",
+        "\nLinear-at-scale bar: wall ratio ≤ ~10 (fixed per-query overhead",
+        " amortizes, so healthy ratios are usually BELOW the data ratio).\n",
+        "\n| query | family | sf0.1 s | ~sf1 s | ratio (data=10×) |\n|---|---|---|---|---|\n",
+    ]
+    for name, fam, s, b, r in rows:
+        flag = "" if r <= 12 else " ⚠"
+        lines.append(f"| {name} | {fam} | {s} | {b} | {r}×{flag} |\n")
+    (REPO / "SCALE.md").write_text("".join(lines))
+    print(json.dumps({"small": small, "big": big}))
+    print("wrote SCALE.md")
+
+
+if __name__ == "__main__":
+    main()
