@@ -200,6 +200,33 @@ def top_ngrams(docs: DataFrame, n: int = 3, k: int = 25) -> DataFrame:
     )
 
 
+def distribution_stats_approx(
+    docs: DataFrame,
+    value: Column,
+    by: str = "lang",
+    percentiles: list[float] | None = None,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """The 100 TB form of distribution_stats: approx_percentile
+    (Greenwald-Khanna sketch — mergeable, bounded memory per group,
+    rank error ≤ 1/accuracy) instead of the exact percentile's full
+    sort-per-group. Same output shape; sketch values are
+    engine-specific → rows-only registry check + a tolerance test vs
+    the exact form (tests/test_pipeline2_ops.py)."""
+    ps = percentiles or [0.25, 0.5, 0.75, 0.95]
+    v = value.alias("_v")
+    aggs = [
+        F.count(F.col("_v")).alias("n"),
+        F.round(F.avg("_v"), 6).alias("mean"),
+    ] + [
+        F.round(F.expr(f"approx_percentile(_v, {p}, {accuracy})").cast("double"), 6).alias(
+            f"p{int(p * 100)}"
+        )
+        for p in ps
+    ]
+    return docs.select(F.col(by), v).groupBy(by).agg(*aggs)
+
+
 def distribution_stats(
     docs: DataFrame, value: Column, by: str = "lang", percentiles: list[float] | None = None
 ) -> DataFrame:

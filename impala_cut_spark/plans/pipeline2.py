@@ -340,6 +340,18 @@ def pipe_embed_quantize(spark, sf_dir):
     return similarity.quantize_int8(t(spark, sf_dir, "embeddings"))
 
 
+@query("pipe_corpus_stats_approx", oracle=None)
+def pipe_corpus_stats_approx(spark, sf_dir):
+    """Approximate per-lang length distribution (operators/corpus.py
+    distribution_stats_approx): Greenwald-Khanna approx_percentile —
+    mergeable sketches, bounded memory per group, the form that
+    replaces the exact full-sort percentiles at 100 TB. Sketch results
+    are engine-specific (rows-only driver check); bounded rank error
+    vs the exact form is asserted in tests/test_pipeline2_ops.py."""
+    docs = t(spark, sf_dir, "documents")
+    return corpus.distribution_stats_approx(docs, F.col("n_chars"), by="lang")
+
+
 # ---------------------------------------------------------------------------
 # JSON property extraction
 # ---------------------------------------------------------------------------

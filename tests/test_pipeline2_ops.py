@@ -158,6 +158,43 @@ def test_mixture_sample_rates(spark, docs):
     assert counts == again
 
 
+def test_approx_percentiles_within_rank_error(spark, docs):
+    """approx_percentile at accuracy=10000 must land within a small
+    RANK neighborhood of the exact percentile for every group/p."""
+    exact = {
+        r["lang"]: r
+        for r in corpus.distribution_stats(docs, F.col("n_chars"), by="lang").collect()
+    }
+    approx = {
+        r["lang"]: r
+        for r in corpus.distribution_stats_approx(docs, F.col("n_chars"), by="lang").collect()
+    }
+    values = {
+        lang: sorted(
+            x["n_chars"] for x in docs.filter(F.col("lang") == lang).select("n_chars").collect()
+        )
+        for lang in exact
+    }
+    assert set(exact) == set(approx)
+    for lang in exact:
+        vs = values[lang]
+        n = len(vs)
+        for p, col in [(0.25, "p25"), (0.5, "p50"), (0.75, "p75"), (0.95, "p95")]:
+            a = approx[lang][col]
+            # rank of the approx answer must be within 1% of target rank
+            import bisect
+
+            lo = bisect.bisect_left(vs, a)
+            hi = bisect.bisect_right(vs, a)
+            target = p * (n - 1)
+            assert lo - 1 <= target + 0.01 * n and hi >= target - 0.01 * n, (
+                lang,
+                col,
+                a,
+                exact[lang][col],
+            )
+
+
 def test_quantize_int8_bounds(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings").limit(100)
     out = similarity.quantize_int8(emb).collect()
