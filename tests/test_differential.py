@@ -537,21 +537,30 @@ def decimal_expr(draw):
     # cast must hold them or DuckDB errors where Spark yields NULL
     int_digits = {"l_quantity": 2, "l_extendedprice": 7, "l_discount": 1, "l_tax": 1}
 
-    def leaf():
-        c = draw(st.sampled_from(NUM_COLS))
+    def leaf(p_cap: int = 15, cols: list[str] = NUM_COLS):
+        c = draw(st.sampled_from(cols))
         s = draw(st.integers(2, 4))
-        p = draw(st.integers(s + int_digits[c], 15))
+        p = draw(st.integers(s + int_digits[c], max(p_cap, s + int_digits[c])))
         return f"cast({c} as decimal({p},{s}))"
 
-    a, b = leaf(), leaf()
+    # multiplication constraint (engine-behavior, found by this very
+    # strategy at budget 120): DuckDB multiplies in the widened
+    # operands' PHYSICAL int64 when both fit DECIMAL(18) and raises on
+    # product overflow, where Spark's wider result type computes fine.
+    # Keeping p_a + p_b ≤ 18 makes the scaled-int product always fit,
+    # so the differential tests value semantics, not DuckDB's
+    # explicit-cast requirement.
+    small = ["l_quantity", "l_discount", "l_tax"]
     form = draw(st.sampled_from(["add", "sub", "mul", "mixed"]))
     if form == "add":
-        return f"({a} + {b})"
+        return f"({leaf()} + {leaf()})"
     if form == "sub":
-        return f"({a} - {b})"
+        return f"({leaf()} - {leaf()})"
     if form == "mul":
-        return f"({a} * {b})"
-    return f"(({a} + {b}) * {leaf()})"
+        return f"({leaf(11)} * {leaf(7, small)})"
+    # mixed: the sum is rescaled to (11,4) — exact for this data
+    # (|sum| < 2.2M, 7 int digits) — then the product stays ≤ 18 digits
+    return f"(cast(({leaf()} + {leaf()}) as decimal(11,4)) * {leaf(7, small)})"
 
 
 @st.composite
