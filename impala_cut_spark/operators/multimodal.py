@@ -209,3 +209,59 @@ def resize_stub(assets: DataFrame, width: int, height: int) -> DataFrame:
             yield out
 
     return assets.mapInPandas(_resize, ASSET_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("modality", T.StringType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_ts_ms", T.IntegerType(), False),
+        T.StructField("frame_payload", T.BinaryType(), True),
+    ]
+)
+
+
+def frame_sample(
+    assets: DataFrame,
+    frame_bytes: int = 64,
+    every: int = 4,
+    ms_per_frame: int = 40,
+) -> DataFrame:
+    """Frame sampling through a mapInPandas stage: slice each payload
+    into fixed-size frames and keep every ``every``-th — the
+    keyframe-extraction step of a video pipeline (40 ms/frame = 25
+    fps), run at Arrow batch granularity with one output row per
+    sampled frame.
+
+    Stub boundary (same contract as decode_image): a real container
+    (mp4/mkv) needs a codec library this container lacks — here the
+    payload IS the frame stream (fixed-stride slicing), which keeps
+    the Spark-side plumbing (schema, fan-out shape, binary Arrow
+    transfer, batch memory bounds) fully real. Deterministic →
+    oracle-checkable: DuckDB replays the slicing with range()+substr
+    over the same utf-8 payloads (plans/pipeline2.py)."""
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, mods, idxs, tss, frames = [], [], [], [], []
+            for aid, mod, p in zip(pdf["asset_id"], pdf["modality"], pdf["payload"]):
+                raw = bytes(p) if p is not None else b""
+                n_frames = max((len(raw) + frame_bytes - 1) // frame_bytes, 1)
+                for fi in range(0, n_frames, every):
+                    ids.append(aid)
+                    mods.append(mod)
+                    idxs.append(fi)
+                    tss.append(fi * ms_per_frame)
+                    frames.append(raw[fi * frame_bytes : (fi + 1) * frame_bytes])
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.Series(ids, dtype="int64"),
+                    "modality": pd.Series(mods, dtype="object"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_ts_ms": pd.Series(tss, dtype="int32"),
+                    "frame_payload": pd.Series(frames, dtype="object"),
+                }
+            )
+
+    return assets.mapInPandas(_sample, FRAME_SCHEMA)

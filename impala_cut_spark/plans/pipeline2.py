@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from impala_cut_spark.operators import corpus, similarity
+from impala_cut_spark.operators import corpus, multimodal, similarity
 from impala_cut_spark.operators.text import (
     PII_PATTERNS,
     dedup_tokens_in_doc,
@@ -338,6 +338,43 @@ def pipe_embed_quantize(spark, sf_dir):
     engines and every double op is the same IEEE sequence, so qvec,
     scale and the max reconstruction error all hash-match."""
     return similarity.quantize_int8(t(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "pipe_multimodal_frames",
+    oracle="""
+WITH f AS (SELECT doc_id, text,
+                  unnest(range(0, greatest((length(text) + 63) // 64, 1), 4)) AS fi
+           FROM documents)
+SELECT doc_id AS asset_id,
+       CASE CAST(doc_id % 3 AS INTEGER)
+         WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+       cast(fi as int) AS frame_idx,
+       cast(fi * 40 as int) AS frame_ts_ms,
+       cast(length(substr(text, cast(fi * 64 + 1 as int), 64)) as int) AS n_bytes,
+       md5(substr(text, cast(fi * 64 + 1 as int), 64)) AS frame_md5
+FROM f
+""",
+)
+def pipe_multimodal_frames(spark, sf_dir):
+    """Frame sampling (operators/multimodal.py frame_sample): every
+    4th 64-byte frame of each asset payload through mapInPandas —
+    keyframe extraction plumbing with real Arrow binary transfer. The
+    oracle replays the fixed-stride slicing with range()+substr and
+    checks each sampled frame's length + md5 (ASCII payloads: char
+    slices == byte slices)."""
+    docs = t(spark, sf_dir, "documents")
+    frames = multimodal.frame_sample(
+        multimodal.assets_from_documents(docs), frame_bytes=64, every=4
+    )
+    return frames.select(
+        "asset_id",
+        "modality",
+        "frame_idx",
+        "frame_ts_ms",
+        F.octet_length("frame_payload").cast("int").alias("n_bytes"),
+        F.md5("frame_payload").alias("frame_md5"),
+    )
 
 
 @query("pipe_corpus_stats_approx", oracle=None)

@@ -158,6 +158,29 @@ def test_mixture_sample_rates(spark, docs):
     assert counts == again
 
 
+def test_frame_sample_reconstructs_payload(spark, docs):
+    """every=1 frames concatenate back to the exact payload; every=4
+    keeps exactly the 0,4,8,... stride of those frames."""
+    from impala_cut_spark.operators import multimodal
+
+    assets = multimodal.assets_from_documents(docs.limit(10))
+    payloads = {r["asset_id"]: bytes(r["payload"]) for r in assets.collect()}
+    all_frames = multimodal.frame_sample(assets, frame_bytes=64, every=1).collect()
+    by_asset: dict[int, list] = {}
+    for r in all_frames:
+        by_asset.setdefault(r["asset_id"], []).append(r)
+    for aid, frames in by_asset.items():
+        frames.sort(key=lambda r: r["frame_idx"])
+        assert b"".join(bytes(f["frame_payload"]) for f in frames) == payloads[aid]
+        assert [f["frame_ts_ms"] for f in frames] == [f["frame_idx"] * 40 for f in frames]
+    sampled = multimodal.frame_sample(assets, frame_bytes=64, every=4).collect()
+    skeys = {(r["asset_id"], r["frame_idx"]) for r in sampled}
+    expect = {
+        (r["asset_id"], r["frame_idx"]) for r in all_frames if r["frame_idx"] % 4 == 0
+    }
+    assert skeys == expect
+
+
 def test_approx_percentiles_within_rank_error(spark, docs):
     """approx_percentile at accuracy=10000 must land within a small
     RANK neighborhood of the exact percentile for every group/p."""
