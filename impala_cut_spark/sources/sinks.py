@@ -137,6 +137,7 @@ def read_text_table(
     escape: str = "\\",
     header: bool = False,
     abort_on_error: bool = False,
+    encoding: str = "UTF-8",
 ) -> DataFrame:
     """Delimited-text scanner (hdfs-text-scanner.cc parity: delimiters
     + escaping; SSE4.2 search is Spark-internal).
@@ -146,11 +147,16 @@ def read_text_table(
     ragged/unparseable fields become NULL and the scan continues
     (PERMISSIVE); True → the query fails on the first bad row
     (FAILFAST).
+
+    ``encoding``: charset of the files (the reference's
+    delimited-latin-text.test reads ISO-8859-1 tables; Spark's csv
+    reader decodes any JVM charset).
     """
     reader = spark.read.options(
         sep=sep,
         escape=escape,
         header=header,
+        encoding=encoding,
         nullValue="\\N",  # \N sentinel (text-converter.inline.h:41)
         mode="FAILFAST" if abort_on_error else "PERMISSIVE",
     )

@@ -116,6 +116,23 @@ def test_text_round_trip(sess, tmp_path, sf_dir):
     assert {r.n_name for r in back.collect()} == {r.n_name for r in nation.collect()}
 
 
+def test_text_latin1_encoding(sess, tmp_path):
+    """Charset-bearing text scan (the reference's
+    delimited-latin-text.test intent): ISO-8859-1 bytes decode
+    correctly with encoding=, and mojibake without it."""
+    p = tmp_path / "latin1"
+    p.mkdir()
+    (p / "part-0.csv").write_bytes("1,caf\xe9\n2,na\xefve\n".encode("iso-8859-1"))
+
+    good = sinks.read_text_table(
+        sess.spark, str(p), schema="id int, word string", encoding="ISO-8859-1"
+    )
+    assert {r.word for r in good.collect()} == {"café", "naïve"}
+
+    raw = sinks.read_text_table(sess.spark, str(p), schema="id int, word string")
+    assert {r.word for r in raw.collect()} != {"café", "naïve"}
+
+
 def test_text_data_errors_permissive_vs_abort(sess, tmp_path):
     """Malformed-row policy = the reference's abort_on_error option
     (tests/data_errors/, TblWithRaggedColumns): permissive scans
