@@ -390,6 +390,98 @@ def pipe_corpus_stats_approx(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# end-to-end corpus pipeline (composition capstone)
+# ---------------------------------------------------------------------------
+
+
+def _corpus_pipeline_oracle() -> str:
+    """The full five-stage pipeline as one DuckDB query — every stage
+    reuses the oracle fragment its standalone query is checked by."""
+    from impala_cut_spark.operators.text import QUALITY_STOPWORDS
+    from impala_cut_spark.plans.pipeline import _SQL_NORM, _sql_count_in
+
+    h60 = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
+    return f"""
+WITH ft AS (
+  SELECT doc_id, source, text, {_SQL_TOKS} AS l, md5({_SQL_NORM}) AS fp
+  FROM documents),
+q AS (
+  SELECT doc_id, source, text, fp,
+         round(0.4 * least(cast(len(l) as double) / 100.0, 1.0)
+             + 0.3 * least(cast({_sql_count_in(QUALITY_STOPWORDS)} as double)
+                           / cast(len(l) as double) * 5.0, 1.0)
+             + 0.3 * least(cast(list_sum(list_transform(l, x -> length(x))) as double)
+                           / cast(len(l) as double) / 8.0, 1.0), 6) AS quality
+  FROM ft),
+kept AS (SELECT * FROM q WHERE quality >= 0.35),
+keep1 AS (SELECT fp, min(doc_id) AS keeper FROM kept GROUP BY fp),
+dd AS (SELECT k.* FROM kept k JOIN keep1 o ON o.fp = k.fp AND o.keeper = k.doc_id),
+btoks AS (SELECT doc_id, {_SQL_TOKS} AS l FROM documents WHERE source = 'src0'),
+bench AS (SELECT DISTINCT unnest(list_distinct(
+            [l[i+1] || ' ' || l[i+2] || ' ' || l[i+3]
+             for i in range(greatest(len(l) - 2, 0))])) AS shingle
+          FROM btoks),
+ctoks AS (SELECT doc_id, {_SQL_TOKS} AS l FROM dd WHERE source <> 'src0'),
+csh AS (SELECT doc_id, unnest(list_distinct(
+            [l[i+1] || ' ' || l[i+2] || ' ' || l[i+3]
+             for i in range(greatest(len(l) - 2, 0))])) AS shingle
+        FROM ctoks),
+hits AS (SELECT c.doc_id, count(*) AS n_overlap
+         FROM csh c JOIN bench b ON b.shingle = c.shingle GROUP BY c.doc_id),
+clean AS (SELECT d.* FROM dd d LEFT JOIN hits h ON h.doc_id = d.doc_id
+          WHERE d.source <> 'src0' AND coalesce(h.n_overlap, 0) < 5),
+mixed AS (SELECT * FROM clean
+          WHERE {h60.format(x="source || '|' || cast(doc_id as varchar)")} % 10000
+                < CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 4000 ELSE 500 END)
+SELECT doc_id, source, quality,
+       CASE WHEN {h60.format(x="cast(doc_id as varchar)")} % 10000 < 9800 THEN 'train'
+            WHEN {h60.format(x="cast(doc_id as varchar)")} % 10000 < 9900 THEN 'val'
+            ELSE 'test' END AS split,
+       cast(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) as int)
+         AS n_bpe_tok
+FROM mixed
+"""
+
+
+@query("pipe_corpus_pipeline", oracle=_corpus_pipeline_oracle())
+def pipe_corpus_pipeline(spark, sf_dir):
+    """End-to-end pretraining-corpus pipeline — the composition
+    capstone reusing the standalone operators verbatim: quality filter
+    (≥ 0.35) → exact-dedup keep-first (md5 fingerprint) →
+    decontamination vs the benchmark slice (drop ≥5 shared shingles) →
+    weighted mixture sample → deterministic split assignment + BPE
+    token count. Every stage is the SAME function its standalone query
+    checks, so the one-oracle composition proves the operators chain.
+
+    Plan shape: narrow maps + 2 keyed shuffles (fingerprint groupBy,
+    decontam hit count) + broadcast benchmark join + pushed-down
+    sample/split filters — nothing quadratic, nothing driver-side."""
+    from impala_cut_spark.operators.dedup import exact_dedup_keep_first
+    from impala_cut_spark.operators.text import bpe_token_count, quality_score
+
+    docs = t(spark, sf_dir, "documents")
+    kept = docs.withColumn("quality", quality_score(F.col("text"))).filter(
+        F.col("quality") >= 0.35
+    )
+    dd = exact_dedup_keep_first(kept)
+    bench = docs.filter(F.col("source") == "src0")
+    train = dd.filter(F.col("source") != "src0")
+    flags = corpus.decontaminate(train, bench, n=3, min_overlap=5).select(
+        "doc_id", "is_contaminated"
+    )
+    clean = train.join(flags, "doc_id", "left").filter(
+        F.coalesce(F.col("is_contaminated"), F.lit(0)) == 0
+    )
+    mixed = corpus.mixture_sample(
+        clean, MIXTURE_RATES, strata="source", default_rate=MIXTURE_DEFAULT
+    )
+    out = corpus.hash_split(mixed)
+    return out.select(
+        "doc_id", "source", "quality", "split", bpe_token_count(F.col("text")).alias("n_bpe_tok")
+    )
+
+
+# ---------------------------------------------------------------------------
 # JSON property extraction
 # ---------------------------------------------------------------------------
 
