@@ -179,6 +179,16 @@ class ImpalaSession:
         )
         if m:
             return self.spark.sql(f"SHOW PARTITIONS {m.group(1)}")
+        # SHOW CREATE TABLE t (sql-parser.y:1298-1300; the FE renders
+        # DDL from catalog metadata in ToSqlUtils.getCreateTableSql —
+        # fe/src/main/java/com/cloudera/impala/analysis/ToSqlUtils.java).
+        m = re.match(
+            r"^\s*show\s+create\s+table\s+([A-Za-z_][\w.]*)\s*;?\s*$",
+            text,
+            re.IGNORECASE,
+        )
+        if m:
+            return self._show_create_table(m.group(1))
         # CREATE VIEW IF NOT EXISTS: catalog views map to session temp
         # views (dialect.rewrite_statements), but Spark's temp-view
         # grammar has no IF NOT EXISTS — emulate it with a catalog
@@ -247,6 +257,65 @@ class ImpalaSession:
         return self.spark.createDataFrame(
             [(n_rows, size_bytes, fmt)], "n_rows bigint, size_bytes bigint, format string"
         )
+
+    #: Spark USING provider → Impala STORED AS clause (inverse of
+    #: dialect._FORMAT_MAP)
+    _PROVIDER_TO_STORED = {"parquet": "PARQUET", "csv": "TEXTFILE"}
+
+    def _show_create_table(self, name: str) -> DataFrame:
+        """SHOW CREATE TABLE t — Impala-style DDL reconstructed from the
+        catalog (ToSqlUtils.getCreateTableSql; show-create-table.test).
+
+        Output delta vs the reference: one row per DDL clause (the
+        reference packs the whole multi-line DDL into a single cell;
+        one-clause-per-row keeps the result line-oriented for the golden
+        runner and shells). The emitted text is valid Impala dialect:
+        typed PARTITIONED BY columns outside the main list, STORED AS
+        format, ROW FORMAT for text tables, LOCATION only when the
+        table is EXTERNAL (managed locations are warehouse-internal) —
+        so feeding the rows back through ``sql()`` recreates the table
+        (round-trip pinned in tests/test_ddl_alter.py).
+        """
+        cols = self.spark.catalog.listColumns(name)
+        data_cols = [c for c in cols if not c.isPartition]
+        part_cols = [c for c in cols if c.isPartition]
+        provider, external, location, props = "", False, "", {}
+        for r in self.spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect():
+            key = (r.col_name or "").strip().lower()
+            val = (r.data_type or "").strip()
+            if key == "provider":
+                provider = val.lower()
+            elif key == "type":
+                external = val.upper() == "EXTERNAL"
+            elif key == "location":
+                location = val
+            elif key == "storage properties":
+                # "[sep=|, escape=\]" — the OPTIONS the dialect wrote
+                for kv in val.strip("[]").split(","):
+                    if "=" in kv:
+                        k, v = kv.split("=", 1)
+                        props[k.strip()] = v.strip()
+        ext = "EXTERNAL " if external else ""
+        col_list = ", ".join(f"{c.name} {c.dataType}" for c in data_cols)
+        rows = [f"CREATE {ext}TABLE {name} ({col_list})"]
+        if part_cols:
+            plist = ", ".join(f"{c.name} {c.dataType}" for c in part_cols)
+            rows.append(f"PARTITIONED BY ({plist})")
+        stored = self._PROVIDER_TO_STORED.get(provider)
+        if stored == "TEXTFILE":
+            sep = props.get("sep")
+            esc = props.get("escape")
+            rf = "ROW FORMAT DELIMITED"
+            if sep:
+                rf += f" FIELDS TERMINATED BY '{sep}'"
+            if esc:
+                rf += f" ESCAPED BY '{esc}'"
+            rows.append(rf)
+        if stored:
+            rows.append(f"STORED AS {stored}")
+        if external and location:
+            rows.append(f"LOCATION '{location}'")
+        return self.spark.createDataFrame([(r,) for r in rows], "result string")
 
     def _show_column_stats(self, name: str) -> DataFrame:
         """SHOW COLUMN STATS t (sql-parser.y:1309-1310): one row per

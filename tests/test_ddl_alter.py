@@ -101,7 +101,7 @@ def test_show_surfaces(sess):
     assert "abs" in fns
     sess.sql("drop table if exists sct")
     sess.sql("create table sct (x int) stored as parquet")
-    ddl = sess.sql("show create table sct").collect()[0][0]
+    ddl = " ".join(r.result for r in sess.sql("show create table sct").collect())
     assert "sct" in ddl and "parquet" in ddl.lower()
 
 
@@ -115,3 +115,39 @@ def test_explain_levels(sess, sf_dir):
     assert sess.explain("select count(*) from nation_ev", level="verbose").strip()
     with pytest.raises(ValueError, match="unknown explain level"):
         sess.explain("select 1", level="nope")
+
+
+def test_show_create_table_roundtrip(sess):
+    """SHOW CREATE TABLE renders Impala-dialect DDL from the catalog
+    (ToSqlUtils.getCreateTableSql; show-create-table.test) that this
+    engine itself can re-execute: drop + replay must reproduce the
+    identical column/partition layout."""
+    sess.sql("drop table if exists sct1")
+    sess.sql(
+        "create table sct1 (a int, b string, c decimal(10,2)) "
+        "partitioned by (k string) stored as parquet"
+    )
+    before = [(c.name, c.dataType, c.isPartition) for c in sess.spark.catalog.listColumns("sct1")]
+    ddl = [r.result for r in sess.sql("show create table sct1").collect()]
+    assert ddl[0].startswith("CREATE TABLE sct1 (")
+    assert "PARTITIONED BY (k string)" in ddl
+    assert "STORED AS PARQUET" in ddl
+    sess.sql("drop table sct1")
+    sess.sql(" ".join(ddl))
+    after = [(c.name, c.dataType, c.isPartition) for c in sess.spark.catalog.listColumns("sct1")]
+    assert after == before
+    sess.sql("drop table sct1")
+
+
+def test_show_create_table_text_row_format(sess):
+    """Text tables emit their ROW FORMAT DELIMITED separators back out
+    (HdfsTable delimiter metadata -> ToSqlUtils row-format clause)."""
+    sess.sql("drop table if exists sct2")
+    sess.sql(
+        "create table sct2 (x int, y string) row format delimited "
+        "fields terminated by '|' stored as textfile"
+    )
+    ddl = [r.result for r in sess.sql("show create table sct2").collect()]
+    assert "ROW FORMAT DELIMITED FIELDS TERMINATED BY '|'" in ddl
+    assert "STORED AS TEXTFILE" in ddl
+    sess.sql("drop table sct2")
