@@ -616,11 +616,14 @@ def rewrite_statements(sql: str) -> str:
     # catalog-view surface maps to temp views with matching semantics:
     # plain CREATE errors on exists (like Impala), IF NOT EXISTS is
     # preserved, ALTER VIEW ... AS redefines in place.
-    if re.match(r"create\s+view\s+", head):
-        rest = sql[sql.lower().index("create view") + len("create view") :]
-        return f"CREATE TEMPORARY VIEW {rest.strip()}"
+    m = re.match(r"(?is)^\s*create\s+view\s+", sql)
+    if m:
+        rest = sql[m.end() :].strip()
+        _reject_qualified_view_name(rest)
+        return f"CREATE TEMPORARY VIEW {rest}"
     m = re.match(r"alter\s+view\s+([A-Za-z_][\w.]*)\s+as\s+", head)
     if m:
+        _reject_qualified_view_name(m.group(1))
         body = sql[re.search(r"(?i)\bas\b", sql).end() :]
         return f"CREATE OR REPLACE TEMPORARY VIEW {m.group(1)} AS {body.strip()}"
 
@@ -684,6 +687,19 @@ def rewrite_statements(sql: str) -> str:
         sql = re.sub(r"\bcreate\s+external\s+table\b", "CREATE TABLE", sql, flags=re.IGNORECASE)
         sql = _rewrite_partitioned_create(sql)
     return sql
+
+
+def _reject_qualified_view_name(rest: str) -> None:
+    """Views map to session temp views, whose names cannot be
+    db-qualified in Spark — fail with a clear message instead of
+    Spark's opaque AnalysisException (same contract as the avro-mount
+    guard in session.py)."""
+    m = re.match(r"(?:if\s+not\s+exists\s+)?([A-Za-z_][\w.]*)", rest, re.IGNORECASE)
+    if m and "." in m.group(1):
+        raise ValueError(
+            f"views map to session temp views here; qualified name "
+            f"{m.group(1)!r} is not valid — use an unqualified name"
+        )
 
 
 _PARTITIONED_BY = re.compile(r"\bpartitioned\s+by\s*\(", re.IGNORECASE)
@@ -785,23 +801,26 @@ def rewrite(sql: str, csv_mode: str | None = None) -> str:
     otherwise), mirroring hdfs-text-scanner's per-scan policy at the
     one point Spark lets a table pin read options."""
     sql = rewrite_statements(sql)
-    if csv_mode and re.search(r"\busing\s+csv\b", sql, re.IGNORECASE):
-        if re.search(r"\busing\s+csv\s+options\s*\(", sql, re.IGNORECASE):
-            sql = re.sub(
-                r"(\busing\s+csv\s+options\s*\()",
-                rf"\1mode '{csv_mode}', ",
-                sql,
-                count=1,
-                flags=re.IGNORECASE,
-            )
-        else:
-            sql = re.sub(
-                r"(\busing\s+csv\b)",
-                rf"\1 OPTIONS (mode '{csv_mode}')",
-                sql,
-                count=1,
-                flags=re.IGNORECASE,
-            )
+    if csv_mode:
+        # quote-aware: a string literal containing "using csv" must not
+        # be rewritten (module invariant — same _scan_strings gate as
+        # rewrite_hints)
+        in_str = {i: s for i, _, s in _scan_strings(sql)}
+        m = next(
+            (
+                c
+                for c in re.finditer(
+                    r"\busing\s+csv(\s+options\s*\()?", sql, re.IGNORECASE
+                )
+                if not in_str.get(c.start(), False)
+            ),
+            None,
+        )
+        if m is not None:
+            if m.group(1):
+                sql = sql[: m.end()] + f"mode '{csv_mode}', " + sql[m.end() :]
+            else:
+                sql = sql[: m.end()] + f" OPTIONS (mode '{csv_mode}')" + sql[m.end() :]
     sql, hints = rewrite_hints(sql)
     sql = rewrite_calls(sql)
     sql = rewrite_null_ordering(sql)

@@ -324,6 +324,17 @@ def minhash_signatures(
       members are pure integer ops, so the only extra cost vs xxhash64
       is md5-vs-xxhash on the shingle string.
     """
+    pre, aggs = _minhash_pre_aggs(sh, num_hashes, hash_family)
+    return pre.groupBy("doc_id").agg(*aggs)
+
+
+def _minhash_pre_aggs(
+    sh: DataFrame, num_hashes: int, hash_family: str
+) -> tuple[DataFrame, list[Column]]:
+    """Shared hash-family construction: the once-per-shingle hash
+    column and the k min-aggregates over it. Single definition so the
+    fused pipeline (minhash_dedup_pairs), the standalone signature
+    function, and the DuckDB oracle literals can never desynchronize."""
     if hash_family == "md5_affine":
         pre = sh.withColumn("_h", md5_hash60(F.col("shingle")) % MINHASH_PRIME)
         aggs = [
@@ -336,7 +347,7 @@ def minhash_signatures(
             F.min(F.xxhash64(F.col("_h"), F.lit(i))).alias(f"mh_{i}")
             for i in range(num_hashes)
         ]
-    return pre.groupBy("doc_id").agg(*aggs)
+    return pre, aggs
 
 
 def lsh_candidate_pairs(
@@ -428,18 +439,7 @@ def minhash_dedup_pairs(
     the cached index twice more and shuffled doc_id three times;
     measured ~1.7× slower end-to-end at sf0.1 with identical output."""
     sh = shingles(docs, n)
-    if hash_family == "md5_affine":
-        pre = sh.withColumn("_h", md5_hash60(F.col("shingle")) % MINHASH_PRIME)
-        aggs = [
-            F.min((F.lit(a) * F.col("_h") + F.lit(b)) % MINHASH_PRIME).alias(f"mh_{i}")
-            for i, (a, b) in enumerate(affine_params(NUM_HASHES))
-        ]
-    else:
-        pre = sh.withColumn("_h", F.xxhash64("shingle"))
-        aggs = [
-            F.min(F.xxhash64(F.col("_h"), F.lit(i))).alias(f"mh_{i}")
-            for i in range(NUM_HASHES)
-        ]
+    pre, aggs = _minhash_pre_aggs(sh, NUM_HASHES, hash_family)
     per_doc = (
         pre.groupBy("doc_id")
         .agg(F.collect_set("shingle").alias("shset"), *aggs)

@@ -83,9 +83,10 @@ def brute_force_topk(
 
     Execution: the (small-by-contract) query set is collected into a
     numpy matrix and captured by a mapInPandas kernel over the corpus —
-    one ``corpus_batch @ Q.T`` einsum per Arrow batch, with an exact
-    per-batch (cos DESC, n_id ASC) top-k cut, then a global windowed
-    top-k over the ≤ batches×|Q|×k survivors.
+    one ``corpus_batch @ Q.T`` einsum per Arrow batch, with a per-batch
+    (round(cos,6) DESC) top-k cut (plus a one-rounding-unit slack band
+    so FP round emulation can never under-keep), then a global windowed
+    top-k over the ~batches×|Q|×k survivors.
 
     Scale: O(|Q|·|corpus|) compute but the corpus is read ONCE (no
     crossJoin row blow-up shipping duplicated vectors), each batch
@@ -120,17 +121,24 @@ def brute_force_topk(
             for j in range(len(qids)):
                 keep = nids != qids[j]
                 cj, nj = cos[keep, j], nids[keep]
-                # exact (round(cos,6) DESC, n_id ASC) per-batch top-k
-                # cut — the SAME key the final window (and the DuckDB
-                # oracle) rank by.  Cutting on the UNROUNDED value
-                # could drop a candidate that ties the k-th kept value
-                # after rounding with a smaller n_id (ADVICE r2 #1).
-                # HALF_UP to 6dp like Spark's round()/the oracle:
+                # per-batch top-k cut on the (round(cos,6) DESC, n_id
+                # ASC) key the final window (and the DuckDB oracle)
+                # rank by (ADVICE r2 #1), with ONE 1e-6 unit of slack:
+                # the FP emulation of Spark's decimal HALF_UP round
+                # (floor(|x|*1e6+0.5)) can land one unit off at
+                # boundary doubles, so the cut OVER-keeps the slack
+                # band — the final window re-ranks on Spark's exact
+                # rounding and discards extras; under-keeping would
+                # drop a true top-k member.
                 cj_key = np.copysign(np.floor(np.abs(cj) * 1e6 + 0.5), cj)
-                order = np.lexsort((nj, -cj_key))[:k]
-                out_q.append(np.full(len(order), qids[j], dtype=np.int64))
-                out_n.append(nj[order])
-                out_c.append(cj[order])
+                if len(cj_key) > k:
+                    kth = cj_key[np.argpartition(-cj_key, k - 1)[k - 1]]
+                    sel = np.nonzero(cj_key >= kth - 1)[0]
+                else:
+                    sel = np.arange(len(cj_key))
+                out_q.append(np.full(len(sel), qids[j], dtype=np.int64))
+                out_n.append(nj[sel])
+                out_c.append(cj[sel])
             yield pd.DataFrame(
                 {
                     "q_id": np.concatenate(out_q),

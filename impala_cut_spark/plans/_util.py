@@ -58,3 +58,10 @@ def sql_dsum(expr: str, alias: str) -> str:
 
 def sql_davg(col: str, alias: str) -> str:
     return f"(cast(sum(cast({col} as decimal(9,2))) as double) / count({col})) AS {alias}"
+
+
+#: DuckDB replica of the cross-engine 60-bit md5 string hash
+#: (operators/dedup.py md5_hash60 — Spark: conv(substr(md5(x),1,15),
+#: 16,10)). ONE definition: every oracle that must stay bit-identical
+#: to the engine's md5-derived hashes formats this template.
+SQL_H60 = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"

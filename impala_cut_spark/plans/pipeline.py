@@ -29,7 +29,7 @@ from impala_cut_spark.operators.text import (
     quality_score,
 )
 from impala_cut_spark.partitioning import fan_out
-from impala_cut_spark.plans._util import t
+from impala_cut_spark.plans._util import SQL_H60, t
 from impala_cut_spark.plans.registry import query
 
 # shared DuckDB snippets ----------------------------------------------------
@@ -320,7 +320,7 @@ def _minhash_oracle() -> str:
     return f"""
 WITH {_SQL_SHINGLES},
 hs AS (SELECT doc_id,
-              (CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT) % {P}) AS h
+              ({SQL_H60.format(x='shingle')} % {P}) AS h
        FROM sh),
 sig AS (SELECT doc_id,
             {mh}
@@ -393,7 +393,7 @@ def _simhash_oracle() -> str:
     return f"""
 WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS l FROM documents),
 tk AS (SELECT doc_id, unnest(list_distinct(l)) AS tok FROM toks),
-th AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM tk),
+th AS (SELECT doc_id, {SQL_H60.format(x='tok')} AS h FROM tk),
 sums AS (SELECT doc_id,
             {sums}
          FROM th GROUP BY doc_id),
@@ -896,7 +896,7 @@ def pipe_asof(spark, sf_dir):
 
 #: DuckDB replica of md5_hash60 (operators/dedup.py) — the shared
 #: cross-engine 60-bit hash primitive.
-_SQL_H60 = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
+_SQL_H60 = SQL_H60
 
 
 @query(
@@ -931,7 +931,7 @@ def pipe_split_hash(spark, sf_dir):
     oracle=f"""
 SELECT doc_id, lang
 FROM documents
-WHERE {_SQL_H60.format(x="lang || '|' || cast(doc_id as varchar)")} % 10000 < 500
+WHERE {_SQL_H60.format(x="concat_ws('|', lang, cast(doc_id as varchar))")} % 10000 < 500
 """,
 )
 def pipe_sample_stratified(spark, sf_dir):

@@ -24,7 +24,7 @@ from impala_cut_spark.operators.text import (
     token_count,
 )
 from impala_cut_spark.partitioning import fan_out
-from impala_cut_spark.plans._util import t
+from impala_cut_spark.plans._util import SQL_H60, t
 from impala_cut_spark.plans.registry import query
 
 _SQL_TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
@@ -282,7 +282,7 @@ def pipe_text_repetition(spark, sf_dir):
 MIXTURE_RATES = {"src0": 1.0, "src1": 0.4}
 MIXTURE_DEFAULT = 0.05
 
-_SQL_H60 = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
+_SQL_H60 = SQL_H60
 
 
 @query(
@@ -290,7 +290,7 @@ _SQL_H60 = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
     oracle=f"""
 SELECT doc_id, source
 FROM documents
-WHERE {_SQL_H60.format(x="source || '|' || cast(doc_id as varchar)")} % 10000
+WHERE {_SQL_H60.format(x="concat_ws('|', source, cast(doc_id as varchar))")} % 10000
       < CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 4000 ELSE 500 END
 """,
 )
@@ -400,7 +400,7 @@ def _corpus_pipeline_oracle() -> str:
     from impala_cut_spark.operators.text import QUALITY_STOPWORDS
     from impala_cut_spark.plans.pipeline import _SQL_NORM, _sql_count_in
 
-    h60 = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
+    h60 = SQL_H60
     return f"""
 WITH ft AS (
   SELECT doc_id, source, text, {_SQL_TOKS} AS l, md5({_SQL_NORM}) AS fp
@@ -431,7 +431,7 @@ hits AS (SELECT c.doc_id, count(*) AS n_overlap
 clean AS (SELECT d.* FROM dd d LEFT JOIN hits h ON h.doc_id = d.doc_id
           WHERE d.source <> 'src0' AND coalesce(h.n_overlap, 0) < 5),
 mixed AS (SELECT * FROM clean
-          WHERE {h60.format(x="source || '|' || cast(doc_id as varchar)")} % 10000
+          WHERE {h60.format(x="concat_ws('|', source, cast(doc_id as varchar))")} % 10000
                 < CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 4000 ELSE 500 END)
 SELECT doc_id, source, quality,
        CASE WHEN {h60.format(x="cast(doc_id as varchar)")} % 10000 < 9800 THEN 'train'

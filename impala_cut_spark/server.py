@@ -63,6 +63,12 @@ class _Operation:
         self.eos = False
 
     def fetch(self, max_rows: int) -> list[list[Any]]:
+        # max_rows <= 0 would make islice return [] with eos never set
+        # (0 < 0 is false), hanging drain-until-eos clients; the
+        # reference's TFetchResultsReq treats a non-positive fetch size
+        # as a protocol error too
+        if max_rows <= 0:
+            raise ValueError(f"max_rows must be positive, got {max_rows}")
         out = [
             [_jsonable(v) for v in row]
             for row in itertools.islice(self._rows, max_rows)

@@ -210,7 +210,7 @@ class ImpalaSession:
         # (bad cells become NULL, ragged rows pad/truncate). Spark pins
         # read options at DDL time, so the policy is captured into
         # text-table CREATEs; read_text_table applies it per-read.
-        abort = self._options.get("abort_on_error") in ("1", "true")
+        abort = (self._options.get("abort_on_error") or "").lower() in ("1", "true")
         return self.spark.sql(
             rewrite(
                 self._expand_like_file(text),

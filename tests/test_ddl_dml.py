@@ -182,3 +182,27 @@ def test_parquet_round_trip_partitioned_write(sess, tmp_path, sf_dir):
     plan = one_year._jdf.queryExecution().executedPlan().toString()
     assert one_year.count() == orders.filter(F.col("o_year") == 1997).count()
     assert "PartitionFilters: [isnotnull(o_year" in plan
+
+
+def test_abort_on_error_value_case_insensitive(spark):
+    """SET abort_on_error=TRUE (any case) must select FAILFAST like =1
+    (round-3 self-review: the value check was case-sensitive)."""
+    from impala_cut_spark.session import ImpalaSession
+
+    s = ImpalaSession(spark)
+    s.set_option("abort_on_error", "TRUE")
+    from impala_cut_spark import dialect
+
+    captured = {}
+    orig = dialect.rewrite
+
+    def spy(sql, csv_mode=None):
+        captured["mode"] = csv_mode
+        return orig(sql, csv_mode=csv_mode)
+
+    dialect.rewrite = spy
+    try:
+        s.sql("select 1 as x")
+    finally:
+        dialect.rewrite = orig
+    assert captured["mode"] == "FAILFAST"

@@ -155,3 +155,46 @@ class TestAdviceRound2Fixes:
 
         parts = [s.strip() for s in split_statements("select 1 -- x;y\n; select 2;") if s.strip()]
         assert parts == ["select 1 -- x;y", "select 2"]
+
+
+class TestReviewRegressionFixes:
+    """Round-3 self-review findings: rewriter edge cases that crashed
+    or corrupted statements."""
+
+    def test_create_view_tolerates_any_whitespace(self):
+        from impala_cut_spark.dialect import rewrite_statements
+
+        for sql in (
+            "CREATE  VIEW v AS SELECT 1",
+            "create\tview v as select 1",
+            "create\n view v as select 1",
+        ):
+            out = rewrite_statements(sql)
+            assert out.startswith("CREATE TEMPORARY VIEW v"), out
+
+    def test_create_view_qualified_name_clear_error(self):
+        import pytest
+
+        from impala_cut_spark.dialect import rewrite_statements
+
+        with pytest.raises(ValueError, match="unqualified"):
+            rewrite_statements("create view db1.v as select 1")
+        with pytest.raises(ValueError, match="unqualified"):
+            rewrite_statements("alter view db1.v as select 2")
+
+    def test_csv_mode_injection_skips_string_literals(self):
+        out = rewrite("select 'x using csv y' as c from t", csv_mode="FAILFAST")
+        assert out == "select 'x using csv y' as c from t"
+
+    def test_csv_mode_injection_still_applies_to_ddl(self):
+        out = rewrite(
+            "create table t (a int) stored as textfile", csv_mode="FAILFAST"
+        )
+        assert "mode 'FAILFAST'" in out
+        # merges into an existing OPTIONS list exactly once
+        out2 = rewrite(
+            "create table t (a int) row format delimited fields terminated by '|' "
+            "stored as textfile",
+            csv_mode="FAILFAST",
+        )
+        assert out2.count("OPTIONS") == 1 and "mode 'FAILFAST'" in out2

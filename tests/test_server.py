@@ -90,3 +90,12 @@ def test_unknown_handle(client):
 def test_timestamps_serialize(client):
     cols, rows = client.query("select min(ts) as t from events")
     assert isinstance(rows[0][0], str) and rows[0][0][:2] == "20"
+
+
+def test_fetch_zero_max_rows_errors_not_hangs(client):
+    """max_rows=0 must be a protocol error, not an eos-less empty page
+    that hangs drain-until-eos clients (round-3 self-review)."""
+    r = client.call(op="execute", sql="select r_regionkey from region")
+    with pytest.raises(RuntimeError, match="max_rows"):
+        client.call(op="fetch", handle=r["handle"], max_rows=0)
+    client.call(op="close", handle=r["handle"])
