@@ -86,3 +86,49 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
     return dfs
+
+
+def mount_mixed_table(
+    spark: SparkSession,
+    name: str,
+    partitions: list[tuple[dict[str, str], str, str]],
+    schema: str,
+    text_options: dict[str, str] | None = None,
+) -> DataFrame:
+    """Mount a partitioned table whose partitions use DIFFERENT file
+    formats as one view — the reference's mixed-format table support
+    (``testdata/workloads/functional-query/queries/QueryTest/
+    mixed-format.test``; per-partition ``ALTER TABLE … PARTITION …
+    SET FILEFORMAT`` in ``HdfsTable.java`` partition descriptors).
+
+    ``partitions``: [(partition_values, fmt, path)] with fmt in
+    {"parquet", "text"}. Each partition directory is read with its own
+    format reader against the shared data-column ``schema`` (DDL
+    string, partition columns excluded), the partition-key columns are
+    attached as literals (exactly how Impala's planner materializes
+    partition keys — they live in metadata, not files), and the
+    branches union.
+
+    Scale: the union is N single-partition scans — Catalyst prunes
+    whole branches when a filter fixes a partition key (constant
+    folding turns ``k = 'x'`` into ``false`` on non-matching branches),
+    so partition pruning works across formats exactly like a
+    single-format table.
+    """
+    _ensure_runtime_contract(spark)
+    out: DataFrame | None = None
+    for part_values, fmt, path in partitions:
+        if fmt in ("parquet",):
+            df = spark.read.schema(schema).parquet(path)
+        elif fmt in ("text", "textfile", "csv"):
+            opts = {"sep": ",", "nullValue": r"\N", **(text_options or {})}
+            df = spark.read.schema(schema).options(**opts).csv(path)
+        else:
+            raise ValueError(f"unsupported mixed-format partition format {fmt!r}")
+        for k, v in part_values.items():
+            df = df.withColumn(k, F.lit(v))
+        out = df if out is None else out.unionByName(df)
+    if out is None:
+        raise ValueError("mount_mixed_table: no partitions given")
+    out.createOrReplaceTempView(name)
+    return out

@@ -206,3 +206,34 @@ def test_abort_on_error_value_case_insensitive(spark):
     finally:
         dialect.rewrite = orig
     assert captured["mode"] == "FAILFAST"
+
+
+def test_mixed_format_partitioned_mount(spark, tmp_path):
+    """Reference mixed-format.test intent: partitions of ONE table in
+    different file formats read through a single name, with partition
+    pruning across formats (pruned branches constant-fold away)."""
+    import pyspark.sql.functions as F
+
+    from impala_cut_spark.sources.catalog import mount_mixed_table
+
+    pq = str(tmp_path / "k=alpha")
+    tx = str(tmp_path / "k=beta")
+    spark.createDataFrame([(1, "a"), (2, "b")], "id int, s string").write.parquet(pq)
+    spark.createDataFrame([(3, "c"), (4, None)], "id int, s string").write.options(
+        sep=",", nullValue=r"\N"
+    ).csv(tx)
+    df = mount_mixed_table(
+        spark,
+        "mixed_t",
+        [({"k": "alpha"}, "parquet", pq), ({"k": "beta"}, "text", tx)],
+        schema="id int, s string",
+    )
+    rows = {(r.id, r.s, r.k) for r in df.collect()}
+    assert rows == {(1, "a", "alpha"), (2, "b", "alpha"), (3, "c", "beta"), (4, None, "beta")}
+    # partition pruning across formats: fixing k folds the other branch
+    # to an empty relation — only ONE file scan remains in the plan
+    pruned = spark.sql("select id from mixed_t where k = 'beta' order by id")
+    assert [r.id for r in pruned.collect()] == [3, 4]
+    plan = pruned._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Relation") == 1 and "csv" in plan, plan
+    spark.catalog.dropTempView("mixed_t")

@@ -707,3 +707,47 @@ def test_random_decimal_arithmetic_matches_duckdb(sql, spark, oracle, views):
     assert len(srows) == len(orows), sql
     bad = [(a, b) for a, b in zip(srows, orows) if a != b]
     assert not bad, f"{sql}\nfirst diff: {bad[0] if bad else None}"
+
+
+# --- LIKE-pattern battery (targeted-perf string.test surface) -------------
+
+
+@st.composite
+def like_query(draw):
+    """Random LIKE patterns (%/_ wildcards around literal fragments)
+    over documents.text — the targeted-perf string battery generalized.
+    No escape char is generated, so the pattern grammar is identical
+    ANSI in both engines."""
+    frags = draw(
+        st.lists(
+            st.text(alphabet="abcdequxs ", min_size=1, max_size=4),
+            min_size=1,
+            max_size=3,
+        )
+    )
+    wilds = draw(
+        st.lists(
+            st.sampled_from(["%", "_", ""]),
+            min_size=len(frags) + 1,
+            max_size=len(frags) + 1,
+        )
+    )
+    pat = wilds[0] + "".join(f + w for f, w in zip(frags, wilds[1:]))
+    op = draw(st.sampled_from(["LIKE", "NOT LIKE"]))
+    return (
+        f"SELECT count(*) AS n, "
+        f"count(CASE WHEN text {op} '{pat}' THEN 1 END) AS n_match "
+        f"FROM documents"
+    )
+
+
+@settings(
+    max_examples=_n(40),
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(sql=like_query())
+def test_random_like_matches_duckdb(sql, spark, oracle, views):
+    srow = spark.sql(sql).collect()[0]
+    orow = oracle.sql(sql).fetchall()[0]
+    assert (srow.n, srow.n_match) == orow, sql
