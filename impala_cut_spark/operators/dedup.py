@@ -133,12 +133,28 @@ def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     is under-split (callers persist the result, so the repartition
     runs exactly once — never inside a recomputed branch).
     """
-    from pyspark.ml.feature import NGram
-
     from impala_cut_spark.partitioning import fan_out
 
     tok = fan_out(docs).select("doc_id", tokens(F.col("text")).alias("toks"))
-    grams = NGram(n=n, inputCol="toks", outputCol="grams").transform(tok)
+    # native higher-order shingle build (replaces the earlier
+    # pyspark.ml NGram transformer — a row-at-a-time Scala UDF;
+    # transform/slice/concat_ws stay JVM-expression-level and were
+    # measured output-identical and slightly faster)
+    # short docs (< n tokens) must yield ZERO shingles — sequence()
+    # infers a NEGATIVE step when start > stop (sequence(0,-1) is
+    # [0,-1], not empty), so the branch is gated by a CASE
+    grams = tok.select(
+        "doc_id",
+        F.when(
+            F.size("toks") >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - n),
+                lambda i: F.concat_ws(" ", F.slice("toks", i + 1, n)),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("grams"),
+    )
     return grams.select("doc_id", F.explode(F.array_distinct("grams")).alias("shingle"))
 
 
