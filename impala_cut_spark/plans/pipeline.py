@@ -686,6 +686,28 @@ def stream_events_hourly(spark, sf_dir):
 
 
 @query(
+    "stream_enrich",
+    oracle="""
+SELECT coalesce(c_mktsegment, '(none)') AS segment,
+       count(*) AS n,
+       cast(sum(cast(value as decimal(12,2))) as double) AS revenue
+FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id
+WHERE e.event_type = 'purchase'
+GROUP BY 1 ORDER BY 1
+""",
+)
+def stream_enrich(spark, sf_dir):
+    """Stream-static enrichment join (streaming/events.py
+    stream_static_enrich): the purchase stream broadcast-joined to the
+    customer dimension per micro-batch — STATELESS (no join state
+    store, no watermark), the canonical firehose-enrichment topology;
+    the aggregated enriched sink hash-matches the batch join+agg."""
+    from impala_cut_spark.streaming.events import run_stream_enrich
+
+    return run_stream_enrich(spark, sf_dir)
+
+
+@query(
     "pipe_sessions",
     oracle="""
 WITH marks AS (

@@ -269,3 +269,52 @@ def run_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+def stream_static_enrich(
+    events: DataFrame, dim: DataFrame, join_expr, how: str = "left"
+) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins against
+    the (batch) dimension — STATELESS, unlike stream-stream joins (no
+    watermark bookkeeping, no join state store; Spark re-plans the
+    static side per micro-batch, so a small dim broadcasts).
+
+    Scale: the canonical "enrich the firehose with the user table"
+    topology — state cost is zero on the stream side, and the static
+    side follows normal batch join strategy (broadcast under the
+    threshold, shuffled otherwise)."""
+    return events.join(F.broadcast(dim), join_expr, how)
+
+
+def run_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay events through a stream-static enrichment against the
+    customer dimension (user_id → c_custkey), then aggregate revenue
+    per market segment over the enriched sink — oracle-checkable as a
+    plain batch join+agg."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    ev = events_stream(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    enriched = stream_static_enrich(
+        ev, cust, F.col("user_id") == F.col("c_custkey")
+    ).select("event_id", "user_id", "value", "c_mktsegment")
+    name = f"events_enrich_{next(_counter)}"
+    q = (
+        enriched.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .groupBy(F.coalesce("c_mktsegment", F.lit("(none)")).alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("revenue"),
+        )
+        .orderBy("segment")
+    )

@@ -144,3 +144,28 @@ def test_stream_dedup_drops_real_duplicates(spark, tmp_path):
     out = spark.table("dedup_dups_test")
     assert out.count() == 20  # 10 users x 2 types, 60 inputs collapsed
     assert out.select("user_id", "event_type").distinct().count() == 20
+
+
+def test_stream_static_enrich_equals_batch_join(spark, sf_dir):
+    """Stream-static enrichment (stateless dim join per micro-batch)
+    must agree with the equivalent batch join+agg."""
+    import pyspark.sql.functions as F
+
+    from impala_cut_spark.streaming.events import run_stream_enrich
+
+    got = {(r.segment, r.n, r.revenue) for r in run_stream_enrich(spark, sf_dir).collect()}
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.drop("ts")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    batch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(cust), cust.c_custkey == ev.user_id, "left")
+        .groupBy(F.coalesce("c_mktsegment", F.lit("(none)")).alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("revenue"),
+        )
+    )
+    want = {(r.segment, r.n, r.revenue) for r in batch.collect()}
+    assert got == want
