@@ -126,6 +126,82 @@ def encode_ppm(arr: np.ndarray) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + arr.astype(np.uint8).tobytes()
 
 
+def decode_wav(payload: bytes) -> tuple[int, int, "np.ndarray"]:
+    """Decode a RIFF/WAVE PCM payload → (sample_rate, n_channels,
+    float64 samples in [-1, 1], shape (n_frames, n_channels)).
+
+    Real for the codec-free format: uncompressed PCM (format tag 1),
+    8- or 16-bit — WAV is to audio what PPM/BMP are to images (a
+    container with raw samples, no codec library needed). Compressed
+    formats (mp3/aac/ogg) raise — the same documented stub boundary as
+    codec-bearing images."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "audio decode stub for non-WAV containers: install an audio "
+            "codec lib (RIFF/WAVE PCM decodes natively here)"
+        )
+    pos, rate, channels, bits, data = 12, None, None, None, None
+    while pos + 8 <= len(payload):
+        cid, sz = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + sz]
+        if cid == b"fmt ":
+            tag, channels, rate = struct.unpack_from("<HHI", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
+            if tag != 1:
+                raise NotImplementedError(f"compressed WAV (format tag {tag}) not supported")
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    if bits == 16:
+        samples = np.frombuffer(data, dtype="<i2", count=len(data) // 2) / 32768.0
+    elif bits == 8:
+        samples = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise NotImplementedError(f"{bits}-bit PCM not supported")
+    n = (len(samples) // channels) * channels
+    return rate, channels, samples[:n].reshape(-1, channels)
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """(n_frames[, n_channels]) float in [-1,1] → 16-bit PCM WAV
+    payload (fixture/sink helper)."""
+    import struct
+
+    arr = np.atleast_2d(np.asarray(samples, dtype=np.float64))
+    if arr.shape[0] == 1 and arr.ndim == 2 and np.asarray(samples).ndim == 1:
+        arr = arr.T
+    channels = arr.shape[1]
+    pcm = (np.clip(arr, -1.0, 1.0) * 32767.0).astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * channels * 2, channels * 2, 16)
+    chunks = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(pcm)) + pcm
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+def audio_features(rate: int, channels: int, samples: np.ndarray, dim: int = FEATURE_DIM) -> np.ndarray:
+    """Real signal-level features for decoded PCM: duration, RMS
+    energy, peak, zero-crossing rate, then a coarse energy-over-time
+    envelope filling the remaining dims — deterministic, codec-free."""
+    f = np.zeros(dim, dtype=np.float64)
+    mono = samples.mean(axis=1) if samples.ndim == 2 else samples
+    n = len(mono)
+    f[0] = n / float(rate) if rate else 0.0
+    if n:
+        f[1] = float(np.sqrt(np.mean(mono**2)))
+        f[2] = float(np.abs(mono).max())
+        f[3] = float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+        env_bins = dim - 4
+        edges = np.linspace(0, n, env_bins + 1, dtype=np.int64)
+        for i in range(env_bins):
+            seg = mono[edges[i] : edges[i + 1]]
+            f[4 + i] = float(np.sqrt(np.mean(seg**2))) if len(seg) else 0.0
+    return f
+
+
 def image_features(img: np.ndarray, dim: int = FEATURE_DIM) -> np.ndarray:
     """Real pixel-level features for decoded images: per-channel
     mean/std (scaled to [0,1]) + a 10-bin luminance histogram —
@@ -160,6 +236,10 @@ def extract_features(assets: DataFrame) -> DataFrame:
         p = p if p is not None else b""
         try:
             return image_features(decode_image(bytes(p)))
+        except (NotImplementedError, ValueError, IndexError, struct.error):
+            pass
+        try:
+            return audio_features(*decode_wav(bytes(p)))
         except (NotImplementedError, ValueError, IndexError, struct.error):
             # codec-bearing/opaque/truncated → byte features
             return fake_features(p)

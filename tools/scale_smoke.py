@@ -159,7 +159,12 @@ def main() -> None:
     for name, fam, s, b, r in rows:
         flag = "" if r <= 12 else " ⚠"
         lines.append(f"| {name} | {fam} | {s} | {b} | {r}×{flag} |\n")
-    (REPO / "SCALE.md").write_text("".join(lines))
+    out_path = REPO / "SCALE.md"
+    prior = out_path.read_text() if out_path.exists() else ""
+    # keep the hand-written methodology section across regenerations
+    if "## Methodology" in prior:
+        lines.append("\n" + prior[prior.index("## Methodology"):])
+    out_path.write_text("".join(lines))
     print(json.dumps({"small": small, "big": big}))
     print("wrote SCALE.md")
 
