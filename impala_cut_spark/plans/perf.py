@@ -67,6 +67,7 @@ SELECT count(*) AS n,
        cast(max(l_shipdate) as varchar) AS max_ship
 FROM lineitem
 """,
+    headline=True,
 )
 def perf_agg_types(spark, sf_dir):
     """targeted-perf aggregation.test PERF_AGG-Q1 shape: simple
@@ -120,6 +121,7 @@ GROUP BY e.user_id
 ORDER BY totalrevenue DESC, sourceip
 LIMIT 10
 """,
+    headline=True,
 )
 def perf_web_revenue(spark, sf_dir):
     """hive-benchmark WEB_Q1/WEB_Q2 shape: join the visit stream to

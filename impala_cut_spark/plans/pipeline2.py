@@ -510,3 +510,62 @@ def pipe_events_json(spark, sf_dir):
         F.min(k).alias("min_k"),
         F.max(k).alias("max_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus distribution drift between snapshots
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pipe_corpus_drift",
+    oracle="""
+WITH snaps AS (
+  SELECT lang, cast(doc_id % 2 as int) AS snap FROM documents),
+cnt AS (
+  SELECT lang,
+         count(CASE WHEN snap = 0 THEN 1 END) AS n_a,
+         count(CASE WHEN snap = 1 THEN 1 END) AS n_b
+  FROM snaps GROUP BY lang),
+tot AS (SELECT sum(n_a) AS t_a, sum(n_b) AS t_b FROM cnt)
+SELECT lang, n_a, n_b,
+       round(cast(n_a as double) / cast(t_a as double), 6) AS p_a,
+       round(cast(n_b as double) / cast(t_b as double), 6) AS p_b,
+       round(
+         (cast(n_a as double) / cast(t_a as double)
+          - cast(n_b as double) / cast(t_b as double))
+         * (cast(n_a as double) / cast(t_a as double)
+            - cast(n_b as double) / cast(t_b as double))
+         / (cast(n_a as double) / cast(t_a as double)
+            + cast(n_b as double) / cast(t_b as double)), 6) AS chi2_term
+FROM cnt, tot
+ORDER BY lang
+""",
+)
+def pipe_corpus_drift(spark, sf_dir):
+    """Corpus distribution drift between two snapshots: the per-stratum
+    chi-square-style divergence term ((p_a-p_b)² / (p_a+p_b)) used to
+    monitor training-mix shift release-over-release. Snapshots are the
+    doc_id parity halves (a deterministic stand-in for two crawl
+    dates). Pure rational double arithmetic — no transcendental — so
+    Spark and DuckDB produce bit-identical terms. One shuffle (lang
+    agg); the totals are a broadcast scalar."""
+    docs = t(spark, sf_dir, "documents")
+    cnt = docs.groupBy("lang").agg(
+        F.count(F.when(F.col("doc_id") % 2 == 0, 1)).alias("n_a"),
+        F.count(F.when(F.col("doc_id") % 2 == 1, 1)).alias("n_b"),
+    )
+    tot = cnt.agg(
+        F.sum("n_a").alias("t_a"), F.sum("n_b").alias("t_b")
+    )
+    j = cnt.crossJoin(F.broadcast(tot))
+    p_a = F.col("n_a").cast("double") / F.col("t_a").cast("double")
+    p_b = F.col("n_b").cast("double") / F.col("t_b").cast("double")
+    return j.select(
+        "lang",
+        "n_a",
+        "n_b",
+        F.round(p_a, 6).alias("p_a"),
+        F.round(p_b, 6).alias("p_b"),
+        F.round((p_a - p_b) * (p_a - p_b) / (p_a + p_b), 6).alias("chi2_term"),
+    ).orderBy("lang")
