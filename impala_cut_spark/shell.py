@@ -39,7 +39,26 @@ def format_table(cols: list[str], rows: list[tuple], max_rows: int = 100) -> str
     return "\n".join(out)
 
 
-def execute_line(sess: ImpalaSession, stmt: str) -> str:
+def format_delimited(
+    cols: list[str], rows: list[tuple], delim: str = "\t", header: bool = False
+) -> str:
+    """impala-shell -B / --output_delimiter / --print_header output:
+    one row per line, no table art (shell/impala_shell.py
+    write_delimited path)."""
+    lines = [delim.join(cols)] if header else []
+    lines += [
+        delim.join("NULL" if v is None else str(v) for v in r) for r in rows
+    ]
+    return "\n".join(lines)
+
+
+def execute_line(
+    sess: ImpalaSession,
+    stmt: str,
+    delimited: bool = False,
+    delim: str = "\t",
+    header: bool = False,
+) -> str:
     """One statement → printable result (the shell's command dispatch:
     impala_shell.py do_* methods)."""
     s = stmt.strip().rstrip(";").strip()
@@ -68,8 +87,10 @@ def execute_line(sess: ImpalaSession, stmt: str) -> str:
             level, rest = first, rest.split(None, 1)[1]
         return sess.explain(rest, level)
     df = sess.sql(s)
-    rows = df.collect()
-    return format_table(df.columns, [tuple(r) for r in rows])
+    rows = [tuple(r) for r in df.collect()]
+    if delimited:
+        return format_delimited(df.columns, rows, delim, header)
+    return format_table(df.columns, rows)
 
 
 def split_statements(text: str) -> list[str]:
@@ -126,6 +147,15 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description="impala-cut-spark shell")
     ap.add_argument("--sf-dir", default=None, help="register testdata tables from this dir")
     ap.add_argument("-q", "--query", default=None, help="execute one statement and exit")
+    # batch-mode flags mirroring the reference shell
+    # (shell/impala_shell.py:1208-1253 option surface)
+    ap.add_argument("-f", "--query_file", default=None, help="run ';'-separated statements from this file and exit")
+    ap.add_argument("-B", "--delimited", action="store_true", help="delimited output instead of the table format")
+    ap.add_argument("--output_delimiter", default="\t", help="field delimiter for -B output (default tab)")
+    ap.add_argument("--print_header", action="store_true", help="print column names in -B output")
+    ap.add_argument("-o", "--output_file", default=None, help="write query output to this file")
+    ap.add_argument("-d", "--database", default=None, help="USE this database on startup")
+    ap.add_argument("-c", "--ignore_query_failure", action="store_true", help="continue past failing statements in batch mode")
     args = ap.parse_args(argv)
 
     sess = ImpalaSession()
@@ -134,9 +164,40 @@ def main(argv: list[str] | None = None) -> int:
         from impala_cut_spark.sources.catalog import register_views
 
         register_views(sess.spark, args.sf_dir)
+    if args.database:
+        sess.sql(f"USE {args.database}")
+
+    batch_text = None
     if args.query is not None:
-        print(execute_line(sess, args.query))
-        return 0
+        batch_text = args.query
+    elif args.query_file is not None:
+        with open(args.query_file) as fh:
+            batch_text = fh.read()
+    if batch_text is not None:
+        sink = open(args.output_file, "w") if args.output_file else sys.stdout
+        rc = 0
+        try:
+            for stmt in split_statements(batch_text):
+                if not stmt.strip():
+                    continue
+                try:
+                    out = execute_line(
+                        sess, stmt, args.delimited, args.output_delimiter, args.print_header
+                    )
+                except EOFError:
+                    break
+                except Exception as e:  # noqa: BLE001 — batch error policy
+                    sys.stderr.write(f"ERROR: {e}\n")
+                    rc = 1
+                    if args.ignore_query_failure:
+                        continue
+                    break
+                if out:
+                    sink.write(out + "\n")
+        finally:
+            if sink is not sys.stdout:
+                sink.close()
+        return rc
     repl(sess)
     return 0
 

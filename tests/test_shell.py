@@ -58,3 +58,51 @@ def test_repl_pipeline_recovers_from_errors(sess):
     assert "| one |" in out
     assert "ERROR: ParseException" in out
     assert "| two |" in out  # shell survived the error
+
+
+def test_delimited_output_format():
+    from impala_cut_spark.shell import format_delimited
+
+    rows = [(1, "a"), (2, None)]
+    assert format_delimited(["k", "v"], rows) == "1\ta\n2\tNULL"
+    assert (
+        format_delimited(["k", "v"], rows, delim="|", header=True)
+        == "k|v\n1|a\n2|NULL"
+    )
+
+
+def test_execute_line_delimited(sess):
+    from impala_cut_spark.shell import execute_line
+
+    out = execute_line(
+        sess, "select 1 as a, 'x' as b", delimited=True, delim=",", header=True
+    )
+    assert out == "a,b\n1,x"
+
+
+def test_batch_query_file_flags(sess, tmp_path, monkeypatch, capsys):
+    """-f + -B + --output_delimiter + -o mirror the reference shell's
+    batch mode (impala_shell.py:1208-1253)."""
+    import impala_cut_spark.shell as sh
+
+    qf = tmp_path / "batch.sql"
+    qf.write_text("select 1 as a; select 'x;y' as s;")
+    of = tmp_path / "out.txt"
+    monkeypatch.setattr(sh, "ImpalaSession", lambda: sess)
+    rc = sh.main([
+        "-f", str(qf), "-B", "--output_delimiter", "|", "--print_header", "-o", str(of),
+    ])
+    assert rc == 0
+    assert of.read_text() == "a\n1\ns\nx;y\n"
+
+
+def test_batch_ignore_query_failure(sess, tmp_path, monkeypatch):
+    import impala_cut_spark.shell as sh
+
+    qf = tmp_path / "bad.sql"
+    qf.write_text("select no_col from nation; select 2 as ok;")
+    of = tmp_path / "out.txt"
+    monkeypatch.setattr(sh, "ImpalaSession", lambda: sess)
+    rc = sh.main(["-f", str(qf), "-B", "-o", str(of), "-c"])
+    assert rc == 1  # failure reported
+    assert of.read_text() == "2\n"  # but later statements still ran
