@@ -65,13 +65,30 @@ def execute_line(
     if not s:
         return ""
     low = s.lower()
+    if low not in ("history",):
+        hist = getattr(sess, "_shell_history", None)
+        if hist is None:
+            hist = []
+            sess._shell_history = hist
+        hist.append(s)
     if low in ("quit", "exit"):
         raise EOFError
     if low == "help":
         return (
             "statements: any Impala-dialect SQL; SET k=v; SET; "
-            "EXPLAIN [minimal|standard|extended|verbose] <query>; USE db; quit"
+            "EXPLAIN [minimal|standard|extended|verbose] <query>; USE db; "
+            "version; history; quit"
         )
+    if low == "version":
+        # reference: do_version prints the build string (impala_shell.py)
+        from pyspark import __version__ as spark_version
+
+        return f"impala-cut-spark shell, engine Spark {spark_version}"
+    if low == "history":
+        # reference: do_history replays readline history
+        return "\n".join(
+            f"[{i}] {h}" for i, h in enumerate(getattr(sess, "_shell_history", []), 1)
+        ) or "(empty history)"
     if low == "set":
         opts = sess.options()
         return "\n".join(f"{k}={v}" for k, v in sorted(opts.items())) or "(no options set)"

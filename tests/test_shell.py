@@ -106,3 +106,12 @@ def test_batch_ignore_query_failure(sess, tmp_path, monkeypatch):
     rc = sh.main(["-f", str(qf), "-B", "-o", str(of), "-c"])
     assert rc == 1  # failure reported
     assert of.read_text() == "2\n"  # but later statements still ran
+
+
+def test_version_and_history_commands(sess):
+    from impala_cut_spark.shell import execute_line
+
+    assert "Spark" in execute_line(sess, "version")
+    execute_line(sess, "select 1 as one")
+    hist = execute_line(sess, "history")
+    assert "select 1 as one" in hist and "version" in hist
