@@ -810,7 +810,7 @@ def rewrite(sql: str, csv_mode: str | None = None) -> str:
             (
                 c
                 for c in re.finditer(
-                    r"\busing\s+csv(\s+options\s*\()?", sql, re.IGNORECASE
+                    r"\busing\s+csv\b(\s+options\s*\()?", sql, re.IGNORECASE
                 )
                 if not in_str.get(c.start(), False)
             ),

@@ -422,6 +422,14 @@ def verify_pairs_jaccard(sh: DataFrame, cands: DataFrame, threshold: float) -> D
     at scale both joins degrade gracefully to shuffles on the id.
     """
     docsets = sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("shset"))
+    return _verify_with_docsets(docsets, cands, threshold)
+
+
+def _verify_with_docsets(docsets: DataFrame, cands: DataFrame, threshold: float) -> DataFrame:
+    """The verify contract itself, over a prebuilt (doc_id, shset)
+    table — ONE definition of the round/threshold/intersection rule so
+    the LSH fused pipeline and the standalone verify can never
+    desynchronize."""
     a = docsets.select(F.col("doc_id").alias("id_a"), F.col("shset").alias("set_a"))
     b = docsets.select(F.col("doc_id").alias("id_b"), F.col("shset").alias("set_b"))
     inter = F.size(F.array_intersect("set_a", "set_b"))
@@ -462,18 +470,7 @@ def minhash_dedup_pairs(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     cands = lsh_candidate_pairs(per_doc, exact_bands=(hash_family == "md5_affine"))
-    a = per_doc.select(F.col("doc_id").alias("id_a"), F.col("shset").alias("set_a"))
-    b = per_doc.select(F.col("doc_id").alias("id_b"), F.col("shset").alias("set_b"))
-    inter = F.size(F.array_intersect("set_a", "set_b"))
-    jac = inter.cast("double") / (
-        F.size("set_a") + F.size("set_b") - inter
-    ).cast("double")
-    return (
-        cands.join(a, "id_a")
-        .join(b, "id_b")
-        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return _verify_with_docsets(per_doc.select("doc_id", "shset"), cands, threshold)
 
 
 # ---------------------------------------------------------------------------

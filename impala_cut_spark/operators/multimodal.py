@@ -156,6 +156,10 @@ def decode_wav(payload: bytes) -> tuple[int, int, "np.ndarray"]:
         pos += 8 + sz + (sz & 1)  # chunks are word-aligned
     if rate is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
+    if not channels or channels < 1:
+        # file-supplied count — a corrupt fmt chunk must fall back to
+        # byte features, not ZeroDivisionError the whole Spark job
+        raise ValueError(f"WAV declares invalid channel count {channels}")
     if bits == 16:
         samples = np.frombuffer(data, dtype="<i2", count=len(data) // 2) / 32768.0
     elif bits == 8:
@@ -193,7 +197,13 @@ def audio_features(rate: int, channels: int, samples: np.ndarray, dim: int = FEA
     if n:
         f[1] = float(np.sqrt(np.mean(mono**2)))
         f[2] = float(np.abs(mono).max())
-        f[3] = float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+        # zero-crossing rate is defined over sample PAIRS — one sample
+        # has none (np.mean over empty would inject NaN)
+        f[3] = (
+            float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+            if n > 1
+            else 0.0
+        )
         env_bins = dim - 4
         edges = np.linspace(0, n, env_bins + 1, dtype=np.int64)
         for i in range(env_bins):

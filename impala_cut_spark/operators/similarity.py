@@ -131,6 +131,12 @@ def brute_force_topk(
                 # rounding and discards extras; under-keeping would
                 # drop a true top-k member.
                 cj_key = np.copysign(np.floor(np.abs(cj) * 1e6 + 0.5), cj)
+                # NaN cosines (zero-norm vectors) sort as the LARGEST
+                # value in Spark's DESC order — map them to +inf so the
+                # partition cut ranks them the same way instead of a
+                # NaN kth key turning every comparison False and
+                # silently dropping the batch's real candidates
+                cj_key = np.where(np.isnan(cj_key), np.inf, cj_key)
                 if len(cj_key) > k:
                     kth = cj_key[np.argpartition(-cj_key, k - 1)[k - 1]]
                     sel = np.nonzero(cj_key >= kth - 1)[0]

@@ -550,15 +550,20 @@ def pipe_corpus_drift(spark, sf_dir):
     dates). Pure rational double arithmetic — no transcendental — so
     Spark and DuckDB produce bit-identical terms. One shuffle (lang
     agg); the totals are a broadcast scalar."""
+    from pyspark.sql import Window
+
     docs = t(spark, sf_dir, "documents")
     cnt = docs.groupBy("lang").agg(
         F.count(F.when(F.col("doc_id") % 2 == 0, 1)).alias("n_a"),
         F.count(F.when(F.col("doc_id") % 2 == 1, 1)).alias("n_b"),
     )
-    tot = cnt.agg(
-        F.sum("n_a").alias("t_a"), F.sum("n_b").alias("t_b")
+    # totals as an unpartitioned window over the (tiny, one-row-per-
+    # stratum) aggregate — the documents table is scanned ONCE; a
+    # separate cnt.agg() + crossJoin re-evaluates the whole cnt subtree
+    w = Window.partitionBy()
+    j = cnt.withColumn("t_a", F.sum("n_a").over(w)).withColumn(
+        "t_b", F.sum("n_b").over(w)
     )
-    j = cnt.crossJoin(F.broadcast(tot))
     p_a = F.col("n_a").cast("double") / F.col("t_a").cast("double")
     p_b = F.col("n_b").cast("double") / F.col("t_b").cast("double")
     return j.select(

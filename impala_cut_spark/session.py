@@ -289,12 +289,17 @@ class ImpalaSession:
                 external = val.upper() == "EXTERNAL"
             elif key == "location":
                 location = val
-            elif key == "storage properties":
-                # "[sep=|, escape=\]" — the OPTIONS the dialect wrote
-                for kv in val.strip("[]").split(","):
-                    if "=" in kv:
-                        k, v = kv.split("=", 1)
-                        props[k.strip()] = v.strip()
+        if provider == "csv":
+            # read sep/escape from Spark's own (quoted) DDL rendering —
+            # DESCRIBE's "[sep=,, escape=\]" form is ambiguous when the
+            # delimiter itself is a comma
+            native = " ".join(
+                r[0] for r in self.spark.sql(f"SHOW CREATE TABLE {name}").collect()
+            )
+            for k in ("sep", "escape"):
+                m2 = re.search(rf"'{k}'\s*=\s*'((?:[^']|'')*)'", native)
+                if m2:
+                    props[k] = m2.group(1).replace("''", "'")
         ext = "EXTERNAL " if external else ""
         col_list = ", ".join(f"{c.name} {c.dataType}" for c in data_cols)
         rows = [f"CREATE {ext}TABLE {name} ({col_list})"]

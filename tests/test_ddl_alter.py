@@ -151,3 +151,17 @@ def test_show_create_table_text_row_format(sess):
     assert "ROW FORMAT DELIMITED FIELDS TERMINATED BY '|'" in ddl
     assert "STORED AS TEXTFILE" in ddl
     sess.sql("drop table sct2")
+
+
+def test_show_create_table_comma_delimiter(sess):
+    """A comma FIELD delimiter must survive SHOW CREATE TABLE — the
+    DESCRIBE storage-properties string is comma-separated itself, so
+    options are read from Spark's quoted DDL instead (round-3 review)."""
+    sess.sql("drop table if exists sct3")
+    sess.sql(
+        "create table sct3 (x int, y string) row format delimited "
+        "fields terminated by ',' stored as textfile"
+    )
+    ddl = [r.result for r in sess.sql("show create table sct3").collect()]
+    assert "ROW FORMAT DELIMITED FIELDS TERMINATED BY ','" in ddl, ddl
+    sess.sql("drop table sct3")

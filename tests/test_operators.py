@@ -556,3 +556,28 @@ class TestAudioWav:
         row = multimodal.extract_features(assets).collect()[0]
         # feature[0] is the real decoded duration, not a byte histogram
         assert abs(row.features[0] - 0.25) < 1e-9
+
+    def test_corrupt_wav_falls_back_not_crashes(self, spark):
+        """channels=0 fmt chunk must raise ValueError (caught by the
+        extractor's fallback), not ZeroDivisionError the Spark job."""
+        import struct
+
+        fmt = struct.pack("<HHIIHH", 1, 0, 16000, 0, 0, 16)
+        bad = (b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+               + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+               + b"data" + struct.pack("<I", 4) + b"\x00\x00\x00\x00")
+        with pytest.raises(ValueError, match="channel"):
+            multimodal.decode_wav(bad)
+        assets = spark.createDataFrame(
+            [(1, "audio", "audio/wav", 0, 0, bytearray(bad))],
+            "asset_id long, modality string, mime string, width int, height int, payload binary",
+        )
+        row = multimodal.extract_features(assets).collect()[0]
+        assert abs(sum(row.features) - 1.0) < 1e-9  # byte-histogram fallback
+
+    def test_single_sample_wav_has_no_nan_features(self):
+        payload = multimodal.encode_wav(np.array([0.5]), rate=8000)
+        rate, ch, samples = multimodal.decode_wav(payload)
+        f = multimodal.audio_features(rate, ch, samples)
+        assert not np.isnan(f).any()
+        assert f[3] == 0.0
