@@ -581,3 +581,57 @@ class TestAudioWav:
         f = multimodal.audio_features(rate, ch, samples)
         assert not np.isnan(f).any()
         assert f[3] == 0.0
+
+    def test_wav_roundtrip_property(self):
+        """Randomized round-trip: any float signal in [-1,1], any
+        rate/channel combo survives encode→decode within 16-bit
+        quantization error."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+        from hypothesis.extra.numpy import arrays
+
+        @settings(max_examples=50, deadline=None)
+        @given(
+            sig=arrays(
+                float,
+                st.tuples(st.integers(1, 200), st.integers(1, 4)),
+                elements=st.floats(-1.0, 1.0, allow_nan=False),
+            ),
+            rate=st.sampled_from([8000, 16000, 44100]),
+        )
+        def check(sig, rate):
+            payload = multimodal.encode_wav(sig, rate=rate)
+            r, ch, out = multimodal.decode_wav(payload)
+            assert (r, ch) == (rate, sig.shape[1])
+            assert out.shape == sig.shape
+            assert np.max(np.abs(out - sig)) < 2e-4
+
+        check()
+
+    def test_feature_extractor_never_raises_on_garbage(self):
+        """The mapInPandas fallback chain must absorb ANY payload —
+        random bytes, truncated headers, lying magic numbers — and
+        yield a finite feature vector (a raised exception here kills
+        the whole Spark job; see the channels=0 regression)."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        magics = [b"", b"P6", b"BM", b"RIFF", b"RIFF1234WAVE", b"P6\n9999 9999\n255\n"]
+
+        @settings(max_examples=150, deadline=None)
+        @given(prefix=st.sampled_from(magics), body=st.binary(max_size=200))
+        def check(prefix, body):
+            import struct
+
+            p = prefix + body
+            try:
+                f = multimodal.image_features(multimodal.decode_image(p))
+            except (NotImplementedError, ValueError, IndexError, struct.error):
+                try:
+                    f = multimodal.audio_features(*multimodal.decode_wav(p))
+                except (NotImplementedError, ValueError, IndexError, struct.error):
+                    f = multimodal.fake_features(p)
+            assert len(f) == multimodal.FEATURE_DIM
+            assert np.all(np.isfinite(f))
+
+        check()
