@@ -179,6 +179,32 @@ class ImpalaSession:
         )
         if m:
             return self.spark.sql(f"SHOW PARTITIONS {m.group(1)}")
+        # LOAD DATA INPATH (sql-parser.y:470-481): Spark's own statement
+        # refuses datasource tables, so route to the filesystem-move
+        # implementation (sources/sinks.py load_data)
+        m = re.match(
+            r"^\s*load\s+data\s+inpath\s+'((?:[^']|'')*)'\s+(overwrite\s+)?into\s+table\s+"
+            r"([A-Za-z_][\w.]*)\s*(?:partition\s*\(([^)]*)\))?\s*;?\s*$",
+            text,
+            re.IGNORECASE,
+        )
+        if m:
+            from impala_cut_spark.sources.sinks import load_data
+
+            part = None
+            if m.group(4):
+                part = {}
+                for kv in m.group(4).split(","):
+                    k, v = kv.split("=", 1)
+                    part[k.strip()] = v.strip().strip("'\"")
+            load_data(
+                self.spark,
+                m.group(1).replace("''", "'"),
+                m.group(3),
+                overwrite=bool(m.group(2)),
+                partition=part,
+            )
+            return self.spark.sql("select 1 where false")
         # SHOW CREATE TABLE t (sql-parser.y:1298-1300; the FE renders
         # DDL from catalog metadata in ToSqlUtils.getCreateTableSql —
         # fe/src/main/java/com/cloudera/impala/analysis/ToSqlUtils.java).

@@ -103,14 +103,61 @@ def insert_into(
     df.write.insertInto(table, overwrite=overwrite)
 
 
-def load_data(spark: SparkSession, path: str, table: str, overwrite: bool = False) -> None:
-    """LOAD DATA INPATH '<path>' INTO TABLE t (sql-parser.y:470-481).
+def load_data(
+    spark: SparkSession,
+    path: str,
+    table: str,
+    overwrite: bool = False,
+    partition: dict[str, str] | None = None,
+) -> None:
+    """LOAD DATA INPATH '<path>' INTO TABLE t [PARTITION (k=v)]
+    (sql-parser.y:470-481; LoadDataStmt.java).
 
-    File-move semantics via Spark's own LOAD DATA (same contract: files
-    are moved into the table directory, format must already match).
+    File-MOVE semantics, implemented directly: the reference's planner
+    moves the staged files into the table/partition directory without
+    parsing them (format must already match the table). Spark's own
+    LOAD DATA statement refuses datasource tables ("not supported for
+    datasource tables"), and every table this engine creates IS a
+    datasource table — so the move is done at the filesystem layer
+    followed by REFRESH, which is exactly the reference's contract
+    (impalad moves HDFS files + issues a metadata reload).
     """
-    ow = "OVERWRITE " if overwrite else ""
-    spark.sql(f"LOAD DATA INPATH '{path}' {ow}INTO TABLE {table}")
+    import glob as globmod
+    import os
+    import shutil
+
+    loc = ""
+    for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect():
+        if (r.col_name or "").strip().lower() == "location":
+            loc = (r.data_type or "").strip()
+            break
+    if not loc:
+        raise ValueError(f"LOAD DATA: cannot resolve location of table {table!r}")
+    dest = loc[len("file:") :] if loc.startswith("file:") else loc
+    if partition:
+        # partition directory layout k=v/... (hive-style, what the
+        # datasource writer produces); create it if absent (Impala
+        # requires the partition to exist — we mirror ADD PARTITION)
+        for k, v in partition.items():
+            dest = os.path.join(dest, f"{k}={v}")
+    os.makedirs(dest, exist_ok=True)
+    src = path[len("file:") :] if path.startswith("file:") else path
+    files = sorted(globmod.glob(src)) if any(c in src for c in "*?[") else (
+        [os.path.join(src, f) for f in sorted(os.listdir(src))]
+        if os.path.isdir(src)
+        else [src]
+    )
+    files = [f for f in files if os.path.isfile(f) and not os.path.basename(f).startswith(("_", "."))]
+    if not files:
+        raise ValueError(f"LOAD DATA: no files at {path!r}")
+    if overwrite:
+        for old in os.listdir(dest):
+            p = os.path.join(dest, old)
+            if os.path.isfile(p) and not old.startswith(("_", ".")):
+                os.remove(p)
+    for f in files:
+        shutil.move(f, os.path.join(dest, os.path.basename(f)))
+    spark.sql(f"REFRESH TABLE {table}")
 
 
 def write_text_table(
