@@ -179,6 +179,26 @@ class ImpalaSession:
         )
         if m:
             return self.spark.sql(f"SHOW PARTITIONS {m.group(1)}")
+        # CREATE [AGGREGATE] FUNCTION … LOCATION '…' SYMBOL='…'
+        # (sql-parser.y:686-710): native C++ UDF/UDA loading has no
+        # Spark analogue (the .so ABI is udf.h FunctionContext) — fail
+        # with a pointer to the supported registration surfaces instead
+        # of Spark's opaque parse error. SQL-bodied CREATE FUNCTION
+        # (RETURN expr) and Hive-style AS 'JavaClass' pass through to
+        # Spark natively.
+        if re.match(
+            r"^\s*create\s+(?:aggregate\s+)?function\b.*\blocation\s+'",
+            text,
+            re.IGNORECASE | re.DOTALL,
+        ):
+            raise ValueError(
+                "native C++ UDF/UDA libraries (LOCATION/SYMBOL DDL) have no "
+                "Spark analogue here — register Python/pandas UDFs via "
+                "impala_cut_spark.functions.udf.create_function / "
+                "create_aggregate_function, Hive Java UDFs via "
+                "create_java_function or CREATE FUNCTION name AS '<class>', "
+                "or use a SQL-bodied CREATE FUNCTION ... RETURN <expr>"
+            )
         # LOAD DATA INPATH (sql-parser.y:470-481): Spark's own statement
         # refuses datasource tables, so route to the filesystem-move
         # implementation (sources/sinks.py load_data)

@@ -96,3 +96,21 @@ class TestExplain:
     def test_unknown_level_raises(self, spark):
         with pytest.raises(ValueError, match="unknown explain level"):
             ImpalaSession(spark).explain("select 1", "bogus")
+
+
+def test_native_udf_ddl_gives_clear_boundary_error(spark):
+    """Reference CREATE FUNCTION ... LOCATION/SYMBOL DDL (native C++
+    .so ABI) has no Spark analogue — the session must say so clearly,
+    and SQL-bodied CREATE FUNCTION must still pass through natively."""
+    import pytest
+
+    from impala_cut_spark.session import ImpalaSession
+
+    s = ImpalaSession(spark)
+    with pytest.raises(ValueError, match="create_function"):
+        s.sql(
+            "create function my_udf(int) returns int "
+            "location '/tmp/libudf.so' symbol='MyUdf'"
+        )
+    s.sql("create or replace temporary function g_sqlfn(x INT) RETURNS INT RETURN x + 1")
+    assert s.sql("select g_sqlfn(41) as v").collect()[0].v == 42
