@@ -682,6 +682,12 @@ def rewrite_statements(sql: str) -> str:
                 # field as NULL, where the reference yields '' for
                 # STRING columns (numerics are NULL either way).
                 options.append(r"nullValue '\\N'")
+                # Spark's csv WRITER trims leading/trailing whitespace
+                # by default; the reference's text writer never does —
+                # pin preservation into the table options so INSERTs
+                # keep field whitespace byte-exact
+                options.append("ignoreLeadingWhiteSpace 'false'")
+                options.append("ignoreTrailingWhiteSpace 'false'")
                 using += " OPTIONS (" + ", ".join(options) + ")"
             sql = sql[: sa.start()] + using + sql[sa.end() :]
         sql = re.sub(r"\bcreate\s+external\s+table\b", "CREATE TABLE", sql, flags=re.IGNORECASE)

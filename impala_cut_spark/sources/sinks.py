@@ -170,9 +170,21 @@ def write_text_table(
 ) -> None:
     """Delimited-text writer (hdfs-text-table-writer.cc parity: field
     delimiter + escape char + \\N null sentinel — HdfsTable.java:93
-    DEFAULT_NULL_COLUMN_VALUE)."""
+    DEFAULT_NULL_COLUMN_VALUE).
+
+    Leading/trailing whitespace in string fields is preserved (Spark's
+    csv writer TRIMS both by default — the reference's text writer
+    never does). Known shared delta: a string field whose value is
+    literally ``\\N`` round-trips to NULL — the same collision the
+    reference has on default (non-ESCAPED BY) text tables, whose
+    TextConverter maps any ``\\N`` field to NULL on read."""
     df.write.mode(mode).options(
-        sep=sep, escape=escape, header=header, nullValue="\\N"
+        sep=sep,
+        escape=escape,
+        header=header,
+        nullValue="\\N",
+        ignoreLeadingWhiteSpace=False,
+        ignoreTrailingWhiteSpace=False,
     ).csv(path)
 
 
