@@ -751,3 +751,45 @@ def test_random_like_matches_duckdb(sql, spark, oracle, views):
     srow = spark.sql(sql).collect()[0]
     orow = oracle.sql(sql).fetchall()[0]
     assert (srow.n, srow.n_match) == orow, sql
+
+
+# --- text-format round-trip property (hdfs-text writer/scanner) -----------
+
+
+@st.composite
+def text_rows(draw):
+    """Random (id, string) rows through the delimited-text writer and
+    scanner. The string alphabet includes the separator, backslash,
+    quotes and whitespace — the characters that exercise escaping.
+    Documented deltas are excluded up front: empty string and the
+    literal \\N sentinel read back as NULL on default text tables (the
+    reference's TextConverter does the same)."""
+    vals = draw(
+        st.lists(
+            st.text(
+                alphabet="ab|,\\'\" \txyz0",
+                max_size=8,
+            ).filter(lambda s: s != "" and s != "\\N"),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    return list(enumerate(vals))
+
+
+@settings(
+    max_examples=_n(25),
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(rows=text_rows())
+def test_text_round_trip_property(rows, spark, tmp_path_factory):
+    from impala_cut_spark.sources import sinks
+
+    path = str(tmp_path_factory.mktemp("txtprop"))
+    df = spark.createDataFrame(rows, "id int, s string")
+    sinks.write_text_table(df, path, sep="|")
+    back = sinks.read_text_table(spark, path, schema="id int, s string", sep="|")
+    got = {r.id: r.s for r in back.collect()}
+    want = dict(rows)
+    assert got == want, {k: (want[k], got.get(k)) for k in want if got.get(k) != want[k]}
