@@ -208,3 +208,20 @@ def lang_id(text: Column) -> Column:
         best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
         best_hits = F.when(is_better, hits).otherwise(best_hits)
     return best_lang
+
+
+def url_parts(url: Column) -> dict[str, Column]:
+    """Decompose a URL column with Spark's JVM-side parse_url —
+    host / registrable domain suffix / path / query string. The
+    crawl-curation primitive behind per-domain quality rollups and
+    domain blocklists (public pipeline practice: C4/RefinedWeb filter
+    by domain before content filters)."""
+    host = F.parse_url(url, F.lit("HOST"))
+    return {
+        "host": host,
+        # registrable-suffix approximation: last two host labels
+        # (a public-suffix list lookup slots in here when available)
+        "domain": F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1),
+        "path": F.parse_url(url, F.lit("PATH")),
+        "query": F.parse_url(url, F.lit("QUERY")),
+    }

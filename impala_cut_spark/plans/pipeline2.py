@@ -574,3 +574,71 @@ def pipe_corpus_drift(spark, sf_dir):
         F.round(p_b, 6).alias("p_b"),
         F.round((p_a - p_b) * (p_a - p_b) / (p_a + p_b), 6).alias("chi2_term"),
     ).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# URL parsing + per-domain rollup (crawl curation)
+# ---------------------------------------------------------------------------
+
+#: deterministic synthetic URL per document (the corpus has no url
+#: column) — the EXPRESSION is shared with the oracle below, so the
+#: driver check verifies Spark's parse_url against values DuckDB
+#: derives from the same construction.
+_SQL_URL = (
+    "'https://www.' || source || '.example.com/' || lang || '/doc/' "
+    "|| cast(doc_id % 100 as varchar) || '?id=' || cast(doc_id as varchar)"
+)
+
+
+@query(
+    "pipe_url_stats",
+    oracle=f"""
+WITH u AS (
+  SELECT doc_id, source, lang, n_chars, {_SQL_URL} AS url FROM documents)
+SELECT 'www.' || source || '.example.com' AS host,
+       'example.com' AS domain,
+       count(*) AS n_pages,
+       count(DISTINCT lang) AS n_langs,
+       count(DISTINCT '/' || lang || '/doc/' || cast(doc_id % 100 as varchar)) AS n_paths,
+       cast(sum(n_chars) as bigint) AS total_chars
+FROM u GROUP BY 1, 2 ORDER BY 1
+""",
+)
+def pipe_url_stats(spark, sf_dir):
+    """Per-domain crawl rollup (operators/text.py url_parts): build the
+    deterministic URL, decompose it with Spark's parse_url (HOST/PATH —
+    JVM-side, scan-speed), and aggregate page/language/path counts per
+    host. The oracle replays the same construction in DuckDB and
+    derives host/path directly, so parse_url's extraction is verified
+    end-to-end. One shuffle (host agg)."""
+    from impala_cut_spark.operators.text import url_parts
+
+    docs = t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://www."),
+        F.col("source"),
+        F.lit(".example.com/"),
+        F.col("lang"),
+        F.lit("/doc/"),
+        (F.col("doc_id") % 100).cast("string"),
+        F.lit("?id="),
+        F.col("doc_id").cast("string"),
+    )
+    p = url_parts(url)
+    withp = docs.select(
+        p["host"].alias("host"),
+        p["domain"].alias("domain"),
+        p["path"].alias("path"),
+        "lang",
+        "n_chars",
+    )
+    return (
+        withp.groupBy("host", "domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.countDistinct("path").alias("n_paths"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("host")
+    )
