@@ -225,3 +225,25 @@ def url_parts(url: Column) -> dict[str, Column]:
         "path": F.parse_url(url, F.lit("PATH")),
         "query": F.parse_url(url, F.lit("QUERY")),
     }
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical URL form for crawl-level dedup keys: lowercase scheme
+    and host, strip the fragment and the query string, drop a trailing
+    slash, default ports removed. Two fetches of the same page under
+    cosmetic URL variants collapse to one key — the standard first
+    pass before content-level dedup.
+
+    Pure JVM expression composition (parse_url + string ops) — no
+    Python, scan-speed."""
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*):", 1))
+    host = F.lower(F.parse_url(url, F.lit("HOST")))
+    # strip :80/:443 default ports if present in the authority
+    auth = F.regexp_replace(
+        F.lower(F.parse_url(url, F.lit("AUTHORITY"))), r":(80|443)$", ""
+    )
+    path = F.parse_url(url, F.lit("PATH"))
+    path = F.when(path.isNull() | (path == ""), F.lit("/")).otherwise(path)
+    trimmed = F.substring(path, 1, F.length(path) - 1)
+    path = F.when((F.length(path) > 1) & path.endswith("/"), trimmed).otherwise(path)
+    return F.concat(scheme, F.lit("://"), F.coalesce(auth, host), path)

@@ -635,3 +635,38 @@ class TestAudioWav:
             assert np.all(np.isfinite(f))
 
         check()
+
+
+class TestUrlOps:
+    def test_canonicalize_url_collapses_variants(self, spark):
+        from pyspark.sql import functions as F
+
+        from impala_cut_spark.operators.text import canonicalize_url
+
+        cases = [
+            ("HTTP://WWW.Example.COM:80/A/B/?q=1#frag", "http://www.example.com/A/B"),
+            ("https://example.com", "https://example.com/"),
+            ("https://example.com/", "https://example.com/"),
+            ("https://example.com:443/x/", "https://example.com/x"),
+            ("http://a.b/path?x=2", "http://a.b/path"),
+        ]
+        df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+        got = [r[0] for r in df.select(canonicalize_url(F.col("url"))).collect()]
+        assert got == [w for _, w in cases]
+
+    def test_url_parts_extraction(self, spark):
+        from pyspark.sql import functions as F
+
+        from impala_cut_spark.operators.text import url_parts
+
+        df = spark.createDataFrame(
+            [("https://www.sub.example.com/a/b?x=1",)], "url string"
+        )
+        p = url_parts(F.col("url"))
+        row = df.select(
+            p["host"].alias("h"), p["domain"].alias("d"),
+            p["path"].alias("p"), p["query"].alias("q"),
+        ).collect()[0]
+        assert (row.h, row.d, row.p, row.q) == (
+            "www.sub.example.com", "example.com", "/a/b", "x=1"
+        )
