@@ -642,3 +642,53 @@ def pipe_url_stats(spark, sf_dir):
         )
         .orderBy("host")
     )
+
+
+@query(
+    "pipe_url_dedup",
+    oracle=f"""
+WITH u AS (
+  SELECT doc_id, source, lang,
+         'https://www.' || source || '.example.com/' || lang || '/doc/'
+           || cast(doc_id % 100 as varchar) AS canon
+  FROM documents)
+SELECT 'www.' || source || '.example.com' AS host,
+       2 * count(*) AS n_raw,
+       count(DISTINCT canon) AS n_canonical
+FROM u GROUP BY 1 ORDER BY 1
+""",
+)
+def pipe_url_dedup(spark, sf_dir):
+    """Crawl-level URL dedup through canonicalization (operators/
+    text.py canonicalize_url): every page is fetched under TWO cosmetic
+    variants (uppercase scheme + default port + trailing slash +
+    fragment vs plain), both canonicalize to one key, and the per-host
+    rollup counts raw fetches vs canonical pages. The oracle derives
+    the canonical form directly from the shared construction — so the
+    canonicalization chain (scheme/host lowercase, port/fragment/
+    trailing-slash strip) is value-checked end-to-end. Narrow map +
+    explode + one shuffle."""
+    from impala_cut_spark.operators.text import canonicalize_url
+
+    docs = t(spark, sf_dir, "documents")
+    base = F.concat(
+        F.lit("www."), F.col("source"), F.lit(".example.com/"),
+        F.col("lang"), F.lit("/doc/"), (F.col("doc_id") % 100).cast("string"),
+    )
+    # variant 1 uppercases only scheme+host (canonicalization
+    # lowercases those but NOT the path) and adds default port,
+    # trailing slash and a fragment; variant 2 is the plain form
+    variants = F.array(
+        F.concat(F.lit("HTTPS://WWW."), F.upper(F.col("source")), F.lit(".EXAMPLE.COM:443/"),
+                 F.col("lang"), F.lit("/doc/"), (F.col("doc_id") % 100).cast("string"),
+                 F.lit("/#frag")),
+        F.concat(F.lit("https://"), base),
+    )
+    exploded = docs.select("source", F.explode(variants).alias("url"))
+    canon = canonicalize_url(F.col("url"))
+    return (
+        exploded.select("source", F.parse_url(canon, F.lit("HOST")).alias("host"), canon.alias("canon"))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("n_raw"), F.countDistinct("canon").alias("n_canonical"))
+        .orderBy("host")
+    )
