@@ -670,3 +670,28 @@ class TestUrlOps:
         assert (row.h, row.d, row.p, row.q) == (
             "www.sub.example.com", "example.com", "/a/b", "x=1"
         )
+
+    def test_canonicalize_url_is_idempotent(self, spark):
+        """canonical(canonical(u)) == canonical(u) for constructed URL
+        variants — the fixed-point property a dedup key needs."""
+        from pyspark.sql import functions as F
+
+        from impala_cut_spark.operators.text import canonicalize_url
+
+        import itertools
+
+        schemes = ["http", "HTTPS"]
+        hosts = ["Example.COM", "a.b.c", "X.org:443"]
+        paths = ["", "/", "/p", "/p/", "/P/q/"]
+        tails = ["", "?x=1", "#f", "?x=1#f"]
+        urls = [
+            f"{s}://{h}{p}{t}"
+            for s, h, p, t in itertools.product(schemes, hosts, paths, tails)
+        ]
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        once = df.select(canonicalize_url(F.col("url")).alias("c1"))
+        twice = once.select(
+            F.col("c1"), canonicalize_url(F.col("c1")).alias("c2")
+        ).collect()
+        for r in twice:
+            assert r.c1 == r.c2, (r.c1, r.c2)
