@@ -311,9 +311,7 @@ def pipe_mixture_sample(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "pipe_embed_quantize",
-    oracle="""
+_QUANTIZE_ORACLE_CTE = """
 WITH v AS (SELECT vec_id, list_transform(embedding, x -> cast(x as double)) AS e
            FROM embeddings),
 mm AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS m FROM v),
@@ -324,7 +322,15 @@ sc AS (SELECT vec_id, e,
 q AS (SELECT vec_id, e, s, inv,
              list_transform(e, x -> cast(round(x * s) as int)) AS qv
       FROM sc)
-SELECT vec_id, round(s, 6) AS scale, qv AS qvec,
+"""
+
+
+@query(
+    "pipe_embed_quantize",
+    oracle=_QUANTIZE_ORACLE_CTE
+    + """
+SELECT vec_id, round(s, 6) AS scale,
+       array_to_string(qv, ',') AS qvec_csv,
        round(list_max(list_transform(range(1, len(e) + 1),
                                      i -> abs(cast(qv[i] as double) * inv - e[i]))), 6)
          AS max_err
@@ -336,7 +342,39 @@ def pipe_embed_quantize(spark, sf_dir):
     quantize_int8): scale = 127/max|x|, q = round(x·scale) — narrow
     JVM-side map, no shuffle. round() is half-away-from-zero in both
     engines and every double op is the same IEEE sequence, so qvec,
-    scale and the max reconstruction error all hash-match."""
+    scale and the max reconstruction error all hash-match.
+
+    DRIVER-WINDOW rendering: the int8 vector is emitted as a csv
+    string (``concat_ws`` / DuckDB ``array_to_string``) because the
+    driver's pandas canonicalizer cannot sort/hash list-valued columns
+    (the round-3 `unhashable type: 'list'` red row).  API users and
+    the below-window ``pipe_embed_quantize_vec`` twin keep the real
+    ``array<int>`` column."""
+    q = similarity.quantize_int8(t(spark, sf_dir, "embeddings"))
+    return q.select(
+        "vec_id",
+        "scale",
+        F.concat_ws(",", F.col("qvec").cast("array<string>")).alias("qvec_csv"),
+        "max_err",
+    )
+
+
+@query(
+    "pipe_embed_quantize_vec",
+    oracle=_QUANTIZE_ORACLE_CTE
+    + """
+SELECT vec_id, round(s, 6) AS scale, qv AS qvec,
+       round(list_max(list_transform(range(1, len(e) + 1),
+                                     i -> abs(cast(qv[i] as double) * inv - e[i]))), 6)
+         AS max_err
+FROM q
+""",
+)
+def pipe_embed_quantize_vec(spark, sf_dir):
+    """quantize_int8 with its native ``array<int>`` output — the API
+    form.  Below the driver window (list-valued columns break the
+    driver's pandas canonicalizer); tools/check_correctness.py
+    tuple-normalizes lists so this row still oracle-checks locally."""
     return similarity.quantize_int8(t(spark, sf_dir, "embeddings"))
 
 

@@ -185,6 +185,26 @@ def test_driver_window_is_first_50():
         assert all(m in DRIVER_WINDOW for m in members), fam
 
 
+def test_driver_window_schemas_are_scalar(spark, sf_dir):
+    """No DRIVER_WINDOW row may emit array/map/struct columns: the
+    round-driver canonicalizes results with pandas.sort_values over
+    every column, which raises `unhashable type: 'list'` on
+    list-valued cells (this cost a red CORRECTNESS row in rounds 1 and
+    3 — pipe_embed_quantize's array<int> qvec).  Schema-only check:
+    builds each plan lazily, collects nothing."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    from impala_cut_spark.plans import DRIVER_WINDOW
+
+    offenders = []
+    for name in DRIVER_WINDOW:
+        schema = REGISTRY[name].spark(spark, sf_dir).schema
+        for f in schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+                offenders.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+    assert not offenders, f"non-scalar columns in driver window: {offenders}"
+
+
 def test_jaccard_df_cap_prefilter_in_plan(spark, sf_dir):
     """The 100 TB df-cap: hot-shingle list is broadcast anti-joined
     against the index before the similarity self-join. Below the cap
