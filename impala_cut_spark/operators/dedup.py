@@ -367,7 +367,7 @@ def _minhash_pre_aggs(
 
 
 def lsh_candidate_pairs(
-    sig: DataFrame, band_size: int = BAND_SIZE, exact_bands: bool = False
+    sig: DataFrame, band_size: int = BAND_SIZE, band_key: str = "xxhash64"
 ) -> DataFrame:
     """Banded LSH: docs agreeing on any band become a candidate pair.
 
@@ -376,15 +376,22 @@ def lsh_candidate_pairs(
     corpus size, and the signature input is consumed exactly once (no
     self-join).
 
-    Band key: by default each band tuple is collapsed to one 64-bit
-    xxhash64 bucket (8 bytes/row shuffled).  ``exact_bands=True`` keys
-    on the RAW minhash tuple instead — band_size× wider shuffle rows,
-    zero collision risk, and (the point) reproducible verbatim in the
-    DuckDB oracle, which cannot compute xxhash64.
+    band_key — how a band's minhash tuple becomes the bucket key:
+    - ``xxhash64`` (default): engine-native 64-bit hash, 8 bytes/row
+      shuffled; not reproducible outside Spark.
+    - ``md5``: 60-bit md5 of the comma-joined tuple — same 8-byte
+      shuffle row, and DuckDB replays it verbatim (bigints render
+      identically in both engines, md5 is the public spec).  Round-4
+      bake-off at sf0.1: full md5-affine pipeline 2.82s with raw-tuple
+      band structs vs 2.15s with md5 band keys, identical output —
+      the tuple structs were band_size× wider shuffle rows for zero
+      benefit once the key is verify-checked anyway.
+    - ``exact``: the raw minhash tuple as a struct — zero collision
+      risk, kept for the equality test in tests/test_operators.py.
     """
     num_hashes = len([c for c in sig.columns if c.startswith("mh_")])
     n_bands = num_hashes // band_size
-    if exact_bands:
+    if band_key == "exact":
         bands = F.array(
             *[
                 F.struct(
@@ -399,6 +406,20 @@ def lsh_candidate_pairs(
         buckets = sig.select(
             "doc_id", F.posexplode(bands).alias("band", "vals")
         ).select("doc_id", "band", "vals.*")
+    elif band_key == "md5":
+        bands = F.array(
+            *[
+                md5_hash60(
+                    F.concat_ws(
+                        ",",
+                        F.lit(b),
+                        *[F.col(f"mh_{b * band_size + r}") for r in range(band_size)],
+                    )
+                )
+                for b in range(n_bands)
+            ]
+        )
+        buckets = sig.select("doc_id", F.posexplode(bands).alias("band", "bucket"))
     else:
         bands = F.array(
             *[
@@ -451,7 +472,7 @@ def minhash_dedup_pairs(
     contract as ngram_jaccard_pairs, but candidate generation is O(n)
     instead of an inverted-index pair explosion over every shared
     shingle.  ``hash_family='md5_affine'`` selects the cross-engine
-    hash (and raw-tuple band keys) so the full pipeline is
+    hash (and md5-60bit band keys) so the full pipeline is
     DuckDB-oracle-checkable; the xxhash64 default is the engine-native
     fast path.
 
@@ -469,7 +490,9 @@ def minhash_dedup_pairs(
         .agg(F.collect_set("shingle").alias("shset"), *aggs)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    cands = lsh_candidate_pairs(per_doc, exact_bands=(hash_family == "md5_affine"))
+    cands = lsh_candidate_pairs(
+        per_doc, band_key=("md5" if hash_family == "md5_affine" else "xxhash64")
+    )
     return _verify_with_docsets(per_doc.select("doc_id", "shset"), cands, threshold)
 
 

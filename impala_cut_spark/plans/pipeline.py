@@ -301,8 +301,9 @@ def pipe_dedup_clusters(spark, sf_dir):
 def _minhash_oracle() -> str:
     """DuckDB replica of the FULL md5-affine MinHash+LSH+verify
     pipeline (not a stand-in): same 60-bit md5 shingle hash, same
-    (a_i, b_i) affine family literals, same banded candidate
-    generation on raw minhash tuples, same exact-Jaccard verify."""
+    (a_i, b_i) affine family literals, same md5-60bit banded candidate
+    keys (band b's key = md5-60bit of ','-joined (b, tuple) — bigints
+    render identically in both engines), same exact-Jaccard verify."""
     P = dedup.MINHASH_PRIME
     params = dedup.affine_params(dedup.NUM_HASHES)
     bs = dedup.BAND_SIZE
@@ -311,12 +312,16 @@ def _minhash_oracle() -> str:
         f"min(({a} * h + {b}) % {P}) AS mh_{i}" for i, (a, b) in enumerate(params)
     )
     arms = "\n  UNION ALL\n  ".join(
-        f"SELECT doc_id, {b} AS band, "
-        + ", ".join(f"mh_{b * bs + r} AS v{r}" for r in range(bs))
-        + " FROM sig"
+        "SELECT doc_id, "
+        + SQL_H60.format(
+            x="concat_ws(','"
+            + f", {b}, "
+            + ", ".join(f"mh_{b * bs + r}" for r in range(bs))
+            + ")"
+        )
+        + " AS bkey FROM sig"
         for b in range(n_bands)
     )
-    veq = " AND ".join(f"a.v{r} = b.v{r}" for r in range(bs))
     return f"""
 WITH {_SQL_SHINGLES},
 hs AS (SELECT doc_id,
@@ -329,7 +334,7 @@ bands AS (
   {arms}),
 cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          FROM bands a JOIN bands b
-           ON a.band = b.band AND {veq} AND a.doc_id < b.doc_id),
+           ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
 ds AS (SELECT doc_id, list(shingle) AS s FROM sh GROUP BY doc_id),
 sc AS (SELECT id_a, id_b,
               len(list_intersect(x.s, y.s)) AS ni,
@@ -352,7 +357,7 @@ def pipe_dedup_minhash(spark, sf_dir):
     the O(n) scale path. Same output contract as pipe_dedup_jaccard.
     The registered variant uses the cross-engine md5-affine hash family
     (dedup.minhash_signatures: 60-bit md5 shingle hash + universal
-    (a·h+b) mod p members, raw-tuple band keys) so the ENTIRE pipeline
+    (a·h+b) mod p members, md5-60bit band keys) so the ENTIRE pipeline
     — signatures, LSH candidates, verify — is replicated verbatim by
     the DuckDB oracle; pipe_dedup_minhash_xx below the window keeps the
     engine-native xxhash64 fast path. Recall vs exact measured in

@@ -142,6 +142,34 @@ class TestDedup:
             recall = len(approx) / len(exact)
             assert recall >= 0.6, f"minhash recall {recall:.2f} over {len(exact)} pairs"
 
+    def test_minhash_md5_band_keys_match_exact_tuples(self, docs):
+        """The md5-60bit band key (narrow shuffle rows, registered
+        path) must yield the same verified pairs as zero-collision raw
+        minhash tuple keys — a 60-bit collision between non-matching
+        band tuples is the only way they could differ."""
+        from pyspark.sql import functions as F
+        from pyspark import StorageLevel
+
+        sh = dedup.shingles(docs, 3)
+        pre, aggs = dedup._minhash_pre_aggs(sh, dedup.NUM_HASHES, "md5_affine")
+        pd = (
+            pre.groupBy("doc_id")
+            .agg(F.collect_set("shingle").alias("shset"), *aggs)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        try:
+            got = {}
+            for mode in ("md5", "exact"):
+                cands = dedup.lsh_candidate_pairs(pd, band_key=mode)
+                out = dedup._verify_with_docsets(
+                    pd.select("doc_id", "shset"), cands, 0.2
+                )
+                got[mode] = {(r.id_a, r.id_b) for r in out.collect()}
+        finally:
+            pd.unpersist()
+        assert got["md5"] == got["exact"]
+        assert got["md5"], "expected some near-dup pairs in synthetic corpus"
+
     def test_connected_components_match_union_find(self, spark):
         """Star-algorithm components equal a driver-side union-find on
         random graphs: cliques, chains (worst case for label
