@@ -40,8 +40,14 @@ from impala_cut_spark.plans import perf  # noqa: E402,F401
 #: ceded their slots to three NEW pipeline families: decontamination,
 #: PII redaction, int8 quantization (pipeline2.py).  Every evicted
 #: query keeps its oracle below the window.
+#: Round-4 rotation (r3 verdict Next-round #5): tpch_q13 (left-outer
+#: count — shape-covered by cov_agg_all) and tpch_q17 (scalar avg
+#: subquery — q2/q11/q20 keep correlated-scalar shapes in-window)
+#: ceded their slots to tpcds_q8 (HAVING-subquery LEFT SEMI zip-zone
+#: prefix join) and tpcds_q46 (cross-dimension inequality join on the
+#: outer star) — two join shapes nothing else in the window exercises.
 DRIVER_WINDOW: list[str] = [
-    # TPC-H (15 of 22 — q4/q12/q14/q15/q16/q19 below the window)
+    # TPC-H (13 of 22 — q4/q12/q13/q14/q15/q16/q17/q19 below the window)
     "tpch_q1",
     "tpch_q2",
     "tpch_q3",
@@ -51,17 +57,17 @@ DRIVER_WINDOW: list[str] = [
     "tpch_q9",
     "tpch_q10",
     "tpch_q11",
-    "tpch_q13",
-    "tpch_q17",
     "tpch_q18",
     "tpch_q20",
     "tpch_q21",
     "tpch_q22",
-    # TPC-DS shapes (6 of 22 — the rest follow below the window)
+    # TPC-DS shapes (8 of 22 — the rest follow below the window)
     "tpcds_q3",
+    "tpcds_q8",
     "tpcds_q19",
     "tpcds_q42",
     "tpcds_q43",
+    "tpcds_q46",
     "tpcds_q59",
     "tpcds_q65",
     # §2 operator families, merged one-per-row (coverage2.py)

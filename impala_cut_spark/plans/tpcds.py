@@ -406,47 +406,46 @@ def _sql_query(name: str, doc: str, spark_sql: str, oracle_sql: str | None = Non
 _DSUM = "cast(sum(cast({c} as decimal(12,2))) as double)"
 
 
+#: tpcds_q8 body, templated over the one dialect delta (Spark spells
+#: the semi join LEFT SEMI JOIN, DuckDB spells it SEMI JOIN).  The
+#: reference joins store to the qualifying-zip subquery on a ZIP-ZONE
+#: PREFIX (substr(s_zip,1,2) = substr(ca_zip,1,2)) — replayed here as
+#: the NATION_<d> name prefix: substr('NATION_15',1,8)='NATION_1', so
+#: zone 'NATION_1' covers nations {1, 10..19}, a genuine many-to-many
+#: fuzzy-geography join.  Duplicate zones in v1 multiply matched fact
+#: rows — exactly the reference's overlapping-zip semantics, and
+#: deterministic in both engines.
+_Q8_BODY = f"""
+SELECT s_name, {_DSUM.format(c='l_extendedprice')} AS net
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN (
+  SELECT substr(a.zip, 1, 8) AS zone FROM
+    (SELECT n_name AS zip, count(*) AS cnt
+     FROM customer JOIN nation ON c_nationkey = n_nationkey
+     WHERE c_acctbal > 0 GROUP BY n_name HAVING count(*) > 5) a
+  {{semi}} JOIN
+    (SELECT n_name AS zip FROM nation
+     WHERE n_nationkey IN (0, 2, 4, 6, 8, 10, 12, 14, 16, 18, 20)) b
+  ON a.zip = b.zip
+) v1 ON substr(sn.n_name, 1, 8) = v1.zone
+GROUP BY s_name
+ORDER BY s_name
+LIMIT 100
+"""
+
 _sql_query(
     "tpcds_q8",
     """TPC-DS Q8 shape (tpcds-q8.test): store revenue restricted to
-    customers in qualifying zips — an agg-with-HAVING subquery LEFT
-    SEMI joined against a literal IN-list zone, then the outer star
-    agg. ADAPTED: zip prefix→customer nation; preferred flag
-    c_preferred_cust_flag='Y'→c_acctbal>0; store→supplier.""",
-    f"""
-SELECT s_name, {_DSUM.format(c='l_extendedprice')} AS net
-FROM lineitem
-JOIN supplier ON l_suppkey = s_suppkey
-JOIN (
-  SELECT a.nk FROM
-    (SELECT c_nationkey AS nk, count(*) AS cnt FROM customer
-     WHERE c_acctbal > 0 GROUP BY c_nationkey HAVING count(*) > 10) a
-  LEFT SEMI JOIN
-    (SELECT n_nationkey AS nk FROM nation
-     WHERE n_nationkey IN (0, 2, 4, 6, 8, 10, 12, 14, 16, 18, 20)) b
-  ON a.nk = b.nk
-) q ON s_nationkey = q.nk
-GROUP BY s_name
-ORDER BY s_name
-LIMIT 100
-""",
-    f"""
-SELECT s_name, {_DSUM.format(c='l_extendedprice')} AS net
-FROM lineitem
-JOIN supplier ON l_suppkey = s_suppkey
-JOIN (
-  SELECT a.nk FROM
-    (SELECT c_nationkey AS nk, count(*) AS cnt FROM customer
-     WHERE c_acctbal > 0 GROUP BY c_nationkey HAVING count(*) > 10) a
-  SEMI JOIN
-    (SELECT n_nationkey AS nk FROM nation
-     WHERE n_nationkey IN (0, 2, 4, 6, 8, 10, 12, 14, 16, 18, 20)) b
-  ON a.nk = b.nk
-) q ON s_nationkey = q.nk
-GROUP BY s_name
-ORDER BY s_name
-LIMIT 100
-""",
+    customers in qualifying zip zones — an agg-with-HAVING subquery
+    LEFT SEMI joined against a literal IN-list, then a PREFIX-zone
+    join onto the store dimension and the outer star agg. ADAPTED:
+    ca_zip→customer nation name, 2-char zip zone→8-char NATION_<d>
+    prefix; preferred flag c_preferred_cust_flag='Y'→c_acctbal>0;
+    store→supplier (+nation for its geography).""",
+    _Q8_BODY.format(semi="LEFT SEMI"),
+    _Q8_BODY.format(semi="SEMI"),
 )
 
 
