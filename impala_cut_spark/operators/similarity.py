@@ -123,13 +123,15 @@ def brute_force_topk(
                 cj, nj = cos[keep, j], nids[keep]
                 # per-batch top-k cut on the (round(cos,6) DESC, n_id
                 # ASC) key the final window (and the DuckDB oracle)
-                # rank by (ADVICE r2 #1), with ONE 1e-6 unit of slack:
+                # rank by (ADVICE r2 #1), with TWO 1e-6 units of slack:
                 # the FP emulation of Spark's decimal HALF_UP round
-                # (floor(|x|*1e6+0.5)) can land one unit off at
-                # boundary doubles, so the cut OVER-keeps the slack
-                # band — the final window re-ranks on Spark's exact
-                # rounding and discards extras; under-keeping would
-                # drop a true top-k member.
+                # (floor(|x|*1e6+0.5)) can land one unit off at a
+                # boundary double on the candidate AND one on the kth
+                # keeper simultaneously (ADVICE r3 #1 — ±1 slack
+                # covered either drift alone, not both at once), so
+                # the cut OVER-keeps a 2-unit band — the final window
+                # re-ranks on Spark's exact rounding and discards
+                # extras; under-keeping would drop a true top-k member.
                 cj_key = np.copysign(np.floor(np.abs(cj) * 1e6 + 0.5), cj)
                 # NaN cosines (zero-norm vectors) sort as the LARGEST
                 # value in Spark's DESC order — map them to +inf so the
@@ -139,7 +141,7 @@ def brute_force_topk(
                 cj_key = np.where(np.isnan(cj_key), np.inf, cj_key)
                 if len(cj_key) > k:
                     kth = cj_key[np.argpartition(-cj_key, k - 1)[k - 1]]
-                    sel = np.nonzero(cj_key >= kth - 1)[0]
+                    sel = np.nonzero(cj_key >= kth - 2)[0]
                 else:
                     sel = np.arange(len(cj_key))
                 out_q.append(np.full(len(sel), qids[j], dtype=np.int64))

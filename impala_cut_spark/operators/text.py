@@ -238,9 +238,14 @@ def canonicalize_url(url: Column) -> Column:
     Python, scan-speed."""
     scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*):", 1))
     host = F.lower(F.parse_url(url, F.lit("HOST")))
-    # strip :80/:443 default ports if present in the authority
-    auth = F.regexp_replace(
-        F.lower(F.parse_url(url, F.lit("AUTHORITY"))), r":(80|443)$", ""
+    # strip only the SCHEME'S OWN default port (ADVICE r3 #2: a blanket
+    # :80|:443 strip collapsed http://host:443 — a genuinely different
+    # origin — into http://host)
+    auth0 = F.lower(F.parse_url(url, F.lit("AUTHORITY")))
+    auth = (
+        F.when(scheme == "http", F.regexp_replace(auth0, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(auth0, r":443$", ""))
+        .otherwise(auth0)
     )
     path = F.parse_url(url, F.lit("PATH"))
     path = F.when(path.isNull() | (path == ""), F.lit("/")).otherwise(path)

@@ -186,11 +186,15 @@ class ImpalaSession:
         # of Spark's opaque parse error. SQL-bodied CREATE FUNCTION
         # (RETURN expr) and Hive-style AS 'JavaClass' pass through to
         # Spark natively.
+        # discriminator: LOCATION '…' plus a SYMBOL=/UPDATE_FN=/…_FN=
+        # clause — the word "location" alone inside a SQL function
+        # body (e.g. RETURN concat('location ', '/x')) must NOT trip
+        # the guard (ADVICE r3 #3)
         if re.match(
             r"^\s*create\s+(?:aggregate\s+)?function\b.*\blocation\s+'",
             text,
             re.IGNORECASE | re.DOTALL,
-        ):
+        ) and re.search(r"\b(symbol|[a-z_]*_fn)\s*=", text, re.IGNORECASE):
             raise ValueError(
                 "native C++ UDF/UDA libraries (LOCATION/SYMBOL DDL) have no "
                 "Spark analogue here — register Python/pandas UDFs via "

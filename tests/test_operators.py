@@ -677,6 +677,11 @@ class TestUrlOps:
             ("https://example.com/", "https://example.com/"),
             ("https://example.com:443/x/", "https://example.com/x"),
             ("http://a.b/path?x=2", "http://a.b/path"),
+            # cross-scheme ports are REAL origins, not cosmetic
+            # variants — never stripped (ADVICE r3 #2)
+            ("http://example.com:443/x", "http://example.com:443/x"),
+            ("https://example.com:80/x", "https://example.com:80/x"),
+            ("http://example.com:8080/x", "http://example.com:8080/x"),
         ]
         df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
         got = [r[0] for r in df.select(canonicalize_url(F.col("url"))).collect()]

@@ -112,5 +112,17 @@ def test_native_udf_ddl_gives_clear_boundary_error(spark):
             "create function my_udf(int) returns int "
             "location '/tmp/libudf.so' symbol='MyUdf'"
         )
+    with pytest.raises(ValueError, match="create_aggregate_function"):
+        s.sql(
+            "create aggregate function my_uda(int) returns int "
+            "location '/tmp/libuda.so' update_fn='MyUpdate'"
+        )
     s.sql("create or replace temporary function g_sqlfn(x INT) RETURNS INT RETURN x + 1")
     assert s.sql("select g_sqlfn(41) as v").collect()[0].v == 42
+    # a SQL body whose RETURN expression merely CONTAINS the word
+    # "location " followed by a literal must pass through (ADVICE r3 #3)
+    s.sql(
+        "create or replace temporary function g_locfn(x STRING) RETURNS STRING "
+        "RETURN concat('location ', '/x/', x)"
+    )
+    assert s.sql("select g_locfn('y') as v").collect()[0].v == "location /x/y"
