@@ -17,6 +17,25 @@ the reference faithfully:
     {"op": "set", "key": "...", "value": "..."}     → {"ok": true}
     {"op": "options"}                               → {"options": {...}}
 
+Beeswax twin (``impala-beeswax-server.cc`` operation names; rows come
+back as tab-delimited ASCII strings — the Beeswax Results.data wire
+shape — with NULLs rendered ``NULL``):
+
+    {"op": "beeswax.query", "sql": "..."}           → {"handle": h}
+    {"op": "beeswax.executeAndWait", "sql": "..."}  → {"handle": h}
+    {"op": "beeswax.fetch", "handle": h,
+     "start_over": false, "fetch_size": 1024}       → {"columns": [...], "data": ["a\tb", ...], "has_more": true}
+    {"op": "beeswax.get_results_metadata",
+     "handle": h}                                   → {"schema": [{"name": ..., "type": ...}, ...]}
+    {"op": "beeswax.get_state", "handle": h}        → {"state": "FINISHED"}
+    {"op": "beeswax.echo", "s": "..."}              → {"echo": "..."}
+    {"op": "beeswax.close", "handle": h}            → {"ok": true}
+
+``start_over=true`` raises (the reference raises "Does not support
+start over", SQLSTATE optional-feature-not-implemented).  Both
+protocol twins share one handle space and the same paged
+non-materializing fetch.
+
 Scale note: like the reference's plan-root sink, results buffer on the
 coordinator only as the client consumes them — fetch pages pull from
 ``toLocalIterator()`` (one partition at a time crosses to the driver),
@@ -77,6 +96,15 @@ class _Operation:
             self.eos = True
         return out
 
+    def fetch_tsv(self, fetch_size: int) -> list[str]:
+        """Beeswax Results.data page: each row one tab-delimited ASCII
+        string (impala-beeswax-server.cc FetchInternal renders rows via
+        the output exprs' ASCII form; NULL prints as ``NULL``)."""
+        return [
+            "\t".join("NULL" if v is None else str(v) for v in row)
+            for row in self.fetch(fetch_size)
+        ]
+
 
 class QueryServer:
     """Threaded TCP server around one ImpalaSession (the reference runs
@@ -135,6 +163,46 @@ class QueryServer:
             return {"ok": True}
         if op == "options":
             return {"options": dict(self.session.options())}
+        if op in ("beeswax.query", "beeswax.executeAndWait"):
+            # reference: query() registers + starts async, executeAndWait()
+            # blocks until running — both return only the handle; results
+            # stream through fetch. Spark execution is lazy either way, so
+            # both map to handle registration here.
+            df = self.session.sql(req["sql"])
+            with self._lock:
+                h = next(self._next)
+                self._ops[h] = _Operation(df)
+            return {"handle": h}
+        if op == "beeswax.fetch":
+            if req.get("start_over"):
+                return {"error": "Does not support start over"}  # parity:
+                # impala-beeswax-server.cc:260 raises OPTIONAL_FEATURE_NOT_IMPLEMENTED
+            o = self._ops.get(req.get("handle"))
+            if o is None:
+                return {"error": "Invalid query handle"}
+            data = o.fetch_tsv(int(req.get("fetch_size", 1024)))
+            return {"columns": o.columns, "data": data, "has_more": not o.eos}
+        if op == "beeswax.get_results_metadata":
+            o = self._ops.get(req.get("handle"))
+            if o is None:
+                return {"error": "Invalid query handle"}
+            return {
+                "schema": [
+                    {"name": c, "type": t} for c, t in zip(o.columns, o.types)
+                ]
+            }
+        if op == "beeswax.get_state":
+            o = self._ops.get(req.get("handle"))
+            if o is None:
+                return {"error": "Invalid query handle"}
+            # QueryState enum subset: execution is synchronous here, so a
+            # live handle is always FINISHED (results ready to fetch)
+            return {"state": "FINISHED"}
+        if op == "beeswax.echo":
+            return {"echo": req.get("s", "")}
+        if op == "beeswax.close":
+            self._ops.pop(req.get("handle"), None)
+            return {"ok": True}
         return {"error": f"unknown op: {op!r}"}
 
     # -- lifecycle --------------------------------------------------------

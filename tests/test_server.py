@@ -99,3 +99,60 @@ def test_fetch_zero_max_rows_errors_not_hangs(client):
     with pytest.raises(RuntimeError, match="max_rows"):
         client.call(op="fetch", handle=r["handle"], max_rows=0)
     client.call(op="close", handle=r["handle"])
+
+
+# -- Beeswax protocol twin (impala-beeswax-server.cc operation names) --
+
+
+def test_beeswax_query_fetch_lifecycle(client):
+    """query → get_state → get_results_metadata → paged TSV fetch →
+    close, the Beeswax lifecycle impala_shell drives (shell/
+    impala_shell.py connects over beeswax in the reference)."""
+    h = client.call(
+        op="beeswax.query",
+        sql="select n_nationkey, n_name from nation order by n_nationkey",
+    )["handle"]
+    assert client.call(op="beeswax.get_state", handle=h)["state"] == "FINISHED"
+    md = client.call(op="beeswax.get_results_metadata", handle=h)["schema"]
+    assert [c["name"] for c in md] == ["n_nationkey", "n_name"]
+    assert all("type" in c for c in md)
+    data, pages = [], 0
+    while True:
+        fr = client.call(op="beeswax.fetch", handle=h, fetch_size=10)
+        data.extend(fr["data"])
+        pages += 1
+        if not fr["has_more"]:
+            break
+    client.call(op="beeswax.close", handle=h)
+    assert pages > 1
+    assert len(data) == 25
+    # Beeswax wire shape: rows are tab-delimited ASCII strings
+    assert data[0] == "0\tNATION_0"
+
+
+def test_beeswax_execute_and_wait_and_echo(client):
+    h = client.call(op="beeswax.executeAndWait", sql="select 1 as one")["handle"]
+    fr = client.call(op="beeswax.fetch", handle=h, fetch_size=10)
+    assert fr["data"] == ["1"] and not fr["has_more"]
+    client.call(op="beeswax.close", handle=h)
+    assert client.call(op="beeswax.echo", s="hello")["echo"] == "hello"
+
+
+def test_beeswax_null_renders_as_NULL(client):
+    h = client.call(op="beeswax.query", sql="select cast(null as int) as n, 'x' as s")["handle"]
+    fr = client.call(op="beeswax.fetch", handle=h, fetch_size=2)
+    assert fr["data"] == ["NULL\tx"]
+    client.call(op="beeswax.close", handle=h)
+
+
+def test_beeswax_start_over_not_implemented(client):
+    h = client.call(op="beeswax.query", sql="select 1 as one")["handle"]
+    with pytest.raises(RuntimeError, match="start over"):
+        client.call(op="beeswax.fetch", handle=h, start_over=True)
+    client.call(op="beeswax.close", handle=h)
+
+
+def test_beeswax_invalid_handle(client):
+    for bop in ("beeswax.fetch", "beeswax.get_results_metadata", "beeswax.get_state"):
+        with pytest.raises(RuntimeError, match="Invalid query handle"):
+            client.call(op=bop, handle=424242)
