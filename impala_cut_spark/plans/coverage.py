@@ -838,3 +838,31 @@ def cov_external_scan(spark, sf_dir):
         .load()
         .filter(F.col("id") > 494)
     )
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "cov_seqfile_scan",
+    oracle="""
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+""",
+)
+def cov_seqfile_scan(spark, sf_dir):
+    """SequenceFile scan (SURVEY §2.1; hdfs-sequence-scanner.cc — the
+    reference's second-most-exercised legacy scan format): the nation
+    table round-trips through a text-payload SequenceFile fixture
+    (written once per sf_dir) and must parse back value-identical to
+    the parquet original, which the oracle reads directly."""
+    import os
+
+    from impala_cut_spark.sources.seqfile import (
+        read_sequencefile_text,
+        write_sequencefile_text,
+    )
+
+    fixture = f"/tmp/impala_cut_spark_fixtures/seqfile_nation_{os.path.basename(os.path.normpath(sf_dir))}"
+    if not os.path.exists(os.path.join(fixture, "_SUCCESS")):
+        write_sequencefile_text(t(spark, sf_dir, "nation"), fixture)
+    return read_sequencefile_text(
+        spark, fixture, "n_nationkey bigint, n_name string, n_regionkey bigint"
+    )
