@@ -793,3 +793,174 @@ def test_text_round_trip_property(rows, spark, tmp_path_factory):
     got = {r.id: r.s for r in back.collect()}
     want = dict(rows)
     assert got == want, {k: (want[k], got.get(k)) for k in want if got.get(k) != want[k]}
+
+
+# --- round-4 additions: URL canonicalization, WAV signal properties, ------
+# --- decontamination threshold boundaries (r3-verdict Next-round #8) ------
+
+
+def _py_canonical_url(url: str) -> str:
+    """Independent pure-Python reference of the canonicalize_url
+    contract (operators/text.py): lowercase scheme+authority, strip
+    fragment+query, strip only the scheme's own default port, default
+    path '/', drop one trailing slash on non-root paths."""
+    scheme, rest = url.split("://", 1)
+    scheme = scheme.lower()
+    authority, sep, tail = rest.partition("/")
+    path = sep + tail
+    for cut in ("#", "?"):
+        if cut in path:
+            path = path.split(cut, 1)[0]
+        if cut in authority:  # URL with query/fragment straight after host
+            authority = authority.split(cut, 1)[0]
+    authority = authority.lower()
+    default = {"http": ":80", "https": ":443"}.get(scheme)
+    if default and authority.endswith(default):
+        authority = authority[: -len(default)]
+    if path in ("", "/"):
+        path = "/"
+    elif path.endswith("/"):
+        path = path[:-1]
+    return f"{scheme}://{authority}{path}"
+
+
+@st.composite
+def url_case(draw):
+    scheme = draw(st.sampled_from(["http", "HTTP", "https", "HTTPS", "ftp"]))
+    host_labels = draw(
+        st.lists(
+            st.text(alphabet="abcdefgXYZ012", min_size=1, max_size=6),
+            min_size=2,
+            max_size=4,
+        )
+    )
+    host = ".".join(host_labels)
+    port = draw(st.sampled_from(["", ":80", ":443", ":8080", ":21"]))
+    segs = draw(
+        st.lists(st.text(alphabet="abcXYZ059_-", min_size=1, max_size=5), max_size=4)
+    )
+    path = "".join("/" + s for s in segs)
+    trailing = draw(st.booleans())
+    if trailing:
+        path += "/"
+    tail = draw(st.sampled_from(["", "?q=1&b=2", "#frag", "?q=1#frag"]))
+    return f"{scheme}://{host}{port}{path}{tail}"
+
+
+@settings(
+    max_examples=_n(120),
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(urls=st.lists(url_case(), min_size=1, max_size=8))
+def test_random_url_canonicalization_matches_reference(urls, spark):
+    from pyspark.sql import functions as F
+
+    from impala_cut_spark.operators.text import canonicalize_url
+
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = [r[0] for r in df.select(canonicalize_url(F.col("url"))).collect()]
+    want = [_py_canonical_url(u) for u in urls]
+    assert got == want, list(zip(urls, got, want))
+
+
+@st.composite
+def wav_case(draw):
+    import numpy as np
+
+    n = draw(st.integers(1, 400))
+    channels = draw(st.sampled_from([1, 2]))
+    rate = draw(st.sampled_from([8000, 16000, 44100]))
+    seed = draw(st.integers(0, 2**31 - 1))
+    rng = np.random.default_rng(seed)
+    samples = rng.uniform(-1.0, 1.0, size=(n, channels))
+    return rate, samples
+
+
+@settings(max_examples=_n(100), deadline=None)
+@given(case=wav_case())
+def test_random_wav_signal_properties_vs_numpy(case):
+    """encode→decode→features vs a direct numpy computation on the
+    SAME quantized samples: duration is exact, RMS/peak match to
+    float tolerance, ZCR is a valid rate — the signal-level contract
+    of the audio path, independent of Spark."""
+    import numpy as np
+
+    from impala_cut_spark.operators.multimodal import (
+        audio_features,
+        decode_wav,
+        encode_wav,
+    )
+
+    rate, samples = case
+    payload = encode_wav(samples, rate)
+    rate2, channels2, decoded = decode_wav(payload)
+    assert (rate2, channels2) == (rate, samples.shape[1])
+    assert decoded.shape == samples.shape
+    # 16-bit quantization bound: encode truncates x*32767 toward zero
+    # (≤1/32767) and decode divides by 32768 (the standard asymmetric
+    # PCM scale — adds ≤|x|/32768); both together stay under 2 LSB
+    assert np.abs(decoded - samples).max() <= 2.0 / 32767.0
+
+    f = audio_features(rate2, channels2, decoded)
+    mono = decoded.mean(axis=1)
+    assert f[0] == len(mono) / float(rate)
+    assert abs(f[1] - float(np.sqrt(np.mean(mono**2)))) < 1e-12
+    assert abs(f[2] - float(np.abs(mono).max())) < 1e-12
+    assert 0.0 <= f[3] <= 1.0
+
+
+@st.composite
+def decontam_case(draw):
+    """Docs engineered to share an EXACT number of distinct 3-gram
+    shingles with a one-doc benchmark, bracketing the min_overlap
+    threshold."""
+    vocab = [f"w{i}" for i in range(40)]
+    bench_tokens = draw(
+        st.lists(st.sampled_from(vocab), min_size=12, max_size=24, unique=True)
+    )
+    min_overlap = draw(st.integers(2, min(6, len(bench_tokens) - 3)))
+    offsets = sorted(
+        {
+            draw(st.integers(0, 2)),
+            min_overlap - 1,
+            min_overlap,
+            min(min_overlap + 1, len(bench_tokens) - 3),
+        }
+    )
+    return bench_tokens, min_overlap, offsets
+
+
+@settings(
+    max_examples=_n(40),
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(case=decontam_case())
+def test_random_decontamination_threshold_boundary(case, spark):
+    """A doc sharing exactly k shingles with the benchmark flips
+    contaminated at k == min_overlap, never below — the boundary the
+    flag's ≥ contract promises (operators/corpus.py decontaminate)."""
+    from impala_cut_spark.operators.corpus import decontaminate
+
+    bench_tokens, min_overlap, ks = case
+    bench_text = " ".join(bench_tokens)
+    rows = []
+    for i, k in enumerate(ks):
+        # k consecutive shingles = k+2 consecutive benchmark tokens,
+        # then unique filler tokens that can't form benchmark shingles
+        frag = bench_tokens[: k + 2] if k > 0 else []
+        filler = [f"zz{i}_{j}" for j in range(6)]
+        rows.append((i, " ".join(frag + filler), k))
+    docs = spark.createDataFrame(
+        [(i, txt) for i, txt, _ in rows], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([(999, bench_text)], "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in decontaminate(docs, bench, n=3, min_overlap=min_overlap).collect()
+    }
+    for i, _, k in rows:
+        r = out[i]
+        assert r.n_overlap == k, (i, k, r)
+        assert bool(r.is_contaminated) == (k >= min_overlap), (i, k, min_overlap, r)
