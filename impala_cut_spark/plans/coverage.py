@@ -866,3 +866,35 @@ def cov_seqfile_scan(spark, sf_dir):
     return read_sequencefile_text(
         spark, fixture, "n_nationkey bigint, n_name string, n_regionkey bigint"
     )
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "cov_rcfile_scan",
+    oracle="""
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+""",
+)
+def cov_rcfile_scan(spark, sf_dir):
+    """RCFile columnar scan (SURVEY §2.1; hdfs-rcfile-scanner.cc): the
+    nation table round-trips through an RCFile fixture written by
+    sources/rcfile.py (old-style SEQ6 layout, the same the reference's
+    Hive-written oldrcfile.rc fixture uses — tests/test_rcfile.py
+    anchors the reader against THAT file, so this round-trip cannot be
+    wrong-but-consistent) and must parse back value-identical to the
+    parquet original."""
+    import os
+
+    from impala_cut_spark.sources.rcfile import read_rcfile, write_rcfile
+
+    fixture = f"/tmp/impala_cut_spark_fixtures/rcfile_nation_{os.path.basename(os.path.normpath(sf_dir))}.rc"
+    if not os.path.exists(fixture):
+        os.makedirs(os.path.dirname(fixture), exist_ok=True)
+        rows = [
+            [r.n_nationkey, r.n_name, r.n_regionkey]
+            for r in t(spark, sf_dir, "nation").collect()
+        ]
+        write_rcfile(rows, 3, fixture, rows_per_group=16)
+    return read_rcfile(
+        spark, fixture, "n_nationkey bigint, n_name string, n_regionkey bigint"
+    )

@@ -1,0 +1,364 @@
+"""BeeswaxService over the REAL thrift binary wire protocol.
+
+The reference serves its shell/client traffic as a thrift
+BeeswaxService (``common/thrift/beeswax.thrift``; C++ handlers in
+``be/src/service/impala-beeswax-server.cc``; ``shell/impala_shell.py``
+connects with TBufferedTransport + TBinaryProtocol).  This module is
+that service re-expressed on Spark: the hand-rolled TBinaryProtocol
+(thrift_proto.py) carries hand-mapped beeswax.thrift structs, so a
+stock generated beeswaxd client can speak to it byte-for-byte —
+upgrading round 3's "newline-JSON stand-in transport" delta to the
+genuine wire format for the Beeswax surface.
+
+Struct maps (field ids from beeswax.thrift):
+    Query            {1: query string}
+    QueryHandle      {1: id, 2: log_context}
+    QueryExplanation {1: textual}
+    Results          {1: ready, 2: columns, 3: data(TSV), 4: start_row, 5: has_more}
+    ResultsMetadata  {1: Schema{1: list<FieldSchema{1 name, 2 type, 3 comment}>,
+                                2: map<string,string>}}
+    BeeswaxException {1: message, 2: log_context, 3: handle, 4: errorCode, 5: SQLState}
+    QueryNotFoundException {}
+    ConfigVariable   {1: key, 2: value, 3: description}
+
+Methods: query, executeAndWait, explain, fetch, get_state,
+get_results_metadata, echo, dump_config, get_log,
+get_default_configuration, close, clean — the full BeeswaxService
+surface (the ImpalaService extension's Cancel/ResetCatalog are
+no-op/deprecated-by-SQL in the reference itself).
+"""
+
+from __future__ import annotations
+
+import itertools
+import socket
+import socketserver
+import threading
+from typing import Any
+
+from impala_cut_spark import thrift_proto as tp
+from impala_cut_spark.server import _Operation
+from impala_cut_spark.session import ImpalaSession
+
+QUERY_STATE_FINISHED = 4  # beeswax.thrift QueryState enum position
+QUERY_STATE_EXCEPTION = 5
+
+
+class BeeswaxError(Exception):
+    """Maps to BeeswaxException on the wire."""
+
+
+class QueryNotFound(Exception):
+    """Maps to QueryNotFoundException on the wire."""
+
+
+def _write_query_handle(w: tp.BinaryWriter, handle: str) -> None:
+    w.field(tp.STRUCT, 0)
+    w.field(tp.STRING, 1)
+    w.write_string(handle)
+    w.field(tp.STRING, 2)
+    w.write_string("")
+    w.stop()  # QueryHandle
+    w.stop()  # result struct
+
+
+def _read_handle(args: dict[int, Any], fid: int = 1) -> str:
+    h = args.get(fid, {})
+    return h.get(1, b"").decode() if isinstance(h, dict) else ""
+
+
+class BeeswaxThriftServer:
+    """Threaded TCP thrift server around one ImpalaSession — the
+    thrift-wire twin of server.py's jsonl QueryServer, sharing its
+    _Operation paged-fetch machinery."""
+
+    def __init__(self, session: ImpalaSession | None = None, host: str = "127.0.0.1", port: int = 0):
+        self.session = session or ImpalaSession()
+        self._ops: dict[str, _Operation] = {}
+        self._next = itertools.count(1)
+        self._lock = threading.Lock()
+        outer = self
+
+        class Handler(socketserver.StreamRequestHandler):
+            def handle(self) -> None:
+                r = tp.BinaryReader(self.rfile)
+                while True:
+                    try:
+                        name, mtype, seqid = r.message_begin()
+                    except EOFError:
+                        return
+                    args = r.read_struct()
+                    self.wfile.write(outer._dispatch(name, seqid, args))
+                    self.wfile.flush()
+
+        class Server(socketserver.ThreadingTCPServer):
+            allow_reuse_address = True
+            daemon_threads = True
+
+        self._server = Server((host, port), Handler)
+        self.host, self.port = self._server.server_address
+
+    # -- method dispatch ---------------------------------------------------
+
+    def _dispatch(self, name: str, seqid: int, args: dict[int, Any]) -> bytes:
+        w = tp.BinaryWriter()
+        try:
+            fn = getattr(self, f"_m_{name}", None)
+            if fn is None:
+                raise BeeswaxError(f"unknown method {name!r}")
+            w.message_begin(name, tp.REPLY, seqid)
+            fn(w, args)
+        except QueryNotFound:
+            w = tp.BinaryWriter()
+            w.message_begin(name, tp.REPLY, seqid)
+            w.field(tp.STRUCT, 1)
+            w.stop()  # empty QueryNotFoundException
+            w.stop()
+        except BeeswaxError as e:
+            w = tp.BinaryWriter()
+            w.message_begin(name, tp.REPLY, seqid)
+            # fetch declares QueryNotFoundException at 1, BeeswaxException
+            # at 2; every other method declares BeeswaxException at 1
+            exc_fid = 2 if name == "fetch" else 1
+            w.field(tp.STRUCT, exc_fid)
+            w.field(tp.STRING, 1)
+            w.write_string(str(e))
+            w.field(tp.I32, 4)
+            w.write_i32(1)
+            w.stop()
+            w.stop()
+        return w.bytes()
+
+    def _execute(self, args: dict[int, Any]) -> str:
+        q = args.get(1, {})
+        sql = q.get(1, b"").decode() if isinstance(q, dict) else ""
+        try:
+            df = self.session.sql(sql)
+        except Exception as e:  # noqa: BLE001 — analysis error → client
+            raise BeeswaxError(f"{type(e).__name__}: {e}") from e
+        with self._lock:
+            h = str(next(self._next))
+            self._ops[h] = _Operation(df)
+        return h
+
+    def _op(self, args: dict[int, Any]) -> _Operation:
+        o = self._ops.get(_read_handle(args))
+        if o is None:
+            raise QueryNotFound()
+        return o
+
+    def _m_query(self, w: tp.BinaryWriter, args) -> None:
+        _write_query_handle(w, self._execute(args))
+
+    def _m_executeAndWait(self, w: tp.BinaryWriter, args) -> None:
+        _write_query_handle(w, self._execute(args))
+
+    def _m_explain(self, w: tp.BinaryWriter, args) -> None:
+        q = args.get(1, {})
+        sql = q.get(1, b"").decode() if isinstance(q, dict) else ""
+        try:
+            text = self.session.explain(sql)
+        except Exception as e:  # noqa: BLE001
+            raise BeeswaxError(f"{type(e).__name__}: {e}") from e
+        w.field(tp.STRUCT, 0)
+        w.field(tp.STRING, 1)
+        w.write_string(text)
+        w.stop()
+        w.stop()
+
+    def _m_fetch(self, w: tp.BinaryWriter, args) -> None:
+        if args.get(2):
+            raise BeeswaxError("Does not support start over")
+        o = self._op(args)
+        fetch_size = args.get(3, -1)
+        if fetch_size is None or fetch_size <= 0:
+            fetch_size = 1024
+        start_row = getattr(o, "_beeswax_row", 0)
+        data = o.fetch_tsv(fetch_size)
+        o._beeswax_row = start_row + len(data)
+        w.field(tp.STRUCT, 0)
+        w.field(tp.BOOL, 1)
+        w.write_bool(True)
+        w.write_string_list(2, list(o.columns))
+        w.write_string_list(3, data)
+        w.field(tp.I64, 4)
+        w.write_i64(start_row)
+        w.field(tp.BOOL, 5)
+        w.write_bool(not o.eos)
+        w.stop()
+        w.stop()
+
+    def _m_get_state(self, w: tp.BinaryWriter, args) -> None:
+        self._op(args)
+        w.field(tp.I32, 0)
+        w.write_i32(QUERY_STATE_FINISHED)
+        w.stop()
+
+    def _m_get_results_metadata(self, w: tp.BinaryWriter, args) -> None:
+        o = self._op(args)
+        w.field(tp.STRUCT, 0)
+        w.field(tp.STRUCT, 1)  # Schema
+        w.field(tp.LIST, 1)
+        w.list_begin(tp.STRUCT, len(o.columns))
+        for c, t in zip(o.columns, o.types):
+            w.field(tp.STRING, 1)
+            w.write_string(c)
+            w.field(tp.STRING, 2)
+            w.write_string(t)
+            w.field(tp.STRING, 3)
+            w.write_string("")
+            w.stop()
+        w.field(tp.MAP, 2)
+        w.map_begin(tp.STRING, tp.STRING, 0)
+        w.stop()  # Schema
+        w.stop()  # ResultsMetadata
+        w.stop()
+
+    def _m_echo(self, w: tp.BinaryWriter, args) -> None:
+        w.field(tp.STRING, 0)
+        w.write_string(args.get(1, b""))
+        w.stop()
+
+    def _m_dump_config(self, w: tp.BinaryWriter, args) -> None:
+        opts = ",".join(f"{k}={v}" for k, v in sorted(self.session.options()))
+        w.field(tp.STRING, 0)
+        w.write_string(opts)
+        w.stop()
+
+    def _m_get_log(self, w: tp.BinaryWriter, args) -> None:
+        w.field(tp.STRING, 0)
+        w.write_string("")
+        w.stop()
+
+    def _m_get_default_configuration(self, w: tp.BinaryWriter, args) -> None:
+        items = sorted(self.session.options())
+        w.field(tp.LIST, 0)
+        w.list_begin(tp.STRUCT, len(items))
+        for k, v in items:
+            w.field(tp.STRING, 1)
+            w.write_string(str(k))
+            w.field(tp.STRING, 2)
+            w.write_string(str(v))
+            w.field(tp.STRING, 3)
+            w.write_string("")
+            w.stop()
+        w.stop()
+
+    def _m_close(self, w: tp.BinaryWriter, args) -> None:
+        if self._ops.pop(_read_handle(args), None) is None:
+            raise QueryNotFound()
+        w.stop()  # void
+
+    def _m_clean(self, w: tp.BinaryWriter, args) -> None:
+        w.stop()  # void
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def serve_background(self) -> threading.Thread:
+        t = threading.Thread(target=self._server.serve_forever, daemon=True)
+        t.start()
+        return t
+
+    def shutdown(self) -> None:
+        self._server.shutdown()
+        self._server.server_close()
+
+
+class BeeswaxThriftClient:
+    """Minimal TBinaryProtocol beeswax client (the impala_shell.py-side
+    counterpart) — used by tests to drive the server exactly as a
+    generated thrift client would."""
+
+    def __init__(self, host: str, port: int):
+        self._sock = socket.create_connection((host, port))
+        self._f = self._sock.makefile("rwb")
+        self._seq = itertools.count(1)
+
+    def _call(self, name: str, build_args) -> dict[int, Any]:
+        w = tp.BinaryWriter()
+        seqid = next(self._seq)
+        w.message_begin(name, tp.CALL, seqid)
+        build_args(w)
+        w.stop()
+        self._f.write(w.bytes())
+        self._f.flush()
+        r = tp.BinaryReader(self._f)
+        rname, mtype, rseq = r.message_begin()
+        if (rname, rseq) != (name, seqid):
+            raise tp.TProtocolError(f"out-of-order reply {rname}/{rseq}")
+        result = r.read_struct()
+        if 0 in result or not result:
+            return result
+        exc_fid, exc = next(iter(result.items()))
+        if isinstance(exc, dict) and not exc:
+            raise QueryNotFound()
+        msg = exc.get(1, b"").decode() if isinstance(exc, dict) else str(exc)
+        raise BeeswaxError(msg)
+
+    @staticmethod
+    def _query_args(sql: str):
+        def build(w: tp.BinaryWriter) -> None:
+            w.field(tp.STRUCT, 1)
+            w.field(tp.STRING, 1)
+            w.write_string(sql)
+            w.stop()
+
+        return build
+
+    @staticmethod
+    def _handle_args(handle: str, fid: int = 1):
+        def build(w: tp.BinaryWriter) -> None:
+            w.field(tp.STRUCT, fid)
+            w.field(tp.STRING, 1)
+            w.write_string(handle)
+            w.field(tp.STRING, 2)
+            w.write_string("")
+            w.stop()
+
+        return build
+
+    def query(self, sql: str) -> str:
+        return self._call("query", self._query_args(sql))[0][1].decode()
+
+    def execute_and_wait(self, sql: str) -> str:
+        return self._call("executeAndWait", self._query_args(sql))[0][1].decode()
+
+    def explain(self, sql: str) -> str:
+        return self._call("explain", self._query_args(sql))[0][1].decode()
+
+    def fetch(self, handle: str, fetch_size: int = 1024, start_over: bool = False):
+        def build(w: tp.BinaryWriter) -> None:
+            self._handle_args(handle)(w)
+            w.field(tp.BOOL, 2)
+            w.write_bool(start_over)
+            w.field(tp.I32, 3)
+            w.write_i32(fetch_size)
+
+        res = self._call("fetch", build)[0]
+        return {
+            "columns": [c.decode() for c in res[2]],
+            "data": [d.decode() for d in res[3]],
+            "start_row": res[4],
+            "has_more": res[5],
+        }
+
+    def get_state(self, handle: str) -> int:
+        return self._call("get_state", self._handle_args(handle))[0]
+
+    def get_results_metadata(self, handle: str) -> list[tuple[str, str]]:
+        schema = self._call("get_results_metadata", self._handle_args(handle))[0][1]
+        return [(f[1].decode(), f[2].decode()) for f in schema[1]]
+
+    def echo(self, s: str) -> str:
+        def build(w: tp.BinaryWriter) -> None:
+            w.field(tp.STRING, 1)
+            w.write_string(s)
+
+        return self._call("echo", build)[0].decode()
+
+    def close_query(self, handle: str) -> None:
+        self._call("close", self._handle_args(handle))
+
+    def close(self) -> None:
+        self._f.close()
+        self._sock.close()

@@ -1,0 +1,133 @@
+"""BeeswaxService over the real thrift binary wire protocol
+(impala_cut_spark/thrift_server.py + thrift_proto.py) — the §3
+network entry point at wire-format parity with
+be/src/service/impala-beeswax-server.cc / shell/impala_shell.py."""
+
+from __future__ import annotations
+
+import pytest
+
+from impala_cut_spark.session import ImpalaSession
+from impala_cut_spark.sources.catalog import register_views
+from impala_cut_spark.thrift_server import (
+    BeeswaxError,
+    BeeswaxThriftClient,
+    BeeswaxThriftServer,
+    QueryNotFound,
+)
+
+
+@pytest.fixture(scope="module")
+def server(spark, sf_dir):
+    register_views(spark, sf_dir)
+    srv = BeeswaxThriftServer(ImpalaSession(spark))
+    srv.serve_background()
+    yield srv
+    srv.shutdown()
+
+
+@pytest.fixture()
+def client(server):
+    c = BeeswaxThriftClient(server.host, server.port)
+    yield c
+    c.close()
+
+
+def test_query_lifecycle_over_thrift(client):
+    h = client.query("select n_nationkey, n_name from nation order by n_nationkey")
+    assert client.get_state(h) == 4  # QueryState.FINISHED
+    md = client.get_results_metadata(h)
+    assert [c for c, _ in md] == ["n_nationkey", "n_name"]
+    data, pages = [], 0
+    while True:
+        fr = client.fetch(h, fetch_size=10)
+        assert fr["start_row"] == len(data)
+        data.extend(fr["data"])
+        pages += 1
+        if not fr["has_more"]:
+            break
+    client.close_query(h)
+    assert pages > 1 and len(data) == 25
+    assert data[0] == "0\tNATION_0"  # Beeswax TSV rows
+
+
+def test_execute_and_wait_and_echo(client):
+    h = client.execute_and_wait("select 1 as one")
+    assert client.fetch(h)["data"] == ["1"]
+    client.close_query(h)
+    assert client.echo("round trip") == "round trip"
+
+
+def test_explain_over_thrift(client):
+    text = client.explain("select count(*) from orders")
+    assert "orders" in text.lower() or "aggregate" in text.lower()
+
+
+def test_impala_dialect_through_thrift(client):
+    h = client.query("select isnull(null, 7) a, zeroifnull(cast(null as int)) b")
+    assert client.fetch(h)["data"] == ["7\t0"]
+    client.close_query(h)
+
+
+def test_null_renders_NULL(client):
+    h = client.query("select cast(null as int) n, 'x' s")
+    assert client.fetch(h)["data"] == ["NULL\tx"]
+    client.close_query(h)
+
+
+def test_unknown_handle_raises_query_not_found(client):
+    with pytest.raises(QueryNotFound):
+        client.fetch("424242")
+    with pytest.raises(QueryNotFound):
+        client.get_state("424242")
+    with pytest.raises(QueryNotFound):
+        client.close_query("424242")
+
+
+def test_analysis_error_is_beeswax_exception(client):
+    with pytest.raises(BeeswaxError):
+        client.query("select * from table_that_does_not_exist_xyz")
+    # connection must survive the error
+    h = client.query("select 2 as two")
+    assert client.fetch(h)["data"] == ["2"]
+    client.close_query(h)
+
+
+def test_start_over_not_implemented(client):
+    h = client.query("select 1 as one")
+    with pytest.raises(BeeswaxError, match="start over"):
+        client.fetch(h, start_over=True)
+    client.close_query(h)
+
+
+def test_wire_bytes_are_strict_binary_protocol(server):
+    """Drive one RPC with HAND-ENCODED bytes (no client helper) and
+    check the reply's raw framing: version word 0x8001, type REPLY,
+    echoed method name + seqid — what a generated thrift client
+    asserts before parsing."""
+    import socket
+    import struct
+
+    s = socket.create_connection((server.host, server.port))
+    f = s.makefile("rwb")
+    body = b"ping-payload"
+    msg = struct.pack(">i", -2147418111)  # 0x80010001 = version|CALL
+    msg += struct.pack(">i", 4) + b"echo"
+    msg += struct.pack(">i", 77)  # seqid
+    msg += struct.pack(">bh", 11, 1) + struct.pack(">i", len(body)) + body
+    msg += b"\x00"
+    f.write(msg)
+    f.flush()
+    hdr = f.read(4)
+    assert struct.unpack(">i", hdr)[0] == -2147418110  # version|REPLY
+    nlen = struct.unpack(">i", f.read(4))[0]
+    assert f.read(nlen) == b"echo"
+    assert struct.unpack(">i", f.read(4))[0] == 77
+    # success field 0, type STRING, then the echoed payload
+    ftype, fid = struct.unpack(">bh", f.read(3))
+    assert (ftype, fid) == (11, 0)
+    slen = struct.unpack(">i", f.read(4))[0]
+    assert f.read(slen) == body
+    assert f.read(1) == b"\x00"
+    f.close()
+    s.close()
