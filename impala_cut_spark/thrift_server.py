@@ -362,3 +362,24 @@ class BeeswaxThriftClient:
     def close(self) -> None:
         self._f.close()
         self._sock.close()
+
+
+def main() -> None:  # pragma: no cover — interactive entry point
+    import argparse
+
+    from impala_cut_spark.sources.catalog import register_views
+
+    ap = argparse.ArgumentParser(description="impala_cut_spark Beeswax thrift server")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=21000)  # reference beeswax default
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    args = ap.parse_args()
+    session = ImpalaSession()
+    register_views(session.spark, args.sf_dir)
+    srv = BeeswaxThriftServer(session, host=args.host, port=args.port)
+    print(f"BeeswaxService listening on {srv.host}:{srv.port} (thrift binary)", flush=True)
+    srv._server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,130 @@
+"""TCLIService (HiveServer2) over the real thrift binary protocol
+(impala_cut_spark/hs2_server.py) — the reference's JDBC/ODBC surface
+(be/src/service/impala-hs2-server.cc; common/thrift/cli_service.thrift
+protocol V1, row-oriented TRowSet)."""
+
+from __future__ import annotations
+
+import pytest
+
+from impala_cut_spark.hs2_server import HS2Error, HS2ThriftClient, HS2ThriftServer
+from impala_cut_spark.session import ImpalaSession
+from impala_cut_spark.sources.catalog import register_views
+
+
+@pytest.fixture(scope="module")
+def server(spark, sf_dir):
+    register_views(spark, sf_dir)
+    srv = HS2ThriftServer(ImpalaSession(spark))
+    srv.serve_background()
+    yield srv
+    srv.shutdown()
+
+
+@pytest.fixture()
+def client(server):
+    c = HS2ThriftClient(server.host, server.port)
+    c.open_session()
+    yield c
+    c.close()
+
+
+def test_session_statement_lifecycle(client):
+    op = client.execute("select n_nationkey, n_name from nation order by n_nationkey")
+    assert client.operation_state(op) == 2  # FINISHED_STATE
+    md = client.metadata(op)
+    assert md == [("n_nationkey", 3), ("n_name", 7)]  # INT_TYPE, STRING_TYPE
+    rows = client.fetch_all(op, page=10)
+    client.close_operation(op)
+    assert len(rows) == 25
+    assert rows[0] == (0, "NATION_0")  # typed arms: i64 + string
+
+
+def test_paged_fetch_offsets(client):
+    op = client.execute("select o_orderkey from orders order by o_orderkey limit 250")
+    seen, offset = 0, 0
+    while True:
+        fr = client.fetch(op, 100)
+        assert fr["start_row"] == offset
+        offset += len(fr["rows"])
+        seen += len(fr["rows"])
+        if not fr["has_more"]:
+            break
+    client.close_operation(op)
+    assert seen == 250
+
+
+def test_typed_value_arms_and_nulls(client):
+    op = client.execute(
+        "select cast(1 as int) i, cast(2 as bigint) l, cast(1.5 as double) d, "
+        "true b, cast(null as int) n, 's' s, cast(3.25 as decimal(9,2)) dec"
+    )
+    md = dict(client.metadata(op))
+    assert (md["i"], md["l"], md["d"], md["b"], md["s"], md["dec"]) == (3, 4, 6, 0, 7, 15)
+    rows = client.fetch_all(op)
+    client.close_operation(op)
+    assert rows == [(1, 2, 1.5, True, None, "s", "3.25")]
+
+
+def test_timestamp_renders_as_string(client):
+    """impala-hs2-server.cc:879-884: TIMESTAMP goes through stringVal."""
+    op = client.execute("select min(ts) as t from events")
+    rows = client.fetch_all(op)
+    client.close_operation(op)
+    assert isinstance(rows[0][0], str) and rows[0][0][:2] == "20"
+
+
+def test_impala_dialect_through_hs2(client):
+    op = client.execute("select isnull(null, 7) a, zeroifnull(cast(null as int)) b")
+    assert client.fetch_all(op) == [(7, 0)]
+    client.close_operation(op)
+
+
+def test_get_tables_and_columns_metadata_ops(client):
+    op = client.get_tables(table="nation")
+    tables = client.fetch_all(op)
+    client.close_operation(op)
+    assert any(t[2] == "nation" for t in tables)
+
+    op = client.get_columns(table="nation")
+    cols = client.fetch_all(op)
+    client.close_operation(op)
+    names = [c[3] for c in cols if c[2] == "nation"]
+    assert names == ["n_nationkey", "n_name", "n_regionkey"]
+    # DATA_TYPE is the TTypeId int (JDBC convention via typed i32 arm)
+    assert [c[4] for c in cols if c[2] == "nation"] == [3, 7, 3]
+
+
+def test_get_info_and_table_patterns(client):
+    assert "Impala" in client.get_info(17)  # CLI_DBMS_NAME
+    op = client.get_tables(table="nat%")
+    assert any(t[2] == "nation" for t in client.fetch_all(op))
+    client.close_operation(op)
+    op = client.get_tables(table="zz_nothing_%")
+    assert client.fetch_all(op) == []
+    client.close_operation(op)
+
+
+def test_error_statement_returns_error_status_and_survives(client):
+    with pytest.raises(HS2Error):
+        client.execute("select * from missing_table_zzz")
+    op = client.execute("select 1 as one")
+    assert client.fetch_all(op) == [(1,)]
+    client.close_operation(op)
+
+
+def test_invalid_operation_handle_status(client):
+    with pytest.raises(HS2Error) as ei:
+        client.fetch(b"\x00" * 16)
+    assert ei.value.code == 4  # INVALID_HANDLE_STATUS
+
+
+def test_session_configuration_applies_options(server):
+    c = HS2ThriftClient(server.host, server.port)
+    c.open_session({"explain_level": "3"})
+    try:
+        opts = dict(server.session.options())
+        assert opts.get("explain_level") == "3"
+    finally:
+        c.close_session()
+        c.close()
