@@ -160,9 +160,71 @@ def repl(sess: ImpalaSession, stdin=None, stdout=None) -> None:
                 stdout.flush()
 
 
+class _RemoteResult:
+    """Duck-typed stand-in for a DataFrame result in remote mode."""
+
+    def __init__(self, columns: list[str], rows: list[tuple]):
+        self.columns = columns
+        self._rows = rows
+
+    def collect(self) -> list[tuple]:
+        return self._rows
+
+
+class RemoteBeeswaxSession:
+    """execute_line-compatible session backed by a BeeswaxThriftClient
+    — the reference shell's actual architecture (impala_shell.py
+    connects to impalad over thrift Beeswax; values arrive as the
+    Beeswax TSV ASCII rendering, so every cell is a string and NULL
+    is the literal sentinel — same as the reference shell displays)."""
+
+    def __init__(self, host: str, port: int):
+        from impala_cut_spark.thrift_server import BeeswaxThriftClient
+
+        self._client = BeeswaxThriftClient(host, port)
+        self._options: dict[str, str] = {}
+
+    def sql(self, stmt: str) -> _RemoteResult:
+        c = self._client
+        h = c.query(stmt)
+        try:
+            cols, rows = [], []
+            while True:
+                fr = c.fetch(h)
+                cols = fr["columns"]
+                for line in fr["data"]:
+                    rows.append(
+                        tuple(None if v == "NULL" else v for v in line.split("\t"))
+                    )
+                if not fr["has_more"]:
+                    break
+        finally:
+            c.close_query(h)
+        return _RemoteResult(cols, rows)
+
+    def explain(self, stmt: str, level: str = "standard") -> str:
+        # beeswax explain() carries no level (beeswax.thrift) — the
+        # reference shell has the same limitation over this API
+        return self._client.explain(stmt)
+
+    def set_option(self, k: str, v: str) -> None:
+        self._options[k] = v
+
+    def options(self) -> dict[str, str]:
+        return dict(self._options)
+
+    def close(self) -> None:
+        self._client.close()
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description="impala-cut-spark shell")
     ap.add_argument("--sf-dir", default=None, help="register testdata tables from this dir")
+    ap.add_argument(
+        "-i", "--connect", default=None, metavar="HOST:PORT",
+        help="connect to a running Beeswax thrift server instead of "
+        "starting an in-process engine (the reference shell's -i impalad)",
+    )
     ap.add_argument("-q", "--query", default=None, help="execute one statement and exit")
     # batch-mode flags mirroring the reference shell
     # (shell/impala_shell.py:1208-1253 option surface)
@@ -175,12 +237,16 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("-c", "--ignore_query_failure", action="store_true", help="continue past failing statements in batch mode")
     args = ap.parse_args(argv)
 
-    sess = ImpalaSession()
-    sess.spark.sparkContext.setLogLevel("ERROR")
-    if args.sf_dir:
-        from impala_cut_spark.sources.catalog import register_views
+    if args.connect:
+        host, _, port = args.connect.rpartition(":")
+        sess = RemoteBeeswaxSession(host or "127.0.0.1", int(port))
+    else:
+        sess = ImpalaSession()
+        sess.spark.sparkContext.setLogLevel("ERROR")
+        if args.sf_dir:
+            from impala_cut_spark.sources.catalog import register_views
 
-        register_views(sess.spark, args.sf_dir)
+            register_views(sess.spark, args.sf_dir)
     if args.database:
         sess.sql(f"USE {args.database}")
 

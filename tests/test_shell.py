@@ -115,3 +115,37 @@ def test_version_and_history_commands(sess):
     execute_line(sess, "select 1 as one")
     hist = execute_line(sess, "history")
     assert "select 1 as one" in hist and "version" in hist
+
+
+def test_shell_remote_mode_over_thrift(spark, sf_dir, capsys):
+    """--connect HOST:PORT: the shell drives a Beeswax thrift server
+    over the wire (the reference shell's real architecture: -i impalad,
+    thrift TSV results)."""
+    from impala_cut_spark.session import ImpalaSession
+    from impala_cut_spark.shell import main
+    from impala_cut_spark.sources.catalog import register_views
+    from impala_cut_spark.thrift_server import BeeswaxThriftServer
+
+    register_views(spark, sf_dir)
+    srv = BeeswaxThriftServer(ImpalaSession(spark))
+    srv.serve_background()
+    try:
+        rc = main(
+            ["--connect", f"{srv.host}:{srv.port}", "-B", "--print_header",
+             "-q", "select n_nationkey, n_name from nation order by n_nationkey limit 2"]
+        )
+        out = capsys.readouterr().out
+        assert rc == 0
+        assert out.splitlines()[:3] == [
+            "n_nationkey\tn_name", "0\tNATION_0", "1\tNATION_1",
+        ]
+        # NULL sentinel + error path survive the wire
+        rc = main(
+            ["--connect", f"{srv.host}:{srv.port}", "-B",
+             "-q", "select cast(null as int) n; select 1 one",
+             "-c"]
+        )
+        out = capsys.readouterr().out
+        assert rc == 0 and out.splitlines() == ["NULL", "1"]
+    finally:
+        srv.shutdown()
