@@ -446,6 +446,7 @@ _sql_query(
     store→supplier (+nation for its geography).""",
     _Q8_BODY.format(semi="LEFT SEMI"),
     _Q8_BODY.format(semi="SEMI"),
+    headline=True,  # round-4 window rotation: bench the zone join too
 )
 
 
@@ -552,6 +553,7 @@ WHERE bn.n_name <> hn.n_name
 ORDER BY c_name, dn.ticket, bought_city
 LIMIT 100
 """,
+    headline=True,  # round-4 window rotation: bench the inequality join too
 )
 
 
