@@ -146,21 +146,45 @@ class ImpalaSession:
             # issues it) — route to the option map, not Spark's SET
             self.set_option(m.group(1), m.group(2))
             return self.spark.sql("select 1 where false")
-        m = self._AVRO_TABLE.match(text)
+        m = self._LEGACY_TABLE.match(text)
         if m:
-            # STORED AS AVRO … LOCATION → mount the file through the
-            # pure-Python avro scan as a session view (Spark's catalog
-            # does not replay DataSource options to Python sources at
-            # read time, so a persistent USING pyavro table can't work)
-            from impala_cut_spark.sources.avro import read_avro
-
-            name, path = m.group(1), m.group(2).replace("''", "'")
+            # STORED AS AVRO/SEQUENCEFILE/RCFILE … LOCATION → mount
+            # through the pure-Python container readers as a session
+            # view (Spark's catalog does not replay DataSource options
+            # to Python sources at read time, so a persistent USING
+            # table can't work for these)
+            name, collist, sep, fmt, path = m.groups()
+            fmt = fmt.lower()
+            path = path.replace("''", "'")
             if "." in name:
                 raise ValueError(
-                    f"STORED AS AVRO mounts as a session temp view; qualified "
-                    f"name {name!r} is not valid — use an unqualified name"
+                    f"STORED AS {fmt.upper()} mounts as a session temp view; "
+                    f"qualified name {name!r} is not valid — use an "
+                    f"unqualified name"
                 )
-            read_avro(self.spark, path).createOrReplaceTempView(name)
+            if fmt == "avro":
+                from impala_cut_spark.sources.avro import read_avro
+
+                df = read_avro(self.spark, path)
+            else:
+                if not collist:
+                    raise ValueError(
+                        f"STORED AS {fmt.upper()} needs an explicit column "
+                        f"list — the text payload carries no schema"
+                    )
+                schema = collist.strip()[1:-1]
+                if fmt == "sequencefile":
+                    from impala_cut_spark.sources.seqfile import read_sequencefile_text
+
+                    df = read_sequencefile_text(
+                        self.spark, path, schema,
+                        sep=(sep or ",").replace("''", "'"),
+                    )
+                else:
+                    from impala_cut_spark.sources.rcfile import read_rcfile
+
+                    df = read_rcfile(self.spark, path, schema)
+            df.createOrReplaceTempView(name)
             return self.spark.sql("select 1 where false")
         # SHOW TABLE STATS / SHOW COLUMN STATS / SHOW PARTITIONS
         # (sql-parser.y:1306-1314, ShowStatsStmt/ShowPartitionsStmt):
@@ -278,12 +302,19 @@ class ImpalaSession:
         re.DOTALL,
     )
 
-    #: CREATE [EXTERNAL] TABLE t [(…)] STORED AS AVRO … LOCATION '<p>'
-    #: — the optional column list tolerates one paren-nesting level so
-    #: typed columns like decimal(10,2) still match (ADVICE r2 #4)
-    _AVRO_TABLE = re.compile(
+    #: CREATE [EXTERNAL] TABLE t [(…)] STORED AS
+    #: AVRO|SEQUENCEFILE|RCFILE … LOCATION '<p>' — the legacy
+    #: read-only container formats, mounted through the pure-Python
+    #: readers (sources/avro.py, seqfile.py, rcfile.py).  The optional
+    #: column list tolerates one paren-nesting level so typed columns
+    #: like decimal(10,2) still match (ADVICE r2 #4); seqfile/rcfile
+    #: REQUIRE it (text payloads carry no schema, exactly like the
+    #: reference's metastore-declared schemas), avro self-describes.
+    _LEGACY_TABLE = re.compile(
         r"^\s*create\s+(?:external\s+)?table\s+(?:if\s+not\s+exists\s+)?"
-        r"([A-Za-z_][\w.]*)\s*(?:\((?:[^()]|\([^()]*\))*\))?\s*stored\s+as\s+avro\b.*?"
+        r"([A-Za-z_][\w.]*)\s*(\((?:[^()]|\([^()]*\))*\))?\s*"
+        r"(?:row\s+format\s+delimited\s+fields\s+terminated\s+by\s+'((?:[^']|'')*)'\s*)?"
+        r"stored\s+as\s+(avro|sequencefile|rcfile)\b.*?"
         r"\blocation\s+'((?:[^']|'')*)'",
         re.IGNORECASE | re.DOTALL,
     )

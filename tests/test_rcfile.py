@@ -102,3 +102,17 @@ def test_unsupported_codec_raises(tmp_path):
     out += struct.pack(">iii", 10, 4, 4) + b"\x00\x00\x00\x00"
     with pytest.raises(NotImplementedError, match="codec"):
         list(parse_rcfile(bytes(out)))
+
+
+def test_stored_as_rcfile_ddl_mount(spark, tmp_path):
+    """CREATE EXTERNAL TABLE … STORED AS RCFILE … LOCATION mounts the
+    reference's own Hive-written fixture through the reader."""
+    from impala_cut_spark.session import ImpalaSession
+
+    sess = ImpalaSession(spark)
+    sess.sql(
+        f"CREATE EXTERNAL TABLE rc_ddl_t (key INT, value STRING) "
+        f"STORED AS RCFILE LOCATION '{REF_FIXTURE}'"
+    )
+    got = sorted((r.key, r.value) for r in sess.sql("select * from rc_ddl_t").collect())
+    assert got[0] == (1, "val_1") and len(got) == 5

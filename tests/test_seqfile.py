@@ -81,3 +81,24 @@ def test_multipartition_scan_parallelism(spark, tmp_out):
     assert back.rdd.getNumPartitions() >= 2
     assert back.count() == 1000
     assert back.agg({"id": "sum"}).collect()[0][0] == 499500
+
+
+def test_stored_as_sequencefile_ddl_mount(spark, tmp_path):
+    """CREATE EXTERNAL TABLE … STORED AS SEQUENCEFILE … LOCATION
+    (sql-parser.y file-format surface) mounts through the reader with
+    the DDL-declared schema and optional row-format delimiter."""
+    from impala_cut_spark.session import ImpalaSession
+
+    df = spark.createDataFrame([(1, "a|x"), (2, None)], "id bigint, s string")
+    path = str(tmp_path / "seqtab")
+    write_sequencefile_text(df, path, sep="|")
+    sess = ImpalaSession(spark)
+    sess.sql(
+        f"CREATE EXTERNAL TABLE seq_ddl_t (id BIGINT, s STRING) "
+        f"ROW FORMAT DELIMITED FIELDS TERMINATED BY '|' "
+        f"STORED AS SEQUENCEFILE LOCATION '{path}'"
+    )
+    got = sorted(map(tuple, sess.sql("select * from seq_ddl_t").collect()), key=repr)
+    assert got == sorted([(1, "a|x"), (2, None)], key=repr)
+    with pytest.raises(ValueError, match="column list"):
+        sess.sql(f"CREATE TABLE seq_bad STORED AS SEQUENCEFILE LOCATION '{path}'")
