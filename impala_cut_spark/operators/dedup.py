@@ -190,19 +190,28 @@ def _pair_jaccard(sh: DataFrame, threshold: float, max_df: int = MAX_SHINGLE_DF)
     n_common can undercount for pairs whose overlap is boilerplate —
     at the default cap this is a strict no-op below ~100k-doc corpora
     (df ≤ corpus size), asserted against the oracle at sf0.01.
+
+    Join key: the md5-60bit hash of the shingle, not the string —
+    8-byte shuffle rows through the df-count, anti-join and self-join
+    instead of ~20-byte variable strings (round-4 bake-off at sf0.1:
+    2.54s → 2.04s end-to-end, identical output; engine-native xxhash64
+    measured 1.58s but is not DuckDB-replayable).  The oracle replays
+    the same hash, so a (cosmically unlikely) 60-bit collision would
+    affect both engines identically.
     """
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    hsh = sh.select("doc_id", md5_hash60(F.col("shingle")).alias("h"))
     hot = (
-        sh.groupBy("shingle")
+        hsh.groupBy("h")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") > max_df)
-        .select("shingle")
+        .select("h")
     )
-    pruned = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    a = pruned.select(F.col("shingle"), F.col("doc_id").alias("id_a"))
-    b = pruned.select(F.col("shingle"), F.col("doc_id").alias("id_b"))
+    pruned = hsh.join(F.broadcast(hot), "h", "left_anti")
+    a = pruned.select(F.col("h"), F.col("doc_id").alias("id_a"))
+    b = pruned.select(F.col("h"), F.col("doc_id").alias("id_b"))
     pairs = (
-        a.join(b, "shingle")
+        a.join(b, "h")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))

@@ -236,9 +236,10 @@ sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id)
     "pipe_dedup_jaccard",
     oracle=f"""
 WITH {_SQL_SHINGLES},
+hsh AS (SELECT doc_id, {SQL_H60.format(x='shingle')} AS h FROM sh),
 common AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM hsh a JOIN hsh b ON a.h = b.h AND a.doc_id < b.doc_id
   GROUP BY 1, 2)
 SELECT id_a, id_b,
        round(cast(n_common as double)
@@ -253,7 +254,8 @@ WHERE round(cast(n_common as double)
 )
 def pipe_dedup_jaccard(spark, sf_dir):
     """EXACT 3-gram Jaccard near-dup pairs (inverted-index similarity
-    join — operators/dedup.py)."""
+    join — operators/dedup.py; md5-60bit join keys replayed verbatim
+    by the oracle's hsh CTE, round-4 bake-off in _pair_jaccard)."""
     return dedup.ngram_jaccard_pairs(t(spark, sf_dir, "documents"), n=3, threshold=0.2)
 
 
