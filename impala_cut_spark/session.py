@@ -475,5 +475,14 @@ class ImpalaSession:
                 value = "false" if value in ("1", "true") else "true"
             self.spark.conf.set(conf, value)
 
+    def unset_option(self, key: str) -> None:
+        """``unset key`` — drop a query option (impala_shell.py:549
+        do_unset); a mapped Spark conf reverts to its session default."""
+        key = key.lower()
+        self._options.pop(key, None)
+        conf = self._OPTION_MAP.get(key)
+        if conf:
+            self.spark.conf.unset(conf)
+
     def options(self) -> dict[str, str]:
         return dict(self._options)

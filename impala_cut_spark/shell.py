@@ -52,6 +52,52 @@ def format_delimited(
     return "\n".join(lines)
 
 
+def _exec_summary(df) -> str:
+    """Per-operator exec summary of an executed DataFrame — the Spark
+    analogue of the reference's exec summary table (impala-shell
+    `summary`: Operator / #Rows / Detail per plan node, runtime
+    metrics from the coordinator).  Walks the AQE-final physical plan
+    via py4j and prints each node with its SQLMetrics."""
+    plan = df._jdf.queryExecution().executedPlan()
+    try:
+        root = plan.finalPhysicalPlan()
+    except Exception:  # noqa: BLE001 — non-AQE root
+        root = plan
+    rows: list[tuple] = []
+
+    def metrics(node) -> dict:
+        m = {}
+        try:
+            it = node.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                m[kv._1()] = kv._2().value()
+        except Exception:  # noqa: BLE001 — metric-less node
+            pass
+        return m
+
+    def walk(node, depth: int) -> None:
+        m = metrics(node)
+        detail = ", ".join(
+            f"{k}={v}" for k, v in sorted(m.items()) if k != "numOutputRows" and v
+        )
+        rows.append(
+            ("  " * depth + node.nodeName(), str(m.get("numOutputRows", "")), detail[:60])
+        )
+        try:
+            inner = node.plan()  # QueryStageExec wraps its stage plan
+            walk(inner, depth + 1)
+            return
+        except Exception:  # noqa: BLE001 — ordinary node
+            pass
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i), depth + 1)
+
+    walk(root, 0)
+    return format_table(["Operator", "#Rows", "Detail"], rows, max_rows=200)
+
+
 def execute_line(
     sess: ImpalaSession,
     stmt: str,
@@ -75,9 +121,9 @@ def execute_line(
         raise EOFError
     if low == "help":
         return (
-            "statements: any Impala-dialect SQL; SET k=v; SET; "
+            "statements: any Impala-dialect SQL; SET k=v; SET; UNSET k; "
             "EXPLAIN [minimal|standard|extended|verbose] <query>; USE db; "
-            "version; history; quit"
+            "profile; summary; shell <cmd> (or !<cmd>); version; history; quit"
         )
     if low == "version":
         # reference: do_version prints the build string (impala_shell.py)
@@ -96,6 +142,36 @@ def execute_line(
         k, v = s[4:].split("=", 1)
         sess.set_option(k.strip(), v.strip())
         return f"{k.strip()} set to {v.strip()}"
+    if low.startswith("unset "):
+        # reference do_unset (impala_shell.py:549)
+        k = s[6:].strip().lower()
+        if k in sess.options():
+            sess.unset_option(k)
+            return f"Unsetting {k}"
+        return f"No option called {k} is set"
+    if low.startswith("shell ") or s.startswith("!"):
+        # reference do_shell (impala_shell.py:213): run an OS command
+        import subprocess
+
+        cmd = s[6:] if low.startswith("shell ") else s[1:]
+        r = subprocess.run(cmd, shell=True, capture_output=True, text=True)
+        return (r.stdout + r.stderr).rstrip()
+    if low == "profile":
+        # reference do_profile (impala_shell.py:925): runtime profile of
+        # the LAST query.  Spark analogue: the AQE-final executed plan
+        # (per-node runtime choices materialized after execution).
+        last = getattr(sess, "_last_df", None)
+        if last is None:
+            return "No previous query available to profile"
+        return last._jdf.queryExecution().executedPlan().toString()
+    if low == "summary":
+        # reference do_summary (impala_shell.py:494): per-operator
+        # exec summary table. Spark analogue: the executed-plan
+        # operator tree with each node's runtime metrics.
+        last = getattr(sess, "_last_df", None)
+        if last is None:
+            return "Could not retrieve summary for query."
+        return _exec_summary(last)
     if low.startswith("explain "):
         rest = s[8:].strip()
         level = "standard"
@@ -105,6 +181,9 @@ def execute_line(
         return sess.explain(rest, level)
     df = sess.sql(s)
     rows = [tuple(r) for r in df.collect()]
+    # remember the last result for `profile` / `summary` (the
+    # reference keeps last_query_handle); remote results carry no plan
+    sess._last_df = df if hasattr(df, "_jdf") else None
     if delimited:
         return format_delimited(df.columns, rows, delim, header)
     return format_table(df.columns, rows)

@@ -149,3 +149,31 @@ def test_shell_remote_mode_over_thrift(spark, sf_dir, capsys):
         assert rc == 0 and out.splitlines() == ["NULL", "1"]
     finally:
         srv.shutdown()
+
+
+def test_shell_profile_and_summary_and_unset(spark, sf_dir, capsys):
+    """profile / summary / unset / shell commands (impala_shell.py
+    do_profile:925, do_summary:494, do_unset:549, do_shell:213)."""
+    from impala_cut_spark.session import ImpalaSession
+    from impala_cut_spark.shell import execute_line
+    from impala_cut_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    sess = ImpalaSession(spark)
+    assert "No previous query" in execute_line(sess, "profile")
+    execute_line(sess, "select r_regionkey, count(*) n from region group by 1 order by 1")
+    prof = execute_line(sess, "profile")
+    assert "HashAggregate" in prof or "Aggregate" in prof
+    summ = execute_line(sess, "summary")
+    assert "Operator" in summ and "#Rows" in summ
+    assert "Aggregate" in summ
+    # unset reverts a mapped option
+    execute_line(sess, "set num_nodes=1") if "num_nodes" in getattr(sess, "_OPTION_MAP", {}) else None
+    execute_line(sess, "set explain_level=3")
+    assert "explain_level" in sess.options()
+    assert "Unsetting" in execute_line(sess, "unset explain_level")
+    assert "explain_level" not in sess.options()
+    assert "No option called" in execute_line(sess, "unset explain_level")
+    # shell command passthrough
+    assert execute_line(sess, "shell echo hi-there") == "hi-there"
+    assert execute_line(sess, "!echo bang") == "bang"
