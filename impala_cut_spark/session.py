@@ -131,6 +131,9 @@ class ImpalaSession:
     def __init__(self, spark: SparkSession | None = None):
         self.spark = spark or build_session()
         self._options: dict[str, str] = {}
+        #: CREATE DATASOURCE registry: name → (location, class, api_version)
+        #: (CreateDataSrcStmt; the reference keeps these in the catalog)
+        self._data_sources: dict[str, tuple[str, str, str]] = {}
         # avro scan DDL (STORED AS AVRO … LOCATION) resolves to the
         # pyavro Python DataSource — register it up front
         from impala_cut_spark.sources.avro import register_avro_source
@@ -146,6 +149,9 @@ class ImpalaSession:
             # issues it) — route to the option map, not Spark's SET
             self.set_option(m.group(1), m.group(2))
             return self.spark.sql("select 1 where false")
+        out = self._data_source_ddl(text)
+        if out is not None:
+            return out
         m = self._LEGACY_TABLE.match(text)
         if m:
             # STORED AS AVRO/SEQUENCEFILE/RCFILE … LOCATION → mount
@@ -318,6 +324,111 @@ class ImpalaSession:
         r"\blocation\s+'((?:[^']|'')*)'",
         re.IGNORECASE | re.DOTALL,
     )
+
+    #: CREATE DATASOURCE name LOCATION '…' CLASS '…' API_VERSION '…'
+    #: (sql-parser.y:873 CreateDataSrcStmt; example DDL in
+    #: testdata/bin/create-data-source-table.sql)
+    _CREATE_DATA_SRC = re.compile(
+        r"^\s*create\s+datasource\s+(if\s+not\s+exists\s+)?([A-Za-z_]\w*)\s+"
+        r"location\s+'((?:[^']|'')*)'\s+class\s+'((?:[^']|'')*)'\s+"
+        r"api_version\s+'((?:[^']|'')*)'\s*;?\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+    _DROP_DATA_SRC = re.compile(
+        r"^\s*drop\s+datasource\s+(if\s+exists\s+)?([A-Za-z_]\w*)\s*;?\s*$",
+        re.IGNORECASE,
+    )
+    _SHOW_DATA_SRCS = re.compile(
+        r"^\s*show\s+datasources(?:\s+(?:like\s+)?'((?:[^']|'')*)')?\s*;?\s*$",
+        re.IGNORECASE,
+    )
+    #: CREATE TABLE t (cols) PRODUCED BY DATASOURCE src [('init')]
+    #: (sql-parser.y:674-683 CreateTableDataSrcStmt)
+    _PRODUCED_BY = re.compile(
+        r"^\s*create\s+table\s+(?:if\s+not\s+exists\s+)?([A-Za-z_]\w*)\s*"
+        r"\((?P<cols>(?:[^()]|\([^()]*\))*)\)\s*"
+        r"produced\s+by\s+datasource\s+([A-Za-z_]\w*)"
+        r"(?:\s*\(\s*'((?:[^']|'')*)'\s*\))?\s*;?\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+
+    def _data_source_ddl(self, text: str) -> DataFrame | None:
+        """External data-source DDL (SURVEY §2.1 DataSourceScanNode DDL
+        surface).  ADAPTED: the reference's CLASS names a Java class in
+        the LOCATION jar; here CLASS is a dotted Python path to an
+        ``ExternalSource`` subclass (sources/external.py) and LOCATION
+        is recorded for SHOW but not loaded."""
+        from pyspark.sql import Row
+
+        m = self._CREATE_DATA_SRC.match(text)
+        if m:
+            if_not_exists, name = bool(m.group(1)), m.group(2).lower()
+            if name in self._data_sources:
+                if if_not_exists:
+                    return self.spark.sql("select 1 where false")
+                raise ValueError(f"Data source already exists: {name}")
+            self._data_sources[name] = (
+                m.group(3).replace("''", "'"),
+                m.group(4).replace("''", "'"),
+                m.group(5).replace("''", "'"),
+            )
+            return self.spark.sql("select 1 where false")
+        m = self._DROP_DATA_SRC.match(text)
+        if m:
+            if_exists, name = bool(m.group(1)), m.group(2).lower()
+            if self._data_sources.pop(name, None) is None and not if_exists:
+                raise ValueError(f"Data source does not exist: {name}")
+            return self.spark.sql("select 1 where false")
+        m = self._SHOW_DATA_SRCS.match(text)
+        if m:
+            pat = m.group(1)
+            rx = None
+            if pat is not None:
+                import fnmatch
+
+                rx = re.compile(fnmatch.translate(pat.lower()))
+            rows = [
+                Row(name=n, location=loc, class_name=cls, api_version=ver)
+                for n, (loc, cls, ver) in sorted(self._data_sources.items())
+                if rx is None or rx.match(n)
+            ]
+            schema = "name string, location string, class_name string, api_version string"
+            return self.spark.createDataFrame(rows, schema)
+        m = self._PRODUCED_BY.match(text)
+        if m:
+            tbl, src = m.group(1), m.group(3).lower()
+            init_string = (m.group(4) or "").replace("''", "'")
+            if src not in self._data_sources:
+                raise ValueError(f"Data source does not exist: {src}")
+            _, cls, _ = self._data_sources[src]
+            import importlib
+
+            mod_name, _, cls_name = cls.rpartition(".")
+            factory = getattr(importlib.import_module(mod_name), cls_name)
+            from impala_cut_spark.sources.external import make_datasource
+
+            fmt = f"extsrc_{src}"
+            try:
+                self.spark.dataSource.register(make_datasource(fmt, factory))
+            except Exception:  # noqa: BLE001 — already registered
+                pass
+            self.spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+            reader = self.spark.read.format(fmt)
+            if init_string:
+                reader = reader.option("init_string", init_string)
+            df = reader.load()
+            from impala_cut_spark.dialect import _split_args
+
+            declared = [c.split()[0] for c in _split_args(m.group("cols")) if c.strip()]
+            if len(declared) != len(df.columns):
+                raise ValueError(
+                    f"PRODUCED BY DATASOURCE column count mismatch: table "
+                    f"declares {len(declared)}, source produces {len(df.columns)}"
+                )
+            df = df.toDF(*declared)
+            df.createOrReplaceTempView(tbl)
+            return self.spark.sql("select 1 where false")
+        return None
 
     def _show_table_stats(self, name: str) -> DataFrame:
         """SHOW TABLE STATS t (ShowStatsStmt, sql-parser.y:1306-1308):

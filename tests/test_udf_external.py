@@ -126,3 +126,63 @@ def test_native_udf_ddl_gives_clear_boundary_error(spark):
         "RETURN concat('location ', '/x/', x)"
     )
     assert s.sql("select g_locfn('y') as v").collect()[0].v == "location /x/y"
+
+
+class TestDataSourceDDL:
+    """CREATE/DROP/SHOW DATASOURCE + CREATE TABLE ... PRODUCED BY
+    DATASOURCE (sql-parser.y:873,941,1330,674; example DDL in
+    testdata/bin/create-data-source-table.sql; show-data-sources.test /
+    data-source-tables.test shapes). ADAPTED: CLASS is a dotted Python
+    path to an ExternalSource subclass."""
+
+    def test_lifecycle(self, spark):
+        s = ImpalaSession(spark)
+        s.sql(
+            "CREATE DATASOURCE rangesrc LOCATION '/tmp/none.jar' "
+            "CLASS 'impala_cut_spark.sources.external.RangeExternalSource' "
+            "API_VERSION 'V1'"
+        )
+        rows = s.sql("SHOW DATASOURCES").collect()
+        assert [(r.name, r.class_name, r.api_version) for r in rows] == [
+            ("rangesrc", "impala_cut_spark.sources.external.RangeExternalSource", "V1")
+        ]
+        assert s.sql("SHOW DATASOURCES LIKE 'range*'").count() == 1
+        assert s.sql("SHOW DATASOURCES LIKE 'zzz*'").count() == 0
+
+        s.sql(
+            "CREATE TABLE ds_tbl (id BIGINT, square BIGINT) "
+            "PRODUCED BY DATASOURCE rangesrc"
+        )
+        got = s.sql("select id, square from ds_tbl where id > 995 order by id")
+        assert [tuple(r) for r in got.collect()] == [
+            (996, 992016), (997, 994009), (998, 996004), (999, 998001)
+        ]
+
+        with pytest.raises(ValueError, match="already exists"):
+            s.sql(
+                "CREATE DATASOURCE rangesrc LOCATION '/x' CLASS 'y.Z' API_VERSION 'V1'"
+            )
+        s.sql(
+            "CREATE DATASOURCE IF NOT EXISTS rangesrc LOCATION '/x' "
+            "CLASS 'y.Z' API_VERSION 'V1'"
+        )  # no-op, keeps the original registration
+        assert s.sql("SHOW DATASOURCES").collect()[0].location == "/tmp/none.jar"
+
+        s.sql("DROP DATASOURCE rangesrc")
+        assert s.sql("SHOW DATASOURCES").count() == 0
+        with pytest.raises(ValueError, match="does not exist"):
+            s.sql("DROP DATASOURCE rangesrc")
+        s.sql("DROP DATASOURCE IF EXISTS rangesrc")  # silent
+
+    def test_produced_by_errors(self, spark):
+        s = ImpalaSession(spark)
+        with pytest.raises(ValueError, match="does not exist"):
+            s.sql("CREATE TABLE t (a INT) PRODUCED BY DATASOURCE nosuch")
+        s.sql(
+            "CREATE DATASOURCE rs2 LOCATION '/x' "
+            "CLASS 'impala_cut_spark.sources.external.RangeExternalSource' "
+            "API_VERSION 'V1'"
+        )
+        with pytest.raises(ValueError, match="column count mismatch"):
+            s.sql("CREATE TABLE t (a INT) PRODUCED BY DATASOURCE rs2")
+        s.sql("DROP DATASOURCE rs2")
