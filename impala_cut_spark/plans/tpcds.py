@@ -415,8 +415,14 @@ _DSUM = "cast(sum(cast({c} as decimal(12,2))) as double)"
 #: fuzzy-geography join.  Duplicate zones in v1 multiply matched fact
 #: rows — exactly the reference's overlapping-zip semantics, and
 #: deterministic in both engines.
+#: The /*+ BROADCAST(v1) */ hint pins the zone subquery to the build
+#: side from the INITIAL plan: without it Catalyst plans the zone join
+#: shuffle-based and AQE's broadcast conversion leaves the stream-side
+#: Exchange behind as a stage boundary — 600k joined rows shuffled on a
+#: 25-value substr key for nothing (plan audited at sf0.1, round 4).
+#: DuckDB parses the hint as an ordinary block comment.
 _Q8_BODY = f"""
-SELECT s_name, {_DSUM.format(c='l_extendedprice')} AS net
+SELECT /*+ BROADCAST(v1) */ s_name, {_DSUM.format(c='l_extendedprice')} AS net
 FROM lineitem
 JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation sn ON s_nationkey = sn.n_nationkey
