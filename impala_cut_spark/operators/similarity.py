@@ -836,3 +836,80 @@ def label_centroids(df: DataFrame, vec: str = "embedding", label: str = "label")
             F.transform(F.col("_dm"), lambda s: s["mean"]).alias("centroid"),
         )
     )
+
+
+def semdedup(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    centroid_ids: tuple[int, ...] = IVF_FIXED_CENTROID_IDS,
+    vec: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication" — public literature): cluster the corpus with a
+    coarse quantizer, then mark any vector a DUPLICATE if a lower-id
+    vector in the SAME cluster has cosine ≥ ``threshold``.
+
+    Output: (vec_id, cid, keep int) for every input vector —
+    keep=0 ⇔ ∃ u in cluster(v) with u.vec_id < v.vec_id and
+    round(cos(u, v), 6) ≥ threshold.
+
+    The clustering bounds the quadratic: the pairwise check is a
+    self-join WITHIN cid only — exactly the SemDeDup design point (the
+    paper clusters a 5B-document corpus into 100k cells so each cell's
+    pair count is tractable).  At 100 TB, size the centroid count so
+    cells stay bounded (cells ≈ √N keeps total pair work ~N^1.5 worst
+    case, far below N²); assignment itself is a narrow map over one
+    scan, and the only shuffle is the cid-keyed self-join.
+
+    Cross-engine: the frozen-quantizer assignment (argmin of rounded
+    centroid distances, ties → lowest cid) and the rounded sequential-
+    fold cosine are the same arithmetic the DuckDB oracle replays —
+    fully oracle-checkable, like ivf_topk_fixed.
+    """
+    cent_rows = (
+        embeddings.filter(F.col("vec_id").isin(list(centroid_ids)))
+        .orderBy("vec_id")
+        .select(vec)
+        .collect()
+    )  # bounded by contract: len(centroid_ids) rows
+    cents = [[float(x) for x in r[vec]] for r in cent_rows]
+    cc = []
+    for c in cents:
+        acc = 0.0
+        for x in c:  # sequential fold — matches DuckDB list_dot_product
+            acc = acc + x * x
+        cc.append(acc)
+
+    dists = _rounded_centroid_dists(F.col(vec), cents, cc)
+    nearest = F.array_position(dists, F.array_min(dists)).cast("int")
+    vecs = with_norm(embeddings, vec).withColumn("cid", nearest)
+    a = vecs.select(
+        "cid",
+        F.col("vec_id").alias("id_a"),
+        F.col(vec).alias("va"),
+        F.col("_norm").alias("na"),
+    )
+    b = vecs.select(
+        "cid",
+        F.col("vec_id").alias("id_b"),
+        F.col(vec).alias("vb"),
+        F.col("_norm").alias("nb"),
+    )
+    cos = F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
+    dup_ids = (
+        a.join(b, "cid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cos >= F.lit(threshold))
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        vecs.select("vec_id", "cid")
+        .join(dup_ids.withColumn("_dup", F.lit(1)), "vec_id", "left")
+        .select(
+            "vec_id",
+            "cid",
+            F.when(F.col("_dup").isNull(), 1).otherwise(0).alias("keep"),
+        )
+    )

@@ -1100,3 +1100,43 @@ def pipe_embed_centroids(spark, sf_dir):
     from impala_cut_spark.operators.similarity import label_centroids
 
     return label_centroids(t(spark, sf_dir, "embeddings"))
+
+
+def _semdedup_oracle(threshold: float = 0.9) -> str:
+    """DuckDB replica of the frozen-quantizer SemDeDup pass: identical
+    centroid rows + rounded argmin assignment (shared with
+    _ivf_oracle), then dup = EXISTS lower-id same-cluster vector with
+    rounded cosine ≥ τ."""
+    ids = ", ".join(str(i) for i in similarity.IVF_FIXED_CENTROID_IDS)
+    return f"""
+WITH {_SQL_VECS},
+cents AS (SELECT row_number() OVER (ORDER BY vec_id) AS cid,
+                 e AS ce, list_dot_product(e, e) AS cc
+          FROM v WHERE vec_id IN ({ids})),
+dist AS (SELECT n.vec_id, c.cid,
+                round(c.cc - 2.0 * list_dot_product(n.e, c.ce), 6) AS d
+         FROM v n CROSS JOIN cents c),
+assign AS (SELECT vec_id, cid FROM (
+             SELECT vec_id, cid,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+             FROM dist) WHERE rn = 1),
+vv AS (SELECT n.vec_id, a.cid, n.e, n.nm
+       FROM nv n JOIN assign a ON a.vec_id = n.vec_id),
+dups AS (SELECT DISTINCT y.vec_id
+         FROM vv x JOIN vv y ON x.cid = y.cid AND x.vec_id < y.vec_id
+         WHERE round(list_dot_product(x.e, y.e) / (x.nm * y.nm), 6) >= {threshold})
+SELECT v.vec_id, v.cid,
+       CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS keep
+FROM vv v LEFT JOIN dups d ON d.vec_id = v.vec_id
+"""
+
+
+@query("pipe_embed_semdedup", oracle=_semdedup_oracle())
+def pipe_embed_semdedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup (operators/similarity.py
+    semdedup; Abbas et al. 2023, public literature): frozen-quantizer
+    clustering bounds the pairwise cosine check to within-cluster
+    self-joins (the paper's tractability argument), keep = no
+    lower-id same-cluster vector with cos ≥ 0.9.  The oracle replays
+    assignment, pairing and the rounded cosine end-to-end."""
+    return similarity.semdedup(t(spark, sf_dir, "embeddings"), threshold=0.9)

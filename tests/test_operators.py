@@ -728,3 +728,48 @@ class TestUrlOps:
         ).collect()
         for r in twice:
             assert r.c1 == r.c2, (r.c1, r.c2)
+
+
+class TestSemDeDup:
+    def test_semdedup_matches_brute_force_contract(self, spark, sf_dir):
+        """keep=0 ⇔ some lower-id same-cluster vector has
+        round(cos,6) ≥ τ — verified against a driver-side brute-force
+        replay of the assignment + pairwise cosine at sf0.001."""
+        import numpy as np
+
+        from impala_cut_spark.operators import similarity
+
+        from pyspark.sql import functions as F
+
+        base = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        # inject exact copies at shifted ids so τ=0.9 has guaranteed
+        # dups even on the tiny corpus (copies land in the same cell
+        # and cosine 1.0 with their originals)
+        copies = base.filter(F.col("vec_id") % 7 == 3).withColumn(
+            "vec_id", F.col("vec_id") + 100000
+        )
+        emb = base.unionByName(copies)
+        out = {r.vec_id: r for r in similarity.semdedup(emb, threshold=0.9).collect()}
+
+        rows = sorted(emb.collect(), key=lambda r: r.vec_id)
+        ids = [r.vec_id for r in rows]
+        M = np.array([r.embedding for r in rows], dtype=np.float64)
+        cents = M[[ids.index(i) for i in similarity.IVF_FIXED_CENTROID_IDS]]
+        # same rounded assignment arithmetic as the operator
+        d = np.round(
+            (cents * cents).sum(axis=1)[None, :] - 2.0 * (M @ cents.T), 6
+        )
+        cid = d.argmin(axis=1) + 1  # ties -> lowest cid, argmin is first-min
+        nm = np.sqrt((M * M).sum(axis=1))
+        cos = np.round((M @ M.T) / np.outer(nm, nm), 6)
+
+        n_dup = 0
+        for j, vj in enumerate(ids):
+            similar_lower = [
+                i for i in range(j) if cid[i] == cid[j] and cos[i, j] >= 0.9
+            ]
+            want_keep = 0 if similar_lower else 1
+            assert out[vj].keep == want_keep, (vj, similar_lower[:3])
+            assert out[vj].cid == cid[j]
+            n_dup += 1 - want_keep
+        assert n_dup > 0, "synthetic corpus should contain semantic dups"
