@@ -46,8 +46,11 @@ from impala_cut_spark.plans import perf  # noqa: E402,F401
 #: ceded their slots to tpcds_q8 (HAVING-subquery LEFT SEMI zip-zone
 #: prefix join) and tpcds_q46 (cross-dimension inequality join on the
 #: outer star) — two join shapes nothing else in the window exercises.
+#: Second r4 rotation: tpch_q20 (correlated scalar subquery — q2/q11
+#: keep that shape in-window) ceded its slot to pipe_embed_semdedup
+#: (cluster-bounded semantic dedup — a NEW operator family this round).
 DRIVER_WINDOW: list[str] = [
-    # TPC-H (13 of 22 — q4/q12/q13/q14/q15/q16/q17/q19 below the window)
+    # TPC-H (12 of 22 — q4/q12/q13/q14/q15/q16/q17/q19/q20 below the window)
     "tpch_q1",
     "tpch_q2",
     "tpch_q3",
@@ -58,7 +61,6 @@ DRIVER_WINDOW: list[str] = [
     "tpch_q10",
     "tpch_q11",
     "tpch_q18",
-    "tpch_q20",
     "tpch_q21",
     "tpch_q22",
     # TPC-DS shapes (8 of 22 — the rest follow below the window)
@@ -102,6 +104,7 @@ DRIVER_WINDOW: list[str] = [
     "pipe_decontaminate",
     "pipe_pii_redact",
     "pipe_embed_quantize",
+    "pipe_embed_semdedup",
 ]
 
 
