@@ -898,3 +898,30 @@ def cov_rcfile_scan(spark, sf_dir):
     return read_rcfile(
         spark, fixture, "n_nationkey bigint, n_name string, n_regionkey bigint"
     )
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "cov_lzo_scan",
+    oracle="""
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+""",
+)
+def cov_lzo_scan(spark, sf_dir):
+    """LZO text scan (SURVEY §2.1; hdfs-lzo-text-scanner.cc — the
+    reference only dlopens an external libimpalalzo.so plugin for this
+    format; here the codec itself is implemented): the nation table
+    round-trips through an lzop fixture (pure-Python LZO1X-1 codec,
+    sources/lzo.py) and must parse back value-identical to the parquet
+    original.  The scan is block-split via the hadoop-lzo style .index
+    sidecar — same parallelism model as DeprecatedLzoTextInputFormat."""
+    import os
+
+    from impala_cut_spark.sources.lzo import read_lzo_text, write_lzo_text
+
+    fixture = f"/tmp/impala_cut_spark_fixtures/lzo_nation_{os.path.basename(os.path.normpath(sf_dir))}.lzo"
+    if not os.path.exists(fixture):
+        write_lzo_text(t(spark, sf_dir, "nation"), fixture)
+    return read_lzo_text(
+        spark, fixture, "n_nationkey bigint, n_name string, n_regionkey bigint"
+    )

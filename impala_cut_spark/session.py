@@ -186,6 +186,16 @@ class ImpalaSession:
                         self.spark, path, schema,
                         sep=(sep or ",").replace("''", "'"),
                     )
+                elif fmt == "lzotext":
+                    # the reference's LZO_TEXT format (HdfsFileFormat.java:29,
+                    # input class DeprecatedLzoTextInputFormat) — here the
+                    # pure-Python lzop reader, block-split via .index
+                    from impala_cut_spark.sources.lzo import read_lzo_text
+
+                    df = read_lzo_text(
+                        self.spark, path, schema,
+                        sep=(sep or ",").replace("''", "'"),
+                    )
                 else:
                     from impala_cut_spark.sources.rcfile import read_rcfile
 
@@ -320,7 +330,7 @@ class ImpalaSession:
         r"^\s*create\s+(?:external\s+)?table\s+(?:if\s+not\s+exists\s+)?"
         r"([A-Za-z_][\w.]*)\s*(\((?:[^()]|\([^()]*\))*\))?\s*"
         r"(?:row\s+format\s+delimited\s+fields\s+terminated\s+by\s+'((?:[^']|'')*)'\s*)?"
-        r"stored\s+as\s+(avro|sequencefile|rcfile)\b.*?"
+        r"stored\s+as\s+(avro|sequencefile|rcfile|lzotext)\b.*?"
         r"\blocation\s+'((?:[^']|'')*)'",
         re.IGNORECASE | re.DOTALL,
     )

@@ -1,0 +1,252 @@
+"""LZO scanner (sources/lzo.py): LZO1X-1 codec round-trip, hand-built
+stream vectors, lzop container integrity, block-index splits, DDL
+mount — the hdfs-lzo-text-scanner.cc analogue (the reference dlopens
+an external plugin for this format; here the codec is real)."""
+
+from __future__ import annotations
+
+import os
+import struct
+import zlib
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from impala_cut_spark.sources.lzo import (
+    LZOP_MAGIC,
+    lzo1x_compress,
+    lzo1x_decompress,
+    lzop_block_offsets,
+    read_lzo_text,
+    read_lzop,
+    write_lzo_text,
+    write_lzop,
+)
+
+# ---------------------------------------------------------------------------
+# codec
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "payload",
+    [
+        b"",
+        b"a",
+        b"ab",
+        b"abc",
+        b"abcd",
+        b"a" * 4,
+        b"a" * 1000,
+        b"abcabcabcabc",
+        b"hello world " * 500,
+        (b"x" * 300 + b"y" * 5 + b"x" * 300) * 20,
+        bytes(range(256)) * 40,
+    ],
+)
+def test_codec_roundtrip_cases(payload):
+    assert lzo1x_decompress(lzo1x_compress(payload), len(payload)) == payload
+
+
+def test_codec_long_distance_matches():
+    """M3 (dist ≤ 0x4000) and M4 (dist ≤ 0xBFFF) shapes both fire and
+    round-trip: a repeated block beyond each distance class."""
+    import random
+
+    rng = random.Random(7)
+    blk = bytes(rng.randrange(256) for _ in range(800))
+    for gap in (1000, 3900, 20000, 40000):
+        payload = blk + bytes(rng.randrange(256) for _ in range(gap)) + blk
+        comp = lzo1x_compress(payload)
+        assert lzo1x_decompress(comp, len(payload)) == payload
+        if gap <= 40000:
+            assert len(comp) < len(payload)  # the far block matched
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.one_of(
+        st.binary(max_size=4096),
+        st.text(alphabet="abAB,\n", max_size=4096).map(str.encode),
+    )
+)
+def test_codec_roundtrip_property(payload):
+    assert lzo1x_decompress(lzo1x_compress(payload), len(payload)) == payload
+
+
+def test_decoder_handcrafted_vectors():
+    """Streams written by hand from the public grammar — decoder parity
+    is against the FORMAT, not this module's own compressor."""
+    # initial short run (first byte 17+L), then EOF
+    assert lzo1x_decompress(b"\x12A\x11\x00\x00") == b"A"
+    # main-loop literal run code t=1 → 4 literals
+    assert lzo1x_decompress(b"\x01WXYZ\x11\x00\x00") == b"WXYZ"
+    # run of 4 then an M2 match len 3 dist 1 (op 0x40|((0)<<2)=0x40,b2=0)
+    # = "abcd" + "ddd"
+    assert lzo1x_decompress(b"\x01abcd\x40\x00\x11\x00\x00") == b"abcdddd"
+    # M2 with 2 trailing literals folded in the opcode's low bits
+    # 0x40|2: match len3 dist1 then literals "XY", forced-match EOF
+    assert lzo1x_decompress(b"\x01abcd\x42\x00XY\x11\x00\x00") == b"abcdd" + b"ddXY"
+    # zero-extended literal run: 0x00 then len byte 1 → 3+15+1 = 19
+    assert (
+        lzo1x_decompress(b"\x00\x01" + b"q" * 19 + b"\x11\x00\x00") == b"q" * 19
+    )
+    # M3: run "abcd", then 32|1 (len 3), b1=(dist-1&0x3F)<<2 dist=4
+    assert lzo1x_decompress(b"\x01abcd\x21\x0c\x00\x11\x00\x00") == b"abcdabc"
+
+
+def test_decoder_rejects_corrupt_streams():
+    with pytest.raises(ValueError):
+        lzo1x_decompress(b"\x01abcd")  # truncated: no EOF marker
+    with pytest.raises(ValueError):
+        lzo1x_decompress(b"\x01abcd\x40\xff\x11\x00\x00")  # dist > written
+    with pytest.raises(ValueError):
+        # EOF claims 9 bytes were written but only 4 are
+        lzo1x_decompress(b"\x01abcd\x11\x00\x00", expected_len=9)
+
+
+# ---------------------------------------------------------------------------
+# lzop container
+# ---------------------------------------------------------------------------
+
+
+def test_lzop_roundtrip_and_blocks(tmp_path):
+    p = str(tmp_path / "t.lzo")
+    data = b"the quick brown fox\n" * 4000
+    write_lzop(data, p, block_size=4096)
+    assert read_lzop(p) == data
+    offs = lzop_block_offsets(p)
+    assert len(offs) == (len(data) + 4095) // 4096
+    # offsets from the .index sidecar == offsets from a header walk
+    os.remove(p + ".index")
+    assert lzop_block_offsets(p) == offs
+
+
+def test_lzop_stores_incompressible_blocks_raw(tmp_path):
+    import random
+
+    p = str(tmp_path / "r.lzo")
+    rng = random.Random(3)
+    data = bytes(rng.randrange(256) for _ in range(10000))
+    write_lzop(data, p, block_size=4096)
+    # raw-stored: comp_len == uncomp_len in at least one block header
+    with open(p, "rb") as f:
+        f.seek(len(LZOP_MAGIC))
+        f.seek(lzop_block_offsets(p)[0])
+        u, c = struct.unpack(">II", f.read(8))
+    assert u == c  # random bytes don't compress → stored raw
+    assert read_lzop(p) == data
+
+
+def test_lzop_detects_block_corruption(tmp_path):
+    p = str(tmp_path / "c.lzo")
+    write_lzop(b"abcd" * 1000, p, block_size=1024)
+    raw = bytearray(open(p, "rb").read())
+    raw[-20] ^= 0xFF  # flip a data byte in the last block
+    open(p, "wb").write(bytes(raw))
+    with pytest.raises(ValueError):
+        read_lzop(p)
+
+
+def test_lzop_rejects_bad_magic_and_header(tmp_path):
+    p = str(tmp_path / "bad.lzo")
+    open(p, "wb").write(b"NOTLZO" + b"\x00" * 40)
+    with pytest.raises(ValueError, match="magic"):
+        read_lzop(p)
+    # valid magic, corrupted header checksum
+    write_lzop(b"x" * 100, p)
+    raw = bytearray(open(p, "rb").read())
+    raw[len(LZOP_MAGIC) + 2] ^= 0x55
+    open(p, "wb").write(bytes(raw))
+    with pytest.raises(ValueError, match="checksum"):
+        read_lzop(p)
+
+
+def test_lzop_adler32_matches_zlib(tmp_path):
+    """The block checksum is the standard adler32 (lzop F_ADLER32_D)."""
+    p = str(tmp_path / "a.lzo")
+    data = b"payload-123" * 10
+    write_lzop(data, p, block_size=1 << 20)
+    off = lzop_block_offsets(p)[0]
+    with open(p, "rb") as f:
+        f.seek(off + 8)
+        stored = struct.unpack(">I", f.read(4))[0]
+    assert stored == (zlib.adler32(data, 1) & 0xFFFFFFFF)
+
+
+# ---------------------------------------------------------------------------
+# Spark bridge
+# ---------------------------------------------------------------------------
+
+
+def _roundtrip(spark, path, rows, schema, **opts):
+    df = spark.createDataFrame(rows, schema)
+    write_lzo_text(df, path, **opts)
+    back = read_lzo_text(spark, path, schema, **opts)
+    key = repr
+    return sorted(map(tuple, df.collect()), key=key), sorted(
+        map(tuple, back.collect()), key=key
+    )
+
+
+def test_spark_roundtrip(spark, tmp_path):
+    want, got = _roundtrip(
+        spark,
+        str(tmp_path / "t.lzo"),
+        [(1, "alpha", 1.5), (2, "be,ta", -0.25), (3, None, None)],
+        "id bigint, name string, x double",
+    )
+    assert got == want
+
+
+def test_spark_multiblock_split_scan(spark, tmp_path):
+    """A file with many blocks scans block-parallel and loses nothing:
+    the split-descriptor path (the 100 TB design) is the one under
+    test, so force multiple blocks with a tiny block_size."""
+    from impala_cut_spark.sources.lzo import write_lzop
+
+    p = str(tmp_path / "m.lzo")
+    lines = [f"{i},name_{i}" for i in range(5000)]
+    write_lzop(("\n".join(lines) + "\n").encode(), p, block_size=2048)
+    assert len(lzop_block_offsets(p)) > 10
+    df = read_lzo_text(spark, p, "id bigint, name string")
+    assert df.count() == 5000
+    assert df.agg({"id": "sum"}).collect()[0][0] == sum(range(5000))
+
+
+def test_spark_split_aligned_newlines(spark, tmp_path):
+    """Adversarial alignment: every block boundary lands EXACTLY on a
+    newline (8-byte lines, 64-byte blocks) — the case where a naive
+    skip-first-line reader double-drops rows."""
+    from impala_cut_spark.sources.lzo import write_lzop
+
+    p = str(tmp_path / "al.lzo")
+    lines = [f"{i:06d}" for i in range(400)]  # 6 chars, 8 with ",\n"? no: 7
+    payload = ("\n".join(f"{l},x" for l in lines) + "\n").encode()
+    assert len("000000,x\n") == 9
+    write_lzop(payload, p, block_size=9 * 8)  # boundary every 8 lines
+    df = read_lzo_text(spark, p, "id string, s string")
+    got = sorted(r[0] for r in df.select("id").collect())
+    assert got == sorted(lines)
+
+
+def test_ddl_mount_stored_as_lzotext(spark, tmp_path):
+    """CREATE TABLE … STORED AS LZOTEXT LOCATION mounts the reader —
+    the DDL twin of the reference's LZO_TEXT HdfsFileFormat
+    (HdfsFileFormat.java:29)."""
+    from impala_cut_spark.session import ImpalaSession
+
+    p = str(tmp_path / "n.lzo")
+    payload = "1,one\n2,two\n3,\\N\n".encode()
+    write_lzop(payload, p)
+    sess = ImpalaSession(spark)
+    sess.sql(
+        f"create external table lzo_mounted (id bigint, s string) "
+        f"stored as lzotext location '{p}'"
+    )
+    got = sorted(
+        map(tuple, spark.sql("select * from lzo_mounted").collect())
+    )
+    assert got == [(1, "one"), (2, "two"), (3, None)]
+    spark.catalog.dropTempView("lzo_mounted")
