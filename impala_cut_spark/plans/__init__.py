@@ -49,8 +49,13 @@ from impala_cut_spark.plans import perf  # noqa: E402,F401
 #: Second r4 rotation: tpch_q20 (correlated scalar subquery — q2/q11
 #: keep that shape in-window) ceded its slot to pipe_embed_semdedup
 #: (cluster-bounded semantic dedup — a NEW operator family this round).
+#: Third r4 rotation: tpch_q22 (NOT EXISTS + scalar avg subquery —
+#: matched on 0 rows at sf0.01, the weakest evidence in the window;
+#: cov_join_all keeps anti-join and q21 keeps exists in-window) ceded
+#: its slot to cov_lzo_scan (the new LZO scanner — a format family
+#: with no other window row).
 DRIVER_WINDOW: list[str] = [
-    # TPC-H (12 of 22 — q4/q12/q13/q14/q15/q16/q17/q19/q20 below the window)
+    # TPC-H (11 of 22 — q4/q12/q13/q14/q15/q16/q17/q19/q20/q22 below)
     "tpch_q1",
     "tpch_q2",
     "tpch_q3",
@@ -62,7 +67,6 @@ DRIVER_WINDOW: list[str] = [
     "tpch_q11",
     "tpch_q18",
     "tpch_q21",
-    "tpch_q22",
     # TPC-DS shapes (8 of 22 — the rest follow below the window)
     "tpcds_q3",
     "tpcds_q8",
@@ -86,6 +90,7 @@ DRIVER_WINDOW: list[str] = [
     "cov_fn_decimal",
     "cov_events_daily",
     "cov_external_scan",
+    "cov_lzo_scan",
     # LLM-pipeline + streaming operators (one row each)
     "pipe_text_all",
     "pipe_dedup_exact",
