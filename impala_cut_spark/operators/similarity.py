@@ -913,3 +913,164 @@ def semdedup(
             F.when(F.col("_dup").isNull(), 1).otherwise(0).alias("keep"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the IVF-PQ compression path
+# ---------------------------------------------------------------------------
+
+#: frozen PQ codebook = subvectors of these 16 corpus rows (disjoint
+#: from IVF_FIXED_CENTROID_IDS so the two frozen quantizers differ)
+PQ_FIXED_CODE_IDS = tuple(11 + i * 13 for i in range(16))
+PQ_SUBSPACES = 8
+
+
+def _pq_codebooks(
+    embeddings: DataFrame, dim: int, m: int, code_ids: tuple[int, ...]
+) -> list[list[list[float]]]:
+    """books[s][j] = subvector s of frozen-codebook row j (j ordered by
+    vec_id, 0-based here / 1-based as emitted codes).  Bounded collect
+    by contract: len(code_ids) rows — the codebook of a production PQ
+    index is trained once and shipped to every executor as literals."""
+    sub = dim // m
+    rows = (
+        embeddings.filter(F.col("vec_id").isin(list(code_ids)))
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    return [
+        [[float(x) for x in r["embedding"][s * sub : (s + 1) * sub]] for r in rows]
+        for s in range(m)
+    ]
+
+
+def _seq_sq(v: list[float]) -> float:
+    acc = 0.0
+    for x in v:  # sequential fold — matches DuckDB list_dot_product
+        acc = acc + x * x
+    return acc
+
+
+def _pq_dists(books: list[list[list[float]]], s: int, sub: int) -> Column:
+    """Array of 16 shifted distances round(‖c‖² − 2·(sv_s·c), 6) from
+    this row's subvector s to each codebook entry."""
+    sv = F.slice(F.col("embedding"), s * sub + 1, sub)
+    return F.array(
+        *[
+            F.round(
+                F.lit(_seq_sq(c)) - 2.0 * dot(sv, F.array(*[F.lit(x) for x in c])),
+                6,
+            )
+            for c in books[s]
+        ]
+    )
+
+
+def _pq_code(dists: Column) -> Column:
+    """1-based argmin with ties to the lowest code id (array_position
+    returns the FIRST index of the min — the same tie rule as the
+    oracle's ORDER BY d, j)."""
+    return F.array_position(dists, F.array_min(dists)).cast("int")
+
+
+def pq_encode_fixed(
+    embeddings: DataFrame,
+    dim: int = 64,
+    m: int = PQ_SUBSPACES,
+    code_ids: tuple[int, ...] = PQ_FIXED_CODE_IDS,
+) -> DataFrame:
+    """Product-quantization encode against a FROZEN codebook: split
+    each vector into ``m`` subvectors, store per subspace the 1-based
+    id of the nearest of 16 codebook subvectors — 64 floats become 8
+    small ints (32× compression), the payload an IVF-PQ index scans.
+
+    The codebook is frozen corpus subvectors (PQ_FIXED_CODE_IDS), the
+    production query-time shape — a real index trains its codebook
+    once at build time; k-means-training it is the same Lloyd's loop
+    as train_ivf_centroids run per subspace.  Frozen literals make the
+    whole encode DuckDB-replayable: argmin over
+    round(‖c‖² − 2·(sv·c), 6) with ties to the lowest code id — the
+    same affine argmin trick as ivf_topk_fixed (the ‖sv‖² term is
+    constant per (row, subspace) and cannot change the argmin).
+
+    Scale: pure JVM expressions over array slices — a narrow map at
+    scan speed, no shuffle, no Python.  Output: vec_id, codes
+    (concat_ws string — driver-window-safe), recon_err (round 4 —
+    Σ_s ‖sv_s − c_code‖², the quantization distortion; its components
+    are rounded to 6dp so both engines sum identical doubles in the
+    same order).
+    """
+    books = _pq_codebooks(embeddings, dim, m, code_ids)
+    sub = dim // m
+    code_cols = []
+    err_terms = []
+    for s in range(m):
+        sv = F.slice(F.col("embedding"), s * sub + 1, sub)
+        dists = _pq_dists(books, s, sub)
+        code_cols.append(_pq_code(dists).alias(f"c{s}"))
+        err_terms.append(F.round(dot(sv, sv), 6) + F.array_min(dists))
+    out = embeddings.select("vec_id", *code_cols, *[
+        e.alias(f"_e{s}") for s, e in enumerate(err_terms)
+    ])
+    err = F.col("_e0")
+    for s in range(1, m):
+        err = err + F.col(f"_e{s}")  # fixed left-assoc order, both engines
+    return out.select(
+        "vec_id",
+        F.concat_ws(",", *[F.col(f"c{s}") for s in range(m)]).alias("codes"),
+        F.round(err, 4).alias("recon_err"),
+    )
+
+
+def pq_adc_topk_fixed(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    m: int = PQ_SUBSPACES,
+    code_ids: tuple[int, ...] = PQ_FIXED_CODE_IDS,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes — how an IVF-PQ
+    index scores candidates: the query stays full-precision, each
+    corpus vector is its 8 codes, and distance is Σ_s table_s[code_s]
+    from a per-query lookup table of query-subvector-to-centroid
+    distances (8×16 doubles per query, built once).
+
+    The emitted ``adc`` is the shifted key Σ_s round(‖c‖²−2·(q_s·c),6)
+    — the true ADC distance minus the per-query constant Σ_s ‖q_s‖²,
+    so ranking is identical and every summand is an exactly-rounded
+    double both engines reproduce (round 4 on the sum absorbs
+    accumulation residue).  Ties break by n_id ascending.
+
+    Scale: corpus side carries ONLY (vec_id, 8 codes) — the entire
+    point of PQ: a 100 TB float corpus becomes ~3 TB of codes scanned
+    at memory bandwidth; the query table (|Q|·m·16 doubles) broadcasts.
+    One shuffle for the per-query top-k.
+    """
+    books = _pq_codebooks(embeddings, dim, m, code_ids)
+    sub = dim // m
+    coded = embeddings.select(
+        F.col("vec_id").alias("n_id"),
+        F.array(*[_pq_code(_pq_dists(books, s, sub)) for s in range(m)]).alias(
+            "codes"
+        ),
+    )
+    # per-query distance table: dt[s] = array of 16 shifted distances
+    qt = queries.select(
+        F.col("vec_id").alias("q_id"),
+        F.array(*[_pq_dists(books, s, sub) for s in range(m)]).alias("dt"),
+    )
+    paired = coded.join(F.broadcast(qt), F.col("n_id") != F.col("q_id"))
+    adc = F.aggregate(
+        F.zip_with(F.col("dt"), F.col("codes"), lambda tbl, c: F.element_at(tbl, c)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = paired.select("q_id", "n_id", F.round(adc, 4).alias("adc"))
+    w = Window.partitionBy("q_id").orderBy(F.asc("adc"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "rank", "adc")
+    )

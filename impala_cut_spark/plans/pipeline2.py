@@ -730,3 +730,117 @@ def pipe_url_dedup(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_raw"), F.countDistinct("canon").alias("n_canonical"))
         .orderBy("host")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (IVF-PQ compression path)
+# ---------------------------------------------------------------------------
+
+
+def _pq_oracle_ctes() -> str:
+    """Shared CTE block: frozen codebook rows + per-subspace shifted
+    distances and argmin codes, the exact arithmetic of
+    similarity.pq_encode_fixed (round-6 affine distances, ties to the
+    lowest 1-based code id)."""
+    from impala_cut_spark.operators.similarity import PQ_FIXED_CODE_IDS, PQ_SUBSPACES
+    from impala_cut_spark.plans.pipeline import _SQL_VECS
+
+    ids = ", ".join(str(i) for i in PQ_FIXED_CODE_IDS)
+    sub = 64 // PQ_SUBSPACES
+    parts = [
+        _SQL_VECS,
+        f"books AS (SELECT row_number() OVER (ORDER BY vec_id) AS j, e AS be\n"
+        f"           FROM v WHERE vec_id IN ({ids}))",
+    ]
+    for s in range(PQ_SUBSPACES):
+        a, b = s * sub + 1, (s + 1) * sub
+        parts.append(
+            f"d{s} AS (SELECT n.vec_id, b.j,\n"
+            f"  round(list_dot_product(b.be[{a}:{b}], b.be[{a}:{b}])\n"
+            f"        - 2.0 * list_dot_product(n.e[{a}:{b}], b.be[{a}:{b}]), 6) AS d\n"
+            f"  FROM v n CROSS JOIN books b)"
+        )
+        parts.append(
+            f"a{s} AS (SELECT vec_id, j AS code, d FROM (\n"
+            f"  SELECT vec_id, j, d,\n"
+            f"         row_number() OVER (PARTITION BY vec_id ORDER BY d, j) AS rn\n"
+            f"  FROM d{s}) WHERE rn = 1)"
+        )
+    return ",\n".join(parts)
+
+
+def _pq_encode_oracle() -> str:
+    from impala_cut_spark.operators.similarity import PQ_SUBSPACES
+
+    sub = 64 // PQ_SUBSPACES
+    codes = ", ".join(f"a{s}.code" for s in range(PQ_SUBSPACES))
+    joins = "\n".join(
+        f"JOIN a{s} ON a{s}.vec_id = n.vec_id" for s in range(PQ_SUBSPACES)
+    )
+    err = " + ".join(
+        f"(round(list_dot_product(n.e[{s*sub+1}:{(s+1)*sub}],"
+        f" n.e[{s*sub+1}:{(s+1)*sub}]), 6) + a{s}.d)"
+        for s in range(PQ_SUBSPACES)
+    )
+    return f"""
+WITH {_pq_oracle_ctes()}
+SELECT n.vec_id, concat_ws(',', {codes}) AS codes,
+       round({err}, 4) AS recon_err
+FROM v n
+{joins}
+"""
+
+
+@query("pipe_embed_pq", oracle=_pq_encode_oracle())
+def pipe_embed_pq(spark, sf_dir):
+    """Product-quantization encode (similarity.pq_encode_fixed): 64-d
+    float vectors → 8 codebook codes (32× compression), the payload an
+    IVF-PQ index stores per vector.  Frozen corpus-subvector codebook
+    (the production query-time shape — trained once at index build),
+    which the DuckDB oracle replays end-to-end: per-subspace round-6
+    affine argmin, tie-to-lowest-code, reconstruction distortion.
+    Narrow JVM map, no shuffle, scan-speed at 100 TB."""
+    emb = t(spark, sf_dir, "embeddings")
+    return similarity.pq_encode_fixed(emb)
+
+
+def _pq_adc_oracle() -> str:
+    from impala_cut_spark.operators.similarity import PQ_SUBSPACES
+
+    cols = ", ".join(f"a{s}.code AS c{s}" for s in range(PQ_SUBSPACES))
+    joins = "\n".join(
+        f"JOIN a{s} ON a{s}.vec_id = n.vec_id" for s in range(PQ_SUBSPACES)
+    )
+    djoins = "\n".join(
+        f"JOIN d{s} t{s} ON t{s}.vec_id = p.q_id AND t{s}.j = p.c{s}"
+        for s in range(PQ_SUBSPACES)
+    )
+    adc = " + ".join(f"t{s}.d" for s in range(PQ_SUBSPACES))
+    return f"""
+WITH {_pq_oracle_ctes()},
+corpus AS (SELECT n.vec_id AS n_id, {cols} FROM v n {joins}),
+pairs AS (SELECT q.vec_id AS q_id, c.*
+          FROM v q CROSS JOIN corpus c
+          WHERE q.vec_id < 5 AND c.n_id <> q.vec_id),
+scored AS (SELECT p.q_id, p.n_id, round({adc}, 4) AS adc
+           FROM pairs p
+           {djoins}),
+r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc, n_id) AS rank
+      FROM scored)
+SELECT q_id, n_id, rank, adc FROM r WHERE rank <= 5
+"""
+
+
+@query("pipe_ann_pq", oracle=_pq_adc_oracle())
+def pipe_ann_pq(spark, sf_dir):
+    """ADC top-k over PQ codes (similarity.pq_adc_topk_fixed) — the
+    scoring loop of an IVF-PQ index: full-precision query, 8-code
+    corpus rows, distance = Σ_s table_s[code_s] from a broadcast
+    per-query lookup table.  The adc value is the per-query-shifted
+    key (Σ ‖q_s‖² omitted — constant per query, ranking-identical),
+    every summand an exactly-rounded double the DuckDB oracle
+    reproduces.  Corpus side scans codes only: the 100 TB float corpus
+    is ~3 TB of codes at ADC time."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.pq_adc_topk_fixed(emb, queries, k=5)

@@ -9,6 +9,7 @@ canonical pair order, stub behavior).
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from impala_cut_spark.operators import corpus, dedup, multimodal, similarity
 from impala_cut_spark.sources.catalog import load_table
@@ -773,3 +774,86 @@ class TestSemDeDup:
             assert out[vj].cid == cid[j]
             n_dup += 1 - want_keep
         assert n_dup > 0, "synthetic corpus should contain semantic dups"
+
+
+class TestProductQuantization:
+    """PQ encode + ADC (similarity.pq_encode_fixed / pq_adc_topk_fixed):
+    semantic properties the DuckDB oracle can't express — distortion
+    quality and ADC-vs-exact recall."""
+
+    def test_codes_shape_and_range(self, emb):
+        out = similarity.pq_encode_fixed(emb).collect()
+        assert len(out) == emb.count()
+        for r in out:
+            codes = [int(c) for c in r.codes.split(",")]
+            assert len(codes) == similarity.PQ_SUBSPACES
+            assert all(1 <= c <= 16 for c in codes)
+            assert r.recon_err >= 0
+
+    def test_codebook_rows_encode_to_themselves(self, emb):
+        """A vector that IS codebook row j must encode to code j in
+        every subspace with ~zero distortion (the round-6 affine
+        argmin can't miss its own subvector)."""
+        out = {
+            r.vec_id: r
+            for r in similarity.pq_encode_fixed(emb)
+            .filter(F.col("vec_id").isin(list(similarity.PQ_FIXED_CODE_IDS)))
+            .collect()
+        }
+        for j, vid in enumerate(similarity.PQ_FIXED_CODE_IDS, start=1):
+            codes = [int(c) for c in out[vid].codes.split(",")]
+            assert codes == [j] * similarity.PQ_SUBSPACES, (vid, codes)
+            assert abs(out[vid].recon_err) < 1e-3
+
+    def test_distortion_beats_degenerate_codebook(self, emb):
+        """Mean reconstruction error with the 16-entry codebook must
+        beat a 1-entry codebook (everything mapped to one centroid) —
+        i.e. the per-subspace argmin is actually selective."""
+        full = (
+            similarity.pq_encode_fixed(emb)
+            .agg(F.avg("recon_err"))
+            .collect()[0][0]
+        )
+        one = (
+            similarity.pq_encode_fixed(
+                emb, code_ids=(similarity.PQ_FIXED_CODE_IDS[0],) * 1
+            )
+            .agg(F.avg("recon_err"))
+            .collect()[0][0]
+        )
+        assert full < one, (full, one)
+
+    def test_adc_ranking_beats_chance(self, emb):
+        """ADC over 8×16 codes must rank true neighbors far better
+        than chance.  The synthetic embeddings are near-uniform on the
+        sphere (even a 15-iteration per-subspace Lloyd's codebook
+        leaves ~54% distortion and recall@5 ≈ 0.08 — measured), so a
+        production-style recall floor is unattainable ON THIS DATA by
+        ANY 32-bit PQ; what is testable is better-than-chance
+        neighborhood preservation.  Chance recall@5-of-499 ≈ 0.01;
+        the frozen codebook measures 0.16 at @5 and 0.30 for
+        exact-top5 ⊆ adc-top-25.  Exactness of the encode/ADC math is
+        separately oracle-checked bit-for-bit (pipe_embed_pq /
+        pipe_ann_pq)."""
+        probe = emb.filter(F.col("vec_id") < 10)
+        exact = {
+            (r.q_id, r.n_id)
+            for r in similarity.brute_force_topk(emb, probe, k=5).collect()
+        }
+        adc5 = {
+            (r.q_id, r.n_id)
+            for r in similarity.pq_adc_topk_fixed(emb, probe, k=5).collect()
+        }
+        adc25 = {
+            (r.q_id, r.n_id)
+            for r in similarity.pq_adc_topk_fixed(emb, probe, k=25).collect()
+        }
+        assert len(adc5 & exact) / len(exact) >= 0.05  # ≥5× chance
+        assert len(adc25 & exact) / len(exact) >= 0.15
+
+    def test_adc_is_plan_narrow(self, emb):
+        """The corpus side of ADC must carry codes only (no embedding
+        column after the code projection) and the query table must
+        broadcast — the 100 TB contract."""
+        plan = similarity.pq_adc_topk_fixed(emb, emb.limit(3))._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
