@@ -1074,3 +1074,86 @@ def pq_adc_topk_fixed(
         .filter(F.col("rank") <= k)
         .select("q_id", "n_id", "rank", "adc")
     )
+
+
+def ivfpq_topk_fixed(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    m: int = PQ_SUBSPACES,
+    centroid_ids: tuple[int, ...] = IVF_FIXED_CENTROID_IDS,
+    code_ids: tuple[int, ...] = PQ_FIXED_CODE_IDS,
+    n_probe: int = IVF_FIXED_N_PROBE,
+) -> DataFrame:
+    """IVF-PQ: the production 100 TB ANN architecture end-to-end —
+    coarse quantizer prunes the corpus to ``n_probe``/16 cells, PQ
+    codes replace the vectors inside each cell, ADC scores
+    candidates.  Composition of ivf_topk_fixed's assignment/probing
+    and pq_adc_topk_fixed's code scan, both against FROZEN quantizers,
+    so the whole pipeline stays DuckDB-replayable.
+
+    This is the shared-codebook (non-residual) IVF-PQ variant: codes
+    quantize the raw vector, not the cell residual (FAISS's default
+    residual encoding would need a per-cell codebook — the frozen
+    shared codebook keeps the oracle exact; recall cost of skipping
+    residuals is modest at 16 cells and documented in tests).
+
+    Scale shape: the corpus carries (cid, 8 codes) ONLY — with the
+    index materialized cid-partitioned (build_ivf_index's layout),
+    a query reads n_probe/16 of ~3% of the original bytes; the
+    query-side probe lists and distance tables broadcast; one shuffle
+    for the final per-query top-k.
+    """
+    books = _pq_codebooks(embeddings, dim, m, code_ids)
+    sub = dim // m
+    cent_rows = (
+        embeddings.filter(F.col("vec_id").isin(list(centroid_ids)))
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    cents = [[float(x) for x in r["embedding"]] for r in cent_rows]
+    cc = [_seq_sq(c) for c in cents]
+
+    cdists = _rounded_centroid_dists(F.col("embedding"), cents, cc)
+    nearest = F.array_position(cdists, F.array_min(cdists)).cast("int")
+    corpus = embeddings.select(
+        F.col("vec_id").alias("n_id"),
+        nearest.alias("cid"),
+        F.array(*[_pq_code(_pq_dists(books, s, sub)) for s in range(m)]).alias(
+            "codes"
+        ),
+    )
+    probes = F.slice(
+        F.transform(
+            F.array_sort(
+                F.transform(
+                    cdists, lambda d, i: F.struct(d.alias("d"), (i + 1).alias("cid"))
+                )
+            ),
+            lambda s: s["cid"],
+        ),
+        1,
+        n_probe,
+    )
+    qt = queries.select(
+        F.col("vec_id").alias("q_id"),
+        F.explode(probes).alias("cid"),
+        F.array(*[_pq_dists(books, s, sub) for s in range(m)]).alias("dt"),
+    )
+    paired = corpus.join(F.broadcast(qt), "cid").filter(
+        F.col("n_id") != F.col("q_id")
+    )
+    adc = F.aggregate(
+        F.zip_with(F.col("dt"), F.col("codes"), lambda tbl, c: F.element_at(tbl, c)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = paired.select("q_id", "n_id", F.round(adc, 4).alias("adc"))
+    w = Window.partitionBy("q_id").orderBy(F.asc("adc"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "rank", "adc")
+    )

@@ -844,3 +844,67 @@ def pipe_ann_pq(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return similarity.pq_adc_topk_fixed(emb, queries, k=5)
+
+
+def _ivfpq_oracle() -> str:
+    from impala_cut_spark.operators.similarity import (
+        IVF_FIXED_CENTROID_IDS,
+        IVF_FIXED_N_PROBE,
+        PQ_SUBSPACES,
+    )
+
+    ivf_ids = ", ".join(str(i) for i in IVF_FIXED_CENTROID_IDS)
+    cols = ", ".join(f"a{s}.code AS c{s}" for s in range(PQ_SUBSPACES))
+    joins = "\n".join(
+        f"JOIN a{s} ON a{s}.vec_id = n.vec_id" for s in range(PQ_SUBSPACES)
+    )
+    djoins = "\n".join(
+        f"JOIN d{s} t{s} ON t{s}.vec_id = p.q_id AND t{s}.j = p.c{s}"
+        for s in range(PQ_SUBSPACES)
+    )
+    adc = " + ".join(f"t{s}.d" for s in range(PQ_SUBSPACES))
+    return f"""
+WITH {_pq_oracle_ctes()},
+cents AS (SELECT row_number() OVER (ORDER BY vec_id) AS cid,
+                 e AS ce, list_dot_product(e, e) AS cc
+          FROM v WHERE vec_id IN ({ivf_ids})),
+cdist AS (SELECT n.vec_id, c.cid,
+                 round(c.cc - 2.0 * list_dot_product(n.e, c.ce), 6) AS d
+          FROM v n CROSS JOIN cents c),
+cassign AS (SELECT vec_id, cid FROM (
+              SELECT vec_id, cid,
+                     row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+              FROM cdist) WHERE rn = 1),
+probes AS (SELECT vec_id AS q_id, cid FROM (
+             SELECT vec_id, cid,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+             FROM cdist WHERE vec_id < 5) WHERE rn <= {IVF_FIXED_N_PROBE}),
+corpus AS (SELECT n.vec_id AS n_id, ca.cid, {cols}
+           FROM v n JOIN cassign ca ON ca.vec_id = n.vec_id
+           {joins}),
+pairs AS (SELECT p.q_id, c.* FROM probes p
+          JOIN corpus c ON c.cid = p.cid
+          WHERE c.n_id <> p.q_id),
+scored AS (SELECT p.q_id, p.n_id, round({adc}, 4) AS adc
+           FROM pairs p
+           {djoins}),
+r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc, n_id) AS rank
+      FROM scored)
+SELECT q_id, n_id, rank, adc FROM r WHERE rank <= 5
+"""
+
+
+@query("pipe_ann_ivfpq", oracle=_ivfpq_oracle())
+def pipe_ann_ivfpq(spark, sf_dir):
+    """IVF-PQ end-to-end (similarity.ivfpq_topk_fixed): the production
+    100 TB ANN architecture — frozen coarse quantizer prunes to
+    4-of-16 cells, frozen shared-codebook PQ codes replace vectors
+    inside cells, broadcast ADC tables score candidates.  The DuckDB
+    oracle replays the whole pipeline: cell assignment, probe lists,
+    per-subspace codes, ADC sums, top-k ties.  Corpus side scans
+    (cid, codes) only; with the cid-partitioned materialized index
+    this is a partition-pruned scan of ~n_probe/16 of ~3% of the
+    original bytes."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.ivfpq_topk_fixed(emb, queries, k=5)

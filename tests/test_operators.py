@@ -857,3 +857,45 @@ class TestProductQuantization:
         broadcast — the 100 TB contract."""
         plan = similarity.pq_adc_topk_fixed(emb, emb.limit(3))._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+class TestIvfPq:
+    """ivfpq_topk_fixed: composition contract with its two parts."""
+
+    def test_adc_values_match_full_adc(self, emb):
+        """Every IVF-PQ result pair must carry the IDENTICAL adc value
+        the unpruned PQ-ADC path computes for that pair — pruning may
+        drop candidates, never change scores."""
+        probe = emb.filter(F.col("vec_id") < 5)
+        full = {
+            (r.q_id, r.n_id): r.adc
+            for r in similarity.pq_adc_topk_fixed(emb, probe, k=499).collect()
+        }
+        got = similarity.ivfpq_topk_fixed(emb, probe, k=5).collect()
+        assert len(got) == 5 * probe.count()
+        for r in got:
+            assert full[(r.q_id, r.n_id)] == r.adc
+
+    def test_neighbors_come_from_probed_cells_only(self, emb):
+        """Cell pruning is real: every returned neighbor lives in one
+        of its query's n_probe nearest cells (recomputed independently
+        with numpy from the same frozen centroids)."""
+        import numpy as np
+
+        rows = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+                for r in emb.collect()}
+        cents = np.vstack(
+            [rows[i] for i in sorted(similarity.IVF_FIXED_CENTROID_IDS)]
+        )
+        cc = np.array([(c * c).sum() for c in cents])
+
+        def dists(v):
+            return np.round(cc - 2.0 * (cents @ v), 6)
+
+        probe = emb.filter(F.col("vec_id") < 5)
+        got = similarity.ivfpq_topk_fixed(emb, probe, k=5).collect()
+        for r in got:
+            d_q = dists(rows[r.q_id])
+            probed = set(np.argsort(d_q, kind="stable")[: similarity.IVF_FIXED_N_PROBE] + 1)
+            cell_n = int(np.argmin(dists(rows[r.n_id]))) + 1
+            assert cell_n in probed, (r.q_id, r.n_id, cell_n, probed)
