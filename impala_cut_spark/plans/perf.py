@@ -144,3 +144,33 @@ def perf_web_revenue(spark, sf_dir):
         .orderBy(F.desc("totalrevenue"), F.asc("sourceip"))
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "perf_sort_stress",
+    oracle="""
+SELECT l_partkey, cast(l_extendedprice as double) AS l_extendedprice
+FROM lineitem
+ORDER BY l_shipdate, l_partkey, l_extendedprice
+LIMIT 100
+""",
+    headline=True,
+)
+def perf_sort_stress(spark, sf_dir):
+    """targeted-stress SORT-STRESS-Q1 shape (sort_stress.test:1-12):
+    wide-key ORDER BY over the full fact table + LIMIT, the query the
+    reference runs under a squeezed mem-limit to force its spilling
+    external sort.  Spark-first difference documented: Catalyst plans
+    LIMIT-under-sort as TakeOrderedAndProject — a per-partition
+    bounded heap + single k-row merge that never materializes the full
+    sort at ANY scale (asserted in tests/test_planner_parity.py), so
+    the stress the reference aims at its SpillableSorter simply does
+    not exist on this plan; an unbounded ORDER BY (cov_full_sort)
+    exercises Spark's spillable UnsafeExternalSorter instead."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.orderBy("l_shipdate", "l_partkey", "l_extendedprice")
+        .select("l_partkey", F.col("l_extendedprice").cast("double").alias("l_extendedprice"))
+        .limit(100)
+    )

@@ -49,6 +49,10 @@ SMOKE = {
     "pipe_sessions": "sessionization (1 shuffle)",
     "pipe_events_json": "JSON extract + agg",
     "pipe_mixture_sample": "mixture sample (pushed filter)",
+    # round-4 families
+    "pipe_embed_pq": "PQ encode (narrow map, frozen codebook)",
+    "pipe_ann_ivfpq": "IVF-PQ search (cell prune + code ADC)",
+    "pipe_embed_semdedup": "SemDeDup (cell-bounded cosine self-join)",
 }
 
 #: table -> {column: key_domain}. Columns sharing a domain shift by the
