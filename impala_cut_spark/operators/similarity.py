@@ -974,6 +974,32 @@ def _pq_code(dists: Column) -> Column:
     return F.array_position(dists, F.array_min(dists)).cast("int")
 
 
+def _pq_encode_with_books(
+    embeddings: DataFrame, books: list[list[list[float]]], m: int, sub: int
+) -> DataFrame:
+    """Shared encode plan for frozen and trained codebooks: per-subspace
+    argmin codes + summed reconstruction distortion (fixed left-assoc
+    order — the arithmetic the fixed-codebook oracle replays)."""
+    code_cols = []
+    err_terms = []
+    for s in range(m):
+        sv = F.slice(F.col("embedding"), s * sub + 1, sub)
+        dists = _pq_dists(books, s, sub)
+        code_cols.append(_pq_code(dists).alias(f"c{s}"))
+        err_terms.append(F.round(dot(sv, sv), 6) + F.array_min(dists))
+    out = embeddings.select("vec_id", *code_cols, *[
+        e.alias(f"_e{s}") for s, e in enumerate(err_terms)
+    ])
+    err = F.col("_e0")
+    for s in range(1, m):
+        err = err + F.col(f"_e{s}")
+    return out.select(
+        "vec_id",
+        F.concat_ws(",", *[F.col(f"c{s}") for s in range(m)]).alias("codes"),
+        F.round(err, 4).alias("recon_err"),
+    )
+
+
 def pq_encode_fixed(
     embeddings: DataFrame,
     dim: int = 64,
@@ -1002,25 +1028,7 @@ def pq_encode_fixed(
     same order).
     """
     books = _pq_codebooks(embeddings, dim, m, code_ids)
-    sub = dim // m
-    code_cols = []
-    err_terms = []
-    for s in range(m):
-        sv = F.slice(F.col("embedding"), s * sub + 1, sub)
-        dists = _pq_dists(books, s, sub)
-        code_cols.append(_pq_code(dists).alias(f"c{s}"))
-        err_terms.append(F.round(dot(sv, sv), 6) + F.array_min(dists))
-    out = embeddings.select("vec_id", *code_cols, *[
-        e.alias(f"_e{s}") for s, e in enumerate(err_terms)
-    ])
-    err = F.col("_e0")
-    for s in range(1, m):
-        err = err + F.col(f"_e{s}")  # fixed left-assoc order, both engines
-    return out.select(
-        "vec_id",
-        F.concat_ws(",", *[F.col(f"c{s}") for s in range(m)]).alias("codes"),
-        F.round(err, 4).alias("recon_err"),
-    )
+    return _pq_encode_with_books(embeddings, books, m, dim // m)
 
 
 def pq_adc_topk_fixed(
@@ -1157,3 +1165,56 @@ def ivfpq_topk_fixed(
         .filter(F.col("rank") <= k)
         .select("q_id", "n_id", "rank", "adc")
     )
+
+
+def train_pq_codebooks(
+    embeddings: DataFrame,
+    dim: int = 64,
+    m: int = PQ_SUBSPACES,
+    k: int = 16,
+    iters: int = 10,
+    sample_size: int = 20_000,
+) -> list[list[list[float]]]:
+    """Per-subspace Lloyd's k-means on a deterministic bounded sample —
+    the trained PQ codebook (FAISS ProductQuantizer.train's split:
+    train driver-side on a sample, encode distributedly).  Same
+    sample/init determinism rules as train_ivf_centroids; returns
+    books[s][j] in the layout pq_encode_fixed consumes, so the trained
+    books plug into the same encode/ADC plans as the frozen ones."""
+    n = embeddings.count()
+    step = max(n // sample_size, 1)
+    rows = (
+        embeddings.filter(F.col("vec_id") % step == 0)
+        .orderBy("vec_id")
+        .select("embedding")
+        .limit(sample_size)
+        .collect()
+    )
+    X = np.array([r[0] for r in rows], dtype=np.float64)
+    sub = dim // m
+    books: list[list[list[float]]] = []
+    for s in range(m):
+        Xs = X[:, s * sub : (s + 1) * sub]
+        cents = Xs[:: max(len(Xs) // k, 1)][:k].copy()
+        for _ in range(iters):
+            d2 = -2.0 * Xs @ cents.T + np.sum(cents * cents, axis=1)
+            assign = np.argmin(d2, axis=1)
+            for j in range(len(cents)):
+                members = Xs[assign == j]
+                if len(members):
+                    cents[j] = members.mean(axis=0)
+        books.append([[float(x) for x in c] for c in cents])
+    return books
+
+
+def pq_encode_trained(
+    embeddings: DataFrame,
+    dim: int = 64,
+    m: int = PQ_SUBSPACES,
+) -> DataFrame:
+    """pq_encode_fixed's plan against TRAINED per-subspace codebooks
+    (train_pq_codebooks).  Rows-only correctness check — trained
+    centroids are not SQL-expressible; distortion dominance over the
+    frozen codebook is asserted in tests."""
+    books = train_pq_codebooks(embeddings, dim, m)
+    return _pq_encode_with_books(embeddings, books, m, dim // m)

@@ -908,3 +908,15 @@ def pipe_ann_ivfpq(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return similarity.ivfpq_topk_fixed(emb, queries, k=5)
+
+
+@query("pipe_embed_pq_trained", oracle=None)
+def pipe_embed_pq_trained(spark, sf_dir):
+    """PQ encode with TRAINED per-subspace Lloyd's codebooks
+    (similarity.train_pq_codebooks — bounded-sample driver-side
+    training, the FAISS ProductQuantizer split) — rows-only check
+    (trained centroids are not SQL-expressible); distortion dominance
+    over the frozen codebook asserted in
+    tests/test_operators.py::TestProductQuantization."""
+    emb = t(spark, sf_dir, "embeddings")
+    return similarity.pq_encode_trained(emb)

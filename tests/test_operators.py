@@ -899,3 +899,23 @@ class TestIvfPq:
             probed = set(np.argsort(d_q, kind="stable")[: similarity.IVF_FIXED_N_PROBE] + 1)
             cell_n = int(np.argmin(dists(rows[r.n_id]))) + 1
             assert cell_n in probed, (r.q_id, r.n_id, cell_n, probed)
+
+
+class TestTrainedPq:
+    def test_trained_distortion_dominates_frozen(self, emb):
+        """Lloyd's-trained codebooks must reconstruct better than the
+        frozen corpus-row codebook (the point of training)."""
+        frozen = (
+            similarity.pq_encode_fixed(emb).agg(F.avg("recon_err")).collect()[0][0]
+        )
+        trained = (
+            similarity.pq_encode_trained(emb).agg(F.avg("recon_err")).collect()[0][0]
+        )
+        assert trained < frozen, (trained, frozen)
+
+    def test_trained_codes_well_formed(self, emb):
+        out = similarity.pq_encode_trained(emb).limit(50).collect()
+        for r in out:
+            codes = [int(c) for c in r.codes.split(",")]
+            assert len(codes) == similarity.PQ_SUBSPACES
+            assert all(1 <= c <= 16 for c in codes)
