@@ -920,3 +920,42 @@ def pipe_embed_pq_trained(spark, sf_dir):
     tests/test_operators.py::TestProductQuantization."""
     emb = t(spark, sf_dir, "embeddings")
     return similarity.pq_encode_trained(emb)
+
+
+# ---------------------------------------------------------------------------
+# Streaming semantic near-dup gate
+# ---------------------------------------------------------------------------
+
+
+def _stream_neardup_oracle() -> str:
+    from impala_cut_spark.operators.similarity import NEARDUP_BAND_BITS
+    from impala_cut_spark.plans.pipeline import _SQL_VECS
+
+    bits = " + ".join(
+        f"(CASE WHEN e[{j + 1}] > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(NEARDUP_BAND_BITS)
+    )
+    return f"""
+WITH {_SQL_VECS},
+sgn AS (SELECT vec_id, e, nm, {bits} AS b FROM nv),
+dups AS (SELECT DISTINCT b2.vec_id
+         FROM sgn a JOIN sgn b2
+           ON a.b = b2.b AND a.vec_id < b2.vec_id
+         WHERE round(list_dot_product(a.e, b2.e) / (a.nm * b2.nm), 6) >= 0.9)
+SELECT v.vec_id, CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS keep
+FROM v LEFT JOIN dups d ON d.vec_id = v.vec_id
+"""
+
+
+@query("stream_neardup", oracle=_stream_neardup_oracle())
+def stream_neardup(spark, sf_dir):
+    """Streaming semantic near-dup gate (streaming/neardup.py): a
+    custom applyInPandasWithState operator admitting each arriving
+    vector unless a previously-seen same-LSH-bucket vector has cosine
+    ≥ 0.9 — the online dedup front of a training-data ingest.  The
+    replayed result is oracle-checkable because in-batch processing
+    order is vec_id order: keep=0 ⇔ ∃ lower-id same-bucket vector at
+    round-6 cosine ≥ 0.9, exactly the SQL the oracle runs."""
+    from impala_cut_spark.streaming.neardup import run_stream_neardup
+
+    return run_stream_neardup(spark, sf_dir)

@@ -169,3 +169,56 @@ def test_stream_static_enrich_equals_batch_join(spark, sf_dir):
     )
     want = {(r.segment, r.n, r.revenue) for r in batch.collect()}
     assert got == want
+
+
+class TestStreamNeardup:
+    def test_state_persists_across_micro_batches(self, spark, tmp_path):
+        """The dedup gate must reject a near-duplicate arriving in a
+        LATER micro-batch (per-bucket state carries across batches) —
+        maxFilesPerTrigger=1 forces one parquet file per batch."""
+        import numpy as np
+
+        dim = 64
+        rng = np.random.RandomState(5)
+        base = rng.randn(dim)
+        base /= np.linalg.norm(base)
+        other = rng.randn(dim)
+        other /= np.linalg.norm(other)
+        if all(np.sign(other[:8]) == np.sign(base[:8])):
+            other[0] = -other[0]  # force a different band-0 bucket
+        near = base * 0.99  # same signs, cosine 1.0
+
+        src = tmp_path / "src"
+        src.mkdir()
+
+        def write_one(i, rows):
+            df = spark.createDataFrame(
+                [(int(vid), [float(x) for x in v]) for vid, v in rows],
+                "vec_id long, embedding array<double>",
+            )
+            df.coalesce(1).write.parquet(str(src / f"f{i}"))
+
+        write_one(0, [(0, base), (1, other)])
+        write_one(1, [(2, near), (3, other * 0.98)])
+
+        from impala_cut_spark.streaming.neardup import stream_embedding_neardup
+
+        stream = (
+            spark.readStream.schema("vec_id long, embedding array<double>")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src / "f*"))
+        )
+        q = (
+            stream_embedding_neardup(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("neardup_mb")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {r.vec_id: r.keep for r in spark.table("neardup_mb").collect()}
+        # batch-1 vectors admitted; their batch-2 near-copies rejected
+        assert got == {0: 1, 1: 1, 2: 0, 3: 0}, got
