@@ -134,6 +134,11 @@ class ImpalaSession:
         #: CREATE DATASOURCE registry: name → (location, class, api_version)
         #: (CreateDataSrcStmt; the reference keeps these in the catalog)
         self._data_sources: dict[str, tuple[str, str, str]] = {}
+        #: view name → original SELECT body, recorded at CREATE/ALTER
+        #: VIEW time so SHOW CREATE TABLE can render CREATE VIEW … AS
+        #: with the definition text (ToSqlUtils.getCreateViewSql —
+        #: Spark's temp-view catalog keeps the plan, not the SQL)
+        self._view_defs: dict[str, str] = {}
         # avro scan DDL (STORED AS AVRO … LOCATION) resolves to the
         # pyavro Python DataSource — register it up front
         from impala_cut_spark.sources.avro import register_avro_source
@@ -301,12 +306,28 @@ class ImpalaSession:
         # read options at DDL time, so the policy is captured into
         # text-table CREATEs; read_text_table applies it per-read.
         abort = (self._options.get("abort_on_error") or "").lower() in ("1", "true")
-        return self.spark.sql(
+        out = self.spark.sql(
             rewrite(
                 self._expand_like_file(text),
                 csv_mode="FAILFAST" if abort else None,
             )
         )
+        # record view definitions AFTER a successful execution (a
+        # failed CREATE must not leave a phantom definition behind)
+        m = re.match(
+            r"(?is)^\s*(?:create|alter)\s+view\s+([A-Za-z_]\w*)\s*"
+            r"(?:\([^)]*\)\s*)?as\s+(.*?);?\s*$",
+            text,
+        )
+        if m:
+            self._view_defs[m.group(1).lower()] = m.group(2).strip()
+        m = re.match(
+            r"(?i)^\s*drop\s+view\s+(?:if\s+exists\s+)?([A-Za-z_][\w.]*)\s*;?\s*$",
+            text,
+        )
+        if m:
+            self._view_defs.pop(m.group(1).lower(), None)
+        return out
 
     #: CREATE TABLE t LIKE PARQUET '<hdfs-path>' (sql-parser.y:661-810;
     #: fe/.../analysis/CreateTableLikeFileStmt.java): infer the column
@@ -478,6 +499,13 @@ class ImpalaSession:
         so feeding the rows back through ``sql()`` recreates the table
         (round-trip pinned in tests/test_ddl_alter.py).
         """
+        body = self._view_defs.get(name.lower())
+        if body is not None:
+            # a view renders as its definition (ToSqlUtils
+            # .getCreateViewSql; views-ddl.test), not as a column list
+            return self.spark.createDataFrame(
+                [(f"CREATE VIEW {name} AS",), (body,)], "result string"
+            )
         cols = self.spark.catalog.listColumns(name)
         data_cols = [c for c in cols if not c.isPartition]
         part_cols = [c for c in cols if c.isPartition]
