@@ -698,3 +698,27 @@ def simhash_pairs(
         .select("id_a", "id_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def incremental_dedup(corpus: DataFrame, shard: DataFrame) -> DataFrame:
+    """Merge-dedup a NEW shard against an existing deduplicated
+    corpus: keep a shard document only if its content fingerprint is
+    (a) absent from the corpus and (b) the lowest-doc_id holder of
+    that fingerprint within the shard — the incremental form of
+    exact_dedup_keep_first that a rolling ingest runs per batch
+    instead of re-deduping the whole corpus.
+
+    Scale: the corpus side reduces to DISTINCT fingerprints (in
+    production a materialized fingerprint table maintained across
+    ingests — one narrow column, bucketable by fp so the anti-join is
+    co-located and shuffle-free); the shard shuffles once on fp.
+    """
+    corpus_fp = corpus.select(fingerprint(F.col("text")).alias("fp")).distinct()
+    shard_fp = shard.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+    shard_keep = (
+        shard_fp.groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .join(corpus_fp, "fp", "left_anti")
+        .select("doc_id")
+    )
+    return shard.join(shard_keep, "doc_id", "left_semi")

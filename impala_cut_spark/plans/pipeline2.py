@@ -959,3 +959,50 @@ def stream_neardup(spark, sf_dir):
     from impala_cut_spark.streaming.neardup import run_stream_neardup
 
     return run_stream_neardup(spark, sf_dir)
+
+
+@query(
+    "pipe_dedup_incremental",
+    oracle="""
+WITH corpus AS (SELECT * FROM documents WHERE doc_id % 4 <> 0),
+shard AS (SELECT * FROM documents WHERE doc_id % 4 = 0),
+cfp AS (SELECT DISTINCT md5(trim(lower(text))) AS fp FROM corpus),
+sfp AS (SELECT doc_id, md5(trim(lower(text))) AS fp FROM shard),
+keepers AS (SELECT min(doc_id) AS doc_id FROM sfp s
+            WHERE NOT EXISTS (SELECT 1 FROM cfp c WHERE c.fp = s.fp)
+            GROUP BY fp)
+SELECT s.doc_id, s.lang, s.source
+FROM shard s JOIN keepers k ON k.doc_id = s.doc_id
+""",
+)
+def pipe_dedup_incremental(spark, sf_dir):
+    """Incremental exact dedup (operators/dedup.py incremental_dedup):
+    a new shard (doc_id % 4 = 0) merges against the standing corpus
+    (the rest) — admitted rows are shard docs whose normalized-content
+    fingerprint is new to the corpus AND first within the shard.  The
+    rolling-ingest twin of pipe_dedup_exact: production maintains the
+    corpus fingerprint table across ingests instead of re-deduping
+    100 TB per batch."""
+    docs = t(spark, sf_dir, "documents")
+    corpus_part = docs.filter(F.col("doc_id") % 4 != 0)
+    shard = docs.filter(F.col("doc_id") % 4 == 0)
+    from impala_cut_spark.operators.dedup import incremental_dedup
+
+    return incremental_dedup(corpus_part, shard).select("doc_id", "lang", "source")
+
+
+from impala_cut_spark.plans.registry import REGISTRY as _REG
+
+
+@query("pipe_decontaminate_bloom", oracle=_REG["pipe_decontaminate"].oracle)
+def pipe_decontaminate_bloom(spark, sf_dir):
+    """Bloom-pre-filtered decontamination (corpus.decontaminate_bloom):
+    IDENTICAL result to pipe_decontaminate (no false negatives + exact
+    verify join — same oracle checks both), but corpus shingles probe
+    a 16 KB JVM-side bitmap first, so when the eval battery's shingle
+    set outgrows broadcast (GBs at a full benchmark suite), only the
+    tiny bloom-passing fraction reaches the exact join."""
+    docs = t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("source") == "src0")
+    train = docs.filter(F.col("source") != "src0")
+    return corpus.decontaminate_bloom(train, bench, n=3, min_overlap=5)
