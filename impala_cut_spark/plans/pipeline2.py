@@ -1006,3 +1006,19 @@ def pipe_decontaminate_bloom(spark, sf_dir):
     bench = docs.filter(F.col("source") == "src0")
     train = docs.filter(F.col("source") != "src0")
     return corpus.decontaminate_bloom(train, bench, n=3, min_overlap=5)
+
+
+@query("pipe_tokenize_bpe", oracle=None)
+def pipe_tokenize_bpe(spark, sf_dir):
+    """Real BPE tokenization (operators/tokenizer.py): merges learned
+    from the corpus word-frequency table (driver-side on the bounded
+    top-50k words, like a PQ codebook), then applied distributedly via
+    an Arrow-batched word-cached kernel — per-document token budgets
+    for a training pipeline.  Rows-only (iterative rank-greedy merging
+    is not SQL-expressible); reconstruction/monotonicity properties in
+    tests/test_tokenizer.py."""
+    from impala_cut_spark.operators.tokenizer import bpe_encode, learn_bpe_merges
+
+    docs = t(spark, sf_dir, "documents")
+    merges = learn_bpe_merges(docs, n_merges=200)
+    return bpe_encode(docs, merges)
