@@ -54,8 +54,15 @@ from impala_cut_spark.plans import perf  # noqa: E402,F401
 #: cov_join_all keeps anti-join and q21 keeps exists in-window) ceded
 #: its slot to cov_lzo_scan (the new LZO scanner — a format family
 #: with no other window row).
+#: Fourth r4 rotation — three NEW operator families take the slots of
+#: three item-dimension agg twins (every evicted query keeps its
+#: oracle below the window): tpcds_q42 and tpcds_q19 (both
+#: date⋈fact⋈item brand aggs, the shape tpcds_q3 keeps in-window) →
+#: pipe_ann_ivfpq (composed IVF-PQ search) and stream_neardup
+#: (stateful streaming semantic dedup gate); tpch_q10 (join+agg+topn,
+#: covered by q3/q18) → pipe_embed_pq (product-quantization encode).
 DRIVER_WINDOW: list[str] = [
-    # TPC-H (11 of 22 — q4/q12/q13/q14/q15/q16/q17/q19/q20/q22 below)
+    # TPC-H (10 of 22 — q4/q10/q12/q13/q14/q15/q16/q17/q19/q20/q22 below)
     "tpch_q1",
     "tpch_q2",
     "tpch_q3",
@@ -63,15 +70,12 @@ DRIVER_WINDOW: list[str] = [
     "tpch_q6",
     "tpch_q8",
     "tpch_q9",
-    "tpch_q10",
     "tpch_q11",
     "tpch_q18",
     "tpch_q21",
-    # TPC-DS shapes (8 of 22 — the rest follow below the window)
+    # TPC-DS shapes (6 of 22 — the rest follow below the window)
     "tpcds_q3",
     "tpcds_q8",
-    "tpcds_q19",
-    "tpcds_q42",
     "tpcds_q43",
     "tpcds_q46",
     "tpcds_q59",
@@ -110,6 +114,10 @@ DRIVER_WINDOW: list[str] = [
     "pipe_pii_redact",
     "pipe_embed_quantize",
     "pipe_embed_semdedup",
+    # round-4 families
+    "pipe_embed_pq",
+    "pipe_ann_ivfpq",
+    "stream_neardup",
 ]
 
 
