@@ -252,3 +252,46 @@ def canonicalize_url(url: Column) -> Column:
     trimmed = F.substring(path, 1, F.length(path) - 1)
     path = F.when((F.length(path) > 1) & path.endswith("/"), trimmed).otherwise(path)
     return F.concat(scheme, F.lit("://"), F.coalesce(auth, host), path)
+
+
+def unigram_nll_scores(docs, text_col: str = "text"):
+    """Per-document mean negative log-likelihood under the corpus's
+    own unigram LM — the classic cheap quality/outlier signal (the
+    perplexity-filter proxy of CCNet-style pipeline descriptions,
+    public literature): documents of improbable tokens (boilerplate
+    soup, encoding garbage, wrong-language fragments) score high.
+
+    Model: p(w) = count(w) / total over THIS corpus; score =
+    mean_w −ln p(w).  In production the frequency table is a
+    maintained artifact (computed once per corpus snapshot, like the
+    BPE merge table) rather than recomputed per run.
+
+    Cross-engine determinism: each −ln(n/total) term is rounded to
+    6dp and cast to DECIMAL before the per-doc SUM (exact, order-
+    free), then divided by the token count — the registry AVG rule,
+    so shuffle order can't wiggle low bits.
+
+    Scale: one shuffle builds the frequency table, one shuffle joins
+    words to it (stop-word keys are skewed — AQE skew-join handles
+    it, or broadcast the top-K hot words and shuffle only the tail),
+    one shuffle groups per doc.
+    """
+    from pyspark.sql import functions as F
+
+    words = docs.select("doc_id", F.explode(tokens(F.col(text_col))).alias("w"))
+    freqs = words.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    total = float(freqs.agg(F.sum("n")).collect()[0][0])  # 1-row collect
+    term = F.round(-F.log(F.col("n").cast("double") / F.lit(total)), 6).cast(
+        "decimal(18,6)"
+    )
+    return (
+        words.join(freqs, "w")
+        .select("doc_id", term.alias("nll"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum("nll").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_nll"),
+        )
+    )

@@ -1022,3 +1022,32 @@ def pipe_tokenize_bpe(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
     merges = learn_bpe_merges(docs, n_merges=200)
     return bpe_encode(docs, merges)
+
+
+@query(
+    "pipe_text_unigram_ppl",
+    oracle="""
+WITH toks AS (SELECT doc_id,
+                     unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+              FROM documents),
+freqs AS (SELECT w, count(*) AS n FROM toks GROUP BY w),
+tot AS (SELECT cast(count(*) AS double) AS t FROM toks),
+terms AS (SELECT doc_id,
+                 cast(round(-ln(cast(n AS double) / t), 6) AS decimal(18,6)) AS nll
+          FROM toks JOIN freqs USING (w) CROSS JOIN tot)
+SELECT doc_id, count(*) AS n_tokens,
+       round(cast(sum(nll) AS double) / count(*), 6) AS avg_nll
+FROM terms GROUP BY doc_id
+""",
+)
+def pipe_text_unigram_ppl(spark, sf_dir):
+    """Unigram-LM quality scoring (text.unigram_nll_scores): mean
+    −ln p(w) per document under the corpus's own unigram model — the
+    CCNet-style perplexity-filter proxy.  Terms are rounded then
+    decimal-summed so both engines agree bit-for-bit despite the
+    shuffle's nondeterministic accumulation order; ln itself agrees at
+    6dp (the only libm call the registry exposes — absorbed by the
+    per-term rounding)."""
+    from impala_cut_spark.operators.text import unigram_nll_scores
+
+    return unigram_nll_scores(t(spark, sf_dir, "documents"))
