@@ -1027,3 +1027,94 @@ def test_random_nested_query_matches_duckdb(sql, spark, oracle, views):
     assert len(srows) == len(orows), sql
     bad = [(a, b) for a, b in zip(srows, orows) if a != b]
     assert not bad, f"{sql}\nfirst diff: {bad[0] if bad else None}"
+
+
+# ---------------------------------------------------------------------------
+# round-4: product quantization vs an independent numpy replica
+# ---------------------------------------------------------------------------
+
+
+@st.composite
+def pq_frame(draw):
+    """Random small embedding frames: enough rows for a 4-entry
+    codebook, varied magnitudes (incl. negatives and ties from
+    repeated vectors)."""
+    dim = 16
+    n = draw(st.integers(6, 24))
+    base = draw(
+        st.lists(
+            st.lists(
+                st.floats(-2, 2, allow_nan=False, width=32), min_size=dim, max_size=dim
+            ),
+            min_size=n,
+            max_size=n,
+        )
+    )
+    if draw(st.booleans()):  # inject exact duplicates (argmin tie paths)
+        base[-1] = list(base[0])
+    return base
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(vecs=pq_frame())
+def test_random_pq_encode_matches_numpy(vecs, spark):
+    """pq_encode_fixed's Spark expression tree vs an independent numpy
+    replica of the SAME spec (round-6 shifted distances, 1-based
+    argmin, first-index ties) on random frames — catches plan-level
+    bugs the fixed-corpus oracle can't reach."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    from impala_cut_spark.operators import similarity
+
+    def r(x, q):  # Spark/DuckDB round: HALF_UP on the double's exact
+        # decimal expansion (Python's round() is half-to-even — a
+        # replica using it diverges at exact .5 boundaries, which
+        # hypothesis reliably finds)
+        return float(Decimal(x).quantize(Decimal(q), rounding=ROUND_HALF_UP))
+
+    m, dim = 4, 16
+    code_ids = tuple(range(4))  # first four rows are the codebook
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r_.vec_id: ([int(c) for c in r_.codes.split(",")], r_.recon_err)
+        for r_ in similarity.pq_encode_fixed(
+            df, dim=dim, m=m, code_ids=code_ids
+        ).collect()
+    }
+    X = np.array(vecs, dtype=np.float64)
+    sub = dim // m
+    for i, v in enumerate(X):
+        codes = []
+        err_terms = []
+        for s in range(m):
+            sv = v[s * sub : (s + 1) * sub]
+            ds = []
+            for j in code_ids:
+                c = X[j][s * sub : (s + 1) * sub]
+                cc = 0.0
+                for x in c:
+                    cc += x * x
+                dotv = 0.0
+                for a, b in zip(sv, c):
+                    dotv += a * b
+                ds.append(r(cc - 2.0 * dotv, "1e-6"))
+            k = int(np.argmin(ds))  # first index on ties, like Spark
+            codes.append(k + 1)
+            sq = 0.0
+            for x in sv:
+                sq += x * x
+            err_terms.append(r(sq, "1e-6") + min(ds))
+        err = err_terms[0]
+        for t_ in err_terms[1:]:
+            err = err + t_
+        assert got[i][0] == codes, (i, got[i][0], codes)
+        assert abs(got[i][1] - r(err, "1e-4")) < 1e-9, (i, got[i][1], err)
