@@ -1072,11 +1072,14 @@ def test_random_pq_encode_matches_numpy(vecs, spark):
 
     from impala_cut_spark.operators import similarity
 
-    def r(x, q):  # Spark/DuckDB round: HALF_UP on the double's exact
-        # decimal expansion (Python's round() is half-to-even — a
-        # replica using it diverges at exact .5 boundaries, which
-        # hypothesis reliably finds)
-        return float(Decimal(x).quantize(Decimal(q), rounding=ROUND_HALF_UP))
+    def r(x, q):  # Spark's round: HALF_UP over BigDecimal.valueOf(d),
+        # i.e. the SHORTEST decimal representation of the double
+        # (Double.toString == Python repr), NOT its exact binary
+        # expansion — Decimal(x) directly diverges at values like
+        # 16.35485 whose exact expansion sits just below the half.
+        # (Python's built-in round() is additionally half-to-even;
+        # hypothesis found both boundary families immediately.)
+        return float(Decimal(repr(float(x))).quantize(Decimal(q), rounding=ROUND_HALF_UP))
 
     m, dim = 4, 16
     code_ids = tuple(range(4))  # first four rows are the codebook
