@@ -183,13 +183,18 @@ class HS2ThriftServer:
     # -- dispatch ----------------------------------------------------------
 
     def _dispatch(self, name: str, seqid: int, args: dict[int, Any]) -> bytes:
+        fn: Callable | None = getattr(self, f"_m_{name}", None)
+        if fn is None:
+            # unknown method → thrift EXCEPTION message (see
+            # thrift_proto.application_exception) — a generated client
+            # would misparse an unsolicited REPLY struct
+            return tp.application_exception(
+                name, seqid, f"Invalid method name: '{name}'"
+            )
         w = tp.BinaryWriter()
         w.message_begin(name, tp.REPLY, seqid)
         w.field(tp.STRUCT, 0)  # resp struct
-        fn: Callable | None = getattr(self, f"_m_{name}", None)
         try:
-            if fn is None:
-                raise HS2Error(f"unknown method {name!r}")
             req = args.get(1, {})
             fn(w, req if isinstance(req, dict) else {})
         except HS2Error as e:
@@ -454,10 +459,12 @@ class HS2ThriftClient:
         self._f.write(w.bytes())
         self._f.flush()
         r = tp.BinaryReader(self._f)
-        rname, _, rseq = r.message_begin()
+        rname, mtype, rseq = r.message_begin()
         if (rname, rseq) != (name, seqid):
             raise tp.TProtocolError(f"out-of-order reply {rname}/{rseq}")
-        resp = r.read_struct()[0]
+        result = r.read_struct()
+        tp.raise_if_exception(mtype, result)
+        resp = result[0]
         status = resp.get(1, {})
         if status.get(1, 0) != SUCCESS:
             raise HS2Error(status.get(5, b"").decode() or "HS2 error", status.get(1))

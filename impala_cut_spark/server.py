@@ -180,7 +180,11 @@ class QueryServer:
             o = self._ops.get(req.get("handle"))
             if o is None:
                 return {"error": "Invalid query handle"}
-            data = o.fetch_tsv(int(req.get("fetch_size", 1024)))
+            # clamp non-positive sizes (the thrift twin guards the same
+            # way): fetch_size<=0 would return 0 rows without ever
+            # setting eos, spinning a loop-until-has_more client forever
+            fetch_size = int(req.get("fetch_size", 1024))
+            data = o.fetch_tsv(fetch_size if fetch_size > 0 else 1024)
             return {"columns": o.columns, "data": data, "has_more": not o.eos}
         if op == "beeswax.get_results_metadata":
             o = self._ops.get(req.get("handle"))

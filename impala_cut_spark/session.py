@@ -315,18 +315,26 @@ class ImpalaSession:
         # record view definitions AFTER a successful execution (a
         # failed CREATE must not leave a phantom definition behind)
         m = re.match(
-            r"(?is)^\s*(?:create|alter)\s+view\s+([A-Za-z_]\w*)\s*"
+            r"(?is)^\s*(?:create\s+(?:or\s+replace\s+)?|alter\s+)view\s+"
+            r"(?:if\s+not\s+exists\s+)?([A-Za-z_][\w.]*)\s*"
             r"(?:\([^)]*\)\s*)?as\s+(.*?);?\s*$",
             text,
         )
         if m:
+            # record under both the qualified and the bare name so
+            # SHOW CREATE TABLE finds `db.v` and `v` alike (the DROP
+            # VIEW pattern below already accepts dotted names)
             self._view_defs[m.group(1).lower()] = m.group(2).strip()
+            if "." in m.group(1):
+                self._view_defs[m.group(1).lower().rsplit(".", 1)[1]] = m.group(2).strip()
         m = re.match(
             r"(?i)^\s*drop\s+view\s+(?:if\s+exists\s+)?([A-Za-z_][\w.]*)\s*;?\s*$",
             text,
         )
         if m:
             self._view_defs.pop(m.group(1).lower(), None)
+            if "." in m.group(1):
+                self._view_defs.pop(m.group(1).lower().rsplit(".", 1)[1], None)
         return out
 
     #: CREATE TABLE t LIKE PARQUET '<hdfs-path>' (sql-parser.y:661-810;

@@ -265,7 +265,10 @@ class RemoteBeeswaxSession:
 
     def sql(self, stmt: str) -> _RemoteResult:
         c = self._client
-        h = c.query(stmt)
+        # ship SET options with the query (Query.configuration), like
+        # the reference shell does — the server applies them, so SET
+        # is not merely client-local in remote mode
+        h = c.query(stmt, [f"{k}={v}" for k, v in sorted(self._options.items())])
         try:
             cols, rows = [], []
             while True:
@@ -288,6 +291,11 @@ class RemoteBeeswaxSession:
 
     def set_option(self, k: str, v: str) -> None:
         self._options[k] = v
+
+    def unset_option(self, k: str) -> None:
+        # the local ImpalaSession has this; without it `unset k` in
+        # remote mode raised AttributeError through the repl
+        self._options.pop(k, None)
 
     def options(self) -> dict[str, str]:
         return dict(self._options)

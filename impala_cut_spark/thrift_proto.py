@@ -43,9 +43,27 @@ REPLY = 2
 EXCEPTION = 3
 ONEWAY = 4
 
+#: wire-supplied size limits (thrift's TConfiguration defaults are
+#: 100 MB max message / container size; these are per-value caps so a
+#: hostile length prefix can't wedge a handler thread allocating)
+MAX_STRING_SIZE = 64 * 1024 * 1024
+MAX_CONTAINER_SIZE = 1_000_000
+
+#: TApplicationException type codes (thrift TApplicationException.thrift)
+UNKNOWN_METHOD = 1
+
 
 class TProtocolError(Exception):
     pass
+
+
+class TApplicationError(Exception):
+    """Client-side rendering of a thrift EXCEPTION message
+    (TApplicationException struct {1: message, 2: type})."""
+
+    def __init__(self, message: str, type_: int = 0) -> None:
+        super().__init__(message)
+        self.type = type_
 
 
 # -- writer ----------------------------------------------------------------
@@ -156,7 +174,12 @@ class BinaryReader:
         return struct.unpack(">d", self._read(8))[0]
 
     def read_string(self) -> bytes:
-        return self._read(self.read_i32())
+        n = self.read_i32()
+        # trust nothing off the wire: a negative length would silently
+        # read b"" and desync the stream; a huge one would allocate
+        if n < 0 or n > MAX_STRING_SIZE:
+            raise TProtocolError(f"bad thrift string length {n}")
+        return self._read(n)
 
     def read_value(self, ftype: int) -> Any:
         """Read any value generically (structs → {fid: value} dicts,
@@ -179,9 +202,13 @@ class BinaryReader:
             return self.read_struct()
         if ftype in (LIST, SET):
             etype, n = struct.unpack(">bi", self._read(5))
+            if n < 0 or n > MAX_CONTAINER_SIZE:
+                raise TProtocolError(f"bad thrift container size {n}")
             return [self.read_value(etype) for _ in range(n)]
         if ftype == MAP:
             ktype, vtype, n = struct.unpack(">bbi", self._read(6))
+            if n < 0 or n > MAX_CONTAINER_SIZE:
+                raise TProtocolError(f"bad thrift container size {n}")
             return {self.read_value(ktype): self.read_value(vtype) for _ in range(n)}
         raise TProtocolError(f"unknown thrift type {ftype}")
 
@@ -193,3 +220,33 @@ class BinaryReader:
                 return out
             fid = self.read_i16()
             out[fid] = self.read_value(ftype)
+
+
+# -- message helpers -------------------------------------------------------
+
+
+def application_exception(
+    name: str, seqid: int, message: str, type_: int = UNKNOWN_METHOD
+) -> bytes:
+    """Serialize a thrift EXCEPTION message carrying a
+    TApplicationException {1: message string, 2: type i32} — what a
+    stock generated client expects for e.g. an unknown method name
+    (a REPLY with an error in a declared-exception slot would be
+    misparsed, since the client has no IDL for the unknown method)."""
+    w = BinaryWriter()
+    w.message_begin(name, EXCEPTION, seqid)
+    w.field(STRING, 1)
+    w.write_string(message)
+    w.field(I32, 2)
+    w.write_i32(type_)
+    w.stop()
+    return w.bytes()
+
+
+def raise_if_exception(mtype: int, result: dict[int, Any]) -> None:
+    """Client-side twin: if the just-read message was an EXCEPTION,
+    `result` is the TApplicationException struct — raise it."""
+    if mtype == EXCEPTION:
+        raise TApplicationError(
+            result.get(1, b"").decode("utf-8", "replace"), result.get(2, 0)
+        )

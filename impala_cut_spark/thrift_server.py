@@ -102,10 +102,16 @@ class BeeswaxThriftServer:
 
     def _dispatch(self, name: str, seqid: int, args: dict[int, Any]) -> bytes:
         w = tp.BinaryWriter()
+        fn = getattr(self, f"_m_{name}", None)
+        if fn is None:
+            # a stock generated client has no IDL for this method, so a
+            # REPLY with a declared-exception slot would be misparsed —
+            # thrift's contract is an EXCEPTION message with
+            # TApplicationException(UNKNOWN_METHOD)
+            return tp.application_exception(
+                name, seqid, f"Invalid method name: '{name}'"
+            )
         try:
-            fn = getattr(self, f"_m_{name}", None)
-            if fn is None:
-                raise BeeswaxError(f"unknown method {name!r}")
             w.message_begin(name, tp.REPLY, seqid)
             fn(w, args)
         except QueryNotFound:
@@ -132,6 +138,16 @@ class BeeswaxThriftServer:
     def _execute(self, args: dict[int, Any]) -> str:
         q = args.get(1, {})
         sql = q.get(1, b"").decode() if isinstance(q, dict) else ""
+        # Query.configuration (beeswax.thrift field 3: list<string>
+        # "k=v") — the reference shell ships its SET options with every
+        # query and impalad applies them (impala-beeswax-server.cc
+        # QueryToTQueryContext); honor them the same way
+        if isinstance(q, dict):
+            for item in q.get(3) or []:
+                s = item.decode() if isinstance(item, (bytes, bytearray)) else str(item)
+                if "=" in s:
+                    k, v = s.split("=", 1)
+                    self.session.set_option(k.strip(), v.strip())
         try:
             df = self.session.sql(sql)
         except Exception as e:  # noqa: BLE001 — analysis error → client
@@ -231,7 +247,7 @@ class BeeswaxThriftServer:
         w.stop()
 
     def _m_get_default_configuration(self, w: tp.BinaryWriter, args) -> None:
-        items = sorted(self.session.options())
+        items = sorted(self.session.options().items())
         w.field(tp.LIST, 0)
         w.list_begin(tp.STRUCT, len(items))
         for k, v in items:
@@ -287,6 +303,7 @@ class BeeswaxThriftClient:
         if (rname, rseq) != (name, seqid):
             raise tp.TProtocolError(f"out-of-order reply {rname}/{rseq}")
         result = r.read_struct()
+        tp.raise_if_exception(mtype, result)
         if 0 in result or not result:
             return result
         exc_fid, exc = next(iter(result.items()))
@@ -296,11 +313,14 @@ class BeeswaxThriftClient:
         raise BeeswaxError(msg)
 
     @staticmethod
-    def _query_args(sql: str):
+    def _query_args(sql: str, configuration: list[str] | None = None):
         def build(w: tp.BinaryWriter) -> None:
             w.field(tp.STRUCT, 1)
             w.field(tp.STRING, 1)
             w.write_string(sql)
+            if configuration:
+                # Query.configuration: list<string> "k=v" (beeswax.thrift)
+                w.write_string_list(3, configuration)
             w.stop()
 
         return build
@@ -317,8 +337,8 @@ class BeeswaxThriftClient:
 
         return build
 
-    def query(self, sql: str) -> str:
-        return self._call("query", self._query_args(sql))[0][1].decode()
+    def query(self, sql: str, configuration: list[str] | None = None) -> str:
+        return self._call("query", self._query_args(sql, configuration))[0][1].decode()
 
     def execute_and_wait(self, sql: str) -> str:
         return self._call("executeAndWait", self._query_args(sql))[0][1].decode()

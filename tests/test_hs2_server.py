@@ -128,3 +128,14 @@ def test_session_configuration_applies_options(server):
     finally:
         c.close_session()
         c.close()
+
+
+def test_unknown_method_is_application_exception(client):
+    """Unknown TCLIService method → thrift EXCEPTION message with
+    TApplicationException(UNKNOWN_METHOD), not a REPLY (round-4
+    advice; same contract as the Beeswax twin)."""
+    from impala_cut_spark import thrift_proto as tp
+
+    with pytest.raises(tp.TApplicationError) as ei:
+        client._call("RenewDelegationToken", lambda w: None)
+    assert ei.value.type == tp.UNKNOWN_METHOD

@@ -156,3 +156,14 @@ def test_beeswax_invalid_handle(client):
     for bop in ("beeswax.fetch", "beeswax.get_results_metadata", "beeswax.get_state"):
         with pytest.raises(RuntimeError, match="Invalid query handle"):
             client.call(op=bop, handle=424242)
+
+
+def test_beeswax_fetch_size_zero_is_clamped(client):
+    """beeswax.fetch with fetch_size<=0 must not return an eos-less
+    empty page (a drain-until-has_more client would spin forever); the
+    jsonl twin now clamps to 1024 like the thrift server (round-4
+    advice)."""
+    h = client.call(op="beeswax.query", sql="select r_regionkey from region")["handle"]
+    fr = client.call(op="beeswax.fetch", handle=h, fetch_size=0)
+    assert len(fr["data"]) == 5 and fr["has_more"] is False
+    client.call(op="beeswax.close", handle=h)

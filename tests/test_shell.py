@@ -177,3 +177,30 @@ def test_shell_profile_and_summary_and_unset(spark, sf_dir, capsys):
     # shell command passthrough
     assert execute_line(sess, "shell echo hi-there") == "hi-there"
     assert execute_line(sess, "!echo bang") == "bang"
+
+
+def test_remote_session_set_unset_and_shipped_options(spark, sf_dir):
+    """Remote mode: `unset k` must not raise AttributeError
+    (RemoteBeeswaxSession lacked unset_option before round 5), and SET
+    options ship with each query via Query.configuration so the server
+    actually honors them."""
+    from impala_cut_spark.session import ImpalaSession
+    from impala_cut_spark.shell import RemoteBeeswaxSession, execute_line
+    from impala_cut_spark.sources.catalog import register_views
+    from impala_cut_spark.thrift_server import BeeswaxThriftServer
+
+    register_views(spark, sf_dir)
+    srv = BeeswaxThriftServer(ImpalaSession(spark))
+    srv.serve_background()
+    try:
+        sess = RemoteBeeswaxSession(srv.host, srv.port)
+        assert "set to" in execute_line(sess, "set foo=7")
+        # the option rides Query.configuration and lands server-side
+        sess.sql("select 1 as one")
+        assert srv.session.options().get("foo") == "7"
+        assert execute_line(sess, "unset foo") == "Unsetting foo"
+        assert "foo" not in sess.options()
+        assert "No option called foo" in execute_line(sess, "unset foo")
+        sess.close()
+    finally:
+        srv.shutdown()
