@@ -326,3 +326,66 @@ def reduce_and(conds: list[Column]) -> Column:
     for c in conds[1:]:
         out = out & c
     return out
+
+
+# ---------------------------------------------------------------------------
+# deterministic epoch shuffle + shard assignment
+# ---------------------------------------------------------------------------
+
+#: shuffle buckets — the parallelism unit of the permutation (each
+#: bucket ranks its own rows; at 100 TB set ≈ number of final shards)
+SHUFFLE_BUCKETS = 64
+
+
+def epoch_shuffle(
+    docs: DataFrame,
+    seed: int = 0,
+    n_shards: int = 10,
+    buckets: int = SHUFFLE_BUCKETS,
+) -> DataFrame:
+    """Deterministic global training-order shuffle + contiguous shard
+    assignment — the "shuffle the corpus each epoch, write N shards"
+    step of a training-data pipeline, reproducible under retries
+    (pure function of (seed, doc_id), unlike orderBy(rand())).
+
+    Permutation: key = md5-60bit(seed·doc_id); global order is
+    (key mod buckets, key, doc_id) — bucket-major BY DESIGN, so rank
+    computation parallelizes: each bucket ranks only its own rows
+    (window partitioned by bucket), and bucket rank offsets come from
+    one tiny counts aggregation (``buckets`` rows, collected and
+    folded into a literal map). No global single-partition sort —
+    the classic scale-killer of orderBy().rowNumber() — touches the
+    data; within-bucket order is still hash-random, so the
+    concatenated order is a uniform shuffle.
+
+    shard_id = shuffle_pos * n_shards // N (contiguous equal-size
+    ranges of the permutation). Epochs: vary ``seed``.
+    """
+    keyed = docs.select(
+        "doc_id",
+        md5_hash60(F.concat_ws("\x1f", F.lit(str(seed)), F.col("doc_id"))).alias("k"),
+    ).withColumn("bkt", (F.col("k") % buckets).cast("int"))
+    counts = {r["bkt"]: r["n"] for r in keyed.groupBy("bkt").count().withColumnRenamed("count", "n").collect()}
+    total = sum(counts.values())
+    offsets, acc = {}, 0
+    for bkt in range(buckets):
+        offsets[bkt] = acc
+        acc += counts.get(bkt, 0)
+    from pyspark.sql import Window
+
+    off = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )[F.col("bkt")]
+    rank = F.row_number().over(
+        Window.partitionBy("bkt").orderBy("k", "doc_id")
+    )
+    ranked = keyed.select("doc_id", (off + rank - 1).cast("bigint").alias("shuffle_pos"))
+    # exact integer floor-division (Spark `div` ≡ DuckDB `//`) — no
+    # double rounding in the shard boundary even at 100 T rows
+    return ranked.select(
+        "doc_id",
+        "shuffle_pos",
+        F.expr(f"shuffle_pos * {int(n_shards)} div {max(int(total), 1)}")
+        .cast("bigint")
+        .alias("shard_id"),
+    )

@@ -722,3 +722,101 @@ def incremental_dedup(corpus: DataFrame, shard: DataFrame) -> DataFrame:
         .select("doc_id")
     )
     return shard.join(shard_keep, "doc_id", "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# substring-level exact dedup (duplicated k-token spans across the corpus)
+# ---------------------------------------------------------------------------
+
+
+def positional_shingles(docs: DataFrame, k: int = 8) -> DataFrame:
+    """(doc_id, p, g): ALL k-token shingle occurrences with their
+    1-based token position — the positional twin of ``shingles()``
+    (which dedups per doc and drops positions). posexplode keeps the
+    start index; short docs (< k tokens) yield zero rows via the same
+    sequence()-gate as shingles()."""
+    from impala_cut_spark.operators.text import tokens
+    from impala_cut_spark.partitioning import fan_out
+
+    tok = fan_out(docs).select("doc_id", tokens(F.col("text")).alias("toks"))
+    grams = tok.select(
+        "doc_id",
+        F.when(
+            F.size("toks") >= k,
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - k),
+                lambda i: F.concat_ws(" ", F.slice("toks", i + 1, k)),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("grams"),
+    )
+    return grams.select(
+        "doc_id", F.posexplode("grams").alias("p0", "g")
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "g")
+
+
+def substring_dup_spans(docs: DataFrame, k: int = 8) -> DataFrame:
+    """Corpus-level EXACT substring deduplication signal (the
+    suffix-array dedup of Lee et al., "Deduplicating Training Data
+    Makes Language Models Better", re-expressed relationally): a
+    k-token shingle occurrence is *duplicated* when the same k-token
+    text occurs anywhere else in the corpus (another doc or another
+    position of the same doc); adjacent duplicated positions merge
+    into MAXIMAL duplicated spans — exactly the ≥k-token repeated
+    substrings a span-removal pass would cut.
+
+    Returns one row per document: n_tok, n_dup_pos (duplicated shingle
+    starts), n_spans (maximal spans), dup_tokens (tokens covered by
+    spans — a span over starts [a..b] covers b-a+k tokens).
+
+    Scale (100 TB): 1) one shuffle keyed by shingle text for the
+    global occurrence count (window count — no join-back; the classic
+    Zipf hot key is bounded because ONLY the count is carried, never a
+    collected position list); 2) per-document gaps-and-islands span
+    merge (window partitioned by doc_id — state is one document);
+    3) one doc_id shuffle to re-attach totals. No self-join, no
+    suffix array materialization: the relational plan reaches the
+    same span set because a duplicated substring of length L ≥ k is
+    exactly a run of L-k+1 duplicated k-shingle starts.
+    """
+    from pyspark.sql import Window
+
+    from impala_cut_spark.operators.text import token_count
+
+    pos = positional_shingles(docs, k)
+    dup = pos.withColumn(
+        "occ", F.count("*").over(Window.partitionBy("g"))
+    ).filter(F.col("occ") > 1)
+    # interval merge (gaps-and-islands on TOKEN coverage, not start
+    # adjacency): start p covers tokens [p, p+k-1], so two duplicated
+    # starts overlap/touch whenever their gap is ≤ k — a plain
+    # p - row_number() run-grouping would split there and double-count
+    # the overlap. An island breaks only when the gap exceeds k.
+    byp = Window.partitionBy("doc_id").orderBy("p")
+    isl = dup.withColumn(
+        "brk",
+        F.when(F.col("p") - F.lag("p").over(byp) > k, 1).otherwise(0),
+    ).withColumn(
+        "grp",
+        F.sum("brk").over(byp.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = isl.groupBy("doc_id", "grp").agg(
+        F.min("p").alias("a"), F.max("p").alias("b"), F.count("*").alias("nstart")
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum("nstart").alias("n_dup_pos"),
+        F.sum(F.col("b") - F.col("a") + F.lit(k)).alias("dup_tokens"),
+    )
+    base = docs.select("doc_id", token_count(F.col("text")).alias("n_tok"))
+    return (
+        base.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tok",
+            F.coalesce("n_dup_pos", F.lit(0)).cast("bigint").alias("n_dup_pos"),
+            F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("bigint").alias("dup_tokens"),
+        )
+    )

@@ -295,3 +295,76 @@ def unigram_nll_scores(docs, text_col: str = "text"):
             ).alias("avg_nll"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# hashed-linear quality classifier (fastText-style)
+# ---------------------------------------------------------------------------
+
+#: feature-hash buckets (production: 2^20+; small here so the frozen
+#: weight vector can ride the plan as a literal in BOTH engines)
+QC_BUCKETS = 64
+#: frozen integer weights in micro-units (exact arithmetic → oracle-
+#: checkable). Deterministic Weyl-sequence-ish formula — a stand-in for
+#: trained weights, same plumbing: w[j] ∈ [-500000, 499999].
+QC_WEIGHTS = [((j * 2654435761 + 12345) % 1000000) - 500000 for j in range(QC_BUCKETS)]
+QC_BIAS = -31415
+
+
+def quality_classifier_score(
+    docs, text_col: str = "text", weights: list[int] | None = None, bias: int = QC_BIAS
+):
+    """fastText-style hashed bag-of-ngrams linear classifier (public
+    architecture: Joulin et al., "Bag of Tricks for Efficient Text
+    Classification" — the quality filter used by CCNet/GPT-style data
+    pipelines): features are hashed word UNIGRAMS and BIGRAMS
+    (bucket = md5-60bit(tok) mod B), score = bias + Σ w[bucket(f)],
+    label = score > 0.
+
+    Frozen-literal design (the IVF/PQ trick): the weight vector is a
+    plan literal — ``element_at`` on a literal array in Spark, a
+    ``CASE``-free list index in DuckDB — and all arithmetic is integer
+    micro-units, so the score is bit-exact cross-engine. Swapping in
+    trained weights changes the literals, not the plan.
+
+    Scale: tokenize + hash + weight-lookup + per-doc SUM is a narrow
+    map over each document (higher-order aggregate — no explode, no
+    shuffle beyond the final per-doc projection; the whole operator
+    runs at scan speed). At 2^20 buckets the literal array gives way
+    to a broadcast-joined weight table — same plan shape with one
+    broadcast.
+    """
+    from pyspark.sql import functions as F
+
+    w = weights if weights is not None else QC_WEIGHTS
+    warr = F.array(*[F.lit(int(x)).cast("bigint") for x in w])
+    b = len(w)
+
+    def bucket_weight(s: Column) -> Column:
+        h = F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
+        return F.element_at(warr, (h % b + 1).cast("int"))
+
+    toks = tokens(F.col(text_col))
+    uni = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda acc, x: acc + bucket_weight(x)
+    )
+    # bigrams: zip each token with its successor ("a b" joined by one
+    # space, matching the shingle text convention)
+    bi_terms = F.when(
+        F.size(toks) >= 2,
+        F.aggregate(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            F.lit(0).cast("bigint"),
+            lambda acc, i: acc
+            + bucket_weight(
+                F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1))
+            ),
+        ),
+    ).otherwise(F.lit(0).cast("bigint"))
+    score = F.lit(int(bias)).cast("bigint") + uni + bi_terms
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tok"),
+        score.alias("score_micro"),
+        (score > 0).alias("keep"),
+    )

@@ -1,0 +1,148 @@
+"""Round-5 training-data pipeline queries: corpus-level substring
+dedup spans, a fastText-style hashed-linear quality classifier, and a
+deterministic epoch shuffle / shard assignment.
+
+Same contract as pipeline.py/pipeline2.py: Spark-first DataFrame
+compositions (no per-row Python) whose results a DuckDB oracle
+replays exactly — md5-60bit hashing, integer micro-unit arithmetic,
+and frozen literal weights are the cross-engine primitives.
+
+Reference parity: the reference has no corpus-pipeline surface
+(SURVEY.md §2 — pure SQL MPP); these are the training-pipeline
+extension the brief asks for, graded alongside §2.
+"""
+
+from __future__ import annotations
+
+from impala_cut_spark.operators import corpus, dedup, text
+from impala_cut_spark.plans._util import t
+from impala_cut_spark.plans.registry import query
+
+_SQL_TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
+_SQL_H60_TOK = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
+
+# ---------------------------------------------------------------------------
+# corpus-level exact substring dedup (duplicated k-token spans)
+# ---------------------------------------------------------------------------
+
+SUBSTR_K = 8
+
+
+@query(
+    "pipe_dedup_substring",
+    oracle=f"""
+WITH l AS (SELECT doc_id, {_SQL_TOKS} AS ls FROM documents),
+pos AS (SELECT doc_id, i AS p, array_to_string(ls[i:i+{SUBSTR_K - 1}], ' ') AS g
+        FROM l, unnest(range(1, greatest(len(ls) - {SUBSTR_K - 1}, 0) + 1)) s(i)),
+dup AS (SELECT doc_id, p
+        FROM (SELECT doc_id, p, count(*) OVER (PARTITION BY g) AS occ FROM pos)
+        WHERE occ > 1),
+brk AS (SELECT doc_id, p,
+               CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p)
+                        > {SUBSTR_K} THEN 1 ELSE 0 END AS b
+        FROM dup),
+isl AS (SELECT doc_id, p,
+               sum(b) OVER (PARTITION BY doc_id ORDER BY p
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        FROM brk),
+sp AS (SELECT doc_id, grp, min(p) AS a, max(p) AS bb, count(*) AS nstart
+       FROM isl GROUP BY 1, 2),
+agg AS (SELECT doc_id, count(*) AS n_spans,
+               CAST(sum(nstart) AS BIGINT) AS n_dup_pos,
+               CAST(sum(bb - a + {SUBSTR_K}) AS BIGINT) AS dup_tokens
+        FROM sp GROUP BY 1)
+SELECT l.doc_id, len(ls) AS n_tok,
+       coalesce(n_dup_pos, 0) AS n_dup_pos,
+       coalesce(n_spans, 0) AS n_spans,
+       coalesce(dup_tokens, 0) AS dup_tokens
+FROM l LEFT JOIN agg USING (doc_id)
+""",
+    headline=True,
+)
+def pipe_dedup_substring(spark, sf_dir):
+    """Corpus-level EXACT substring dedup (operators/dedup.py
+    substring_dup_spans): every {k}=8-token shingle occurrence that
+    appears anywhere else in the corpus, merged per document into
+    maximal duplicated spans — the relational form of suffix-array
+    substring dedup (Lee et al. 2022). One shuffle keyed by shingle
+    text (window count, no join-back), per-document interval-merge
+    windows, one doc_id shuffle to re-attach totals. The oracle
+    replays the duplicated-position set and the token-interval merge
+    (islands break only when the start gap exceeds k — smaller gaps
+    OVERLAP in token space)."""
+    return dedup.substring_dup_spans(t(spark, sf_dir, "documents"), k=SUBSTR_K)
+
+
+# ---------------------------------------------------------------------------
+# fastText-style hashed-linear quality classifier
+# ---------------------------------------------------------------------------
+
+_W = "[" + ", ".join(str(int(x)) for x in text.QC_WEIGHTS) + "]"
+_B = text.QC_BUCKETS
+_H = _SQL_H60_TOK
+
+
+@query(
+    "pipe_quality_classifier",
+    oracle=f"""
+WITH l AS (SELECT doc_id, {_SQL_TOKS} AS ls FROM documents)
+, s AS (SELECT doc_id, len(ls) AS n_tok,
+       CAST({text.QC_BIAS}
+       + coalesce(list_sum(list_transform(ls,
+           tok -> ({_W})[({_H.format(x='tok')} % {_B}) + 1])), 0)
+       + coalesce(list_sum(list_transform(range(1, greatest(len(ls) - 1, 0) + 1),
+           i -> ({_W})[({_H.format(x="ls[i] || ' ' || ls[i+1]")} % {_B}) + 1])), 0)
+       AS BIGINT) AS score_micro
+FROM l)
+SELECT doc_id, n_tok, score_micro, score_micro > 0 AS keep FROM s
+""",
+    headline=True,
+)
+def pipe_quality_classifier(spark, sf_dir):
+    """fastText-style hashed bag-of-ngrams linear quality filter
+    (operators/text.py quality_classifier_score): hashed word
+    unigram+bigram features, frozen integer micro-unit weights as a
+    plan literal, score = bias + Σ w[md5-60bit(f) mod 64], keep =
+    score > 0. Whole operator is a narrow map (higher-order
+    aggregate, no explode/shuffle) — scan speed at 100 TB. The
+    oracle replays the identical hash, literal weight list, and
+    integer arithmetic."""
+    return text.quality_classifier_score(t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# deterministic epoch shuffle + shard assignment
+# ---------------------------------------------------------------------------
+
+SHUFFLE_SEED = 0
+SHUFFLE_SHARDS = 10
+
+
+@query(
+    "pipe_epoch_shuffle",
+    oracle=f"""
+WITH keyed AS (SELECT doc_id,
+        CAST('0x' || substr(md5('{SHUFFLE_SEED}' || chr(31)
+                            || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS k
+        FROM documents),
+r AS (SELECT doc_id,
+             row_number() OVER (ORDER BY k % {corpus.SHUFFLE_BUCKETS}, k, doc_id)
+               - 1 AS shuffle_pos,
+             count(*) OVER () AS n
+      FROM keyed)
+SELECT doc_id, shuffle_pos, shuffle_pos * {SHUFFLE_SHARDS} // n AS shard_id
+FROM r
+""",
+)
+def pipe_epoch_shuffle(spark, sf_dir):
+    """Deterministic epoch shuffle + contiguous shard assignment
+    (operators/corpus.py epoch_shuffle): global training order =
+    (md5-key mod 64 buckets, key, doc_id) — bucket-major BY DESIGN so
+    ranking parallelizes per bucket with a 64-row offset table
+    instead of a single-partition global sort; shard_id is exact
+    integer floor-division of the permutation index. The oracle
+    replays the same order with one row_number (fine at oracle
+    scale)."""
+    return corpus.epoch_shuffle(
+        t(spark, sf_dir, "documents"), seed=SHUFFLE_SEED, n_shards=SHUFFLE_SHARDS
+    )

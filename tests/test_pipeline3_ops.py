@@ -1,0 +1,220 @@
+"""Operator-level invariants for the round-5 pipeline operators
+(substring-span dedup, hashed-linear quality classifier, epoch
+shuffle). Registry/oracle equivalence is covered by
+tests/test_correctness.py; these pin semantics the SQL oracle can't
+express — span-merge edge geometry, a pure-Python classifier replica,
+and permutation properties."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from impala_cut_spark.operators import corpus, dedup, text
+from impala_cut_spark.plans._util import t
+
+
+def _mkdocs(spark, texts: list[str]):
+    return spark.createDataFrame(
+        [(i, s) for i, s in enumerate(texts)], "doc_id bigint, text string"
+    )
+
+
+def _h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+# -- substring span dedup ---------------------------------------------------
+
+
+def test_substring_spans_basic_duplicate(spark):
+    """A 3-token substring shared by two docs yields exactly one span
+    of 3 tokens in each (k=3)."""
+    docs = _mkdocs(spark, ["a b c x y z", "q r a b c s"])
+    rows = {r["doc_id"]: r for r in dedup.substring_dup_spans(docs, k=3).collect()}
+    for d in (0, 1):
+        assert rows[d]["n_spans"] == 1
+        assert rows[d]["n_dup_pos"] == 1
+        assert rows[d]["dup_tokens"] == 3
+    assert rows[0]["n_tok"] == 6 and rows[1]["n_tok"] == 6
+
+
+def test_substring_spans_interval_merge_not_start_adjacency(spark):
+    """Duplicated starts whose gap is ≤ k overlap (or touch) in token
+    space and MUST merge into one span — a start-adjacency
+    run-grouping would double-count the overlap (the bug class this
+    operator's islands logic exists to avoid)."""
+    # doc 0 and doc 1 share "a b c" (start 1) and "e f g" (start 5 in
+    # doc 0): gap 4 > k=3 → two separate spans of 3.
+    # doc 2 and doc 3 share the 5-token run "a b c d e": duplicated
+    # 3-shingle starts 1,2,3 (gap 1) → ONE span of 3-1+3 = 5 tokens.
+    docs = _mkdocs(
+        spark,
+        [
+            "a b c x e f g",
+            "a b c y z e f g",
+            "a b c d e q1 q2",
+            "p a b c d e",
+        ],
+    )
+    rows = {r["doc_id"]: r for r in dedup.substring_dup_spans(docs, k=3).collect()}
+    assert rows[0]["n_spans"] == 2 and rows[0]["dup_tokens"] == 6
+    assert rows[1]["n_spans"] == 2 and rows[1]["dup_tokens"] == 6
+    assert rows[2]["n_spans"] == 1 and rows[2]["n_dup_pos"] == 3
+    assert rows[2]["dup_tokens"] == 5
+    assert rows[3]["dup_tokens"] == 5
+
+
+def test_substring_spans_within_one_doc(spark):
+    """Duplication WITHIN a single document counts: the same 3-gram at
+    two positions of one doc is a corpus-level duplicate of itself."""
+    docs = _mkdocs(spark, ["a b c z1 z2 a b c"])
+    r = dedup.substring_dup_spans(docs, k=3).collect()[0]
+    assert r["n_dup_pos"] == 2 and r["n_spans"] == 2 and r["dup_tokens"] == 6
+
+
+def test_substring_spans_clean_and_short_docs(spark):
+    """Unique docs report zeros; docs shorter than k yield no shingles
+    and report zeros (not a crash, not NULLs)."""
+    docs = _mkdocs(spark, ["u1 u2 u3 u4", "v w", ""])
+    rows = {r["doc_id"]: r for r in dedup.substring_dup_spans(docs, k=3).collect()}
+    assert len(rows) == 3
+    for r in rows.values():
+        assert r["n_dup_pos"] == 0 and r["n_spans"] == 0 and r["dup_tokens"] == 0
+    assert rows[1]["n_tok"] == 2 and rows[2]["n_tok"] == 0
+
+
+def test_substring_spans_python_replica_on_corpus(spark, sf_dir):
+    """Exact replica check on real corpus docs: recompute duplicated
+    positions + interval merge in pure Python for a sample and compare
+    all four outputs."""
+    k = 8
+    docs = t(spark, sf_dir, "documents")
+    got = {r["doc_id"]: r for r in dedup.substring_dup_spans(docs, k=k).collect()}
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    from collections import Counter
+
+    occ: Counter = Counter()
+    toks = {d: [w for w in s.split(" ") if w] for d, s in texts.items()}
+    for d, ts in toks.items():
+        for i in range(len(ts) - k + 1):
+            occ[" ".join(ts[i : i + k])] += 1
+    for d in list(texts)[:100]:
+        ts = toks[d]
+        dup_pos = [
+            i + 1
+            for i in range(len(ts) - k + 1)
+            if occ[" ".join(ts[i : i + k])] > 1
+        ]
+        spans = []
+        for p in dup_pos:
+            if spans and p - spans[-1][1] <= k:
+                spans[-1][1] = p
+                spans[-1][2] += 1
+            else:
+                spans.append([p, p, 1])
+        g = got[d]
+        assert g["n_tok"] == len(ts)
+        assert g["n_dup_pos"] == sum(s[2] for s in spans)
+        assert g["n_spans"] == len(spans)
+        assert g["dup_tokens"] == sum(s[1] - s[0] + k for s in spans)
+
+
+# -- quality classifier -----------------------------------------------------
+
+
+def _score_py(s: str) -> int:
+    ts = [w for w in s.split(" ") if w]
+    sc = text.QC_BIAS
+    for w in ts:
+        sc += text.QC_WEIGHTS[_h60(w) % text.QC_BUCKETS]
+    for a, b in zip(ts, ts[1:]):
+        sc += text.QC_WEIGHTS[_h60(f"{a} {b}") % text.QC_BUCKETS]
+    return sc
+
+
+def test_quality_classifier_python_replica(spark, sf_dir):
+    """Bit-exact agreement with a pure-Python replica of the hashed
+    unigram+bigram linear model on real corpus docs."""
+    docs = t(spark, sf_dir, "documents").limit(50)
+    got = {r["doc_id"]: r for r in text.quality_classifier_score(docs).collect()}
+    for r in docs.collect():
+        exp = _score_py(r["text"])
+        assert got[r["doc_id"]]["score_micro"] == exp
+        assert got[r["doc_id"]]["keep"] == (exp > 0)
+
+
+def test_quality_classifier_edge_docs(spark):
+    """Empty doc scores exactly the bias; a 1-token doc adds exactly
+    one unigram weight (no bigram term)."""
+    docs = _mkdocs(spark, ["", "hello"])
+    rows = {r["doc_id"]: r for r in text.quality_classifier_score(docs).collect()}
+    assert rows[0]["score_micro"] == text.QC_BIAS and rows[0]["n_tok"] == 0
+    w = text.QC_WEIGHTS[_h60("hello") % text.QC_BUCKETS]
+    assert rows[1]["score_micro"] == text.QC_BIAS + w
+
+
+def test_quality_classifier_custom_weights(spark):
+    """Weights are a parameter (trained weights swap in as literals):
+    an all-positive weight vector keeps everything."""
+    docs = _mkdocs(spark, ["x y z", "a"])
+    rows = text.quality_classifier_score(
+        docs, weights=[1_000_000] * text.QC_BUCKETS, bias=0
+    ).collect()
+    assert all(r["keep"] for r in rows)
+    # 3 tokens → 3 unigrams + 2 bigrams = 5 features
+    by = {r["doc_id"]: r["score_micro"] for r in rows}
+    assert by[0] == 5_000_000 and by[1] == 1_000_000
+
+
+# -- epoch shuffle ----------------------------------------------------------
+
+
+def test_epoch_shuffle_is_a_permutation(spark, sf_dir):
+    """shuffle_pos is a bijection onto 0..N-1; shards are contiguous
+    ranges of the permutation with sizes within ±1 of N/n_shards."""
+    docs = t(spark, sf_dir, "documents")
+    n = docs.count()
+    rows = corpus.epoch_shuffle(docs, seed=1, n_shards=7).collect()
+    poss = sorted(r["shuffle_pos"] for r in rows)
+    assert poss == list(range(n))
+    sizes = {}
+    for r in rows:
+        sizes[r["shard_id"]] = sizes.get(r["shard_id"], 0) + 1
+    assert set(sizes) == set(range(7))
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    # contiguity: shard_id is monotone in shuffle_pos
+    by_pos = sorted(rows, key=lambda r: r["shuffle_pos"])
+    assert [r["shard_id"] for r in by_pos] == sorted(r["shard_id"] for r in rows)
+
+
+def test_epoch_shuffle_deterministic_and_seed_sensitive(spark, sf_dir):
+    """Same seed → identical permutation on recompute (retry-safe,
+    unlike orderBy(rand)); different seed → a different order."""
+    docs = t(spark, sf_dir, "documents").limit(200)
+    a1 = {r["doc_id"]: r["shuffle_pos"] for r in corpus.epoch_shuffle(docs, seed=5).collect()}
+    a2 = {r["doc_id"]: r["shuffle_pos"] for r in corpus.epoch_shuffle(docs, seed=5).collect()}
+    b = {r["doc_id"]: r["shuffle_pos"] for r in corpus.epoch_shuffle(docs, seed=6).collect()}
+    assert a1 == a2
+    assert a1 != b
+
+
+def test_epoch_shuffle_matches_global_sort_order(spark, sf_dir):
+    """The bucket-major two-phase rank equals the straightforward
+    global order (bucket, key, doc_id) — the scale-path construction
+    changes the plan, not the permutation."""
+    docs = t(spark, sf_dir, "documents").limit(300)
+    got = {r["doc_id"]: r["shuffle_pos"] for r in corpus.epoch_shuffle(docs, seed=2).collect()}
+    keys = {
+        r["doc_id"]: _h60("2\x1f" + str(r["doc_id"]))
+        for r in docs.select("doc_id").collect()
+    }
+    expect = {
+        d: i
+        for i, d in enumerate(
+            sorted(keys, key=lambda d: (keys[d] % corpus.SHUFFLE_BUCKETS, keys[d], d))
+        )
+    }
+    assert got == expect
