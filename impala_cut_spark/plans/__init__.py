@@ -62,6 +62,14 @@ from impala_cut_spark.plans import perf  # noqa: E402,F401
 #: pipe_ann_ivfpq (composed IVF-PQ search) and stream_neardup
 #: (stateful streaming semantic dedup gate); tpch_q10 (join+agg+topn,
 #: covered by q3/q18) → pipe_embed_pq (product-quantization encode).
+#: Round-5 rotation — three NEW operator families (substring-span
+#: dedup, hashed-linear quality classifier, epoch shuffle) take the
+#: slots of three shape-redundant rows: tpch_q8 (multi-join
+#: conditional-share agg — q5/q9 keep the multi-join agg shape,
+#: cov_agg_all the conditional agg), tpch_q11 (HAVING vs scalar
+#: subquery total — q2 keeps the scalar-subquery shape) and tpcds_q43
+#: (day-of-week pivot agg — tpcds_q59 keeps the weekly-pivot shape).
+#: Every evicted query keeps its oracle below the window.
 DRIVER_WINDOW: list[str] = [
     # TPC-H (10 of 22 — q4/q10/q12/q13/q14/q15/q16/q17/q19/q20/q22 below)
     "tpch_q1",
@@ -69,15 +77,12 @@ DRIVER_WINDOW: list[str] = [
     "tpch_q3",
     "tpch_q5",
     "tpch_q6",
-    "tpch_q8",
     "tpch_q9",
-    "tpch_q11",
     "tpch_q18",
     "tpch_q21",
-    # TPC-DS shapes (6 of 22 — the rest follow below the window)
+    # TPC-DS shapes (5 of 22 — the rest follow below the window)
     "tpcds_q3",
     "tpcds_q8",
-    "tpcds_q43",
     "tpcds_q46",
     "tpcds_q59",
     "tpcds_q65",
@@ -119,6 +124,10 @@ DRIVER_WINDOW: list[str] = [
     "pipe_embed_pq",
     "pipe_ann_ivfpq",
     "stream_neardup",
+    # round-5 families
+    "pipe_dedup_substring",
+    "pipe_quality_classifier",
+    "pipe_epoch_shuffle",
 ]
 
 
