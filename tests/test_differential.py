@@ -1121,3 +1121,151 @@ def test_random_pq_encode_matches_numpy(vecs, spark):
             err = err + t_
         assert got[i][0] == codes, (i, got[i][0], codes)
         assert abs(got[i][1] - r(err, "1e-4")) < 1e-9, (i, got[i][1], err)
+
+
+# --- round-5 operators vs pure-Python replicas ----------------------------
+# Tiny token alphabet so duplicate shingles (and the island-merge
+# geometry around gap == k) occur constantly; replicas re-derive the
+# semantics independently of the DataFrame composition.
+
+
+@st.composite
+def substring_corpus(draw):
+    n_docs = draw(st.integers(2, 6))
+    docs = [
+        " ".join(
+            draw(
+                st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=24)
+            )
+        )
+        for _ in range(n_docs)
+    ]
+    k = draw(st.integers(2, 4))
+    return docs, k
+
+
+@settings(
+    max_examples=_n(20),
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(case=substring_corpus())
+def test_random_substring_spans_match_python(case, spark):
+    """substring_dup_spans vs an independent Python replica on random
+    4-letter-alphabet corpora: duplicated k-shingle detection and the
+    token-interval island merge (break only at start gap > k) agree on
+    every count."""
+    from impala_cut_spark.operators.dedup import substring_dup_spans
+
+    docs, k = case
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(docs)], "doc_id bigint, text string"
+    )
+    got = {r["doc_id"]: r for r in substring_dup_spans(df, k=k).collect()}
+    from collections import Counter
+
+    toks = {i: [w for w in s.split(" ") if w] for i, s in enumerate(docs)}
+    occ: "Counter[str]" = Counter()
+    for ts in toks.values():
+        for i in range(len(ts) - k + 1):
+            occ[" ".join(ts[i : i + k])] += 1
+    for d, ts in toks.items():
+        dup = [i + 1 for i in range(len(ts) - k + 1) if occ[" ".join(ts[i : i + k])] > 1]
+        spans = []
+        for p in dup:
+            if spans and p - spans[-1][1] <= k:
+                spans[-1][1] = p
+                spans[-1][2] += 1
+            else:
+                spans.append([p, p, 1])
+        g = got[d]
+        assert g["n_tok"] == len(ts), (d, docs)
+        assert g["n_dup_pos"] == sum(s[2] for s in spans), (d, docs, k)
+        assert g["n_spans"] == len(spans), (d, docs, k)
+        assert g["dup_tokens"] == sum(s[1] - s[0] + k for s in spans), (d, docs, k)
+
+
+@st.composite
+def classifier_docs(draw):
+    alphabet = st.text(
+        alphabet=st.characters(codec="utf-8", exclude_characters=" \t\n\r"),
+        min_size=1,
+        max_size=6,
+    )
+    return [
+        " ".join(draw(st.lists(alphabet, min_size=0, max_size=12)))
+        for _ in range(draw(st.integers(1, 5)))
+    ]
+
+
+@settings(
+    max_examples=_n(20),
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(docs=classifier_docs())
+def test_random_quality_classifier_matches_python(docs, spark):
+    """quality_classifier_score vs a Python replica on random unicode
+    tokens: md5-bucket hashing (utf-8 bytes) and the integer
+    unigram+bigram sums are bit-exact."""
+    import hashlib
+
+    from impala_cut_spark.operators.text import (
+        QC_BIAS,
+        QC_BUCKETS,
+        QC_WEIGHTS,
+        quality_classifier_score,
+    )
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(docs)], "doc_id bigint, text string"
+    )
+    got = {r["doc_id"]: r for r in quality_classifier_score(df).collect()}
+
+    def h(s: str) -> int:
+        return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+    for i, s in enumerate(docs):
+        ts = [w for w in s.split(" ") if w]
+        exp = QC_BIAS
+        for w in ts:
+            exp += QC_WEIGHTS[h(w) % QC_BUCKETS]
+        for a, b in zip(ts, ts[1:]):
+            exp += QC_WEIGHTS[h(f"{a} {b}") % QC_BUCKETS]
+        assert got[i]["score_micro"] == exp, (i, s)
+        assert got[i]["keep"] == (exp > 0)
+
+
+@settings(
+    max_examples=_n(15),
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    ids=st.lists(st.integers(0, 10_000), min_size=1, max_size=60, unique=True),
+    seed=st.integers(0, 5),
+    n_shards=st.integers(1, 8),
+)
+def test_random_epoch_shuffle_matches_python(ids, seed, n_shards, spark):
+    """epoch_shuffle on arbitrary doc_id sets: the bucket-major
+    two-phase rank equals the replica's (key mod B, key, doc_id) sort,
+    and shard_id is the exact contiguous floor-division."""
+    import hashlib
+
+    from impala_cut_spark.operators.corpus import SHUFFLE_BUCKETS, epoch_shuffle
+
+    df = spark.createDataFrame([(i, "x") for i in ids], "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: (r["shuffle_pos"], r["shard_id"])
+        for r in epoch_shuffle(df, seed=seed, n_shards=n_shards).collect()
+    }
+
+    def key(d: int) -> int:
+        return int(
+            hashlib.md5(f"{seed}\x1f{d}".encode()).hexdigest()[:15], 16
+        )
+
+    order = sorted(ids, key=lambda d: (key(d) % SHUFFLE_BUCKETS, key(d), d))
+    n = len(ids)
+    for pos, d in enumerate(order):
+        assert got[d] == (pos, pos * n_shards // n), (d, seed, n_shards)

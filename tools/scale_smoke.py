@@ -53,6 +53,10 @@ SMOKE = {
     "pipe_embed_pq": "PQ encode (narrow map, frozen codebook)",
     "pipe_ann_ivfpq": "IVF-PQ search (cell prune + code ADC)",
     "pipe_embed_semdedup": "SemDeDup (cell-bounded cosine self-join)",
+    # round-5 families
+    "pipe_dedup_substring": "substring-span dedup (shingle window + doc islands)",
+    "pipe_quality_classifier": "hashed-linear quality filter (narrow map)",
+    "pipe_epoch_shuffle": "epoch shuffle (bucket-major two-phase rank)",
 }
 
 #: table -> {column: key_domain}. Columns sharing a domain shift by the
