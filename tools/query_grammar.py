@@ -1,0 +1,839 @@
+"""Grammar-driven random query generation against a live oracle.
+
+Re-expresses the reference's random-query comparison harness
+(`/root/reference/tests/comparison/query_generator.py:91`
+`QueryGenerator.create_query`, `model_translator.py`,
+`discrepancy_searcher.py`) for the Spark engine: a seeded generator
+composes random SELECT queries — joins (INNER/LEFT/RIGHT/FULL),
+inline views, WITH clauses, scalar expression trees, aggregation with
+GROUP BY / HAVING / DISTINCT, IN / EXISTS subqueries, UNION [ALL],
+ORDER BY ... LIMIT OFFSET — over the TPC-H tables, runs each through
+the Impala-dialect surface (`ImpalaSession.sql` → dialect rewrite →
+Catalyst) AND through DuckDB, and compares the full result multisets.
+
+Unlike the reference (which leans on a human triaging known-flaky
+discrepancies), every query this grammar emits is *deterministic
+cross-engine by construction*:
+
+- Aggregates over doubles (sum/avg) are order-dependent in their last
+  ulps, so expressions are tagged ``fuzzy`` and may only reach the
+  outermost SELECT list (compared with relative tolerance), never a
+  WHERE / HAVING / join condition / GROUP BY, and never an ORDER BY
+  key under a LIMIT.
+- min/max/count and sums of bounded integers are exact and usable
+  anywhere.
+- ``double -> int`` casts are never generated (DuckDB rounds, Spark
+  truncates); ``/`` denominators are NULLIF-guarded (both engines
+  then yield NULL); ``%`` and ``*`` stay on bounded integers so
+  BIGINT sums cannot overflow (Spark wraps, DuckDB widens to
+  HUGEINT).
+- ORDER BY under LIMIT always covers every output column with
+  explicit NULLS FIRST/LAST, so ties at the cut are between identical
+  rows and the multiset is unique.
+
+Usage (the discrepancy-searcher twin):
+
+    python tools/query_grammar.py --queries 200 --seed 0 [--sf DIR] [-v]
+
+Exit code 1 + a repro dump on the first mismatch. The pytest entry
+(`tests/test_query_grammar.py`) runs a fixed seed range so CI is
+deterministic.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+from dataclasses import dataclass, field, replace
+
+# --- schema model ---------------------------------------------------------
+
+#: column -> (kind, subtype, join-domain). kind: num|str|ts. subtype for
+#: num: int|float. Join domains follow the TPC-H FK graph.
+SCHEMA: dict[str, dict[str, tuple[str, str, str | None]]] = {
+    "region": {
+        "r_regionkey": ("num", "int", "regionkey"),
+        "r_name": ("str", "", None),
+    },
+    "nation": {
+        "n_nationkey": ("num", "int", "nationkey"),
+        "n_name": ("str", "", None),
+        "n_regionkey": ("num", "int", "regionkey"),
+    },
+    "customer": {
+        "c_custkey": ("num", "int", "custkey"),
+        "c_name": ("str", "", None),
+        "c_nationkey": ("num", "int", "nationkey"),
+        "c_acctbal": ("num", "float", None),
+        "c_mktsegment": ("str", "", None),
+    },
+    "supplier": {
+        "s_suppkey": ("num", "int", "suppkey"),
+        "s_name": ("str", "", None),
+        "s_nationkey": ("num", "int", "nationkey"),
+        "s_acctbal": ("num", "float", None),
+    },
+    "part": {
+        "p_partkey": ("num", "int", "partkey"),
+        "p_name": ("str", "", None),
+        "p_brand": ("str", "", None),
+        "p_type": ("str", "", None),
+        "p_size": ("num", "int", None),
+        "p_retailprice": ("num", "float", None),
+    },
+    "orders": {
+        "o_orderkey": ("num", "int", "orderkey"),
+        "o_custkey": ("num", "int", "custkey"),
+        "o_orderstatus": ("str", "", None),
+        "o_totalprice": ("num", "float", None),
+        "o_orderdate": ("ts", "", None),
+        "o_orderpriority": ("str", "", None),
+    },
+    "lineitem": {
+        "l_orderkey": ("num", "int", "orderkey"),
+        "l_partkey": ("num", "int", "partkey"),
+        "l_suppkey": ("num", "int", "suppkey"),
+        "l_linenumber": ("num", "int", None),
+        "l_quantity": ("num", "float", None),
+        "l_extendedprice": ("num", "float", None),
+        "l_discount": ("num", "float", None),
+        "l_tax": ("num", "float", None),
+        "l_returnflag": ("str", "", None),
+        "l_linestatus": ("str", "", None),
+        "l_shipdate": ("ts", "", None),
+    },
+}
+
+#: big tables excluded from FULL-join fan-out pairings
+TABLES = list(SCHEMA)
+
+
+@dataclass
+class Col:
+    alias: str  # table alias that owns it
+    name: str
+    kind: str  # num | str | ts
+    sub: str  # int | float | ''
+    domain: str | None
+
+    @property
+    def sql(self) -> str:
+        return f"{self.alias}.{self.name}"
+
+
+@dataclass
+class Expr:
+    sql: str
+    kind: str  # num | str | ts | bool
+    sub: str = ""  # int | float | '' (num only)
+    fuzzy: bool = False  # order-dependent float aggregate in lineage
+    agg: bool = False  # contains an aggregate function
+
+
+@dataclass
+class TableRef:
+    """A table or inline view in a FROM clause, with its visible columns."""
+
+    alias: str
+    sql: str  # rendered `name alias` or `(subquery) alias`
+    cols: list[Col] = field(default_factory=list)
+
+
+class LiteralPool:
+    """Deterministic per-column literal samples, pulled once from the
+    parquet data (evenly spaced distinct values, ordered) so generated
+    predicates are selective rather than degenerate."""
+
+    def __init__(self, sf_dir: str, con=None):
+        import duckdb
+
+        self.vals: dict[tuple[str, str], list] = {}
+        own = con is None
+        if own:
+            con = duckdb.connect()
+        for t, cols in SCHEMA.items():
+            for c in cols:
+                rows = con.sql(
+                    f"SELECT DISTINCT {c} FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet') "
+                    f"WHERE {c} IS NOT NULL ORDER BY {c}"
+                ).fetchall()
+                n = len(rows)
+                idxs = sorted({0, n // 8, n // 4, n // 2, (3 * n) // 4, n - 1}) if n else []
+                self.vals[(t, c)] = [rows[i][0] for i in idxs]
+        if own:
+            con.close()
+
+    def pick(self, rng: random.Random, table: str, col: str):
+        vs = self.vals.get((table, col)) or [0]
+        return vs[rng.randrange(len(vs))]
+
+
+def _null_pin(arg_sqls: list[str], inner: str) -> str:
+    """Render Impala's any-NULL-in → NULL-out function semantics in
+    engine-neutral SQL (identical result in Impala-dialect Spark and
+    DuckDB)."""
+    cond = " OR ".join(f"{a} IS NULL" for a in arg_sqls)
+    return f"(CASE WHEN {cond} THEN NULL ELSE {inner} END)"
+
+
+def render_literal(v, kind: str) -> str:
+    import datetime
+
+    if v is None:
+        return "NULL"
+    if kind == "str":
+        s = str(v).replace("'", "''")
+        return f"'{s}'"
+    if kind == "ts":
+        if isinstance(v, datetime.datetime):
+            return f"TIMESTAMP '{v.strftime('%Y-%m-%d %H:%M:%S')}'"
+        return f"TIMESTAMP '{v} 00:00:00'"
+    if isinstance(v, float):
+        return repr(v)
+    return str(v)
+
+
+# --- the generator --------------------------------------------------------
+
+
+class QueryGen:
+    """Seeded random query composer (reference parity:
+    `tests/comparison/query_generator.py:93` create_query)."""
+
+    def __init__(self, rng: random.Random, pool: LiteralPool):
+        self.rng = rng
+        self.pool = pool
+        self._alias_n = 0
+        self._cte_n = 0
+
+    # -- helpers
+
+    def _next_alias(self) -> str:
+        self._alias_n += 1
+        return f"t{self._alias_n}"
+
+    def _chance(self, n: int) -> bool:
+        return self.rng.randrange(n) == 0
+
+    def _col_owner_table(self, col: Col, refs: list[TableRef]) -> str | None:
+        """Base table name for literal sampling (None for view columns)."""
+        for t, cols in SCHEMA.items():
+            if col.name in cols and SCHEMA[t][col.name][:2] == (col.kind, col.sub):
+                return t
+        return None
+
+    def _literal_for(self, col: Col) -> str:
+        t = self._col_owner_table(col, [])
+        if t is None:  # derived (view/CTE) column — typed fallback
+            if col.kind == "ts":
+                return "TIMESTAMP '1995-06-17 00:00:00'"
+            return "0" if col.kind == "num" else "'a'"
+        return render_literal(self.pool.pick(self.rng, t, col.name), col.kind)
+
+    # -- scalar expressions (always exact / deterministic)
+
+    def _pick_col(self, refs: list[TableRef], kind: str, sub: str | None = None) -> Col | None:
+        cands = [
+            c
+            for r in refs
+            for c in r.cols
+            if c.kind == kind and (sub is None or c.sub == sub)
+        ]
+        return self.rng.choice(cands) if cands else None
+
+    def num_expr(self, refs: list[TableRef], depth: int) -> Expr | None:
+        r = self.rng
+        if depth <= 0 or self._chance(2):
+            c = self._pick_col(refs, "num")
+            if c is None:
+                return None
+            return Expr(c.sql, "num", c.sub)
+        roll = r.randrange(8)
+        if roll == 0:  # literal
+            return Expr(str(r.randrange(1, 100)), "num", "int")
+        if roll == 1:  # + / -
+            a, b = self.num_expr(refs, depth - 1), self.num_expr(refs, depth - 1)
+            if a is None or b is None:
+                return None
+            op = r.choice(["+", "-"])
+            sub = "int" if a.sub == "int" and b.sub == "int" else "float"
+            return Expr(f"({a.sql} {op} {b.sql})", "num", sub)
+        if roll == 2:  # bounded multiply (keeps BIGINT sums overflow-free)
+            a = self.num_expr(refs, depth - 1)
+            if a is None:
+                return None
+            return Expr(f"({r.randrange(2, 20)} * {a.sql})", "num", a.sub)
+        if roll == 3:  # guarded division -> float
+            a, b = self.num_expr(refs, depth - 1), self.num_expr(refs, depth - 1)
+            if a is None or b is None:
+                return None
+            return Expr(f"({a.sql} / NULLIF({b.sql}, 0))", "num", "float")
+        if roll == 4:  # modulo, ints only
+            c = self._pick_col(refs, "num", "int")
+            if c is None:
+                return None
+            return Expr(f"({c.sql} % {r.randrange(2, 30)})", "num", "int")
+        if roll == 5:  # unary num funcs
+            a = self.num_expr(refs, depth - 1)
+            if a is None:
+                return None
+            fn = r.choice(["abs", "floor", "ceil"])
+            sub = a.sub if fn == "abs" else "int"
+            return Expr(f"{fn}({a.sql})", "num", sub)
+        if roll == 6:  # length(str)
+            s = self.str_expr(refs, depth - 1)
+            if s is None:
+                return None
+            return Expr(f"length({s.sql})", "num", "int")
+        # least/greatest — Impala returns NULL when ANY argument is
+        # NULL (reference be/src/exprs/expr-test.cc greatest tests);
+        # DuckDB skips NULLs, so pin the Impala semantics explicitly
+        # in the shared SQL
+        a, b = self.num_expr(refs, depth - 1), self.num_expr(refs, depth - 1)
+        if a is None or b is None:
+            return None
+        fn = r.choice(["least", "greatest"])
+        sub = "int" if a.sub == "int" and b.sub == "int" else "float"
+        return Expr(_null_pin([a.sql, b.sql], f"{fn}({a.sql}, {b.sql})"), "num", sub)
+
+    def str_expr(self, refs: list[TableRef], depth: int) -> Expr | None:
+        r = self.rng
+        if depth <= 0 or self._chance(2):
+            c = self._pick_col(refs, "str")
+            if c is None:
+                return None
+            return Expr(c.sql, "str")
+        roll = r.randrange(6)
+        if roll == 0:
+            c = self._pick_col(refs, "str")
+            if c is None:
+                return None
+            return Expr(self._literal_for(c), "str")
+        if roll == 1:
+            a = self.str_expr(refs, depth - 1)
+            if a is None:
+                return None
+            return Expr(f"{r.choice(['upper', 'lower', 'trim'])}({a.sql})", "str")
+        if roll == 2:
+            a = self.str_expr(refs, depth - 1)
+            if a is None:
+                return None
+            return Expr(f"substr({a.sql}, {r.randrange(1, 5)}, {r.randrange(1, 9)})", "str")
+        if roll == 3:
+            # concat: NULL-propagating in Impala and Spark, NULL-
+            # skipping in DuckDB — pin the Impala semantics
+            a, b = self.str_expr(refs, depth - 1), self.str_expr(refs, depth - 1)
+            if a is None or b is None:
+                return None
+            return Expr(
+                _null_pin([a.sql, b.sql], f"concat({a.sql}, '#', {b.sql})"), "str"
+            )
+        if roll == 4:  # int -> string cast (float casts render differently)
+            a = self.num_expr(refs, depth - 1)
+            if a is None or a.sub != "int":
+                return None
+            return Expr(f"CAST({a.sql} AS STRING)", "str")
+        # case-when
+        p = self.bool_expr(refs, depth - 1)
+        a, b = self.str_expr(refs, depth - 1), self.str_expr(refs, depth - 1)
+        if p is None or a is None or b is None:
+            return None
+        return Expr(f"(CASE WHEN {p.sql} THEN {a.sql} ELSE {b.sql} END)", "str")
+
+    def ts_expr(self, refs: list[TableRef], depth: int) -> Expr | None:
+        c = self._pick_col(refs, "ts")
+        if c is None:
+            return None
+        if self._chance(4):
+            return Expr(self._literal_for(c), "ts")
+        return Expr(c.sql, "ts")
+
+    def any_scalar(self, refs: list[TableRef], depth: int) -> Expr | None:
+        kind = self.rng.choice(["num", "num", "str", "ts"])
+        if kind == "num":
+            return self.num_expr(refs, depth)
+        if kind == "str":
+            return self.str_expr(refs, depth)
+        return self.ts_expr(refs, depth)
+
+    # -- boolean expressions
+
+    def bool_expr(self, refs: list[TableRef], depth: int, allow_subquery: bool = False) -> Expr | None:
+        r = self.rng
+        if depth > 0 and self._chance(3):
+            a = self.bool_expr(refs, depth - 1, allow_subquery)
+            b = self.bool_expr(refs, depth - 1, allow_subquery)
+            if a is None or b is None:
+                return None
+            op = r.choice(["AND", "OR"])
+            neg = "NOT " if self._chance(5) else ""
+            return Expr(f"{neg}({a.sql} {op} {b.sql})", "bool")
+        roll = r.randrange(10)
+        if roll in (0, 1, 2):  # numeric comparison vs data literal
+            c = self._pick_col(refs, "num")
+            if c is None:
+                return None
+            op = r.choice(["=", "<>", "<", "<=", ">", ">="])
+            return Expr(f"{c.sql} {op} {self._literal_for(c)}", "bool")
+        if roll == 3:  # expr-vs-expr comparison (exact scalars only)
+            a = self.num_expr(refs, depth - 1)
+            b = self.num_expr(refs, depth - 1)
+            if a is None or b is None:
+                return None
+            op = r.choice(["<", "<=", ">", ">="])
+            return Expr(f"{a.sql} {op} {b.sql}", "bool")
+        if roll == 4:  # string comparison / LIKE
+            c = self._pick_col(refs, "str")
+            if c is None:
+                return None
+            if self._chance(2):
+                import re as _re
+
+                lit = self._literal_for(c)[1:-1]
+                frag = lit[: self.rng.randrange(1, max(2, min(6, len(lit) or 1)))] if lit else "a"
+                frag = _re.sub(r"[%_'\\\\]", "", frag) or "a"
+                pat = self.rng.choice([f"{frag}%", f"%{frag}%", f"%{frag}"])
+                neg = "NOT " if self._chance(4) else ""
+                return Expr(f"{c.sql} {neg}LIKE '{pat}'", "bool")
+            op = r.choice(["=", "<>", "<", ">"])
+            return Expr(f"{c.sql} {op} {self._literal_for(c)}", "bool")
+        if roll == 5:  # BETWEEN
+            c = self._pick_col(refs, "num") or self._pick_col(refs, "ts")
+            if c is None:
+                return None
+            a, b = self._literal_for(c), self._literal_for(c)
+            return Expr(f"{c.sql} BETWEEN least({a}, {b}) AND greatest({a}, {b})", "bool")
+        if roll == 6:  # IN literal list
+            c = self._pick_col(refs, "num") or self._pick_col(refs, "str")
+            if c is None:
+                return None
+            lits = ", ".join(self._literal_for(c) for _ in range(r.randrange(2, 5)))
+            neg = "NOT " if self._chance(4) else ""
+            return Expr(f"{c.sql} {neg}IN ({lits})", "bool")
+        if roll == 7:  # IS [NOT] NULL (real NULLs arrive via outer joins)
+            c = self._pick_col(refs, r.choice(["num", "str"]))
+            if c is None:
+                return None
+            neg = "NOT " if self._chance(2) else ""
+            return Expr(f"{c.sql} IS {neg}NULL", "bool")
+        if roll == 8:  # ts comparison
+            c = self._pick_col(refs, "ts")
+            if c is None:
+                return None
+            op = r.choice(["<", "<=", ">", ">=", "="])
+            return Expr(f"{c.sql} {op} {self._literal_for(c)}", "bool")
+        # subqueries (WHERE-level only): uncorrelated IN / correlated EXISTS
+        if allow_subquery:
+            c = self._pick_col(refs, "num")
+            if c is not None and c.domain is not None:
+                others = [
+                    (t, n)
+                    for t, cols in SCHEMA.items()
+                    for n, meta in cols.items()
+                    if meta[2] == c.domain
+                ]
+                t, n = r.choice(others)
+                al = self._next_alias()
+                if self._chance(2):  # correlated EXISTS
+                    extra = ""
+                    sc = self._pick_col(
+                        [TableRef(al, "", _table_cols(t, al))], r.choice(["num", "str"])
+                    )
+                    if sc is not None and self._chance(2):
+                        extra = f" AND {sc.sql} {r.choice(['<', '>', '<>'])} {self._literal_for(sc)}"
+                    neg = "NOT " if self._chance(3) else ""
+                    return Expr(
+                        f"{neg}EXISTS (SELECT 1 FROM {t} {al} WHERE {al}.{n} = {c.sql}{extra})",
+                        "bool",
+                    )
+                inner_pred = ""
+                sc = self._pick_col([TableRef(al, "", _table_cols(t, al))], "num")
+                if sc is not None and self._chance(2):
+                    inner_pred = f" WHERE {sc.sql} {r.choice(['<', '>'])} {self._literal_for(sc)}"
+                neg = "NOT " if self._chance(4) else ""
+                return Expr(
+                    f"{c.sql} {neg}IN (SELECT {al}.{n} FROM {t} {al}{inner_pred})", "bool"
+                )
+        c = self._pick_col(refs, "num")
+        if c is None:
+            return None
+        return Expr(f"{c.sql} >= {self._literal_for(c)}", "bool")
+
+    # -- aggregates
+
+    def agg_expr(self, refs: list[TableRef], depth: int) -> Expr | None:
+        r = self.rng
+        roll = r.randrange(7)
+        if roll == 0:
+            return Expr("count(*)", "num", "int", agg=True)
+        if roll == 1:
+            e = self.any_scalar(refs, 1)
+            if e is None:
+                return None
+            d = "DISTINCT " if self._chance(3) else ""
+            return Expr(f"count({d}{e.sql})", "num", "int", agg=True)
+        if roll in (2, 3):  # min / max: order-independent on any type
+            e = self.any_scalar(refs, depth - 1)
+            if e is None:
+                return None
+            return Expr(f"{r.choice(['min', 'max'])}({e.sql})", e.kind, e.sub, agg=True)
+        if roll == 4:  # exact integer sum
+            e = self.num_expr(refs, depth - 1)
+            if e is None or e.sub != "int":
+                return None
+            return Expr(f"sum({e.sql})", "num", "int", agg=True)
+        if roll == 5:  # float sum — order-dependent => fuzzy
+            e = self.num_expr(refs, depth - 1)
+            if e is None:
+                return None
+            return Expr(f"sum({e.sql})", "num", "float", agg=True, fuzzy=e.sub == "float")
+        e = self.num_expr(refs, 1)
+        if e is None:
+            return None
+        return Expr(f"avg({e.sql})", "num", "float", agg=True, fuzzy=True)
+
+    # -- FROM clause
+
+    def _make_table_ref(self, depth: int, ctes: dict[str, list[Col]]) -> TableRef:
+        r = self.rng
+        al = self._next_alias()
+        if ctes and self._chance(4):
+            name = r.choice(list(ctes))
+            cols = [replace(c, alias=al) for c in ctes[name]]
+            return TableRef(al, f"{name} {al}", cols)
+        if depth > 0 and self._chance(6):  # inline view
+            q = self.create_query(depth - 1, ctes, inner=True)
+            # fuzzy (order-dependent float-agg) view columns stay
+            # invisible upstream: they must never reach a predicate,
+            # join condition, or group key
+            cols = [
+                replace(c, alias=al)
+                for c, fz in zip(q.out_cols, q.fuzzy)
+                if not fz
+            ]
+            if cols:
+                return TableRef(al, f"({q.sql}) {al}", cols)
+        t = r.choice(TABLES)
+        return TableRef(al, f"{t} {al}", _table_cols(t, al))
+
+    def _join_cond(self, left: list[TableRef], right: TableRef) -> str | None:
+        cands = []
+        for lr in left:
+            for lc in lr.cols:
+                if lc.domain is None:
+                    continue
+                for rc in right.cols:
+                    if rc.domain == lc.domain:
+                        cands.append((lc, rc))
+        if not cands:
+            return None
+        lc, rc = self.rng.choice(cands)
+        cond = f"{lc.sql} = {rc.sql}"
+        if self._chance(4):  # extra non-equi conjunct
+            e = self.bool_expr(left + [right], 1)
+            if e is not None:
+                cond += f" AND {e.sql}"
+        return cond
+
+    # -- the query
+
+    def create_query(
+        self,
+        depth: int,
+        ctes: dict[str, list[Col]] | None = None,
+        inner: bool = False,
+        sig: list[tuple[str, str]] | None = None,
+    ) -> "GenQuery":
+        r = self.rng
+        ctes = dict(ctes or {})
+
+        with_sql = ""
+        if not inner and self._chance(6):
+            name = f"cte{self._cte_n}"
+            self._cte_n += 1
+            cq = self.create_query(max(0, depth - 1), inner=True)
+            visible = [
+                replace(c, alias="")
+                for c, fz in zip(cq.out_cols, cq.fuzzy)
+                if not fz
+            ]
+            if visible:
+                with_sql = f"WITH {name} AS ({cq.sql}) "
+                ctes[name] = visible
+
+        refs = [self._make_table_ref(depth, ctes)]
+        joins: list[str] = []
+        n_joins = 0
+        while n_joins < 3 and self._chance(2):
+            right = self._make_table_ref(max(0, depth - 1), ctes)
+            cond = self._join_cond(refs, right)
+            if cond is None:
+                break
+            kind = r.choice(
+                ["JOIN", "JOIN", "JOIN", "LEFT JOIN", "LEFT JOIN", "RIGHT JOIN", "FULL JOIN"]
+            )
+            joins.append(f"{kind} {right.sql} ON {cond}")
+            refs.append(right)
+            n_joins += 1
+
+        # select items; signature-matched for UNION partners
+        items: list[Expr] = []
+        if sig is not None:
+            for kind, sub in sig:
+                e = (
+                    self.num_expr(refs, depth)
+                    if kind == "num"
+                    else self.str_expr(refs, depth)
+                    if kind == "str"
+                    else self.ts_expr(refs, depth)
+                )
+                if e is None:  # fall back to a typed literal
+                    e = Expr(
+                        {"num": "0", "str": "'x'", "ts": "TIMESTAMP '1995-01-01 00:00:00'"}[kind],
+                        kind,
+                        sub,
+                    )
+                if kind == "num" and sub == "float" and e.sub == "int":
+                    e = Expr(f"CAST({e.sql} AS DOUBLE)", "num", "float")
+                items.append(e)
+            do_agg = False
+        else:
+            do_agg = self._chance(3)
+            n_items = r.randrange(1, 5)
+            for _ in range(n_items):
+                if do_agg and (not items or self._chance(2)):
+                    e = self.agg_expr(refs, 2)
+                else:
+                    e = self.any_scalar(refs, 2 if not inner else 1)
+                if e is not None:
+                    items.append(e)
+            if not items:
+                items = [Expr("count(*)", "num", "int", agg=True)] if do_agg else [
+                    Expr(refs[0].cols[0].sql, refs[0].cols[0].kind, refs[0].cols[0].sub)
+                ]
+
+        agg_items = [e for e in items if e.agg]
+        non_agg = [e for e in items if not e.agg]
+
+        where = None
+        if self._chance(2):
+            where = self.bool_expr(refs, 2, allow_subquery=not inner)
+
+        # group by select-list ordinals: grouping by expression text
+        # would misparse bare integer-literal items as ordinals
+        group_by = (
+            [str(i + 1) for i, e in enumerate(items) if not e.agg]
+            if agg_items and non_agg
+            else []
+        )
+        having = None
+        if agg_items and self._chance(3):
+            # exact aggregates only: a fuzzy threshold would flip rows
+            h = self.agg_expr(refs, 1)
+            if h is not None and not h.fuzzy and h.kind == "num":
+                having = f"{h.sql} {r.choice(['>', '>=', '<'])} {r.randrange(0, 50)}"
+
+        distinct = ""
+        if not agg_items and self._chance(8):
+            distinct = "DISTINCT "
+
+        aliased = ", ".join(f"{e.sql} AS c{i}" for i, e in enumerate(items))
+        sql = f"{with_sql}SELECT {distinct}{aliased} FROM {refs[0].sql}"
+        for j in joins:
+            sql += f" {j}"
+        if where is not None:
+            sql += f" WHERE {where.sql}"
+        if group_by:
+            sql += f" GROUP BY {', '.join(group_by)}"
+        if having is not None:
+            sql += f" HAVING {having}"
+
+        # UNION partner with a matching type signature
+        if sig is None and not inner and self._chance(6):
+            part_sig = [(e.kind, e.sub) for e in items]
+            uq = self.create_query(max(0, depth - 1), inner=True, sig=part_sig)
+            op = "UNION ALL" if self._chance(2) else "UNION"
+            if op == "UNION" and any(e.fuzzy for e in items):
+                op = "UNION ALL"  # fuzzy values must not drive dedup
+            sql = f"{sql} {op} {uq.sql}"
+
+        # ORDER BY + LIMIT: only when every output column is exact, and
+        # always over ALL columns (ties at the cut are identical rows).
+        # Never on a UNION partner — its un-parenthesized ORDER BY
+        # would bind to the whole union, sorting the outer (possibly
+        # fuzzy) columns.
+        if sig is None and not any(e.fuzzy for e in items) and self._chance(3):
+            keys = ", ".join(
+                f"{i + 1} {d} {n}"
+                for i, (d, n) in enumerate(
+                    (r.choice([("ASC", "NULLS LAST"), ("DESC", "NULLS FIRST")]))
+                    for _ in items
+                )
+            )
+            lim = r.randrange(1, 60)
+            off = f" OFFSET {r.randrange(0, 10)}" if self._chance(4) else ""
+            sql += f" ORDER BY {keys} LIMIT {lim}{off}"
+
+        out_cols = [
+            Col("", f"c{i}", e.kind, e.sub, _out_domain(e, refs)) for i, e in enumerate(items)
+        ]
+        return GenQuery(sql=sql, out_cols=out_cols, fuzzy=[e.fuzzy for e in items])
+
+
+def _table_cols(t: str, alias: str) -> list[Col]:
+    return [Col(alias, n, k, s, d) for n, (k, s, d) in SCHEMA[t].items()]
+
+
+def _out_domain(e: Expr, refs: list[TableRef]) -> str | None:
+    """Preserve the join domain when a select item is a bare key column,
+    so inline views / CTEs stay joinable upstream."""
+    for r in refs:
+        for c in r.cols:
+            if e.sql == c.sql:
+                return c.domain
+    return None
+
+
+@dataclass
+class GenQuery:
+    sql: str
+    out_cols: list[Col]
+    fuzzy: list[bool]
+
+
+# --- comparison -----------------------------------------------------------
+
+
+def _norm(v):
+    import datetime
+    from decimal import Decimal
+
+    if v is None:
+        return None
+    if isinstance(v, Decimal):
+        return float(v)
+    if isinstance(v, bool):
+        return int(v)
+    if hasattr(v, "item"):
+        return _norm(v.item())
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat(sep=" ")
+    if isinstance(v, datetime.date):
+        return v.isoformat() + " 00:00:00"
+    return v
+
+
+def _sort_key(row, fuzzy):
+    # Exact columns sort at full precision (their values are
+    # bit-identical cross-engine); only fuzzy float-agg columns get a
+    # rounded key, so near-equal exact rows can't misalign.
+    out = []
+    for j, v in enumerate(row):
+        fz = fuzzy[j] if fuzzy and j < len(fuzzy) else True
+        if v is None:
+            out.append((0, ""))
+        elif isinstance(v, (int, float)):
+            out.append((1, f"{float(v):.6g}" if fz else f"{float(v):.17g}"))
+        else:
+            out.append((2, str(v)))
+    return out
+
+
+def _cells_equal(a, b, fz: bool) -> bool:
+    if a is None or b is None:
+        return a is None and b is None
+    if isinstance(a, (int, float)) and isinstance(b, (int, float)):
+        fa, fb = float(a), float(b)
+        if math.isnan(fa) or math.isnan(fb):
+            return math.isnan(fa) and math.isnan(fb)
+        tol = 1e-8 if fz else 1e-12
+        return math.isclose(fa, fb, rel_tol=tol, abs_tol=tol)
+    return a == b
+
+
+def compare_results(spark_rows, duck_rows, fuzzy=None) -> str | None:
+    """None if multisets match (fuzzy columns with tolerance), else a message."""
+    key = lambda r: _sort_key(r, fuzzy)  # noqa: E731
+    a = sorted(([_norm(v) for v in r] for r in spark_rows), key=key)
+    b = sorted(([_norm(v) for v in r] for r in duck_rows), key=key)
+    if len(a) != len(b):
+        return f"row count: spark={len(a)} duckdb={len(b)}"
+    for i, (ra, rb) in enumerate(zip(a, b)):
+        if len(ra) != len(rb):
+            return f"width: {len(ra)} vs {len(rb)}"
+        for j, (va, vb) in enumerate(zip(ra, rb)):
+            fz = fuzzy[j] if fuzzy and j < len(fuzzy) else True
+            if not _cells_equal(va, vb, fz):
+                return f"row {i} col c{j}: spark={va!r} duckdb={vb!r}"
+    return None
+
+
+def run_one(isess, con, sql: str, fuzzy=None) -> str | None:
+    spark_rows = [tuple(r) for r in isess.sql(sql).collect()]
+    duck_rows = con.sql(sql).fetchall()
+    return compare_results(spark_rows, duck_rows, fuzzy)
+
+
+def generate(seed: int, pool: LiteralPool) -> GenQuery:
+    rng = random.Random(seed)
+    return QueryGen(rng, pool).create_query(depth=2)
+
+
+# --- discrepancy searcher CLI ---------------------------------------------
+
+
+def main() -> int:
+    import argparse
+    import sys
+    import time
+
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--queries", type=int, default=100)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--sf", default="/root/testdata/sf0.001")
+    ap.add_argument("-v", "--verbose", action="store_true")
+    args = ap.parse_args()
+
+    import duckdb
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).resolve().parent.parent))
+    from impala_cut_spark.session import ImpalaSession, build_session
+    from impala_cut_spark.sources.catalog import register_views
+
+    spark = build_session(
+        app_name="query-grammar", master="local[8]", shuffle_partitions=8
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    register_views(spark, args.sf)
+    isess = ImpalaSession(spark)
+    con = duckdb.connect()
+    for t in SCHEMA:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf}/{t}.parquet')"
+        )
+    pool = LiteralPool(args.sf, con)
+
+    bad = 0
+    t0 = time.time()
+    for s in range(args.seed, args.seed + args.queries):
+        q = generate(s, pool)
+        if args.verbose:
+            print(f"-- seed {s}\n{q.sql}")
+        try:
+            msg = run_one(isess, con, q.sql, q.fuzzy)
+        except Exception as e:  # an engine rejecting the query IS a finding
+            msg = f"exception: {type(e).__name__}: {str(e)[:300]}"
+        if msg is not None:
+            bad += 1
+            print(f"\nDISCREPANCY seed={s}: {msg}\n{q.sql}\n", file=sys.stderr)
+    dt = time.time() - t0
+    print(
+        f"{args.queries} generated queries, {bad} discrepancies, "
+        f"{dt:.1f}s ({dt / max(1, args.queries):.2f}s/q)"
+    )
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
