@@ -328,6 +328,86 @@ def reduce_and(conds: list[Column]) -> Column:
     return out
 
 
+def decontaminate_neardup(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Near-duplicate test-set decontamination: flag training docs
+    whose n-gram Jaccard similarity to ANY benchmark/eval doc reaches
+    ``threshold`` — the fuzzy complement of :func:`decontaminate`
+    (exact shingle overlap misses light paraphrases and whitespace /
+    punctuation edits; MinHash similarity does not).
+
+    Plan: both sides get fused (shingle-set + 64 md5-affine minhash)
+    per-doc tables (one groupBy each, the minhash_dedup_pairs shape);
+    banded LSH keys come from dedup.band_bucket_keys. The benchmark's
+    band table AND shingle sets are broadcast — the designed asymmetry
+    (eval suites are tiny vs a 100 TB corpus) — so candidate probing
+    is a map-side hash join on the corpus band stream, candidates are
+    distinct (doc, bench) pairs, and only candidate docs ever reach
+    the exact-Jaccard verify. No corpus self-join anywhere: cost is
+    O(corpus) + O(candidates), not O(corpus²).
+
+    Output per corpus doc (docs with ≥ n tokens): best_jaccard across
+    candidate benchmark docs (rounded to 6 dp — the cross-engine
+    float-determinism trick every minhash oracle here uses),
+    n_bench_matches at the threshold, and the contamination flag.
+    Fully DuckDB-replayable (md5-affine family + md5-60bit band keys).
+    """
+    from pyspark import StorageLevel
+
+    from impala_cut_spark.operators.dedup import (
+        NUM_HASHES,
+        _minhash_pre_aggs,
+        band_bucket_keys,
+        shingles,
+    )
+
+    def per_doc_tbl(df: DataFrame) -> DataFrame:
+        sh = shingles(df, n)
+        pre, aggs = _minhash_pre_aggs(sh, NUM_HASHES, "md5_affine")
+        return pre.groupBy("doc_id").agg(
+            F.collect_set("shingle").alias("shset"), *aggs
+        )
+
+    train = per_doc_tbl(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    bench = per_doc_tbl(benchmark).persist(StorageLevel.MEMORY_AND_DISK)
+
+    tb = band_bucket_keys(train, band_key="md5").select("doc_id", "bucket")
+    bb = band_bucket_keys(bench, band_key="md5").select(
+        F.col("doc_id").alias("bench_id"), "bucket"
+    )
+    cands = tb.join(F.broadcast(bb), "bucket").select("doc_id", "bench_id").distinct()
+
+    pairs = cands.join(train.select("doc_id", F.col("shset").alias("sa")), "doc_id").join(
+        F.broadcast(
+            bench.select(F.col("doc_id").alias("bench_id"), F.col("shset").alias("sb"))
+        ),
+        "bench_id",
+    )
+    ni = F.size(F.array_intersect("sa", "sb"))
+    j = F.round(
+        ni.cast("double") / (F.size("sa") + F.size("sb") - ni).cast("double"), 6
+    )
+    scored = pairs.select("doc_id", j.alias("jaccard"))
+    per_doc = scored.groupBy("doc_id").agg(
+        F.max("jaccard").alias("best_jaccard"),
+        F.sum((F.col("jaccard") >= threshold).cast("int")).alias("n_bench_matches"),
+    )
+    base = train.select("doc_id", F.size("shset").alias("n_shingles"))
+    return base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        F.coalesce("n_bench_matches", F.lit(0)).alias("n_bench_matches"),
+        F.coalesce("best_jaccard", F.lit(0.0)).alias("best_jaccard"),
+        (F.coalesce("n_bench_matches", F.lit(0)) > 0)
+        .cast("int")
+        .alias("is_contaminated"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # deterministic epoch shuffle + shard assignment
 # ---------------------------------------------------------------------------

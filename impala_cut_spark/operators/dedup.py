@@ -415,7 +415,24 @@ def lsh_candidate_pairs(
         buckets = sig.select(
             "doc_id", F.posexplode(bands).alias("band", "vals")
         ).select("doc_id", "band", "vals.*")
-    elif band_key == "md5":
+    else:
+        buckets = band_bucket_keys(sig, band_size, band_key)
+    return candidate_pairs_from_groups(buckets)
+
+
+def band_bucket_keys(
+    sig: DataFrame, band_size: int = BAND_SIZE, band_key: str = "md5"
+) -> DataFrame:
+    """(doc_id, band, bucket) hashed band keys for a signature table —
+    the shared explode behind self-dedup (lsh_candidate_pairs) and
+    cross-corpus probes (corpus.decontaminate_neardup joins a corpus's
+    band table against a broadcast benchmark band table instead of
+    pairing within one). ``md5`` keys fold the band index into the
+    hash input, so they are globally unique across bands and DuckDB
+    replays them verbatim."""
+    num_hashes = len([c for c in sig.columns if c.startswith("mh_")])
+    n_bands = num_hashes // band_size
+    if band_key == "md5":
         bands = F.array(
             *[
                 md5_hash60(
@@ -428,7 +445,6 @@ def lsh_candidate_pairs(
                 for b in range(n_bands)
             ]
         )
-        buckets = sig.select("doc_id", F.posexplode(bands).alias("band", "bucket"))
     else:
         bands = F.array(
             *[
@@ -438,8 +454,7 @@ def lsh_candidate_pairs(
                 for b in range(n_bands)
             ]
         )
-        buckets = sig.select("doc_id", F.posexplode(bands).alias("band", "bucket"))
-    return candidate_pairs_from_groups(buckets)
+    return sig.select("doc_id", F.posexplode(bands).alias("band", "bucket"))
 
 
 def verify_pairs_jaccard(sh: DataFrame, cands: DataFrame, threshold: float) -> DataFrame:

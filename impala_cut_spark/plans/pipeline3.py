@@ -146,3 +146,93 @@ def pipe_epoch_shuffle(spark, sf_dir):
     return corpus.epoch_shuffle(
         t(spark, sf_dir, "documents"), seed=SHUFFLE_SEED, n_shards=SHUFFLE_SHARDS
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-corpus near-duplicate decontamination (MinHash probe)
+# ---------------------------------------------------------------------------
+
+
+def _neardup_decon_oracle() -> str:
+    """DuckDB replica of the full cross-corpus MinHash probe: same
+    md5-affine family and md5-60bit band keys as the minhash dedup
+    oracle (plans/pipeline.py _minhash_oracle), but the band join runs
+    corpus-side vs benchmark-side instead of within one corpus."""
+    P = dedup.MINHASH_PRIME
+    params = dedup.affine_params(dedup.NUM_HASHES)
+    bs = dedup.BAND_SIZE
+    n_bands = dedup.NUM_HASHES // bs
+    h60 = _SQL_H60_TOK
+    mh = ",\n            ".join(
+        f"min(({a} * h + {b}) % {P}) AS mh_{i}" for i, (a, b) in enumerate(params)
+    )
+
+    def arms(src: str, idc: str) -> str:
+        return "\n  UNION ALL\n  ".join(
+            f"SELECT {idc}, "
+            + h60.format(
+                x="concat_ws(','"
+                + f", {b}, "
+                + ", ".join(f"mh_{b * bs + r}" for r in range(bs))
+                + ")"
+            )
+            + f" AS bkey FROM {src}"
+            for b in range(n_bands)
+        )
+
+    return f"""
+WITH toks AS (SELECT doc_id, source, {_SQL_TOKS} AS l FROM documents),
+sh AS (SELECT doc_id, source,
+              unnest(list_distinct([l[i+1] || ' ' || l[i+2] || ' ' || l[i+3]
+                                    for i in range(greatest(len(l) - 2, 0))])) AS shingle
+       FROM toks),
+bsh AS (SELECT doc_id AS bench_id, shingle FROM sh WHERE source = 'src0'),
+tsh AS (SELECT doc_id, shingle FROM sh WHERE source <> 'src0'),
+th AS (SELECT doc_id, ({h60.format(x='shingle')} % {P}) AS h FROM tsh),
+bh AS (SELECT bench_id, ({h60.format(x='shingle')} % {P}) AS h FROM bsh),
+tsig AS (SELECT doc_id, {mh} FROM th GROUP BY doc_id),
+bsig AS (SELECT bench_id, {mh} FROM bh GROUP BY bench_id),
+tbands AS (
+  {arms('tsig', 'doc_id')}),
+bbands AS (
+  {arms('bsig', 'bench_id')}),
+cand AS (SELECT DISTINCT t.doc_id, b.bench_id
+         FROM tbands t JOIN bbands b ON t.bkey = b.bkey),
+tds AS (SELECT doc_id, list(shingle) AS s, count(*) AS sz FROM tsh GROUP BY doc_id),
+bds AS (SELECT bench_id, list(shingle) AS s, count(*) AS sz FROM bsh GROUP BY bench_id),
+sc AS (SELECT c.doc_id,
+              round(cast(len(list_intersect(x.s, y.s)) as double)
+                    / cast(x.sz + y.sz - len(list_intersect(x.s, y.s)) as double),
+                    6) AS j
+       FROM cand c
+       JOIN tds x ON x.doc_id = c.doc_id
+       JOIN bds y ON y.bench_id = c.bench_id),
+agg AS (SELECT doc_id, max(j) AS best_jaccard,
+               CAST(sum(CASE WHEN j >= 0.2 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_bench_matches
+        FROM sc GROUP BY doc_id)
+SELECT t.doc_id, t.sz AS n_shingles,
+       coalesce(a.n_bench_matches, 0) AS n_bench_matches,
+       coalesce(a.best_jaccard, 0.0) AS best_jaccard,
+       CASE WHEN coalesce(a.n_bench_matches, 0) > 0 THEN 1 ELSE 0 END
+         AS is_contaminated
+FROM tds t LEFT JOIN agg a ON a.doc_id = t.doc_id
+"""
+
+
+@query("pipe_decontaminate_neardup", oracle=_neardup_decon_oracle())
+def pipe_decontaminate_neardup(spark, sf_dir):
+    """Near-duplicate test-set decontamination (operators/corpus.py
+    decontaminate_neardup): training docs (source<>'src0') whose
+    3-gram Jaccard to ANY benchmark doc (source='src0') reaches 0.2,
+    found by probing the corpus's banded MinHash keys against a
+    BROADCAST benchmark band table (no corpus self-join), verified
+    with exact Jaccard on candidate pairs only. The fuzzy complement
+    of pipe_decontaminate — paraphrase-level leaks that exact shingle
+    overlap misses."""
+    from pyspark.sql import functions as F
+
+    docs = t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("source") == "src0")
+    train = docs.filter(F.col("source") != "src0")
+    return corpus.decontaminate_neardup(train, bench, n=3, threshold=0.2)

@@ -218,3 +218,68 @@ def test_epoch_shuffle_matches_global_sort_order(spark, sf_dir):
         )
     }
     assert got == expect
+
+
+# --- cross-corpus near-duplicate decontamination ---------------------------
+
+
+def test_decontaminate_neardup_flags_paraphrase(spark):
+    """A training doc that lightly paraphrases a benchmark doc (high
+    but not total shingle overlap) is flagged; an unrelated doc and an
+    exact copy both get the expected verdicts."""
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    para = base.replace("today", "tonight")  # drops only trailing shingles
+    other = "completely different content about spark physical plans and shuffles etc"
+    bench = spark.createDataFrame([(100, base)], "doc_id bigint, text string")
+    train = spark.createDataFrame(
+        [(1, base), (2, para), (3, other)], "doc_id bigint, text string"
+    )
+    got = {
+        r["doc_id"]: r
+        for r in corpus.decontaminate_neardup(train, bench, n=3, threshold=0.2).collect()
+    }
+    assert got[1]["is_contaminated"] == 1 and got[1]["best_jaccard"] == 1.0
+    assert got[2]["is_contaminated"] == 1 and 0.2 <= got[2]["best_jaccard"] < 1.0
+    assert got[3]["is_contaminated"] == 0 and got[3]["n_bench_matches"] == 0
+
+
+def test_decontaminate_neardup_python_replica(spark):
+    """best_jaccard / flags agree with a brute-force Python replica
+    over a tiny two-letter-alphabet corpus where near-dups abound —
+    LSH with 16 bands of 4 catches everything at j >= ~0.6, so
+    restrict the assertion to pairs the bands provably emit (a shared
+    full band => identical minhash quadruple => candidate)."""
+    import itertools
+    import random as _random
+
+    rng = _random.Random(7)
+    mk = lambda: " ".join(rng.choice("ab") for _ in range(12))  # noqa: E731
+    bench_docs = {100 + i: mk() for i in range(3)}
+    train_docs = {i: mk() for i in range(8)}
+
+    def sh(s):
+        ts = s.split()
+        return {" ".join(ts[i : i + 3]) for i in range(len(ts) - 2)}
+
+    got = {
+        r["doc_id"]: r
+        for r in corpus.decontaminate_neardup(
+            spark.createDataFrame(list(train_docs.items()), "doc_id bigint, text string"),
+            spark.createDataFrame(list(bench_docs.items()), "doc_id bigint, text string"),
+            n=3,
+            threshold=0.2,
+        ).collect()
+    }
+    for d, text_ in train_docs.items():
+        js = [
+            len(sh(text_) & sh(b)) / len(sh(text_) | sh(b))
+            for b in bench_docs.values()
+            if sh(text_) & sh(b)
+        ]
+        # identical doc => identical signature => certain candidate
+        if any(j == 1.0 for j in js):
+            assert got[d]["best_jaccard"] == 1.0
+        # flagged docs must really clear the threshold
+        if got[d]["is_contaminated"]:
+            assert got[d]["best_jaccard"] >= 0.2
+            assert any(abs(j - got[d]["best_jaccard"]) < 1e-5 or j >= got[d]["best_jaccard"] for j in js)
