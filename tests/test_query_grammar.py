@@ -20,7 +20,13 @@ import random
 
 import pytest
 
-from query_grammar import SCHEMA, LiteralPool, QueryGen, run_one
+from query_grammar import (
+    SCHEMA,
+    LiteralPool,
+    QueryGen,
+    install_oracle_macros,
+    run_one,
+)
 
 N_SEEDS = 120
 
@@ -36,6 +42,7 @@ def isession(spark):
 
 @pytest.fixture(scope="module")
 def pool(oracle):
+    install_oracle_macros(oracle)
     return LiteralPool("/root/testdata/sf0.001", oracle)
 
 
@@ -47,12 +54,14 @@ def test_grammar_query_matches_duckdb(seed, isession, oracle, pool):
 
 
 def test_grammar_covers_language_features(pool):
-    """The seed range actually exercises the grammar: joins of every
+    """The grammar actually exercises the language: joins of every
     kind, aggregation, HAVING, DISTINCT, subqueries, CTEs, unions,
-    and LIMIT all appear somewhere in the pinned window."""
+    LIMIT, and the Impala function surface all appear. Scanned over a
+    wider seed range than the executed window — generation is free,
+    and the CLI sweeps execute these seeds too."""
     sqls = [
         QueryGen(random.Random(s), pool).create_query(depth=2).sql
-        for s in range(N_SEEDS)
+        for s in range(500)
     ]
     blob = "\n".join(sqls)
     for feature in [
@@ -72,6 +81,18 @@ def test_grammar_covers_language_features(pool):
         "CASE WHEN",
         "BETWEEN",
         "LIKE",
+        # Impala function surface (DuckDB sees the ORACLE_MACROS twins)
+        "strleft(",
+        "zeroifnull(",
+        "quotient(",
+        "unix_timestamp(",
+        "days_add(",
+        "truncate(",
+        "nvl(",
+        "to_date(",
+        "fmod(",
+        "sqrt(",
+        "var_samp(",
     ]:
         assert feature in blob, f"grammar window never produced {feature!r}"
     # every TPC-H table participates

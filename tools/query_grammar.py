@@ -169,6 +169,43 @@ class LiteralPool:
         return vs[rng.randrange(len(vs))]
 
 
+#: DuckDB macro definitions that teach the oracle the Impala function
+#: surface (the model-translator role of the reference's
+#: `tests/comparison/model_translator.py`): each macro re-expresses an
+#: Impala builtin that our dialect layer (impala_cut_spark/dialect.py
+#: CALL_REWRITES) implements on Spark, with Impala's exact semantics
+#: (probed side-by-side before being admitted to the grammar).
+#: `isnull` cannot be macro'd (DuckDB parser keyword) — the grammar
+#: emits the equivalent `nvl` instead.
+ORACLE_MACROS = [
+    "CREATE OR REPLACE MACRO zeroifnull(x) AS coalesce(x, 0)",
+    "CREATE OR REPLACE MACRO nullifzero(x) AS nullif(x, 0)",
+    "CREATE OR REPLACE MACRO nvl(a, b) AS coalesce(a, b)",
+    "CREATE OR REPLACE MACRO strleft(s, n) AS left(s, CAST(n AS BIGINT))",
+    "CREATE OR REPLACE MACRO strright(s, n) AS right(s, CAST(n AS BIGINT))",
+    "CREATE OR REPLACE MACRO locate(sub, s) AS instr(s, sub)",
+    "CREATE OR REPLACE MACRO quotient(a, b) AS CAST(a AS BIGINT) // CAST(b AS BIGINT)",
+    "CREATE OR REPLACE MACRO to_date(t) AS strftime(CAST(t AS TIMESTAMP), '%Y-%m-%d')",
+    "CREATE OR REPLACE MACRO days_add(t, n) AS CAST(t AS TIMESTAMP) + to_days(CAST(n AS INT))",
+    "CREATE OR REPLACE MACRO months_add(t, n) AS CAST(t AS TIMESTAMP) + to_months(CAST(n AS INT))",
+    "CREATE OR REPLACE MACRO hours_add(t, n) AS CAST(t AS TIMESTAMP) + to_hours(CAST(n AS INT))",
+    "CREATE OR REPLACE MACRO adddate(t, n) AS CAST(t AS TIMESTAMP) + to_days(CAST(n AS INT))",
+    "CREATE OR REPLACE MACRO days_sub(t, n) AS CAST(t AS TIMESTAMP) - to_days(CAST(n AS INT))",
+    "CREATE OR REPLACE MACRO unix_timestamp(t) AS CAST(epoch(CAST(t AS TIMESTAMP)) AS BIGINT)",
+    "CREATE OR REPLACE MACRO from_unixtime(n) AS "
+    "strftime(to_timestamp(CAST(n AS BIGINT)), '%Y-%m-%d %H:%M:%S')",
+    "CREATE OR REPLACE MACRO truncate(x, d) AS trunc(x * pow(10, d)) / pow(10, d)",
+    "CREATE OR REPLACE MACRO max_smallint() AS CAST(32767 AS SMALLINT)",
+    "CREATE OR REPLACE MACRO min_smallint() AS CAST(-32768 AS SMALLINT)",
+    "CREATE OR REPLACE MACRO max_tinyint() AS CAST(127 AS TINYINT)",
+]
+
+
+def install_oracle_macros(con) -> None:
+    for m in ORACLE_MACROS:
+        con.sql(m)
+
+
 def _null_pin(arg_sqls: list[str], inner: str) -> str:
     """Render Impala's any-NULL-in → NULL-out function semantics in
     engine-neutral SQL (identical result in Impala-dialect Spark and
@@ -249,8 +286,14 @@ class QueryGen:
             if c is None:
                 return None
             return Expr(c.sql, "num", c.sub)
-        roll = r.randrange(8)
-        if roll == 0:  # literal
+        roll = r.randrange(14)
+        if roll == 0:  # literal (occasionally an Impala type-constant fn)
+            if self._chance(8):
+                return Expr(
+                    r.choice(["max_smallint()", "min_smallint()", "max_tinyint()"]),
+                    "num",
+                    "int",
+                )
             return Expr(str(r.randrange(1, 100)), "num", "int")
         if roll == 1:  # + / -
             a, b = self.num_expr(refs, depth - 1), self.num_expr(refs, depth - 1)
@@ -281,11 +324,56 @@ class QueryGen:
             fn = r.choice(["abs", "floor", "ceil"])
             sub = a.sub if fn == "abs" else "int"
             return Expr(f"{fn}({a.sql})", "num", sub)
-        if roll == 6:  # length(str)
+        if roll == 6:  # string -> int: length / instr / locate
             s = self.str_expr(refs, depth - 1)
             if s is None:
                 return None
-            return Expr(f"length({s.sql})", "num", "int")
+            sub_roll = r.randrange(3)
+            if sub_roll == 0:
+                return Expr(f"length({s.sql})", "num", "int")
+            needle = r.choice(["a", "e", "er", "#1", "o"])
+            if sub_roll == 1:
+                return Expr(f"instr({s.sql}, '{needle}')", "num", "int")
+            return Expr(f"locate('{needle}', {s.sql})", "num", "int")
+        if roll == 8:  # Impala null-plumbing: zeroifnull / nullifzero
+            a = self.num_expr(refs, depth - 1)
+            if a is None:
+                return None
+            fn = r.choice(["zeroifnull", "nullifzero"])
+            return Expr(f"{fn}({a.sql})", "num", a.sub)
+        if roll == 9:  # quotient / fmod against a nonzero literal
+            if self._chance(2):
+                c = self._pick_col(refs, "num", "int")
+                if c is None:
+                    return None
+                # raw nonnegative column + positive divisor: floor- vs
+                # truncate-division agree
+                return Expr(f"quotient({c.sql}, {r.randrange(2, 30)})", "num", "int")
+            a = self.num_expr(refs, depth - 1)
+            if a is None:
+                return None
+            return Expr(f"fmod({a.sql}, {r.randrange(2, 9)}.5)", "num", "float")
+        if roll == 10:  # timestamp field extraction
+            ts = self.ts_expr(refs, depth - 1)
+            if ts is None:
+                return None
+            fn = r.choice(["year", "month", "day", "hour", "minute", "second"])
+            return Expr(f"{fn}({ts.sql})", "num", "int")
+        if roll == 11:  # epoch seconds
+            ts = self.ts_expr(refs, depth - 1)
+            if ts is None:
+                return None
+            return Expr(f"unix_timestamp({ts.sql})", "num", "int")
+        if roll == 12:  # Impala truncate(x, d) — toward zero
+            a = self.num_expr(refs, depth - 1)
+            if a is None:
+                return None
+            return Expr(f"truncate({a.sql}, {r.randrange(0, 4)})", "num", "float")
+        if roll == 13:  # sqrt: correctly-rounded IEEE op, exact cross-engine
+            a = self.num_expr(refs, depth - 1)
+            if a is None:
+                return None
+            return Expr(f"sqrt(abs({a.sql}))", "num", "float")
         # least/greatest — Impala returns NULL when ANY argument is
         # NULL (reference be/src/exprs/expr-test.cc greatest tests);
         # DuckDB skips NULLs, so pin the Impala semantics explicitly
@@ -304,12 +392,50 @@ class QueryGen:
             if c is None:
                 return None
             return Expr(c.sql, "str")
-        roll = r.randrange(6)
+        roll = r.randrange(10)
         if roll == 0:
             c = self._pick_col(refs, "str")
             if c is None:
                 return None
             return Expr(self._literal_for(c), "str")
+        if roll == 6:  # strleft / strright
+            a = self.str_expr(refs, depth - 1)
+            if a is None:
+                return None
+            fn = r.choice(["strleft", "strright"])
+            return Expr(f"{fn}({a.sql}, {r.randrange(0, 9)})", "str")
+        if roll == 7:  # nvl / lpad / rpad / repeat / reverse
+            a = self.str_expr(refs, depth - 1)
+            if a is None:
+                return None
+            sub_roll = r.randrange(4)
+            if sub_roll == 0:
+                return Expr(f"nvl({a.sql}, 'missing')", "str")
+            if sub_roll == 1:
+                fn = r.choice(["lpad", "rpad"])
+                return Expr(f"{fn}({a.sql}, {r.randrange(1, 13)}, 'xy')", "str")
+            if sub_roll == 2:
+                return Expr(f"repeat(substr({a.sql}, 1, 4), {r.randrange(1, 4)})", "str")
+            return Expr(f"reverse({a.sql})", "str")
+        if roll == 8:  # timestamp renderers: to_date / dayname / from_unixtime
+            ts = self.ts_expr(refs, depth - 1)
+            if ts is None:
+                return None
+            sub_roll = r.randrange(3)
+            if sub_roll == 0:
+                return Expr(f"to_date({ts.sql})", "str")
+            if sub_roll == 1:
+                return Expr(f"dayname({ts.sql})", "str")
+            return Expr(
+                f"from_unixtime(unix_timestamp({ts.sql}) + {r.randrange(0, 90000)})",
+                "str",
+            )
+        if roll == 9:  # Impala interval arithmetic rendered back to num/str path
+            ts = self.ts_expr(refs, depth - 1)
+            if ts is None:
+                return None
+            fn = r.choice(["days_add", "months_add", "hours_add", "adddate", "days_sub"])
+            return Expr(f"to_date({fn}({ts.sql}, {r.randrange(0, 40)}))", "str")
         if roll == 1:
             a = self.str_expr(refs, depth - 1)
             if a is None:
@@ -333,7 +459,10 @@ class QueryGen:
             a = self.num_expr(refs, depth - 1)
             if a is None or a.sub != "int":
                 return None
-            return Expr(f"CAST({a.sql} AS STRING)", "str")
+            # inner BIGINT cast: int-subtype exprs are integer-VALUED,
+            # but DuckDB types floor()/ceil() of a double as DOUBLE and
+            # would render "45.0" where Spark's BIGINT renders "45"
+            return Expr(f"CAST(CAST({a.sql} AS BIGINT) AS STRING)", "str")
         # case-when
         p = self.bool_expr(refs, depth - 1)
         a, b = self.str_expr(refs, depth - 1), self.str_expr(refs, depth - 1)
@@ -347,6 +476,9 @@ class QueryGen:
             return None
         if self._chance(4):
             return Expr(self._literal_for(c), "ts")
+        if depth > 0 and self._chance(4):  # Impala interval arithmetic
+            fn = self.rng.choice(["days_add", "months_add", "hours_add", "days_sub"])
+            return Expr(f"{fn}({c.sql}, {self.rng.randrange(0, 40)})", "ts")
         return Expr(c.sql, "ts")
 
     def any_scalar(self, refs: list[TableRef], depth: int) -> Expr | None:
@@ -491,7 +623,8 @@ class QueryGen:
         e = self.num_expr(refs, 1)
         if e is None:
             return None
-        return Expr(f"avg({e.sql})", "num", "float", agg=True, fuzzy=True)
+        fn = self.rng.choice(["avg", "avg", "var_samp", "stddev_samp"])
+        return Expr(f"{fn}({e.sql})", "num", "float", agg=True, fuzzy=True)
 
     # -- FROM clause
 
@@ -812,6 +945,7 @@ def main() -> int:
         con.sql(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf}/{t}.parquet')"
         )
+    install_oracle_macros(con)
     pool = LiteralPool(args.sf, con)
 
     bad = 0
