@@ -289,11 +289,11 @@ class QueryGen:
         roll = r.randrange(14)
         if roll == 0:  # literal (occasionally an Impala type-constant fn)
             if self._chance(8):
-                return Expr(
-                    r.choice(["max_smallint()", "min_smallint()", "max_tinyint()"]),
-                    "num",
-                    "int",
-                )
+                # BIGINT-cast: DuckDB would keep INT16 through
+                # arithmetic and raise on overflow where Impala/Spark
+                # promote
+                fn = r.choice(["max_smallint()", "min_smallint()", "max_tinyint()"])
+                return Expr(f"CAST({fn} AS BIGINT)", "num", "int")
             return Expr(str(r.randrange(1, 100)), "num", "int")
         if roll == 1:  # + / -
             a, b = self.num_expr(refs, depth - 1), self.num_expr(refs, depth - 1)
@@ -352,7 +352,10 @@ class QueryGen:
             a = self.num_expr(refs, depth - 1)
             if a is None:
                 return None
-            return Expr(f"fmod({a.sql}, {r.randrange(2, 9)}.5)", "num", "float")
+            # abs(): DuckDB's fmod is floored (always-positive) on a
+            # negative dividend; Impala/Spark keep C semantics (sign of
+            # dividend) — only the non-negative domain is comparable
+            return Expr(f"fmod(abs({a.sql}), {r.randrange(2, 9)}.5)", "num", "float")
         if roll == 10:  # timestamp field extraction
             ts = self.ts_expr(refs, depth - 1)
             if ts is None:
