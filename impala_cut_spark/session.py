@@ -126,6 +126,16 @@ class ImpalaSession:
         "max_errors": None,
         "parquet_file_size": "spark.sql.files.maxPartitionBytes",
         "sync_ddl": None,
+        # honored options (TImpalaQueryOptions, ImpalaService.thrift:33-120)
+        "max_scan_range_length": "spark.sql.files.maxPartitionBytes",
+        "parquet_compression_codec": "spark.sql.parquet.compression.codec",
+        "default_order_by_limit": None,  # applied in sql() below
+        # accepted no-ops (debug/HBase/io knobs with no Spark analogue)
+        "abort_on_default_limit_exceeded": None,
+        "debug_action": None,
+        "max_io_buffers": None,
+        "hbase_caching": None,
+        "hbase_cache_blocks": None,
     }
 
     def __init__(self, spark: SparkSession | None = None):
@@ -305,6 +315,7 @@ class ImpalaSession:
         # (bad cells become NULL, ragged rows pad/truncate). Spark pins
         # read options at DDL time, so the policy is captured into
         # text-table CREATEs; read_text_table applies it per-read.
+        text = self._apply_default_order_by_limit(text)
         abort = (self._options.get("abort_on_error") or "").lower() in ("1", "true")
         out = self.spark.sql(
             rewrite(
@@ -630,7 +641,57 @@ class ImpalaSession:
         if conf:
             if key == "disable_codegen":
                 value = "false" if value in ("1", "true") else "true"
+            elif key == "parquet_compression_codec":
+                # Impala values snappy|gzip|none (ImpalaService.thrift
+                # PARQUET_COMPRESSION_CODEC); Spark spells the last one
+                # "uncompressed"
+                value = value.lower()
+                value = "uncompressed" if value in ("none", '""', "''") else value
             self.spark.conf.set(conf, value)
+
+    def _apply_default_order_by_limit(self, text: str) -> str:
+        """DEFAULT_ORDER_BY_LIMIT (ImpalaService.thrift:77-80;
+        QueryStmt.java analyzeOrderBy): when set >= 0, a TOP-LEVEL
+        SELECT with an ORDER BY but no LIMIT gets the default limit
+        appended (a statement with its own LIMIT is untouched). The
+        top-level check masks strings and parenthesized subtrees so an
+        ORDER BY inside an inline view doesn't trip it."""
+        raw = self._options.get("default_order_by_limit")
+        if raw is None:
+            return text
+        try:
+            n = int(raw)
+        except ValueError:
+            return text
+        if n < 0 or not re.match(r"\s*(select|with)\b", text, re.IGNORECASE):
+            return text
+        # mask quoted strings and anything inside parens
+        masked = []
+        depth = 0
+        in_str = False
+        for ch in text:
+            if in_str:
+                masked.append(" ")
+                if ch == "'":
+                    in_str = False
+                continue
+            if ch == "'":
+                in_str = True
+                masked.append(" ")
+            elif ch == "(":
+                depth += 1
+                masked.append(" ")
+            elif ch == ")":
+                depth = max(0, depth - 1)
+                masked.append(" ")
+            else:
+                masked.append(ch if depth == 0 else " ")
+        m = "".join(masked)
+        if re.search(r"\border\s+by\b", m, re.IGNORECASE) and not re.search(
+            r"\blimit\s+\d", m, re.IGNORECASE
+        ):
+            return f"{text.rstrip().rstrip(';')} LIMIT {n}"
+        return text
 
     def unset_option(self, key: str) -> None:
         """``unset key`` — drop a query option (impala_shell.py:549

@@ -318,3 +318,60 @@ def test_insert_into_text_table_preserves_whitespace(sess):
     got = {r.a: r.b for r in sess.sql("select a, b from t_ws").collect()}
     assert got == {1: " padded ", 2: "x"}
     sess.sql("drop table t_ws")
+
+
+def test_default_order_by_limit_option(sess, sf_dir):
+    """DEFAULT_ORDER_BY_LIMIT (ImpalaService.thrift:77-80): a top-level
+    ORDER BY without LIMIT gets the default cap; explicit LIMIT wins;
+    an inline-view ORDER BY doesn't trip the top-level check; unset
+    restores full results."""
+    from impala_cut_spark.sources.catalog import register_views
+
+    register_views(sess.spark, sf_dir)
+    try:
+        sess.sql("set default_order_by_limit=5")
+        assert sess.sql("select n_name from nation order by n_name").count() == 5
+        assert (
+            sess.sql("select n_name from nation order by n_name limit 11").count() == 11
+        )
+        # view-level ORDER BY ... LIMIT is its own clause; no outer cap
+        assert (
+            sess.sql(
+                "select * from (select n_name from nation order by n_name limit 9) v"
+            ).count()
+            == 9
+        )
+        # a string literal containing 'order by' must not trip it
+        n_nations = sess.sql("select 'order by trap' x, n_name from nation").count()
+        assert n_nations > 5
+        sess.sql("set abort_on_default_limit_exceeded=1")  # accepted no-op
+        sess.unset_option("default_order_by_limit")
+        assert sess.sql("select n_name from nation order by n_name").count() == n_nations
+    finally:
+        sess.unset_option("default_order_by_limit")
+        sess.unset_option("abort_on_default_limit_exceeded")
+
+
+def test_parquet_compression_codec_option(sess, tmp_path):
+    """PARQUET_COMPRESSION_CODEC snappy|gzip|none reaches the parquet
+    writer (file suffixes prove the codec); 'none' maps to Spark's
+    'uncompressed' spelling."""
+    import os
+
+    base = sess.spark.conf.get("spark.sql.parquet.compression.codec")
+    try:
+        for impala_val, suffix in [("gzip", ".gz.parquet"), ("snappy", ".snappy.parquet")]:
+            sess.set_option("parquet_compression_codec", impala_val)
+            p = str(tmp_path / f"t_{impala_val}")
+            sess.spark.range(10).write.mode("overwrite").parquet(p)
+            files = [f for f in os.listdir(p) if f.endswith(".parquet")]
+            assert files and all(f.endswith(suffix) for f in files), (impala_val, files)
+        sess.set_option("parquet_compression_codec", "none")
+        assert (
+            sess.spark.conf.get("spark.sql.parquet.compression.codec") == "uncompressed"
+        )
+        sess.set_option("max_scan_range_length", "1048576")
+        assert sess.spark.conf.get("spark.sql.files.maxPartitionBytes") == "1048576"
+    finally:
+        sess.spark.conf.set("spark.sql.parquet.compression.codec", base)
+        sess.unset_option("max_scan_range_length")
