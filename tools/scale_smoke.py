@@ -57,6 +57,7 @@ SMOKE = {
     "pipe_dedup_substring": "substring-span dedup (shingle window + doc islands)",
     "pipe_quality_classifier": "hashed-linear quality filter (narrow map)",
     "pipe_epoch_shuffle": "epoch shuffle (bucket-major two-phase rank)",
+    "pipe_decontaminate_neardup": "near-dup decontamination (broadcast MinHash probe)",
 }
 
 #: table -> {column: key_domain}. Columns sharing a domain shift by the
