@@ -236,3 +236,47 @@ def pipe_decontaminate_neardup(spark, sf_dir):
     bench = docs.filter(F.col("source") == "src0")
     train = docs.filter(F.col("source") != "src0")
     return corpus.decontaminate_neardup(train, bench, n=3, threshold=0.2)
+
+
+# ---------------------------------------------------------------------------
+# streaming distribution-drift monitor (engine extension, §2.9 family)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stream_drift",
+    oracle="""
+WITH cnt AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2),
+tot AS (SELECT day, sum(n) AS win_total FROM cnt GROUP BY day),
+base AS (SELECT event_type, sum(n) AS base_n FROM cnt GROUP BY event_type),
+g AS (SELECT sum(n) AS base_total FROM cnt)
+SELECT c.day, c.event_type, c.n,
+       CAST(t.win_total AS BIGINT) AS win_total,
+       round(cast(c.n as double) / cast(t.win_total as double), 6) AS p_win,
+       round(cast(b.base_n as double) / cast(g.base_total as double), 6) AS p_base,
+       round(
+         (cast(c.n as double) / cast(t.win_total as double)
+          - cast(b.base_n as double) / cast(g.base_total as double))
+         * (cast(c.n as double) / cast(t.win_total as double)
+            - cast(b.base_n as double) / cast(g.base_total as double))
+         / (cast(c.n as double) / cast(t.win_total as double)
+            + cast(b.base_n as double) / cast(g.base_total as double)), 6)
+         AS drift_term
+FROM cnt c JOIN tot t ON t.day = c.day
+JOIN base b ON b.event_type = c.event_type, g
+""",
+)
+def stream_drift(spark, sf_dir):
+    """Streaming training-mix drift monitor (streaming/events.py
+    run_stream_drift): ONE watermarked tumbling-day aggregation
+    maintains (window, type) counts on the replayed event stream; the
+    batch overlay derives window totals, whole-stream baseline shares,
+    and the per-stratum rational chi-square-style term
+    ((p_win-p_base)²/(p_win+p_base)) — the streaming twin of
+    pipe_corpus_drift. Every row is pure rational double arithmetic,
+    bit-identical to the DuckDB replay."""
+    from impala_cut_spark.streaming.events import run_stream_drift
+
+    return run_stream_drift(spark, sf_dir)

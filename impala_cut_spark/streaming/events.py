@@ -318,3 +318,79 @@ def run_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+def windowed_type_counts(
+    events: DataFrame, window: str = "1 day", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling-window event-type counts — the streaming state behind
+    the drift monitor. One watermarked aggregation; state is one row
+    per (window, type) inside the horizon."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def run_stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distribution-drift monitor: per tumbling day, each
+    event type's share of the window vs its share of the whole stream
+    (the training-mix monitoring pattern of pipe_corpus_drift, moved
+    onto the live ingest feed).
+
+    Topology: ONE watermarked streaming aggregation maintains the
+    (window, type) counts; the divergence overlay — window totals,
+    baseline shares, the per-stratum rational chi-square-style term —
+    is a batch computation over the streamed state (Structured
+    Streaming forbids a second aggregation in the same query, and the
+    overlay needs the FULL baseline anyway). Per-stratum terms use
+    pure rational double arithmetic (no transcendental, no
+    cross-stratum sum), so every row is bit-identical cross-engine.
+
+    At scale: the streaming side shuffles only (window, type) partial
+    counts; the overlay input is #windows × #types rows — trivial
+    regardless of event volume.
+    """
+    from pyspark.sql import Window as W
+
+    name = f"events_drift_{next(_counter)}"
+    q = (
+        windowed_type_counts(events_stream(spark, sf_dir))
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    counts = spark.table(name).select(
+        F.col("win.start").cast("timestamp_ntz").alias("day"), "event_type", "n"
+    )
+    win_tot = F.sum("n").over(W.partitionBy("day"))
+    base_tot = F.sum("n").over(W.partitionBy())
+    base_n = F.sum("n").over(W.partitionBy("event_type"))
+    p_win = F.col("n").cast("double") / F.col("win_total").cast("double")
+    p_base = F.col("base_n").cast("double") / F.col("base_total").cast("double")
+    term = (p_win - p_base) * (p_win - p_base) / (p_win + p_base)
+    return (
+        counts.select(
+            "day",
+            "event_type",
+            "n",
+            win_tot.alias("win_total"),
+            base_n.alias("base_n"),
+            base_tot.alias("base_total"),
+        )
+        .select(
+            "day",
+            "event_type",
+            "n",
+            "win_total",
+            F.round(p_win, 6).alias("p_win"),
+            F.round(p_base, 6).alias("p_base"),
+            F.round(term, 6).alias("drift_term"),
+        )
+    )

