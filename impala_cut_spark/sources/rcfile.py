@@ -146,6 +146,9 @@ def _decompress(codec: str | None, data: bytes, uncompressed_len: int) -> bytes:
 def _compress(codec: str | None, data: bytes) -> bytes:
     if codec is None:
         return data
+    if "Gzip" in codec:
+        co = zlib.compressobj(wbits=31)
+        return co.compress(data) + co.flush()
     if "Default" in codec:
         return zlib.compress(data)
     raise NotImplementedError(f"RCFile write codec {codec!r} unsupported")
