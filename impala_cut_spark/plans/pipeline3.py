@@ -280,3 +280,56 @@ def stream_drift(spark, sf_dir):
     from impala_cut_spark.streaming.events import run_stream_drift
 
     return run_stream_drift(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# BM25 keyword retrieval (lexical complement of the ANN family)
+# ---------------------------------------------------------------------------
+
+BM25_TERMS = ["hash", "join", "stream"]
+BM25_K = 25
+
+
+@query(
+    "pipe_bm25",
+    oracle=f"""
+WITH tok AS (SELECT doc_id,
+                    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+             FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+tot AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok
+       WHERE tok IN ('hash', 'join', 'stream') GROUP BY doc_id, tok),
+dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+stats AS (SELECT tok, df, n_docs, sum_dl,
+                 round(ln(1.0 + (cast(n_docs AS double) - df + 0.5) / (df + 0.5)), 6)
+                   AS idf
+          FROM dft CROSS JOIN tot),
+sc AS (SELECT tf.doc_id,
+              round((idf * (cast(tf AS double) * 2.2))
+                    / (cast(tf AS double)
+                       + 1.2 * (0.25 + 0.75 * (cast(dl.dl AS double)
+                                               * cast(n_docs AS double)
+                                               / cast(sum_dl AS double)))), 6)
+                AS term_score
+       FROM tf JOIN stats USING (tok) JOIN dl ON dl.doc_id = tf.doc_id)
+SELECT doc_id, count(*) AS n_terms_matched,
+       round(cast(sum(cast(term_score AS decimal(18,6))) AS double), 6) AS score
+FROM sc GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT {BM25_K}
+""",
+)
+def pipe_bm25(spark, sf_dir):
+    """BM25 keyword retrieval (operators/retrieval.py bm25_topk):
+    top-{k} documents for a literal query-term bag under the
+    Lucene-default BM25 (k1=1.2, b=0.75, BM25+ idf). Term filter
+    lands at the tokenize explode; corpus totals are a one-row
+    broadcast; term stats broadcast into the per-(doc, term) join —
+    one doc_id shuffle end-to-end. idf's ln() is rounded to 6 dp
+    before use and per-term scores decimal-sum (the unigram-ppl
+    determinism trick), so the DuckDB replay is bit-identical."""
+    from impala_cut_spark.operators import retrieval
+
+    return retrieval.bm25_topk(
+        t(spark, sf_dir, "documents"), BM25_TERMS, k=BM25_K
+    )

@@ -283,3 +283,66 @@ def test_decontaminate_neardup_python_replica(spark):
         if got[d]["is_contaminated"]:
             assert got[d]["best_jaccard"] >= 0.2
             assert any(abs(j - got[d]["best_jaccard"]) < 1e-5 or j >= got[d]["best_jaccard"] for j in js)
+
+
+# --- BM25 keyword retrieval ------------------------------------------------
+
+
+def test_bm25_matches_python_replica(spark, sf_dir):
+    """bm25_topk vs an independent Python BM25 (Lucene formula) over
+    the real documents table: identical ranking, scores to 5 dp."""
+    import math
+
+    from impala_cut_spark.operators.retrieval import bm25_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    terms = ["hash", "join", "stream"]
+    got = bm25_topk(docs, terms, k=15).collect()
+
+    corpus = {r["doc_id"]: [w for w in r["text"].split(" ") if w] for r in docs.collect()}
+    n = len(corpus)
+    sum_dl = sum(len(v) for v in corpus.values())
+    df = {t: sum(1 for v in corpus.values() if t in v) for t in terms}
+    k1, b = 1.2, 0.75
+
+    def score(doc):
+        toks = corpus[doc]
+        s = 0.0
+        m = 0
+        for t in terms:
+            tf = toks.count(t)
+            if not tf:
+                continue
+            m += 1
+            idf = round(math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5)), 6)
+            norm = len(toks) * n / sum_dl
+            s += round(idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * norm)), 6)
+        return round(s, 6), m
+
+    exp = sorted(
+        ((d,) + score(d) for d in corpus if score(d)[1] > 0),
+        key=lambda x: (-x[1], x[0]),
+    )[:15]
+    assert [(r["doc_id"], r["n_terms_matched"]) for r in got] == [
+        (d, m) for d, s, m in exp
+    ]
+    for r, (d, s, m) in zip(got, exp):
+        assert abs(r["score"] - s) < 1e-5, (r, s)
+
+
+def test_bm25_ranks_term_dense_docs_first(spark):
+    """Calibration: a short doc stuffed with the query term outranks a
+    long doc mentioning it once; a doc without the term is absent."""
+    from impala_cut_spark.operators.retrieval import bm25_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, "join join join join"),
+            (2, "the quick brown fox mentions join once in a long long long text"),
+            (3, "nothing relevant here at all"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = bm25_topk(df, ["join"], k=10).collect()
+    assert [r["doc_id"] for r in got] == [1, 2]
+    assert got[0]["score"] > got[1]["score"] > 0
