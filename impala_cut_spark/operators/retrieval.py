@@ -105,3 +105,34 @@ def bm25_topk(
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def rrf_fuse(
+    lexical: DataFrame,
+    dense: DataFrame,
+    c: int = 60,
+    k: int = 10,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack et al. 2009) of two ranked
+    retrieval arms: rrf(d) = Σ_arm 1/(c + rank_arm(d)), missing arm
+    contributing 0 — the standard hybrid lexical+dense combiner.
+
+    Inputs: two (doc_id, rank) frames (1-based ranks, total-ordered).
+    Pure rational arithmetic (one division per arm, one two-term sum),
+    so the result is bit-identical cross-engine with no rounding.
+
+    Scale: both arms are top-N lists (tiny by construction); the full
+    outer join and final sort are driver-scale no matter the corpus.
+    """
+    a = lexical.select(F.col("doc_id"), F.col("rank").alias("rank_lex"))
+    b = dense.select(F.col("doc_id"), F.col("rank").alias("rank_dense"))
+    fused = a.join(b, "doc_id", "full_outer").select(
+        "doc_id",
+        "rank_lex",
+        "rank_dense",
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(c) + F.col("rank_lex")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(c) + F.col("rank_dense")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(k)

@@ -333,3 +333,94 @@ def pipe_bm25(spark, sf_dir):
     return retrieval.bm25_topk(
         t(spark, sf_dir, "documents"), BM25_TERMS, k=BM25_K
     )
+
+
+# ---------------------------------------------------------------------------
+# hybrid retrieval: BM25 ⊕ dense ANN via Reciprocal Rank Fusion
+# ---------------------------------------------------------------------------
+
+RRF_QUERY_VEC = 7  # the dense arm's query vector (and its twin doc)
+RRF_N = 25  # per-arm candidate depth
+RRF_C = 60  # the canonical RRF constant
+
+
+@query(
+    "pipe_hybrid_rrf",
+    oracle=f"""
+WITH tok AS (SELECT doc_id,
+                    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+             FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+tot AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok
+       WHERE tok IN ('hash', 'join', 'stream') GROUP BY doc_id, tok),
+dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+stats AS (SELECT tok, df, n_docs, sum_dl,
+                 round(ln(1.0 + (cast(n_docs AS double) - df + 0.5) / (df + 0.5)), 6)
+                   AS idf
+          FROM dft CROSS JOIN tot),
+sc AS (SELECT tf.doc_id,
+              round((idf * (cast(tf AS double) * 2.2))
+                    / (cast(tf AS double)
+                       + 1.2 * (0.25 + 0.75 * (cast(dl.dl AS double)
+                                               * cast(n_docs AS double)
+                                               / cast(sum_dl AS double)))), 6)
+                AS term_score
+       FROM tf JOIN stats USING (tok) JOIN dl ON dl.doc_id = tf.doc_id),
+bm AS (SELECT doc_id,
+              round(cast(sum(cast(term_score AS decimal(18,6))) AS double), 6) AS score
+       FROM sc GROUP BY doc_id
+       ORDER BY score DESC, doc_id ASC LIMIT {RRF_N}),
+lex AS (SELECT doc_id,
+               row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank_lex
+        FROM bm),
+v AS (SELECT vec_id, list_transform(embedding, x -> cast(x as double)) AS e
+      FROM embeddings),
+nv AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nm FROM v),
+cosr AS (SELECT c.vec_id AS doc_id,
+                round(list_dot_product(q.e, c.e) / (q.nm * c.nm), 6) AS cos
+         FROM nv q JOIN nv c ON c.vec_id <> q.vec_id
+         WHERE q.vec_id = {RRF_QUERY_VEC}),
+den AS (SELECT doc_id,
+               row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS rank_dense
+        FROM cosr ORDER BY cos DESC, doc_id ASC LIMIT {RRF_N})
+SELECT coalesce(l.doc_id, d.doc_id) AS doc_id,
+       l.rank_lex, d.rank_dense,
+       coalesce(1.0 / ({RRF_C} + l.rank_lex), 0.0)
+       + coalesce(1.0 / ({RRF_C} + d.rank_dense), 0.0) AS rrf
+FROM lex l FULL JOIN den d ON d.doc_id = l.doc_id
+ORDER BY rrf DESC, doc_id ASC LIMIT 15
+""",
+)
+def pipe_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval (operators/retrieval.py rrf_fuse): the BM25
+    lexical arm (pipe_bm25's construction, top-{RRF_N}) fused with the
+    exact dense-cosine arm (similarity.brute_force_topk, one query
+    vector, top-{RRF_N}) by Reciprocal Rank Fusion 1/(60+rank) — the
+    standard lexical+dense combiner. Both arms are total-ordered
+    (ties broken by doc_id) and the fusion is pure rational
+    arithmetic, so the full two-arm pipeline replays bit-identically
+    in DuckDB. vec_id is the embedding twin of doc_id in this
+    testdata (parallel 0..N tables)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from impala_cut_spark.operators import retrieval, similarity
+
+    docs = t(spark, sf_dir, "documents")
+    emb = t(spark, sf_dir, "embeddings")
+
+    lex = retrieval.bm25_topk(docs, BM25_TERMS, k=RRF_N).select(
+        "doc_id",
+        "score",
+        F.row_number()
+        .over(W.orderBy(F.desc("score"), F.asc("doc_id")))
+        .alias("rank"),
+    )
+    dense = (
+        similarity.brute_force_topk(
+            emb, emb.filter(F.col("vec_id") == RRF_QUERY_VEC), k=RRF_N
+        )
+        .select(F.col("n_id").alias("doc_id"), F.col("rank"))
+    )
+    return retrieval.rrf_fuse(lex, dense, c=RRF_C, k=15)

@@ -346,3 +346,18 @@ def test_bm25_ranks_term_dense_docs_first(spark):
     got = bm25_topk(df, ["join"], k=10).collect()
     assert [r["doc_id"] for r in got] == [1, 2]
     assert got[0]["score"] > got[1]["score"] > 0
+
+
+def test_rrf_fuse_semantics(spark):
+    """rrf_fuse: overlap sums both arms, single-arm docs get one term,
+    ordering is (rrf desc, doc_id)."""
+    from impala_cut_spark.operators.retrieval import rrf_fuse
+
+    lex = spark.createDataFrame([(10, 1), (20, 2), (30, 3)], "doc_id bigint, rank int")
+    den = spark.createDataFrame([(20, 1), (40, 2)], "doc_id bigint, rank int")
+    got = rrf_fuse(lex, den, c=60, k=10).collect()
+    by_id = {r["doc_id"]: r for r in got}
+    assert by_id[20]["rrf"] == 1.0 / 62 + 1.0 / 61
+    assert by_id[10]["rrf"] == 1.0 / 61 and by_id[10]["rank_dense"] is None
+    assert by_id[40]["rrf"] == 1.0 / 62 and by_id[40]["rank_lex"] is None
+    assert [r["doc_id"] for r in got] == [20, 10, 40, 30]
