@@ -136,3 +136,85 @@ def rrf_fuse(
         ).alias("rrf"),
     )
     return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(k)
+
+
+def _round6_half_up(x):
+    """FP emulation of SQL round(x, 6) HALF_UP (the similarity.py
+    kernel trick): copysign(floor(|x|·1e6 + 0.5), x)/1e6."""
+    import numpy as np
+
+    return np.copysign(np.floor(np.abs(x) * 1e6 + 0.5), x) / 1e6
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    embeddings: DataFrame,
+    k: int = 5,
+    lam: float = 0.5,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): greedily select k of each query's candidates, each step
+    taking argmax of round6(λ·cos(q,d) − (1−λ)·max_{s∈S} cos(d,s)) —
+    relevance traded against redundancy with what's already picked.
+    The diversity stage retrieval stacks run after ANN.
+
+    Inputs: ``candidates`` = (q_id, n_id, cos) from brute_force_topk
+    (cos already rounded to 6 dp, ties broken by n_id); ``embeddings``
+    = (vec_id, embedding) for the pairwise-similarity lookups.
+
+    Execution: candidate embeddings join in (broadcast of the
+    candidate id set side), then ONE applyInPandas keyed by q_id runs
+    the greedy loop per query — the per-group matrix is n_candidates
+    wide (bounded by contract), so the sequential step count is k over
+    a tiny numpy matrix regardless of corpus size. Pairwise cosines
+    and selection scores are rounded to 6 dp with the HALF_UP
+    emulation, argmax ties break on n_id ASC — the same total order an
+    unrolled SQL replay uses, so the operator is oracle-checkable.
+
+    Output: (q_id, step, n_id, cos) — step = 1-based selection order.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cand_vecs = candidates.join(
+        embeddings.select(F.col("vec_id").alias("n_id"), "embedding"), "n_id"
+    ).select("q_id", "n_id", "cos", "embedding")
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("n_id").reset_index(drop=True)
+        M = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+        nm = np.sqrt(np.einsum("ij,ij->i", M, M))
+        pair = _round6_half_up(np.einsum("ij,kj->ik", M, M) / np.outer(nm, nm))
+        cosq = pdf["cos"].to_numpy(dtype=np.float64)
+        ids = pdf["n_id"].to_numpy(dtype=np.int64)
+        n = len(ids)
+        selected: list[int] = []
+        avail = np.ones(n, dtype=bool)
+        out_step, out_id, out_cos = [], [], []
+        for step in range(1, min(k, n) + 1):
+            if selected:
+                red = pair[:, selected].max(axis=1)
+                score = _round6_half_up(lam * cosq - (1.0 - lam) * red)
+            else:
+                score = _round6_half_up(lam * cosq)
+            score = np.where(avail, score, -np.inf)
+            # argmax with n_id ASC tie-break: ids are sorted ascending,
+            # np.argmax returns the first (lowest-id) maximum
+            pick = int(np.argmax(score))
+            avail[pick] = False
+            selected.append(pick)
+            out_step.append(step)
+            out_id.append(ids[pick])
+            out_cos.append(cosq[pick])
+        return pd.DataFrame(
+            {
+                "q_id": pdf["q_id"].iloc[0],
+                "step": np.array(out_step, dtype=np.int32),
+                "n_id": np.array(out_id, dtype=np.int64),
+                "cos": out_cos,
+            }
+        )
+
+    return cand_vecs.groupBy("q_id").applyInPandas(
+        greedy, "q_id long, step int, n_id long, cos double"
+    )

@@ -424,3 +424,86 @@ def pipe_hybrid_rrf(spark, sf_dir):
         .select(F.col("n_id").alias("doc_id"), F.col("rank"))
     )
     return retrieval.rrf_fuse(lex, dense, c=RRF_C, k=15)
+
+
+# ---------------------------------------------------------------------------
+# MMR diversity re-ranking (the stage after ANN in a retrieval stack)
+# ---------------------------------------------------------------------------
+
+MMR_QUERY_VEC = 7
+MMR_N_CAND = 20
+MMR_K = 5
+MMR_LAM = 0.5
+
+
+def _mmr_oracle() -> str:
+    """DuckDB replay of the greedy MMR selection, UNROLLED: stage i is
+    a one-row CTE picking argmax round6(λ·cos − (1−λ)·max pairwise sim
+    to stages 1..i−1), ties by n_id — the same total order the numpy
+    kernel uses (HALF_UP round6 emulation). No recursion needed: k is
+    a literal, so the greedy loop is k chained CTEs."""
+    lam, om = MMR_LAM, 1.0 - MMR_LAM
+    stages = []
+    prev: list[str] = []
+    for i in range(1, MMR_K + 1):
+        if not prev:
+            stages.append(
+                f"c1 AS (SELECT n_id, cos FROM cand "
+                f"ORDER BY round({lam} * cos, 6) DESC, n_id LIMIT 1)"
+            )
+        else:
+            sims = [
+                f"(SELECT c FROM pair, {p} WHERE ia = d.n_id AND ib = {p}.n_id)"
+                for p in prev
+            ]
+            red = sims[0] if len(sims) == 1 else "greatest(" + ", ".join(sims) + ")"
+            not_in = ", ".join(f"(SELECT n_id FROM {p})" for p in prev)
+            stages.append(
+                f"c{i} AS (SELECT d.n_id, d.cos FROM cand d "
+                f"WHERE d.n_id NOT IN ({not_in}) "
+                f"ORDER BY round({lam} * d.cos - {om} * {red}, 6) DESC, d.n_id "
+                f"LIMIT 1)"
+            )
+        prev.append(f"c{i}")
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({MMR_QUERY_VEC} AS BIGINT) AS q_id, {i} AS step, n_id, cos FROM c{i}"
+        for i in range(1, MMR_K + 1)
+    )
+    stages_sql = ",\n".join(stages)
+    return f"""
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> cast(x as double)) AS e
+           FROM embeddings),
+nv AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nm FROM v),
+cand AS (SELECT c.vec_id AS n_id,
+                round(list_dot_product(q.e, c.e) / (q.nm * c.nm), 6) AS cos
+         FROM nv q JOIN nv c ON c.vec_id <> q.vec_id
+         WHERE q.vec_id = {MMR_QUERY_VEC}
+         ORDER BY cos DESC, n_id LIMIT {MMR_N_CAND}),
+ids AS (SELECT n_id FROM cand),
+pair AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+                round(list_dot_product(a.e, b.e) / (a.nm * b.nm), 6) AS c
+         FROM nv a JOIN nv b
+           ON a.vec_id IN (SELECT n_id FROM ids)
+          AND b.vec_id IN (SELECT n_id FROM ids)),
+{stages_sql}
+{union}
+"""
+
+
+@query("pipe_mmr_rerank", oracle=_mmr_oracle())
+def pipe_mmr_rerank(spark, sf_dir):
+    """MMR diversity re-ranking (operators/retrieval.py mmr_rerank):
+    greedy λ-tradeoff selection of {MMR_K} from the query's top-{MMR_N_CAND}
+    cosine candidates — the stage a retrieval stack runs after ANN so
+    the shortlist isn't {MMR_K} near-copies. One applyInPandas keyed by
+    q_id over the (bounded) candidate set; every rounding and
+    tie-break mirrors the unrolled-greedy DuckDB oracle."""
+    from pyspark.sql import functions as F
+
+    from impala_cut_spark.operators import retrieval, similarity
+
+    emb = t(spark, sf_dir, "embeddings")
+    cands = similarity.brute_force_topk(
+        emb, emb.filter(F.col("vec_id") == MMR_QUERY_VEC), k=MMR_N_CAND
+    ).select("q_id", "n_id", "cos")
+    return retrieval.mmr_rerank(cands, emb, k=MMR_K, lam=MMR_LAM)

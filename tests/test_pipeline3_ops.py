@@ -361,3 +361,53 @@ def test_rrf_fuse_semantics(spark):
     assert by_id[10]["rrf"] == 1.0 / 61 and by_id[10]["rank_dense"] is None
     assert by_id[40]["rrf"] == 1.0 / 62 and by_id[40]["rank_lex"] is None
     assert [r["doc_id"] for r in got] == [20, 10, 40, 30]
+
+
+def test_mmr_diversifies_near_duplicate_candidates(spark):
+    """MMR with λ=0.5 demotes a near-copy of the first pick: given a
+    candidate set where the top-2 by relevance are near-identical
+    vectors, step 2 selects the diverse lower-relevance candidate
+    instead."""
+    from impala_cut_spark.operators.retrieval import mmr_rerank
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),      # the query
+            (1, [0.99, 0.14, 0.0]),    # most relevant
+            (2, [0.985, 0.17, 0.0]),   # near-copy of 1
+            (3, [0.7, 0.0, 0.71]),     # diverse, less relevant
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+
+    import math
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return round(d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b))), 6)
+
+    vecs = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    cands = spark.createDataFrame(
+        [(0, i, cos(vecs[0], vecs[i])) for i in (1, 2, 3)],
+        "q_id bigint, n_id bigint, cos double",
+    )
+    got = mmr_rerank(cands, emb, k=3, lam=0.5).orderBy("step").collect()
+    assert [r["n_id"] for r in got] == [1, 3, 2], got
+    # pure relevance order would have been [1, 2, 3]
+
+
+def test_mmr_lambda_one_is_pure_relevance(spark, sf_dir):
+    """λ=1 removes the diversity penalty: selection order equals the
+    relevance (cos desc, n_id) order of the candidates."""
+    from pyspark.sql import functions as F
+
+    from impala_cut_spark.operators.retrieval import mmr_rerank
+    from impala_cut_spark.operators.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cands = brute_force_topk(emb, emb.filter(F.col("vec_id") == 3), k=8).select(
+        "q_id", "n_id", "cos"
+    )
+    expected = [r["n_id"] for r in cands.orderBy(F.desc("cos"), F.asc("n_id")).collect()][:4]
+    got = mmr_rerank(cands, emb, k=4, lam=1.0).orderBy("step").collect()
+    assert [r["n_id"] for r in got] == expected
