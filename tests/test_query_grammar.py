@@ -93,6 +93,7 @@ def test_grammar_covers_language_features(pool):
         "fmod(",
         "sqrt(",
         "var_samp(",
+        "(SELECT min(",  # uncorrelated scalar-subquery comparison
     ]:
         assert feature in blob, f"grammar window never produced {feature!r}"
     # every TPC-H table participates

@@ -558,8 +558,25 @@ class QueryGen:
                 return None
             op = r.choice(["<", "<=", ">", ">=", "="])
             return Expr(f"{c.sql} {op} {self._literal_for(c)}", "bool")
-        # subqueries (WHERE-level only): uncorrelated IN / correlated EXISTS
+        # subqueries (WHERE-level only): uncorrelated IN / correlated
+        # EXISTS / uncorrelated scalar comparison
         if allow_subquery:
+            if self._chance(3):  # scalar subquery: col <op> (SELECT agg ...)
+                c = self._pick_col(refs, "num")
+                t2 = r.choice(TABLES)
+                al = self._next_alias()
+                inner = self._pick_col(
+                    [TableRef(al, "", _table_cols(t2, al))], "num"
+                )
+                if c is not None and inner is not None:
+                    # exact aggregates only (min/max/count) — a fuzzy
+                    # avg/sum-of-double threshold could flip rows
+                    fn = r.choice(["min", "max", "count"])
+                    op = r.choice(["<", "<=", ">", ">=", "<>"])
+                    return Expr(
+                        f"{c.sql} {op} (SELECT {fn}({inner.sql}) FROM {t2} {al})",
+                        "bool",
+                    )
             c = self._pick_col(refs, "num")
             if c is not None and c.domain is not None:
                 others = [
