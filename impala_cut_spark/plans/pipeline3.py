@@ -292,6 +292,7 @@ BM25_K = 25
 
 @query(
     "pipe_bm25",
+    headline=True,  # the retrieval family's bench representative
     oracle=f"""
 WITH tok AS (SELECT doc_id,
                     unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok

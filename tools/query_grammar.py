@@ -928,9 +928,9 @@ def run_one(isess, con, sql: str, fuzzy=None) -> str | None:
     return compare_results(spark_rows, duck_rows, fuzzy)
 
 
-def generate(seed: int, pool: LiteralPool) -> GenQuery:
+def generate(seed: int, pool: LiteralPool, depth: int = 2) -> GenQuery:
     rng = random.Random(seed)
-    return QueryGen(rng, pool).create_query(depth=2)
+    return QueryGen(rng, pool).create_query(depth=depth)
 
 
 # --- discrepancy searcher CLI ---------------------------------------------
@@ -945,6 +945,7 @@ def main() -> int:
     ap.add_argument("--queries", type=int, default=100)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--sf", default="/root/testdata/sf0.001")
+    ap.add_argument("--depth", type=int, default=2, help="expression/view nesting depth")
     ap.add_argument("-v", "--verbose", action="store_true")
     args = ap.parse_args()
 
@@ -971,7 +972,7 @@ def main() -> int:
     bad = 0
     t0 = time.time()
     for s in range(args.seed, args.seed + args.queries):
-        q = generate(s, pool)
+        q = generate(s, pool, depth=args.depth)
         if args.verbose:
             print(f"-- seed {s}\n{q.sql}")
         try:
