@@ -25,10 +25,17 @@ def main() -> None:
     from impala_cut_spark.session import build_session
     from impala_cut_spark.plans import REGISTRY
 
+    # shuffle partitions sized to the SF, not the core count (BASELINE.md):
+    # at sf0.1 per-task scheduling overhead beats parallelism width, and
+    # cpus/2 measured consistently faster on the similarity-join headliners
+    # (minhash 1.9->1.6s, jaccard 1.9->1.6s) with joins neutral; AQE still
+    # coalesces below that when volumes allow. At 100 TB this knob scales
+    # UP with data (partitions sized to keep shuffle blocks ~128MB).
+    shuffle = int(os.environ.get("SPARK_GRAFT_SHUFFLE", max(8, int(cpus) // 2)))
     spark = build_session(
         app_name="impala-cut-spark-bench",
         master=f"local[{cpus}]",
-        shuffle_partitions=int(cpus),
+        shuffle_partitions=shuffle,
     )
     spark.sparkContext.setLogLevel("ERROR")
 
