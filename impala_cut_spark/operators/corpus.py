@@ -200,6 +200,122 @@ def top_ngrams(docs: DataFrame, n: int = 3, k: int = 25) -> DataFrame:
     )
 
 
+def misra_gries_candidates(stream: DataFrame, col: str, k: int) -> DataFrame:
+    """Per-partition Misra-Gries frequency summaries over a 1-column
+    string stream — the bounded-memory candidate pass of the exact
+    heavy-hitters operator (frequent_ngrams below).
+
+    Each task folds its whole partition into at most ``k`` counters
+    (Arrow batches counted with vectorized ``value_counts``; the
+    classic decrement step — subtract the (k+1)-th largest count,
+    drop non-positives — runs over the ≤k+batch unique keys, never
+    per element).  Misra-Gries guarantee per partition i: any item x
+    absent from the summary has local count f_i(x) ≤ N_i/(k+1), so an
+    item with GLOBAL count > N/(k+1) must survive in at least one
+    partition's summary (sum the bound over partitions) — the union
+    of summaries is a proven superset of every global heavy hitter
+    [Misra & Gries 1982; mergeable-summaries form: Agarwal et al.,
+    PODS 2012].
+
+    Output: (col, cnt) candidate rows with lower-bound counts, plus
+    ONE null-keyed row per partition carrying the partition's stream
+    length — so callers get the global stream total from the same
+    single scan. ≤ (k+1) output rows per partition regardless of
+    input size.
+    """
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField(col, T.StringType()),
+            T.StructField("cnt", T.LongType()),
+        ]
+    )
+
+    def _mg(batches):
+        import pandas as pd
+
+        counters = pd.Series(dtype="int64")
+        n_seen = 0
+        for pdf in batches:
+            vc = pdf[col].value_counts()
+            n_seen += int(vc.sum())
+            counters = counters.add(vc, fill_value=0)
+            if len(counters) > k:
+                thr = counters.nlargest(k + 1).iloc[-1]
+                counters = counters[counters > thr] - thr
+        yield pd.DataFrame(
+            {
+                col: list(counters.index.astype(object)) + [None],
+                "cnt": list(counters.values.astype("int64")) + [n_seen],
+            }
+        )
+
+    return stream.select(col).mapInPandas(_mg, out_schema)
+
+
+def frequent_ngrams(
+    docs: DataFrame, n: int = 3, phi: float = 1e-4, floor_df: int = 5
+) -> DataFrame:
+    """EXACT frequent n-gram shingles (document frequency ≥
+    max(floor_df, ⌈phi·total⌉)) via the two-pass sketch-then-verify
+    pattern — the scalable form of a GROUP BY/HAVING frequency cut.
+
+    Pass 1 (misra_gries_candidates, k = ⌈1/phi⌉+1 counters): one scan,
+    NO shuffle of the raw stream — each task emits ≤ k+1 summary rows.
+    Pass 2 re-counts ONLY the candidates exactly (broadcast semi-join
+    on the candidate set, then a map-side-combined groupBy) and
+    filters at the threshold, so the answer equals the plain GROUP
+    BY/HAVING the DuckDB oracle runs, at bounded memory and with the
+    full-stream shuffle replaced by a candidates-only one.
+
+    Threshold guarantee (why no heavy hitter can be missed): with
+    m = max(floor_df, ⌈phi·total⌉) and k > 1/phi, either m = ⌈phi·total⌉
+    ≥ phi·total > total/k, or m = floor_df > ⌈phi·total⌉ which forces
+    total < floor_df/phi ≤ floor_df·k — both give m > total/k, and
+    every item with global count > total/k survives pass 1 (see
+    misra_gries_candidates). The result is therefore deterministic and
+    partitioning-independent even though the intermediate summaries
+    are not.
+
+    Output: (shingle, df, frac) ordered by df DESC, shingle — the
+    corpus boilerplate/template-text report at a support threshold,
+    the form that stays exact when top_ngrams' full groupBy
+    intermediate would not fit.
+    """
+    import math
+
+    from pyspark.storagelevel import StorageLevel
+
+    from impala_cut_spark.operators.dedup import shingles
+
+    k = int(math.ceil(1.0 / phi)) + 1
+    sh = shingles(docs, n).persist(StorageLevel.MEMORY_AND_DISK)
+    mg = misra_gries_candidates(sh, "shingle", k).persist(StorageLevel.MEMORY_AND_DISK)
+    cands = mg.filter(F.col("shingle").isNotNull()).select("shingle").distinct()
+    total = mg.filter(F.col("shingle").isNull()).agg(F.sum("cnt").alias("_total"))
+    counts = (
+        sh.join(F.broadcast(cands), "shingle")
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    thr = F.greatest(
+        F.lit(floor_df).cast("long"), F.ceil(F.lit(phi) * F.col("_total"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("df") >= thr)
+        .select(
+            "shingle",
+            "df",
+            F.round(F.col("df").cast("double") / F.col("_total").cast("double"), 6).alias(
+                "frac"
+            ),
+        )
+        .orderBy(F.desc("df"), F.asc("shingle"))
+    )
+
+
 def distribution_stats_approx(
     docs: DataFrame,
     value: Column,

@@ -508,3 +508,45 @@ def pipe_mmr_rerank(spark, sf_dir):
         emb, emb.filter(F.col("vec_id") == MMR_QUERY_VEC), k=MMR_N_CAND
     ).select("q_id", "n_id", "cos")
     return retrieval.mmr_rerank(cands, emb, k=MMR_K, lam=MMR_LAM)
+
+
+# ---------------------------------------------------------------------------
+# exact heavy hitters: Misra-Gries candidates + exact re-count
+# ---------------------------------------------------------------------------
+
+HH_PHI = 1e-4
+HH_FLOOR_DF = 5
+
+
+def _hh_oracle() -> str:
+    from impala_cut_spark.plans.pipeline2 import _SQL_SH_SRC
+
+    return f"""
+WITH {_SQL_SH_SRC},
+tot AS (SELECT count(*) AS total FROM sh),
+c AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1)
+SELECT shingle, df,
+       round(CAST(df AS DOUBLE) / CAST(total AS DOUBLE), 6) AS frac
+FROM c, tot
+WHERE df >= greatest({HH_FLOOR_DF}, CAST(ceiling({HH_PHI} * total) AS BIGINT))
+ORDER BY df DESC, shingle
+"""
+
+
+@query("pipe_freq_shingles", oracle=_hh_oracle())
+def pipe_freq_shingles(spark, sf_dir):
+    """Exact support-thresholded heavy hitters (operators/corpus.py
+    frequent_ngrams): all 3-gram shingles with document frequency ≥
+    max(5, ceil(1e-4 * stream)) via per-partition Misra-Gries
+    summaries (one scan, ≤ k+1 rows out per task, NO full-stream
+    shuffle) + an exact re-count of the candidate set only. The
+    sketch is partition-dependent but the final answer provably isn't
+    — it equals the oracle's plain GROUP BY/HAVING (guarantee math in
+    the operator docstring), which is the whole point: the exact
+    answer at 100 TB without materializing the full vocabulary
+    aggregate."""
+    from impala_cut_spark.operators import corpus
+
+    return corpus.frequent_ngrams(
+        t(spark, sf_dir, "documents"), n=3, phi=HH_PHI, floor_df=HH_FLOOR_DF
+    )

@@ -411,3 +411,91 @@ def test_mmr_lambda_one_is_pure_relevance(spark, sf_dir):
     expected = [r["n_id"] for r in cands.orderBy(F.desc("cos"), F.asc("n_id")).collect()][:4]
     got = mmr_rerank(cands, emb, k=4, lam=1.0).orderBy("step").collect()
     assert [r["n_id"] for r in got] == expected
+
+
+# -- exact heavy hitters (Misra-Gries + exact re-count) ---------------------
+
+
+def _exact_frequent(spark, docs, n, floor_df, phi):
+    """Plain GROUP BY/HAVING reference answer."""
+    import math
+
+    sh = dedup.shingles(docs, n)
+    total = sh.count()
+    m = max(floor_df, math.ceil(phi * total))
+    return sorted(
+        (r["shingle"], r["df"])
+        for r in sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= m)
+        .collect()
+    )
+
+
+def test_frequent_ngrams_equals_exact_groupby(spark):
+    """Sketch-then-verify == plain GROUP BY/HAVING on a skewed corpus
+    with k FAR below the vocabulary (phi=0.05 → k=21, ~200 distinct
+    shingles), so Misra-Gries decrements really fire and the
+    candidate-superset guarantee is what's being exercised."""
+    texts = []
+    # boilerplate header shared by many docs (the heavy hitters)
+    for i in range(40):
+        texts.append(f"terms of service apply here unique{i} tail{i} w{i % 7}")
+    # long-tail docs: all-distinct shingles
+    for i in range(60):
+        texts.append(f"body {i} alpha{i} beta{i} gamma{i} delta{i} eps{i}")
+    docs = _mkdocs(spark, texts)
+    got = sorted(
+        (r["shingle"], r["df"])
+        for r in corpus.frequent_ngrams(docs, n=3, phi=0.05, floor_df=3).collect()
+    )
+    assert got == _exact_frequent(spark, docs, 3, 3, 0.05)
+    assert got  # non-trivial: the boilerplate shingles must surface
+
+
+def test_frequent_ngrams_partitioning_independent(spark):
+    """The intermediate summaries depend on partition layout; the
+    final answer must not — run the same corpus through 1, 3, and 13
+    partitions and require identical results."""
+    texts = [f"shared prefix run doc{i} x{i % 5} y{i % 3}" for i in range(50)]
+    outs = []
+    for parts in (1, 3, 13):
+        docs = _mkdocs(spark, texts).repartition(parts)
+        outs.append(
+            sorted(
+                (r["shingle"], r["df"], r["frac"])
+                for r in corpus.frequent_ngrams(
+                    docs, n=3, phi=0.02, floor_df=2
+                ).collect()
+            )
+        )
+    assert outs[0] == outs[1] == outs[2]
+
+
+def test_misra_gries_candidate_superset_and_bounds(spark):
+    """Every item with global count > total/k must appear in the
+    candidate union, candidate counts are lower bounds, and each
+    partition emits ≤ k+1 rows (k counters + the null total row)."""
+    import pandas as pd
+
+    rows = (
+        [("hot",)] * 300
+        + [("warm",)] * 80
+        + [(f"cold{i}",) for i in range(400)]
+    )
+    stream = spark.createDataFrame(rows, "shingle string").repartition(4)
+    k = 10
+    out = corpus.misra_gries_candidates(stream, "shingle", k).toPandas()
+    totals = out[out["shingle"].isna()]
+    cands = out[out["shingle"].notna()]
+    assert int(totals["cnt"].sum()) == len(rows)
+    # ≤ k candidate rows per partition: 4 partitions → ≤ 4k + 4 rows
+    assert len(cands) <= 4 * k and len(totals) <= 4
+    truth = pd.Series([r[0] for r in rows]).value_counts()
+    for item, cnt in truth.items():
+        if cnt > len(rows) / k:
+            assert item in set(cands["shingle"]), f"missed heavy hitter {item}"
+    # lower-bound property per partition implies summed lower bound
+    lb = cands.groupby("shingle")["cnt"].sum()
+    for item, c in lb.items():
+        assert c <= truth.get(item, 0)
