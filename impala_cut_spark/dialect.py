@@ -558,6 +558,35 @@ def rewrite_null_ordering(sql: str) -> str:
     return "".join(out)
 
 
+def _append_null_suffix(item: str, suffix: str) -> str:
+    """Append ``suffix`` to an ORDER BY item without letting a trailing
+    ``-- …`` line comment swallow it (the item's terminating newline is
+    gone after _split_args' strip, so a naive append lands INSIDE the
+    comment).  The suffix goes before the comment and the comment is
+    re-terminated with a newline."""
+    in_s = None
+    i = 0
+    while i < len(item):
+        c = item[i]
+        if in_s:
+            if c == in_s:
+                in_s = None
+            i += 1
+            continue
+        if c in ("'", '"', "`"):
+            in_s = c
+        elif c == "-" and item[i : i + 2] == "--":
+            nl = item.find("\n", i)
+            if nl < 0:
+                return f"{item[:i].rstrip()}{suffix} {item[i:]}\n"
+            i = nl
+        elif c == "/" and item[i : i + 2] == "/*":
+            end = item.find("*/", i + 2)
+            i = len(item) if end < 0 else end + 1
+        i += 1
+    return item + suffix
+
+
 def _fix_order_items(body: str) -> str:
     items = _split_args(body)
     if not items:
@@ -568,9 +597,9 @@ def _fix_order_items(body: str) -> str:
         if re.search(r"\bnulls\s+(first|last)\b", low):
             fixed.append(it)
         elif re.search(r"\bdesc\b", low):
-            fixed.append(it + " NULLS FIRST")
+            fixed.append(_append_null_suffix(it, " NULLS FIRST"))
         else:
-            fixed.append(it + " NULLS LAST")
+            fixed.append(_append_null_suffix(it, " NULLS LAST"))
     return " " + ", ".join(fixed) + " "
 
 

@@ -344,7 +344,11 @@ def quality_classifier_score(
         h = F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
         return F.element_at(warr, (h % b + 1).cast("int"))
 
-    toks = tokens(F.col(text_col))
+    # NULL text scores as the empty document (n_tok=0, score=bias,
+    # keep = bias>0), matching the oracle's coalesce(...,0) semantics —
+    # without this, size(NULL)=-1 and a NULL score/keep diverge
+    # cross-engine (round-5 advice)
+    toks = tokens(F.coalesce(F.col(text_col), F.lit("")))
     uni = F.aggregate(
         toks, F.lit(0).cast("bigint"), lambda acc, x: acc + bucket_weight(x)
     )

@@ -333,19 +333,32 @@ class ImpalaSession:
         )
         if m:
             # record under both the qualified and the bare name so
-            # SHOW CREATE TABLE finds `db.v` and `v` alike (the DROP
-            # VIEW pattern below already accepts dotted names)
-            self._view_defs[m.group(1).lower()] = m.group(2).strip()
-            if "." in m.group(1):
-                self._view_defs[m.group(1).lower().rsplit(".", 1)[1]] = m.group(2).strip()
+            # SHOW CREATE TABLE finds `db.v` and `v` alike — but the
+            # bare alias must never clobber an UNRELATED view `v`
+            # created under that bare name (round-5 advice)
+            name, body = m.group(1).lower(), m.group(2).strip()
+            prev = self._view_defs.get(name)
+            self._view_defs[name] = body
+            if "." in name:
+                bare = name.rsplit(".", 1)[1]
+                # refresh an alias this view owns (== its previous def);
+                # otherwise only claim the bare name if it's free
+                if self._view_defs.get(bare) == prev or bare not in self._view_defs:
+                    self._view_defs[bare] = body
         m = re.match(
             r"(?i)^\s*drop\s+view\s+(?:if\s+exists\s+)?([A-Za-z_][\w.]*)\s*;?\s*$",
             text,
         )
         if m:
-            self._view_defs.pop(m.group(1).lower(), None)
-            if "." in m.group(1):
-                self._view_defs.pop(m.group(1).lower().rsplit(".", 1)[1], None)
+            name = m.group(1).lower()
+            dropped = self._view_defs.pop(name, None)
+            if "." in name:
+                # drop the bare alias only when it still points at THIS
+                # view's definition — `drop view db.v` must not erase an
+                # unrelated `v` (round-5 advice)
+                bare = name.rsplit(".", 1)[1]
+                if dropped is not None and self._view_defs.get(bare) == dropped:
+                    self._view_defs.pop(bare, None)
         return out
 
     #: CREATE TABLE t LIKE PARQUET '<hdfs-path>' (sql-parser.y:661-810;
@@ -665,17 +678,27 @@ class ImpalaSession:
             return text
         if n < 0 or not re.match(r"\s*(select|with)\b", text, re.IGNORECASE):
             return text
-        # mask quoted strings and anything inside parens
+        # mask quoted strings, `--`-to-EOL comments, and anything
+        # inside parens (a commented-out ORDER BY must not trip the
+        # scan, and a LIMIT inside a comment must not suppress it)
         masked = []
         depth = 0
-        in_str = False
-        for ch in text:
+        in_str = in_comment = False
+        for i, ch in enumerate(text):
+            if in_comment:
+                masked.append("\n" if ch == "\n" else " ")
+                if ch == "\n":
+                    in_comment = False
+                continue
             if in_str:
                 masked.append(" ")
                 if ch == "'":
                     in_str = False
                 continue
-            if ch == "'":
+            if ch == "-" and text[i : i + 2] == "--":
+                in_comment = True
+                masked.append(" ")
+            elif ch == "'":
                 in_str = True
                 masked.append(" ")
             elif ch == "(":
@@ -690,7 +713,9 @@ class ImpalaSession:
         if re.search(r"\border\s+by\b", m, re.IGNORECASE) and not re.search(
             r"\blimit\s+\d", m, re.IGNORECASE
         ):
-            return f"{text.rstrip().rstrip(';')} LIMIT {n}"
+            # newline, not a space: a statement ending in a trailing
+            # `-- comment` must not swallow the appended LIMIT
+            return f"{text.rstrip().rstrip(';')}\nLIMIT {n}"
         return text
 
     def unset_option(self, key: str) -> None:

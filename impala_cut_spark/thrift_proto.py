@@ -51,6 +51,7 @@ MAX_CONTAINER_SIZE = 1_000_000
 
 #: TApplicationException type codes (thrift TApplicationException.thrift)
 UNKNOWN_METHOD = 1
+INTERNAL_ERROR = 6
 
 
 class TProtocolError(Exception):

@@ -133,6 +133,13 @@ class BeeswaxThriftServer:
             w.write_i32(1)
             w.stop()
             w.stop()
+        except Exception as e:  # noqa: BLE001 — handler bug must not
+            # drop the connection with no reply; the thrift contract
+            # for an undeclared server-side failure is an EXCEPTION
+            # message carrying TApplicationException(INTERNAL_ERROR)
+            return tp.application_exception(
+                name, seqid, f"{type(e).__name__}: {e}", tp.INTERNAL_ERROR
+            )
         return w.bytes()
 
     def _execute(self, args: dict[int, Any]) -> str:
@@ -141,17 +148,31 @@ class BeeswaxThriftServer:
         # Query.configuration (beeswax.thrift field 3: list<string>
         # "k=v") — the reference shell ships its SET options with every
         # query and impalad applies them (impala-beeswax-server.cc
-        # QueryToTQueryContext); honor them the same way
+        # QueryToTQueryContext) scoped to THAT query's TQueryCtx only,
+        # so one client's options must not stick for other clients:
+        # snapshot the touched keys, apply, plan, then restore
+        shipped: list[tuple[str, str]] = []
         if isinstance(q, dict):
             for item in q.get(3) or []:
                 s = item.decode() if isinstance(item, (bytes, bytearray)) else str(item)
                 if "=" in s:
                     k, v = s.split("=", 1)
-                    self.session.set_option(k.strip(), v.strip())
+                    shipped.append((k.strip(), v.strip()))
+        before = self.session.options()
         try:
-            df = self.session.sql(sql)
-        except Exception as e:  # noqa: BLE001 — analysis error → client
-            raise BeeswaxError(f"{type(e).__name__}: {e}") from e
+            for k, v in shipped:
+                self.session.set_option(k, v)
+            try:
+                df = self.session.sql(sql)
+            except Exception as e:  # noqa: BLE001 — analysis error → client
+                raise BeeswaxError(f"{type(e).__name__}: {e}") from e
+        finally:
+            for k, _ in shipped:
+                k = k.lower()
+                if k in before:
+                    self.session.set_option(k, before[k])
+                else:
+                    self.session.unset_option(k)
         with self._lock:
             h = str(next(self._next))
             self._ops[h] = _Operation(df)
@@ -236,7 +257,7 @@ class BeeswaxThriftServer:
         w.stop()
 
     def _m_dump_config(self, w: tp.BinaryWriter, args) -> None:
-        opts = ",".join(f"{k}={v}" for k, v in sorted(self.session.options()))
+        opts = ",".join(f"{k}={v}" for k, v in sorted(self.session.options().items()))
         w.field(tp.STRING, 0)
         w.write_string(opts)
         w.stop()

@@ -344,6 +344,26 @@ def test_default_order_by_limit_option(sess, sf_dir):
         # a string literal containing 'order by' must not trip it
         n_nations = sess.sql("select 'order by trap' x, n_name from nation").count()
         assert n_nations > 5
+        # `--` comments (round-5 advice): a trailing comment must not
+        # swallow the appended LIMIT...
+        assert (
+            sess.sql(
+                "select n_name from nation order by n_name -- trailing note"
+            ).count()
+            == 5
+        )
+        # ...and a commented-out ORDER BY must not trigger the cap
+        assert (
+            sess.sql("select n_name from nation -- order by n_name\n").count()
+            == n_nations
+        )
+        # a LIMIT hidden inside a comment must not suppress the cap
+        assert (
+            sess.sql(
+                "select n_name from nation order by n_name -- limit 99"
+            ).count()
+            == 5
+        )
         sess.sql("set abort_on_default_limit_exceeded=1")  # accepted no-op
         sess.unset_option("default_order_by_limit")
         assert sess.sql("select n_name from nation order by n_name").count() == n_nations

@@ -144,6 +144,22 @@ class TestAdviceRound2Fixes:
         out = rewrite_null_ordering("select * from t order by nulls_cnt")
         assert "nulls_cnt NULLS LAST" in out
 
+    def test_trailing_line_comment_does_not_swallow_injection(self):
+        """An ORDER BY key followed by a `-- …` comment must get its
+        NULLS clause BEFORE the comment (round-6: a naive append landed
+        inside the comment, silently dropping the null ordering and
+        swallowing anything appended after — e.g. a default LIMIT)."""
+        out = rewrite_null_ordering("select a from t order by a -- note")
+        assert "a NULLS LAST -- note" in out
+        out = rewrite_null_ordering("select a from t order by a desc -- note")
+        assert "a desc NULLS FIRST -- note" in out
+        # comment on a non-final key: its newline keeps later keys intact
+        out = rewrite_null_ordering("select a from t order by a -- n\n, b desc")
+        assert "a NULLS LAST -- n\n" in out and "b desc NULLS FIRST" in out
+        # a self-terminating block comment appends after, unharmed
+        out = rewrite_null_ordering("select a from t order by a /* c */")
+        assert "/* c */ NULLS LAST" in out
+
     def test_shell_split_respects_quotes(self):
         from impala_cut_spark.shell import split_statements
 

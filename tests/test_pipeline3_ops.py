@@ -148,12 +148,18 @@ def test_quality_classifier_python_replica(spark, sf_dir):
 
 def test_quality_classifier_edge_docs(spark):
     """Empty doc scores exactly the bias; a 1-token doc adds exactly
-    one unigram weight (no bigram term)."""
-    docs = _mkdocs(spark, ["", "hello"])
+    one unigram weight (no bigram term); a NULL doc scores like the
+    empty doc (n_tok=0, score=bias, keep=bias>0) rather than yielding
+    n_tok=-1 and NULL score/keep (round-5 advice: matches the DuckDB
+    oracle's coalesce semantics)."""
+    docs = _mkdocs(spark, ["", "hello", None])
     rows = {r["doc_id"]: r for r in text.quality_classifier_score(docs).collect()}
     assert rows[0]["score_micro"] == text.QC_BIAS and rows[0]["n_tok"] == 0
     w = text.QC_WEIGHTS[_h60("hello") % text.QC_BUCKETS]
     assert rows[1]["score_micro"] == text.QC_BIAS + w
+    assert rows[2]["n_tok"] == 0
+    assert rows[2]["score_micro"] == text.QC_BIAS
+    assert rows[2]["keep"] is False
 
 
 def test_quality_classifier_custom_weights(spark):

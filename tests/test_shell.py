@@ -194,10 +194,16 @@ def test_remote_session_set_unset_and_shipped_options(spark, sf_dir):
     srv.serve_background()
     try:
         sess = RemoteBeeswaxSession(srv.host, srv.port)
+        assert "set to" in execute_line(sess, "set default_order_by_limit=2")
+        # the option rides Query.configuration and the server honors it
+        # for that query (2 rows despite no LIMIT in the text)...
+        rows = sess.sql("select n_nationkey from nation order by n_nationkey").collect()
+        assert len(rows) == 2
+        # ...but per-query scoped: it does not stick on the shared
+        # server session for other clients (round-5 advice)
+        assert "default_order_by_limit" not in srv.session.options()
         assert "set to" in execute_line(sess, "set foo=7")
-        # the option rides Query.configuration and lands server-side
         sess.sql("select 1 as one")
-        assert srv.session.options().get("foo") == "7"
         assert execute_line(sess, "unset foo") == "Unsetting foo"
         assert "foo" not in sess.options()
         assert "No option called foo" in execute_line(sess, "unset foo")

@@ -153,11 +153,66 @@ def test_unknown_method_is_application_exception(client):
 def test_query_configuration_applies_options(server, client):
     """Query.configuration (beeswax.thrift field 3) 'k=v' items are
     applied server-side, like impalad's QueryToTQueryContext — SET in
-    the remote shell is not client-local."""
-    h = client.query("select 1 as one", configuration=["shipped_opt=42"])
+    the remote shell is not client-local.  And like the reference's
+    per-query TQueryCtx, they scope to THAT query only: one client's
+    shipped options must not stick for other clients (round-5 advice)."""
+    # plan-time option observably honored: the default limit caps rows
+    h = client.query(
+        "select n_nationkey from nation order by n_nationkey",
+        configuration=["default_order_by_limit=3"],
+    )
+    rows = client.fetch(h, fetch_size=100)["data"]
     client.close_query(h)
-    assert server.session.options().get("shipped_opt") == "42"
-    server.session.unset_option("shipped_opt")
+    assert len(rows) == 3
+    # ...but it does not leak into the shared session afterwards
+    assert "default_order_by_limit" not in server.session.options()
+    h = client.query("select n_nationkey from nation order by n_nationkey")
+    assert len(client.fetch(h, fetch_size=100)["data"]) == 25
+    client.close_query(h)
+    # a pre-existing session option is restored, not clobbered
+    server.session.set_option("mem_limit", "1g")
+    try:
+        h = client.query("select 1 as one", configuration=["mem_limit=2g"])
+        client.close_query(h)
+        assert server.session.options().get("mem_limit") == "1g"
+    finally:
+        server.session.unset_option("mem_limit")
+
+
+def test_dump_config_with_options_set(server, client):
+    """dump_config must render set options (same k,v-unpack-over-dict-KEYS
+    bug as get_default_configuration, fixed round 6 per advice) — and a
+    handler crash must come back as TApplicationException, not a
+    dropped connection."""
+    server.session.set_option("mem_limit", "1g")
+    try:
+        out = client._call("dump_config", lambda w: None)[0].decode()
+        assert "mem_limit=1g" in out
+    finally:
+        server.session.unset_option("mem_limit")
+    # the connection is still usable (nothing raised mid-dispatch)
+    h = client.query("select 1 as one")
+    assert client.fetch(h)["data"] == ["1"]
+    client.close_query(h)
+
+
+def test_internal_error_returns_application_exception(server, client):
+    """An unexpected handler exception maps to
+    TApplicationException(INTERNAL_ERROR) with the connection intact."""
+    import impala_cut_spark.thrift_proto as tp
+
+    orig = server.session.options
+    server.session.options = lambda: (_ for _ in ()).throw(ValueError("boom"))
+    try:
+        with pytest.raises(tp.TApplicationError) as ei:
+            client._call("dump_config", lambda w: None)
+        assert ei.value.type == tp.INTERNAL_ERROR
+        assert "boom" in str(ei.value)
+    finally:
+        server.session.options = orig
+    h = client.query("select 1 as one")
+    assert client.fetch(h)["data"] == ["1"]
+    client.close_query(h)
 
 
 def test_get_default_configuration_with_options_set(server, client):
