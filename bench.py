@@ -31,6 +31,11 @@ def main() -> None:
     # (minhash 1.9->1.6s, jaccard 1.9->1.6s) with joins neutral; AQE still
     # coalesces below that when volumes allow. At 100 TB this knob scales
     # UP with data (partitions sized to keep shuffle blocks ~128MB).
+    # Round-6 re-measure (quiet window, interleaved 16/32/16/32, min-of-2
+    # per config): s16 total 15.04s vs s32 15.66s — jaccard 1.47 vs 1.89,
+    # minhash 1.45 vs 1.61, TPC rows within noise. Same-config pass
+    # variance was 15.21-17.48s (±14%), which alone covers the r5 driver
+    # run's +7%; the 16 pin stands on two independent quiet-window A/Bs.
     shuffle = int(os.environ.get("SPARK_GRAFT_SHUFFLE", max(8, int(cpus) // 2)))
     spark = build_session(
         app_name="impala-cut-spark-bench",

@@ -2,14 +2,21 @@
 
 The reference's second client surface
 (``be/src/service/impala-hs2-server.cc``; IDL
-``common/thrift/cli_service.thrift``, protocol V1 — row-oriented
-TRowSet).  Like thrift_server.py's BeeswaxService, the structs are
-hand-mapped from the IDL onto the from-scratch TBinaryProtocol
-(thrift_proto.py), so a generated TCLIService client — the thing an
-Impala JDBC/ODBC driver is — interoperates byte-for-byte.
+``common/thrift/cli_service.thrift``).  Like thrift_server.py's
+BeeswaxService, the structs are hand-mapped from the IDL onto the
+from-scratch TBinaryProtocol (thrift_proto.py), so a generated
+TCLIService client — the thing an Impala JDBC/ODBC driver is —
+interoperates byte-for-byte.
+
+Protocol negotiation: OpenSession clamps the client's requested
+TProtocolVersion to V6.  V6+ sessions get columnar TRowSets
+(list<TColumn> with per-column nulls bitmaps — what a current
+JDBC/ODBC driver expects); V1-V5 sessions keep the row-oriented
+TRowSet the reference era served.
 
 Method surface: OpenSession / CloseSession / GetInfo /
-ExecuteStatement / GetOperationStatus / FetchResults (FETCH_NEXT) /
+ExecuteStatement / GetOperationStatus / FetchResults (FETCH_NEXT +
+FETCH_FIRST cursor restart) /
 GetResultSetMetadata / CloseOperation / CancelOperation / GetLog and
 the JDBC metadata operations GetCatalogs / GetSchemas / GetTables /
 GetTableTypes / GetColumns / GetTypeInfo / GetFunctions (each returns
@@ -56,6 +63,12 @@ SUCCESS, ERROR_STATUS, INVALID_HANDLE = 0, 3, 4
 FINISHED_STATE, ERROR_STATE = 2, 5
 OP_EXECUTE = 0
 FETCH_NEXT = 0
+FETCH_FIRST = 4  # TFetchOrientation — restart the result cursor
+#: TProtocolVersion enum values (cli_service.thrift). V6 is the
+#: columnar-TRowSet generation a current JDBC/ODBC driver negotiates;
+#: the server accepts any requested version and clamps to V6.
+PROTOCOL_V1 = 0
+PROTOCOL_V6 = 5
 
 
 class HS2Error(Exception):
@@ -79,17 +92,31 @@ def _like_to_regex(pattern: str | None) -> re.Pattern:
 
 
 class _HS2Op:
-    """One operation: schema (name, dtype) pairs + a paged row iterator."""
+    """One operation: schema (name, dtype) pairs + a paged row cursor.
 
-    def __init__(self, columns: list[tuple[str, str]], rows_iter):
+    The cursor is a restartable iterator factory so FETCH_FIRST can
+    re-run it (impala-hs2-server.cc restarts the fetch from the
+    cached/re-executed results the same way)."""
+
+    def __init__(self, columns: list[tuple[str, str]], rows, proto: int = PROTOCOL_V1):
         self.columns = columns
-        self._rows = iter(rows_iter)
-        self.start_row = 0
-        self.eos = False
+        self._restart = lambda: iter(rows)  # rows: re-iterable list
+        self.proto = proto
+        self.rewind()
 
     @classmethod
-    def from_df(cls, df) -> "_HS2Op":
-        return cls(list(df.dtypes), df.toLocalIterator())
+    def from_df(cls, df, proto: int = PROTOCOL_V1) -> "_HS2Op":
+        op = cls.__new__(cls)
+        op.columns = list(df.dtypes)
+        op._restart = df.toLocalIterator  # lazy: nothing collected
+        op.proto = proto
+        op.rewind()
+        return op
+
+    def rewind(self) -> None:
+        self._rows = iter(self._restart())
+        self.start_row = 0
+        self.eos = False
 
     def fetch(self, max_rows: int) -> list[tuple]:
         out = list(itertools.islice(self._rows, max_rows))
@@ -108,6 +135,9 @@ class HS2ThriftServer:
         self.session = session or ImpalaSession()
         self._ops: dict[bytes, _HS2Op] = {}
         self._sessions: set[bytes] = set()
+        #: per-session negotiated TProtocolVersion (V6 clients get
+        #: columnar TRowSets; V1-V5 get row-oriented ones)
+        self._session_proto: dict[bytes, int] = {}
         self._next = itertools.count(1)
         self._lock = threading.Lock()
         outer = self
@@ -221,14 +251,28 @@ class HS2ThriftServer:
                 pass
         guid = self._new_handle()
         self._sessions.add(guid)
+        # negotiate: serve the client's version, clamped to V6 (the
+        # highest generation implemented; thrift enums are ordered so
+        # min() is the correct handshake on both sides)
+        try:
+            requested = int(req.get(1, PROTOCOL_V1) or 0)
+        except (TypeError, ValueError):
+            requested = PROTOCOL_V1
+        proto = min(requested, PROTOCOL_V6)
+        self._session_proto[guid] = proto
         self._status(w)
         w.field(tp.I32, 2)
-        w.write_i32(0)  # HIVE_CLI_SERVICE_PROTOCOL_V1
+        w.write_i32(proto)
         self._handle_struct(w, 3, guid)
 
     def _m_CloseSession(self, w: tp.BinaryWriter, req: dict) -> None:
-        self._sessions.discard(self._read_guid(req))
+        guid = self._read_guid(req)
+        self._sessions.discard(guid)
+        self._session_proto.pop(guid, None)
         self._status(w)
+
+    def _proto(self, req: dict) -> int:
+        return self._session_proto.get(self._read_guid(req, 1), PROTOCOL_V1)
 
     def _m_GetInfo(self, w: tp.BinaryWriter, req: dict) -> None:
         info_type = req.get(2, 0)
@@ -246,7 +290,7 @@ class HS2ThriftServer:
     def _m_ExecuteStatement(self, w: tp.BinaryWriter, req: dict) -> None:
         sql = req.get(2, b"").decode()
         df = self.session.sql(sql)
-        guid = self._register(_HS2Op.from_df(df))
+        guid = self._register(_HS2Op.from_df(df, self._proto(req)))
         self._status(w)
         self._handle_struct(w, 2, guid, OP_EXECUTE)
 
@@ -294,10 +338,35 @@ class HS2ThriftServer:
             w.stop()  # TColumnDesc
         w.stop()  # TTableSchema
 
+    @staticmethod
+    def _write_scalar(w: tp.BinaryWriter, wire: int, v) -> None:
+        if wire == tp.BOOL:
+            w.write_bool(bool(v))
+        elif wire == tp.BYTE:
+            w.write_byte(int(v))
+        elif wire == tp.I16:
+            w.write_i16(int(v))
+        elif wire == tp.I32:
+            w.write_i32(int(v))
+        elif wire == tp.I64:
+            w.write_i64(int(v))
+        elif wire == tp.DOUBLE:
+            w.write_double(float(v))
+        else:
+            w.write_string(str(v))
+
+    #: TColumn union default slot values for NULL positions (columnar
+    #: TRowSets store a placeholder plus a set bit in the nulls bitmap)
+    _NULL_SLOT = {tp.BOOL: False, tp.BYTE: 0, tp.I16: 0, tp.I32: 0,
+                  tp.I64: 0, tp.DOUBLE: 0.0, tp.STRING: ""}
+
     def _m_FetchResults(self, w: tp.BinaryWriter, req: dict) -> None:
-        if req.get(2, FETCH_NEXT) != FETCH_NEXT:
-            raise HS2Error("only FETCH_NEXT is supported")
+        orientation = req.get(2, FETCH_NEXT)
         o = self._op(req)
+        if orientation == FETCH_FIRST:
+            o.rewind()  # re-run the bounded fetch cursor from row 0
+        elif orientation != FETCH_NEXT:
+            raise HS2Error("only FETCH_NEXT and FETCH_FIRST are supported")
         rows = o.fetch(int(req.get(3, 1024)) or 1024)
         self._status(w)
         w.field(tp.BOOL, 2)
@@ -305,6 +374,33 @@ class HS2ThriftServer:
         w.field(tp.STRUCT, 3)  # TRowSet
         w.field(tp.I64, 1)
         w.write_i64(o._page_start)
+        if o.proto >= PROTOCOL_V6:
+            # columnar generation: rows (required field) stays empty,
+            # values ride list<TColumn> at field 3 — one T<X>Column
+            # {1: values, 2: nulls bitmap (LSB-first, 1 = NULL)} per
+            # column, with NULL positions holding a default slot
+            w.field(tp.LIST, 2)
+            w.list_begin(tp.STRUCT, 0)
+            w.field(tp.LIST, 3)
+            w.list_begin(tp.STRUCT, len(o.columns))
+            for ci, (_, dtype) in enumerate(o.columns):
+                arm, wire = _VALUE_ARMS.get(dtype, (7, tp.STRING))
+                nulls = bytearray((len(rows) + 7) // 8)
+                w.field(tp.STRUCT, arm)  # TColumn union arm
+                w.field(tp.LIST, 1)
+                w.list_begin(wire, len(rows))
+                for ri, row in enumerate(rows):
+                    v = row[ci]
+                    if v is None:
+                        nulls[ri // 8] |= 1 << (ri % 8)
+                        v = self._NULL_SLOT[wire]
+                    self._write_scalar(w, wire, v)
+                w.field(tp.STRING, 2)
+                w.write_string(bytes(nulls))
+                w.stop()  # T<X>Column
+                w.stop()  # TColumn
+            w.stop()  # TRowSet
+            return
         w.field(tp.LIST, 2)
         w.list_begin(tp.STRUCT, len(rows))
         for row in rows:
@@ -315,20 +411,7 @@ class HS2ThriftServer:
                 w.field(tp.STRUCT, arm)  # TColumnValue union field
                 if v is not None:  # NULL = optional value unset
                     w.field(wire, 1)
-                    if wire == tp.BOOL:
-                        w.write_bool(bool(v))
-                    elif wire == tp.BYTE:
-                        w.write_byte(int(v))
-                    elif wire == tp.I16:
-                        w.write_i16(int(v))
-                    elif wire == tp.I32:
-                        w.write_i32(int(v))
-                    elif wire == tp.I64:
-                        w.write_i64(int(v))
-                    elif wire == tp.DOUBLE:
-                        w.write_double(float(v))
-                    else:
-                        w.write_string(str(v))
+                    self._write_scalar(w, wire, v)
                 w.stop()  # TIxxValue
                 w.stop()  # TColumnValue
             w.stop()  # TRow
@@ -336,11 +419,11 @@ class HS2ThriftServer:
 
     # -- JDBC metadata operations -----------------------------------------
 
-    def _meta_op(self, columns: list[tuple[str, str]], rows: list[tuple]) -> bytes:
-        return self._register(_HS2Op(columns, rows))
+    def _meta_op(self, req: dict, columns: list[tuple[str, str]], rows: list[tuple]) -> bytes:
+        return self._register(_HS2Op(columns, rows, proto=self._proto(req)))
 
     def _m_GetCatalogs(self, w: tp.BinaryWriter, req: dict) -> None:
-        guid = self._meta_op([("TABLE_CAT", "string")], [])
+        guid = self._meta_op(req, [("TABLE_CAT", "string")], [])
         self._status(w)
         self._handle_struct(w, 2, guid, 2)
 
@@ -348,7 +431,7 @@ class HS2ThriftServer:
         pat = _like_to_regex((req.get(3) or b"%").decode())
         dbs = sorted(d.name for d in self.session.spark.catalog.listDatabases())
         rows = [(d, "") for d in dbs if pat.match(d)]
-        guid = self._meta_op([("TABLE_SCHEM", "string"), ("TABLE_CATALOG", "string")], rows)
+        guid = self._meta_op(req, [("TABLE_SCHEM", "string"), ("TABLE_CATALOG", "string")], rows)
         self._status(w)
         self._handle_struct(w, 2, guid, 3)
 
@@ -365,6 +448,7 @@ class HS2ThriftServer:
                     rows.append(("", db.name, t.name, ttype, ""))
         rows.sort(key=lambda r: (r[1], r[2]))
         guid = self._meta_op(
+            req,
             [("TABLE_CAT", "string"), ("TABLE_SCHEM", "string"), ("TABLE_NAME", "string"),
              ("TABLE_TYPE", "string"), ("REMARKS", "string")],
             rows,
@@ -373,7 +457,7 @@ class HS2ThriftServer:
         self._handle_struct(w, 2, guid, 4)
 
     def _m_GetTableTypes(self, w: tp.BinaryWriter, req: dict) -> None:
-        guid = self._meta_op([("TABLE_TYPE", "string")], [("TABLE",), ("VIEW",)])
+        guid = self._meta_op(req, [("TABLE_TYPE", "string")], [("TABLE",), ("VIEW",)])
         self._status(w)
         self._handle_struct(w, 2, guid, 5)
 
@@ -398,6 +482,7 @@ class HS2ThriftServer:
                         )
         rows.sort(key=lambda r: (r[1], r[2], r[6]))
         guid = self._meta_op(
+            req,
             [("TABLE_CAT", "string"), ("TABLE_SCHEM", "string"), ("TABLE_NAME", "string"),
              ("COLUMN_NAME", "string"), ("DATA_TYPE", "int"), ("TYPE_NAME", "string"),
              ("ORDINAL_POSITION", "int")],
@@ -409,7 +494,7 @@ class HS2ThriftServer:
     def _m_GetTypeInfo(self, w: tp.BinaryWriter, req: dict) -> None:
         rows = [(name.upper(), tid) for name, tid in sorted(_TYPE_IDS.items(), key=lambda kv: kv[1])]
         rows.append(("DECIMAL", DECIMAL_TYPE_ID))
-        guid = self._meta_op([("TYPE_NAME", "string"), ("DATA_TYPE", "int")], rows)
+        guid = self._meta_op(req, [("TYPE_NAME", "string"), ("DATA_TYPE", "int")], rows)
         self._status(w)
         self._handle_struct(w, 2, guid, 1)
 
@@ -419,6 +504,7 @@ class HS2ThriftServer:
 
         names = sorted(n for n in CALL_REWRITES if pat.match(n))
         guid = self._meta_op(
+            req,
             [("FUNCTION_CAT", "string"), ("FUNCTION_SCHEM", "string"),
              ("FUNCTION_NAME", "string")],
             [("", "", n) for n in names],
@@ -447,6 +533,7 @@ class HS2ThriftClient:
         self._f = self._sock.makefile("rwb")
         self._seq = itertools.count(1)
         self.session: bytes | None = None
+        self.proto = PROTOCOL_V1  # negotiated at open_session
 
     def _call(self, name: str, build_req) -> dict[int, Any]:
         w = tp.BinaryWriter()
@@ -484,10 +571,14 @@ class HS2ThriftClient:
 
         return build
 
-    def open_session(self, configuration: dict[str, str] | None = None) -> bytes:
+    def open_session(
+        self,
+        configuration: dict[str, str] | None = None,
+        protocol: int = PROTOCOL_V6,
+    ) -> bytes:
         def build(w: tp.BinaryWriter) -> None:
             w.field(tp.I32, 1)
-            w.write_i32(0)
+            w.write_i32(protocol)
             if configuration:
                 w.field(tp.MAP, 4)
                 w.map_begin(tp.STRING, tp.STRING, len(configuration))
@@ -496,6 +587,7 @@ class HS2ThriftClient:
                     w.write_string(v)
 
         resp = self._call("OpenSession", build)
+        self.proto = resp.get(2, PROTOCOL_V1)  # server-negotiated version
         self.session = resp[3][1][1]
         return self.session
 
@@ -517,26 +609,45 @@ class HS2ThriftClient:
         schema = self._call("GetResultSetMetadata", self._handle_req(op))[2]
         return [(c[1].decode(), c[2][1][0][1][1]) for c in schema[1]]
 
-    def fetch(self, op: bytes, max_rows: int = 1024) -> dict:
+    def fetch(
+        self, op: bytes, max_rows: int = 1024, orientation: int = FETCH_NEXT
+    ) -> dict:
         def build(w: tp.BinaryWriter) -> None:
             self._handle_req(op)(w)
             w.field(tp.I32, 2)
-            w.write_i32(FETCH_NEXT)
+            w.write_i32(orientation)
             w.field(tp.I64, 3)
             w.write_i64(max_rows)
 
         resp = self._call("FetchResults", build)
         rowset = resp.get(3, {})
-        rows = []
-        for trow in rowset.get(2, []):
-            vals = []
-            for cv in trow[1]:
-                (arm, inner) = next(iter(cv.items())) if cv else (7, {})
-                v = inner.get(1) if isinstance(inner, dict) else None
-                if isinstance(v, bytes):
-                    v = v.decode()
-                vals.append(v)
-            rows.append(tuple(vals))
+        rows: list[tuple] = []
+        if rowset.get(3):
+            # columnar TRowSet (V6+): transpose list<TColumn>, applying
+            # each column's nulls bitmap (LSB-first, 1 = NULL)
+            cols = []
+            for tcol in rowset[3]:
+                (_, inner) = next(iter(tcol.items()))
+                values = inner.get(1, [])
+                nulls = inner.get(2, b"")
+                col = []
+                for i, v in enumerate(values):
+                    if i // 8 < len(nulls) and nulls[i // 8] & (1 << (i % 8)):
+                        col.append(None)
+                    else:
+                        col.append(v.decode() if isinstance(v, bytes) else v)
+                cols.append(col)
+            rows = [tuple(r) for r in zip(*cols)] if cols else []
+        else:
+            for trow in rowset.get(2, []):
+                vals = []
+                for cv in trow[1]:
+                    (arm, inner) = next(iter(cv.items())) if cv else (7, {})
+                    v = inner.get(1) if isinstance(inner, dict) else None
+                    if isinstance(v, bytes):
+                        v = v.decode()
+                    vals.append(v)
+                rows.append(tuple(vals))
         return {
             "rows": rows,
             "start_row": rowset.get(1, 0),

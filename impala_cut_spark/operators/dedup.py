@@ -785,24 +785,32 @@ def substring_dup_spans(docs: DataFrame, k: int = 8) -> DataFrame:
     starts), n_spans (maximal spans), dup_tokens (tokens covered by
     spans — a span over starts [a..b] covers b-a+k tokens).
 
-    Scale (100 TB): 1) one shuffle keyed by shingle text for the
-    global occurrence count (window count — no join-back; the classic
-    Zipf hot key is bounded because ONLY the count is carried, never a
-    collected position list); 2) per-document gaps-and-islands span
-    merge (window partitioned by doc_id — state is one document);
-    3) one doc_id shuffle to re-attach totals. No self-join, no
-    suffix array materialization: the relational plan reaches the
-    same span set because a duplicated substring of length L ≥ k is
-    exactly a run of L-k+1 duplicated k-shingle starts.
+    Scale (100 TB): 1) the global occurrence count is a two-level
+    aggregate on shingle text plus a semi-join-back — NOT a
+    ``count(*) OVER (PARTITION BY g)`` window (round-5 verdict #8: a
+    Zipf-hot shingle makes the window form a single unsplittable
+    partition; the aggregate's map-side partial combine collapses the
+    hot key to one row per input partition, and the join-back is an
+    ordinary shuffle join AQE's skew handling CAN split); 2)
+    per-document gaps-and-islands span merge (window partitioned by
+    doc_id — state is one document); 3) one doc_id shuffle to
+    re-attach totals. No self-join, no suffix array materialization:
+    the relational plan reaches the same span set because a
+    duplicated substring of length L ≥ k is exactly a run of L-k+1
+    duplicated k-shingle starts.
     """
     from pyspark.sql import Window
 
     from impala_cut_spark.operators.text import token_count
 
     pos = positional_shingles(docs, k)
-    dup = pos.withColumn(
-        "occ", F.count("*").over(Window.partitionBy("g"))
-    ).filter(F.col("occ") > 1)
+    dup_g = (
+        pos.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .filter(F.col("occ") > 1)
+        .select("g")
+    )
+    dup = pos.join(dup_g, "g")
     # interval merge (gaps-and-islands on TOKEN coverage, not start
     # adjacency): start p covers tokens [p, p+k-1], so two duplicated
     # starts overlap/touch whenever their gap is ≤ k — a plain

@@ -15,12 +15,14 @@ per-document sum of term scores goes through decimal(18,6) so the
 shuffle's accumulation order cannot perturb the result. Fully
 DuckDB-replayable.
 
-Scale design: the query-term filter lands right after the tokenize
-explode (and the term list is a literal IN — tiny); document lengths
-are one groupBy over the same exploded stream; corpus totals (N,
-avgdl) are a one-row broadcast; the per-(doc, term) join is on the
-few-row term-stats side, broadcast. One doc_id shuffle end-to-end —
-no step grows faster than the corpus.
+Scale design: the query-term filter lands INSIDE the token array,
+before the explode, so only query-term occurrences are generated (the
+term list is a tiny literal array); document length rides the tf
+aggregate as a grouping key (no per-doc length join); corpus totals
+(N, avgdl) aggregate size(tokens) with no explode and broadcast as
+one row; term stats broadcast into the per-(doc, term) join. Every
+shuffle carries query-term rows, not the corpus — no step grows
+faster than the match set.
 """
 
 from __future__ import annotations
@@ -49,18 +51,35 @@ def bm25_topk(
 
     Output: (doc_id, n_terms_matched, score), ties broken by doc_id so
     the LIMIT cut is total-ordered and oracle-checkable.
+
+    Plan shape (round-6 rework — the first cut exploded the FULL token
+    stream four times, one expansion per dl/totals/tf reference): the
+    term filter now lands INSIDE the token array, before the explode,
+    so only query-term occurrences are ever generated (corpus-sized
+    explode → |matches|-sized explode); dl rides the tf aggregate as a
+    grouping key (doc length is functionally dependent on doc_id),
+    which deletes the per-doc length join and both its shuffles; and
+    corpus totals aggregate size(tokens) with no explode at all.  Net:
+    4 full-corpus tokenize+explode passes → 2 filtered explodes + 2
+    explode-free size() scans, 6 shuffles → 4 (and the surviving ones
+    carry query-term rows, not the corpus).
     """
-    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    totals = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    toks = tokens(F.col("text"))
+    qarr = F.array(*[F.lit(str(t)) for t in query_terms])
+    base = docs.select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        F.explode(F.filter(toks, lambda x: F.array_contains(qarr, x))).alias("tok"),
+    )
+    # n_docs/sum_dl over docs with >=1 token (empty docs contribute no
+    # rows to an exploded token stream — kept identical to the oracle)
+    totals = (
+        docs.select(F.size(toks).alias("dl"))
+        .filter(F.col("dl") > 0)
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl"))
     )
 
-    tf = (
-        tok.filter(F.col("tok").isin(list(query_terms)))
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
+    tf = base.groupBy("doc_id", "dl", "tok").agg(F.count(F.lit(1)).alias("tf"))
     df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
 
     n = F.col("n_docs").cast("double")
@@ -74,7 +93,6 @@ def bm25_topk(
 
     scored = (
         tf.join(F.broadcast(stats), "tok")
-        .join(dl, "doc_id")
         .withColumn(
             "norm_dl",
             F.col("dl").cast("double")

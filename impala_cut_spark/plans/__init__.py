@@ -77,6 +77,18 @@ from impala_cut_spark.plans import perf  # noqa: E402,F401
 #: pipe_decontaminate_neardup (cross-corpus MinHash-probe
 #: decontamination) and stream_drift (streaming training-mix drift
 #: monitor).  Every evicted query keeps its oracle below the window.
+#: Round-6 rotation (VERDICT r5 #4/#5) — witness the two never-seen
+#: TPC-DS shapes and the round-5 heavy-hitter family: tpcds_q68 (the
+#: second cross-dimension inequality join; q46 was its only in-window
+#: shape-twin) and tpcds_q27 (demographics-filter star agg; q34 is its
+#: below-window twin) and pipe_freq_shingles (Misra-Gries candidate
+#: pass + exact re-count — a two-pass sketch-then-verify shape unlike
+#: anything else in-window) take the slots of cov_fn_decimal (decimal
+#: arithmetic also exercised by cov_fn_condcast + goldens),
+#: pipe_dedup_simhash (pigeonhole-block near-dup, shape-covered by
+#: minhash LSH) and pipe_ann_topk (brute-force cosine top-k is the
+#: exact-rerank subset of in-window pipe_ann_ivf/pipe_ann_ivfpq).
+#: Every evicted query keeps its oracle below the window.
 DRIVER_WINDOW: list[str] = [
     # TPC-H (6 of 22 — q3/q4/q5/q8/q10/q11/q12/q13/q14/q15/q16/q17/
     # q19/q20/q22 below the window, oracles intact)
@@ -86,12 +98,14 @@ DRIVER_WINDOW: list[str] = [
     "tpch_q9",
     "tpch_q18",
     "tpch_q21",
-    # TPC-DS shapes (5 of 22 — the rest follow below the window)
+    # TPC-DS shapes (7 of 22 — the rest follow below the window)
     "tpcds_q3",
     "tpcds_q8",
+    "tpcds_q27",
     "tpcds_q46",
     "tpcds_q59",
     "tpcds_q65",
+    "tpcds_q68",
     # §2 operator families, merged one-per-row (coverage2.py)
     "cov_predicates_views",
     "cov_join_all",
@@ -103,7 +117,6 @@ DRIVER_WINDOW: list[str] = [
     "cov_fn_math",
     "cov_fn_timestamp",
     "cov_fn_condcast",
-    "cov_fn_decimal",
     "cov_events_daily",
     "cov_external_scan",
     "cov_lzo_scan",
@@ -112,10 +125,8 @@ DRIVER_WINDOW: list[str] = [
     "pipe_dedup_exact",
     "pipe_dedup_jaccard",
     "pipe_dedup_minhash",
-    "pipe_dedup_simhash",
     "pipe_dedup_clusters",
     "pipe_embed_neardup",
-    "pipe_ann_topk",
     "pipe_ann_ivf",
     "pipe_multimodal_features",
     "stream_events_hourly",
@@ -136,6 +147,8 @@ DRIVER_WINDOW: list[str] = [
     "pipe_epoch_shuffle",
     "pipe_decontaminate_neardup",
     "stream_drift",
+    # round-6 rotation
+    "pipe_freq_shingles",
 ]
 
 

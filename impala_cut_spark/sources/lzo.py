@@ -313,42 +313,74 @@ def lzo1x_compress(src: bytes) -> bytes:
 # ---------------------------------------------------------------------------
 
 
+class LzopWriter:
+    """Incremental lzop writer: feed bytes with :meth:`write`, blocks
+    are emitted as soon as ``block_size`` accumulates, so the caller
+    never has to materialize the whole payload (the round-5 advice:
+    the table writer used to collect the full DataFrame).  Each block
+    stores raw when LZO1X doesn't shrink it (lzop's rule); adler32 of
+    the uncompressed block recorded (F_ADLER32_D).  The ``.index``
+    sidecar lists every block's byte offset (big-endian u64) — what
+    makes the file split-parallel."""
+
+    def __init__(self, path: str, block_size: int = 256 * 1024, index: bool = True):
+        self._path = path
+        self._block_size = block_size
+        self._index = index
+        self._buf = bytearray()
+        self._offsets: list[int] = []
+        hdr = bytearray()
+        hdr += struct.pack(">HHH", 0x1030, 0x2060, 0x0940)
+        hdr += struct.pack(">BB", M_LZO1X_1, 1)
+        hdr += struct.pack(">I", F_ADLER32_D)
+        hdr += struct.pack(">III", 0, 0, 0)  # mode, mtime lo/hi
+        hdr += b"\x00"  # no filename
+        chk = zlib.adler32(bytes(hdr), 1) & 0xFFFFFFFF
+        self._fh = open(path, "wb")
+        self._fh.write(LZOP_MAGIC)
+        self._fh.write(hdr)
+        self._fh.write(struct.pack(">I", chk))
+
+    def write(self, data: bytes) -> None:
+        self._buf += data
+        while len(self._buf) >= self._block_size:
+            self._emit(bytes(self._buf[: self._block_size]))
+            del self._buf[: self._block_size]
+
+    def _emit(self, block: bytes) -> None:
+        comp = lzo1x_compress(block)
+        if len(comp) >= len(block):
+            comp = block  # store raw (comp_len == uncomp_len)
+        self._offsets.append(self._fh.tell())
+        self._fh.write(struct.pack(">II", len(block), len(comp)))
+        self._fh.write(struct.pack(">I", zlib.adler32(block, 1) & 0xFFFFFFFF))
+        self._fh.write(comp)
+
+    def close(self) -> None:
+        if self._buf:
+            self._emit(bytes(self._buf))
+            self._buf.clear()
+        self._fh.write(struct.pack(">I", 0))  # EOF block
+        self._fh.close()
+        if self._index:
+            with open(self._path + ".index", "wb") as fh:
+                for off in self._offsets:
+                    fh.write(struct.pack(">Q", off))
+
+    def __enter__(self) -> "LzopWriter":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+
 def write_lzop(
     data: bytes, path: str, block_size: int = 256 * 1024, index: bool = True
 ) -> None:
-    """Write ``data`` as an lzop file at ``path`` (+ ``path.index``).
-
-    Blocks of ``block_size``; each block stores raw when LZO1X doesn't
-    shrink it (lzop's rule); adler32 of the uncompressed block recorded
-    (F_ADLER32_D).  The ``.index`` sidecar lists every block's byte
-    offset (big-endian u64) — what makes the file split-parallel.
-    """
-    hdr = bytearray()
-    hdr += struct.pack(">HHH", 0x1030, 0x2060, 0x0940)
-    hdr += struct.pack(">BB", M_LZO1X_1, 1)
-    hdr += struct.pack(">I", F_ADLER32_D)
-    hdr += struct.pack(">III", 0, 0, 0)  # mode, mtime lo/hi
-    hdr += b"\x00"  # no filename
-    chk = zlib.adler32(bytes(hdr), 1) & 0xFFFFFFFF
-    offsets: list[int] = []
-    with open(path, "wb") as fh:
-        fh.write(LZOP_MAGIC)
-        fh.write(hdr)
-        fh.write(struct.pack(">I", chk))
-        for s in range(0, len(data), block_size):
-            block = data[s : s + block_size]
-            comp = lzo1x_compress(block)
-            if len(comp) >= len(block):
-                comp = block  # store raw (comp_len == uncomp_len)
-            offsets.append(fh.tell())
-            fh.write(struct.pack(">II", len(block), len(comp)))
-            fh.write(struct.pack(">I", zlib.adler32(block, 1) & 0xFFFFFFFF))
-            fh.write(comp)
-        fh.write(struct.pack(">I", 0))  # EOF block
-    if index:
-        with open(path + ".index", "wb") as fh:
-            for off in offsets:
-                fh.write(struct.pack(">Q", off))
+    """Write ``data`` as one lzop file at ``path`` (+ ``path.index``) —
+    the one-shot convenience wrapper over :class:`LzopWriter`."""
+    with LzopWriter(path, block_size, index) as w:
+        w.write(data)
 
 
 def _parse_lzop_header(f) -> int:
@@ -451,7 +483,14 @@ def write_lzo_text(
     """Render ``df`` with the text-sink rules (``\\N`` nulls, same
     to_csv options as the plain text writer) and write ONE .lzo file
     (+index).  Test/fixture writer — the scan side is the parity
-    surface."""
+    surface (the reference has no LZO write at all: its sink formats
+    are text+parquet only, hdfs-table-sink.cc:341-347).
+
+    Driver-memory bound: rows stream through ``toLocalIterator()`` —
+    the driver holds at most one partition of rendered lines plus one
+    256 KB compression block, never the whole table (round-5 advice;
+    the single output file is the deliberate contract of a fixture
+    writer — a distributed sink would write one .lzo per partition)."""
     line = F.to_csv(
         F.struct(*df.columns),
         {
@@ -462,10 +501,10 @@ def write_lzo_text(
             "ignoreTrailingWhiteSpace": "false",
         },
     )
-    rows = [r[0] for r in df.select(line).collect()]
-    payload = ("\n".join(rows) + "\n" if rows else "").encode("utf-8")
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    write_lzop(payload, path)
+    with LzopWriter(path) as w:
+        for r in df.select(line).toLocalIterator():
+            w.write(r[0].encode("utf-8") + b"\n")
 
 
 def read_lzo_text(

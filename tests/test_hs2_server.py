@@ -139,3 +139,105 @@ def test_unknown_method_is_application_exception(client):
     with pytest.raises(tp.TApplicationError) as ei:
         client._call("RenewDelegationToken", lambda w: None)
     assert ei.value.type == tp.UNKNOWN_METHOD
+
+
+# -- protocol V6: columnar TRowSets + FETCH_FIRST (round-5 advice) ----------
+
+
+def _raw_fetch(client, op, max_rows=1024):
+    """FetchResults without the client's parsing — the raw resp dict."""
+    from impala_cut_spark.hs2_server import FETCH_NEXT
+    from impala_cut_spark import thrift_proto as tp
+
+    def build(w):
+        client._handle_req(op)(w)
+        w.field(tp.I32, 2)
+        w.write_i32(FETCH_NEXT)
+        w.field(tp.I64, 3)
+        w.write_i64(max_rows)
+
+    return client._call("FetchResults", build)
+
+
+def test_v6_negotiation_and_columnar_rowset(client):
+    """The default client asks for V6 and the server clamps to V6:
+    results arrive as list<TColumn> (TRowSet field 3) with the
+    required row-oriented list empty, NULLs as bitmap bits."""
+    from impala_cut_spark.hs2_server import PROTOCOL_V6
+
+    assert client.proto == PROTOCOL_V6
+    op = client.execute(
+        "select cast(1 as int) i, cast(null as int) n, 's' s, "
+        "cast(null as string) ns"
+    )
+    resp = _raw_fetch(client, op)
+    rowset = resp[3]
+    assert rowset.get(2) == []  # rows arm present but empty in V6
+    cols = rowset[3]
+    assert len(cols) == 4
+    # i32Val arm (union field 4) for ints, stringVal (7) for strings
+    assert list(cols[0]) == [4] and list(cols[2]) == [7]
+    # NULL slot: bitmap bit set, placeholder value in the list
+    assert cols[1][4][2][0] & 0x01  # n: null bit for row 0
+    assert cols[3][7][2][0] & 0x01  # ns
+    client.close_operation(op)
+    # the client-side transpose reproduces typed rows end-to-end
+    op2 = client.execute("select n_nationkey, n_name from nation order by n_nationkey")
+    rows = client.fetch_all(op2, page=10)
+    client.close_operation(op2)
+    assert len(rows) == 25 and rows[0] == (0, "NATION_0")
+
+
+def test_v1_client_still_gets_row_oriented(server):
+    """A legacy client that negotiates V1 keeps the row-oriented
+    TRowSet (no columns field) — version-gated, not flag-day."""
+    c = HS2ThriftClient(server.host, server.port)
+    c.open_session(protocol=0)
+    try:
+        assert c.proto == 0
+        op = c.execute("select n_nationkey from nation order by n_nationkey limit 3")
+        resp = _raw_fetch(c, op)
+        rowset = resp[3]
+        assert rowset.get(3) is None  # no columnar arm for V1
+        assert len(rowset[2]) == 3  # rows populated
+        c.close_operation(op)
+        # the raw fetch above consumed the cursor; parse a fresh op
+        # through the client's row-oriented arm
+        op = c.execute("select n_nationkey from nation order by n_nationkey limit 3")
+        assert c.fetch_all(op) == [(0,), (1,), (2,)]
+        c.close_operation(op)
+    finally:
+        c.close_session()
+        c.close()
+
+
+def test_protocol_clamped_to_v6(server):
+    """A client asking for a newer version than the server implements
+    gets V6 back (thrift TProtocolVersion handshake: min of the two)."""
+    from impala_cut_spark.hs2_server import PROTOCOL_V6
+
+    c = HS2ThriftClient(server.host, server.port)
+    c.open_session(protocol=9)  # e.g. HIVE_CLI_SERVICE_PROTOCOL_V10
+    try:
+        assert c.proto == PROTOCOL_V6
+    finally:
+        c.close_session()
+        c.close()
+
+
+def test_fetch_first_restarts_cursor(client):
+    """FETCH_FIRST re-runs the bounded fetch cursor from row 0 —
+    what a JDBC driver's beforeFirst()/re-read does."""
+    from impala_cut_spark.hs2_server import FETCH_FIRST
+
+    op = client.execute("select o_orderkey from orders order by o_orderkey limit 50")
+    first_page = client.fetch(op, 20)
+    assert first_page["start_row"] == 0 and len(first_page["rows"]) == 20
+    client.fetch(op, 20)  # advance further
+    again = client.fetch(op, 20, orientation=FETCH_FIRST)
+    assert again["start_row"] == 0
+    assert again["rows"] == first_page["rows"]
+    # and the cursor continues normally after the restart
+    nxt = client.fetch(op, 20)
+    assert nxt["start_row"] == 20
+    client.close_operation(op)

@@ -123,6 +123,26 @@ def test_lzop_roundtrip_and_blocks(tmp_path):
     assert lzop_block_offsets(p) == offs
 
 
+def test_lzop_incremental_writer_streams_blocks(tmp_path):
+    """LzopWriter emits a block as soon as block_size accumulates —
+    feeding many small writes buffers at most one block (round-5
+    advice: the table writer must not materialize the whole payload),
+    and the result is byte-compatible with the one-shot write_lzop."""
+    from impala_cut_spark.sources.lzo import LzopWriter
+
+    data = b"streaming fixture line\n" * 2000
+    p1, p2 = str(tmp_path / "inc.lzo"), str(tmp_path / "oneshot.lzo")
+    with LzopWriter(p1, block_size=4096) as w:
+        for i in range(0, len(data), 23):  # drip-feed line-sized writes
+            w.write(data[i : i + 23])
+            assert len(w._buf) < 4096  # never buffers beyond one block
+    write_lzop(data, p2, block_size=4096)
+    with open(p1, "rb") as f1, open(p2, "rb") as f2:
+        assert f1.read() == f2.read()
+    assert read_lzop(p1) == data
+    assert lzop_block_offsets(p1) == lzop_block_offsets(p2)
+
+
 def test_lzop_stores_incompressible_blocks_raw(tmp_path):
     import random
 

@@ -86,6 +86,23 @@ def test_substring_spans_clean_and_short_docs(spark):
     assert rows[1]["n_tok"] == 2 and rows[2]["n_tok"] == 0
 
 
+def test_substring_spans_hot_shingle_skew(spark):
+    """A Zipf-pathological corpus — ONE shingle present in every doc —
+    stays correct under the round-6 aggregate+join occurrence count
+    (the windowed count this replaced would funnel every occurrence of
+    the hot shingle into a single partition at scale)."""
+    hot = "the quick brown"  # one k=3 shingle shared corpus-wide
+    docs = _mkdocs(
+        spark, [f"u{i}a u{i}b {hot} u{i}c u{i}d" for i in range(40)]
+    )
+    rows = dedup.substring_dup_spans(docs, k=3).collect()
+    assert len(rows) == 40
+    for r in rows:
+        # the hot shingle is each doc's only duplicated start: 1 span,
+        # 1 dup position, k=3 covered tokens
+        assert (r["n_dup_pos"], r["n_spans"], r["dup_tokens"]) == (1, 1, 3)
+
+
 def test_substring_spans_python_replica_on_corpus(spark, sf_dir):
     """Exact replica check on real corpus docs: recompute duplicated
     positions + interval merge in pure Python for a sample and compare

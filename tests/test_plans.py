@@ -170,13 +170,19 @@ def test_driver_window_is_first_50():
         "aggs": ["cov_agg_all"],
         "sort": ["cov_sort_all", "cov_topn"],
         "setops": ["cov_setops_all"],
+        # round-6 rotation: cov_fn_decimal, pipe_dedup_simhash and
+        # pipe_ann_topk ceded slots to tpcds_q27/q68 + pipe_freq_shingles
+        # (their oracles stay below the window; decimal arithmetic is
+        # still in-window via cov_fn_condcast, near-dup via minhash,
+        # exact-rerank via the IVF family)
         "functions": ["cov_fn_string", "cov_fn_math", "cov_fn_timestamp",
-                      "cov_fn_condcast", "cov_fn_decimal"],
+                      "cov_fn_condcast"],
         "external": ["cov_external_scan"],
         "text": ["pipe_text_all"],
         "dedup": ["pipe_dedup_exact", "pipe_dedup_jaccard",
-                  "pipe_dedup_minhash", "pipe_dedup_simhash"],
-        "similarity": ["pipe_embed_neardup", "pipe_ann_topk", "pipe_ann_ivf"],
+                  "pipe_dedup_minhash"],
+        "similarity": ["pipe_embed_neardup", "pipe_ann_ivf"],
+        "heavy_hitters": ["pipe_freq_shingles"],
         "multimodal": ["pipe_multimodal_features"],
         "streaming": ["stream_events_hourly", "stream_dedup", "pipe_sessions"],
         "pipeline2": ["pipe_decontaminate", "pipe_pii_redact", "pipe_embed_quantize"],
@@ -280,3 +286,14 @@ def test_window_plan_pins(plans, name):
     if pin["pushdown"] and not got["pushdown"]:
         problems.append("filter pushdown lost")
     assert not problems, f"{name}: plan regressed — {'; '.join(problems)}\n pinned: {pin}\n    got: {got}"
+
+
+def test_every_headliner_has_a_plan_pin():
+    """Every bench headliner must carry a plan pin, window member or
+    not (round-5 verdict #3: pipe_bm25 shipped as a headliner with no
+    pinned, audited plan). Regenerate: python tools/gen_plan_pins.py."""
+    from impala_cut_spark.plans import REGISTRY
+
+    headliners = {n for n, s in REGISTRY.items() if s.headline}
+    missing = sorted(headliners - set(_PLAN_PINS))
+    assert not missing, f"headliners without plan pins: {missing}"

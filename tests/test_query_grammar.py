@@ -94,8 +94,32 @@ def test_grammar_covers_language_features(pool):
         "sqrt(",
         "var_samp(",
         "(SELECT min(",  # uncorrelated scalar-subquery comparison
+        # grammar v3 (round-6): wider string/timestamp surface
+        "replace(",
+        "split_part(",
+        "concat_ws(",
+        "ascii(",
+        "weeks_add(",
+        "minutes_add(",
+        "years_add(",
     ]:
         assert feature in blob, f"grammar window never produced {feature!r}"
     # every TPC-H table participates
     for t in SCHEMA:
         assert f"FROM {t} " in blob or f"JOIN {t} " in blob, t
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_grammar_insert_roundtrip_matches_duckdb(seed, isession, oracle, pool):
+    """Grammar v3 (round-6): CTAS + INSERT...SELECT round-trips — the
+    generated query materializes through the Impala-dialect CTAS and
+    INSERT DML path in Spark and natively in DuckDB, and the doubled
+    tables read back identical. Distinct seed space from the SELECT
+    window (offset by 10_000) so the two gates never share a query."""
+    from query_grammar import run_insert_roundtrip
+
+    q = QueryGen(random.Random(10_000 + seed), pool).create_query(depth=2)
+    msg = run_insert_roundtrip(
+        isession, oracle, q, name=f"grammar_rt_{seed}"
+    )
+    assert msg is None, f"{msg}\n{q.sql}"

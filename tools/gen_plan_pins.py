@@ -59,8 +59,14 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    # pin every driver-window row AND every bench headliner (round-5
+    # verdict #3: headliners must all have audited, pinned plans even
+    # when they rotate out of the correctness window)
+    names = list(DRIVER_WINDOW) + sorted(
+        n for n, s in REGISTRY.items() if s.headline and n not in DRIVER_WINDOW
+    )
     pins: dict[str, dict] = {}
-    for name in DRIVER_WINDOW:
+    for name in names:
         df = REGISTRY[name].spark(spark, SF_DIR)
         df.collect()
         full = df._jdf.queryExecution().executedPlan().toString()

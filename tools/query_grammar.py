@@ -198,6 +198,17 @@ ORACLE_MACROS = [
     "CREATE OR REPLACE MACRO max_smallint() AS CAST(32767 AS SMALLINT)",
     "CREATE OR REPLACE MACRO min_smallint() AS CAST(-32768 AS SMALLINT)",
     "CREATE OR REPLACE MACRO max_tinyint() AS CAST(127 AS TINYINT)",
+    # grammar v3 (round-6): the rest of the interval-arithmetic family
+    "CREATE OR REPLACE MACRO weeks_add(t, n) AS "
+    "CAST(t AS TIMESTAMP) + to_days(CAST(7 * n AS INT))",
+    "CREATE OR REPLACE MACRO minutes_add(t, n) AS "
+    "CAST(t AS TIMESTAMP) + to_minutes(CAST(n AS INT))",
+    "CREATE OR REPLACE MACRO seconds_add(t, n) AS "
+    "CAST(t AS TIMESTAMP) + to_seconds(CAST(n AS INT))",
+    "CREATE OR REPLACE MACRO years_add(t, n) AS "
+    "CAST(t AS TIMESTAMP) + to_years(CAST(n AS INT))",
+    "CREATE OR REPLACE MACRO date_sub(t, n) AS "
+    "CAST(t AS TIMESTAMP) - to_days(CAST(n AS INT))",
 ]
 
 
@@ -286,7 +297,12 @@ class QueryGen:
             if c is None:
                 return None
             return Expr(c.sql, "num", c.sub)
-        roll = r.randrange(14)
+        roll = r.randrange(15)
+        if roll == 14:  # ascii: first-codepoint, 0 on '' in both engines
+            s = self.str_expr(refs, depth - 1)
+            if s is None:
+                return None
+            return Expr(f"ascii({s.sql})", "num", "int")
         if roll == 0:  # literal (occasionally an Impala type-constant fn)
             if self._chance(8):
                 # BIGINT-cast: DuckDB would keep INT16 through
@@ -395,12 +411,30 @@ class QueryGen:
             if c is None:
                 return None
             return Expr(c.sql, "str")
-        roll = r.randrange(10)
+        roll = r.randrange(12)
         if roll == 0:
             c = self._pick_col(refs, "str")
             if c is None:
                 return None
             return Expr(self._literal_for(c), "str")
+        if roll == 10:  # replace / split_part (grammar v3)
+            a = self.str_expr(refs, depth - 1)
+            if a is None:
+                return None
+            if self._chance(2):
+                x, y = r.choice([("a", "@"), ("e", ""), ("er", "ER"), ("1", "one")])
+                return Expr(f"replace({a.sql}, '{x}', '{y}')", "str")
+            # 1-based; out-of-range yields '' in Spark and DuckDB alike
+            return Expr(f"split_part({a.sql}, '{r.choice(['#', 'e', ' '])}', {r.randrange(1, 4)})", "str")
+        if roll == 11:  # concat_ws: Impala returns NULL on any-NULL arg
+            # (dialect.py CALL_REWRITES pins it); DuckDB skips NULLs, so
+            # the shared SQL pins the Impala semantics explicitly
+            a, b = self.str_expr(refs, depth - 1), self.str_expr(refs, depth - 1)
+            if a is None or b is None:
+                return None
+            return Expr(
+                _null_pin([a.sql, b.sql], f"concat_ws('-', {a.sql}, {b.sql})"), "str"
+            )
         if roll == 6:  # strleft / strright
             a = self.str_expr(refs, depth - 1)
             if a is None:
@@ -480,7 +514,11 @@ class QueryGen:
         if self._chance(4):
             return Expr(self._literal_for(c), "ts")
         if depth > 0 and self._chance(4):  # Impala interval arithmetic
-            fn = self.rng.choice(["days_add", "months_add", "hours_add", "days_sub"])
+            fn = self.rng.choice(
+                ["days_add", "months_add", "hours_add", "days_sub",
+                 "weeks_add", "minutes_add", "seconds_add", "years_add",
+                 "date_sub"]
+            )
             return Expr(f"{fn}({c.sql}, {self.rng.randrange(0, 40)})", "ts")
         return Expr(c.sql, "ts")
 
@@ -928,6 +966,32 @@ def run_one(isess, con, sql: str, fuzzy=None) -> str | None:
     return compare_results(spark_rows, duck_rows, fuzzy)
 
 
+def run_insert_roundtrip(isess, con, q: "GenQuery", name: str = "grammar_rt") -> str | None:
+    """INSERT…SELECT round-trip (grammar v3, round-6): materialize the
+    generated query in BOTH engines — Impala-dialect ``CREATE TABLE …
+    STORED AS PARQUET AS <q>`` then ``INSERT INTO … <q>`` appending the
+    same rows — and compare the tables read back.  Exercises the CTAS +
+    INSERT DML path (dialect rewrite, parquet sink, catalog read-back)
+    over arbitrary grammar payloads, which the SELECT-only differential
+    never touched.  Output aliases c0..cN make the CTAS schema valid by
+    construction; LIMIT queries are total-ordered by the grammar so the
+    doubled multiset is engine-independent."""
+    isess.sql(f"drop table if exists {name}")
+    con.sql(f"DROP TABLE IF EXISTS {name}")
+    try:
+        isess.sql(f"create table {name} stored as parquet as {q.sql}")
+        isess.sql(f"insert into {name} {q.sql}")
+        con.sql(f"CREATE TABLE {name} AS {q.sql}")
+        con.sql(f"INSERT INTO {name} {q.sql}")
+        readback = f"SELECT * FROM {name}"
+        spark_rows = [tuple(r) for r in isess.sql(readback).collect()]
+        duck_rows = con.sql(readback).fetchall()
+        return compare_results(spark_rows, duck_rows, q.fuzzy)
+    finally:
+        isess.sql(f"drop table if exists {name}")
+        con.sql(f"DROP TABLE IF EXISTS {name}")
+
+
 def generate(seed: int, pool: LiteralPool, depth: int = 2) -> GenQuery:
     rng = random.Random(seed)
     return QueryGen(rng, pool).create_query(depth=depth)
@@ -946,6 +1010,11 @@ def main() -> int:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--sf", default="/root/testdata/sf0.001")
     ap.add_argument("--depth", type=int, default=2, help="expression/view nesting depth")
+    ap.add_argument(
+        "--insert",
+        action="store_true",
+        help="run CTAS + INSERT...SELECT round-trips instead of bare SELECT compares",
+    )
     ap.add_argument("-v", "--verbose", action="store_true")
     args = ap.parse_args()
 
@@ -976,7 +1045,10 @@ def main() -> int:
         if args.verbose:
             print(f"-- seed {s}\n{q.sql}")
         try:
-            msg = run_one(isess, con, q.sql, q.fuzzy)
+            if args.insert:
+                msg = run_insert_roundtrip(isess, con, q)
+            else:
+                msg = run_one(isess, con, q.sql, q.fuzzy)
         except Exception as e:  # an engine rejecting the query IS a finding
             msg = f"exception: {type(e).__name__}: {str(e)[:300]}"
         if msg is not None:
