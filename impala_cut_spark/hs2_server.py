@@ -138,6 +138,9 @@ class HS2ThriftServer:
         #: per-session negotiated TProtocolVersion (V6 clients get
         #: columnar TRowSets; V1-V5 get row-oriented ones)
         self._session_proto: dict[bytes, int] = {}
+        #: per-session option snapshots: {guid: {key: prior-or-None}}
+        #: so CloseSession restores what OpenSession's configuration set
+        self._session_opts: dict[bytes, dict[str, str | None]] = {}
         self._next = itertools.count(1)
         self._lock = threading.Lock()
         outer = self
@@ -244,13 +247,23 @@ class HS2ThriftServer:
     # -- session lifecycle -------------------------------------------------
 
     def _m_OpenSession(self, w: tp.BinaryWriter, req: dict) -> None:
+        # TOpenSessionReq.configuration scopes to THIS HS2 session in
+        # the reference (impala-hs2-server.cc OpenSession →
+        # session_state->default_query_options) — snapshot prior values
+        # so CloseSession can restore the shared engine session
+        before = self.session.options()
+        applied: dict[str, str | None] = {}
         for k, v in (req.get(4) or {}).items():
             try:
-                self.session.set_option(k.decode(), v.decode())
+                key = k.decode().lower()
+                self.session.set_option(key, v.decode())
+                applied[key] = before.get(key)
             except Exception:  # noqa: BLE001 — unknown conf keys are advisory
                 pass
         guid = self._new_handle()
         self._sessions.add(guid)
+        if applied:
+            self._session_opts[guid] = applied
         # negotiate: serve the client's version, clamped to V6 (the
         # highest generation implemented; thrift enums are ordered so
         # min() is the correct handshake on both sides)
@@ -269,6 +282,12 @@ class HS2ThriftServer:
         guid = self._read_guid(req)
         self._sessions.discard(guid)
         self._session_proto.pop(guid, None)
+        # restore options this session's OpenSession configuration set
+        for key, prior in self._session_opts.pop(guid, {}).items():
+            if prior is None:
+                self.session.unset_option(key)
+            else:
+                self.session.set_option(key, prior)
         self._status(w)
 
     def _proto(self, req: dict) -> int:

@@ -120,14 +120,24 @@ def test_invalid_operation_handle_status(client):
 
 
 def test_session_configuration_applies_options(server):
+    """OpenSession configuration applies for the session's lifetime and
+    is restored at CloseSession (round-6: like the reference's
+    per-session default_query_options, it must not leak to other
+    sessions after this one closes)."""
+    server.session.set_option("mem_limit", "1g")
     c = HS2ThriftClient(server.host, server.port)
-    c.open_session({"explain_level": "3"})
+    c.open_session({"explain_level": "3", "mem_limit": "2g"})
     try:
         opts = dict(server.session.options())
         assert opts.get("explain_level") == "3"
+        assert opts.get("mem_limit") == "2g"
     finally:
         c.close_session()
         c.close()
+    opts = dict(server.session.options())
+    assert "explain_level" not in opts  # fresh key dropped on close
+    assert opts.get("mem_limit") == "1g"  # pre-existing value restored
+    server.session.unset_option("mem_limit")
 
 
 def test_unknown_method_is_application_exception(client):
