@@ -615,3 +615,70 @@ def epoch_shuffle(
         .cast("bigint")
         .alias("shard_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# token-budget corpus selection
+# ---------------------------------------------------------------------------
+
+BUDGET_BUCKETS = 64
+
+
+def budget_select(
+    scored: DataFrame,
+    budget_tokens: int,
+    score: str = "score",
+    weight: str = "n_tok",
+    key: str = "doc_id",
+    buckets: int = BUDGET_BUCKETS,
+) -> DataFrame:
+    """Greedy token-budget corpus selection: admit documents in
+    descending ``score`` order (ties by ``key``) while the running
+    token total BEFORE each document is under ``budget_tokens`` — the
+    "fill a 1T-token training budget with the best-scoring documents"
+    step of a pretraining pipeline.
+
+    Exact greedy semantics without a global sort (the epoch_shuffle
+    trick): scores are clamped to [0,1] and quantized into
+    ``buckets`` monotone score bands, so the global order
+    (score DESC, key ASC) equals bucket-major order.  Per-band token
+    totals are one tiny aggregation (≤ buckets+1 rows, collected and
+    folded into a literal offset map); the running sum then needs only
+    a WITHIN-band window — no single-partition orderBy().window()
+    touches the data.  A document is admitted iff
+    band_offset + within_band_running_sum − its_weight < budget.
+
+    Output: (key, weight, score, cum_tokens) for admitted documents,
+    where cum_tokens is the running total INCLUDING the document (the
+    last admitted row may overshoot the budget — classic greedy
+    prefix, deterministic in both engines).
+    """
+    from pyspark.sql import Window
+
+    s = F.least(F.greatest(F.col(score), F.lit(0.0)), F.lit(1.0))
+    # band 0 = best scores, so band-ASC equals score-DESC order
+    banded = scored.withColumn(
+        "_band",
+        (F.lit(buckets - 1) - F.least(F.floor(s * buckets), F.lit(buckets - 1)))
+        .cast("int"),
+    )
+    totals = {
+        r["_band"]: r["w"]
+        for r in banded.groupBy("_band").agg(F.sum(weight).alias("w")).collect()
+    }
+    offsets, acc = {}, 0
+    for b in range(buckets):
+        offsets[b] = acc
+        acc += int(totals.get(b, 0))
+    off = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])[
+        F.col("_band")
+    ]
+    w_band = Window.partitionBy("_band").orderBy(
+        F.desc(score), F.asc(key)
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    cum = (off + F.sum(weight).over(w_band)).cast("bigint")
+    return (
+        banded.withColumn("cum_tokens", cum)
+        .filter(F.col("cum_tokens") - F.col(weight) < int(budget_tokens))
+        .select(key, weight, score, "cum_tokens")
+    )

@@ -121,6 +121,59 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
 ]
 
 
+#: Gopher quality-filter rule constants (Rae et al. 2021, "Scaling
+#: Language Models: Methods, Analysis & Insights from Training
+#: Gopher", Table A1 — public literature; the reference has no text
+#: pipeline, SURVEY §2 extension surface)
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(text: Column) -> dict[str, Column]:
+    """Per-document Gopher quality-rule booleans + the conjunctive
+    keep flag.  Every comparison is integer-exact (ratios are
+    cross-multiplied, never divided), so the rule bits are
+    bit-identical cross-engine:
+
+      r_word_count   50 ≤ n_words ≤ 100000
+      r_mean_len     3 ≤ mean word length ≤ 10   (3n ≤ Σlen ≤ 10n)
+      r_symbol       (# + … occurrences) / words ≤ 0.1  (10s ≤ n)
+      r_alpha        ≥80% of words contain an alphabetic char (5a ≥ 4n)
+      r_stop         ≥2 distinct stop words present
+
+    Narrow map over the scan — no explode, no shuffle."""
+    txt = F.coalesce(text, F.lit(""))
+    toks = tokens(txt)
+    n = F.size(toks)
+    chars = F.aggregate(toks, F.lit(0).cast("bigint"), lambda a, x: a + F.length(x))
+    n_alpha = F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]")))
+    hashes = F.length(txt) - F.length(F.replace(txt, F.lit("#"), F.lit("")))
+    ellipses = (
+        F.length(txt) - F.length(F.replace(txt, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    n_sym = (hashes + ellipses).cast("bigint")
+    n_stop_distinct = sum(
+        F.array_contains(toks, w).cast("int") for w in GOPHER_STOPWORDS
+    )
+    rules = {
+        "n_words": n.cast("bigint"),
+        "r_word_count": (n >= GOPHER_MIN_WORDS) & (n <= GOPHER_MAX_WORDS),
+        "r_mean_len": (F.lit(3) * n <= chars) & (chars <= F.lit(10) * n),
+        "r_symbol": F.lit(10) * n_sym <= n,
+        "r_alpha": F.lit(5) * n_alpha >= F.lit(4) * n,
+        "r_stop": n_stop_distinct >= 2,
+    }
+    rules["keep"] = (
+        rules["r_word_count"]
+        & rules["r_mean_len"]
+        & rules["r_symbol"]
+        & rules["r_alpha"]
+        & rules["r_stop"]
+    )
+    return rules
+
+
 def redact_pii(text: Column) -> tuple[Column, dict[str, Column]]:
     """Redact PII-shaped spans, returning (redacted_text, counts).
 
@@ -371,4 +424,80 @@ def quality_classifier_score(
         F.size(toks).alias("n_tok"),
         score.alias("score_micro"),
         (score > 0).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity bucketing (head / middle / tail)
+# ---------------------------------------------------------------------------
+
+#: quantization step for nll band-major ranking: avg_nll is rounded to
+#: 6dp by unigram_nll_scores, so q = avg_nll·1e6 is an exact integer;
+#: bands of 0.5 nll units keep the offset map tiny (≤ ~64 per lang)
+PPL_BAND_STEP = 500_000
+PPL_MAX_BANDS = 64
+PPL_LABELS = {1: "head", 2: "middle", 3: "tail"}
+
+
+def ppl_buckets(docs, text_col: str = "text", lang_col: str = "lang", n: int = 3):
+    """CCNet-style per-language perplexity bucketing (Wenzek et al.
+    2020, public literature): rank documents within each language by
+    unigram-LM mean NLL (ascending — most-probable text first) and cut
+    into ``n`` equal buckets (head / middle / tail for n=3) — the
+    standard quality stratification a crawl pipeline filters or
+    samples on.
+
+    Exact, no per-language global sort: ranks come from the
+    bucket-major two-phase of epoch_shuffle — avg_nll·1e6 is an exact
+    integer (6dp rounding upstream), quantized into coarse nll bands;
+    per-(lang, band) counts are one tiny aggregation (≤ langs×64
+    rows, collected into a literal offset map) and each band ranks
+    only its own rows.  Bucket from rank by integer floor division —
+    bucket = (rank−1)·n div count + 1 — the same closed form the
+    DuckDB oracle uses (native ntile sizing differs between engines'
+    remainder placement only in documentation, so neither side uses
+    it).
+
+    Output: (doc_id, lang, avg_nll, bucket, label).
+    """
+    from pyspark.sql import Window
+
+    nll = unigram_nll_scores(docs, text_col).select("doc_id", "avg_nll")
+    base = docs.select("doc_id", lang_col).join(nll, "doc_id")
+    q = F.round(F.col("avg_nll") * 1e6).cast("bigint")
+    banded = base.withColumn(
+        "_band",
+        F.least((q / PPL_BAND_STEP).cast("int"), F.lit(PPL_MAX_BANDS - 1)),
+    )
+    counts = banded.groupBy(lang_col, "_band").count().collect()
+    per_lang: dict[str, dict[int, int]] = {}
+    for r in counts:
+        per_lang.setdefault(r[lang_col], {})[r["_band"]] = r["count"]
+    offs: list = []
+    totals: list = []
+    for lang, bands in sorted(per_lang.items()):
+        acc = 0
+        for b in range(PPL_MAX_BANDS):
+            offs.extend([F.lit(f"{lang}\x1f{b}"), F.lit(acc)])
+            acc += bands.get(b, 0)
+        totals.extend([F.lit(lang), F.lit(acc)])
+    off = F.create_map(*offs)[
+        F.concat_ws("\x1f", F.col(lang_col), F.col("_band").cast("string"))
+    ]
+    tot = F.create_map(*totals)[F.col(lang_col)]
+    w = Window.partitionBy(lang_col, "_band").orderBy("avg_nll", "doc_id")
+    rank = off + F.row_number().over(w)
+    bucket = F.expr(f"(( _rank - 1) * {int(n)}) div _tot") + F.lit(1)
+    out = (
+        banded.withColumn("_rank", rank.cast("bigint"))
+        .withColumn("_tot", tot.cast("bigint"))
+        .withColumn("bucket", bucket.cast("int"))
+    )
+    label = out["bucket"]
+    lab: Column | None = None
+    for b, name in PPL_LABELS.items():
+        lab = F.when(label == b, name) if lab is None else lab.when(label == b, name)
+    lab = lab.otherwise(F.concat(F.lit("b"), label.cast("string")))
+    return out.select(
+        "doc_id", lang_col, "avg_nll", "bucket", lab.alias("label")
     )

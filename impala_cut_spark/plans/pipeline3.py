@@ -550,3 +550,150 @@ def pipe_freq_shingles(spark, sf_dir):
     return corpus.frequent_ngrams(
         t(spark, sf_dir, "documents"), n=3, phi=HH_PHI, floor_df=HH_FLOOR_DF
     )
+
+
+# ---------------------------------------------------------------------------
+# round-6 additions: Gopher rule bundle, token-budget selection,
+# CCNet perplexity buckets
+# ---------------------------------------------------------------------------
+
+_SQL_TOKS3 = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+_GOPHER_STOP_SQL = " + ".join(
+    f"CAST(list_contains(l, '{w}') AS INT)" for w in text.GOPHER_STOPWORDS
+)
+
+
+@query(
+    "pipe_gopher_rules",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+t2 AS (SELECT doc_id, text, {_SQL_TOKS3} AS l FROM toks),
+ft AS (SELECT doc_id,
+              len(l) AS n,
+              coalesce(list_sum(list_transform(l, x -> length(x))), 0) AS chars,
+              len(list_filter(l, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha,
+              (length(text) - length(replace(text, '#', '')))
+                + CAST((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT)
+                AS n_sym,
+              {_GOPHER_STOP_SQL} AS n_stop
+       FROM t2)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_words,
+       (n >= {text.GOPHER_MIN_WORDS} AND n <= {text.GOPHER_MAX_WORDS}) AS r_word_count,
+       (3 * n <= chars AND chars <= 10 * n) AS r_mean_len,
+       (10 * n_sym <= n) AS r_symbol,
+       (5 * n_alpha >= 4 * n) AS r_alpha,
+       (n_stop >= 2) AS r_stop,
+       ((n >= {text.GOPHER_MIN_WORDS} AND n <= {text.GOPHER_MAX_WORDS})
+        AND (3 * n <= chars AND chars <= 10 * n)
+        AND (10 * n_sym <= n)
+        AND (5 * n_alpha >= 4 * n)
+        AND (n_stop >= 2)) AS keep
+FROM ft
+""",
+)
+def pipe_gopher_rules(spark, sf_dir):
+    """Gopher quality-rule bundle (operators/text.py gopher_rules;
+    Rae et al. 2021 Table A1, public literature): per-document rule
+    booleans — word-count bounds, mean-word-length bounds,
+    symbol-to-word ratio, alphabetic-word ratio, distinct-stopword
+    floor — plus the conjunctive keep flag. All comparisons are
+    integer-exact (cross-multiplied ratios), so the bits replay
+    bit-identically in DuckDB. Narrow map over the scan: 0 shuffles."""
+    from pyspark.sql import functions as F
+
+    docs = t(spark, sf_dir, "documents")
+    rules = text.gopher_rules(F.col("text"))
+    return docs.select("doc_id", *[v.alias(k) for k, v in rules.items()])
+
+
+BUDGET_TOKENS = 20_000  # sf-scaled stand-in for a production 1T budget
+
+
+@query(
+    "pipe_budget_select",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS3} AS l FROM documents),
+     ft AS (
+       SELECT doc_id,
+              CAST(len(l) AS BIGINT) AS n_tok,
+              CAST(len(l) AS DOUBLE) AS n_tokf,
+              CAST(coalesce(list_sum(list_transform(l, x -> length(x))), 0) AS DOUBLE)
+                AS sum_len,
+              CAST(len(list_filter(l, x -> list_contains(
+                  ['the','a','of','and','to','in','is','that','it','for'], x)))
+                AS DOUBLE) AS n_stop
+       FROM toks),
+     sc AS (SELECT doc_id, n_tok,
+                   round(0.4 * least(n_tokf / 100.0, 1.0)
+                         + 0.3 * least((n_stop / n_tokf) * 5.0, 1.0)
+                         + 0.3 * least((sum_len / n_tokf) / 8.0, 1.0), 6) AS score
+            FROM ft),
+     c AS (SELECT doc_id, n_tok, score,
+                  CAST(sum(n_tok) OVER (ORDER BY score DESC, doc_id ASC
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                    AS cum_tokens
+           FROM sc)
+SELECT doc_id, n_tok, score, cum_tokens
+FROM c WHERE cum_tokens - n_tok < {BUDGET_TOKENS}
+""",
+)
+def pipe_budget_select(spark, sf_dir):
+    """Token-budget corpus selection (operators/corpus.py
+    budget_select): admit documents in descending quality-score order
+    until the token budget fills — the "fill a 1T-token training
+    budget with the best documents" pipeline step. Exact greedy
+    without a global sort: monotone score bands + a collected ≤65-row
+    band-offset map + within-band running-sum windows (the
+    epoch_shuffle two-phase). The DuckDB oracle is the naive global
+    window — same rows by construction."""
+    from pyspark.sql import functions as F
+
+    docs = t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        text.token_count(F.col("text")).cast("bigint").alias("n_tok"),
+        text.quality_score(F.col("text")).alias("score"),
+    )
+    return corpus.budget_select(scored, budget_tokens=BUDGET_TOKENS)
+
+
+@query(
+    "pipe_ppl_terciles",
+    oracle="""
+WITH toks AS (SELECT doc_id,
+                     unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+              FROM documents),
+freqs AS (SELECT w, count(*) AS n FROM toks GROUP BY w),
+tot AS (SELECT cast(count(*) AS double) AS t FROM toks),
+terms AS (SELECT doc_id,
+                 cast(round(-ln(cast(n AS double) / t), 6) AS decimal(18,6)) AS nll
+          FROM toks JOIN freqs USING (w) CROSS JOIN tot),
+nll AS (SELECT doc_id,
+               round(cast(sum(nll) AS double) / count(*), 6) AS avg_nll
+        FROM terms GROUP BY doc_id),
+j AS (SELECT d.doc_id, d.lang, nll.avg_nll
+      FROM documents d JOIN nll ON d.doc_id = nll.doc_id),
+r AS (SELECT doc_id, lang, avg_nll,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY avg_nll ASC, doc_id ASC) AS rk,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM j)
+SELECT doc_id, lang, avg_nll,
+       CAST((rk - 1) * 3 // n + 1 AS INT) AS bucket,
+       CASE (rk - 1) * 3 // n + 1
+            WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS label
+FROM r
+""",
+)
+def pipe_ppl_terciles(spark, sf_dir):
+    """CCNet-style per-language perplexity bucketing (operators/text.py
+    ppl_buckets; Wenzek et al. 2020, public literature): documents
+    ranked within each language by unigram-LM mean NLL and cut into
+    head/middle/tail terciles — the standard crawl-quality
+    stratification. Ranks come from the bucket-major two-phase (tiny
+    collected (lang, nll-band) offset map; no per-language global
+    sort); the tercile is a closed-form integer floor division both
+    engines evaluate identically."""
+    return text.ppl_buckets(t(spark, sf_dir, "documents"))

@@ -522,3 +522,77 @@ def test_misra_gries_candidate_superset_and_bounds(spark):
     lb = cands.groupby("shingle")["cnt"].sum()
     for item, c in lb.items():
         assert c <= truth.get(item, 0)
+
+
+# -- round-6: gopher rules / budget select / ppl terciles -------------------
+
+
+def test_gopher_rules_bits(spark):
+    """Each rule bit flips on its published boundary: word-count
+    bounds, mean word length, symbol ratio, alpha-word ratio,
+    distinct-stopword floor."""
+    good = "the and " + " ".join(f"word{i:03d}" for i in range(60))
+    few = "the and tiny doc"
+    symbols = "the and " + " ".join("###" for _ in range(60))
+    numeric = "the and " + " ".join(str(i) * 4 for i in range(60))
+    nostop = " ".join(f"word{i:03d}" for i in range(60))
+    docs = _mkdocs(spark, [good, few, symbols, numeric, nostop, None])
+    g = text.gopher_rules(F.col("text"))
+    rows = {
+        r["doc_id"]: r
+        for r in docs.select("doc_id", *[v.alias(k) for k, v in g.items()]).collect()
+    }
+    assert rows[0]["keep"] is True
+    assert rows[1]["r_word_count"] is False and rows[1]["keep"] is False
+    assert rows[2]["r_symbol"] is False  # '###' per word > 0.1
+    assert rows[3]["r_alpha"] is False  # digit-only words
+    assert rows[4]["r_stop"] is False
+    assert rows[5]["n_words"] == 0 and rows[5]["keep"] is False  # NULL text
+
+
+def test_budget_select_greedy_prefix(spark):
+    """budget_select equals the naive global greedy: descending score,
+    running token sum, admit while the pre-doc total is under budget —
+    and the banded two-phase never globally sorts."""
+    import random as _r
+
+    rng = _r.Random(7)
+    rows = [(i, rng.randrange(5, 40), round(rng.random(), 6)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id bigint, n_tok bigint, score double")
+    got = {
+        r["doc_id"]: r for r in corpus.budget_select(df, budget_tokens=900).collect()
+    }
+    acc, expect = 0, {}
+    for doc, w, s in sorted(rows, key=lambda x: (-x[2], x[0])):
+        if acc < 900:
+            acc += w
+            expect[doc] = acc
+        else:
+            break
+    assert set(got) == set(expect)
+    for doc, cum in expect.items():
+        assert got[doc]["cum_tokens"] == cum
+
+
+def test_ppl_buckets_partition_and_sizing(spark, sf_dir):
+    """Terciles are per-language, sized by the closed-form floor
+    division, and ordered: every head doc's avg_nll <= every tail
+    doc's within the same language."""
+    docs = t(spark, sf_dir, "documents")
+    out = text.ppl_buckets(docs).collect()
+    from collections import defaultdict
+
+    by_lang = defaultdict(list)
+    for r in out:
+        by_lang[r["lang"]].append(r)
+    assert len(out) == docs.count()
+    for lang, rows in by_lang.items():
+        n = len(rows)
+        sizes = {1: 0, 2: 0, 3: 0}
+        for r in rows:
+            sizes[r["bucket"]] += 1
+        expect = {b: sum(1 for k in range(n) if k * 3 // n + 1 == b) for b in (1, 2, 3)}
+        assert sizes == expect, lang
+        heads = [r["avg_nll"] for r in rows if r["label"] == "head"]
+        tails = [r["avg_nll"] for r in rows if r["label"] == "tail"]
+        assert max(heads) <= min(tails)
