@@ -208,7 +208,12 @@ CALL_REWRITES: dict[str, object] = {
     "least": lambda a: _least_greatest("least", a),
     "greatest": lambda a: _least_greatest("greatest", a),
     "quotient": lambda a: f"({a[0]} div {a[1]})",
-    "fmod": lambda a: f"mod({a[0]}, {a[1]})",
+    # Impala fmod is the C float modulo — FLOAT/DOUBLE in, DOUBLE out
+    # (math-functions.cc). Without the casts Spark types mod(bigint,
+    # 7.5) as DECIMAL (a fractional literal is DECIMAL(p,s) in Spark
+    # SQL) and downstream division silently loses double precision —
+    # found by the round-6 grammar sweep (seed 402).
+    "fmod": lambda a: f"mod(cast({a[0]} as double), cast({a[1]} as double))",
     "dayname": lambda a: f"date_format({a[0]}, 'EEEE')",
     # Impala to_date(ts) returns STRING 'yyyy-MM-dd'
     # (timestamp-functions.cc; impala_functions.py:239-356); Spark's

@@ -123,3 +123,16 @@ def test_grammar_insert_roundtrip_matches_duckdb(seed, isession, oracle, pool):
         isession, oracle, q, name=f"grammar_rt_{seed}"
     )
     assert msg is None, f"{msg}\n{q.sql}"
+
+
+@pytest.mark.parametrize("seed", [402, 1940, 2943])
+def test_sweep_found_regressions(seed, isession, oracle, pool):
+    """Seeds where the round-6 3200-seed sweep caught real findings:
+    402 — Impala fmod must be DOUBLE, not Spark's mod-with-DECIMAL-
+    literal (dialect fix); 1940 — DuckDB split_part returns '' on NULL
+    input where Impala/Spark propagate NULL (grammar NULL pin);
+    2943 — comparator fuzzy-sort ties fell back to engine-specific
+    input order (two-level sort key). Pinned so none regresses."""
+    q = QueryGen(random.Random(seed), pool).create_query(depth=2)
+    msg = run_one(isession, oracle, q.sql, q.fuzzy)
+    assert msg is None, f"{msg}\n{q.sql}"

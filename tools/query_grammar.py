@@ -424,8 +424,12 @@ class QueryGen:
             if self._chance(2):
                 x, y = r.choice([("a", "@"), ("e", ""), ("er", "ER"), ("1", "one")])
                 return Expr(f"replace({a.sql}, '{x}', '{y}')", "str")
-            # 1-based; out-of-range yields '' in Spark and DuckDB alike
-            return Expr(f"split_part({a.sql}, '{r.choice(['#', 'e', ' '])}', {r.randrange(1, 4)})", "str")
+            # 1-based; out-of-range yields '' in Spark and DuckDB
+            # alike — but NULL input propagates NULL in Impala/Spark
+            # while DuckDB returns '' (sweep seed 1940), so pin the
+            # Impala semantics in the shared SQL
+            inner = f"split_part({a.sql}, '{r.choice(['#', 'e', ' '])}', {r.randrange(1, 4)})"
+            return Expr(_null_pin([a.sql], inner), "str")
         if roll == 11:  # concat_ws: Impala returns NULL on any-NULL arg
             # (dialect.py CALL_REWRITES pins it); DuckDB skips NULLs, so
             # the shared SQL pins the Impala semantics explicitly
@@ -916,19 +920,35 @@ def _norm(v):
 
 
 def _sort_key(row, fuzzy):
-    # Exact columns sort at full precision (their values are
-    # bit-identical cross-engine); only fuzzy float-agg columns get a
-    # rounded key, so near-equal exact rows can't misalign.
-    out = []
+    # Alignment must never depend on a fuzzy value's low bits (they
+    # differ between engines), and must never leave ties to Python's
+    # stable sort (that keeps engine-specific input order — sweep seed
+    # 2943).  So the key is three-tier:
+    #   1. every EXACT cell at full precision (bit-identical
+    #      cross-engine — rows differing anywhere exact always align
+    #      by this tier; sweep seed 922 showed a fuzzy tier-1 key
+    #      misaligns two different groups with near-equal averages),
+    #   2. fuzzy cells at coarse 6-sig-digit precision (stable under
+    #      low-bit noise),
+    #   3. fuzzy cells at full precision as the last-resort tie-break
+    #      (rows reaching this tier are equal on ALL exact cells and
+    #      coarsely equal on fuzzy ones; if noise flips a pair here,
+    #      the crossed pairs still compare within tolerance).
+    exact, coarse, fine = [], [], []
     for j, v in enumerate(row):
         fz = fuzzy[j] if fuzzy and j < len(fuzzy) else True
         if v is None:
-            out.append((0, ""))
+            cell = (0, "")
         elif isinstance(v, (int, float)):
-            out.append((1, f"{float(v):.6g}" if fz else f"{float(v):.17g}"))
+            cell = (1, f"{float(v):.17g}")
         else:
-            out.append((2, str(v)))
-    return out
+            cell = (2, str(v))
+        if fz and isinstance(v, (int, float)):
+            coarse.append((1, f"{float(v):.6g}"))
+            fine.append(cell)
+        else:
+            exact.append(cell)
+    return (exact, coarse, fine)
 
 
 def _cells_equal(a, b, fz: bool) -> bool:

@@ -54,10 +54,15 @@ SMOKE = {
     "pipe_ann_ivfpq": "IVF-PQ search (cell prune + code ADC)",
     "pipe_embed_semdedup": "SemDeDup (cell-bounded cosine self-join)",
     # round-5 families
-    "pipe_dedup_substring": "substring-span dedup (shingle window + doc islands)",
+    "pipe_dedup_substring": "substring-span dedup (shingle agg+join + doc islands)",
     "pipe_quality_classifier": "hashed-linear quality filter (narrow map)",
     "pipe_epoch_shuffle": "epoch shuffle (bucket-major two-phase rank)",
     "pipe_decontaminate_neardup": "near-dup decontamination (broadcast MinHash probe)",
+    # round-6 families
+    "pipe_bm25": "BM25 retrieval (pre-explode term filter, 4 shuffles)",
+    "pipe_gopher_rules": "Gopher rule bundle (narrow map)",
+    "pipe_budget_select": "token-budget selection (band two-phase)",
+    "pipe_ppl_terciles": "per-lang perplexity terciles (band two-phase)",
 }
 
 #: table -> {column: key_domain}. Columns sharing a domain shift by the
