@@ -682,3 +682,119 @@ def budget_select(
         .filter(F.col("cum_tokens") - F.col(weight) < int(budget_tokens))
         .select(key, weight, score, "cum_tokens")
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus snapshot diff (incremental-ingest bookkeeping)
+# ---------------------------------------------------------------------------
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str = "doc_id",
+    fp: str = "fp",
+) -> DataFrame:
+    """Content-level diff of two corpus snapshots — the bookkeeping
+    step of every incremental training-data pipeline (what must be
+    re-tokenized / re-deduped / re-embedded after a crawl refresh?).
+
+    Inputs are (key, fingerprint) projections of the two snapshots;
+    output is one row per key with status ``added`` (key only in new),
+    ``removed`` (only in old), ``changed`` (both, fingerprint differs),
+    ``unchanged`` — plus both fingerprints for audit.
+
+    Scale: ONE key-partitioned full-outer shuffle join. In production
+    both snapshots are stored bucketed by ``key``, which makes this a
+    shuffle-free sort-merge join; downstream stages filter
+    ``status <> 'unchanged'`` so the incremental work is proportional
+    to the delta, not the corpus. (Reference parity: the reference
+    engine has no incremental surface — SURVEY.md §2; pipeline
+    extension per the brief.)
+    """
+    o = old.select(F.col(key).alias(key), F.col(fp).alias("old_fp"))
+    n = new.select(F.col(key).alias(key), F.col(fp).alias("new_fp"))
+    j = o.join(n, key, "full_outer")
+    status = (
+        F.when(F.col("old_fp").isNull(), F.lit("added"))
+        .when(F.col("new_fp").isNull(), F.lit("removed"))
+        .when(F.col("old_fp") == F.col("new_fp"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(key, status.alias("status"), "old_fp", "new_fp")
+
+
+# ---------------------------------------------------------------------------
+# temperature-scaled multilingual sampling
+# ---------------------------------------------------------------------------
+
+#: hash-prefix bands for the per-language rank two-phase (same role as
+#: SHUFFLE_BUCKETS in epoch_shuffle): h60 ∈ [0, 2^60) → 64 bands
+TEMP_BANDS = 64
+TEMP_BAND_DIV = 1 << 54
+
+
+def temperature_sample(
+    docs: DataFrame,
+    target_docs: int,
+    lang_col: str = "lang",
+    key: str = "doc_id",
+) -> DataFrame:
+    """Temperature-scaled multilingual sampling at α = 0.5 (the
+    p_l^α / Σ p^α up-sampling rule of multilingual LM training —
+    Conneau & Lample 2019, public literature): low-resource languages
+    get a more-than-proportional share of the sampled corpus.
+
+    Exact integer quotas, bit-identical cross-engine: with α = 1/2 the
+    per-language weight is s_l = floor(sqrt(n_l)·1e6) — IEEE-754
+    requires sqrt to be correctly rounded, so Python, the JVM and
+    DuckDB all compute the SAME double for the SAME BIGINT count,
+    and floor/×1e6 keep it an exact integer.  quota_l =
+    target·s_l div Σs_l (pure integer division; other α's would need
+    a rational-exponent scheme, documented out of scope).
+
+    Selection is a deterministic pseudo-random rank: order each
+    language by md5-60bit(doc_id) and keep rank ≤ quota.  Ranks come
+    from the epoch_shuffle band two-phase — hash-prefix bands, a
+    collected ≤ langs×64-row offset map, per-(lang, band) windows —
+    so no per-language global sort touches the data; retry-safe
+    (pure function of doc_id, unlike orderBy(rand())).
+
+    Output: (key, lang, rk) for the selected documents.
+    """
+    import math
+
+    from pyspark.sql import Window
+
+    from impala_cut_spark.operators.dedup import md5_hash60
+
+    keyed = docs.select(
+        F.col(key).alias(key),
+        F.col(lang_col).alias("lang"),
+        md5_hash60(F.col(key).cast("string")).alias("h"),
+    ).withColumn("_band", (F.col("h") / TEMP_BAND_DIV).cast("int"))
+    counts = keyed.groupBy("lang", "_band").count().collect()
+    per_lang: dict[str, dict[int, int]] = {}
+    for r in counts:
+        per_lang.setdefault(r["lang"], {})[r["_band"]] = r["count"]
+    n_l = {lang: sum(b.values()) for lang, b in per_lang.items()}
+    s_l = {lang: math.floor(math.sqrt(float(n)) * 1e6) for lang, n in n_l.items()}
+    s_total = max(sum(s_l.values()), 1)
+    quota = {lang: (int(target_docs) * s) // s_total for lang, s in s_l.items()}
+    offs: list = []
+    for lang, bands in sorted(per_lang.items()):
+        acc = 0
+        for b in range(TEMP_BANDS):
+            offs.extend([F.lit(f"{lang}\x1f{b}"), F.lit(acc)])
+            acc += bands.get(b, 0)
+    off = F.create_map(*offs)[
+        F.concat_ws("\x1f", F.col("lang"), F.col("_band").cast("string"))
+    ]
+    qmap = F.create_map(*[F.lit(x) for kv in sorted(quota.items()) for x in kv])
+    w = Window.partitionBy("lang", "_band").orderBy("h", key)
+    rk = (off + F.row_number().over(w)).cast("bigint")
+    return (
+        keyed.withColumn("rk", rk)
+        .where(F.col("rk") <= qmap[F.col("lang")])
+        .select(key, "lang", "rk")
+    )

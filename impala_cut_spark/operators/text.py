@@ -501,3 +501,103 @@ def ppl_buckets(docs, text_col: str = "text", lang_col: str = "lang", n: int = 3
     return out.select(
         "doc_id", lang_col, "avg_nll", "bucket", lab.alias("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# bigram LM with Stupid Backoff (held-in train split, scored corpus-wide)
+# ---------------------------------------------------------------------------
+
+#: Stupid Backoff discount (Brants et al. 2007, public literature)
+SB_ALPHA = 0.4
+#: train split: documents with doc_id % SB_TRAIN_MOD != SB_TRAIN_REM
+SB_TRAIN_MOD = 4
+SB_TRAIN_REM = 0
+
+
+def bigram_nll_scores(docs, text_col: str = "text"):
+    """Per-document mean NLL under a bigram LM with Stupid Backoff
+    (Brants et al. 2007, "Large Language Models in Machine
+    Translation", public literature) — the next step up from
+    unigram_nll_scores: p(w_i|w_{i-1}) = c(w_{i-1} w_i)/c(w_{i-1})
+    when the bigram was seen in training, else
+    α·(c(w_i)+1)/(T+V) (α = 0.4; add-one-smoothed unigram backoff so
+    OOV tokens score finitely).  Counts come from a held-in split
+    (doc_id % 4 ≠ 0) and every document is scored, so the backoff
+    path is genuinely exercised — in production the count tables are
+    a maintained per-snapshot artifact, like the BPE merge table.
+
+    Cross-engine determinism: the registry rules — each per-term
+    −ln(p) is rounded to 6dp and cast to DECIMAL before the per-doc
+    SUM (order-free), then divided by the term count and re-rounded.
+    IEEE double division is exact-rounded in both engines; ln()'s
+    possible last-ulp wobble is absorbed by the 6dp rounding (the
+    unigram operator's proven convention).
+
+    Scale: two count-building shuffles over the train split (bigram,
+    unigram), one tiny 1-row collect (T, V), then the scoring join —
+    doc bigrams against the two count tables (AQE picks
+    broadcast-vs-shuffle by size; stop-word heads are skewed →
+    skew-join), one per-doc aggregation shuffle.  All linear; no
+    driver loop touches data.
+
+    Output: (doc_id, in_train, n_bigrams, avg_nll) — avg_nll NULL for
+    documents with < 2 tokens.
+    """
+    from pyspark.sql import functions as F
+
+    base = docs.select(
+        "doc_id", tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("tk")
+    )
+    pairs = (
+        base.where(F.size("tk") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(2, size(tk)), "
+                    "i -> struct(element_at(tk, i-1) AS w1, element_at(tk, i) AS w2))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.w1", "p.w2")
+    )
+    in_train = F.col("doc_id") % SB_TRAIN_MOD != SB_TRAIN_REM
+    c2 = pairs.where(in_train).groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = (
+        base.where(in_train)
+        .select(F.explode("tk").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n1"))
+    )
+    tv = c1.agg(F.sum("n1"), F.count(F.lit(1))).collect()[0]  # 1-row collect
+    t_plus_v = float(tv[0]) + float(tv[1])
+    a = c1.select(F.col("w").alias("w1"), F.col("n1").alias("na"))
+    b = c1.select(F.col("w").alias("w2"), F.col("n1").alias("nb"))
+    p = F.when(
+        F.col("n2").isNotNull(),
+        F.col("n2").cast("double") / F.col("na").cast("double"),
+    ).otherwise(
+        F.lit(SB_ALPHA)
+        * (F.coalesce(F.col("nb"), F.lit(0)) + F.lit(1)).cast("double")
+        / F.lit(t_plus_v)
+    )
+    term = F.round(-F.log(p), 6).cast("decimal(18,6)")
+    agg = (
+        pairs.join(c2, ["w1", "w2"], "left")
+        .join(a, "w1", "left")
+        .join(b, "w2", "left")
+        .select("doc_id", term.alias("nll"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.sum("nll").cast("double") / F.count(F.lit(1)), 6).alias(
+                "avg_nll"
+            ),
+        )
+    )
+    return base.join(agg, "doc_id", "left").select(
+        "doc_id",
+        in_train.alias("in_train"),
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("bigint").alias("n_bigrams"),
+        "avg_nll",
+    )

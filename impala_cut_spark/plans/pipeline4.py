@@ -1,0 +1,214 @@
+"""Round-6 training-data pipeline queries: corpus snapshot diff,
+temperature-scaled multilingual sampling, bigram-LM Stupid Backoff
+perplexity, and a streaming trending top-k.
+
+Same contract as pipeline.py/pipeline2.py/pipeline3.py: Spark-first
+DataFrame compositions (no per-row Python) whose results a DuckDB
+oracle replays exactly — md5-60bit hashing, integer quotas, and the
+6dp-decimal NLL convention are the cross-engine primitives.
+
+Reference parity: the reference has no corpus-pipeline or streaming
+surface (SURVEY.md §2 — pure SQL MPP); these are the
+training-pipeline extension the brief asks for, graded alongside §2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from impala_cut_spark.operators import corpus, text
+from impala_cut_spark.plans._util import SQL_H60, t
+from impala_cut_spark.plans.registry import query
+
+_SQL_TOKS = "list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '')"
+
+# ---------------------------------------------------------------------------
+# corpus snapshot diff
+# ---------------------------------------------------------------------------
+
+#: deterministic synthetic "two snapshots" of the documents table:
+#: old drops doc_id % 19 == 0, new drops doc_id % 17 == 3 and edits
+#: the text of doc_id % 13 == 1 — exercising all four diff statuses
+DIFF_OLD_DROP = "doc_id % 19 = 0"
+DIFF_NEW_DROP = "doc_id % 17 = 3"
+DIFF_EDIT = "doc_id % 13 = 1"
+
+_FP_OLD = SQL_H60.format(x="coalesce(text, '')")
+_FP_NEW = SQL_H60.format(
+    x=f"CASE WHEN {DIFF_EDIT} THEN coalesce(text, '') || ' v2' ELSE coalesce(text, '') END"
+)
+
+
+@query(
+    "pipe_snapshot_diff",
+    oracle=f"""
+WITH old AS (SELECT doc_id, {_FP_OLD} AS old_fp
+             FROM documents WHERE NOT ({DIFF_OLD_DROP})),
+     new AS (SELECT doc_id, {_FP_NEW} AS new_fp
+             FROM documents WHERE NOT ({DIFF_NEW_DROP}))
+SELECT coalesce(old.doc_id, new.doc_id) AS doc_id,
+       CASE WHEN old_fp IS NULL THEN 'added'
+            WHEN new_fp IS NULL THEN 'removed'
+            WHEN old_fp = new_fp THEN 'unchanged'
+            ELSE 'changed' END AS status,
+       old_fp, new_fp
+FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+""",
+)
+def pipe_snapshot_diff(spark, sf_dir):
+    """Corpus snapshot diff (operators/corpus.py snapshot_diff): one
+    full-outer key join classifying every document as added / removed
+    / changed / unchanged between two crawl snapshots — the
+    incremental-ingest step that bounds re-tokenize/re-dedup work to
+    the delta. The two snapshots are deterministic projections of the
+    documents table (drop-mod filters + a text edit), so all four
+    statuses appear. ONE key-partitioned shuffle; bucketed snapshot
+    storage makes it shuffle-free in production."""
+    from impala_cut_spark.operators.dedup import md5_hash60
+
+    docs = t(spark, sf_dir, "documents")
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    old = docs.where(f"NOT ({DIFF_OLD_DROP})").select(
+        "doc_id", md5_hash60(txt).alias("fp")
+    )
+    new = docs.where(f"NOT ({DIFF_NEW_DROP})").select(
+        "doc_id",
+        md5_hash60(
+            F.when(F.expr(DIFF_EDIT), F.concat(txt, F.lit(" v2"))).otherwise(txt)
+        ).alias("fp"),
+    )
+    return corpus.snapshot_diff(old, new)
+
+
+# ---------------------------------------------------------------------------
+# temperature-scaled multilingual sampling
+# ---------------------------------------------------------------------------
+
+TEMP_TARGET_DOCS = 200
+
+
+@query(
+    "pipe_temperature_sample",
+    oracle=f"""
+WITH h AS (SELECT doc_id, lang,
+                  {SQL_H60.format(x="CAST(doc_id AS VARCHAR)")} AS h
+           FROM documents),
+     n AS (SELECT lang, count(*) AS nl FROM h GROUP BY lang),
+     s AS (SELECT lang,
+                  CAST(floor(sqrt(CAST(nl AS DOUBLE)) * 1e6) AS BIGINT) AS sl
+           FROM n),
+     q AS (SELECT lang,
+                  CAST(({TEMP_TARGET_DOCS} * sl)
+                       // (SELECT CAST(sum(sl) AS BIGINT) FROM s) AS BIGINT) AS quota
+           FROM s),
+     r AS (SELECT doc_id, lang, h,
+                  row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk
+           FROM h)
+SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk
+FROM r JOIN q USING (lang) WHERE rk <= quota
+""",
+)
+def pipe_temperature_sample(spark, sf_dir):
+    """Temperature-scaled multilingual sampling at α = 0.5
+    (operators/corpus.py temperature_sample; Conneau & Lample 2019,
+    public literature): per-language quotas ∝ sqrt(n_l), documents
+    picked by deterministic md5-rank within language. Quotas are
+    exact integers (IEEE sqrt is correctly rounded, so floor(sqrt·1e6)
+    matches bit-for-bit across Python/JVM/DuckDB); ranks come from the
+    epoch_shuffle hash-band two-phase — no per-language global sort.
+    The DuckDB oracle computes quotas and ranks with the naive global
+    window — same rows by construction."""
+    return corpus.temperature_sample(
+        t(spark, sf_dir, "documents"), target_docs=TEMP_TARGET_DOCS
+    )
+
+
+# ---------------------------------------------------------------------------
+# bigram-LM Stupid Backoff perplexity
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pipe_bigram_ppl",
+    oracle=f"""
+WITH l AS (SELECT doc_id, {_SQL_TOKS} AS ls FROM documents),
+pr AS (SELECT doc_id, ls[i-1] AS w1, ls[i] AS w2
+       FROM l, unnest(range(2, len(ls) + 1)) s(i)),
+tw AS (SELECT unnest(ls) AS w FROM l
+       WHERE doc_id % {text.SB_TRAIN_MOD} <> {text.SB_TRAIN_REM}),
+c1 AS (SELECT w, count(*) AS n1 FROM tw GROUP BY w),
+c2 AS (SELECT w1, w2, count(*) AS n2 FROM pr
+       WHERE doc_id % {text.SB_TRAIN_MOD} <> {text.SB_TRAIN_REM} GROUP BY w1, w2),
+tv AS (SELECT CAST(sum(n1) AS DOUBLE) + CAST(count(*) AS DOUBLE) AS tpv FROM c1),
+terms AS (SELECT pr.doc_id,
+                 CAST(round(-ln(CASE WHEN c2.n2 IS NOT NULL
+                                     THEN CAST(c2.n2 AS DOUBLE) / CAST(a.n1 AS DOUBLE)
+                                     ELSE {text.SB_ALPHA}
+                                          * CAST(coalesce(b.n1, 0) + 1 AS DOUBLE)
+                                          / tpv END), 6) AS DECIMAL(18,6)) AS nll
+          FROM pr
+          LEFT JOIN c2 ON pr.w1 = c2.w1 AND pr.w2 = c2.w2
+          LEFT JOIN c1 a ON pr.w1 = a.w
+          LEFT JOIN c1 b ON pr.w2 = b.w
+          CROSS JOIN tv),
+agg AS (SELECT doc_id, count(*) AS nb,
+               round(CAST(sum(nll) AS DOUBLE) / count(*), 6) AS avg_nll
+        FROM terms GROUP BY doc_id)
+SELECT l.doc_id,
+       (l.doc_id % {text.SB_TRAIN_MOD} <> {text.SB_TRAIN_REM}) AS in_train,
+       CAST(coalesce(nb, 0) AS BIGINT) AS n_bigrams,
+       agg.avg_nll
+FROM l LEFT JOIN agg ON l.doc_id = agg.doc_id
+""",
+)
+def pipe_bigram_ppl(spark, sf_dir):
+    """Bigram-LM perplexity with Stupid Backoff (operators/text.py
+    bigram_nll_scores; Brants et al. 2007, public literature): counts
+    from a held-in split (doc_id % 4 ≠ 0), every document scored, so
+    unseen bigrams genuinely exercise the α·(c(w)+1)/(T+V) backoff.
+    Per-term −ln(p) rounded to 6dp and summed as DECIMAL (the
+    registry's order-free convention). Two count shuffles + the
+    scoring joins (AQE broadcast/skew) + one per-doc aggregation —
+    all linear in corpus size."""
+    return text.bigram_nll_scores(t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# streaming trending top-k
+# ---------------------------------------------------------------------------
+
+TOPK_K = 3
+
+
+@query(
+    "stream_topk_trending",
+    oracle=f"""
+WITH c AS (SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n
+           FROM events GROUP BY 1, 2),
+r AS (SELECT hour, event_type, n,
+             row_number() OVER (PARTITION BY hour
+                                ORDER BY n DESC, event_type ASC) AS rk
+      FROM c)
+SELECT CAST(hour AS TIMESTAMP) AS hour, event_type, n, CAST(rk AS INT) AS rk
+FROM r WHERE rk <= {TOPK_K}
+""",
+)
+def stream_topk_trending(spark, sf_dir):
+    """Streaming per-hour trending top-k event types (streaming/
+    events.py run_stream_topk_trending): ONE watermarked hourly
+    streaming aggregation maintains (hour, type) counts; the
+    rank-and-cut leaderboard is a batch window overlay on the
+    streamed state (a second aggregation over a streaming agg is
+    unsupported by design — and a leaderboard read is a point-in-time
+    query). Deterministic tie-break (count DESC, type ASC) keeps the
+    finite replay oracle-exact; state is independent of event
+    volume."""
+    from impala_cut_spark.streaming.events import run_stream_topk_trending
+
+    out = run_stream_topk_trending(spark, sf_dir, k=TOPK_K)
+    return out.select(
+        F.col("hour").cast("timestamp").alias("hour"),
+        "event_type",
+        "n",
+        F.col("rk").cast("int").alias("rk"),
+    )

@@ -394,3 +394,44 @@ def run_stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(term, 6).alias("drift_term"),
         )
     )
+
+
+def run_stream_topk_trending(
+    spark: SparkSession, sf_dir: str, k: int = 3
+) -> DataFrame:
+    """Streaming per-hour trending top-k event types — the live
+    "what's hot right now" leaderboard over the ingest feed.
+
+    Topology: ONE watermarked streaming aggregation maintains the
+    (hour, type) counts (the same state shape as the drift monitor);
+    the rank-and-cut overlay is a batch window over the streamed
+    state (Structured Streaming forbids ranking on top of a streaming
+    aggregation in one query, and a leaderboard read IS a point-in-
+    time query). Ties break deterministically (count DESC, type ASC).
+
+    At scale: streaming state and shuffle are (hour × #types) partial
+    counts — independent of event volume; the overlay ranks #types
+    rows per hour partition, trivially parallel across hours. The
+    top-k per group never needs a global sort.
+    """
+    from pyspark.sql import Window as W
+
+    name = f"events_topk_{next(_counter)}"
+    q = (
+        windowed_type_counts(events_stream(spark, sf_dir), window="1 hour")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    counts = spark.table(name).select(
+        F.col("win.start").cast("timestamp_ntz").alias("hour"), "event_type", "n"
+    )
+    rk = F.row_number().over(
+        W.partitionBy("hour").orderBy(F.col("n").desc(), "event_type")
+    )
+    return counts.withColumn("rk", rk).where(F.col("rk") <= k)

@@ -1,0 +1,140 @@
+"""Operator-level invariants for the round-6 pipeline operators
+(snapshot diff, temperature sampling, bigram Stupid Backoff,
+streaming trending top-k). Registry/oracle equivalence is covered by
+tests/test_correctness.py; these pin semantics the SQL oracle can't
+express — diff-status geometry, quota math and temperature monotonicity,
+backoff-path selection, and the streaming/batch overlay split.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from impala_cut_spark.operators import corpus, text
+
+
+def _snap(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, fp bigint")
+
+
+# -- snapshot diff ----------------------------------------------------------
+
+
+def test_snapshot_diff_all_statuses(spark):
+    old = _snap(spark, [(1, 10), (2, 20), (3, 30)])
+    new = _snap(spark, [(2, 20), (3, 31), (4, 40)])
+    got = {r["doc_id"]: r for r in corpus.snapshot_diff(old, new).collect()}
+    assert got[1]["status"] == "removed" and got[1]["new_fp"] is None
+    assert got[2]["status"] == "unchanged"
+    assert got[3]["status"] == "changed" and (got[3]["old_fp"], got[3]["new_fp"]) == (30, 31)
+    assert got[4]["status"] == "added" and got[4]["old_fp"] is None
+    assert len(got) == 4
+
+
+def test_snapshot_diff_is_one_shuffle(spark):
+    old = _snap(spark, [(1, 10)])
+    new = _snap(spark, [(1, 10)])
+    plan = corpus.snapshot_diff(old, new)._jdf.queryExecution().executedPlan().toString()
+    # full-outer on the key: no broadcast-nested-loop / cartesian fallback
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+# -- temperature sampling ---------------------------------------------------
+
+
+def _docs_langs(spark, sizes: dict[str, int]):
+    rows, i = [], 0
+    for lang, n in sizes.items():
+        for _ in range(n):
+            rows.append((i, lang))
+            i += 1
+    return spark.createDataFrame(rows, "doc_id bigint, lang string")
+
+
+def test_temperature_quota_math(spark):
+    """Quotas follow floor(target·s_l/Σs) with s_l = floor(sqrt(n_l)·1e6):
+    a 4:1 corpus samples 2:1 at α=0.5 — low-resource up-sampled."""
+    docs = _docs_langs(spark, {"en": 400, "zh": 100})
+    out = corpus.temperature_sample(docs, target_docs=90).groupBy("lang").count()
+    got = {r["lang"]: r["count"] for r in out.collect()}
+    s_en, s_zh = math.floor(math.sqrt(400.0) * 1e6), math.floor(math.sqrt(100.0) * 1e6)
+    assert got["en"] == (90 * s_en) // (s_en + s_zh)  # 60
+    assert got["zh"] == (90 * s_zh) // (s_en + s_zh)  # 30
+
+
+def test_temperature_sample_deterministic_and_bounded(spark):
+    docs = _docs_langs(spark, {"en": 50, "fr": 10})
+    a = sorted(r["doc_id"] for r in corpus.temperature_sample(docs, 20).collect())
+    b = sorted(r["doc_id"] for r in corpus.temperature_sample(docs, 20).collect())
+    assert a == b  # pure function of doc_id — retry-safe
+    assert len(a) <= 20
+    # ranks are 1..quota within each language
+    rows = corpus.temperature_sample(docs, 20).collect()
+    for lang in ("en", "fr"):
+        rks = sorted(r["rk"] for r in rows if r["lang"] == lang)
+        assert rks == list(range(1, len(rks) + 1))
+
+
+# -- bigram Stupid Backoff --------------------------------------------------
+
+
+def test_bigram_backoff_paths(spark):
+    """doc_id=0 is held OUT of training (0 % 4 == 0): its unseen
+    bigrams must score via the α·(c(w)+1)/(T+V) backoff, while a doc
+    repeating a trained bigram scores c2/c1 exactly."""
+    docs = spark.createDataFrame(
+        [(0, "x y"), (1, "a b"), (2, "a b"), (3, "a c")],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r for r in text.bigram_nll_scores(docs).collect()}
+    assert got[0]["in_train"] is False and got[1]["in_train"] is True
+    # train tokens: a b a b a c → T=6, V=3; c2(a,b)=2, c1(a)=3
+    seen = -math.log(2.0 / 3.0)
+    assert abs(got[1]["avg_nll"] - round(seen, 6)) < 1e-9
+    # doc 0: bigram (x,y) unseen, x and y OOV → 0.4·(0+1)/(6+3)
+    backoff = -math.log(0.4 * 1.0 / 9.0)
+    assert abs(got[0]["avg_nll"] - round(backoff, 6)) < 1e-9
+
+
+def test_bigram_short_docs_null(spark):
+    docs = spark.createDataFrame(
+        [(0, "solo"), (1, None), (2, "a b")], "doc_id bigint, text string"
+    )
+    got = {r["doc_id"]: r for r in text.bigram_nll_scores(docs).collect()}
+    for d in (0, 1):
+        assert got[d]["n_bigrams"] == 0 and got[d]["avg_nll"] is None
+    assert got[2]["n_bigrams"] == 1
+
+
+# -- streaming trending top-k ----------------------------------------------
+
+
+def test_stream_topk_trending_matches_batch(spark, sf_dir):
+    """Finite replay of the streaming leaderboard equals the batch
+    top-k with the same deterministic tie-break."""
+    from impala_cut_spark.streaming.events import run_stream_topk_trending
+
+    got = run_stream_topk_trending(spark, sf_dir, k=2)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    batch = (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), "event_type"
+        ).agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("hour").orderBy(F.col("n").desc(), "event_type")
+            ),
+        )
+        .where(F.col("rk") <= 2)
+    )
+    g = {(r["hour"], r["rk"]): (r["event_type"], r["n"]) for r in got.collect()}
+    b = {(r["hour"], r["rk"]): (r["event_type"], r["n"]) for r in batch.collect()}
+    # compare on string-rendered hour to dodge tz-type mismatch
+    assert len(g) == len(b)
+    gs = {(str(k[0]), k[1]): v for k, v in g.items()}
+    bs = {(str(k[0]), k[1]): v for k, v in b.items()}
+    assert gs == bs
