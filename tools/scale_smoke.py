@@ -63,6 +63,9 @@ SMOKE = {
     "pipe_gopher_rules": "Gopher rule bundle (narrow map)",
     "pipe_budget_select": "token-budget selection (band two-phase)",
     "pipe_ppl_terciles": "per-lang perplexity terciles (band two-phase)",
+    "pipe_snapshot_diff": "snapshot diff (1 full-outer key shuffle)",
+    "pipe_temperature_sample": "temperature sampling (hash-band two-phase)",
+    "pipe_bigram_ppl": "bigram Stupid-Backoff ppl (count + scoring joins)",
 }
 
 #: table -> {column: key_domain}. Columns sharing a domain shift by the
