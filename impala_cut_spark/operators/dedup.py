@@ -843,3 +843,66 @@ def substring_dup_spans(docs: DataFrame, k: int = 8) -> DataFrame:
             F.coalesce("dup_tokens", F.lit(0)).cast("bigint").alias("dup_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# block-level keep-first dedup (paragraph dedup over fixed token blocks)
+# ---------------------------------------------------------------------------
+
+#: tokens per dedup block — small enough that the synthetic corpus's
+#: near-dup documents actually share aligned blocks (production: a
+#: paragraph split on newline boundaries feeds the same plan)
+BLOCK_TOKENS = 8
+
+
+def block_dedup_keep_first(
+    docs: DataFrame, block_tokens: int = BLOCK_TOKENS, text_col: str = "text"
+) -> DataFrame:
+    """Paragraph-granularity exact dedup with keep-first semantics
+    (the RefinedWeb / FineWeb line-and-paragraph dedup stage, public
+    literature): split each document into fixed ``block_tokens``-token
+    blocks (the testdata has no newline structure, so blocks stand in
+    for paragraphs — swapping the splitter swaps the semantics, not
+    the plan), fingerprint each block, and keep only the globally
+    FIRST occurrence of every distinct block — first = smallest
+    (doc_id, block_id) — so re-running after an append never flips a
+    previously-kept block.
+
+    Scale: explode is a narrow fan-out; the winner per fingerprint is
+    ONE aggregation (min of a (doc_id, block_id) struct — partial
+    aggs combine map-side) + ONE fingerprint-keyed join-back. No
+    window over the fingerprint partition — a boilerplate block
+    repeated in 30% of documents would make that window partition a
+    hot shard AQE cannot split (it splits joins, not windows); the
+    agg+join form it CAN (the substring-dedup r6 rework pattern).
+
+    Output: (doc_id, block_id, n_tok, keep).
+    """
+    from impala_cut_spark.operators.text import tokens
+
+    base = docs.select(
+        "doc_id", tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("tk")
+    ).where(F.size("tk") >= 1)
+    starts = F.sequence(F.lit(0), F.size("tk") - 1, F.lit(int(block_tokens)))
+    blocks = base.select(
+        "doc_id", "tk", F.posexplode(starts).alias("block_id", "_s")
+    )
+    btk = F.slice(F.col("tk"), F.col("_s") + 1, int(block_tokens))
+    keyed = blocks.select(
+        "doc_id",
+        "block_id",
+        F.size(btk).alias("n_tok"),
+        md5_hash60(F.concat_ws(" ", btk)).alias("fp"),
+    )
+    winner = keyed.groupBy("fp").agg(
+        F.min(F.struct("doc_id", "block_id")).alias("w")
+    )
+    return keyed.join(winner, "fp").select(
+        "doc_id",
+        "block_id",
+        "n_tok",
+        (
+            (F.col("doc_id") == F.col("w.doc_id"))
+            & (F.col("block_id") == F.col("w.block_id"))
+        ).alias("keep"),
+    )

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from impala_cut_spark.operators import corpus, text
+from impala_cut_spark.operators import corpus, dedup, text
 from impala_cut_spark.plans._util import SQL_H60, t
 from impala_cut_spark.plans.registry import query
 
@@ -212,3 +212,43 @@ def stream_topk_trending(spark, sf_dir):
         "n",
         F.col("rk").cast("int").alias("rk"),
     )
+
+
+# ---------------------------------------------------------------------------
+# block-level keep-first dedup (paragraph dedup stand-in)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pipe_dedup_blocks",
+    oracle=f"""
+WITH l AS (SELECT doc_id, {_SQL_TOKS} AS ls FROM documents),
+b AS (SELECT doc_id, CAST(i AS INT) AS block_id,
+             ls[CAST(i * {dedup.BLOCK_TOKENS} + 1 AS BIGINT)
+                : CAST(i * {dedup.BLOCK_TOKENS} + {dedup.BLOCK_TOKENS} AS BIGINT)] AS btk
+      FROM l, unnest(range(0, CAST(ceil(len(ls) / {dedup.BLOCK_TOKENS}.0) AS BIGINT))) s(i)
+      WHERE len(ls) >= 1),
+f AS (SELECT doc_id, block_id, CAST(len(btk) AS INT) AS n_tok,
+             {SQL_H60.format(x="array_to_string(btk, ' ')")} AS fp
+      FROM b),
+r AS (SELECT doc_id, block_id, n_tok,
+             row_number() OVER (PARTITION BY fp
+                                ORDER BY doc_id, block_id) AS rk
+      FROM f)
+SELECT doc_id, block_id, n_tok, (rk = 1) AS keep FROM r
+""",
+)
+def pipe_dedup_blocks(spark, sf_dir):
+    """Paragraph-granularity keep-first dedup (operators/dedup.py
+    block_dedup_keep_first; the RefinedWeb/FineWeb line-and-paragraph
+    dedup stage, public literature): fixed 8-token blocks stand in
+    for paragraphs (testdata has no newline structure), each distinct
+    block kept only at its globally first (doc_id, block_id)
+    occurrence — append-stable. Winner selection is an aggregation +
+    fingerprint join-back, NOT a fingerprint-partitioned window, so a
+    boilerplate block repeated corpus-wide is an AQE-splittable
+    skewed join, not an unsplittable hot window partition. The DuckDB
+    oracle uses the naive window — same bits by construction."""
+    from impala_cut_spark.operators.dedup import block_dedup_keep_first
+
+    return block_dedup_keep_first(t(spark, sf_dir, "documents"))

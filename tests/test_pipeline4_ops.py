@@ -138,3 +138,42 @@ def test_stream_topk_trending_matches_batch(spark, sf_dir):
     gs = {(str(k[0]), k[1]): v for k, v in g.items()}
     bs = {(str(k[0]), k[1]): v for k, v in b.items()}
     assert gs == bs
+
+
+# -- block-level keep-first dedup -------------------------------------------
+
+
+def test_block_dedup_keep_first_semantics(spark):
+    from impala_cut_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d e f g h x1 x2"),     # block0 = a..h, block1 = x1 x2
+            (1, "a b c d e f g h y1 y2"),     # block0 duplicates doc0's block0
+            (2, "z1 z2 z3"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {(r["doc_id"], r["block_id"]): r for r in dedup.block_dedup_keep_first(docs).collect()}
+    assert rows[(0, 0)]["keep"] is True          # first occurrence wins
+    assert rows[(1, 0)]["keep"] is False         # later duplicate dropped
+    assert rows[(0, 1)]["keep"] is True and rows[(1, 1)]["keep"] is True
+    assert rows[(2, 0)]["keep"] is True and rows[(2, 0)]["n_tok"] == 3
+    assert rows[(0, 1)]["n_tok"] == 2            # trailing partial block
+
+
+def test_block_dedup_append_stable(spark):
+    """Appending documents never flips a previously-kept block —
+    keep-first is a pure function of the global (doc_id, block_id)
+    minimum, which appends (larger doc_ids) cannot lower."""
+    from impala_cut_spark.operators import dedup
+
+    base = [(0, "a b c d e f g h"), (1, "p q r s t u v w")]
+    more = base + [(5, "a b c d e f g h")]
+    d1 = spark.createDataFrame(base, "doc_id bigint, text string")
+    d2 = spark.createDataFrame(more, "doc_id bigint, text string")
+    k1 = {(r["doc_id"], r["block_id"]): r["keep"] for r in dedup.block_dedup_keep_first(d1).collect()}
+    k2 = {(r["doc_id"], r["block_id"]): r["keep"] for r in dedup.block_dedup_keep_first(d2).collect()}
+    for key, kept in k1.items():
+        assert k2[key] == kept
+    assert k2[(5, 0)] is False
