@@ -90,6 +90,13 @@ from impala_cut_spark.plans import perf  # noqa: E402,F401
 #: minhash LSH) and pipe_ann_topk (brute-force cosine top-k is the
 #: exact-rerank subset of in-window pipe_ann_ivf/pipe_ann_ivfpq).
 #: Every evicted query keeps its oracle below the window.
+#: Second r6 rotation — pipe_embed_neardup matched on 0 ROWS at
+#: sf0.01 every round (the synthetic embeddings have no near-dup
+#: pairs at that SF: zero-information evidence, and its LSH-bucketed
+#: cosine-join shape is held in-window by pipe_embed_semdedup) ceded
+#: its slot to pipe_bigram_ppl (bigram Stupid-Backoff LM scoring —
+#: count-table joins with a genuinely exercised backoff path, a NEW
+#: round-6 family; 500 rows at sf0.01). Oracle kept below the window.
 DRIVER_WINDOW: list[str] = [
     # TPC-H (6 of 22 — q3/q4/q5/q8/q10/q11/q12/q13/q14/q15/q16/q17/
     # q19/q20/q22 below the window, oracles intact)
@@ -127,7 +134,7 @@ DRIVER_WINDOW: list[str] = [
     "pipe_dedup_jaccard",
     "pipe_dedup_minhash",
     "pipe_dedup_clusters",
-    "pipe_embed_neardup",
+    "pipe_bigram_ppl",
     "pipe_ann_ivf",
     "pipe_multimodal_features",
     "stream_events_hourly",

@@ -181,7 +181,11 @@ def test_driver_window_is_first_50():
         "text": ["pipe_text_all"],
         "dedup": ["pipe_dedup_exact", "pipe_dedup_jaccard",
                   "pipe_dedup_minhash"],
-        "similarity": ["pipe_embed_neardup", "pipe_ann_ivf"],
+        # second r6 rotation: pipe_embed_neardup (0 rows at sf0.01 —
+        # zero-information evidence; LSH-cosine shape held by
+        # pipe_embed_semdedup) ceded its slot to pipe_bigram_ppl
+        "similarity": ["pipe_embed_semdedup", "pipe_ann_ivf"],
+        "lm_scoring": ["pipe_bigram_ppl"],
         "heavy_hitters": ["pipe_freq_shingles"],
         "multimodal": ["pipe_multimodal_features"],
         "streaming": ["stream_events_hourly", "stream_dedup", "pipe_sessions"],
