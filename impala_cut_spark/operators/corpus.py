@@ -798,3 +798,61 @@ def temperature_sample(
         .where(F.col("rk") <= qmap[F.col("lang")])
         .select(key, "lang", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# per-group score normalization (z-score)
+# ---------------------------------------------------------------------------
+
+
+def zscore_by_group(
+    scored: DataFrame,
+    score: str = "score",
+    group: str = "lang",
+    key: str = "doc_id",
+    micro: int = 1_000_000,
+) -> DataFrame:
+    """Per-group z-score normalization of a quality score — the
+    feature-scaling step before mixing heterogeneous corpora (raw
+    scores aren't comparable across languages/sources; normalized
+    ones are).
+
+    Cross-engine exact: the score is quantized to integer micro-units
+    (it is already 6dp-rounded upstream, so ×1e6 is lossless), and
+    the group moments are EXACT integer aggregates — sum(s) and
+    sum(s²) as BIGINTs (order-free) — cast to double only in the
+    closed-form μ = Σs/n, σ² = (n·Σs² − (Σs)²)/(n·(n−1)); both
+    engines then perform the identical IEEE double sequence. Sample
+    (n−1) variance; groups with n = 1 or σ = 0 yield z = 0 by
+    convention (not NULL — downstream filters shouldn't drop them).
+
+    Scale: one groupBy shuffle for the moments (#groups rows), one
+    broadcast join-back, then a narrow map. No window, no sort.
+    """
+    s_micro = F.round(F.col(score) * micro).cast("bigint")
+    base = scored.select(
+        F.col(key), F.col(group).alias("_g"), F.col(score).alias("_score"), s_micro.alias("_sm")
+    )
+    mom = base.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_sm").alias("_s1"),
+        F.sum(F.col("_sm") * F.col("_sm")).alias("_s2"),
+    )
+    n = F.col("_n").cast("double")
+    s1 = F.col("_s1").cast("double")
+    s2 = F.col("_s2").cast("double")
+    var = (n * s2 - s1 * s1) / (n * (n - 1)) / F.lit(float(micro) * float(micro))
+    mu = s1 / n / F.lit(float(micro))
+    sd = F.when(
+        (F.col("_n") > 1) & ((n * s2 - s1 * s1) > 0), F.sqrt(var)
+    ).otherwise(F.lit(0.0))
+    j = base.join(F.broadcast(mom.select("_g", mu.alias("_mu"), sd.alias("_sd"))), "_g")
+    z = F.when(
+        F.col("_sd") > 0.0, (F.col("_score") - F.col("_mu")) / F.col("_sd")
+    ).otherwise(F.lit(0.0))
+    return j.select(
+        key,
+        F.col("_g").alias(group),
+        F.col("_score").alias(score),
+        F.round(z, 6).alias("z"),
+    )

@@ -252,3 +252,69 @@ def pipe_dedup_blocks(spark, sf_dir):
     from impala_cut_spark.operators.dedup import block_dedup_keep_first
 
     return block_dedup_keep_first(t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# per-language z-score normalization of the quality score
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pipe_score_zscore",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS l FROM documents),
+     ft AS (
+       SELECT doc_id,
+              CAST(len(l) AS DOUBLE) AS n_tokf,
+              CAST(coalesce(list_sum(list_transform(l, x -> length(x))), 0) AS DOUBLE)
+                AS sum_len,
+              CAST(len(list_filter(l, x -> list_contains(
+                  ['the','a','of','and','to','in','is','that','it','for'], x)))
+                AS DOUBLE) AS n_stop
+       FROM toks),
+     sc AS (SELECT doc_id,
+                   round(0.4 * least(n_tokf / 100.0, 1.0)
+                         + 0.3 * least((n_stop / n_tokf) * 5.0, 1.0)
+                         + 0.3 * least((sum_len / n_tokf) / 8.0, 1.0), 6) AS score
+            FROM ft),
+     j AS (SELECT sc.doc_id, d.lang, sc.score,
+                  CAST(round(sc.score * 1000000) AS BIGINT) AS sm
+           FROM sc JOIN documents d ON sc.doc_id = d.doc_id),
+     m AS (SELECT lang, count(*) AS n,
+                  CAST(sum(sm) AS BIGINT) AS s1,
+                  CAST(sum(sm * sm) AS BIGINT) AS s2
+           FROM j GROUP BY lang),
+     ms AS (SELECT lang, n,
+                   CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0 AS mu,
+                   CASE WHEN n > 1 AND (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                                        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) > 0
+                        THEN sqrt((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                                   - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                                  / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))
+                                  / (1000000.0 * 1000000.0))
+                        ELSE 0.0 END AS sd
+            FROM m)
+SELECT j.doc_id, j.lang, j.score,
+       round(CASE WHEN ms.sd > 0.0 THEN (j.score - ms.mu) / ms.sd
+                  ELSE 0.0 END, 6) AS z
+FROM j JOIN ms ON j.lang = ms.lang
+""",
+)
+def pipe_score_zscore(spark, sf_dir):
+    """Per-language z-score normalization of the composite quality
+    score (operators/corpus.py zscore_by_group) — the feature-scaling
+    step before mixing heterogeneous corpora: raw scores aren't
+    comparable across languages, normalized ones are. Group moments
+    are EXACT integer aggregates (score is 6dp-rounded upstream, so
+    ×1e6 micro-units are lossless BIGINTs; sums are order-free), cast
+    to double only in the closed-form μ/σ — both engines then run the
+    identical IEEE sequence, so z matches to the 6dp rounding.
+    One moments shuffle (#langs rows) + a broadcast join-back; no
+    window, no sort."""
+    docs = t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        F.col("lang"),
+        text.quality_score(F.col("text")).alias("score"),
+    )
+    return corpus.zscore_by_group(scored)

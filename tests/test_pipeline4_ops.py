@@ -177,3 +177,28 @@ def test_block_dedup_append_stable(spark):
     for key, kept in k1.items():
         assert k2[key] == kept
     assert k2[(5, 0)] is False
+
+
+# -- per-group z-score ------------------------------------------------------
+
+
+def test_zscore_moments_and_degenerate_groups(spark):
+    docs = spark.createDataFrame(
+        [(0, "en", 0.2), (1, "en", 0.4), (2, "en", 0.6),
+         (3, "fr", 0.5),                       # singleton group -> z = 0
+         (4, "de", 0.3), (5, "de", 0.3)],      # zero variance -> z = 0
+        "doc_id bigint, lang string, score double",
+    )
+    got = {r["doc_id"]: r["z"] for r in corpus.zscore_by_group(docs).collect()}
+    # en: mean 0.4, sample sd 0.2 -> z = -1, 0, 1
+    assert got[0] == -1.0 and got[1] == 0.0 and got[2] == 1.0
+    assert got[3] == 0.0
+    assert got[4] == 0.0 and got[5] == 0.0
+
+
+def test_zscore_broadcast_no_window(spark):
+    docs = spark.createDataFrame(
+        [(0, "en", 0.2), (1, "en", 0.4)], "doc_id bigint, lang string, score double"
+    )
+    plan = corpus.zscore_by_group(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan  # moments + join-back, not a per-group window

@@ -66,6 +66,7 @@ SMOKE = {
     "pipe_snapshot_diff": "snapshot diff (1 full-outer key shuffle)",
     "pipe_temperature_sample": "temperature sampling (hash-band two-phase)",
     "pipe_bigram_ppl": "bigram Stupid-Backoff ppl (count + scoring joins)",
+    "pipe_score_zscore": "per-lang z-score (moments + broadcast join-back)",
 }
 
 #: table -> {column: key_domain}. Columns sharing a domain shift by the
