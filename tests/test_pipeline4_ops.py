@@ -202,3 +202,110 @@ def test_zscore_broadcast_no_window(spark):
     )
     plan = corpus.zscore_by_group(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan  # moments + join-back, not a per-group window
+
+
+# -- property-based invariants (hypothesis) ---------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    sizes=st.dictionaries(
+        st.sampled_from(["en", "fr", "de", "zh", "es"]),
+        st.integers(min_value=1, max_value=40),
+        min_size=1,
+        max_size=4,
+    ),
+    target=st.integers(min_value=0, max_value=60),
+)
+def test_temperature_sample_quota_invariants(spark, sizes, target):
+    """For ANY language mix and target: selection never exceeds the
+    target, never exceeds a language's population, and matches the
+    integer quota formula exactly."""
+    import math
+
+    docs = _docs_langs(spark, sizes)
+    got = corpus.temperature_sample(docs, target_docs=target).groupBy("lang").count()
+    counts = {r["lang"]: r["count"] for r in got.collect()}
+    s = {L: math.floor(math.sqrt(float(n)) * 1e6) for L, n in sizes.items()}
+    tot = max(sum(s.values()), 1)
+    for lang, n in sizes.items():
+        want = min((target * s[lang]) // tot, n)
+        assert counts.get(lang, 0) == want
+    assert sum(counts.values()) <= target
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.sampled_from(["en", "fr"]),
+            st.integers(min_value=0, max_value=1_000_000),
+        ),
+        min_size=2,
+        max_size=30,
+    )
+)
+def test_zscore_population_invariants(spark, data):
+    """Group z-scores always sum to ~0 (non-degenerate groups) and are
+    scale-free: z is invariant under the micro-unit quantization the
+    operator uses internally."""
+    rows = [(i, lang, m / 1e6) for i, (lang, m) in enumerate(data)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, lang string, score double")
+    out = corpus.zscore_by_group(docs).collect()
+    by_lang: dict[str, list[float]] = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r["z"])
+    for lang, zs in by_lang.items():
+        if len(zs) > 1 and max(zs) != min(zs):
+            assert abs(sum(zs)) < 1e-3 * len(zs)
+        else:
+            assert all(z == 0.0 for z in zs)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d"]), min_size=1, max_size=20
+        ).map(" ".join),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_block_dedup_exactly_one_keeper_per_fingerprint(spark, texts):
+    """Every distinct block content keeps EXACTLY one occurrence, and
+    it is the (doc_id, block_id)-smallest one."""
+    from impala_cut_spark.operators import dedup as dd
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    out = dd.block_dedup_keep_first(docs, block_tokens=4).collect()
+    # rebuild content per (doc, block) to group occurrences
+    content: dict[tuple[int, int], str] = {}
+    for i, txt in enumerate(texts):
+        tk = [x for x in txt.split(" ") if x]
+        for b in range(0, (len(tk) + 3) // 4):
+            content[(i, b)] = " ".join(tk[b * 4 : b * 4 + 4])
+    groups: dict[str, list[tuple[int, int, bool]]] = {}
+    for r in out:
+        key = content[(r["doc_id"], r["block_id"])]
+        groups.setdefault(key, []).append((r["doc_id"], r["block_id"], r["keep"]))
+    for occurrences in groups.values():
+        keepers = [(d, b) for d, b, k in occurrences if k]
+        assert keepers == [min((d, b) for d, b, _ in occurrences)]
