@@ -856,3 +856,132 @@ def zscore_by_group(
         F.col("_score").alias(score),
         F.round(z, 6).alias("z"),
     )
+
+
+# ---------------------------------------------------------------------------
+# span-level cross-corpus decontamination + per-source reputation gate
+# ---------------------------------------------------------------------------
+
+
+def decontaminate_spans(
+    docs: DataFrame, benchmark: DataFrame, k: int = 8
+) -> DataFrame:
+    """Span-level EXACT decontamination — the cross-corpus form of
+    substring dedup (Lee et al. 2022 exact-substring semantics,
+    applied train-vs-benchmark): a k-token shingle occurrence in a
+    training document is *contaminated* when the same k-token text
+    occurs ANYWHERE in the benchmark set; adjacent contaminated
+    positions merge into MAXIMAL spans — exactly the verbatim
+    benchmark passages a span-removal pass would cut out of a
+    pretraining corpus. ``decontaminate()`` flags whole documents;
+    this localizes the leak to token intervals so the rest of the
+    document survives.
+
+    Returns one row per training document: n_tok, contam_pos
+    (contaminated shingle starts), contam_spans (maximal spans),
+    contam_tokens (tokens covered — a span over starts [a..b] covers
+    b-a+k tokens), is_contaminated.
+
+    Scale (100 TB): the benchmark k-shingle set is DISTINCT-ed and
+    broadcast (eval suites are tiny vs the corpus — the designed
+    asymmetry shared with decontaminate()), so the corpus positional
+    fan-out joins MAP-SIDE and never shuffles; only the matched
+    (doc_id, p) hits reach the per-document island merge (window
+    state = one document) and one doc_id shuffle re-attaches totals.
+    """
+    from impala_cut_spark.operators.dedup import (
+        merge_token_islands,
+        positional_shingles,
+        shingles,
+    )
+    from impala_cut_spark.operators.text import token_count
+
+    bench = shingles(benchmark, k).select(F.col("shingle").alias("g")).distinct()
+    hits = positional_shingles(docs, k).join(F.broadcast(bench), "g")
+    spans = merge_token_islands(hits, k)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count("*").alias("contam_spans"),
+        F.sum("nstart").alias("contam_pos"),
+        F.sum(F.col("b") - F.col("a") + F.lit(k)).alias("contam_tokens"),
+    )
+    base = docs.select(
+        "doc_id",
+        token_count(F.coalesce(F.col("text"), F.lit(""))).alias("n_tok"),
+    )
+    contam_tokens = F.coalesce(F.col("contam_tokens"), F.lit(0))
+    return base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_tok",
+        F.coalesce(F.col("contam_pos"), F.lit(0)).cast("bigint").alias("contam_pos"),
+        F.coalesce(F.col("contam_spans"), F.lit(0)).cast("bigint").alias("contam_spans"),
+        contam_tokens.cast("bigint").alias("contam_tokens"),
+        (contam_tokens > 0).cast("int").alias("is_contaminated"),
+    )
+
+
+#: per-source admission bars (micro units): a source is dropped when
+#: its mean heuristic quality falls under 0.47 or its mean document
+#: length under 52 tokens — the host/domain-level gate of C4/RefinedWeb
+#: (public literature: whole low-quality hosts are removed before any
+#: per-document filtering). Values sit inside the synthetic corpus's
+#: observed per-source spread so BOTH drop reasons are exercised.
+MIN_SOURCE_QUALITY_MICRO = 470_000
+MIN_SOURCE_TOK_AVG_MICRO = 52_000_000
+
+
+def source_reputation(
+    docs: DataFrame,
+    min_quality_micro: int = MIN_SOURCE_QUALITY_MICRO,
+    min_tok_avg_micro: int = MIN_SOURCE_TOK_AVG_MICRO,
+) -> DataFrame:
+    """Host/domain-level reputation gate (the C4 / RefinedWeb
+    host-filter stage, public literature): aggregate per-document
+    quality and length signals per ``source`` and admit or drop the
+    WHOLE source — upstream of per-document filtering, because a spam
+    host is cheaper to drop once than document-by-document.
+
+    Returns one row per source: n_docs, tok_sum, q_avg_micro (mean
+    heuristic quality, micro units), tok_avg_micro (mean tokens per
+    doc, micro units), keep, drop_reason ('low_quality' takes
+    precedence over 'short_docs'; NULL when kept). Integer micro-unit
+    arithmetic end-to-end → bit-identical to the DuckDB oracle.
+
+    Scale (100 TB): one narrow per-document projection feeds ONE
+    source-keyed aggregation (map-side partial combine collapses each
+    source to a row per input partition — a Zipf-hot source is
+    pre-reduced before the shuffle); output is |sources| rows, so the
+    verdict table broadcast-joins back to the corpus for the actual
+    drop. No window, no join on the fan-out side.
+    """
+    from impala_cut_spark.operators.text import quality_score, token_count
+
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    per = docs.select(
+        "source",
+        token_count(txt).alias("n_tok"),
+        F.round(quality_score(txt) * F.lit(1_000_000))
+        .cast("bigint")
+        .alias("q_micro"),
+    )
+    n = F.count(F.lit(1))
+    agg = per.groupBy("source").agg(
+        n.alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("tok_sum"),
+        F.floor(F.sum("q_micro") / n).cast("bigint").alias("q_avg_micro"),
+        F.floor(F.sum("n_tok") * F.lit(1_000_000) / n)
+        .cast("bigint")
+        .alias("tok_avg_micro"),
+    )
+    low_q = F.col("q_avg_micro") < F.lit(int(min_quality_micro))
+    short_d = F.col("tok_avg_micro") < F.lit(int(min_tok_avg_micro))
+    return agg.select(
+        "source",
+        "n_docs",
+        "tok_sum",
+        "q_avg_micro",
+        "tok_avg_micro",
+        (~low_q & ~short_d).alias("keep"),
+        F.when(low_q, F.lit("low_quality"))
+        .when(short_d, F.lit("short_docs"))
+        .alias("drop_reason"),
+    )

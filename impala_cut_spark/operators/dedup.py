@@ -771,6 +771,37 @@ def positional_shingles(docs: DataFrame, k: int = 8) -> DataFrame:
     ).select("doc_id", (F.col("p0") + 1).alias("p"), "g")
 
 
+def merge_token_islands(hits: DataFrame, k: int) -> DataFrame:
+    """Per-document gaps-and-islands merge of k-token span starts:
+    rows carrying (doc_id, p) — 1-based token positions of matched
+    k-shingle starts — merge into MAXIMAL covered spans. Interval
+    merge runs on TOKEN coverage, not start adjacency: start p covers
+    tokens [p, p+k-1], so two starts overlap/touch whenever their gap
+    is ≤ k — a plain p - row_number() run-grouping would split there
+    and double-count the overlap. An island breaks only when the gap
+    exceeds k.
+
+    Output: (doc_id, grp, a, b, nstart) — one row per maximal span,
+    covering tokens [a, b+k-1] (b-a+k tokens) from nstart matched
+    starts. Shared by in-corpus substring dedup and cross-corpus span
+    decontamination. Scale: both windows are partitioned by doc_id —
+    state is one document, never a corpus-global key.
+    """
+    from pyspark.sql import Window
+
+    byp = Window.partitionBy("doc_id").orderBy("p")
+    isl = hits.withColumn(
+        "brk",
+        F.when(F.col("p") - F.lag("p").over(byp) > k, 1).otherwise(0),
+    ).withColumn(
+        "grp",
+        F.sum("brk").over(byp.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return isl.groupBy("doc_id", "grp").agg(
+        F.min("p").alias("a"), F.max("p").alias("b"), F.count("*").alias("nstart")
+    )
+
+
 def substring_dup_spans(docs: DataFrame, k: int = 8) -> DataFrame:
     """Corpus-level EXACT substring deduplication signal (the
     suffix-array dedup of Lee et al., "Deduplicating Training Data
@@ -799,8 +830,6 @@ def substring_dup_spans(docs: DataFrame, k: int = 8) -> DataFrame:
     duplicated substring of length L ≥ k is exactly a run of L-k+1
     duplicated k-shingle starts.
     """
-    from pyspark.sql import Window
-
     from impala_cut_spark.operators.text import token_count
 
     pos = positional_shingles(docs, k)
@@ -811,22 +840,7 @@ def substring_dup_spans(docs: DataFrame, k: int = 8) -> DataFrame:
         .select("g")
     )
     dup = pos.join(dup_g, "g")
-    # interval merge (gaps-and-islands on TOKEN coverage, not start
-    # adjacency): start p covers tokens [p, p+k-1], so two duplicated
-    # starts overlap/touch whenever their gap is ≤ k — a plain
-    # p - row_number() run-grouping would split there and double-count
-    # the overlap. An island breaks only when the gap exceeds k.
-    byp = Window.partitionBy("doc_id").orderBy("p")
-    isl = dup.withColumn(
-        "brk",
-        F.when(F.col("p") - F.lag("p").over(byp) > k, 1).otherwise(0),
-    ).withColumn(
-        "grp",
-        F.sum("brk").over(byp.rowsBetween(Window.unboundedPreceding, 0)),
-    )
-    spans = isl.groupBy("doc_id", "grp").agg(
-        F.min("p").alias("a"), F.max("p").alias("b"), F.count("*").alias("nstart")
-    )
+    spans = merge_token_islands(dup, k)
     per_doc = spans.groupBy("doc_id").agg(
         F.count("*").alias("n_spans"),
         F.sum("nstart").alias("n_dup_pos"),

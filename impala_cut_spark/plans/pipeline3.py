@@ -64,8 +64,9 @@ def pipe_dedup_substring(spark, sf_dir):
     substring_dup_spans): every {k}=8-token shingle occurrence that
     appears anywhere else in the corpus, merged per document into
     maximal duplicated spans — the relational form of suffix-array
-    substring dedup (Lee et al. 2022). One shuffle keyed by shingle
-    text (window count, no join-back), per-document interval-merge
+    substring dedup (Lee et al. 2022). One two-level aggregate keyed
+    by shingle text plus an AQE-splittable semi-join-back (no
+    hot-shingle window partition), per-document interval-merge
     windows, one doc_id shuffle to re-attach totals. The oracle
     replays the duplicated-position set and the token-interval merge
     (islands break only when the start gap exceeds k — smaller gaps

@@ -318,3 +318,104 @@ def pipe_score_zscore(spark, sf_dir):
         text.quality_score(F.col("text")).alias("score"),
     )
     return corpus.zscore_by_group(scored)
+
+
+# ---------------------------------------------------------------------------
+# span-level decontamination + per-source reputation gate
+# ---------------------------------------------------------------------------
+
+SPAN_K = 8
+
+
+@query(
+    "pipe_decontaminate_spans",
+    oracle=f"""
+WITH l AS (SELECT doc_id, source, {_SQL_TOKS} AS ls FROM documents),
+pos AS (SELECT doc_id, source, i AS p,
+               array_to_string(ls[i:i+{SPAN_K - 1}], ' ') AS g
+        FROM l, unnest(range(1, greatest(len(ls) - {SPAN_K - 1}, 0) + 1)) s(i)),
+bench AS (SELECT DISTINCT g FROM pos WHERE source = 'src0'),
+hit AS (SELECT doc_id, p FROM pos JOIN bench USING (g) WHERE source <> 'src0'),
+brk AS (SELECT doc_id, p,
+               CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p)
+                        > {SPAN_K} THEN 1 ELSE 0 END AS b
+        FROM hit),
+isl AS (SELECT doc_id, p,
+               sum(b) OVER (PARTITION BY doc_id ORDER BY p
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        FROM brk),
+sp AS (SELECT doc_id, grp, min(p) AS a, max(p) AS bb, count(*) AS nstart
+       FROM isl GROUP BY 1, 2),
+agg AS (SELECT doc_id, count(*) AS contam_spans,
+               CAST(sum(nstart) AS BIGINT) AS contam_pos,
+               CAST(sum(bb - a + {SPAN_K}) AS BIGINT) AS contam_tokens
+        FROM sp GROUP BY 1)
+SELECT l.doc_id, len(ls) AS n_tok,
+       coalesce(contam_pos, 0) AS contam_pos,
+       coalesce(contam_spans, 0) AS contam_spans,
+       coalesce(contam_tokens, 0) AS contam_tokens,
+       CASE WHEN coalesce(contam_tokens, 0) > 0 THEN 1 ELSE 0 END
+         AS is_contaminated
+FROM l LEFT JOIN agg USING (doc_id)
+WHERE source <> 'src0'
+""",
+)
+def pipe_decontaminate_spans(spark, sf_dir):
+    """Span-level EXACT decontamination (operators/corpus.py
+    decontaminate_spans): maximal ≥{k}=8-token spans of a training
+    document (source<>'src0') that appear verbatim anywhere in the
+    benchmark slice (source='src0') — the cross-corpus form of
+    pipe_dedup_substring's suffix-array semantics, localizing a
+    benchmark leak to token intervals instead of dropping the whole
+    document (pipe_decontaminate's granularity). Benchmark shingles
+    broadcast (designed asymmetry), so the corpus positional fan-out
+    never shuffles; islands merge per doc_id. The oracle replays the
+    hit set and the token-interval merge."""
+    docs = t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("source") == "src0")
+    train = docs.filter(F.col("source") != "src0")
+    return corpus.decontaminate_spans(train, bench, k=SPAN_K)
+
+
+def _sql_count_in_l(words: list[str]) -> str:
+    lst = ", ".join("'" + w.replace("'", "''") + "'" for w in words)
+    return f"len(list_filter(l, x -> list_contains([{lst}], x)))"
+
+
+@query(
+    "pipe_source_reputation",
+    oracle=f"""
+WITH toks AS (SELECT doc_id, source, {_SQL_TOKS} AS l FROM documents),
+f AS (SELECT source, len(l) AS n_tok,
+             CAST(round(round(0.4 * least(cast(len(l) as double) / 100.0, 1.0)
+                  + 0.3 * least(cast({_sql_count_in_l(text.QUALITY_STOPWORDS)} as double)
+                                / cast(len(l) as double) * 5.0, 1.0)
+                  + 0.3 * least(cast(list_sum(list_transform(l, x -> length(x))) as double)
+                                / cast(len(l) as double) / 8.0, 1.0), 6)
+                  * 1000000) AS BIGINT) AS q_micro
+      FROM toks),
+agg AS (SELECT source, count(*) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS tok_sum,
+               CAST(floor(sum(q_micro) / count(*)) AS BIGINT) AS q_avg_micro,
+               CAST(floor(sum(n_tok) * 1000000 / count(*)) AS BIGINT) AS tok_avg_micro
+        FROM f GROUP BY 1)
+SELECT source, n_docs, tok_sum, q_avg_micro, tok_avg_micro,
+       (q_avg_micro >= {corpus.MIN_SOURCE_QUALITY_MICRO}
+        AND tok_avg_micro >= {corpus.MIN_SOURCE_TOK_AVG_MICRO}) AS keep,
+       CASE WHEN q_avg_micro < {corpus.MIN_SOURCE_QUALITY_MICRO} THEN 'low_quality'
+            WHEN tok_avg_micro < {corpus.MIN_SOURCE_TOK_AVG_MICRO} THEN 'short_docs'
+            END AS drop_reason
+FROM agg
+""",
+)
+def pipe_source_reputation(spark, sf_dir):
+    """Host/domain-level reputation gate (operators/corpus.py
+    source_reputation): per-source mean heuristic quality and mean
+    document length decide whether the WHOLE source is admitted — the
+    C4/RefinedWeb host-filter stage that runs before any per-document
+    filtering. Integer micro-unit arithmetic end-to-end; 'low_quality'
+    outranks 'short_docs' as the drop reason. One source-keyed
+    aggregation with map-side partial combine (a Zipf-hot source
+    pre-reduces per input partition); the |sources|-row verdict is
+    what a pipeline broadcast-joins back for the actual drop."""
+    return corpus.source_reputation(t(spark, sf_dir, "documents"))

@@ -309,3 +309,103 @@ def test_block_dedup_exactly_one_keeper_per_fingerprint(spark, texts):
     for occurrences in groups.values():
         keepers = [(d, b) for d, b, k in occurrences if k]
         assert keepers == [min((d, b) for d, b, _ in occurrences)]
+
+
+# -- span-level decontamination ---------------------------------------------
+
+
+def _txt_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_decontaminate_spans_localizes_leak(spark):
+    """A doc embedding a verbatim 10-token benchmark passage yields one
+    maximal span covering exactly those 10 tokens; clean docs zero."""
+    bench_txt = " ".join(f"b{i}" for i in range(10))
+    bench = _txt_docs(spark, [(100, bench_txt)])
+    docs = _txt_docs(
+        spark,
+        [
+            (1, "x1 x2 x3 " + bench_txt + " y1 y2"),   # leak in the middle
+            (2, " ".join(f"z{i}" for i in range(20))),  # clean
+            (3, "too short"),                           # < k tokens
+        ],
+    )
+    got = {r["doc_id"]: r for r in corpus.decontaminate_spans(docs, bench, k=8).collect()}
+    assert got[1]["contam_spans"] == 1
+    assert got[1]["contam_tokens"] == 10
+    assert got[1]["contam_pos"] == 3  # starts 4,5,6 (10-8+1 starts)
+    assert got[1]["is_contaminated"] == 1
+    assert got[2]["contam_tokens"] == 0 and got[2]["is_contaminated"] == 0
+    assert got[3]["n_tok"] == 2 and got[3]["contam_tokens"] == 0
+    assert len(got) == 3
+
+
+def test_decontaminate_spans_merges_overlapping_hits(spark):
+    """Two benchmark passages whose matches overlap/touch in token
+    space (start gap <= k) merge into ONE maximal span; a gap > k
+    keeps two spans."""
+    toks = [f"w{i}" for i in range(40)]
+    bench = _txt_docs(
+        spark,
+        [
+            (100, " ".join(toks[0:12])),    # covers tokens 1..12
+            (101, " ".join(toks[8:20])),    # covers tokens 9..20 — overlaps
+            (102, " ".join(toks[30:40])),   # covers tokens 31..40 — gap > k
+        ],
+    )
+    docs = _txt_docs(spark, [(1, " ".join(toks))])
+    row = corpus.decontaminate_spans(docs, bench, k=8).collect()[0]
+    assert row["contam_spans"] == 2
+    # span A tokens 1..20 (20), span B tokens 31..40 (10)
+    assert row["contam_tokens"] == 30
+
+
+def test_decontaminate_spans_benchmark_is_broadcast(spark):
+    bench = _txt_docs(spark, [(100, "a b c d e f g h")])
+    docs = _txt_docs(spark, [(1, "a b c d e f g h i")])
+    out = corpus.decontaminate_spans(docs, bench, k=8)
+    out.collect()  # finalize the adaptive plan before inspecting joins
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]  # AQE echoes the pre-adaptive plan below
+    assert "BroadcastHashJoin" in final and "SortMergeJoin" not in final
+
+
+# -- per-source reputation gate ---------------------------------------------
+
+
+def test_source_reputation_gates_and_reasons(spark):
+    """Quality bar outranks the length bar; sources clearing both are
+    kept with NULL drop_reason; aggregates are exact integers."""
+    stop_rich = ("the a of and to in is that it for " * 8).strip()  # 80 toks, all stopwords
+    junk = "qqqqqqqqqqqqqqqqqqqqqqqqqqqqqqqqqqqqqqqq"  # 1 long junk token
+    rows = []
+    for i in range(4):
+        rows.append((i, "good", stop_rich))            # long + stopword-rich
+    for i in range(4, 8):
+        rows.append((i, "spam", junk))                 # short + low quality
+    for i in range(8, 12):
+        rows.append((i, "terse", stop_rich + " " + junk))  # quality ok?  81 toks
+    docs = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    got = {r["source"]: r for r in corpus.source_reputation(docs).collect()}
+    g = got["good"]
+    assert g["n_docs"] == 4 and g["tok_sum"] == 320
+    assert g["tok_avg_micro"] == 80_000_000
+    assert g["keep"] and g["drop_reason"] is None
+    s = got["spam"]
+    # 1 token, zero stopwords, avg_tok_len 40: quality = .4*.01 + 0 + .3 = .304
+    assert s["q_avg_micro"] == 304_000
+    assert not s["keep"] and s["drop_reason"] == "low_quality"
+    assert not got["terse"]["keep"] or got["terse"]["drop_reason"] is None
+
+
+def test_source_reputation_short_docs_reason(spark):
+    """A source passing the quality bar but under the length bar drops
+    as short_docs (the second arm of the precedence order)."""
+    stop_rich = ("the a of and to in is that it for " * 6).strip()  # 60 toks
+    short = ("the a of and to in is that it for " * 4).strip()      # 40 toks
+    rows = [(0, "long", stop_rich), (1, "short", short)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    got = {r["source"]: r for r in corpus.source_reputation(docs).collect()}
+    assert got["long"]["keep"] and got["long"]["drop_reason"] is None
+    assert got["short"]["drop_reason"] == "short_docs"

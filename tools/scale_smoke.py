@@ -67,6 +67,9 @@ SMOKE = {
     "pipe_temperature_sample": "temperature sampling (hash-band two-phase)",
     "pipe_bigram_ppl": "bigram Stupid-Backoff ppl (count + scoring joins)",
     "pipe_score_zscore": "per-lang z-score (moments + broadcast join-back)",
+    "pipe_dedup_blocks": "block dedup keep-first (min-struct agg + join-back)",
+    "pipe_decontaminate_spans": "span decontamination (broadcast bench + doc islands)",
+    "pipe_source_reputation": "per-source reputation gate (one source-keyed agg)",
 }
 
 #: table -> {column: key_domain}. Columns sharing a domain shift by the
