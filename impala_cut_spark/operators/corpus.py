@@ -985,3 +985,116 @@ def source_reputation(
         .when(short_d, F.lit("short_docs"))
         .alias("drop_reason"),
     )
+
+
+def benchmark_overlap(docs: DataFrame, benchmark: DataFrame, k: int = 8) -> DataFrame:
+    """Eval-integrity report — the REVERSE direction of
+    decontaminate(): for each BENCHMARK document, how much of it
+    already appears verbatim in the training corpus (distinct
+    k-shingle overlap). The standard pre-release check that an eval
+    suite still measures generalization (GPT-3 appendix C
+    methodology, public literature) — a benchmark item with high
+    overlap is compromised no matter how the corpus is cleaned.
+
+    Returns one row per benchmark doc: n_shingles (distinct), n_hit,
+    overlap_micro = floor(n_hit·1e6 / n_shingles).
+
+    Scale (100 TB): the expensive side is the corpus — so the
+    benchmark shingle set (tiny by design) is broadcast AGAINST the
+    corpus fan-out as a map-side semi-filter; only corpus shingles
+    that match a benchmark shingle survive to a DISTINCT (volume
+    bounded by |benchmark shingles|), and the final per-doc counts
+    aggregate the benchmark side only. The corpus is read once and
+    never shuffled at fan-out volume.
+    """
+    from impala_cut_spark.operators.dedup import shingles
+
+    bench_sh = shingles(benchmark, k)
+    bench_set = bench_sh.select("shingle").distinct()
+    corp_hits = (
+        shingles(docs, k)
+        .join(F.broadcast(bench_set), "shingle")
+        .select("shingle")
+        .distinct()
+    )
+    sizes = bench_sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    )
+    hits = (
+        bench_sh.join(F.broadcast(corp_hits), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    n_hit = F.coalesce(F.col("n_hit"), F.lit(0))
+    return sizes.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        n_hit.cast("bigint").alias("n_hit"),
+        F.floor(n_hit * F.lit(1_000_000) / F.col("n_shingles"))
+        .cast("bigint")
+        .alias("overlap_micro"),
+    )
+
+
+def remove_contaminated_spans(
+    docs: DataFrame, benchmark: DataFrame, k: int = 8
+) -> DataFrame:
+    """The surgical follow-on to decontaminate_spans(): actually CUT
+    the contaminated token intervals out of each training document and
+    re-emit the cleaned text — span removal (Lee et al. 2022) instead
+    of document removal, so the uncontaminated remainder of a long
+    document stays in the corpus.
+
+    Returns (doc_id, n_tok, n_removed, clean_text); documents without
+    hits pass through verbatim at token granularity (the text is
+    re-joined from its whitespace tokens).
+
+    Scale (100 TB): identical join/merge profile to
+    decontaminate_spans (broadcast benchmark shingles, per-doc island
+    merge) plus one collect_list of the per-doc span structs — bounded
+    by spans-per-document, not corpus size — and a narrow higher-order
+    token filter (no Python, no explode of the clean side).
+    """
+    from impala_cut_spark.operators.dedup import (
+        merge_token_islands,
+        positional_shingles,
+        shingles,
+    )
+    from impala_cut_spark.operators.text import tokens
+
+    bench = shingles(benchmark, k).select(F.col("shingle").alias("g")).distinct()
+    hits = positional_shingles(docs, k).join(F.broadcast(bench), "g")
+    spans = merge_token_islands(hits, k).select(
+        "doc_id",
+        F.struct(
+            F.col("a").alias("a"), (F.col("b") + F.lit(k - 1)).alias("b")
+        ).alias("sp"),
+    )
+    spd = spans.groupBy("doc_id").agg(F.collect_list("sp").alias("spans"))
+    base = docs.select(
+        "doc_id", tokens(F.coalesce(F.col("text"), F.lit(""))).alias("ls")
+    )
+    joined = base.join(spd, "doc_id", "left")
+    covered = lambda s: F.exists(  # noqa: E731 — span-membership test
+        F.col("spans"), lambda sp: (s["p"] >= sp["a"]) & (s["p"] <= sp["b"])
+    )
+    indexed = F.transform(
+        "ls", lambda x, i: F.struct(x.alias("tok"), (i + 1).alias("p"))
+    )
+    kept = F.when(F.col("spans").isNull(), F.col("ls")).otherwise(
+        F.transform(F.filter(indexed, lambda s: ~covered(s)), lambda s: s["tok"])
+    )
+    n_removed = F.coalesce(
+        F.aggregate(
+            "spans",
+            F.lit(0).cast("bigint"),
+            lambda acc, sp: acc + (sp["b"] - sp["a"] + 1).cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+    )
+    return joined.select(
+        "doc_id",
+        F.size("ls").alias("n_tok"),
+        n_removed.alias("n_removed"),
+        F.concat_ws(" ", kept).alias("clean_text"),
+    )

@@ -568,6 +568,13 @@ def bigram_nll_scores(docs, text_col: str = "text"):
         .select(F.explode("tk").alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("n1"))
+        # persisted: consumed three times (the T/V collect below plus
+        # BOTH sides of the scoring join) — without it the count table
+        # is recomputed per consumer, and whether Catalyst reuses the
+        # build exchange for the a/b twins varies with session warmth
+        # (observed: an extra shuffle appearing only in long-lived
+        # sessions), which also made the plan-pin test flaky
+        .persist()
     )
     tv = c1.agg(F.sum("n1"), F.count(F.lit(1))).collect()[0]  # 1-row collect
     t_plus_v = float(tv[0]) + float(tv[1])

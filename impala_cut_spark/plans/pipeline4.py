@@ -419,3 +419,87 @@ def pipe_source_reputation(spark, sf_dir):
     pre-reduces per input partition); the |sources|-row verdict is
     what a pipeline broadcast-joins back for the actual drop."""
     return corpus.source_reputation(t(spark, sf_dir, "documents"))
+
+
+@query(
+    "pipe_benchmark_overlap",
+    oracle=f"""
+WITH l AS (SELECT doc_id, source, {_SQL_TOKS} AS ls FROM documents),
+sh AS (SELECT doc_id, source,
+              unnest(list_distinct([array_to_string(ls[i:i+{SPAN_K - 1}], ' ')
+                     for i in range(1, greatest(len(ls) - {SPAN_K - 1}, 0) + 1)])) AS g
+       FROM l),
+corp AS (SELECT DISTINCT g FROM sh WHERE source <> 'src0'),
+b AS (SELECT doc_id, g FROM sh WHERE source = 'src0'),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM b GROUP BY 1),
+hits AS (SELECT doc_id, count(*) AS n_hit FROM b JOIN corp USING (g) GROUP BY 1)
+SELECT s.doc_id, s.n_shingles,
+       CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
+       CAST(floor(coalesce(n_hit, 0) * 1000000 / s.n_shingles) AS BIGINT)
+         AS overlap_micro
+FROM sizes s LEFT JOIN hits USING (doc_id)
+""",
+)
+def pipe_benchmark_overlap(spark, sf_dir):
+    """Eval-integrity report (operators/corpus.py benchmark_overlap):
+    for each BENCHMARK doc (source='src0'), the fraction of its
+    distinct {k}=8-token shingles already present verbatim in the
+    training corpus — the reverse direction of pipe_decontaminate,
+    telling you which eval items are compromised rather than which
+    training docs to drop. The benchmark shingle set broadcasts as a
+    map-side semi-filter against the corpus fan-out (the corpus is
+    never shuffled at fan-out volume; the DISTINCT that follows is
+    bounded by |benchmark shingles|)."""
+    docs = t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("source") == "src0")
+    train = docs.filter(F.col("source") != "src0")
+    return corpus.benchmark_overlap(train, bench, k=SPAN_K)
+
+
+@query(
+    "pipe_decontaminate_clean",
+    oracle=f"""
+WITH l AS (SELECT doc_id, source, {_SQL_TOKS} AS ls FROM documents),
+pos AS (SELECT doc_id, source, i AS p,
+               array_to_string(ls[i:i+{SPAN_K - 1}], ' ') AS g
+        FROM l, unnest(range(1, greatest(len(ls) - {SPAN_K - 1}, 0) + 1)) s(i)),
+bench AS (SELECT DISTINCT g FROM pos WHERE source = 'src0'),
+hit AS (SELECT doc_id, p FROM pos JOIN bench USING (g) WHERE source <> 'src0'),
+brk AS (SELECT doc_id, p,
+               CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p)
+                        > {SPAN_K} THEN 1 ELSE 0 END AS b
+        FROM hit),
+isl AS (SELECT doc_id, p,
+               sum(b) OVER (PARTITION BY doc_id ORDER BY p
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        FROM brk),
+sp AS (SELECT doc_id, grp, min(p) AS a, max(p) + {SPAN_K} - 1 AS b
+       FROM isl GROUP BY 1, 2),
+spd AS (SELECT doc_id, list({{'a': a, 'b': b}}) AS spans FROM sp GROUP BY 1)
+SELECT l.doc_id, len(ls) AS n_tok,
+       CAST(coalesce(list_sum(list_transform(spans, sp -> sp.b - sp.a + 1)), 0)
+            AS BIGINT) AS n_removed,
+       coalesce(array_to_string([ls[i] for i in range(1, len(ls) + 1)
+                        if spans IS NULL
+                           OR len(list_filter(spans,
+                                  sp -> i >= sp.a AND i <= sp.b)) = 0],
+                       ' '), '') AS clean_text
+FROM l LEFT JOIN spd USING (doc_id)
+WHERE source <> 'src0'
+""",
+)
+def pipe_decontaminate_clean(spark, sf_dir):
+    """Span REMOVAL (operators/corpus.py remove_contaminated_spans):
+    cut the maximal contaminated token intervals found by
+    pipe_decontaminate_spans out of each training document and re-emit
+    the cleaned text — Lee-et-al span removal instead of document
+    removal. Same broadcast-benchmark + per-doc island-merge profile,
+    plus a bounded per-doc span collect and a narrow higher-order
+    token filter (no Python, no clean-side explode). The oracle
+    replays the interval set and the token surgery via a DuckDB list
+    comprehension — including the merged-interval disjointness that
+    makes n_removed an exact sum."""
+    docs = t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("source") == "src0")
+    train = docs.filter(F.col("source") != "src0")
+    return corpus.remove_contaminated_spans(train, bench, k=SPAN_K)

@@ -409,3 +409,67 @@ def test_source_reputation_short_docs_reason(spark):
     got = {r["source"]: r for r in corpus.source_reputation(docs).collect()}
     assert got["long"]["keep"] and got["long"]["drop_reason"] is None
     assert got["short"]["drop_reason"] == "short_docs"
+
+
+# -- benchmark-overlap report -------------------------------------------------
+
+
+def test_benchmark_overlap_fractions(spark):
+    """A benchmark doc fully inside the corpus reports 1.0; a disjoint
+    one 0; a half-leaked one the exact floor-micro fraction."""
+    leaked = " ".join(f"a{i}" for i in range(12))      # 5 distinct 8-shingles
+    half = " ".join(f"a{i}" for i in range(8)) + " " + " ".join(f"q{i}" for i in range(8))
+    corpus_docs = _txt_docs(spark, [(1, "pre " + leaked + " post")])
+    bench = _txt_docs(
+        spark,
+        [
+            (100, leaked),                                  # fully leaked
+            (101, " ".join(f"z{i}" for i in range(12))),    # disjoint
+            (102, half),                                    # leading 8-gram leaked
+        ],
+    )
+    got = {r["doc_id"]: r for r in corpus.benchmark_overlap(corpus_docs, bench, k=8).collect()}
+    assert got[100]["overlap_micro"] == 1_000_000 and got[100]["n_hit"] == got[100]["n_shingles"]
+    assert got[101]["n_hit"] == 0 and got[101]["overlap_micro"] == 0
+    h = got[102]
+    assert h["n_shingles"] == 9 and h["n_hit"] == 1       # only the a0..a7 window matches
+    assert h["overlap_micro"] == 1_000_000 // 9
+    assert len(got) == 3
+
+
+# -- span removal -------------------------------------------------------------
+
+
+def test_remove_contaminated_spans_surgery(spark):
+    """The contaminated interval is cut exactly; clean docs pass
+    through verbatim; a fully-covered doc empties."""
+    bench_txt = " ".join(f"b{i}" for i in range(10))
+    bench = _txt_docs(spark, [(100, bench_txt)])
+    clean = " ".join(f"z{i}" for i in range(15))
+    docs = _txt_docs(
+        spark,
+        [
+            (1, "x1 x2 x3 " + bench_txt + " y1 y2"),
+            (2, clean),
+            (3, bench_txt),
+        ],
+    )
+    got = {r["doc_id"]: r for r in corpus.remove_contaminated_spans(docs, bench, k=8).collect()}
+    assert got[1]["clean_text"] == "x1 x2 x3 y1 y2" and got[1]["n_removed"] == 10
+    assert got[2]["clean_text"] == clean and got[2]["n_removed"] == 0
+    assert got[3]["clean_text"] == "" and got[3]["n_removed"] == 10
+    assert all(r["n_tok"] - r["n_removed"] == len([t for t in r["clean_text"].split(" ") if t])
+               for r in got.values())
+
+
+def test_remove_spans_consistent_with_decontaminate_spans(spark):
+    """n_removed == decontaminate_spans' contam_tokens on the same
+    input (the two operators share the island merge)."""
+    toks = [f"w{i}" for i in range(40)]
+    bench = _txt_docs(spark, [(100, " ".join(toks[0:12])), (101, " ".join(toks[25:40]))])
+    docs = _txt_docs(spark, [(1, " ".join(toks)), (2, " ".join(reversed(toks)))])
+    removed = {r["doc_id"]: r["n_removed"]
+               for r in corpus.remove_contaminated_spans(docs, bench, k=8).collect()}
+    spans = {r["doc_id"]: r["contam_tokens"]
+             for r in corpus.decontaminate_spans(docs, bench, k=8).collect()}
+    assert removed == spans

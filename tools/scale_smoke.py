@@ -70,6 +70,8 @@ SMOKE = {
     "pipe_dedup_blocks": "block dedup keep-first (min-struct agg + join-back)",
     "pipe_decontaminate_spans": "span decontamination (broadcast bench + doc islands)",
     "pipe_source_reputation": "per-source reputation gate (one source-keyed agg)",
+    "pipe_decontaminate_clean": "span removal (broadcast bench + HOF token surgery)",
+    "pipe_benchmark_overlap": "benchmark overlap report (semi-filtered corpus side)",
 }
 
 #: table -> {column: key_domain}. Columns sharing a domain shift by the
