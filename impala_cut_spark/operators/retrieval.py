@@ -236,3 +236,63 @@ def mmr_rerank(
     return cand_vecs.groupBy("q_id").applyInPandas(
         greedy, "q_id long, step int, n_id long, cos double"
     )
+
+
+def tfidf_keywords(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Per-document TF-IDF keyword extraction: the top-``k`` most
+    characteristic terms of every document — the classic
+    doc-tagging / topic-signal stage of a curation pipeline (feeding
+    domain classification, cluster labeling, and mixture bookkeeping).
+
+    score(d, t) = round(tf(d,t) · ln((N+1)/(df(t)+1)), 6); top-k per
+    document by score DESC with term-text tiebreak so the cut is
+    total-ordered and oracle-checkable. The +1s (a standard smoothed
+    idf) keep the log argument integral-rational — one ln() on an
+    exact rational, rounded to 6dp, is the established cross-engine
+    convention (ppl/bm25 operators).
+
+    Scale (100 TB): tf is ONE (doc_id, term) aggregation of the token
+    explode (map-side combine); df re-aggregates the tf table (already
+    one row per (doc, term) — no second pass over the corpus); N is a
+    one-row broadcast; the df table broadcasts into the scoring join
+    when small and AQE shuffles it otherwise; the final top-k window
+    partitions by doc_id (state = one document's term list).
+
+    Output: (doc_id, term, tf, df, score, rk).
+    """
+    from pyspark.sql import Window
+
+    from impala_cut_spark.partitioning import fan_out
+
+    tf = (
+        fan_out(docs)
+        .select(
+            "doc_id",
+            F.explode(tokens(F.coalesce(F.col("text"), F.lit("")))).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.select(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf").cast("double")
+                * F.log((F.col("n") + 1).cast("double") / (F.col("df") + 1).cast("double")),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("doc_id", "term", "tf", "df", "score", "rk")
+    )

@@ -1218,3 +1218,63 @@ def pq_encode_trained(
     frozen codebook is asserted in tests."""
     books = train_pq_codebooks(embeddings, dim, m)
     return _pq_encode_with_books(embeddings, books, m, dim // m)
+
+
+def ivfpq_rerank_topk_fixed(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    r: int = 20,
+    dim: int = 64,
+    m: int = PQ_SUBSPACES,
+    centroid_ids: tuple[int, ...] = IVF_FIXED_CENTROID_IDS,
+    code_ids: tuple[int, ...] = PQ_FIXED_CODE_IDS,
+    n_probe: int = IVF_FIXED_N_PROBE,
+) -> DataFrame:
+    """Two-stage retrieval: IVF-PQ candidate generation (stage 1,
+    ``r`` candidates per query by ADC over the probed cells) followed
+    by EXACT cosine re-ranking of just those candidates against the
+    full-precision vectors (stage 2) — the standard production ANN
+    architecture (FAISS search-then-refine / every serving stack's
+    retrieve+rerank): PQ compression buys the scan, the exact rerank
+    buys back the precision lost to 8-byte codes, and the refine cost
+    is O(|Q|·r), independent of corpus size.
+
+    Scale (100 TB): stage 1 is ivfpq_topk_fixed unchanged (codes-only,
+    cell-pruned scan). Stage 2 never shuffles the corpus: the ≤|Q|·r
+    candidate table (with query vectors attached) BROADCASTS into a
+    corpus join keyed by vec_id — one map-side hash join over the full
+    vector scan picks up the r·|Q| needed rows — then one tiny
+    per-query window ranks them.
+
+    Output: (q_id, n_id, rank, cos) — rank by exact round-6 cosine
+    DESC, n_id tiebreak.
+    """
+    cands = ivfpq_topk_fixed(
+        embeddings, queries, k=r, dim=dim, m=m,
+        centroid_ids=centroid_ids, code_ids=code_ids, n_probe=n_probe,
+    ).select("q_id", "n_id")
+    qv = with_norm(queries).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qe"),
+        F.col("_norm").alias("qn"),
+    )
+    probe = cands.join(qv, "q_id")  # ≤ |Q|·r rows, query vecs attached
+    nv = with_norm(embeddings).select(
+        F.col("vec_id").alias("n_id"),
+        F.col("embedding").alias("ne"),
+        F.col("_norm").alias("nn"),
+    )
+    scored = nv.join(F.broadcast(probe), "n_id").select(
+        "q_id",
+        "n_id",
+        F.round(
+            cosine(F.col("qe"), F.col("ne"), F.col("qn"), F.col("nn")), 6
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "rank", "cos")
+    )

@@ -846,7 +846,7 @@ def pipe_ann_pq(spark, sf_dir):
     return similarity.pq_adc_topk_fixed(emb, queries, k=5)
 
 
-def _ivfpq_oracle() -> str:
+def _ivfpq_oracle(k: int = 5) -> str:
     from impala_cut_spark.operators.similarity import (
         IVF_FIXED_CENTROID_IDS,
         IVF_FIXED_N_PROBE,
@@ -890,7 +890,7 @@ scored AS (SELECT p.q_id, p.n_id, round({adc}, 4) AS adc
            {djoins}),
 r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc, n_id) AS rank
       FROM scored)
-SELECT q_id, n_id, rank, adc FROM r WHERE rank <= 5
+SELECT q_id, n_id, rank, adc FROM r WHERE rank <= {k}
 """
 
 

@@ -503,3 +503,93 @@ def pipe_decontaminate_clean(spark, sf_dir):
     bench = docs.filter(F.col("source") == "src0")
     train = docs.filter(F.col("source") != "src0")
     return corpus.remove_contaminated_spans(train, bench, k=SPAN_K)
+
+
+# ---------------------------------------------------------------------------
+# two-stage retrieval: IVF-PQ candidates + exact cosine re-rank
+# ---------------------------------------------------------------------------
+
+RERANK_R = 20
+RERANK_K = 5
+
+
+def _ivfpq_rerank_oracle() -> str:
+    from impala_cut_spark.plans.pipeline2 import _ivfpq_oracle
+
+    return f"""
+WITH cands AS ({_ivfpq_oracle(RERANK_R)}),
+v2 AS (SELECT vec_id, list_transform(embedding, x -> cast(x as double)) AS e
+       FROM embeddings),
+nv2 AS (SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nm FROM v2),
+ex AS (SELECT c.q_id, c.n_id,
+              round(list_dot_product(q.e, n.e) / (q.nm * n.nm), 6) AS cos
+       FROM cands c
+       JOIN nv2 q ON q.vec_id = c.q_id
+       JOIN nv2 n ON n.vec_id = c.n_id),
+rr AS (SELECT *, row_number() OVER (PARTITION BY q_id
+                                    ORDER BY cos DESC, n_id) AS rank
+       FROM ex)
+SELECT q_id, n_id, rank, cos FROM rr WHERE rank <= {RERANK_K}
+"""
+
+
+@query("pipe_ann_ivfpq_rerank", oracle=_ivfpq_rerank_oracle())
+def pipe_ann_ivfpq_rerank(spark, sf_dir):
+    """Two-stage retrieval (operators/similarity.py
+    ivfpq_rerank_topk_fixed): IVF-PQ generates {r}=20 candidates per
+    query by ADC over the probed cells (stage 1 = pipe_ann_ivfpq's
+    plan, codes-only cell-pruned scan), then EXACT round-6 cosine over
+    the full-precision vectors re-ranks just those candidates to
+    top-{k}=5 — FAISS-style search-then-refine, the production pattern
+    that buys back the precision PQ codes lose. The refine stage never
+    shuffles the corpus: the ≤|Q|·r candidate table (query vectors
+    attached) broadcasts into one map-side join keyed by vec_id. The
+    oracle nests the full IVF-PQ replay as a CTE and re-ranks with the
+    identical fold-order dot product."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    from impala_cut_spark.operators import similarity
+
+    return similarity.ivfpq_rerank_topk_fixed(emb, queries, k=RERANK_K, r=RERANK_R)
+
+
+# ---------------------------------------------------------------------------
+# per-document TF-IDF keyword extraction
+# ---------------------------------------------------------------------------
+
+TFIDF_K = 3
+
+
+@query(
+    "pipe_tfidf_keywords",
+    oracle=f"""
+WITH l AS (SELECT doc_id, {_SQL_TOKS} AS ls FROM documents),
+tf AS (SELECT doc_id, unnest(ls) AS term FROM l),
+tfa AS (SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY 1, 2),
+dfa AS (SELECT term, count(*) AS df FROM tfa GROUP BY 1),
+n AS (SELECT count(*) AS n FROM l),
+s AS (SELECT doc_id, term, tf, df,
+             round(CAST(tf AS DOUBLE)
+                   * ln(CAST(n + 1 AS DOUBLE) / CAST(df + 1 AS DOUBLE)), 6)
+               AS score
+      FROM tfa JOIN dfa USING (term) CROSS JOIN n),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term) AS rk
+      FROM s)
+SELECT doc_id, term, tf, df, score, CAST(rk AS BIGINT) AS rk
+FROM r WHERE rk <= {TFIDF_K}
+""",
+)
+def pipe_tfidf_keywords(spark, sf_dir):
+    """Per-document TF-IDF keywords (operators/retrieval.py
+    tfidf_keywords): top-{k}=3 most characteristic terms per document
+    — the doc-tagging stage feeding domain classification and cluster
+    labeling. tf is one (doc, term) aggregation of the token explode;
+    df re-aggregates the tf table (no second corpus pass); N is a
+    one-row broadcast; score = round(tf·ln((N+1)/(df+1)), 6) with the
+    smoothed idf keeping the log argument integral-rational. Ties cut
+    by term text, so the window is total-ordered and the DuckDB oracle
+    replays it exactly."""
+    from impala_cut_spark.operators import retrieval
+
+    return retrieval.tfidf_keywords(t(spark, sf_dir, "documents"), k=TFIDF_K)

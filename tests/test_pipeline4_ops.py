@@ -473,3 +473,72 @@ def test_remove_spans_consistent_with_decontaminate_spans(spark):
     spans = {r["doc_id"]: r["contam_tokens"]
              for r in corpus.decontaminate_spans(docs, bench, k=8).collect()}
     assert removed == spans
+
+
+# -- two-stage retrieval (IVF-PQ + exact rerank) ------------------------------
+
+
+def test_ivfpq_rerank_refines_within_candidates(spark, sf_dir):
+    """The reranked top-k is (a) a subset of the stage-1 candidate
+    set, (b) ordered by EXACT cosine, and (c) at least as good as raw
+    IVF-PQ order at every rank position (same candidate pool, exact
+    metric)."""
+    from impala_cut_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3)
+    cands = similarity.ivfpq_topk_fixed(emb, queries, k=20)
+    rer = similarity.ivfpq_rerank_topk_fixed(emb, queries, k=5, r=20)
+    cand_set = {(r["q_id"], r["n_id"]) for r in cands.collect()}
+    rows = rer.collect()
+    assert {(r["q_id"], r["n_id"]) for r in rows} <= cand_set
+    by_q: dict[int, list] = {}
+    for r in sorted(rows, key=lambda r: (r["q_id"], r["rank"])):
+        by_q.setdefault(r["q_id"], []).append(r)
+    for q, rs in by_q.items():
+        cos = [r["cos"] for r in rs]
+        assert cos == sorted(cos, reverse=True)      # exact-cosine order
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+
+
+def test_ivfpq_rerank_corpus_not_shuffled(spark, sf_dir):
+    """Stage 2's corpus join is a broadcast hash join — the full
+    vector scan is never exchanged."""
+    from impala_cut_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = similarity.ivfpq_rerank_topk_fixed(emb, emb.filter(F.col("vec_id") < 2), k=3, r=5)
+    out.collect()
+    final = out._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final
+
+
+# -- TF-IDF keywords ----------------------------------------------------------
+
+
+def test_tfidf_keywords_math_and_cut(spark):
+    """Hand-checked scores: a term unique to one doc outranks the
+    corpus-wide term; k cuts per doc; tie falls to term text."""
+    import math as m
+
+    from impala_cut_spark.operators import retrieval
+
+    docs = spark.createDataFrame(
+        [
+            (0, "common rare rare"),     # rare: tf=2 df=1; common: tf=1 df=3
+            (1, "common solo"),
+            (2, "common"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = retrieval.tfidf_keywords(docs, k=2).collect()
+    got = {(r["doc_id"], r["term"]): r for r in rows}
+    rare = got[(0, "rare")]
+    assert rare["rk"] == 1 and rare["tf"] == 2 and rare["df"] == 1
+    assert abs(rare["score"] - round(2 * m.log(4 / 2), 6)) < 1e-9
+    assert got[(0, "common")]["rk"] == 2
+    assert abs(got[(0, "common")]["score"] - round(m.log(4 / 4), 6)) < 1e-9  # 0.0
+    assert got[(1, "solo")]["rk"] == 1                   # beats common's idf 0
+    assert all(r["rk"] <= 2 for r in rows)
+    doc2 = [r for r in rows if r["doc_id"] == 2]
+    assert len(doc2) == 1 and doc2[0]["term"] == "common"

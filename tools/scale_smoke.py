@@ -72,6 +72,8 @@ SMOKE = {
     "pipe_source_reputation": "per-source reputation gate (one source-keyed agg)",
     "pipe_decontaminate_clean": "span removal (broadcast bench + HOF token surgery)",
     "pipe_benchmark_overlap": "benchmark overlap report (semi-filtered corpus side)",
+    "pipe_ann_ivfpq_rerank": "IVF-PQ + exact rerank (broadcast candidate refine)",
+    "pipe_tfidf_keywords": "TF-IDF keywords (tf agg + df re-agg + doc top-k)",
 }
 
 #: table -> {column: key_domain}. Columns sharing a domain shift by the
