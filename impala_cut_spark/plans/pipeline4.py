@@ -593,3 +593,42 @@ def pipe_tfidf_keywords(spark, sf_dir):
     from impala_cut_spark.operators import retrieval
 
     return retrieval.tfidf_keywords(t(spark, sf_dir, "documents"), k=TFIDF_K)
+
+
+# ---------------------------------------------------------------------------
+# streaming token-budget admission gate
+# ---------------------------------------------------------------------------
+
+
+def _stream_budget_oracle() -> str:
+    from impala_cut_spark.streaming.budget import BUDGET_TOKENS
+
+    return f"""
+WITH l AS (SELECT doc_id, source, len({_SQL_TOKS}) AS n_tok FROM documents),
+c AS (SELECT doc_id, source, n_tok,
+             sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_tokens
+      FROM l)
+SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tok,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens,
+       CAST(CASE WHEN cum_tokens <= {BUDGET_TOKENS} THEN 1 ELSE 0 END AS BIGINT)
+         AS admit
+FROM c
+""".strip()
+
+
+@query("stream_budget_gate", oracle=_stream_budget_oracle())
+def stream_budget_gate(spark, sf_dir):
+    """Streaming per-source token-budget admission gate
+    (streaming/budget.py): the ONLINE twin of pipe_budget_select —
+    each arriving document is admitted iff its source's running token
+    total stays under the quota, enforced the moment it lands (the
+    per-provider cap of a managed ingest). Custom stateful operator
+    (applyInPandasWithState, one BIGINT of state per source — volume-
+    independent); token counting stays JVM-side so no text crosses
+    the Arrow boundary. Replay order is doc_id within the batch, so
+    the oracle is ONE per-source cumulative-sum window."""
+    from impala_cut_spark.streaming.budget import run_stream_budget_gate
+
+    return run_stream_budget_gate(spark, sf_dir)

@@ -542,3 +542,42 @@ def test_tfidf_keywords_math_and_cut(spark):
     assert all(r["rk"] <= 2 for r in rows)
     doc2 = [r for r in rows if r["doc_id"] == 2]
     assert len(doc2) == 1 and doc2[0]["term"] == "common"
+
+
+# -- streaming token-budget gate ----------------------------------------------
+
+
+def test_stream_budget_gate_matches_batch_cumsum(spark, sf_dir):
+    """Replayed gate equals the batch per-source cumulative-sum rule,
+    and both admit outcomes actually occur."""
+    from impala_cut_spark.operators.text import token_count
+    from impala_cut_spark.streaming.budget import BUDGET_TOKENS, run_stream_budget_gate
+
+    got = {r["doc_id"]: r for r in run_stream_budget_gate(spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sized = docs.select(
+        "doc_id", "source",
+        token_count(F.coalesce(F.col("text"), F.lit(""))).cast("long").alias("n_tok"),
+    )
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    batch = sized.withColumn("cum", F.sum("n_tok").over(w)).collect()
+    assert len(batch) == len(got)
+    admits = {0: 0, 1: 0}
+    for r in batch:
+        g = got[r["doc_id"]]
+        assert g["cum_tokens"] == r["cum"] and g["n_tok"] == r["n_tok"]
+        expected = 1 if r["cum"] <= BUDGET_TOKENS else 0
+        assert g["admit"] == expected
+        admits[expected] += 1
+    assert admits[0] > 0 and admits[1] > 0  # both outcomes exercised
+
+
+def test_stream_budget_state_is_one_long_per_source(spark):
+    """The state schema carries exactly one BIGINT — volume-independent
+    streaming state (the scale contract of the gate)."""
+    from impala_cut_spark.streaming import budget
+
+    assert [f.dataType.typeName() for f in budget._STATE_SCHEMA.fields] == ["long"]
+    assert len(budget._STATE_SCHEMA.fields) == 1
