@@ -920,3 +920,46 @@ def block_dedup_keep_first(
             & (F.col("block_id") == F.col("w.block_id"))
         ).alias("keep"),
     )
+
+
+def canonical_keeper_by_quality(docs: DataFrame, assignment: DataFrame) -> DataFrame:
+    """Cluster canonicalization: given a near-dup cluster assignment
+    (doc_id, cluster_id), keep the HIGHEST-QUALITY member of every
+    cluster instead of the lowest-id one — the "which copy survives"
+    policy real pipelines use (the freshest/cleanest crawl of a page
+    wins, not the first-seen). Keeper = max (quality, then smallest
+    doc_id on ties), quality in integer micro-units so the argmax is
+    exact cross-engine.
+
+    Scale: one narrow quality projection, ONE cluster-keyed aggregate
+    (max of a (q_micro, -doc_id) struct — map-side partial combine
+    pre-reduces a huge boilerplate cluster to one row per input
+    partition) + a cluster-keyed join-back. No window over the cluster
+    partition — the same skew argument as block_dedup_keep_first: a
+    boilerplate cluster holding 30% of the corpus would be an
+    unsplittable hot window partition, but AQE can split the join.
+
+    Output: (doc_id, cluster_id, q_micro, keep).
+    """
+    from impala_cut_spark.operators.text import quality_score
+
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    q = docs.select(
+        "doc_id",
+        F.round(quality_score(txt) * F.lit(1_000_000)).cast("bigint").alias("q_micro"),
+    )
+    j = assignment.select("doc_id", "cluster_id").join(q, "doc_id")
+    winner = j.groupBy("cluster_id").agg(
+        F.max(
+            F.struct(F.col("q_micro"), (-F.col("doc_id")).alias("nd"))
+        ).alias("w")
+    )
+    return j.join(winner, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "q_micro",
+        (
+            (F.col("q_micro") == F.col("w.q_micro"))
+            & (F.col("doc_id") == -F.col("w.nd"))
+        ).alias("keep"),
+    )

@@ -632,3 +632,51 @@ def stream_budget_gate(spark, sf_dir):
     from impala_cut_spark.streaming.budget import run_stream_budget_gate
 
     return run_stream_budget_gate(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# cluster canonicalization: keep the highest-quality copy
+# ---------------------------------------------------------------------------
+
+
+def _dedup_canonical_oracle() -> str:
+    from impala_cut_spark.plans.registry import REGISTRY
+
+    clusters = REGISTRY["pipe_dedup_clusters"].oracle.strip()
+    return f"""
+WITH cl AS ({clusters}),
+tq AS (SELECT doc_id, {_SQL_TOKS} AS l FROM documents),
+q AS (SELECT doc_id,
+             CAST(round(round(0.4 * least(cast(len(l) as double) / 100.0, 1.0)
+                  + 0.3 * least(cast({_sql_count_in_l(text.QUALITY_STOPWORDS)} as double)
+                                / cast(len(l) as double) * 5.0, 1.0)
+                  + 0.3 * least(cast(list_sum(list_transform(l, x -> length(x))) as double)
+                                / cast(len(l) as double) / 8.0, 1.0), 6)
+                  * 1000000) AS BIGINT) AS q_micro
+      FROM tq),
+j AS (SELECT cl.doc_id, cl.cluster_id, q.q_micro
+      FROM cl JOIN q ON q.doc_id = cl.doc_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+                                   ORDER BY q_micro DESC, doc_id) AS rn
+      FROM j)
+SELECT doc_id, cluster_id, q_micro, rn = 1 AS keep FROM r
+"""
+
+
+@query("pipe_dedup_canonical", oracle=_dedup_canonical_oracle())
+def pipe_dedup_canonical(spark, sf_dir):
+    """Cluster canonicalization (operators/dedup.py
+    canonical_keeper_by_quality): within every near-dup cluster (the
+    pipe_dedup_clusters components) keep the HIGHEST-quality member —
+    the 'which copy survives' policy real pipelines apply (the
+    cleanest crawl of a page wins, not the first-seen id). Quality in
+    integer micro-units; ties fall to the smallest doc_id. One
+    cluster-keyed max-struct aggregate + join-back (no window over the
+    cluster partition — a boilerplate mega-cluster stays AQE-
+    splittable). The oracle nests the full connected-components replay
+    as a CTE and re-ranks with a window (cluster sizes are tiny at
+    oracle SF)."""
+    docs = t(spark, sf_dir, "documents")
+    prs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2).select("id_a", "id_b")
+    assignment = dedup.dedup_cluster_assignment(docs, prs)
+    return dedup.canonical_keeper_by_quality(docs, assignment)

@@ -581,3 +581,37 @@ def test_stream_budget_state_is_one_long_per_source(spark):
 
     assert [f.dataType.typeName() for f in budget._STATE_SCHEMA.fields] == ["long"]
     assert len(budget._STATE_SCHEMA.fields) == 1
+
+
+# -- cluster canonicalization -------------------------------------------------
+
+
+def test_canonical_keeper_prefers_quality_then_min_id(spark):
+    from impala_cut_spark.operators import dedup as dd
+
+    stop_rich = ("the a of and to in is that it for " * 8).strip()  # high quality
+    junk = "zz"                                                      # low quality
+    docs = spark.createDataFrame(
+        [(1, junk), (2, stop_rich), (3, stop_rich), (9, junk)],
+        "doc_id bigint, text string",
+    )
+    assign = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (9, 9)], "doc_id bigint, cluster_id bigint"
+    )
+    got = {r["doc_id"]: r for r in dd.canonical_keeper_by_quality(docs, assign).collect()}
+    # quality beats the lower id; tie between 2 and 3 falls to min id
+    assert got[2]["keep"] and not got[1]["keep"] and not got[3]["keep"]
+    assert got[9]["keep"]  # singleton cluster keeps itself
+    assert got[2]["q_micro"] == got[3]["q_micro"] > got[1]["q_micro"]
+
+
+def test_canonical_exactly_one_keeper_per_cluster(spark, sf_dir):
+    from impala_cut_spark.operators import dedup as dd
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    prs = dd.ngram_jaccard_pairs(docs, n=3, threshold=0.2).select("id_a", "id_b")
+    out = dd.canonical_keeper_by_quality(docs, dd.dedup_cluster_assignment(docs, prs))
+    per = out.groupBy("cluster_id").agg(
+        F.sum(F.col("keep").cast("int")).alias("k"), F.count("*").alias("n")
+    )
+    assert per.filter(F.col("k") != 1).count() == 0  # exactly one keeper each

@@ -74,6 +74,7 @@ SMOKE = {
     "pipe_benchmark_overlap": "benchmark overlap report (semi-filtered corpus side)",
     "pipe_ann_ivfpq_rerank": "IVF-PQ + exact rerank (broadcast candidate refine)",
     "pipe_tfidf_keywords": "TF-IDF keywords (tf agg + df re-agg + doc top-k)",
+    "pipe_dedup_canonical": "cluster canonicalization (max-struct agg + join-back)",
 }
 
 #: table -> {column: key_domain}. Columns sharing a domain shift by the
