@@ -1098,3 +1098,85 @@ def remove_contaminated_spans(
         n_removed.alias("n_removed"),
         F.concat_ws(" ", kept).alias("clean_text"),
     )
+
+
+#: training sequence length for the concat-and-chunk step (small so the
+#: synthetic ~55-token docs genuinely straddle sequence boundaries)
+SEQ_CHUNK_LEN = 64
+
+
+def sequence_chunks(
+    docs: DataFrame,
+    seq_len: int = SEQ_CHUNK_LEN,
+    seed: int = 0,
+    buckets: int = SHUFFLE_BUCKETS,
+) -> DataFrame:
+    """GPT-style sequence construction bookkeeping: concatenate the
+    corpus in deterministic epoch-shuffle order and cut fixed
+    ``seq_len``-token training sequences — this operator computes, for
+    every document, its global token offset and the [first_seq,
+    last_seq] range of training sequences it lands in (the packing map
+    a sequence-writer and attention-masking stage consume). The
+    "concat-and-chunk" data layout of GPT-2/3-style pretraining,
+    public literature.
+
+    Global token offsets WITHOUT a global sort (the epoch_shuffle
+    two-phase, applied to token sums instead of row counts): documents
+    order by (md5-bucket, key, doc_id); per-bucket token totals are
+    one tiny aggregation (≤ ``buckets`` rows, collected and folded
+    into a literal offset map) and the running sum is a WITHIN-bucket
+    window. Pure function of (seed, doc_id, n_tok) — retry-safe,
+    epoch = seed.
+
+    Output: (doc_id, shuffle_off, n_tok, first_seq, last_seq, n_seqs)
+    — first/last NULL for zero-token documents (they occupy no
+    sequence).
+    """
+    from pyspark.sql import Window
+
+    from impala_cut_spark.operators.text import token_count
+
+    keyed = docs.select(
+        "doc_id",
+        token_count(F.coalesce(F.col("text"), F.lit("")))
+        .cast("bigint")
+        .alias("n_tok"),
+        md5_hash60(
+            F.concat_ws("\x1f", F.lit(str(seed)), F.col("doc_id"))
+        ).alias("k"),
+    ).withColumn("bkt", (F.col("k") % buckets).cast("int"))
+    totals = {
+        r["bkt"]: r["t"]
+        for r in keyed.groupBy("bkt").agg(F.sum("n_tok").alias("t")).collect()
+    }
+    offsets, acc = {}, 0
+    for bkt in range(buckets):
+        offsets[bkt] = acc
+        acc += int(totals.get(bkt, 0) or 0)
+    off_map = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])[
+        F.col("bkt")
+    ]
+    within = F.sum("n_tok").over(
+        Window.partitionBy("bkt")
+        .orderBy("k", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    placed = keyed.select(
+        "doc_id",
+        "n_tok",
+        (off_map + within - F.col("n_tok")).cast("bigint").alias("shuffle_off"),
+    )
+    has = F.col("n_tok") > 0
+    first_seq = F.expr(f"shuffle_off div {int(seq_len)}")
+    last_seq = F.expr(f"(shuffle_off + n_tok - 1) div {int(seq_len)}")
+    return placed.select(
+        "doc_id",
+        "shuffle_off",
+        "n_tok",
+        F.when(has, first_seq).cast("bigint").alias("first_seq"),
+        F.when(has, last_seq).cast("bigint").alias("last_seq"),
+        F.when(has, last_seq - first_seq + 1)
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("n_seqs"),
+    )

@@ -680,3 +680,51 @@ def pipe_dedup_canonical(spark, sf_dir):
     prs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2).select("id_a", "id_b")
     assignment = dedup.dedup_cluster_assignment(docs, prs)
     return dedup.canonical_keeper_by_quality(docs, assignment)
+
+
+# ---------------------------------------------------------------------------
+# concat-and-chunk sequence construction map
+# ---------------------------------------------------------------------------
+
+SEQ_SEED = 0
+
+
+def _seq_chunks_oracle() -> str:
+    h = SQL_H60.format(
+        x=f"'{SEQ_SEED}' || chr(31) || CAST(doc_id AS VARCHAR)"
+    )
+    return f"""
+WITH l AS (SELECT doc_id, CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tok FROM documents),
+keyed AS (SELECT doc_id, n_tok, {h} AS k FROM l),
+o AS (SELECT doc_id, n_tok,
+             CAST(coalesce(sum(n_tok) OVER (
+                    ORDER BY k % {corpus.SHUFFLE_BUCKETS}, k, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS shuffle_off
+      FROM keyed)
+SELECT doc_id, shuffle_off, n_tok,
+       CASE WHEN n_tok > 0
+            THEN shuffle_off // {corpus.SEQ_CHUNK_LEN} END AS first_seq,
+       CASE WHEN n_tok > 0
+            THEN (shuffle_off + n_tok - 1) // {corpus.SEQ_CHUNK_LEN} END AS last_seq,
+       CASE WHEN n_tok > 0
+            THEN (shuffle_off + n_tok - 1) // {corpus.SEQ_CHUNK_LEN}
+                 - shuffle_off // {corpus.SEQ_CHUNK_LEN} + 1
+            ELSE 0 END AS n_seqs
+FROM o
+"""
+
+
+@query("pipe_seq_chunks", oracle=_seq_chunks_oracle())
+def pipe_seq_chunks(spark, sf_dir):
+    """Concat-and-chunk sequence construction map (operators/corpus.py
+    sequence_chunks): the corpus concatenated in deterministic
+    epoch-shuffle order and cut into fixed {n}=64-token training
+    sequences — per document, its global token offset and the
+    [first_seq, last_seq] range it occupies (what a sequence writer
+    and document-boundary attention mask consume). Global offsets via
+    the epoch_shuffle band-offset two-phase applied to TOKEN sums
+    (≤64-row collected offset map + within-bucket window) — no global
+    sort; the oracle runs the naive global cumulative window, same
+    integers by construction."""
+    return corpus.sequence_chunks(t(spark, sf_dir, "documents"), seed=SEQ_SEED)

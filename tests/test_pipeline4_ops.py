@@ -615,3 +615,38 @@ def test_canonical_exactly_one_keeper_per_cluster(spark, sf_dir):
         F.sum(F.col("keep").cast("int")).alias("k"), F.count("*").alias("n")
     )
     assert per.filter(F.col("k") != 1).count() == 0  # exactly one keeper each
+
+
+# -- concat-and-chunk sequence map --------------------------------------------
+
+
+def test_seq_chunks_tile_token_axis(spark, sf_dir):
+    """Documents tile the concatenated token axis exactly: sorted by
+    shuffle_off, each offset equals the previous offset + its n_tok
+    (no gaps, no overlaps), and seq ranges are the floor-div closed
+    form."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = sorted(corpus.sequence_chunks(docs).collect(), key=lambda r: r["shuffle_off"])
+    acc = 0
+    for r in rows:
+        assert r["shuffle_off"] == acc
+        acc += r["n_tok"]
+        if r["n_tok"] > 0:
+            assert r["first_seq"] == r["shuffle_off"] // corpus.SEQ_CHUNK_LEN
+            assert r["last_seq"] == (r["shuffle_off"] + r["n_tok"] - 1) // corpus.SEQ_CHUNK_LEN
+            assert r["n_seqs"] == r["last_seq"] - r["first_seq"] + 1
+    assert acc == sum(r["n_tok"] for r in rows)
+    assert any(r["n_seqs"] > 1 for r in rows)   # docs genuinely straddle sequences
+
+
+def test_seq_chunks_zero_token_and_determinism(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, None), (3, " "), (4, "d " * 70)],
+        "doc_id bigint, text string",
+    )
+    a = {r["doc_id"]: r for r in corpus.sequence_chunks(docs).collect()}
+    b = {r["doc_id"]: r for r in corpus.sequence_chunks(docs).collect()}
+    assert {k: tuple(v) for k, v in a.items()} == {k: tuple(v) for k, v in b.items()}
+    for d in (2, 3):
+        assert a[d]["n_tok"] == 0 and a[d]["first_seq"] is None and a[d]["n_seqs"] == 0
+    assert a[4]["n_tok"] == 70 and a[4]["n_seqs"] >= 2  # spans a boundary

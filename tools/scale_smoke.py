@@ -75,6 +75,7 @@ SMOKE = {
     "pipe_ann_ivfpq_rerank": "IVF-PQ + exact rerank (broadcast candidate refine)",
     "pipe_tfidf_keywords": "TF-IDF keywords (tf agg + df re-agg + doc top-k)",
     "pipe_dedup_canonical": "cluster canonicalization (max-struct agg + join-back)",
+    "pipe_seq_chunks": "concat-and-chunk sequence map (band-offset two-phase)",
 }
 
 #: table -> {column: key_domain}. Columns sharing a domain shift by the
