@@ -650,3 +650,56 @@ def test_seq_chunks_zero_token_and_determinism(spark):
     for d in (2, 3):
         assert a[d]["n_tok"] == 0 and a[d]["first_seq"] is None and a[d]["n_seqs"] == 0
     assert a[4]["n_tok"] == 70 and a[4]["n_seqs"] >= 2  # spans a boundary
+
+
+# -- property-based invariants for the decontamination family ----------------
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    corpus_toks=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d", "e"]), min_size=0, max_size=24)
+        .map(" ".join),
+        min_size=1,
+        max_size=6,
+    ),
+    bench_toks=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d", "e"]), min_size=4, max_size=16)
+        .map(" ".join),
+        min_size=1,
+        max_size=3,
+    ),
+)
+def test_span_family_invariants(spark, corpus_toks, bench_toks):
+    """For ANY corpus/benchmark over a tiny alphabet (k=4 so overlaps
+    are common): (1) remove_contaminated_spans' n_removed equals
+    decontaminate_spans' contam_tokens doc-by-doc (shared island
+    merge); (2) clean_text token count == n_tok - n_removed; (3) no
+    benchmark k-gram survives in any cleaned text; (4) contam_tokens
+    <= n_tok."""
+    k = 4
+    docs = _txt_docs(spark, list(enumerate(corpus_toks)))
+    bench = _txt_docs(spark, [(100 + i, t) for i, t in enumerate(bench_toks)])
+    spans = {r["doc_id"]: r for r in corpus.decontaminate_spans(docs, bench, k=k).collect()}
+    removed = {r["doc_id"]: r for r in corpus.remove_contaminated_spans(docs, bench, k=k).collect()}
+    bench_grams = set()
+    for t in bench_toks:
+        tk = [x for x in t.split(" ") if x]
+        bench_grams |= {" ".join(tk[i : i + k]) for i in range(len(tk) - k + 1)}
+    for d, sp in spans.items():
+        rm = removed[d]
+        assert rm["n_removed"] == sp["contam_tokens"] <= sp["n_tok"]
+        clean = [x for x in rm["clean_text"].split(" ") if x]
+        assert len(clean) == sp["n_tok"] - sp["contam_tokens"]
+        leftover = {" ".join(clean[i : i + k]) for i in range(len(clean) - k + 1)}
+        # NOTE: removing spans can CREATE new adjacencies (the cut
+        # edges become neighbors), so only untouched docs must be
+        # verbatim benchmark-k-gram free — and on those, clean text
+        # is the original, so any surviving benchmark gram would mean
+        # the span detector missed a hit
+        if rm["n_removed"] == 0:
+            assert not (leftover & bench_grams)
