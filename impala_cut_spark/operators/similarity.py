@@ -993,10 +993,12 @@ def _pq_encode_with_books(
     err = F.col("_e0")
     for s in range(1, m):
         err = err + F.col(f"_e{s}")
+    from impala_cut_spark.operators.text import round_half_up
+
     return out.select(
         "vec_id",
         F.concat_ws(",", *[F.col(f"c{s}") for s in range(m)]).alias("codes"),
-        F.round(err, 4).alias("recon_err"),
+        round_half_up(err, 4).alias("recon_err"),
     )
 
 

@@ -30,6 +30,21 @@ LANG_STOPWORDS: dict[str, list[str]] = {
 QUALITY_STOPWORDS = LANG_STOPWORDS["en"]
 
 
+def round_half_up(c: Column, scale: int) -> Column:
+    """Exact cross-engine ROUND_HALF_UP for NON-NEGATIVE doubles:
+    floor(x·10^s + 0.5) / 10^s. Both engines floor the SAME IEEE
+    double (multiply and add are correctly rounded, so the pre-floor
+    value is bit-identical given identical association) — unlike the
+    engines' native round(), whose double implementations disagree on
+    exact boundary ties (measured at sf0.1: 3/5000 quality values,
+    1/5000 bigram avg_nll, 1/2000 PQ recon_err flipped in the last
+    digit). SQL twin: floor(x * 10^s + 0.5) / 10^s. Negative inputs
+    would round toward +inf rather than away from zero — every caller
+    here is non-negative."""
+    m = F.lit(float(10**scale))
+    return F.floor(c * m + F.lit(0.5)) / m
+
+
 def tokens(text: Column) -> Column:
     """Whitespace tokenization, empty tokens dropped."""
     return F.filter(F.split(text, " "), lambda x: x != "")
@@ -103,7 +118,7 @@ def quality_score(text: Column) -> Column:
     len_term = F.least(ft["n_tok"].cast("double") / F.lit(100.0), F.lit(1.0))
     stop_term = F.least(ft["stop_ratio"] * F.lit(5.0), F.lit(1.0))
     shape_term = F.least(ft["avg_tok_len"] / F.lit(8.0), F.lit(1.0))
-    return F.round(
+    return round_half_up(
         F.lit(0.4) * len_term + F.lit(0.3) * stop_term + F.lit(0.3) * shape_term, 6
     )
 
@@ -597,9 +612,9 @@ def bigram_nll_scores(docs, text_col: str = "text"):
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(F.sum("nll").cast("double") / F.count(F.lit(1)), 6).alias(
-                "avg_nll"
-            ),
+            round_half_up(
+                F.sum("nll").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_nll"),
         )
     )
     return base.join(agg, "doc_id", "left").select(

@@ -93,9 +93,10 @@ WITH toks AS (SELECT doc_id, text, {_SQL_TOKS} AS l FROM documents),
                 / cast(len(l) as double) AS stop_ratio
        FROM toks)
 SELECT doc_id,
-       round(0.4 * least(n_tok / 100.0, 1.0)
+       floor((0.4 * least(n_tok / 100.0, 1.0)
              + 0.3 * least(stop_ratio * 5.0, 1.0)
-             + 0.3 * least(avg_tok_len / 8.0, 1.0), 6) AS quality
+             + 0.3 * least(avg_tok_len / 8.0, 1.0)) * 1000000 + 0.5)
+         / 1000000 AS quality
 FROM ft
 """,
 )
@@ -170,9 +171,10 @@ SELECT doc_id,
        len(regexp_extract_all(text, '{BPE_TOKEN_PATTERN}')) AS n_bpe_tok,
        round(avg_tok_len, 6) AS avg_tok_len,
        round(cast(n_distinct_tok as double) / cast(n_tok as double), 6) AS ttr,
-       round(0.4 * least(cast(n_tok as double) / 100.0, 1.0)
+       floor((0.4 * least(cast(n_tok as double) / 100.0, 1.0)
              + 0.3 * least(stop_ratio * 5.0, 1.0)
-             + 0.3 * least(avg_tok_len / 8.0, 1.0), 6) AS quality,
+             + 0.3 * least(avg_tok_len / 8.0, 1.0)) * 1000000 + 0.5)
+         / 1000000 AS quality,
        lang,
        CASE WHEN {g} = 0 THEN 'und' {first_argmax} ELSE 'und' END AS pred_lang,
        md5({_SQL_NORM}) AS fp

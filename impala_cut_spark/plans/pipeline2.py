@@ -445,11 +445,12 @@ WITH ft AS (
   FROM documents),
 q AS (
   SELECT doc_id, source, text, fp,
-         round(0.4 * least(cast(len(l) as double) / 100.0, 1.0)
+         floor((0.4 * least(cast(len(l) as double) / 100.0, 1.0)
              + 0.3 * least(cast({_sql_count_in(QUALITY_STOPWORDS)} as double)
                            / cast(len(l) as double) * 5.0, 1.0)
              + 0.3 * least(cast(list_sum(list_transform(l, x -> length(x))) as double)
-                           / cast(len(l) as double) / 8.0, 1.0), 6) AS quality
+                           / cast(len(l) as double) / 8.0, 1.0)) * 1000000 + 0.5)
+         / 1000000 AS quality
   FROM ft),
 kept AS (SELECT * FROM q WHERE quality >= 0.35),
 keep1 AS (SELECT fp, min(doc_id) AS keeper FROM kept GROUP BY fp),
@@ -785,7 +786,7 @@ def _pq_encode_oracle() -> str:
     return f"""
 WITH {_pq_oracle_ctes()}
 SELECT n.vec_id, concat_ws(',', {codes}) AS codes,
-       round({err}, 4) AS recon_err
+       floor(({err}) * 10000 + 0.5) / 10000 AS recon_err
 FROM v n
 {joins}
 """

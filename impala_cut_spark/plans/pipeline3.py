@@ -627,9 +627,10 @@ WITH toks AS (SELECT doc_id, {_SQL_TOKS3} AS l FROM documents),
                 AS DOUBLE) AS n_stop
        FROM toks),
      sc AS (SELECT doc_id, n_tok,
-                   round(0.4 * least(n_tokf / 100.0, 1.0)
+                   floor((0.4 * least(n_tokf / 100.0, 1.0)
                          + 0.3 * least((n_stop / n_tokf) * 5.0, 1.0)
-                         + 0.3 * least((sum_len / n_tokf) / 8.0, 1.0), 6) AS score
+                         + 0.3 * least((sum_len / n_tokf) / 8.0, 1.0))
+                        * 1000000 + 0.5) / 1000000 AS score
             FROM ft),
      c AS (SELECT doc_id, n_tok, score,
                   CAST(sum(n_tok) OVER (ORDER BY score DESC, doc_id ASC

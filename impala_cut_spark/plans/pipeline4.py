@@ -152,7 +152,7 @@ terms AS (SELECT pr.doc_id,
           LEFT JOIN c1 b ON pr.w2 = b.w
           CROSS JOIN tv),
 agg AS (SELECT doc_id, count(*) AS nb,
-               round(CAST(sum(nll) AS DOUBLE) / count(*), 6) AS avg_nll
+               floor(CAST(sum(nll) AS DOUBLE) / count(*) * 1000000 + 0.5) / 1000000 AS avg_nll
         FROM terms GROUP BY doc_id)
 SELECT l.doc_id,
        (l.doc_id % {text.SB_TRAIN_MOD} <> {text.SB_TRAIN_REM}) AS in_train,
@@ -273,9 +273,10 @@ WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS l FROM documents),
                 AS DOUBLE) AS n_stop
        FROM toks),
      sc AS (SELECT doc_id,
-                   round(0.4 * least(n_tokf / 100.0, 1.0)
+                   floor((0.4 * least(n_tokf / 100.0, 1.0)
                          + 0.3 * least((n_stop / n_tokf) * 5.0, 1.0)
-                         + 0.3 * least((sum_len / n_tokf) / 8.0, 1.0), 6) AS score
+                         + 0.3 * least((sum_len / n_tokf) / 8.0, 1.0))
+                        * 1000000 + 0.5) / 1000000 AS score
             FROM ft),
      j AS (SELECT sc.doc_id, d.lang, sc.score,
                   CAST(round(sc.score * 1000000) AS BIGINT) AS sm
@@ -387,12 +388,12 @@ def _sql_count_in_l(words: list[str]) -> str:
     oracle=f"""
 WITH toks AS (SELECT doc_id, source, {_SQL_TOKS} AS l FROM documents),
 f AS (SELECT source, len(l) AS n_tok,
-             CAST(round(round(0.4 * least(cast(len(l) as double) / 100.0, 1.0)
+             CAST(round(floor((0.4 * least(cast(len(l) as double) / 100.0, 1.0)
                   + 0.3 * least(cast({_sql_count_in_l(text.QUALITY_STOPWORDS)} as double)
                                 / cast(len(l) as double) * 5.0, 1.0)
                   + 0.3 * least(cast(list_sum(list_transform(l, x -> length(x))) as double)
-                                / cast(len(l) as double) / 8.0, 1.0), 6)
-                  * 1000000) AS BIGINT) AS q_micro
+                                / cast(len(l) as double) / 8.0, 1.0)) * 1000000 + 0.5)
+                  / 1000000 * 1000000) AS BIGINT) AS q_micro
       FROM toks),
 agg AS (SELECT source, count(*) AS n_docs,
                CAST(sum(n_tok) AS BIGINT) AS tok_sum,
@@ -647,12 +648,12 @@ def _dedup_canonical_oracle() -> str:
 WITH cl AS ({clusters}),
 tq AS (SELECT doc_id, {_SQL_TOKS} AS l FROM documents),
 q AS (SELECT doc_id,
-             CAST(round(round(0.4 * least(cast(len(l) as double) / 100.0, 1.0)
+             CAST(round(floor((0.4 * least(cast(len(l) as double) / 100.0, 1.0)
                   + 0.3 * least(cast({_sql_count_in_l(text.QUALITY_STOPWORDS)} as double)
                                 / cast(len(l) as double) * 5.0, 1.0)
                   + 0.3 * least(cast(list_sum(list_transform(l, x -> length(x))) as double)
-                                / cast(len(l) as double) / 8.0, 1.0), 6)
-                  * 1000000) AS BIGINT) AS q_micro
+                                / cast(len(l) as double) / 8.0, 1.0)) * 1000000 + 0.5)
+                  / 1000000 * 1000000) AS BIGINT) AS q_micro
       FROM tq),
 j AS (SELECT cl.doc_id, cl.cluster_id, q.q_micro
       FROM cl JOIN q ON q.doc_id = cl.doc_id),
