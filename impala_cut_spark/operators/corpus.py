@@ -669,7 +669,9 @@ def budget_select(
     offsets, acc = {}, 0
     for b in range(buckets):
         offsets[b] = acc
-        acc += int(totals.get(b, 0))
+        # sum(weight) is NULL for an all-NULL-weight band — guard like
+        # sequence_chunks does
+        acc += int(totals.get(b, 0) or 0)
     off = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])[
         F.col("_band")
     ]

@@ -915,6 +915,108 @@ def semdedup(
     )
 
 
+#: paper-scale cap on the √N rule (Abbas et al. cluster 5B docs into
+#: 100k cells)
+SEMDEDUP_MAX_CELLS = 100_000
+
+
+def semdedup_cells(n: int) -> int:
+    """The production cell-count rule: cells = clamp(⌊√N⌋, 1, 100k).
+    √N balances the two N·cells-shaped costs — assignment work
+    (N × cells distance evaluations) against within-cell pair work
+    (~N²/cells cosines) — total ~N^1.5, far below the N² of a flat
+    self-join.  Integer-exact via isqrt; the DuckDB replay uses
+    floor(sqrt(N)) on doubles, identical for any N below 2^52 (the
+    correctly-rounded IEEE sqrt of an exactly-representable integer
+    first diverges from isqrt near 2^52 ≈ 4.5e15 rows)."""
+    import math
+
+    return max(1, min(math.isqrt(n), SEMDEDUP_MAX_CELLS))
+
+
+def semdedup_auto(
+    embeddings: DataFrame, threshold: float = 0.9, vec: str = "embedding"
+) -> DataFrame:
+    """``semdedup`` with the production sizing WIRED IN (round-6
+    verdict #5): cells ≈ √N, centroids picked by a deterministic
+    stride rule (every ⌊N/cells⌋-th vec_id, first ``cells`` of them),
+    and — because √N cells outgrows literal expression trees — the
+    assignment runs as a BROADCAST JOIN against the centroid frame
+    instead of per-centroid literal distance expressions: no driver
+    collect at all, and 100k-cell codebooks broadcast as ordinary
+    relations (a few hundred MB of vectors) exactly like any other
+    small dimension table.
+
+    Output and semantics identical to ``semdedup`` (keep=0 ⇔ a
+    lower-id same-cell vector has rounded cosine ≥ τ); only the
+    quantizer sizing/selection and the assignment's physical form
+    differ.  One driver-side count() sizes the rule; the oracle
+    replays the same arithmetic from SQL count(*).
+
+    Scale note: total work is Θ(N^1.5) BY DESIGN (the paper's
+    trade), so the 10×-growth wall ratio is expected around
+    10^1.5 ≈ 31× on the compute term — while the ABSOLUTE big-scale
+    cost collapses versus a fixed small cell count (whose pair term
+    is quadratic): at 10× sf0.1, ~29M distance+cosine evaluations
+    versus the fixed-16-cell variant's ~225M.
+    """
+    from pyspark.sql import Window
+
+    n = embeddings.count()
+    cells = semdedup_cells(n)
+    stride = max(1, n // cells)
+    cents = (
+        embeddings.filter(F.col("vec_id") % stride == 0)
+        .withColumn("cid", F.row_number().over(Window.orderBy("vec_id")))
+        .filter(F.col("cid") <= cells)
+        .select(
+            "cid",
+            F.col(vec).alias("ce"),
+            dot(F.col(vec), F.col(vec)).alias("cc"),
+        )
+    )
+    nv = with_norm(embeddings, vec)
+    d = F.round(F.col("cc") - 2.0 * dot(F.col(vec), F.col("ce")), 6)
+    assign = (
+        nv.select("vec_id", vec)
+        .join(F.broadcast(cents), how="cross")
+        .select("vec_id", d.alias("d"), "cid")
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d", "cid")).alias("m"))
+        .select("vec_id", F.col("m.cid").alias("cid"))
+    )
+    vv = nv.join(assign, "vec_id")
+    a = vv.select(
+        "cid",
+        F.col("vec_id").alias("id_a"),
+        F.col(vec).alias("va"),
+        F.col("_norm").alias("na"),
+    )
+    b = vv.select(
+        "cid",
+        F.col("vec_id").alias("id_b"),
+        F.col(vec).alias("vb"),
+        F.col("_norm").alias("nb"),
+    )
+    cos = F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
+    dup_ids = (
+        a.join(b, "cid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cos >= F.lit(threshold))
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        vv.select("vec_id", "cid")
+        .join(dup_ids.withColumn("_dup", F.lit(1)), "vec_id", "left")
+        .select(
+            "vec_id",
+            "cid",
+            F.when(F.col("_dup").isNull(), 1).otherwise(0).alias("keep"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (PQ): the IVF-PQ compression path
 # ---------------------------------------------------------------------------

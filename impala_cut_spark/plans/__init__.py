@@ -26,6 +26,7 @@ from impala_cut_spark.plans import pipeline  # noqa: E402,F401
 from impala_cut_spark.plans import pipeline2  # noqa: E402,F401
 from impala_cut_spark.plans import pipeline3  # noqa: E402,F401
 from impala_cut_spark.plans import pipeline4  # noqa: E402,F401
+from impala_cut_spark.plans import pipeline5  # noqa: E402,F401
 from impala_cut_spark.plans import perf  # noqa: E402,F401
 
 #: the first 50 registry entries — the driver's correctness window.
@@ -97,23 +98,36 @@ from impala_cut_spark.plans import perf  # noqa: E402,F401
 #: its slot to pipe_bigram_ppl (bigram Stupid-Backoff LM scoring —
 #: count-table joins with a genuinely exercised backoff path, a NEW
 #: round-6 family; 500 rows at sf0.01). Oracle kept below the window.
+#: Round-7 rotation (VERDICT r6 #2) — witness four never-seen TPC rows
+#: by ceding their many-times-witnessed shape twins (every donor keeps
+#: its oracle below the window):
+#:   tpcds_q27 (witnessed r6) → tpcds_q34, its demographics-filter
+#:     star twin, owed since the r5 verdict;
+#:   tpcds_q3 (witnessed r1-r6) → tpcds_q52, the same
+#:     date⋈fact⋈item brand-agg shape (q55 stays its below-window twin);
+#:   tpcds_q46 (witnessed r4-r6) → tpcds_q96, the time/household-dim
+#:     filter count (q68 keeps the cross-dimension inequality shape
+#:     q46 shared with it);
+#:   tpch_q9 (witnessed r1-r6) → tpch_q7, the repo-added
+#:     shipping-nations query — q7 itself now holds the multi-join
+#:     CASE-agg shape in-window.
 DRIVER_WINDOW: list[str] = [
-    # TPC-H (6 of 22 — q3/q4/q5/q8/q10/q11/q12/q13/q14/q15/q16/q17/
-    # q19/q20/q22 below the window, oracles intact)
+    # TPC-H (6 of 23 — q3/q4/q5/q8/q9/q10/q11/q12/q13/q14/q15/q16/
+    # q17/q19/q20/q22 below the window, oracles intact)
     "tpch_q1",
     "tpch_q2",
     "tpch_q6",
-    "tpch_q9",
+    "tpch_q7",
     "tpch_q18",
     "tpch_q21",
     # TPC-DS shapes (7 of 22 — the rest follow below the window)
-    "tpcds_q3",
     "tpcds_q8",
-    "tpcds_q27",
-    "tpcds_q46",
+    "tpcds_q34",
+    "tpcds_q52",
     "tpcds_q59",
     "tpcds_q65",
     "tpcds_q68",
+    "tpcds_q96",
     # §2 operator families, merged one-per-row (coverage2.py)
     "cov_predicates_views",
     "cov_join_all",

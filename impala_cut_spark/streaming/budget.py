@@ -53,12 +53,16 @@ def _budget_group(key, pdfs, state: GroupState):
     budget = BUDGET_TOKENS
     total = state.get[0] if state.exists else 0
     (source,) = key
+    # A group arrives as an ITERATOR of Arrow chunks in arbitrary
+    # post-shuffle order; the doc_id-order contract holds per batch, so
+    # accumulate every chunk first, then sort ONCE (same pattern as
+    # streaming/sessions.py).  Sorting chunk-by-chunk would fold the
+    # cumulative sum out of order whenever a source spans chunks.
+    pdf = pd.concat(list(pdfs), ignore_index=True).sort_values("doc_id")
     out: list[tuple[int, str, int, int, int]] = []
-    for pdf in pdfs:
-        pdf = pdf.sort_values("doc_id")  # arrival order within the batch
-        for did, n in zip(pdf["doc_id"], pdf["n_tok"]):
-            total += int(n)
-            out.append((int(did), source, int(n), total, 1 if total <= budget else 0))
+    for did, n in zip(pdf["doc_id"], pdf["n_tok"]):
+        total += int(n)
+        out.append((int(did), source, int(n), total, 1 if total <= budget else 0))
     state.update((total,))
     yield pd.DataFrame(out, columns=["doc_id", "source", "n_tok", "cum_tokens", "admit"])
 

@@ -21,11 +21,39 @@ Struct maps (field ids from beeswax.thrift):
     QueryNotFoundException {}
     ConfigVariable   {1: key, 2: value, 3: description}
 
-Methods: query, executeAndWait, explain, fetch, get_state,
-get_results_metadata, echo, dump_config, get_log,
-get_default_configuration, close, clean — the full BeeswaxService
-surface (the ImpalaService extension's Cancel/ResetCatalog are
-no-op/deprecated-by-SQL in the reference itself).
+Methods: the full BeeswaxService surface (query, executeAndWait,
+explain, fetch, get_state, get_results_metadata, echo, dump_config,
+get_log, get_default_configuration, close, clean) PLUS the
+ImpalaService extension the stock reference shell actually drives
+(``common/thrift/ImpalaService.thrift:172-200``; call sites in
+``shell/impala_shell.py``):
+
+    PingImpalaService  → TPingImpalaServiceResp{1: version}   (:642, first RPC on connect)
+    Cancel             → TStatus                              (:985, ^C)
+    ResetCatalog       → TStatus  (deprecated; → clearCache)
+    ResetTable         → TStatus  (deprecated; → refreshTable)
+    GetRuntimeProfile  → string   (:999; Spark QueryExecution text)
+    CloseInsert        → TInsertResult{1: map<string,i64>}    (:844, after DML)
+    GetExecSummary     → TExecSummary{1: state}               (`summary` command)
+
+Extension struct maps: TStatus {1: i32 code, 2: list<string> msgs};
+TInsertResult rows_appended is keyed by partition in the reference —
+Spark's DataWritingCommandExec metric exposes the TOTAL row count
+(numOutputRows) but not per-partition splits, so the map carries one
+entry under key "" (the shell only ever sums the values:
+impala_shell.py:852).
+
+Query.configuration options are scoped to the OPERATION lifetime (the
+reference scopes them to the query's TQueryCtx): applied before
+planning, held while the client fetches (so execution-time Spark confs
+are genuinely active when the lazy plan runs), and restored at
+close/CloseInsert/clean.  The server session is shared, so a per-key
+owner table arbitrates overlapping clients: a key is restored only by
+the operation that last applied it — a later conflicting apply takes
+ownership and the earlier op's restore becomes a no-op (documented
+delta: the reference gives every query a private TQueryCtx; one shared
+SparkSession cannot, so overlapping conflicting options follow
+last-writer-wins during the overlap).
 """
 
 from __future__ import annotations
@@ -42,6 +70,20 @@ from impala_cut_spark.session import ImpalaSession
 
 QUERY_STATE_FINISHED = 4  # beeswax.thrift QueryState enum position
 QUERY_STATE_EXCEPTION = 5
+TSTATUS_OK = 0  # Status.thrift TStatusCode
+TSTATUS_RUNTIME_ERROR = 4
+EXEC_STATE_FINISHED = 4  # ExecStats.thrift TExecState
+VERSION_STRING = "impala_cut_spark shell server (PySpark re-expression)"
+
+
+class _NullCtx:
+    """No-op context manager (lock already held)."""
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        return False
 
 
 class BeeswaxError(Exception):
@@ -77,6 +119,10 @@ class BeeswaxThriftServer:
         self._ops: dict[str, _Operation] = {}
         self._next = itertools.count(1)
         self._lock = threading.Lock()
+        # Query.configuration scoping: key → handle of the operation
+        # that last applied it (see module docstring); an op restores
+        # only the keys it still owns at close time
+        self._opt_owner: dict[str, str] = {}
         outer = self
 
         class Handler(socketserver.StreamRequestHandler):
@@ -123,9 +169,10 @@ class BeeswaxThriftServer:
         except BeeswaxError as e:
             w = tp.BinaryWriter()
             w.message_begin(name, tp.REPLY, seqid)
-            # fetch declares QueryNotFoundException at 1, BeeswaxException
-            # at 2; every other method declares BeeswaxException at 1
-            exc_fid = 2 if name == "fetch" else 1
+            # fetch/CloseInsert/GetExecSummary declare
+            # QueryNotFoundException at 1 and BeeswaxException at 2;
+            # every other method declares BeeswaxException at 1
+            exc_fid = 2 if name in ("fetch", "CloseInsert", "GetExecSummary") else 1
             w.field(tp.STRUCT, exc_fid)
             w.field(tp.STRING, 1)
             w.write_string(str(e))
@@ -147,36 +194,87 @@ class BeeswaxThriftServer:
         sql = q.get(1, b"").decode() if isinstance(q, dict) else ""
         # Query.configuration (beeswax.thrift field 3: list<string>
         # "k=v") — the reference shell ships its SET options with every
-        # query and impalad applies them (impala-beeswax-server.cc
-        # QueryToTQueryContext) scoped to THAT query's TQueryCtx only,
-        # so one client's options must not stick for other clients:
-        # snapshot the touched keys, apply, plan, then restore
+        # query and impalad applies them scoped to THAT query's
+        # TQueryCtx (impala-beeswax-server.cc QueryToTQueryContext).
+        # Options are held for the OPERATION lifetime — applied before
+        # planning, restored at close — so execution-time Spark confs
+        # are active when the client's fetch actually runs the plan.
+        # The apply window is serialized under the server lock.
         shipped: list[tuple[str, str]] = []
         if isinstance(q, dict):
             for item in q.get(3) or []:
                 s = item.decode() if isinstance(item, (bytes, bytearray)) else str(item)
                 if "=" in s:
                     k, v = s.split("=", 1)
-                    shipped.append((k.strip(), v.strip()))
-        before = self.session.options()
-        try:
+                    shipped.append((k.strip().lower(), v.strip()))
+        with self._lock:
+            h = str(next(self._next))
+            before = self.session.options()
+            restore: dict[str, str | None] = {}
+            for k, _ in shipped:
+                prev_owner = self._opt_owner.get(k)
+                if prev_owner is not None and prev_owner in self._ops:
+                    # the current session value is another live op's
+                    # TRANSIENT setting — inherit ITS restore target,
+                    # else closing last would re-impose the transient
+                    restore[k] = self._ops[prev_owner]._restore.get(k)
+                else:
+                    restore[k] = before.get(k)
             for k, v in shipped:
                 self.session.set_option(k, v)
+                self._opt_owner[k] = h
             try:
                 df = self.session.sql(sql)
             except Exception as e:  # noqa: BLE001 — analysis error → client
+                self._release_options(h, restore, locked=True)
                 raise BeeswaxError(f"{type(e).__name__}: {e}") from e
-        finally:
-            for k, _ in shipped:
-                k = k.lower()
-                if k in before:
-                    self.session.set_option(k, before[k])
-                else:
-                    self.session.unset_option(k)
-        with self._lock:
-            h = str(next(self._next))
-            self._ops[h] = _Operation(df)
+            op = _Operation(df)
+            op._df = df  # for GetRuntimeProfile / GetExecSummary
+            op._restore = restore
+            op.rows_appended = self._insert_rows(df, sql)
+            self._ops[h] = op
         return h
+
+    @staticmethod
+    def _insert_rows(df, sql: str) -> dict[str, int] | None:
+        """For DML, the total-rows-written metric of the eagerly-run
+        write command (Spark's DataWritingCommandExec numOutputRows) —
+        what CloseInsert reports.  None for non-DML."""
+        import re
+
+        if not re.match(r"^\s*(insert|load\s+data)\b", sql, re.IGNORECASE):
+            return None
+        total = 0
+        try:
+            cmd = df._jdf.queryExecution().executedPlan().commandPhysicalPlan()
+            it = cmd.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                if kv._1() == "numOutputRows":
+                    total = int(kv._2().value())
+        except Exception:  # noqa: BLE001 — LOAD DATA has no write plan
+            total = 0
+        return {"": total}
+
+    def _release_options(self, h: str, restore: dict[str, str | None], locked: bool = False) -> None:
+        """Restore the option keys this operation still owns (a later
+        conflicting apply takes ownership — last-writer-wins)."""
+        ctx = _NullCtx() if locked else self._lock
+        with ctx:
+            for k, v in restore.items():
+                if self._opt_owner.get(k) != h:
+                    continue
+                del self._opt_owner[k]
+                if v is None:
+                    self.session.unset_option(k)
+                else:
+                    self.session.set_option(k, v)
+
+    def _close_op(self, handle: str) -> _Operation | None:
+        op = self._ops.pop(handle, None)
+        if op is not None:
+            self._release_options(handle, getattr(op, "_restore", {}))
+        return op
 
     def _op(self, args: dict[int, Any]) -> _Operation:
         o = self._ops.get(_read_handle(args))
@@ -282,12 +380,107 @@ class BeeswaxThriftServer:
         w.stop()
 
     def _m_close(self, w: tp.BinaryWriter, args) -> None:
-        if self._ops.pop(_read_handle(args), None) is None:
+        if self._close_op(_read_handle(args)) is None:
             raise QueryNotFound()
         w.stop()  # void
 
     def _m_clean(self, w: tp.BinaryWriter, args) -> None:
+        # clean(log_context) — the handle id doubles as the log context
+        self._close_op(_read_handle(args))
         w.stop()  # void
+
+    # -- ImpalaService extension (ImpalaService.thrift:172-200) -------------
+
+    def _write_tstatus(self, w: tp.BinaryWriter, code: int = TSTATUS_OK,
+                       msgs: tuple[str, ...] = ()) -> None:
+        w.field(tp.STRUCT, 0)
+        w.field(tp.I32, 1)
+        w.write_i32(code)
+        w.write_string_list(2, list(msgs))
+        w.stop()  # TStatus
+        w.stop()  # result
+
+    def _m_PingImpalaService(self, w: tp.BinaryWriter, args) -> None:
+        # first RPC the stock shell sends on connect
+        # (shell/impala_shell.py:642) — it requires a parseable reply,
+        # not TApplicationException, to consider the server an impalad
+        w.field(tp.STRUCT, 0)
+        w.field(tp.STRING, 1)
+        w.write_string(f"{VERSION_STRING} [spark {self.session.spark.version}]")
+        w.stop()  # TPingImpalaServiceResp
+        w.stop()
+
+    def _m_Cancel(self, w: tp.BinaryWriter, args) -> None:
+        # every query here runs to completion at execute time, so
+        # Cancel on a live handle is the reference's cancel-after-
+        # finish case: TStatus(OK); an unknown handle throws
+        # BeeswaxException per the IDL
+        if self._ops.get(_read_handle(args)) is None:
+            raise BeeswaxError("Invalid query handle")
+        self._write_tstatus(w)
+
+    def _m_ResetCatalog(self, w: tp.BinaryWriter, args) -> None:
+        # deprecated alias of INVALIDATE METADATA — drop cached
+        # relation data/metadata so the next access reloads
+        self.session.spark.catalog.clearCache()
+        self._write_tstatus(w)
+
+    def _m_ResetTable(self, w: tp.BinaryWriter, args) -> None:
+        # deprecated alias of REFRESH <table>; TResetTableReq
+        # {1: db_name, 2: table_name}
+        req = args.get(1, {})
+        db = (req.get(1, b"") or b"").decode() if isinstance(req, dict) else ""
+        tbl = (req.get(2, b"") or b"").decode() if isinstance(req, dict) else ""
+        name = f"{db}.{tbl}" if db and db != "default" else tbl
+        try:
+            self.session.spark.catalog.refreshTable(name)
+        except Exception as e:  # noqa: BLE001 — unknown table → error status
+            self._write_tstatus(w, TSTATUS_RUNTIME_ERROR, (f"{type(e).__name__}: {e}",))
+            return
+        self._write_tstatus(w)
+
+    def _m_GetRuntimeProfile(self, w: tp.BinaryWriter, args) -> None:
+        # the reference returns the coordinator's runtime profile tree;
+        # the Spark-side equivalent is the QueryExecution summary
+        # (parsed/analyzed/optimized/physical plans)
+        op = self._ops.get(_read_handle(args))
+        if op is None:  # IDL declares only BeeswaxException here
+            raise BeeswaxError("Invalid query handle")
+        text = f"Query Runtime Profile (Spark QueryExecution):\n{op._df._jdf.queryExecution().toString()}"
+        w.field(tp.STRING, 0)  # IDL: returns a bare string
+        w.write_string(text)
+        w.stop()
+
+    def _m_CloseInsert(self, w: tp.BinaryWriter, args) -> None:
+        # closes the handle and reports rows appended (the shell sums
+        # the map's values: impala_shell.py:852); keyed "" — Spark's
+        # write metric is the total, not per-partition (module doc)
+        h = _read_handle(args)
+        if self._ops.get(h) is None:
+            raise QueryNotFound()
+        op = self._close_op(h)
+        rows = op.rows_appended or {"": 0}
+        w.field(tp.STRUCT, 0)
+        w.field(tp.MAP, 1)
+        w.map_begin(tp.STRING, tp.I64, len(rows))
+        for k, v in rows.items():
+            w.write_string(k)
+            w.write_i64(int(v))
+        w.stop()  # TInsertResult
+        w.stop()
+
+    def _m_GetExecSummary(self, w: tp.BinaryWriter, args) -> None:
+        # TExecSummary{1: required TExecState state} — queries here are
+        # complete by fetch time, so FINISHED; per-node stats are a
+        # C++-runtime concept with no Spark twin (profile carries the
+        # plan text instead)
+        if self._ops.get(_read_handle(args)) is None:
+            raise QueryNotFound()
+        w.field(tp.STRUCT, 0)
+        w.field(tp.I32, 1)
+        w.write_i32(EXEC_STATE_FINISHED)
+        w.stop()  # TExecSummary
+        w.stop()
 
     # -- lifecycle ---------------------------------------------------------
 
@@ -399,6 +592,40 @@ class BeeswaxThriftClient:
 
     def close_query(self, handle: str) -> None:
         self._call("close", self._handle_args(handle))
+
+    # -- ImpalaService extension (what the stock shell drives) --------------
+
+    def ping_impala_service(self) -> str:
+        return self._call("PingImpalaService", lambda w: None)[0][1].decode()
+
+    def cancel(self, handle: str) -> int:
+        """→ TStatus.status_code."""
+        return self._call("Cancel", self._handle_args(handle))[0][1]
+
+    def reset_catalog(self) -> int:
+        return self._call("ResetCatalog", lambda w: None)[0][1]
+
+    def reset_table(self, db: str, table: str) -> int:
+        def build(w: tp.BinaryWriter) -> None:
+            w.field(tp.STRUCT, 1)
+            w.field(tp.STRING, 1)
+            w.write_string(db)
+            w.field(tp.STRING, 2)
+            w.write_string(table)
+            w.stop()
+
+        return self._call("ResetTable", build)[0][1]
+
+    def get_runtime_profile(self, handle: str) -> str:
+        return self._call("GetRuntimeProfile", self._handle_args(handle))[0].decode()
+
+    def close_insert(self, handle: str) -> dict[str, int]:
+        res = self._call("CloseInsert", self._handle_args(handle))[0]
+        return {k.decode(): v for k, v in res.get(1, {}).items()}
+
+    def get_exec_summary(self, handle: str) -> int:
+        """→ TExecSummary.state."""
+        return self._call("GetExecSummary", self._handle_args(handle))[0][1]
 
     def close(self) -> None:
         self._f.close()

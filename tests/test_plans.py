@@ -163,8 +163,10 @@ def test_driver_window_is_first_50():
     assert names[:50] == DRIVER_WINDOW
     # every operator family has a row inside the window
     families = {
-        "tpch": ["tpch_q1"],
-        "tpcds": ["tpcds_q3"],
+        # round-7 rotation: tpcds_q3→q52 (same brand-agg shape),
+        # tpch_q9→q7 (q7 holds the multi-join CASE-agg shape now)
+        "tpch": ["tpch_q1", "tpch_q7"],
+        "tpcds": ["tpcds_q52"],
         "predicates": ["cov_predicates_views"],
         "joins": ["cov_join_all"],
         "aggs": ["cov_agg_all"],

@@ -136,3 +136,19 @@ def test_sweep_found_regressions(seed, isession, oracle, pool):
     q = QueryGen(random.Random(seed), pool).create_query(depth=2)
     msg = run_one(isession, oracle, q.sql, q.fuzzy)
     assert msg is None, f"{msg}\n{q.sql}"
+
+
+def test_session_fuzz_clean_window(isession, oracle, pool):
+    """Grammar v4 (round-7): a fixed window of the STATEFUL session
+    fuzz — SET/UNSET option mutations, codec-rotated CTAS round-trips,
+    view DDL persistence and plain compares interleaved on one live
+    session (tools/query_grammar.py --session). The CLI sweeps a much
+    wider range; this pins a deterministic slice in CI."""
+    import argparse
+
+    from query_grammar import run_session_fuzz
+
+    args = argparse.Namespace(
+        seed=20_000, queries=25, depth=2, verbose=False
+    )
+    assert run_session_fuzz(isession, oracle, pool, args) == 0

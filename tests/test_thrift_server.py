@@ -154,13 +154,17 @@ def test_query_configuration_applies_options(server, client):
     """Query.configuration (beeswax.thrift field 3) 'k=v' items are
     applied server-side, like impalad's QueryToTQueryContext — SET in
     the remote shell is not client-local.  And like the reference's
-    per-query TQueryCtx, they scope to THAT query only: one client's
-    shipped options must not stick for other clients (round-5 advice)."""
+    per-query TQueryCtx, they scope to THAT operation only: held while
+    the client fetches (execution-time confs stay active — round-6
+    advice), restored at close so they never stick for other clients
+    (round-5 advice)."""
     # plan-time option observably honored: the default limit caps rows
     h = client.query(
         "select n_nationkey from nation order by n_nationkey",
         configuration=["default_order_by_limit=3"],
     )
+    # op-lifetime scoping: the option is live while the handle is open…
+    assert server.session.options().get("default_order_by_limit") == "3"
     rows = client.fetch(h, fetch_size=100)["data"]
     client.close_query(h)
     assert len(rows) == 3
@@ -255,3 +259,98 @@ def test_reader_rejects_hostile_sizes():
     r = tp.BinaryReader(io.BytesIO(st.pack(">bbi", tp.STRING, tp.STRING, -1)))
     with pytest.raises(tp.TProtocolError, match="container size"):
         r.read_value(tp.MAP)
+
+
+# -- ImpalaService extension (ImpalaService.thrift:172-200) ------------------
+# The reference's stock shell cannot even connect without these:
+# PingImpalaService is the FIRST rpc it sends (impala_shell.py:642).
+
+
+def test_stock_shell_rpc_sequence_select(client):
+    """Replay the stock reference shell's exact RPC sequence for a
+    SELECT: connect → PingImpalaService (:642) → query → get_state
+    (:990) → fetch loop (:806) → get_results_metadata →
+    GetRuntimeProfile (:999) → GetExecSummary (:1007) → close (:871)."""
+    version = client.ping_impala_service()
+    assert "impala_cut_spark" in version and "spark" in version
+    h = client.query("select n_name from nation where n_nationkey < 3 order by n_name")
+    assert client.get_state(h) == 4  # FINISHED
+    page = client.fetch(h, fetch_size=2)
+    assert page["data"] == ["NATION_0", "NATION_1"] and page["has_more"]
+    page = client.fetch(h, fetch_size=100)
+    assert page["data"] == ["NATION_2"] and not page["has_more"]
+    assert client.get_results_metadata(h) == [("n_name", "string")]
+    profile = client.get_runtime_profile(h)
+    assert "Query Runtime Profile" in profile and "Physical Plan" in profile
+    assert client.get_exec_summary(h) == 4  # TExecState.FINISHED
+    client.close_query(h)
+    with pytest.raises(QueryNotFound):
+        client.fetch(h)
+
+
+def test_stock_shell_rpc_sequence_insert(server, client, tmp_path):
+    """The shell's DML path: do_insert → query → poll get_state →
+    CloseInsert (impala_shell.py:844) which returns TInsertResult and
+    CLOSES the handle; the shell sums rows_appended.values() (:852)."""
+    server.session.sql(
+        f"create table thrift_ins (a int, b string) using parquet "
+        f"location '{tmp_path}/thrift_ins'"
+    )
+    try:
+        h = client.query("insert into thrift_ins values (1,'x'),(2,'y'),(3,'z')")
+        assert client.get_state(h) == 4
+        rows = client.close_insert(h)
+        assert sum(rows.values()) == 3
+        # CloseInsert closed the handle (the shell never calls close after it)
+        with pytest.raises(QueryNotFound):
+            client.close_insert(h)
+        h2 = client.query("select count(*) as n from thrift_ins")
+        assert client.fetch(h2)["data"] == ["3"]
+        client.close_query(h2)
+    finally:
+        server.session.spark.sql("drop table if exists thrift_ins")
+
+
+def test_cancel_reset_catalog_reset_table(server, client):
+    """Cancel/ResetCatalog/ResetTable return TStatus structs; Cancel on
+    an unknown handle throws BeeswaxException (the IDL contract)."""
+    h = client.query("select 1 as one")
+    assert client.cancel(h) == 0  # TStatusCode.OK — query already finished
+    client.close_query(h)
+    with pytest.raises(BeeswaxError):
+        client.cancel("no-such-handle")
+    assert client.reset_catalog() == 0
+    assert client.reset_table("default", "nation") == 0
+    # unknown table → RUNTIME_ERROR status (returned, not thrown)
+    assert client.reset_table("default", "definitely_not_a_table") == 4
+
+
+def test_runtime_profile_unknown_handle_is_beeswax_error(client):
+    """GetRuntimeProfile declares only BeeswaxException (fid 1) — an
+    unknown handle must surface as that, not QueryNotFound."""
+    with pytest.raises(BeeswaxError, match="Invalid query handle"):
+        client.get_runtime_profile("no-such-handle")
+
+
+def test_exec_summary_unknown_handle_is_query_not_found(client):
+    """GetExecSummary declares QueryNotFoundException at fid 1."""
+    with pytest.raises(QueryNotFound):
+        client.get_exec_summary("no-such-handle")
+
+
+def test_option_owner_arbitration(server, client):
+    """Two overlapping operations shipping the same option key: the
+    later apply takes ownership, so the earlier op's close must NOT
+    clobber the later op's live value (last-writer-wins during the
+    overlap; final close restores the pre-existing session value)."""
+    server.session.set_option("mem_limit", "1g")
+    try:
+        h1 = client.query("select 1 as one", configuration=["mem_limit=2g"])
+        h2 = client.query("select 2 as two", configuration=["mem_limit=3g"])
+        assert server.session.options().get("mem_limit") == "3g"
+        client.close_query(h1)  # h2 owns the key now — no-op restore
+        assert server.session.options().get("mem_limit") == "3g"
+        client.close_query(h2)  # owner closes → restored
+        assert server.session.options().get("mem_limit") == "1g"
+    finally:
+        server.session.unset_option("mem_limit")

@@ -34,6 +34,20 @@ cross-engine by construction*:
 Usage (the discrepancy-searcher twin):
 
     python tools/query_grammar.py --queries 200 --seed 0 [--sf DIR] [-v]
+    python tools/query_grammar.py --insert ...   # CTAS + INSERT round-trips
+    python tools/query_grammar.py --session ...  # v4 stateful session fuzz
+
+Grammar v4 (round 7, r6 verdict #7): ``--session`` mirrors the
+reference discrepancy searcher's STATEFUL runs — one persistent
+ImpalaSession across all seeds, interleaving (seeded, reproducible):
+SET/UNSET query-option mutations (DEFAULT_ORDER_BY_LIMIT with an
+immediate truncation-semantics micro-check, PARQUET_COMPRESSION_CODEC
+rotating the codec under subsequent CTAS round-trips, DISABLE_CODEGEN
+flipping whole-stage codegen under plain compares, byte-size and
+no-op options), CREATE VIEW persistence (views created from generated
+queries are re-queried at later steps, after unrelated option
+mutations), CTAS + INSERT…SELECT round-trips, and plain differential
+compares — all against the same live DuckDB oracle.
 
 Exit code 1 + a repro dump on the first mismatch. The pytest entry
 (`tests/test_query_grammar.py`) runs a fixed seed range so CI is
@@ -1017,6 +1031,116 @@ def generate(seed: int, pool: LiteralPool, depth: int = 2) -> GenQuery:
     return QueryGen(rng, pool).create_query(depth=depth)
 
 
+# --- grammar v4: stateful session fuzz -------------------------------------
+
+#: option mutations the session fuzz draws from: (key, value-choices).
+#: DEFAULT_ORDER_BY_LIMIT uses non-truncating magnitudes for the plain
+#: compares (the oracle runs the RAW sql, so a truncating limit would
+#: be a false positive on non-total-ordered queries); the truncating
+#: semantics are checked by a dedicated total-ordered micro-probe at
+#: every SET (below).
+_SESSION_OPTIONS: list[tuple[str, list[str]]] = [
+    ("default_order_by_limit", ["10000000", "50000000"]),
+    ("parquet_compression_codec", ["snappy", "gzip", "zstd", "none"]),
+    ("disable_codegen", ["1", "0"]),
+    ("parquet_file_size", ["67108864", "268435456"]),
+    ("batch_size", ["1024", "0"]),
+    ("mem_limit", ["1g", "0"]),
+    ("num_nodes", ["1", "0"]),
+]
+
+
+def _dol_probe(isess, con, n: int) -> str | None:
+    """Truncation-semantics check for DEFAULT_ORDER_BY_LIMIT over a
+    total-ordered statement: the session must append LIMIT n to a
+    top-level ORDER BY without LIMIT; the oracle runs it explicitly."""
+    sql = "select n_nationkey, n_name from nation order by n_nationkey"
+    spark_rows = [tuple(r) for r in isess.sql(sql).collect()]
+    duck_rows = con.sql(f"{sql} LIMIT {n}").fetchall()
+    msg = compare_results(spark_rows, duck_rows)
+    return f"default_order_by_limit probe (n={n}): {msg}" if msg else None
+
+
+def run_session_fuzz(isess, con, pool, args) -> int:
+    """One PERSISTENT session across all seeds; each step draws a
+    (seeded) action so runs are reproducible: option mutation, option
+    unset, CTAS+INSERT round-trip under the current codec, CREATE VIEW
+    + compare, re-query of an EARLIER view (definition stability across
+    unrelated mutations), or a plain differential compare under
+    whatever options are live."""
+    import sys
+    import time
+
+    bad = 0
+    active: dict[str, str] = {}
+    views: list[tuple[str, object]] = []  # (name, fuzzy)
+    t0 = time.time()
+    for s in range(args.seed, args.seed + args.queries):
+        arng = random.Random(f"session-{s}")
+        q = generate(s, pool, depth=args.depth)
+        roll = arng.random()
+        msg = None
+        what = "compare"
+        try:
+            if roll < 0.12:  # SET mutation
+                key, choices = arng.choice(_SESSION_OPTIONS)
+                val = arng.choice(choices)
+                what = f"set {key}={val}"
+                isess.sql(f"set {key}={val}")
+                active[key] = val
+                if key == "default_order_by_limit":
+                    # semantic micro-probe with a genuinely truncating
+                    # value, then restore the non-truncating one
+                    isess.set_option(key, "7")
+                    msg = _dol_probe(isess, con, 7)
+                    isess.set_option(key, val)
+                if msg is None:
+                    msg = run_one(isess, con, q.sql, q.fuzzy)
+            elif roll < 0.20 and active:  # UNSET a live option
+                key = arng.choice(sorted(active))
+                what = f"unset {key}"
+                isess.unset_option(key)
+                del active[key]
+                msg = run_one(isess, con, q.sql, q.fuzzy)
+            elif roll < 0.35:  # CTAS + INSERT under the current codec
+                what = f"insert-roundtrip (codec={active.get('parquet_compression_codec', 'default')})"
+                msg = run_insert_roundtrip(isess, con, q, name=f"grammar_rt_{s}")
+            elif roll < 0.45:  # CREATE VIEW from this query
+                name = f"gv_{s}"
+                what = f"create view {name}"
+                isess.sql(f"create view {name} as {q.sql}")
+                con.sql(f"CREATE VIEW {name} AS {q.sql}")
+                views.append((name, q.fuzzy))
+                msg = run_one(isess, con, f"select * from {name}", q.fuzzy)
+            elif roll < 0.55 and views:  # re-query an earlier view
+                name, fz = arng.choice(views)
+                what = f"requery view {name}"
+                msg = run_one(isess, con, f"select * from {name}", fz)
+            else:
+                msg = run_one(isess, con, q.sql, q.fuzzy)
+        except Exception as e:  # an engine rejecting a step IS a finding
+            msg = f"exception: {type(e).__name__}: {str(e)[:300]}"
+        if args.verbose:
+            print(f"-- seed {s} [{what}]")
+        if msg is not None:
+            bad += 1
+            print(
+                f"\nDISCREPANCY seed={s} [{what}] options={active}: {msg}\n{q.sql}\n",
+                file=sys.stderr,
+            )
+    for name, _ in views:
+        isess.sql(f"drop view if exists {name}")
+        con.sql(f"DROP VIEW IF EXISTS {name}")
+    for key in list(active):
+        isess.unset_option(key)
+    dt = time.time() - t0
+    print(
+        f"{args.queries} session-fuzz steps, {bad} discrepancies, "
+        f"{dt:.1f}s ({dt / max(1, args.queries):.2f}s/step)"
+    )
+    return 1 if bad else 0
+
+
 # --- discrepancy searcher CLI ---------------------------------------------
 
 
@@ -1034,6 +1158,13 @@ def main() -> int:
         "--insert",
         action="store_true",
         help="run CTAS + INSERT...SELECT round-trips instead of bare SELECT compares",
+    )
+    ap.add_argument(
+        "--session",
+        action="store_true",
+        help="v4 stateful session fuzz: interleave SET/UNSET option "
+        "mutations, CTAS/INSERT round-trips and view DDL across one "
+        "persistent session",
     )
     ap.add_argument("-v", "--verbose", action="store_true")
     args = ap.parse_args()
@@ -1057,6 +1188,9 @@ def main() -> int:
         )
     install_oracle_macros(con)
     pool = LiteralPool(args.sf, con)
+
+    if args.session:
+        return run_session_fuzz(isess, con, pool, args)
 
     bad = 0
     t0 = time.time()

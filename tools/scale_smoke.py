@@ -14,10 +14,14 @@ the plan is linear in the data — shuffles keyed correctly, no
 quadratic candidate stage, no driver-side collect growing with the
 corpus. Ratios well above 10 flag a scale problem.
 
-    python tools/scale_smoke.py            # writes SCALE.md + prints JSON
+    python tools/scale_smoke.py            # main 10× table (rewrites its section)
+    python tools/scale_smoke.py --skew     # skew-stress section (r6 verdict #6)
+    python tools/scale_smoke.py --x100     # 100× spot-check section (r6 verdict #8)
 
 Replicated tables: lineitem, orders, events, documents, embeddings
-(the ones the smoke queries touch). Output: SCALE.md at the repo root.
+(the ones the smoke queries touch). Output: SCALE.md at the repo root
+— each mode rewrites only its own section, so the three evidence
+blocks (plus the hand-written Methodology) survive regenerations.
 """
 
 from __future__ import annotations
@@ -76,7 +80,62 @@ SMOKE = {
     "pipe_tfidf_keywords": "TF-IDF keywords (tf agg + df re-agg + doc top-k)",
     "pipe_dedup_canonical": "cluster canonicalization (max-struct agg + join-back)",
     "pipe_seq_chunks": "concat-and-chunk sequence map (band-offset two-phase)",
+    # round-7 families
+    "pipe_semdedup_auto": "SemDeDup, production cells≈√N (broadcast-join assignment)",
 }
+
+#: per-row root-cause notes (r6 verdict #3/#4: every outlier ratio
+#: carries its explanation IN SCALE.md, regenerations included)
+NOTES = {
+    "pipe_dedup_exact": (
+        "≈7× is the compute-bound floor, not a scaling defect: the md5 "
+        "fingerprint kernel ALONE reproduces the ratio (isolated r7 probe: "
+        "0.375s → 2.571s = 6.9×) — hashing every text byte is pure linear "
+        "CPU, and at sf0.1 the query is so cheap (~0.4s) that almost no "
+        "fixed overhead is left to amortize. No super-linear term exists: "
+        "the only shuffle carries one ~60-byte fingerprint row per doc."
+    ),
+    "pipe_dedup_blocks": (
+        "same kernel economics as dedup_exact (tokenize + per-8-token-block "
+        "md5 dominates); the r6 4.6× row caught a noisy pass — isolated r7 "
+        "re-measure: 1.15s → 2.80s = 2.4× (same-config spread is ±30% under "
+        "load, BASELINE.md round-5/6 notes)."
+    ),
+    "pipe_embed_semdedup": (
+        "frozen FIXED-16-cell variant: within-cell pair work is quadratic "
+        "by construction at a fixed cell count — kept as the oracle-pinned "
+        "test value; the production √N rule is wired as pipe_semdedup_auto."
+    ),
+    "pipe_semdedup_auto": (
+        "total work is Θ(N^1.5) BY THE PAPER'S DESIGN (cells≈√N balances "
+        "assignment against pair work), so this row's honest bar is "
+        "10^1.5 ≈ 31×, not 10×; the point of the rule is the ABSOLUTE "
+        "big-scale cost: ~29M distance evaluations at 10× versus the "
+        "fixed-16-cell variant's ~225M."
+    ),
+}
+
+#: skew-stress fixture (r6 verdict #6): ONE hot 8-token shingle/block
+#: prepended to ~30% of documents — the Zipf-boilerplate case the
+#: agg+join-back dedup rework claims AQE can absorb. 8 tokens = one
+#: full block (dedup.BLOCK_TOKENS) = one full substring shingle (k=8).
+HOT_PREFIX = "terms of service apply to all content herein"
+SKEW_QUERIES = {
+    "pipe_dedup_substring": "substring-span dedup (hot shingle in 30% of docs)",
+    "pipe_dedup_blocks": "block dedup (hot first block in 30% of docs)",
+    "pipe_dedup_canonical": "canonicalization (minhash clusters under hot prefix)",
+}
+SKEW_DST = "/tmp/scale_skew"
+
+#: 100× spot-check (r6 verdict #8): validate that the 10× amortization
+#: story extrapolates — documents-only replicas at 100× (~sf10).
+X100_QUERIES = {
+    "pipe_dedup_substring": "substring-span dedup",
+    "pipe_dedup_minhash": "MinHash+LSH dedup",
+    "pipe_budget_select": "token-budget selection",
+}
+X100_DST = "/tmp/scale_sf10"
+X100_REPLICAS = 100
 
 #: table -> {column: key_domain}. Columns sharing a domain shift by the
 #: SAME offset, so every replica preserves referential integrity (the
@@ -146,11 +205,145 @@ def time_one(spark, sf_dir: str, name: str) -> float:
     return time.time() - t0
 
 
+def replace_section(text: str, header: str, block: str) -> str:
+    """Rewrite only `header`'s section (to the next '## ' or EOF);
+    insert before '## Methodology' (or append) if absent."""
+    i = text.find(header)
+    if i >= 0:
+        j = text.find("\n## ", i + len(header))
+        end = len(text) if j < 0 else j + 1
+        return text[:i] + block + text[end:]
+    k = text.find("## Methodology")
+    if k >= 0:
+        return text[:k] + block + "\n" + text[k:]
+    return text + "\n" + block
+
+
+def build_skew_docs(spark, src_docs: str, dst_dir: str) -> None:
+    """documents with HOT_PREFIX prepended to doc_id % 10 < 3 (~30%)."""
+    from pyspark.sql import functions as F
+
+    dst = Path(dst_dir)
+    if dst.exists():
+        shutil.rmtree(dst)
+    dst.mkdir(parents=True)
+    docs = spark.read.parquet(src_docs)
+    out = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 10 < 3,
+            F.concat(F.lit(HOT_PREFIX + " "), F.coalesce(F.col("text"), F.lit(""))),
+        ).otherwise(F.col("text")),
+    )
+    out.write.mode("overwrite").parquet(f"{dst_dir}/documents.parquet")
+
+
+def run_skew(spark) -> None:
+    """Skew stress: the three agg+join-back dedup families on the
+    uniform ~sf1 corpus vs the same corpus with one hot shingle/block
+    in 30% of docs.  Bar (r6 verdict #6): skew ≤ 2× uniform."""
+    if not Path(f"{DST}/documents.parquet").exists():
+        build_replicas(spark)
+    build_skew_docs(spark, f"{DST}/documents.parquet", SKEW_DST)
+    uni: dict[str, float] = {}
+    skw: dict[str, float] = {}
+    for rnd in range(2):
+        for name in SKEW_QUERIES:
+            u = time_one(spark, DST, name)
+            s = time_one(spark, SKEW_DST, name)
+            uni[name] = round(min(uni.get(name, u), u), 3)
+            skw[name] = round(min(skw.get(name, s), s), 3)
+            print(f"  pass{rnd} {name}: uniform {u:.2f}s  skew {s:.2f}s", flush=True)
+    lines = [
+        "## Skew stress (tools/scale_smoke.py --skew)\n\n",
+        f"~sf1 uniform corpus vs the same corpus with ONE hot 8-token prefix\n"
+        f"(= one full block / one full k=8 shingle) on ~30% of documents —\n"
+        f"the Zipf-boilerplate case the r6 agg+join-back rework claims the\n"
+        f"map-side combine + AQE skew-split absorb.  Bar: skew ≤ 2× uniform.\n\n",
+        "| query | family | uniform s | skew s | skew/uniform |\n|---|---|---|---|---|\n",
+    ]
+    for name, fam in SKEW_QUERIES.items():
+        r = round(skw[name] / uni[name], 2) if uni[name] > 0 else float("nan")
+        flag = "" if r <= 2.0 else " ⚠"
+        lines.append(f"| {name} | {fam} | {uni[name]} | {skw[name]} | {r}×{flag} |\n")
+    _patch_scale("## Skew stress", "".join(lines))
+    print(json.dumps({"uniform": uni, "skew": skw}))
+
+
+def build_x100_docs(spark) -> None:
+    from pyspark.sql import functions as F
+
+    dst = Path(X100_DST)
+    if dst.exists():
+        shutil.rmtree(dst)
+    dst.mkdir(parents=True)
+    base = spark.read.parquet(f"{SRC}/documents.parquet")
+    off = int(base.agg(F.max("doc_id")).collect()[0][0]) + 1
+    parts = []
+    for i in range(X100_REPLICAS):
+        r = base.withColumn("doc_id", F.col("doc_id") + F.lit(i * off))
+        if i > 0:  # disjoint shingle shards — the 10× builder's rule
+            r = r.withColumn("text", F.regexp_replace("text", "(^| )", f"$1r{i}x"))
+        parts.append(r)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    out.repartition(64).write.mode("overwrite").parquet(
+        f"{X100_DST}/documents.parquet"
+    )
+    print(f"replicated documents: {X100_REPLICAS}x", flush=True)
+
+
+def run_x100(spark) -> None:
+    """100× spot-check: three representative families at ~sf10 —
+    validates the 10× amortization story extrapolates (bar: wall
+    ratio ≤ 100 = the data ratio)."""
+    build_x100_docs(spark)
+    time.sleep(5)
+    small: dict[str, float] = {}
+    big: dict[str, float] = {}
+    for rnd in range(2):
+        for name in X100_QUERIES:
+            s = time_one(spark, SRC, name)
+            b = time_one(spark, X100_DST, name)
+            small[name] = round(min(small.get(name, s), s), 3)
+            big[name] = round(min(big.get(name, b), b), 3)
+            print(f"  pass{rnd} {name}: sf0.1 {s:.2f}s  ~sf10 {b:.2f}s", flush=True)
+    lines = [
+        "## 100× spot-check (tools/scale_smoke.py --x100)\n\n",
+        "sf0.1 → 100× documents replicas (~sf10, disjoint shingle shards,\n"
+        "min-of-2 temporally-spread passes).  Bar: wall ratio ≤ 100 (the\n"
+        "data ratio) — fixed overhead keeps amortizing, so healthy rows\n"
+        "land far below it.\n\n",
+        "| query | family | sf0.1 s | ~sf10 s | ratio (data=100×) |\n|---|---|---|---|---|\n",
+    ]
+    for name, fam in X100_QUERIES.items():
+        r = round(big[name] / small[name], 1) if small[name] > 0 else float("nan")
+        flag = "" if r <= 100 else " ⚠"
+        lines.append(f"| {name} | {fam} | {small[name]} | {big[name]} | {r}×{flag} |\n")
+    _patch_scale("## 100× spot-check", "".join(lines))
+    print(json.dumps({"small": small, "big": big}))
+
+
+def _patch_scale(header: str, block: str) -> None:
+    out_path = REPO / "SCALE.md"
+    prior = out_path.read_text() if out_path.exists() else ""
+    out_path.write_text(replace_section(prior, header, block))
+    print(f"wrote SCALE.md section {header!r}")
+
+
 def main() -> None:
     from impala_cut_spark.session import build_session
 
     spark = build_session(app_name="scale-smoke", master="local[32]", shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
+
+    if "--skew" in sys.argv:
+        run_skew(spark)
+        return
+    if "--x100" in sys.argv:
+        run_x100(spark)
+        return
 
     build_replicas(spark)
     time.sleep(10)  # let replica-write writeback settle before timing
@@ -180,18 +373,29 @@ def main() -> None:
         "# SCALE — 10× growth smoke (tools/scale_smoke.py)\n",
         f"\nsf0.1 → {REPLICAS}× replicas (~sf1), local[32], per-(query, scale) min over two temporally-spread passes.",
         "\nLinear-at-scale bar: wall ratio ≤ ~10 (fixed per-query overhead",
-        " amortizes, so healthy ratios are usually BELOW the data ratio).\n",
+        " amortizes, so healthy ratios are usually BELOW the data ratio).",
+        "\nRows marked † carry a root-cause note below the table.\n",
         "\n| query | family | sf0.1 s | ~sf1 s | ratio (data=10×) |\n|---|---|---|---|---|\n",
     ]
     for name, fam, s, b, r in rows:
         flag = "" if r <= 12 else " ⚠"
-        lines.append(f"| {name} | {fam} | {s} | {b} | {r}×{flag} |\n")
+        mark = " †" if name in NOTES else ""
+        lines.append(f"| {name}{mark} | {fam} | {s} | {b} | {r}×{flag} |\n")
+    lines.append("\n### Notes\n\n")
+    for name, note in NOTES.items():
+        lines.append(f"- **{name}** — {note}\n")
+    lines.append("\n")
     out_path = REPO / "SCALE.md"
     prior = out_path.read_text() if out_path.exists() else ""
-    # keep the hand-written methodology section across regenerations
-    if "## Methodology" in prior:
-        lines.append("\n" + prior[prior.index("## Methodology"):])
-    out_path.write_text("".join(lines))
+    # section-aware rewrite: the main block spans from the top to the
+    # first preserved section ('## Skew stress' / '## 100× spot-check'
+    # / '## Methodology'); everything after survives
+    cut = len(prior)
+    for h in ("## Skew stress", "## 100× spot-check", "## Methodology"):
+        i = prior.find(h)
+        if i >= 0:
+            cut = min(cut, i)
+    out_path.write_text("".join(lines) + ("\n" + prior[cut:] if cut < len(prior) else ""))
     print(json.dumps({"small": small, "big": big}))
     print("wrote SCALE.md")
 
