@@ -1182,3 +1182,118 @@ def sequence_chunks(
         .cast("bigint")
         .alias("n_seqs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR: importance-resampling selection weights
+# ---------------------------------------------------------------------------
+
+#: hashed n-gram feature space (the paper buckets into 10k; 4096 keeps
+#: the bucket table broadcastable AND saturated at test SFs)
+DSIR_BUCKETS = 4096
+#: target domain: the English slice stands in for the paper's
+#: "formatted target" (e.g. Wikipedia+books) — any predicate works
+DSIR_TARGET_LANG = "en"
+
+
+def dsir_importance_weights(
+    docs: DataFrame,
+    target_lang: str = DSIR_TARGET_LANG,
+    buckets: int = DSIR_BUCKETS,
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR (Xie et al. 2023, "Data Selection for Language Models via
+    Importance Resampling", public literature): score every document
+    by how much more likely its hashed-bigram features are under the
+    TARGET domain's unigram-over-features distribution than under the
+    RAW corpus distribution — log w(x) = Σ_f [ln p̂_t(f) − ln p̂_r(f)]
+    with add-one smoothing; documents with positive mean log-ratio
+    look like the target and get selected.
+
+    Plan: ONE tokenize+explode pass emits (doc_id, bucket) hashed
+    bigram features; ONE bucket-keyed aggregate computes target and
+    raw counts side-by-side (conditional sums — no second corpus
+    scan); the bucket table is ≤ ``buckets`` rows BY CONSTRUCTION, so
+    the scoring join broadcasts regardless of corpus size; one 1-row
+    collect fetches the two totals; one doc-keyed aggregate folds the
+    per-feature log-ratios.  Every shuffle is either bucket-bounded
+    or per-document — linear at any corpus size, no skew surface
+    (hash-uniform buckets).
+
+    Cross-engine: counts are exact integers; each ln() is rounded to
+    6dp before the per-doc DECIMAL sum (order-free); the mean divides
+    by the exact feature count and re-rounds half-up (registry
+    conventions).
+
+    Output: (doc_id, is_target, n_feat, avg_logratio, keep) —
+    avg_logratio NULL (keep=false) for documents with < 2 tokens.
+    """
+    from impala_cut_spark.operators.text import round_half_up, tokens
+
+    base = docs.select(
+        "doc_id",
+        (F.col("lang") == target_lang).alias("is_target"),
+        tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("tk"),
+    )
+    feats = (
+        base.where(F.size("tk") >= 2)
+        .select(
+            "doc_id",
+            "is_target",
+            F.explode(
+                F.expr(
+                    "transform(sequence(2, size(tk)), "
+                    "i -> concat(element_at(tk, i-1), char(31), element_at(tk, i)))"
+                )
+            ).alias("bg"),
+        )
+        .select(
+            "doc_id",
+            "is_target",
+            (md5_hash60(F.col("bg")) % F.lit(int(buckets))).alias("b"),
+        )
+    )
+    cnt = feats.groupBy("b").agg(
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("ct"),
+        F.count(F.lit(1)).alias("cr"),  # raw = whole corpus incl. target
+    )
+    tot = cnt.agg(F.sum("ct"), F.sum("cr")).collect()[0]  # 1-row collect
+    tt, tr = int(tot[0] or 0), int(tot[1] or 0)
+    lt = F.round(F.log((F.col("ct") + 1).cast("double") / F.lit(float(tt + buckets))), 6)
+    lr = F.round(F.log((F.col("cr") + 1).cast("double") / F.lit(float(tr + buckets))), 6)
+    # each rounded ln() casts to DECIMAL on ITS OWN side before the
+    # sums subtract — decimal arithmetic end-to-end, no double
+    # re-rounding of a difference (registry determinism rules)
+    scored = (
+        feats.join(F.broadcast(cnt), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feat"),
+            (
+                F.sum(lt.cast("decimal(18,6)")) - F.sum(lr.cast("decimal(18,6)"))
+            ).alias("s"),
+        )
+        .select(
+            "doc_id",
+            "n_feat",
+            (
+                F.when(
+                    F.col("s") >= 0,
+                    round_half_up(F.col("s").cast("double") / F.col("n_feat"), 6),
+                ).otherwise(
+                    -round_half_up(-F.col("s").cast("double") / F.col("n_feat"), 6)
+                )
+            ).alias("avg_logratio"),
+        )
+    )
+    return (
+        base.select("doc_id", "is_target")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            "is_target",
+            F.coalesce(F.col("n_feat"), F.lit(0)).cast("bigint").alias("n_feat"),
+            "avg_logratio",
+            F.coalesce(F.col("avg_logratio") > 0, F.lit(False)).alias("keep"),
+        )
+    )

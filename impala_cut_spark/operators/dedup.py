@@ -963,3 +963,97 @@ def canonical_keeper_by_quality(docs: DataFrame, assignment: DataFrame) -> DataF
             & (F.col("doc_id") == -F.col("w.nd"))
         ).alias("keep"),
     )
+
+
+def dup_block_share(
+    docs: DataFrame,
+    block_tokens: int = BLOCK_TOKENS,
+    max_share: float = 0.3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Inter-document repetition filter (the MassiveText/RefinedWeb
+    "duplicated paragraph fraction" gate, public literature): per
+    document, the share of its fixed-size token blocks whose
+    fingerprint also occurs in AT LEAST ONE OTHER document; documents
+    above ``max_share`` are boilerplate-heavy (mirror pages, templated
+    spam) and dropped.  Complements block_dedup_keep_first: that op
+    deduplicates the BLOCKS, this one scores the DOCUMENTS by how
+    derivative they are.
+
+    Scale: the same keyed-block frame as block dedup (narrow explode),
+    then ONE fingerprint-keyed aggregate — count(distinct doc_id) per
+    fp collapses map-side via the two-level (fp, doc_id) pre-distinct
+    — and a fingerprint-keyed join-back (AQE-splittable if one
+    boilerplate block is Zipf-hot), then one doc-keyed agg.  No
+    windows over the fp partition, no pair generation at all: cost is
+    linear in total blocks regardless of how hot a block is.
+
+    Output: (doc_id, n_blocks, n_shared, dup_share, keep) —
+    dup_share = round_half_up(n_shared/n_blocks, 6).
+    """
+    from impala_cut_spark.operators.text import round_half_up, tokens
+
+    base = docs.select(
+        "doc_id", tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("tk")
+    ).where(F.size("tk") >= 1)
+    starts = F.sequence(F.lit(0), F.size("tk") - 1, F.lit(int(block_tokens)))
+    blocks = base.select("doc_id", "tk", F.posexplode(starts).alias("block_id", "_s"))
+    btk = F.slice(F.col("tk"), F.col("_s") + 1, int(block_tokens))
+    keyed = blocks.select(
+        "doc_id", "block_id", md5_hash60(F.concat_ws(" ", btk)).alias("fp")
+    )
+    # two-level: exact per-(fp, doc) distinct first (map-side combine
+    # absorbs a hot fp), then docs-per-fp
+    fp_docs = (
+        keyed.select("fp", "doc_id")
+        .distinct()
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("fp_docs"))
+    )
+    share = F.col("n_shared").cast("double") / F.col("n_blocks").cast("double")
+    return (
+        keyed.join(fp_docs, "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.sum(F.when(F.col("fp_docs") >= 2, 1).otherwise(0)).alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            "n_blocks",
+            "n_shared",
+            round_half_up(share, 6).alias("dup_share"),
+            (round_half_up(share, 6) <= F.lit(float(max_share))).alias("keep"),
+        )
+    )
+
+
+def soft_dedup_weights(docs: DataFrame, assignment: DataFrame) -> DataFrame:
+    """Frequency-weighted soft deduplication (the SoftDeDup /
+    "down-weight, don't drop" policy, public literature — e.g. He et
+    al. 2024 "SoftDedup: an efficient data reweighting method"):
+    instead of deleting near-duplicates, every member of an n-member
+    cluster trains with sampling weight 1/n, so each distinct content
+    contributes one unit of expected gradient mass while keeping the
+    stylistic variance of its copies.
+
+    Scale: one cluster-keyed count aggregate (map-side combine) + one
+    cluster-keyed join-back — the same skew-safe agg+join form as the
+    canonical/block families (no window over a boilerplate
+    mega-cluster).
+
+    Output: (doc_id, cluster_id, n_members, weight) — weight =
+    round(1/n, 6), an exact IEEE division of small integers both
+    engines round identically.
+    """
+    sizes = assignment.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_members"))
+    return (
+        assignment.select("doc_id", "cluster_id")
+        .join(sizes, "cluster_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            "n_members",
+            F.round(F.lit(1.0) / F.col("n_members").cast("double"), 6).alias("weight"),
+        )
+    )

@@ -68,3 +68,153 @@ def pipe_semdedup_auto(spark, sf_dir):
     the frozen 16-cell variant (its pinned test value and oracle are
     unchanged)."""
     return similarity.semdedup_auto(t(spark, sf_dir, "embeddings"), threshold=0.9)
+
+
+# ---------------------------------------------------------------------------
+# inter-document block repetition filter
+# ---------------------------------------------------------------------------
+
+_SQL_TOKS = "list_filter(string_split(coalesce(text, ''), ' '), x -> x <> '')"
+_BLOCK = 8  # dedup.BLOCK_TOKENS
+
+
+def _dup_block_share_oracle() -> str:
+    from impala_cut_spark.plans._util import SQL_H60
+
+    h = SQL_H60.format(
+        x=f"array_to_string(tk[block_id*{_BLOCK}+1 : block_id*{_BLOCK}+{_BLOCK}], ' ')"
+    )
+    return f"""
+WITH l AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents),
+nz AS (SELECT doc_id, tk FROM l WHERE len(tk) >= 1),
+blocks AS (SELECT doc_id, tk,
+                  unnest(range(0, CAST(ceil(len(tk) / {_BLOCK}.0) AS BIGINT)))
+                    AS block_id
+           FROM nz),
+keyed AS (SELECT doc_id, block_id, {h} AS fp FROM blocks),
+fpd AS (SELECT fp, count(DISTINCT doc_id) AS fp_docs FROM keyed GROUP BY 1),
+agg AS (SELECT doc_id, count(*) AS n_blocks,
+               sum(CASE WHEN fp_docs >= 2 THEN 1 ELSE 0 END) AS n_shared
+        FROM keyed JOIN fpd USING (fp) GROUP BY 1)
+SELECT doc_id, CAST(n_blocks AS BIGINT) AS n_blocks,
+       CAST(n_shared AS BIGINT) AS n_shared,
+       floor(CAST(n_shared AS DOUBLE) / n_blocks * 1000000 + 0.5) / 1000000
+         AS dup_share,
+       floor(CAST(n_shared AS DOUBLE) / n_blocks * 1000000 + 0.5) / 1000000 <= 0.3
+         AS keep
+FROM agg
+"""
+
+
+@query("pipe_dup_block_share", oracle=_dup_block_share_oracle())
+def pipe_dup_block_share(spark, sf_dir):
+    """Inter-document repetition filter (operators/dedup.py
+    dup_block_share; the MassiveText/RefinedWeb duplicated-paragraph-
+    fraction gate, public literature): per document, the share of its
+    8-token blocks whose fingerprint occurs in ≥2 distinct documents;
+    docs above 30% are boilerplate-heavy and dropped. One fp-keyed
+    two-level aggregate (per-(fp,doc) distinct collapses map-side) +
+    fp-keyed join-back + doc-keyed agg — no windows, no pairs, linear
+    in total blocks however hot a block is."""
+    from impala_cut_spark.operators import dedup
+
+    return dedup.dup_block_share(t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# soft deduplication: down-weight, don't drop
+# ---------------------------------------------------------------------------
+
+
+def _soft_dedup_oracle() -> str:
+    from impala_cut_spark.plans.registry import REGISTRY
+
+    clusters = REGISTRY["pipe_dedup_clusters"].oracle.strip()
+    return f"""
+WITH cl AS ({clusters}),
+sz AS (SELECT cluster_id, count(*) AS n_members FROM cl GROUP BY 1)
+SELECT cl.doc_id, cl.cluster_id, CAST(sz.n_members AS BIGINT) AS n_members,
+       floor(1.0 / sz.n_members * 1000000 + 0.5) / 1000000 AS weight
+FROM cl JOIN sz USING (cluster_id)
+"""
+
+
+@query("pipe_dedup_weights", oracle=_soft_dedup_oracle())
+def pipe_dedup_weights(spark, sf_dir):
+    """Frequency-weighted soft deduplication (operators/dedup.py
+    soft_dedup_weights; the SoftDeDup "down-weight, don't drop"
+    policy, public literature): every member of an n-member near-dup
+    cluster gets sampling weight 1/n — distinct content contributes
+    one unit of expected gradient mass while keeping its copies'
+    variance. One cluster-keyed count agg + join-back (the canonical/
+    block skew-safe form). Oracle nests the connected-components
+    replay; weight uses round_half_up so 1/2^k values (1/128 =
+    0.0078125 is an exact 6dp tie) cannot flip cross-engine."""
+    from impala_cut_spark.operators import dedup
+
+    docs = t(spark, sf_dir, "documents")
+    prs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.2).select("id_a", "id_b")
+    assignment = dedup.dedup_cluster_assignment(docs, prs)
+    return dedup.soft_dedup_weights(docs, assignment)
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance-resampling selection
+# ---------------------------------------------------------------------------
+
+
+def _dsir_oracle() -> str:
+    from impala_cut_spark.operators.corpus import DSIR_BUCKETS, DSIR_TARGET_LANG
+    from impala_cut_spark.plans._util import SQL_H60
+
+    h = SQL_H60.format(x="tk[i-1] || chr(31) || tk[i]")
+    b = DSIR_BUCKETS
+    return f"""
+WITH l AS (SELECT doc_id, lang = '{DSIR_TARGET_LANG}' AS is_target,
+                  {_SQL_TOKS} AS tk
+           FROM documents),
+f0 AS (SELECT doc_id, is_target, tk,
+              unnest(range(2, len(tk) + 1)) AS i
+       FROM l WHERE len(tk) >= 2),
+feats AS (SELECT doc_id, is_target, {h} % {b} AS bk FROM f0),
+cnt AS (SELECT bk,
+               sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS ct,
+               count(*) AS cr
+        FROM feats GROUP BY 1),
+tot AS (SELECT CAST(sum(ct) AS BIGINT) AS tt, CAST(sum(cr) AS BIGINT) AS tr
+        FROM cnt),
+sc AS (SELECT doc_id, count(*) AS n_feat,
+              sum(CAST(round(ln(CAST(ct + 1 AS DOUBLE) / (tt + {b})), 6)
+                       AS DECIMAL(18,6)))
+              - sum(CAST(round(ln(CAST(cr + 1 AS DOUBLE) / (tr + {b})), 6)
+                         AS DECIMAL(18,6))) AS s
+       FROM feats JOIN cnt USING (bk) CROSS JOIN tot
+       GROUP BY 1),
+fin AS (SELECT doc_id,
+               CAST(n_feat AS BIGINT) AS n_feat,
+               CASE WHEN s >= 0
+                    THEN floor(CAST(s AS DOUBLE) / n_feat * 1000000 + 0.5) / 1000000
+                    ELSE -floor(-CAST(s AS DOUBLE) / n_feat * 1000000 + 0.5) / 1000000
+               END AS avg_logratio
+        FROM sc)
+SELECT l.doc_id, l.is_target,
+       coalesce(f.n_feat, 0) AS n_feat,
+       f.avg_logratio,
+       coalesce(f.avg_logratio > 0, false) AS keep
+FROM l LEFT JOIN fin f USING (doc_id)
+"""
+
+
+@query("pipe_dsir_weights", oracle=_dsir_oracle())
+def pipe_dsir_weights(spark, sf_dir):
+    """DSIR importance-resampling selection (operators/corpus.py
+    dsir_importance_weights; Xie et al. 2023, public literature):
+    hashed-bigram features, add-one-smoothed target-vs-raw unigram
+    feature distributions, per-doc mean log importance ratio — the
+    'pick corpus slices that look like the target domain' selector.
+    ONE tokenize pass; target and raw counts ride the SAME bucket
+    aggregate as conditional sums; the bucket table is ≤4096 rows by
+    construction so the scoring join broadcasts at any corpus size."""
+    from impala_cut_spark.operators import corpus
+
+    return corpus.dsir_importance_weights(t(spark, sf_dir, "documents"))
