@@ -131,8 +131,19 @@ class _HS2Op:
 class HS2ThriftServer:
     """Threaded TCP TCLIService around one ImpalaSession."""
 
-    def __init__(self, session: ImpalaSession | None = None, host: str = "127.0.0.1", port: int = 0):
+    def __init__(
+        self,
+        session: ImpalaSession | None = None,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        auth=None,
+    ):
+        """``auth``: optional (user, password) → bool validator — when
+        set, connections must complete SASL/PLAIN first (the
+        reference's LDAP path wraps BOTH the beeswax and HS2 services:
+        be/src/rpc/auth-provider.h:114-121)."""
         self.session = session or ImpalaSession()
+        self._auth = auth
         self._ops: dict[bytes, _HS2Op] = {}
         self._sessions: set[bytes] = set()
         #: per-session negotiated TProtocolVersion (V6 clients get
@@ -147,15 +158,24 @@ class HS2ThriftServer:
 
         class Handler(socketserver.StreamRequestHandler):
             def handle(self) -> None:
-                r = tp.BinaryReader(self.rfile)
+                rfile, wfile = self.rfile, self.wfile
+                if outer._auth is not None:
+                    from impala_cut_spark import sasl_transport as st
+
+                    try:
+                        st.server_negotiate(rfile, wfile, outer._auth)
+                    except (st.SaslError, EOFError):
+                        return  # reject: negotiation reply already sent
+                    rfile = wfile = st.FramedFile(rfile, wfile)
+                r = tp.BinaryReader(rfile)
                 while True:
                     try:
                         name, mtype, seqid = r.message_begin()
                     except EOFError:
                         return
                     args = r.read_struct()
-                    self.wfile.write(outer._dispatch(name, seqid, args))
-                    self.wfile.flush()
+                    wfile.write(outer._dispatch(name, seqid, args))
+                    wfile.flush()
 
         class Server(socketserver.ThreadingTCPServer):
             allow_reuse_address = True
@@ -547,9 +567,14 @@ class HS2ThriftClient:
     """Minimal TCLIService TBinaryProtocol client (what a JDBC driver
     is, reduced to the tested surface)."""
 
-    def __init__(self, host: str, port: int):
+    def __init__(self, host: str, port: int, user: str | None = None, password: str = ""):
         self._sock = socket.create_connection((host, port))
         self._f = self._sock.makefile("rwb")
+        if user is not None:  # SASL/PLAIN (the LDAP client mode)
+            from impala_cut_spark import sasl_transport as st
+
+            st.client_negotiate(self._f, user, password)
+            self._f = st.FramedFile(self._f)
         self._seq = itertools.count(1)
         self.session: bytes | None = None
         self.proto = PROTOCOL_V1  # negotiated at open_session

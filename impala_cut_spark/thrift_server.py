@@ -114,11 +114,23 @@ class BeeswaxThriftServer:
     thrift-wire twin of server.py's jsonl QueryServer, sharing its
     _Operation paged-fetch machinery."""
 
-    def __init__(self, session: ImpalaSession | None = None, host: str = "127.0.0.1", port: int = 0):
+    def __init__(
+        self,
+        session: ImpalaSession | None = None,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        auth=None,
+    ):
+        """``auth``: optional (user, password) → bool validator — when
+        set, every connection must complete a SASL/PLAIN negotiation
+        first (the reference's LDAP auth path: LdapAuthProvider wraps
+        the server transport in PLAIN/SASL, auth-provider.h:114-121;
+        the stand-in for its ldap_simple_bind_s credential check)."""
         self.session = session or ImpalaSession()
         self._ops: dict[str, _Operation] = {}
         self._next = itertools.count(1)
         self._lock = threading.Lock()
+        self._auth = auth
         # Query.configuration scoping: key → handle of the operation
         # that last applied it (see module docstring); an op restores
         # only the keys it still owns at close time
@@ -127,15 +139,26 @@ class BeeswaxThriftServer:
 
         class Handler(socketserver.StreamRequestHandler):
             def handle(self) -> None:
-                r = tp.BinaryReader(self.rfile)
+                rfile, wfile = self.rfile, self.wfile
+                if outer._auth is not None:
+                    from impala_cut_spark import sasl_transport as st
+
+                    try:
+                        st.server_negotiate(rfile, wfile, outer._auth)
+                    except (st.SaslError, EOFError):
+                        return  # reject: negotiation reply already sent
+                    # reuse the SAME rfile/wfile pair (the buffered
+                    # reader may have consumed bytes past negotiation)
+                    rfile = wfile = st.FramedFile(rfile, wfile)
+                r = tp.BinaryReader(rfile)
                 while True:
                     try:
                         name, mtype, seqid = r.message_begin()
                     except EOFError:
                         return
                     args = r.read_struct()
-                    self.wfile.write(outer._dispatch(name, seqid, args))
-                    self.wfile.flush()
+                    wfile.write(outer._dispatch(name, seqid, args))
+                    wfile.flush()
 
         class Server(socketserver.ThreadingTCPServer):
             allow_reuse_address = True
@@ -499,9 +522,17 @@ class BeeswaxThriftClient:
     counterpart) — used by tests to drive the server exactly as a
     generated thrift client would."""
 
-    def __init__(self, host: str, port: int):
+    def __init__(self, host: str, port: int, user: str | None = None, password: str = ""):
+        """``user``: when given, run the SASL/PLAIN negotiation first —
+        the stock shell's LDAP mode (TSaslClientTransport(…, "PLAIN",
+        sock), shell/impala_shell.py:694)."""
         self._sock = socket.create_connection((host, port))
         self._f = self._sock.makefile("rwb")
+        if user is not None:
+            from impala_cut_spark import sasl_transport as st
+
+            st.client_negotiate(self._f, user, password)
+            self._f = st.FramedFile(self._f)
         self._seq = itertools.count(1)
 
     def _call(self, name: str, build_args) -> dict[int, Any]:
