@@ -703,3 +703,52 @@ def test_span_family_invariants(spark, corpus_toks, bench_toks):
         # the span detector missed a hit
         if rm["n_removed"] == 0:
             assert not (leftover & bench_grams)
+
+
+def test_stream_budget_gate_multichunk_group_folds_in_doc_id_order(spark):
+    """Round-6 advice: applyInPandasWithState delivers a group as an
+    ITERATOR of Arrow chunks in arbitrary post-shuffle order — a
+    source spanning chunks must still fold its cumulative sum in
+    doc_id order (chunks are concatenated THEN sorted once, not
+    sorted chunk-by-chunk). Forced here with a 7-row Arrow batch cap
+    and an input deliberately ordered to interleave doc_ids."""
+    from impala_cut_spark.streaming.budget import stream_budget_gate
+
+    import tempfile
+
+    conf = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prior = spark.conf.get(conf, None)
+    spark.conf.set(conf, "7")
+    try:
+        # 60 docs, one source, 10 tokens each; interleaved ids so the
+        # raw file order is NOT doc_id order
+        rows = [(int(i), "s0", "tok " * 10) for i in range(60)]
+        rows = rows[1::2][::-1] + rows[0::2]  # odd desc, then even asc
+        docs = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+        with tempfile.TemporaryDirectory() as td:
+            docs.coalesce(1).write.mode("overwrite").parquet(f"{td}/documents.parquet")
+            schema = spark.read.parquet(f"{td}/documents.parquet").schema
+            stream = spark.readStream.schema(schema).parquet(f"{td}/documents.parquet")
+            q = (
+                stream_budget_gate(stream)
+                .writeStream.outputMode("append")
+                .format("memory")
+                .queryName("budget_multichunk")
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+            got = {
+                r["doc_id"]: r
+                for r in spark.table("budget_multichunk").collect()
+            }
+        assert len(got) == 60
+        for i in range(60):
+            assert got[i]["cum_tokens"] == (i + 1) * 10, i
+    finally:
+        if prior is None:
+            spark.conf.unset(conf)
+        else:
+            spark.conf.set(conf, prior)
