@@ -1050,6 +1050,21 @@ _SESSION_OPTIONS: list[tuple[str, list[str]]] = [
 ]
 
 
+#: row-explosion guard for the session fuzz: a handful of seeds
+#: legitimately compose self-join fan-outs in the tens of millions of
+#: rows (e.g. seed 32901: lineitem⋈lineitem on the ~30-value suppkey,
+#: right-joined to a lineitem CTE — 82M result rows at sf0.001). The
+#: differential's value is the compare, not hauling 80M rows into
+#: Python, so steps whose ORACLE-side count exceeds this cap are
+#: counted and reported as skipped (a DuckDB count(*) over the same
+#: query takes <1s — the cheap side decides).
+SESSION_ROW_CAP = 5_000_000
+
+
+def _oracle_rows(con, sql: str) -> int:
+    return con.sql(f"SELECT count(*) FROM ({sql})").fetchone()[0]
+
+
 def _dol_probe(isess, con, n: int) -> str | None:
     """Truncation-semantics check for DEFAULT_ORDER_BY_LIMIT over a
     total-ordered statement: the session must append LIMIT n to a
@@ -1072,6 +1087,7 @@ def run_session_fuzz(isess, con, pool, args) -> int:
     import time
 
     bad = 0
+    skipped = 0
     active: dict[str, str] = {}
     views: list[tuple[str, object]] = []  # (name, fuzzy)
     t0 = time.time()
@@ -1082,6 +1098,11 @@ def run_session_fuzz(isess, con, pool, args) -> int:
         msg = None
         what = "compare"
         try:
+            if _oracle_rows(con, q.sql) > SESSION_ROW_CAP:
+                skipped += 1
+                if args.verbose:
+                    print(f"-- seed {s} [SKIPPED: row-explosion guard]")
+                continue
             if roll < 0.12:  # SET mutation
                 key, choices = arng.choice(_SESSION_OPTIONS)
                 val = arng.choice(choices)
@@ -1136,6 +1157,7 @@ def run_session_fuzz(isess, con, pool, args) -> int:
     dt = time.time() - t0
     print(
         f"{args.queries} session-fuzz steps, {bad} discrepancies, "
+        f"{skipped} row-cap skips, "
         f"{dt:.1f}s ({dt / max(1, args.queries):.2f}s/step)"
     )
     return 1 if bad else 0
