@@ -161,10 +161,16 @@ def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
 #: document-frequency cap on a shingle before the similarity self-join:
 #: a shingle shared by this many documents is boilerplate (zero
 #: discriminating signal) and would contribute O(df²) join rows — the
-#: classic Zipf hot key. High enough to be a provable no-op at test
-#: scale (df ≤ corpus size ≪ cap at sf ≤ 0.1); at 100 TB it bounds the
-#: worst join key at cap² rows instead of unbounded.
-MAX_SHINGLE_DF = 100_000
+#: classic Zipf hot key.  Still a provable no-op at every oracle scale
+#: (df ≤ corpus size ≪ cap at sf ≤ 0.1), and aligned with MAX_BUCKET's
+#: rationale.  Round-7 skew fixture finding: the prior 100k cap was so
+#: high it was ALSO a no-op on the 60k-doc skew replicas — one 8-token
+#: boilerplate prefix on 30% of docs (df = 18k) slid under it and
+#: ground the canonicalization pipeline through ~160M candidate pairs
+#: (13s → 304s).  At 10k, a df-18k boilerplate shingle is dropped
+#: outright and the worst SURVIVING key is bounded at ~5·10⁷ pair rows
+#: — AQE-splittable — instead of 10¹⁰ under the old cap.
+MAX_SHINGLE_DF = 10_000
 
 
 def _pair_jaccard(sh: DataFrame, threshold: float, max_df: int = MAX_SHINGLE_DF) -> DataFrame:
@@ -188,7 +194,7 @@ def _pair_jaccard(sh: DataFrame, threshold: float, max_df: int = MAX_SHINGLE_DF)
     hot-shingle list, broadcast anti-joined against each side. Per-doc
     sizes still count every shingle, so |A∪B| stays exact; only
     n_common can undercount for pairs whose overlap is boilerplate —
-    at the default cap this is a strict no-op below ~100k-doc corpora
+    at the default cap this is a strict no-op below ~10k-doc corpora
     (df ≤ corpus size), asserted against the oracle at sf0.01.
 
     Join key: the md5-60bit hash of the shingle, not the string —

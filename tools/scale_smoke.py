@@ -259,7 +259,14 @@ def run_skew(spark) -> None:
         f"~sf1 uniform corpus vs the same corpus with ONE hot 8-token prefix\n"
         f"(= one full block / one full k=8 shingle) on ~30% of documents —\n"
         f"the Zipf-boilerplate case the r6 agg+join-back rework claims the\n"
-        f"map-side combine + AQE skew-split absorb.  Bar: skew ≤ 2× uniform.\n\n",
+        f"map-side combine + AQE skew-split absorb.  Bar: skew ≤ 2× uniform.\n\n"
+        f"Fixture finding (round 7): the FIRST run of this fixture caught a\n"
+        f"real flaw — MAX_SHINGLE_DF was 100k, a no-op even on the skewed\n"
+        f"60k-doc corpus, so the canonicalization pipeline's Jaccard pair\n"
+        f"generation ground one df=18k boilerplate shingle into ~160M\n"
+        f"candidate pairs (13s → 304s).  The cap is now 10k (still a strict\n"
+        f"no-op at every oracle SF): the boilerplate shingle is dropped\n"
+        f"outright, and the numbers below are the post-fix re-measure.\n\n",
         "| query | family | uniform s | skew s | skew/uniform |\n|---|---|---|---|---|\n",
     ]
     for name, fam in SKEW_QUERIES.items():
