@@ -1063,3 +1063,55 @@ def soft_dedup_weights(docs: DataFrame, assignment: DataFrame) -> DataFrame:
             F.round(F.lit(1.0) / F.col("n_members").cast("double"), 6).alias("weight"),
         )
     )
+
+
+def ngram_novelty(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's
+    distinct word-n-gram shingles whose FIRST corpus occurrence
+    (smallest doc_id) is this document — the dedup-monitoring curve a
+    growing crawl tracks (novelty collapsing toward 0 means the crawl
+    is re-fetching what it already has; the per-doc score doubles as a
+    keep signal for incremental ingest).  The shingle-level
+    keep-first twin of dup_block_share's derivative-share.
+
+    Scale: one shingle-keyed min aggregate over the distinct shingle
+    index (map-side combine absorbs hot boilerplate shingles — min of
+    a BIGINT, one row per shingle per input partition), one
+    shingle-keyed join-back, one doc-keyed agg.  No windows, no pairs.
+
+    Output: (doc_id, n_shingles, n_novel, novelty, keep) — novelty =
+    round_half_up(n_novel/n_shingles, 6); docs with < n tokens have no
+    shingles and are emitted with n_shingles=0 and NULL novelty.
+    """
+    from impala_cut_spark.operators.text import round_half_up
+
+    sh = shingles(docs, n)
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    share = F.col("n_novel").cast("double") / F.col("n_shingles").cast("double")
+    scored = (
+        sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            round_half_up(share, 6).alias("novelty"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_shingles"), F.lit(0)).cast("bigint").alias("n_shingles"),
+            F.coalesce(F.col("n_novel"), F.lit(0)).cast("bigint").alias("n_novel"),
+            "novelty",
+            F.coalesce(F.col("novelty") > 0.5, F.lit(False)).alias("keep"),
+        )
+    )

@@ -218,3 +218,46 @@ def pipe_dsir_weights(spark, sf_dir):
     from impala_cut_spark.operators import corpus
 
     return corpus.dsir_importance_weights(t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# n-gram novelty: the dedup-monitoring curve
+# ---------------------------------------------------------------------------
+
+
+def _novelty_oracle(n: int = 3) -> str:
+    return f"""
+WITH tk AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id, s FROM (
+         SELECT doc_id,
+                unnest(CASE WHEN len(t) >= {n}
+                            THEN list_transform(range(1, len(t) - {n} + 2),
+                                   i -> array_to_string(t[i : i + {n} - 1], ' '))
+                            ELSE [] END) AS s
+         FROM tk)),
+first AS (SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY 1),
+agg AS (SELECT sh.doc_id, count(*) AS n_shingles,
+               sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS n_novel
+        FROM sh JOIN first f USING (s) GROUP BY 1)
+SELECT d.doc_id,
+       CAST(coalesce(a.n_shingles, 0) AS BIGINT) AS n_shingles,
+       CAST(coalesce(a.n_novel, 0) AS BIGINT) AS n_novel,
+       floor(CAST(a.n_novel AS DOUBLE) / a.n_shingles * 1000000 + 0.5) / 1000000
+         AS novelty,
+       coalesce(floor(CAST(a.n_novel AS DOUBLE) / a.n_shingles * 1000000 + 0.5)
+                  / 1000000 > 0.5, false) AS keep
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@query("pipe_ngram_novelty", oracle=_novelty_oracle())
+def pipe_ngram_novelty(spark, sf_dir):
+    """Per-document n-gram novelty (operators/dedup.py ngram_novelty):
+    fraction of a doc's distinct 3-gram shingles whose FIRST corpus
+    occurrence (min doc_id) is this doc — the dedup-monitoring curve a
+    growing crawl tracks, and a keep-first signal for incremental
+    ingest. One shingle-keyed min agg (map-side combine absorbs
+    boilerplate) + join-back + doc agg — no windows, no pairs."""
+    from impala_cut_spark.operators import dedup
+
+    return dedup.ngram_novelty(t(spark, sf_dir, "documents"))
