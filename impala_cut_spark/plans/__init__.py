@@ -111,6 +111,12 @@ from impala_cut_spark.plans import perf  # noqa: E402,F401
 #:   tpch_q9 (witnessed r1-r6) → tpch_q7, the repo-added
 #:     shipping-nations query — q7 itself now holds the multi-join
 #:     CASE-agg shape in-window.
+#: Second r7 rotation — pipe_embed_quantize (int8 narrow-map encode;
+#: pipe_embed_pq keeps the narrow-map embedding-encode shape
+#: in-window) ceded its slot to pipe_dsir_weights (DSIR
+#: importance-resampling selection — conditional-sum bucket aggregate
+#: + broadcast scoring join + per-doc decimal-sum fold, a NEW round-7
+#: family with no in-window shape twin). Oracle kept below the window.
 DRIVER_WINDOW: list[str] = [
     # TPC-H (6 of 23 — q3/q4/q5/q8/q9/q10/q11/q12/q13/q14/q15/q16/
     # q17/q19/q20/q22 below the window, oracles intact)
@@ -157,8 +163,9 @@ DRIVER_WINDOW: list[str] = [
     # round-3 pipeline families (pipeline2.py)
     "pipe_decontaminate",
     "pipe_pii_redact",
-    "pipe_embed_quantize",
     "pipe_embed_semdedup",
+    # round-7 family (second r7 rotation)
+    "pipe_dsir_weights",
     # round-4 families
     "pipe_embed_pq",
     "pipe_ann_ivfpq",

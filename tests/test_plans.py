@@ -191,7 +191,11 @@ def test_driver_window_is_first_50():
         "heavy_hitters": ["pipe_freq_shingles"],
         "multimodal": ["pipe_multimodal_features"],
         "streaming": ["stream_events_hourly", "stream_dedup", "pipe_sessions"],
-        "pipeline2": ["pipe_decontaminate", "pipe_pii_redact", "pipe_embed_quantize"],
+        # second r7 rotation: pipe_embed_quantize ceded to
+        # pipe_dsir_weights (narrow-map encode shape held by
+        # pipe_embed_pq in-window)
+        "pipeline2": ["pipe_decontaminate", "pipe_pii_redact"],
+        "dsir": ["pipe_dsir_weights"],
     }
     for fam, members in families.items():
         assert all(m in DRIVER_WINDOW for m in members), fam
