@@ -1120,7 +1120,18 @@ def test_random_pq_encode_matches_numpy(vecs, spark):
         for t_ in err_terms[1:]:
             err = err + t_
         assert got[i][0] == codes, (i, got[i][0], codes)
-        assert abs(got[i][1] - r(err, "1e-4")) < 1e-9, (i, got[i][1], err)
+        # the FINAL recon_err rounding uses the round-6 exact
+        # round_half_up convention (floor(x·10⁴+0.5)/10⁴ — text.py),
+        # not the native repr-based round the 6dp term sites keep:
+        # a widened-budget hypothesis run (round 7) found the one
+        # boundary where they differ (err = 6.565049999999999, whose
+        # ·10⁴ product rounds UP to exactly 65650.5 → floor yields
+        # 6.5651 while the repr path yields 6.5650 — both engines
+        # agree on the floor form, which is the point)
+        import math
+
+        expected = math.floor(err * 10**4 + 0.5) / 10**4
+        assert abs(got[i][1] - expected) < 1e-9, (i, got[i][1], err)
 
 
 # --- round-5 operators vs pure-Python replicas ----------------------------
