@@ -261,3 +261,63 @@ def pipe_ngram_novelty(spark, sf_dir):
     from impala_cut_spark.operators import dedup
 
     return dedup.ngram_novelty(t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# ANN index-quality report: recall@k of IVF vs brute-force ground truth
+# ---------------------------------------------------------------------------
+
+
+def _ann_recall_oracle() -> str:
+    from impala_cut_spark.plans.registry import REGISTRY
+
+    bf = REGISTRY["pipe_ann_topk"].oracle.strip()
+    ivf = REGISTRY["pipe_ann_ivf"].oracle.strip()
+    return f"""
+WITH bf AS (SELECT * FROM ({bf})),
+ivf AS (SELECT * FROM ({ivf})),
+hit AS (SELECT b.q_id, count(*) AS n_hit
+        FROM bf b JOIN ivf i ON i.q_id = b.q_id AND i.n_id = b.n_id
+        GROUP BY 1),
+qs AS (SELECT DISTINCT q_id FROM bf)
+SELECT q.q_id,
+       CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+       floor(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / 5.0 * 1000000 + 0.5)
+         / 1000000 AS recall_at_5
+FROM qs q LEFT JOIN hit h USING (q_id)
+"""
+
+
+@query("pipe_ann_recall", oracle=_ann_recall_oracle())
+def pipe_ann_recall(spark, sf_dir):
+    """ANN index-quality report: per-query recall@5 of the IVF index
+    (probe-4-of-16, frozen quantizer — pipe_ann_ivf's exact search)
+    against the brute-force cosine ground truth (pipe_ann_topk) — the
+    monitoring job every production vector index runs after a rebuild
+    ("did the cell layout still cover the true neighbors?").  Pure
+    composition of the two existing searches: one (q_id, n_id) equi
+    join + per-query count; the oracle nests both components' full
+    replays as CTE subqueries and computes the identical fraction."""
+    from pyspark.sql import functions as F
+
+    from impala_cut_spark.operators.text import round_half_up
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    bf = similarity.brute_force_topk(emb, queries, k=5).select("q_id", "n_id")
+    ivf = similarity.ivf_topk_fixed(emb, queries, k=5).select("q_id", "n_id")
+    hit = bf.join(ivf, ["q_id", "n_id"]).groupBy("q_id").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    return (
+        bf.select("q_id")
+        .distinct()
+        .join(hit, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("bigint").alias("n_hit"),
+            round_half_up(
+                F.coalesce(F.col("n_hit"), F.lit(0)).cast("double") / F.lit(5.0), 6
+            ).alias("recall_at_5"),
+        )
+    )
