@@ -106,6 +106,16 @@ NOTES = {
         "by construction at a fixed cell count — kept as the oracle-pinned "
         "test value; the production √N rule is wired as pipe_semdedup_auto."
     ),
+    "pipe_tfidf_keywords": (
+        "3.1× is amortized fixed overhead over linear work, not a "
+        "super-linear term: every stage shuffles (doc_id/term, count) "
+        "rows whose volume grows exactly with the corpus, and the "
+        "per-doc top-k window holds one document's term list — at sf1 "
+        "the ~1.3s sf0.1 floor still hides most of the growth.  r8 "
+        "also persisted the tf table (it fed both the df re-agg and "
+        "the scoring join unpersisted, so the corpus was "
+        "tokenized+exploded twice — the same defect bm25/dsir had)."
+    ),
     "pipe_semdedup_auto": (
         "total work is Θ(N^1.5) BY THE PAPER'S DESIGN (cells≈√N balances "
         "assignment against pair work), so this row's honest bar is "
@@ -126,6 +136,27 @@ SKEW_QUERIES = {
     "pipe_dedup_canonical": "canonicalization (minhash clusters under hot prefix)",
 }
 SKEW_DST = "/tmp/scale_skew"
+
+#: identical-docs stress (r7 verdict #2): ~30% of documents replaced by
+#: ONE byte-identical boilerplate text — the pathological LSH bucket
+#: (every band / every pigeonhole block collides) that the
+#: count-then-collect rework in candidate_pairs_from_groups must drop
+#: at COUNT granularity, before any collect_set buffer materializes the
+#: bucket's id array.  Output semantics are the documented cap
+#: behavior: the boilerplate bucket exceeds MAX_BUCKET, so its pairs
+#: are deliberately not emitted (a key shared by 30% of the corpus
+#: carries no discriminating signal).
+IDENT_TEXT = (
+    "this website uses cookies to ensure you get the best experience "
+    "on our website by continuing to browse the site you are agreeing "
+    "to our use of cookies and our terms of service please review our "
+    "privacy policy for details about how we collect and process data"
+)
+IDENT_QUERIES = {
+    "pipe_dedup_minhash": "MinHash+LSH (all 16 bands collide on 30% of docs)",
+    "pipe_dedup_simhash": "SimHash pigeonhole (all 4 blocks collide on 30% of docs)",
+}
+IDENT_DST = "/tmp/scale_ident"
 
 #: 100× spot-check (r6 verdict #8): validate that the 10× amortization
 #: story extrapolates — documents-only replicas at 100× (~sf10).
@@ -238,6 +269,25 @@ def build_skew_docs(spark, src_docs: str, dst_dir: str) -> None:
     out.write.mode("overwrite").parquet(f"{dst_dir}/documents.parquet")
 
 
+def build_ident_docs(spark, src_docs: str, dst_dir: str) -> None:
+    """documents with text REPLACED by IDENT_TEXT for doc_id % 10 < 3
+    (~30% byte-identical docs — one giant every-band LSH bucket)."""
+    from pyspark.sql import functions as F
+
+    dst = Path(dst_dir)
+    if dst.exists():
+        shutil.rmtree(dst)
+    dst.mkdir(parents=True)
+    docs = spark.read.parquet(src_docs)
+    out = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 10 < 3, F.lit(IDENT_TEXT)).otherwise(
+            F.col("text")
+        ),
+    )
+    out.write.mode("overwrite").parquet(f"{dst_dir}/documents.parquet")
+
+
 def run_skew(spark) -> None:
     """Skew stress: the three agg+join-back dedup families on the
     uniform ~sf1 corpus vs the same corpus with one hot shingle/block
@@ -245,6 +295,7 @@ def run_skew(spark) -> None:
     if not Path(f"{DST}/documents.parquet").exists():
         build_replicas(spark)
     build_skew_docs(spark, f"{DST}/documents.parquet", SKEW_DST)
+    build_ident_docs(spark, f"{DST}/documents.parquet", IDENT_DST)
     uni: dict[str, float] = {}
     skw: dict[str, float] = {}
     for rnd in range(2):
@@ -254,6 +305,12 @@ def run_skew(spark) -> None:
             uni[name] = round(min(uni.get(name, u), u), 3)
             skw[name] = round(min(skw.get(name, s), s), 3)
             print(f"  pass{rnd} {name}: uniform {u:.2f}s  skew {s:.2f}s", flush=True)
+        for name in IDENT_QUERIES:
+            u = time_one(spark, DST, name)
+            s = time_one(spark, IDENT_DST, name)
+            uni[name] = round(min(uni.get(name, u), u), 3)
+            skw[name] = round(min(skw.get(name, s), s), 3)
+            print(f"  pass{rnd} {name}: uniform {u:.2f}s  ident {s:.2f}s", flush=True)
     lines = [
         "## Skew stress (tools/scale_smoke.py --skew)\n\n",
         f"~sf1 uniform corpus vs the same corpus with ONE hot 8-token prefix\n"
@@ -273,8 +330,80 @@ def run_skew(spark) -> None:
         r = round(skw[name] / uni[name], 2) if uni[name] > 0 else float("nan")
         flag = "" if r <= 2.0 else " ⚠"
         lines.append(f"| {name} | {fam} | {uni[name]} | {skw[name]} | {r}×{flag} |\n")
+    lines.append(
+        "\n### Identical-docs stress (round 8)\n\n"
+        "Same uniform corpus vs ~30% of documents replaced by ONE\n"
+        "byte-identical boilerplate text: the pathological LSH bucket where\n"
+        "EVERY minhash band / EVERY simhash pigeonhole block collides on\n"
+        "~30% of the corpus.  Exercises the r8 count-then-collect rework in\n"
+        "candidate_pairs_from_groups — the over-cap bucket is dropped from a\n"
+        "(key, count) aggregate before any collect_set id array exists, so\n"
+        "no single aggregation buffer ever holds the 30%-of-corpus id list.\n"
+        "Bar: ident ≤ 2× uniform.\n\n"
+        "| query | family | uniform s | ident s | ident/uniform |\n|---|---|---|---|---|\n"
+    )
+    for name, fam in IDENT_QUERIES.items():
+        r = round(skw[name] / uni[name], 2) if uni[name] > 0 else float("nan")
+        flag = "" if r <= 2.0 else " ⚠"
+        lines.append(f"| {name} | {fam} | {uni[name]} | {skw[name]} | {r}×{flag} |\n")
+    lines.append("\n")
     _patch_scale("## Skew stress", "".join(lines))
     print(json.dumps({"uniform": uni, "skew": skw}))
+
+
+SEMDEDUP30_DST = "/tmp/scale_semdedup30"
+SEMDEDUP30_REPLICAS = 30
+
+
+def run_semdedup30(spark) -> None:
+    """Θ(N^1.5) pin (r7 verdict #7): pipe_semdedup_auto at 30×
+    embeddings replicas.  The √N cell rule makes total work
+    (assignment + within-cell pairs) ~N^1.5 by design, so the honest
+    bar at 30× data is 30^1.5 ≈ 164× wall — expected far below as
+    fixed overhead amortizes.  Replica methodology matches the main
+    10× smoke (vec_id offsets, vectors unperturbed)."""
+    from pyspark.sql import functions as F
+
+    dst = Path(SEMDEDUP30_DST)
+    if dst.exists():
+        shutil.rmtree(dst)
+    dst.mkdir(parents=True)
+    base = spark.read.parquet(f"{SRC}/embeddings.parquet")
+    off = int(base.agg(F.max("vec_id")).collect()[0][0]) + 1
+    parts = [
+        base.withColumn("vec_id", F.col("vec_id") + F.lit(i * off))
+        for i in range(SEMDEDUP30_REPLICAS)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    out.repartition(32).write.mode("overwrite").parquet(
+        f"{SEMDEDUP30_DST}/embeddings.parquet"
+    )
+    print(f"replicated embeddings: {SEMDEDUP30_REPLICAS}x", flush=True)
+    small: float | None = None
+    big: float | None = None
+    for rnd in range(2):
+        s = time_one(spark, SRC, "pipe_semdedup_auto")
+        b = time_one(spark, SEMDEDUP30_DST, "pipe_semdedup_auto")
+        small = round(min(small, s), 3) if small is not None else round(s, 3)
+        big = round(min(big, b), 3) if big is not None else round(b, 3)
+        print(f"  pass{rnd} pipe_semdedup_auto: sf0.1 {s:.2f}s  30x {b:.2f}s", flush=True)
+    ratio = round(big / small, 1)
+    flag = "" if ratio <= 164 else " ⚠"
+    block = (
+        "## Θ(N^1.5) pin (tools/scale_smoke.py --semdedup30)\n\n"
+        "pipe_semdedup_auto at 30× embeddings replicas (same replica\n"
+        "methodology as the main smoke).  The √N cell rule sets total work\n"
+        "— centroid assignment plus within-cell pair scans — at ~N^1.5 BY\n"
+        "THE PAPER'S DESIGN, so the honest bar at 30× data is 30^1.5 ≈ 164×\n"
+        "wall; a ratio far below it means the implementation carries no\n"
+        "hidden super-N^1.5 term (and fixed overhead still amortizes).\n\n"
+        "| query | sf0.1 s | 30× s | ratio (bar 164×) |\n|---|---|---|---|\n"
+        f"| pipe_semdedup_auto | {small} | {big} | {ratio}×{flag} |\n\n"
+    )
+    _patch_scale("## Θ(N^1.5) pin", block)
+    print(json.dumps({"small": small, "big": big, "ratio": ratio}))
 
 
 def build_x100_docs(spark) -> None:
@@ -350,6 +479,9 @@ def main() -> None:
         return
     if "--x100" in sys.argv:
         run_x100(spark)
+        return
+    if "--semdedup30" in sys.argv:
+        run_semdedup30(spark)
         return
 
     build_replicas(spark)
