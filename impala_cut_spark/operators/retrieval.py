@@ -36,10 +36,7 @@ from impala_cut_spark.operators.text import tokens
 BM25_K1 = 1.2
 BM25_B = 0.75
 
-#: last invocation's persisted tf table (see bm25_topk) — released on
-#: the NEXT call so a session never holds more than one cached copy
-#: (the text.py bigram-c1 pattern)
-_bm25_tf_cache = None
+from impala_cut_spark.operators._cache import register_persisted
 
 
 def bm25_topk(
@@ -77,13 +74,11 @@ def bm25_topk(
     only query-term match rows — |matching docs × terms|, corpus-size
     independent), so the corpus is tokenized exactly ONCE; the only
     other corpus read is the explode-free size() scan for totals.
-    Cache bounded to one table per session (bigram-c1 pattern).
+    Cache bounded per (session, slot) by the shared registry — the r7
+    module-global form unpersisted the PREVIOUS call's table on entry,
+    a race under the concurrent clients the thrift/HS2 servers serve
+    (see operators/_cache.py).
     """
-    global _bm25_tf_cache
-    if _bm25_tf_cache is not None:
-        _bm25_tf_cache.unpersist()
-        _bm25_tf_cache = None
-
     toks = tokens(F.col("text"))
     qarr = F.array(*[F.lit(str(t)) for t in query_terms])
     base = docs.select(
@@ -100,7 +95,7 @@ def bm25_topk(
     )
 
     tf = base.groupBy("doc_id", "dl", "tok").agg(F.count(F.lit(1)).alias("tf")).persist()
-    _bm25_tf_cache = tf
+    register_persisted(tf, "bm25_tf")
     df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
 
     n = F.col("n_docs").cast("double")
@@ -273,16 +268,21 @@ def tfidf_keywords(docs: DataFrame, k: int = 3) -> DataFrame:
     convention (ppl/bm25 operators).
 
     Scale (100 TB): tf is ONE (doc_id, term) aggregation of the token
-    explode (map-side combine); df re-aggregates the tf table (already
-    one row per (doc, term) — no second pass over the corpus); N is a
-    one-row broadcast; the df table broadcasts into the scoring join
+    explode (map-side combine), PERSISTED — it feeds both the df
+    re-aggregation and the scoring join, and Catalyst plans no
+    cross-consumer reuse (the r8 fix that bm25/dsir got; without it
+    the corpus was tokenized+exploded once per consumer); df is then
+    one row per (doc, term) with no second pass over the corpus; N is
+    a one-row broadcast; the df table broadcasts into the scoring join
     when small and AQE shuffles it otherwise; the final top-k window
-    partitions by doc_id (state = one document's term list).
+    partitions by doc_id (state = one document's term list).  The
+    cache is bounded per (session, slot) by operators/_cache.py.
 
     Output: (doc_id, term, tf, df, score, rk).
     """
     from pyspark.sql import Window
 
+    from impala_cut_spark.operators._cache import register_persisted
     from impala_cut_spark.partitioning import fan_out
 
     tf = (
@@ -293,7 +293,9 @@ def tfidf_keywords(docs: DataFrame, k: int = 3) -> DataFrame:
         )
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
     )
+    register_persisted(tf, "tfidf_tf")
     df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = docs.select(F.count(F.lit(1)).alias("n"))
     scored = (

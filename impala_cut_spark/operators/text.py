@@ -529,12 +529,6 @@ SB_TRAIN_MOD = 4
 SB_TRAIN_REM = 0
 
 
-#: last invocation's persisted unigram count table — see
-#: bigram_nll_scores: released on the NEXT call so the session never
-#: holds more than one cached copy
-_bigram_c1_cache = None
-
-
 def bigram_nll_scores(docs, text_col: str = "text"):
     """Per-document mean NLL under a bigram LM with Stupid Backoff
     (Brants et al. 2007, "Large Language Models in Machine
@@ -566,15 +560,13 @@ def bigram_nll_scores(docs, text_col: str = "text"):
     """
     from pyspark.sql import functions as F
 
-    # the returned frame is lazy, so c1 below cannot be unpersisted
-    # here; bound the cache to ONE table per session by releasing the
-    # previous invocation's c1 (registry sweeps / bench loops call this
-    # many times per session)
-    global _bigram_c1_cache
-    if _bigram_c1_cache is not None:
-        _bigram_c1_cache.unpersist()
-        _bigram_c1_cache = None
+    from impala_cut_spark.operators._cache import register_persisted
 
+    # the returned frame is lazy, so c1 below cannot be unpersisted
+    # here; the shared registry bounds the cache per (session, slot)
+    # and stays correct under the concurrent clients the thrift/HS2
+    # servers serve (see operators/_cache.py — the r7 module-global
+    # form raced)
     base = docs.select(
         "doc_id", tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("tk")
     )
@@ -606,7 +598,7 @@ def bigram_nll_scores(docs, text_col: str = "text"):
         # sessions), which also made the plan-pin test flaky
         .persist()
     )
-    _bigram_c1_cache = c1
+    register_persisted(c1, "bigram_c1")
     tv = c1.agg(F.sum("n1"), F.count(F.lit(1))).collect()[0]  # 1-row collect
     t_plus_v = float(tv[0]) + float(tv[1])
     a = c1.select(F.col("w").alias("w1"), F.col("n1").alias("na"))
