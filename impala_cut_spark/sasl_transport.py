@@ -144,9 +144,14 @@ class FramedFile:
         return len(b)
 
     def flush(self) -> None:
-        if self._wbuf:
-            self._raw_w.write(struct.pack(">i", len(self._wbuf)) + bytes(self._wbuf))
-            del self._wbuf[:]
+        # split at MAX_FRAME: read() (ours and thrift_sasl's) rejects
+        # frames over the cap, so one oversized reply — e.g. a huge
+        # fetch page — must ship as several frames (thrift_sasl
+        # likewise splits at its buffer size)
+        while self._wbuf:
+            chunk = bytes(self._wbuf[: self.MAX_FRAME])
+            self._raw_w.write(struct.pack(">i", len(chunk)) + chunk)
+            del self._wbuf[: self.MAX_FRAME]
         self._raw_w.flush()
 
     def close(self) -> None:

@@ -135,6 +135,15 @@ class BeeswaxThriftServer:
         # that last applied it (see module docstring); an op restores
         # only the keys it still owns at close time
         self._opt_owner: dict[str, str] = {}
+        # connection ownership: handler-thread id → handles opened on
+        # that connection and not yet closed.  Each connection is
+        # served by exactly one ThreadingTCPServer thread, so the
+        # thread id identifies the connection; Handler.handle()'s
+        # finally block closes whatever the client left open — without
+        # this, a crashed shell that shipped options (mem_limit,
+        # default_order_by_limit…) mutated the shared session for every
+        # future client (r7 ADVICE).
+        self._conn_handles: dict[int, set[str]] = {}
         outer = self
 
         class Handler(socketserver.StreamRequestHandler):
@@ -150,15 +159,24 @@ class BeeswaxThriftServer:
                     # reuse the SAME rfile/wfile pair (the buffered
                     # reader may have consumed bytes past negotiation)
                     rfile = wfile = st.FramedFile(rfile, wfile)
-                r = tp.BinaryReader(rfile)
-                while True:
-                    try:
-                        name, mtype, seqid = r.message_begin()
-                    except EOFError:
-                        return
-                    args = r.read_struct()
-                    wfile.write(outer._dispatch(name, seqid, args))
-                    wfile.flush()
+                tid = threading.get_ident()
+                outer._conn_handles[tid] = set()
+                try:
+                    r = tp.BinaryReader(rfile)
+                    while True:
+                        try:
+                            name, mtype, seqid = r.message_begin()
+                        except EOFError:
+                            return
+                        args = r.read_struct()
+                        wfile.write(outer._dispatch(name, seqid, args))
+                        wfile.flush()
+                finally:
+                    # connection teardown: release every operation the
+                    # client never closed (disconnect, crash, ^C) so
+                    # its shipped options are restored for other clients
+                    for h in outer._conn_handles.pop(tid, ()):
+                        outer._close_op(h)
 
         class Server(socketserver.ThreadingTCPServer):
             allow_reuse_address = True
@@ -256,6 +274,9 @@ class BeeswaxThriftServer:
             op._restore = restore
             op.rows_appended = self._insert_rows(df, sql)
             self._ops[h] = op
+            owned = self._conn_handles.get(threading.get_ident())
+            if owned is not None:  # None: direct in-process call, no conn
+                owned.add(h)
         return h
 
     @staticmethod
@@ -297,6 +318,9 @@ class BeeswaxThriftServer:
         op = self._ops.pop(handle, None)
         if op is not None:
             self._release_options(handle, getattr(op, "_restore", {}))
+            owned = self._conn_handles.get(threading.get_ident())
+            if owned is not None:
+                owned.discard(handle)
         return op
 
     def _op(self, args: dict[int, Any]) -> _Operation:
@@ -408,8 +432,17 @@ class BeeswaxThriftServer:
         w.stop()  # void
 
     def _m_clean(self, w: tp.BinaryWriter, args) -> None:
-        # clean(log_context) — the handle id doubles as the log context
-        self._close_op(_read_handle(args))
+        # clean(1: LogContextId log_context) — LogContextId is a plain
+        # STRING in beeswax.thrift, NOT a QueryHandle struct (r7
+        # ADVICE: parsing it with _read_handle yielded '' for a string
+        # field, so clean never released the operation or its shipped
+        # options).  The handle id doubles as the log context; a
+        # struct-shaped sender still resolves via _read_handle.
+        h = args.get(1)
+        handle = (
+            h.decode() if isinstance(h, (bytes, bytearray)) else _read_handle(args)
+        )
+        self._close_op(handle)
         w.stop()  # void
 
     # -- ImpalaService extension (ImpalaService.thrift:172-200) -------------
@@ -478,10 +511,13 @@ class BeeswaxThriftServer:
         # closes the handle and reports rows appended (the shell sums
         # the map's values: impala_shell.py:852); keyed "" — Spark's
         # write metric is the total, not per-partition (module doc)
-        h = _read_handle(args)
-        if self._ops.get(h) is None:
+        # single atomic pop — a get-then-close pair raced with a
+        # concurrent close on the same handle (r7 ADVICE: op became
+        # None between the two and the client got INTERNAL_ERROR
+        # instead of QueryNotFoundException)
+        op = self._close_op(_read_handle(args))
+        if op is None:
             raise QueryNotFound()
-        op = self._close_op(h)
         rows = op.rows_appended or {"": 0}
         w.field(tp.STRUCT, 0)
         w.field(tp.MAP, 1)
@@ -623,6 +659,15 @@ class BeeswaxThriftClient:
 
     def close_query(self, handle: str) -> None:
         self._call("close", self._handle_args(handle))
+
+    def clean(self, log_context: str) -> None:
+        # clean(1: LogContextId log_context) — a STRING field, exactly
+        # as a stock generated client marshals it
+        def build(w: tp.BinaryWriter) -> None:
+            w.field(tp.STRING, 1)
+            w.write_string(log_context)
+
+        self._call("clean", build)
 
     # -- ImpalaService extension (what the stock shell drives) --------------
 

@@ -138,3 +138,31 @@ def test_framed_file_roundtrip_and_split_frames():
     bad = st.FramedFile(io.BytesIO(struct.pack(">i", -9)))
     with pytest.raises(st.SaslError, match="frame length"):
         bad.read(1)
+
+
+def test_framed_file_flush_splits_oversized_writes(monkeypatch):
+    """flush() must emit multiple frames when the write buffer exceeds
+    MAX_FRAME — read() (ours and thrift_sasl's) rejects any single
+    frame over the cap, so the r7 single-frame flush made an oversized
+    reply (a huge fetch page) unreadable to the peer (r7 ADVICE)."""
+    monkeypatch.setattr(st.FramedFile, "MAX_FRAME", 8)
+    raw = io.BytesIO()
+    w = st.FramedFile(raw)
+    payload = bytes(range(20))
+    w.write(payload)
+    w.flush()
+    # on-wire: every frame ≤ MAX_FRAME
+    raw.seek(0)
+    frames = []
+    while True:
+        hdr = raw.read(4)
+        if not hdr:
+            break
+        (ln,) = struct.unpack(">i", hdr)
+        assert 0 < ln <= 8
+        frames.append(raw.read(ln))
+    assert len(frames) == 3
+    # and the peer's reader reassembles the exact payload
+    raw.seek(0)
+    r = st.FramedFile(raw)
+    assert r.read(len(payload)) == payload

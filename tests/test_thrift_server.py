@@ -354,3 +354,88 @@ def test_option_owner_arbitration(server, client):
         assert server.session.options().get("mem_limit") == "1g"
     finally:
         server.session.unset_option("mem_limit")
+
+
+def test_clean_releases_operation_and_shipped_options(server, client):
+    """clean(1: LogContextId) takes a plain STRING (beeswax.thrift), not
+    a QueryHandle struct — the r7 server parsed it with _read_handle,
+    got '' for a string field, and never released the operation: a
+    client finishing via clean leaked the op AND its shipped options."""
+    h = client.query(
+        "select 1 as one", configuration=["default_order_by_limit=3"]
+    )
+    assert server.session.options().get("default_order_by_limit") == "3"
+    client.clean(h)
+    assert "default_order_by_limit" not in server.session.options()
+    assert h not in server._ops
+
+
+def test_disconnect_releases_shipped_options(server):
+    """A client that disconnects without close/CloseInsert/clean (a
+    crashed shell) must not permanently mutate the shared session:
+    connection teardown closes its open operations and restores their
+    shipped options (r7 ADVICE)."""
+    import time
+
+    c = BeeswaxThriftClient(server.host, server.port)
+    h = c.query("select 1 as one", configuration=["default_order_by_limit=7"])
+    assert server.session.options().get("default_order_by_limit") == "7"
+    c.close()  # drop the TCP connection with the op still open
+    for _ in range(200):  # teardown runs on the handler thread
+        if "default_order_by_limit" not in server.session.options():
+            break
+        time.sleep(0.05)
+    assert "default_order_by_limit" not in server.session.options()
+    assert h not in server._ops
+
+
+def test_double_close_insert_is_query_not_found(client):
+    """CloseInsert pops the op atomically: a second CloseInsert on the
+    same handle must surface QueryNotFoundException, not the
+    TApplicationException(INTERNAL_ERROR) the r7 check-then-act pair
+    produced when the get/close raced (r7 ADVICE)."""
+    h = client.query("select 1 as one")
+    assert client.close_insert(h) == {"": 0}
+    with pytest.raises(QueryNotFound):
+        client.close_insert(h)
+
+
+def test_concurrent_clients_option_isolation_stress(server):
+    """r7 verdict #5: N threaded clients interleaving shipped SET
+    options + queries + fetches on the shared session.  Plan-time
+    options are applied under the server lock, so every client's
+    row-limit must bind to ITS OWN plan — no option bleed, no
+    cross-client result corruption — and nothing may leak after all
+    handles close."""
+    import threading
+
+    n_threads, iters = 4, 5
+    errs: list[str] = []
+
+    def run(i: int) -> None:
+        limit = i + 2
+        try:
+            c = BeeswaxThriftClient(server.host, server.port)
+            for _ in range(iters):
+                h = c.query(
+                    "select n_nationkey from nation order by n_nationkey",
+                    configuration=[f"default_order_by_limit={limit}"],
+                )
+                rows = c.fetch(h, fetch_size=100)["data"]
+                if len(rows) != limit:
+                    errs.append(f"client {i}: {len(rows)} rows, want {limit}")
+                if rows and rows[0] != "0":
+                    errs.append(f"client {i}: corrupted first row {rows[0]!r}")
+                c.close_query(h)
+            c.close()
+        except Exception as e:  # noqa: BLE001 — surfaced via errs
+            errs.append(f"client {i}: {type(e).__name__}: {e}")
+
+    threads = [threading.Thread(target=run, args=(i,)) for i in range(n_threads)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    assert "default_order_by_limit" not in server.session.options()
+    assert not server._opt_owner
