@@ -163,10 +163,10 @@ def test_driver_window_is_first_50():
     assert names[:50] == DRIVER_WINDOW
     # every operator family has a row inside the window
     families = {
-        # round-7 rotation: tpcds_q3→q52 (same brand-agg shape),
-        # tpch_q9→q7 (q7 holds the multi-join CASE-agg shape now)
-        "tpch": ["tpch_q1", "tpch_q7"],
-        "tpcds": ["tpcds_q52"],
+        # round-8 rotation (r7 verdict #1/#8): tpch_q1→pipe_bm25 and
+        # tpcds_q52→q55 among eight swaps — see plans/__init__.py ledger
+        "tpch": ["tpch_q2", "tpch_q7"],
+        "tpcds": ["tpcds_q55"],
         "predicates": ["cov_predicates_views"],
         "joins": ["cov_join_all"],
         "aggs": ["cov_agg_all"],
@@ -177,7 +177,10 @@ def test_driver_window_is_first_50():
         # (their oracles stay below the window; decimal arithmetic is
         # still in-window via cov_fn_condcast, near-dup via minhash,
         # exact-rerank via the IVF family)
-        "functions": ["cov_fn_string", "cov_fn_math", "cov_fn_timestamp",
+        # round-8: cov_fn_math ceded to pipe_ngram_novelty (math fns
+        # keep goldens + the randomized differential + three sibling
+        # fn window rows)
+        "functions": ["cov_fn_string", "cov_fn_timestamp",
                       "cov_fn_condcast"],
         "external": ["cov_external_scan"],
         "text": ["pipe_text_all"],
@@ -186,16 +189,29 @@ def test_driver_window_is_first_50():
         # second r6 rotation: pipe_embed_neardup (0 rows at sf0.01 —
         # zero-information evidence; LSH-cosine shape held by
         # pipe_embed_semdedup) ceded its slot to pipe_bigram_ppl
-        "similarity": ["pipe_embed_semdedup", "pipe_ann_ivf"],
+        # round-8: pipe_ann_ivf ceded to pipe_ann_recall, which
+        # composes the IVF search with its brute-force ground truth
+        "similarity": ["pipe_embed_semdedup", "pipe_ann_recall"],
         "lm_scoring": ["pipe_bigram_ppl"],
         "heavy_hitters": ["pipe_freq_shingles"],
         "multimodal": ["pipe_multimodal_features"],
-        "streaming": ["stream_events_hourly", "stream_dedup", "pipe_sessions"],
+        # round-8: stream_events_hourly ceded to stream_topk_trending
+        # (first driver row for the rank-overlay streaming family)
+        "streaming": ["stream_topk_trending", "stream_dedup", "pipe_sessions"],
         # second r7 rotation: pipe_embed_quantize ceded to
         # pipe_dsir_weights (narrow-map encode shape held by
-        # pipe_embed_pq in-window)
-        "pipeline2": ["pipe_decontaminate", "pipe_pii_redact"],
+        # pipe_embed_pq in-window); round-8: pipe_pii_redact ceded to
+        # pipe_dup_block_share (regex-transform shape held by
+        # pipe_text_all)
+        "pipeline2": ["pipe_decontaminate"],
         "dsir": ["pipe_dsir_weights"],
+        # round-8 newcomers (r7 verdict #1): the bench-headliner
+        # retrieval row, a perf_* adaptation, and the four new r7
+        # families now hold driver slots
+        "retrieval": ["pipe_bm25"],
+        "perf": ["perf_web_revenue"],
+        "block_dedup": ["pipe_dup_block_share", "pipe_dedup_weights"],
+        "novelty": ["pipe_ngram_novelty"],
     }
     for fam, members in families.items():
         assert all(m in DRIVER_WINDOW for m in members), fam
