@@ -1,10 +1,13 @@
 """Multimodal-column plumbing: opaque ``binary`` payloads + typed metadata.
 
-Decode is REAL for codec-free raster formats — binary PPM (P6) and
-uncompressed 24-bit BMP are parsed with pure numpy — and STUBBED for
-codec-bearing formats (JPEG/PNG/audio need libjpeg/PIL, absent in
-this container: ``decode_image`` raises NotImplementedError for those,
-and ``fake_features`` is the deterministic byte-level stand-in). The
+Decode is REAL for formats the standard library can carry — binary
+PPM (P6), uncompressed 24-bit BMP, and (round 8) PNG: 8-bit gray /
+gray+alpha / RGB / RGBA / palette, all five scanline filters, via
+stdlib zlib and the public spec (RFC 2083 / ISO 15948) — the same
+from-scratch precedent as the LZO codec.  Formats that genuinely need
+a codec library (JPEG's DCT entropy coding, MP3) remain STUBBED:
+``decode_image`` raises NotImplementedError for those, and
+``fake_features`` is the deterministic byte-level stand-in.  The
 Spark-side plumbing is identical either way: schema, Arrow batch
 shape, mapInPandas signatures, and the partitioning story match what
 a full-codec production decode would use.
@@ -67,16 +70,19 @@ def assets_from_documents(docs: DataFrame) -> DataFrame:
 def decode_image(payload: bytes) -> "np.ndarray":
     """Decode a raster payload to an (H, W, 3) uint8 array.
 
-    Real for codec-free formats: binary PPM (P6) and uncompressed
-    24-bit BMP. Codec-bearing formats (JPEG/PNG/…) raise — the
-    documented stub boundary (no codec libs in this container)."""
+    Real for PPM (P6), uncompressed 24-bit BMP, and PNG (stdlib zlib —
+    see _decode_png). JPEG/… raise — the documented stub boundary
+    (DCT entropy decode needs libjpeg, absent in this container)."""
     if payload[:2] == b"P6":
         return _decode_ppm(payload)
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
+    if payload[:8] == PNG_SIG:
+        return _decode_png(payload)
     raise NotImplementedError(
-        "image decode stub for codec-bearing formats: install pillow "
-        "and replace with PIL.Image.open (PPM/BMP decode natively here)"
+        "image decode stub for codec-bearing formats (JPEG/…): install "
+        "pillow and replace with PIL.Image.open (PPM/BMP/PNG decode "
+        "natively here)"
     )
 
 
@@ -124,6 +130,166 @@ def encode_ppm(arr: np.ndarray) -> bytes:
     """(H, W, 3) uint8 → binary PPM payload (fixture/sink helper)."""
     h, w = arr.shape[:2]
     return b"P6\n%d %d\n255\n" % (w, h) + arr.astype(np.uint8).tobytes()
+
+
+# -- PNG (public spec, RFC 2083 / ISO 15948; stdlib zlib) --------------------
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: color type → samples per pixel (0 gray, 2 RGB, 3 palette index,
+#: 4 gray+alpha, 6 RGBA)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (spec §6.6): nearest of left/up/up-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _decode_png(payload: bytes) -> np.ndarray:
+    """PNG → (H, W, 3) uint8: 8-bit gray / gray+alpha / RGB / RGBA /
+    palette, non-interlaced, all five scanline filters (None/Sub/Up/
+    Average/Paeth).  Alpha is dropped and gray replicated to match
+    decode_image's RGB contract.  16-bit depth and Adam7 interlace
+    remain documented stub boundaries (rare in crawls; the spec's
+    corner cases, not its volume).  Spec-conformance evidence: the
+    filter-by-filter hypothesis round-trip vs encode_png plus decoding
+    real-world PNGs from foreign encoders (tests/test_operators.py)."""
+    import struct
+    import zlib
+
+    if payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, plte, idat = 8, None, None, bytearray()
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack_from(">I", payload, pos)
+        typ = payload[pos + 4 : pos + 8]
+        pos += 8
+        data = payload[pos : pos + ln]
+        pos += ln + 4  # per-chunk CRC skipped; zlib's adler32 catches corruption
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, ctype, _comp, _filt, interlace = ihdr
+    if depth != 8:
+        raise NotImplementedError(f"{depth}-bit PNG not supported (8-bit only)")
+    if interlace:
+        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    ch = _PNG_CHANNELS.get(ctype)
+    if ch is None:
+        raise ValueError(f"bad PNG color type {ctype}")
+    if ctype == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline payload size mismatch")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).copy()
+        if f == 0:  # None
+            pass
+        elif f == 1:  # Sub (intra-row recurrence)
+            for x in range(ch, stride):
+                line[x] = (int(line[x]) + int(line[x - ch])) & 0xFF
+        elif f == 2:  # Up — no intra-row dependency: vectorized
+            line = ((line.astype(np.int16) + prev) & 0xFF).astype(np.uint8)
+        elif f == 3:  # Average
+            for x in range(stride):
+                a = int(line[x - ch]) if x >= ch else 0
+                line[x] = (int(line[x]) + ((a + int(prev[x])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for x in range(stride):
+                a = int(line[x - ch]) if x >= ch else 0
+                c = int(prev[x - ch]) if x >= ch else 0
+                line[x] = (int(line[x]) + _paeth(a, int(prev[x]), c)) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        out[y] = line
+        prev = line
+    if ctype == 3:  # palette lookup: index plane → RGB
+        return np.ascontiguousarray(plte[out.reshape(h, w)])
+    img = out.reshape(h, w, ch)
+    if ch == 1:
+        img = np.repeat(img, 3, axis=2)
+    elif ch == 2:  # gray+alpha → gray replicated, alpha dropped
+        img = np.repeat(img[..., :1], 3, axis=2)
+    elif ch == 4:  # RGBA → alpha dropped
+        img = img[..., :3]
+    return np.ascontiguousarray(img)
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
+    """(H, W) | (H, W, 1|3|4) uint8 → PNG payload, every scanline
+    forward-filtered with ``filter_type`` (0..4) — the fixture/sink
+    twin of _decode_png, parameterized so the round-trip test
+    exercises each filter's inverse."""
+    import struct
+    import zlib
+
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ch = arr.shape
+    ctype = {1: 0, 3: 2, 4: 6}[ch]
+    stride = w * ch
+    flat = arr.astype(np.uint8).reshape(h, stride).astype(np.int16)
+    lines = bytearray()
+    for y in range(h):
+        cur = flat[y]
+        prev = flat[y - 1] if y > 0 else np.zeros(stride, dtype=np.int16)
+        if filter_type == 0:
+            filt = cur
+        elif filter_type == 1:
+            left = np.concatenate([np.zeros(ch, dtype=np.int16), cur[:-ch]])
+            filt = cur - left
+        elif filter_type == 2:
+            filt = cur - prev
+        elif filter_type == 3:
+            left = np.concatenate([np.zeros(ch, dtype=np.int16), cur[:-ch]])
+            filt = cur - ((left + prev) >> 1)
+        elif filter_type == 4:
+            filt = np.empty(stride, dtype=np.int16)
+            for x in range(stride):
+                pa = int(cur[x - ch]) if x >= ch else 0
+                pc = int(prev[x - ch]) if x >= ch else 0
+                filt[x] = cur[x] - _paeth(pa, int(prev[x]), pc)
+        else:
+            raise ValueError(f"bad filter type {filter_type}")
+        lines.append(filter_type)
+        lines += (filt & 0xFF).astype(np.uint8).tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + _png_chunk(b"IEND", b"")
+    )
 
 
 def decode_wav(payload: bytes) -> tuple[int, int, "np.ndarray"]:

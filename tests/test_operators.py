@@ -320,9 +320,132 @@ class TestSimilarity:
 
 
 class TestMultimodal:
-    def test_decode_image_is_stubbed(self):
+    def test_decode_image_stub_for_jpeg(self):
+        # JPEG stays a documented stub boundary (DCT entropy decode
+        # needs libjpeg); PNG is a real path since round 8
         with pytest.raises(NotImplementedError):
-            multimodal.decode_image(b"\x89PNG")
+            multimodal.decode_image(b"\xff\xd8\xff\xe0jpeg-ish payload")
+
+    def test_png_roundtrip_every_filter_and_layout(self):
+        """encode_png forward-filters with each of the five spec
+        filters; _decode_png must invert all of them for gray, RGB and
+        RGBA layouts (alpha dropped, gray replicated to RGB)."""
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        for ch in (1, 3, 4):
+            img = rng.integers(0, 256, size=(13, 9, ch), dtype=np.uint8)
+            want = {
+                1: np.repeat(img, 3, axis=2),
+                3: img,
+                4: img[..., :3],
+            }[ch]
+            for ft in range(5):
+                got = multimodal.decode_image(
+                    multimodal.encode_png(img, filter_type=ft)
+                )
+                assert got.shape == (13, 9, 3)
+                assert (got == want).all(), (ch, ft)
+
+    @pytest.mark.parametrize(
+        "path",
+        [
+            # real-world PNGs written by FOREIGN encoders (mixed
+            # filters, RGBA and palette): spec conformance beyond the
+            # self-round-trip
+            "/usr/share/doc/python3-dev/_static/file.png",  # RGBA
+            "/usr/share/gitweb/static/git-logo.png",  # palette
+        ],
+    )
+    def test_png_decodes_real_world_files(self, path):
+        import os
+
+        import numpy as np
+
+        if not os.path.exists(path):
+            pytest.skip(f"{path} not present")
+        img = multimodal.decode_image(open(path, "rb").read())
+        assert img.ndim == 3 and img.shape[2] == 3 and img.dtype == np.uint8
+        assert img.size > 0 and img.std() > 0  # decoded real content
+
+    def test_png_hypothesis_roundtrip(self):
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        import numpy as np
+
+        @settings(
+            max_examples=40,
+            deadline=None,
+            suppress_health_check=[HealthCheck.too_slow],
+        )
+        @given(
+            w=st.integers(1, 12),
+            h=st.integers(1, 12),
+            ch=st.sampled_from([1, 3, 4]),
+            ft=st.integers(0, 4),
+            seed=st.integers(0, 2**31 - 1),
+        )
+        def roundtrip(w, h, ch, ft, seed):
+            rng = np.random.default_rng(seed)
+            img = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+            got = multimodal.decode_image(multimodal.encode_png(img, filter_type=ft))
+            want = img if ch == 3 else (
+                np.repeat(img, 3, axis=2) if ch == 1 else img[..., :3]
+            )
+            assert (got == want).all()
+
+        roundtrip()
+
+    def test_png_gray_alpha_and_unsupported_variants(self):
+        import struct
+        import zlib
+
+        import numpy as np
+
+        # gray+alpha (color type 4): hand-built container (encode_png
+        # maps 1-channel input to plain gray)
+        base = np.random.default_rng(3).integers(0, 256, size=(5, 4, 2), dtype=np.uint8)
+        lines = bytearray()
+        for y in range(5):
+            lines.append(0)
+            lines += base[y].tobytes()
+        ihdr = struct.pack(">IIBBBBB", 4, 5, 8, 4, 0, 0, 0)
+        payload = (
+            multimodal.PNG_SIG
+            + multimodal._png_chunk(b"IHDR", ihdr)
+            + multimodal._png_chunk(b"IDAT", zlib.compress(bytes(lines)))
+            + multimodal._png_chunk(b"IEND", b"")
+        )
+        got = multimodal.decode_image(payload)
+        assert (got == np.repeat(base[..., :1], 3, axis=2)).all()
+        # 16-bit and Adam7 stay documented stub boundaries
+        for depth, interlace in ((16, 0), (8, 1)):
+            ihdr = struct.pack(">IIBBBBB", 2, 2, depth, 2, 0, 0, interlace)
+            bad = (
+                multimodal.PNG_SIG
+                + multimodal._png_chunk(b"IHDR", ihdr)
+                + multimodal._png_chunk(b"IDAT", zlib.compress(b"\x00" * 13))
+                + multimodal._png_chunk(b"IEND", b"")
+            )
+            with pytest.raises(NotImplementedError):
+                multimodal.decode_image(bad)
+
+    def test_extract_features_uses_real_png_path(self, spark):
+        """A PNG payload flows through the mapInPandas feature
+        extractor via the REAL decode (identical features to the same
+        pixels as PPM), not the fake byte-level fallback."""
+        import numpy as np
+
+        img = np.random.default_rng(11).integers(0, 256, size=(8, 6, 3), dtype=np.uint8)
+        rows = [
+            (1, "image", "image/png", 6, 8, bytearray(multimodal.encode_png(img, filter_type=4))),
+            (2, "image", "image/x-portable-pixmap", 6, 8, bytearray(multimodal.encode_ppm(img))),
+        ]
+        assets = spark.createDataFrame(rows, multimodal.ASSET_SCHEMA)
+        feats = {r.asset_id: r.features for r in multimodal.extract_features(assets).collect()}
+        assert np.allclose(feats[1], feats[2])
+        assert not np.allclose(feats[1], multimodal.fake_features(bytes(rows[0][5])))
 
     def test_feature_extraction_plumbing(self, docs):
         assets = multimodal.assets_from_documents(docs)
