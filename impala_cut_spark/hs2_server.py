@@ -154,6 +154,15 @@ class HS2ThriftServer:
         self._session_opts: dict[bytes, dict[str, str | None]] = {}
         self._next = itertools.count(1)
         self._lock = threading.Lock()
+        # connection ownership (same contract as thrift_server.py,
+        # round 8): each connection is served by exactly one handler
+        # thread, so the thread id keys the sessions/operations opened
+        # on it; Handler.handle()'s finally block closes whatever the
+        # client left open — a crashed JDBC client must not leave its
+        # OpenSession configuration applied to the shared engine
+        # session for every future client, nor leak operation state.
+        self._conn_sessions: dict[int, set[bytes]] = {}
+        self._conn_ops: dict[int, set[bytes]] = {}
         outer = self
 
         class Handler(socketserver.StreamRequestHandler):
@@ -167,15 +176,24 @@ class HS2ThriftServer:
                     except (st.SaslError, EOFError):
                         return  # reject: negotiation reply already sent
                     rfile = wfile = st.FramedFile(rfile, wfile)
-                r = tp.BinaryReader(rfile)
-                while True:
-                    try:
-                        name, mtype, seqid = r.message_begin()
-                    except EOFError:
-                        return
-                    args = r.read_struct()
-                    wfile.write(outer._dispatch(name, seqid, args))
-                    wfile.flush()
+                tid = threading.get_ident()
+                outer._conn_sessions[tid] = set()
+                outer._conn_ops[tid] = set()
+                try:
+                    r = tp.BinaryReader(rfile)
+                    while True:
+                        try:
+                            name, mtype, seqid = r.message_begin()
+                        except EOFError:
+                            return
+                        args = r.read_struct()
+                        wfile.write(outer._dispatch(name, seqid, args))
+                        wfile.flush()
+                finally:
+                    for g in outer._conn_ops.pop(tid, ()):
+                        outer._ops.pop(g, None)
+                    for g in outer._conn_sessions.pop(tid, ()):
+                        outer._close_session(g)
 
         class Server(socketserver.ThreadingTCPServer):
             allow_reuse_address = True
@@ -225,6 +243,9 @@ class HS2ThriftServer:
     def _register(self, op: _HS2Op) -> bytes:
         guid = self._new_handle()
         self._ops[guid] = op
+        owned = self._conn_ops.get(threading.get_ident())
+        if owned is not None:  # None: direct in-process call, no conn
+            owned.add(guid)
         return guid
 
     def _op(self, args: dict[int, Any]) -> _HS2Op:
@@ -284,6 +305,9 @@ class HS2ThriftServer:
         self._sessions.add(guid)
         if applied:
             self._session_opts[guid] = applied
+        owned = self._conn_sessions.get(threading.get_ident())
+        if owned is not None:
+            owned.add(guid)
         # negotiate: serve the client's version, clamped to V6 (the
         # highest generation implemented; thrift enums are ordered so
         # min() is the correct handshake on both sides)
@@ -298,16 +322,25 @@ class HS2ThriftServer:
         w.write_i32(proto)
         self._handle_struct(w, 3, guid)
 
-    def _m_CloseSession(self, w: tp.BinaryWriter, req: dict) -> None:
-        guid = self._read_guid(req)
+    def _close_session(self, guid: bytes) -> None:
+        """Release a session: drop its registry entries and restore the
+        options its OpenSession configuration set — shared by
+        CloseSession and connection teardown (a crashed client must
+        not leave options applied for every future client)."""
         self._sessions.discard(guid)
         self._session_proto.pop(guid, None)
-        # restore options this session's OpenSession configuration set
         for key, prior in self._session_opts.pop(guid, {}).items():
             if prior is None:
                 self.session.unset_option(key)
             else:
                 self.session.set_option(key, prior)
+
+    def _m_CloseSession(self, w: tp.BinaryWriter, req: dict) -> None:
+        guid = self._read_guid(req)
+        self._close_session(guid)
+        owned = self._conn_sessions.get(threading.get_ident())
+        if owned is not None:
+            owned.discard(guid)
         self._status(w)
 
     def _proto(self, req: dict) -> int:
@@ -344,6 +377,9 @@ class HS2ThriftServer:
         self._status(w)
 
     def _m_CloseOperation(self, w: tp.BinaryWriter, req: dict) -> None:
+        owned = self._conn_ops.get(threading.get_ident())
+        if owned is not None:
+            owned.discard(self._read_guid(req))
         if self._ops.pop(self._read_guid(req), None) is None:
             raise HS2Error("Invalid operation handle", INVALID_HANDLE)
         self._status(w)

@@ -290,3 +290,31 @@ def test_concurrent_clients_result_integrity_stress(server):
     for t in threads:
         t.join()
     assert not errs, errs
+
+
+def test_disconnect_releases_session_options(server):
+    """A JDBC-ish client that disconnects without CloseSession (crash)
+    must not leave its OpenSession configuration applied to the shared
+    engine session: connection teardown closes the sessions and
+    operations the client left open (round-8 — the same failure mode
+    the Beeswax port fixed per r7 ADVICE)."""
+    import time
+
+    server.session.set_option("mem_limit", "1g")
+    c = HS2ThriftClient(server.host, server.port)
+    c.open_session({"explain_level": "3", "mem_limit": "2g"})
+    op = c.execute("select 1 as one")
+    assert server.session.options().get("mem_limit") == "2g"
+    c.close()  # drop the TCP connection; no CloseOperation/CloseSession
+    try:
+        for _ in range(200):  # teardown runs on the handler thread
+            if "explain_level" not in server.session.options():
+                break
+            time.sleep(0.05)
+        opts = dict(server.session.options())
+        assert "explain_level" not in opts
+        assert opts.get("mem_limit") == "1g"  # pre-existing value restored
+        assert op not in server._ops  # leaked operation reaped
+        assert not server._sessions
+    finally:
+        server.session.unset_option("mem_limit")
