@@ -81,3 +81,44 @@ def test_grammar_seed_replays_byte_identical_over_wire(seed, isession, wire, poo
     wire.close_query(h)
 
     assert got == expected, f"wire/in-process divergence\n{q.sql}"
+
+
+@pytest.fixture(scope="module")
+def hs2_pair(isession):
+    """One V6 (columnar TRowSet) and one V1 (row-oriented) client on
+    the same HS2 server."""
+    from impala_cut_spark.hs2_server import HS2ThriftClient, HS2ThriftServer
+
+    srv = HS2ThriftServer(isession)
+    srv.serve_background()
+    v6 = HS2ThriftClient(srv.host, srv.port)
+    v6.open_session()
+    v1 = HS2ThriftClient(srv.host, srv.port)
+    v1.open_session(protocol=0)
+    yield v6, v1
+    for c in (v6, v1):
+        c.close_session()
+        c.close()
+    srv.shutdown()
+
+
+#: HS2 window: smaller (two wire round-trips per seed) but the same
+#: generator — typed columnar encoding is the surface under test
+HS2_SEEDS = range(7100, 7120)
+
+
+@pytest.mark.parametrize("seed", HS2_SEEDS)
+def test_grammar_seed_v6_columnar_matches_v1_rows(seed, hs2_pair, pool):
+    """The V6 columnar TRowSet (per-column typed arms + nulls bitmaps)
+    must carry exactly the rows the V1 row-oriented encoding carries
+    for arbitrary grammar shapes — a transpose/bitmap/typed-arm bug on
+    either side breaks the equality."""
+    v6, v1 = hs2_pair
+    q = QueryGen(random.Random(seed), pool).create_query(depth=2)
+    op6 = v6.execute(q.sql)
+    rows6 = v6.fetch_all(op6, page=13)
+    v6.close_operation(op6)
+    op1 = v1.execute(q.sql)
+    rows1 = v1.fetch_all(op1, page=13)
+    v1.close_operation(op1)
+    assert rows6 == rows1, f"V6/V1 wire divergence\n{q.sql}"
