@@ -339,7 +339,11 @@ def run_skew(spark) -> None:
         "candidate_pairs_from_groups — the over-cap bucket is dropped from a\n"
         "(key, count) aggregate before any collect_set id array exists, so\n"
         "no single aggregation buffer ever holds the 30%-of-corpus id list.\n"
-        "Bar: ident ≤ 2× uniform.\n\n"
+        "Bar: ident ≤ 2× uniform.  (simhash's ~60s ABSOLUTE cost here is\n"
+        "constant-factor, not asymptotic: r8 probe measured ~19s at sf0.1 →\n"
+        "~60s at this ~sf1 corpus = 3.2× wall at 10× data — the 64 per-bit\n"
+        "signature sums plus a genuinely dense output, ~98k hamming≤3 pairs\n"
+        "per 5k synthetic docs.)\n\n"
         "| query | family | uniform s | ident s | ident/uniform |\n|---|---|---|---|---|\n"
     )
     for name, fam in IDENT_QUERIES.items():
