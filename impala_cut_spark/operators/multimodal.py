@@ -1,13 +1,14 @@
 """Multimodal-column plumbing: opaque ``binary`` payloads + typed metadata.
 
-Decode is REAL for formats the standard library can carry — binary
-PPM (P6), uncompressed 24-bit BMP, and (round 8) PNG: 8-bit gray /
-gray+alpha / RGB / RGBA / palette, all five scanline filters, via
-stdlib zlib and the public spec (RFC 2083 / ISO 15948) — the same
-from-scratch precedent as the LZO codec.  Formats that genuinely need
-a codec library (JPEG's DCT entropy coding, MP3) remain STUBBED:
-``decode_image`` raises NotImplementedError for those, and
-``fake_features`` is the deterministic byte-level stand-in.  The
+Decode is REAL for the formats real crawls are made of — binary PPM
+(P6), uncompressed 24-bit BMP, and (round 8) PNG (stdlib zlib, 8-bit
+gray / gray+alpha / RGB / RGBA / palette, all five scanline filters;
+RFC 2083 / ISO 15948) AND baseline JPEG (operators/jpeg.py: from-
+scratch huffman + IDCT per ITU-T T.81, validated against the JVM's
+ImageIO decoder) — the same from-scratch precedent as the LZO codec.
+Remaining codec formats (GIF/WEBP/TIFF images, MP3 audio, video
+containers) stay STUBBED: ``decode_image`` raises NotImplementedError
+for those, and ``fake_features`` is the deterministic stand-in.  The
 Spark-side plumbing is identical either way: schema, Arrow batch
 shape, mapInPandas signatures, and the partitioning story match what
 a full-codec production decode would use.
@@ -70,19 +71,24 @@ def assets_from_documents(docs: DataFrame) -> DataFrame:
 def decode_image(payload: bytes) -> "np.ndarray":
     """Decode a raster payload to an (H, W, 3) uint8 array.
 
-    Real for PPM (P6), uncompressed 24-bit BMP, and PNG (stdlib zlib —
-    see _decode_png). JPEG/… raise — the documented stub boundary
-    (DCT entropy decode needs libjpeg, absent in this container)."""
+    Real for PPM (P6), uncompressed 24-bit BMP, PNG (stdlib zlib —
+    _decode_png) and baseline JPEG (operators/jpeg.py). Remaining
+    codec formats (GIF/WEBP/TIFF/…) raise — the documented stub
+    boundary."""
     if payload[:2] == b"P6":
         return _decode_ppm(payload)
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
     if payload[:8] == PNG_SIG:
         return _decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from impala_cut_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        "image decode stub for codec-bearing formats (JPEG/…): install "
-        "pillow and replace with PIL.Image.open (PPM/BMP/PNG decode "
-        "natively here)"
+        "image decode stub for remaining codec formats (GIF/WEBP/TIFF/…): "
+        "install pillow and replace with PIL.Image.open (PPM/BMP/PNG and "
+        "baseline JPEG decode natively here)"
     )
 
 

@@ -320,11 +320,13 @@ class TestSimilarity:
 
 
 class TestMultimodal:
-    def test_decode_image_stub_for_jpeg(self):
-        # JPEG stays a documented stub boundary (DCT entropy decode
-        # needs libjpeg); PNG is a real path since round 8
+    def test_decode_image_stub_for_remaining_codecs(self):
+        # GIF/WEBP/TIFF stay documented stub boundaries; PNG and
+        # baseline JPEG are real paths since round 8
         with pytest.raises(NotImplementedError):
-            multimodal.decode_image(b"\xff\xd8\xff\xe0jpeg-ish payload")
+            multimodal.decode_image(b"GIF89a gif-ish payload")
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_image(b"RIFF\x00\x00\x00\x00WEBPwebp-ish")
 
     def test_png_roundtrip_every_filter_and_layout(self):
         """encode_png forward-filters with each of the five spec
@@ -430,6 +432,88 @@ class TestMultimodal:
             )
             with pytest.raises(NotImplementedError):
                 multimodal.decode_image(bad)
+
+    def test_jpeg_roundtrip_within_lossy_tolerance(self):
+        """Baseline JPEG is lossy — the round-trip must stay within
+        quantization tolerance at quality 95, with and without restart
+        markers (the RSTn/DRI resync path), RGB and grayscale."""
+        import numpy as np
+
+        from impala_cut_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+        rng = np.random.default_rng(5)
+        yy, xx = np.mgrid[0:40, 0:56]
+        base = ((xx * 3 + yy * 2) % 256).astype(np.uint8)
+        img = np.stack([base, 255 - base, (base * 2) % 256], axis=2)
+        img = np.clip(img.astype(int) + rng.integers(-6, 7, img.shape), 0, 255).astype(np.uint8)
+        for ri in (0, 3):
+            dec = decode_jpeg(encode_jpeg(img, quality=95, restart_interval=ri))
+            d = np.abs(dec.astype(int) - img.astype(int))
+            assert d.mean() < 4 and d.max() < 40, (ri, d.mean(), d.max())
+        dg = decode_jpeg(encode_jpeg(base, quality=95))
+        dd = np.abs(dg[:, :, 0].astype(int) - base.astype(int))
+        assert dd.mean() < 2  # smooth grayscale compresses near-losslessly
+
+    def test_jpeg_matches_jvm_imageio_on_real_photos(self, spark):
+        """Decode Spark's bundled real-world photos (baseline 4:2:0,
+        written by a foreign encoder) and compare against the JVM's
+        ImageIO decode (spark.read.format('image')): mean |diff| per
+        sample must be < 0.5 — the residue is IDCT/chroma-upsampling
+        variance the spec permits."""
+        import os
+
+        import numpy as np
+
+        from impala_cut_spark.operators.jpeg import decode_jpeg
+
+        paths = [
+            "/opt/spark/data/mllib/images/origin/kittens/54893.jpg",
+            "/opt/spark/data/mllib/images/origin/kittens/DP802813.jpg",
+        ]
+        paths = [p for p in paths if os.path.exists(p)]
+        if not paths:
+            pytest.skip("Spark mllib image test data not present")
+        for row in spark.read.format("image").load(paths).collect():
+            im = row["image"]
+            ref = np.frombuffer(bytes(im["data"]), dtype=np.uint8).reshape(
+                im["height"], im["width"], im["nChannels"]
+            )[..., ::-1]  # ImageIO hands BGR
+            local = im["origin"].split("file:", 1)[-1].lstrip("/")
+            mine = decode_jpeg(open("/" + local, "rb").read())
+            d = np.abs(mine.astype(int) - ref.astype(int))
+            assert mine.shape == ref.shape
+            assert d.mean() < 0.5, (im["origin"], d.mean(), d.max())
+
+    def test_jpeg_progressive_is_stubbed(self):
+        import os
+
+        from impala_cut_spark.operators.jpeg import decode_jpeg
+
+        p = "/usr/share/doc/nodejs/thin-white-stripe.jpg"  # SOF2
+        if not os.path.exists(p):
+            pytest.skip("progressive fixture not present")
+        with pytest.raises(NotImplementedError):
+            decode_jpeg(open(p, "rb").read())
+
+    def test_extract_features_uses_real_jpeg_path(self, spark):
+        """A JPEG payload flows through the mapInPandas extractor via
+        the real decode — features near-identical to the same pixels
+        as lossless PPM (JPEG is lossy, so allclose with tolerance),
+        and nothing like the fake byte-level fallback."""
+        import numpy as np
+
+        from impala_cut_spark.operators.jpeg import encode_jpeg
+
+        yy, xx = np.mgrid[0:24, 0:32]
+        img = np.stack([(xx * 5) % 256, (yy * 7) % 256, ((xx + yy) * 3) % 256], axis=2).astype(np.uint8)
+        rows = [
+            (1, "image", "image/jpeg", 32, 24, bytearray(encode_jpeg(img, quality=95))),
+            (2, "image", "image/x-portable-pixmap", 32, 24, bytearray(multimodal.encode_ppm(img))),
+        ]
+        assets = spark.createDataFrame(rows, multimodal.ASSET_SCHEMA)
+        feats = {r.asset_id: np.array(r.features) for r in multimodal.extract_features(assets).collect()}
+        assert np.allclose(feats[1], feats[2], atol=0.05)
+        assert not np.allclose(feats[1], multimodal.fake_features(bytes(rows[0][5])), atol=0.05)
 
     def test_extract_features_uses_real_png_path(self, spark):
         """A PNG payload flows through the mapInPandas feature
