@@ -82,6 +82,11 @@ SMOKE = {
     "pipe_seq_chunks": "concat-and-chunk sequence map (band-offset two-phase)",
     # round-7 families
     "pipe_semdedup_auto": "SemDeDup, production cells≈√N (broadcast-join assignment)",
+    "pipe_dsir_weights": "DSIR selection (persisted feature stream, broadcast buckets)",
+    "pipe_dup_block_share": "dup-block share gate (two-level fp agg + join-back)",
+    "pipe_dedup_weights": "SoftDeDup 1/n weights (cluster agg + join-back)",
+    "pipe_ngram_novelty": "n-gram novelty curve (first-seen agg + join-back)",
+    "pipe_ann_recall": "ANN recall@5 report (10 probes vs corpus, 2 searches + join)",
 }
 
 #: per-row root-cause notes (r6 verdict #3/#4: every outlier ratio
