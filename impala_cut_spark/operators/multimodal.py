@@ -3,12 +3,13 @@
 Decode is REAL for the formats real crawls are made of — binary PPM
 (P6), uncompressed 24-bit BMP, and (round 8) PNG (stdlib zlib, 8-bit
 gray / gray+alpha / RGB / RGBA / palette, all five scanline filters;
-RFC 2083 / ISO 15948) AND baseline JPEG (operators/jpeg.py: from-
-scratch huffman + IDCT per ITU-T T.81, validated against the JVM's
-ImageIO decoder) — the same from-scratch precedent as the LZO codec.
-Remaining codec formats (GIF/WEBP/TIFF images, MP3 audio, video
-containers) stay STUBBED: ``decode_image`` raises NotImplementedError
-for those, and ``fake_features`` is the deterministic stand-in.  The
+RFC 2083 / ISO 15948), baseline JPEG (operators/jpeg.py: from-scratch
+huffman + IDCT per ITU-T T.81, validated against the JVM's ImageIO
+decoder) AND GIF87a/89a (from-scratch LZW, bit-exact vs ImageIO) —
+the same from-scratch precedent as the LZO codec.  Remaining codec
+formats (WEBP/TIFF images, MP3 audio, video containers) stay STUBBED:
+``decode_image`` raises NotImplementedError for those, and
+``fake_features`` is the deterministic stand-in.  The
 Spark-side plumbing is identical either way: schema, Arrow batch
 shape, mapInPandas signatures, and the partitioning story match what
 a full-codec production decode would use.
@@ -72,9 +73,9 @@ def decode_image(payload: bytes) -> "np.ndarray":
     """Decode a raster payload to an (H, W, 3) uint8 array.
 
     Real for PPM (P6), uncompressed 24-bit BMP, PNG (stdlib zlib —
-    _decode_png) and baseline JPEG (operators/jpeg.py). Remaining
-    codec formats (GIF/WEBP/TIFF/…) raise — the documented stub
-    boundary."""
+    _decode_png), baseline JPEG (operators/jpeg.py) and GIF87a/89a
+    (decode_gif). Remaining codec formats (WEBP/TIFF/…) raise — the
+    documented stub boundary."""
     if payload[:2] == b"P6":
         return _decode_ppm(payload)
     if payload[:2] == b"BM":
@@ -85,10 +86,12 @@ def decode_image(payload: bytes) -> "np.ndarray":
         from impala_cut_spark.operators.jpeg import decode_jpeg
 
         return decode_jpeg(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(payload)
     raise NotImplementedError(
-        "image decode stub for remaining codec formats (GIF/WEBP/TIFF/…): "
-        "install pillow and replace with PIL.Image.open (PPM/BMP/PNG and "
-        "baseline JPEG decode natively here)"
+        "image decode stub for remaining codec formats (WEBP/TIFF/…): "
+        "install pillow and replace with PIL.Image.open (PPM/BMP/PNG/GIF "
+        "and baseline JPEG decode natively here)"
     )
 
 
@@ -237,6 +240,195 @@ def _decode_png(payload: bytes) -> np.ndarray:
     elif ch == 4:  # RGBA → alpha dropped
         img = img[..., :3]
     return np.ascontiguousarray(img)
+
+
+# -- GIF (public spec, GIF87a/89a; LZW like the LZO precedent) ---------------
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """GIF87a/89a → (H, W, 3) uint8 RGB of the FIRST image block
+    (animations: first frame), LZW per the spec (variable 3..12-bit
+    codes, LSB-first packing, clear/EOI), 4-pass interlace, local or
+    global color tables, frames painted onto the logical screen.
+    Conformance: bit-exact against the JVM ImageIO decoder on the
+    container's real-world GIFs (tests/test_operators.py)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw = int.from_bytes(payload[6:8], "little")
+    sh = int.from_bytes(payload[8:10], "little")
+    flags = payload[10]
+    bg = payload[11]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = np.frombuffer(payload, dtype=np.uint8, count=3 * n, offset=pos).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label + length-prefixed sub-blocks
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"bad GIF block 0x{b:02x}")
+        ix = int.from_bytes(payload[pos + 1 : pos + 3], "little")
+        iy = int.from_bytes(payload[pos + 3 : pos + 5], "little")
+        iw = int.from_bytes(payload[pos + 5 : pos + 7], "little")
+        ih = int.from_bytes(payload[pos + 7 : pos + 9], "little")
+        iflags = payload[pos + 9]
+        pos += 10
+        ct = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 7)
+            ct = np.frombuffer(payload, dtype=np.uint8, count=3 * n, offset=pos).reshape(n, 3)
+            pos += 3 * n
+        if ct is None:
+            raise ValueError("GIF image with no color table")
+        interlaced = bool(iflags & 0x40)
+        min_code = payload[pos]
+        pos += 1
+        data = bytearray()
+        while payload[pos] != 0:
+            ln = payload[pos]
+            data += payload[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = _gif_lzw_decode(bytes(data), min_code, iw * ih)
+        img = np.asarray(idx, dtype=np.int32).reshape(ih, iw)
+        if interlaced:
+            out = np.empty_like(img)
+            rows = (
+                list(range(0, ih, 8))
+                + list(range(4, ih, 8))
+                + list(range(2, ih, 4))
+                + list(range(1, ih, 2))
+            )
+            for src, dst in enumerate(rows):
+                out[dst] = img[src]
+            img = out
+        rgb = ct[np.clip(img, 0, len(ct) - 1)]
+        if (iw, ih) != (sw, sh) or ix or iy:
+            screen = np.zeros((sh, sw, 3), dtype=np.uint8)
+            if gct is not None and bg < len(gct):
+                screen[:, :] = gct[bg]
+            screen[iy : iy + ih, ix : ix + iw] = rgb
+            return screen
+        return np.ascontiguousarray(rgb.astype(np.uint8))
+    raise ValueError("GIF contained no image block")
+
+
+def _gif_lzw_decode(data: bytes, min_code: int, limit: int) -> list[int]:
+    clear = 1 << min_code
+    eoi = clear + 1
+    out: list[int] = []
+    bitpos = 0
+    nbits = len(data) * 8
+    table = {i: (i,) for i in range(clear)}
+    width = min_code + 1
+    prev: tuple[int, ...] | None = None
+    next_code = eoi + 1
+    while bitpos + width <= nbits and len(out) < limit:
+        byte = bitpos >> 3
+        chunk = int.from_bytes(data[byte : byte + 3], "little")
+        code = (chunk >> (bitpos & 7)) & ((1 << width) - 1)
+        bitpos += width
+        if code == clear:
+            table = {i: (i,) for i in range(clear)}
+            width = min_code + 1
+            next_code = eoi + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None or code in table:
+            entry = table[code]
+        elif code == next_code:  # the KwKwK case
+            entry = prev + (prev[0],)
+        else:
+            raise ValueError("corrupt GIF LZW stream")
+        out.extend(entry)
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + (entry[0],)
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return out[:limit]
+
+
+def encode_gif(arr: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 with ≤256 distinct colors → GIF89a payload
+    (global palette, single non-interlaced image, LZW) — the lossless
+    fixture twin of decode_gif."""
+    h, w = arr.shape[:2]
+    flat = arr.reshape(-1, 3)
+    palette, idx = np.unique(flat, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError("encode_gif needs <=256 distinct colors")
+    bits = max(1, int(len(palette) - 1).bit_length())
+    psize = 1 << bits
+    pal = np.zeros((psize, 3), dtype=np.uint8)
+    pal[: len(palette)] = palette
+    min_code = max(2, bits)
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x80 | (bits - 1), 0, 0])  # GCT present, bg 0
+    out += pal.tobytes()
+    out += b"\x2c" + b"\x00\x00\x00\x00" + w.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\x00"
+    out += bytes([min_code])
+    # LZW encode (greedy longest-match)
+    clear = 1 << min_code
+    eoi = clear + 1
+    table: dict[tuple[int, ...], int] = {(i,): i for i in range(clear)}
+    next_code = eoi + 1
+    width = min_code + 1
+    acc = 0
+    nacc = 0
+    body = bytearray()
+
+    def put(code: int, wdt: int) -> None:
+        nonlocal acc, nacc
+        acc |= code << nacc
+        nacc += wdt
+        while nacc >= 8:
+            body.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+
+    put(clear, width)
+    cur: tuple[int, ...] = ()
+    for v in idx.tolist():
+        nxt = cur + (int(v),)
+        if nxt in table:
+            cur = nxt
+            continue
+        put(table[cur], width)
+        if next_code < 4096:
+            table[nxt] = next_code
+            next_code += 1
+            if next_code - 1 == (1 << width) and width < 12:
+                width += 1
+        else:  # table full: emit clear and rebuild (spec-sanctioned)
+            put(clear, width)
+            table = {(i,): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code + 1
+        cur = (int(v),)
+    if cur:
+        put(table[cur], width)
+    put(eoi, width)
+    if nacc:
+        body.append(acc & 0xFF)
+    for i in range(0, len(body), 255):
+        chunk = body[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
 
 
 def _png_chunk(typ: bytes, data: bytes) -> bytes:

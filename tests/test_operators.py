@@ -321,12 +321,52 @@ class TestSimilarity:
 
 class TestMultimodal:
     def test_decode_image_stub_for_remaining_codecs(self):
-        # GIF/WEBP/TIFF stay documented stub boundaries; PNG and
-        # baseline JPEG are real paths since round 8
-        with pytest.raises(NotImplementedError):
-            multimodal.decode_image(b"GIF89a gif-ish payload")
+        # WEBP/TIFF stay documented stub boundaries; PNG, baseline
+        # JPEG and GIF are real paths since round 8
         with pytest.raises(NotImplementedError):
             multimodal.decode_image(b"RIFF\x00\x00\x00\x00WEBPwebp-ish")
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_image(b"II*\x00tiff-ish payload")
+
+    def test_gif_roundtrip_lossless(self):
+        """GIF is lossless for <=256-color images: encode_gif →
+        decode_gif must reproduce the exact pixels, across palette
+        sizes (1-bit to 8-bit code widths) and a table-growth image."""
+        import numpy as np
+
+        rng = np.random.default_rng(9)
+        for ncolors in (2, 5, 16, 200):
+            pal = rng.integers(0, 256, size=(ncolors, 3), dtype=np.uint8)
+            idx = rng.integers(0, ncolors, size=(21, 17))
+            img = pal[idx]
+            got = multimodal.decode_gif(multimodal.encode_gif(img))
+            assert (got == img).all(), ncolors
+
+    def test_gif_matches_jvm_imageio_bit_exact(self, spark):
+        """Decoding real-world GIFs (foreign encoder, palette + LZW +
+        sub-block framing) must be BIT-EXACT against the JVM ImageIO
+        decode — GIF is lossless, so no tolerance."""
+        import os
+
+        import numpy as np
+
+        paths = [
+            "/usr/share/doc/libxslt1-dev/html/Libxslt-Logo-180x168.gif",
+            "/usr/share/doc/libxslt1-dev/html/contexts.gif",
+        ]
+        paths = [p for p in paths if os.path.exists(p)]
+        if not paths:
+            pytest.skip("libxslt doc GIFs not present")
+        for row in spark.read.format("image").load(paths).collect():
+            im = row["image"]
+            nc = im["nChannels"]
+            ref = np.frombuffer(bytes(im["data"]), dtype=np.uint8).reshape(
+                im["height"], im["width"], nc
+            )
+            ref_rgb = ref[..., :3][..., ::-1] if nc >= 3 else np.repeat(ref, 3, axis=2)
+            local = "/" + im["origin"].split("file:", 1)[-1].lstrip("/")
+            mine = multimodal.decode_gif(open(local, "rb").read())
+            assert (mine == ref_rgb).all(), im["origin"]
 
     def test_png_roundtrip_every_filter_and_layout(self):
         """encode_png forward-filters with each of the five spec
