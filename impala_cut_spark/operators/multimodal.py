@@ -633,6 +633,63 @@ def extract_features(assets: DataFrame) -> DataFrame:
     return fan_out(assets).mapInPandas(_extract, FEATURE_SCHEMA)
 
 
+#: output schema of codec_roundtrip_features
+CODEC_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("codec", T.StringType(), False),
+        T.StructField("n_px", T.LongType(), False),
+        T.StructField("mean_byte", T.DoubleType(), False),
+    ]
+)
+
+
+def codec_roundtrip_features(docs: DataFrame) -> DataFrame:
+    """Codec-conformance feature pass, ORACLE-CHECKABLE BY DESIGN: each
+    document's md5 digest becomes a deterministic 4×4 image, ENCODED
+    with a real codec chosen by doc_id % 3 (PNG / GIF / PPM — all
+    lossless), decoded back through decode_image's dispatch, and
+    reduced to the mean pixel byte.  Because the codecs are lossless,
+    DuckDB replays the expected mean DIRECTLY from md5(text)'s hex
+    bytes with no image code at all — any encode/decode defect in the
+    in-plan codec path breaks the hash match.  Arrow-batched
+    mapInPandas; one narrow map, no shuffle."""
+    import hashlib
+    import math
+
+    def _batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                s = text if isinstance(text, str) else ""
+                raw = hashlib.md5(s.encode("utf-8")).digest()
+                px = np.frombuffer(raw, dtype=np.uint8).reshape(4, 4)
+                codec = ("png", "gif", "ppm")[int(doc_id) % 3]
+                if codec == "png":
+                    payload = encode_png(px)
+                elif codec == "gif":
+                    payload = encode_gif(np.repeat(px[:, :, None], 3, axis=2))
+                else:
+                    payload = encode_ppm(np.repeat(px[:, :, None], 3, axis=2))
+                img = decode_image(payload)
+                mean = float(img[:, :, 0].astype(np.int64).sum()) / 16.0
+                rows.append(
+                    (
+                        int(doc_id),
+                        codec,
+                        16,
+                        math.floor(mean * 1_000_000 + 0.5) / 1_000_000,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "codec", "n_px", "mean_byte"]
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        _batch, schema=CODEC_FEATURE_SCHEMA
+    )
+
+
 def resize_image(img: np.ndarray, width: int, height: int) -> np.ndarray:
     """Nearest-neighbor resize via pure numpy indexing."""
     h, w = img.shape[:2]

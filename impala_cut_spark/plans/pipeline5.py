@@ -321,3 +321,45 @@ def pipe_ann_recall(spark, sf_dir):
             ).alias("recall_at_5"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# codec round-trip conformance (round-8: PNG/GIF/PPM in-plan)
+# ---------------------------------------------------------------------------
+
+
+def _codec_roundtrip_oracle() -> str:
+    """The codecs under test are LOSSLESS, so the oracle needs no image
+    code: the expected mean pixel byte is the mean of md5(text)'s 16
+    digest bytes, parsed from DuckDB's md5() hex string."""
+    return """
+WITH h AS (SELECT doc_id, md5(coalesce(text, '')) AS hx FROM documents),
+b AS (SELECT doc_id, hx, unnest(range(0, 16)) AS i FROM h),
+v AS (SELECT doc_id,
+             (strpos('0123456789abcdef', substr(hx, CAST(2*i+1 AS INT), 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(hx, CAST(2*i+2 AS INT), 1)) - 1) AS byte
+      FROM b)
+SELECT doc_id,
+       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+            ELSE 'ppm' END AS codec,
+       CAST(16 AS BIGINT) AS n_px,
+       floor(avg(CAST(byte AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS mean_byte
+FROM v
+GROUP BY doc_id
+"""
+
+
+@query("pipe_multimodal_codec", oracle=_codec_roundtrip_oracle())
+def pipe_multimodal_codec(spark, sf_dir):
+    """Round-8 codec-conformance pass: every document's md5 digest
+    becomes a 4x4 image, encoded with a REAL codec chosen by
+    doc_id % 3 (PNG / GIF / PPM - all lossless, operators/multimodal.py
+    + the hand-rolled PNG/GIF paths), decoded back through
+    decode_image's signature dispatch, and reduced to the mean pixel
+    byte.  Losslessness makes the oracle codec-free: DuckDB parses
+    md5(text)'s hex bytes and averages them - an encode or decode
+    defect anywhere in the in-plan codec path breaks the hash match.
+    Scale: one Arrow-batched narrow map, no shuffle."""
+    from impala_cut_spark.operators.multimodal import codec_roundtrip_features
+
+    return codec_roundtrip_features(t(spark, sf_dir, "documents"))
