@@ -494,11 +494,12 @@ def decode_wav(payload: bytes) -> tuple[int, int, "np.ndarray"]:
     """Decode a RIFF/WAVE PCM payload → (sample_rate, n_channels,
     float64 samples in [-1, 1], shape (n_frames, n_channels)).
 
-    Real for the codec-free format: uncompressed PCM (format tag 1),
-    8- or 16-bit — WAV is to audio what PPM/BMP are to images (a
-    container with raw samples, no codec library needed). Compressed
-    formats (mp3/aac/ogg) raise — the same documented stub boundary as
-    codec-bearing images."""
+    Real for the codec-free / table-codec formats: uncompressed PCM
+    (format tag 1, 8- or 16-bit) and — round 8 — the G.711 telephony
+    codecs A-law (tag 6) and μ-law (tag 7), whose expansion is a
+    16-line public-spec formula (ITU-T G.711), no codec library
+    needed. Perceptual codecs (mp3/aac/ogg) raise — the same
+    documented stub boundary as codec-bearing images."""
     import struct
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
@@ -506,14 +507,14 @@ def decode_wav(payload: bytes) -> tuple[int, int, "np.ndarray"]:
             "audio decode stub for non-WAV containers: install an audio "
             "codec lib (RIFF/WAVE PCM decodes natively here)"
         )
-    pos, rate, channels, bits, data = 12, None, None, None, None
+    pos, tag, rate, channels, bits, data = 12, None, None, None, None, None
     while pos + 8 <= len(payload):
         cid, sz = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
         body = payload[pos + 8 : pos + 8 + sz]
         if cid == b"fmt ":
             tag, channels, rate = struct.unpack_from("<HHI", body, 0)
             bits = struct.unpack_from("<H", body, 14)[0]
-            if tag != 1:
+            if tag not in (1, 6, 7):
                 raise NotImplementedError(f"compressed WAV (format tag {tag}) not supported")
         elif cid == b"data":
             data = body
@@ -524,7 +525,11 @@ def decode_wav(payload: bytes) -> tuple[int, int, "np.ndarray"]:
         # file-supplied count — a corrupt fmt chunk must fall back to
         # byte features, not ZeroDivisionError the whole Spark job
         raise ValueError(f"WAV declares invalid channel count {channels}")
-    if bits == 16:
+    if tag == 6:  # G.711 A-law
+        samples = _alaw_expand(np.frombuffer(data, dtype=np.uint8)) / 32768.0
+    elif tag == 7:  # G.711 μ-law
+        samples = _ulaw_expand(np.frombuffer(data, dtype=np.uint8)) / 32768.0
+    elif bits == 16:
         samples = np.frombuffer(data, dtype="<i2", count=len(data) // 2) / 32768.0
     elif bits == 8:
         samples = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
@@ -532,6 +537,26 @@ def decode_wav(payload: bytes) -> tuple[int, int, "np.ndarray"]:
         raise NotImplementedError(f"{bits}-bit PCM not supported")
     n = (len(samples) // channels) * channels
     return rate, channels, samples[:n].reshape(-1, channels)
+
+
+def _ulaw_expand(code: np.ndarray) -> np.ndarray:
+    """ITU-T G.711 μ-law byte → linear PCM (float, 16-bit range)."""
+    c = (~code.astype(np.int64)) & 0xFF
+    sign = np.where(c & 0x80, -1.0, 1.0)
+    exp = (c >> 4) & 7
+    mant = c & 0x0F
+    mag = ((mant.astype(np.float64) * 2 + 33) * (2.0 ** exp)) - 33
+    return sign * mag * 4.0  # 14-bit magnitude → 16-bit range
+
+
+def _alaw_expand(code: np.ndarray) -> np.ndarray:
+    """ITU-T G.711 A-law byte → linear PCM (float, 16-bit range)."""
+    c = (code.astype(np.int64) ^ 0x55) & 0xFF
+    sign = np.where(c & 0x80, 1.0, -1.0)  # A-law: set sign bit = positive
+    exp = (c >> 4) & 7
+    mant = (c & 0x0F).astype(np.float64)
+    mag = np.where(exp == 0, mant * 2 + 1, (mant * 2 + 33) * (2.0 ** (exp - 1)))
+    return sign * mag * 8.0  # 13-bit magnitude → 16-bit range
 
 
 def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:

@@ -555,6 +555,40 @@ class TestMultimodal:
         assert np.allclose(feats[1], feats[2], atol=0.05)
         assert not np.allclose(feats[1], multimodal.fake_features(bytes(rows[0][5])), atol=0.05)
 
+    def test_g711_wav_decode_matches_stdlib_reference(self):
+        """μ-law / A-law WAV (format tags 7/6) expand exactly per
+        ITU-T G.711 — verified against the stdlib audioop reference on
+        ALL 256 code bytes, plus an end-to-end RIFF container decode."""
+        import struct
+
+        import numpy as np
+
+        audioop = pytest.importorskip("audioop")  # removed in py3.13
+        from impala_cut_spark.operators.multimodal import (
+            _alaw_expand,
+            _ulaw_expand,
+            decode_wav,
+        )
+
+        codes = np.arange(256, dtype=np.uint8)
+        ref_u = np.frombuffer(audioop.ulaw2lin(bytes(codes), 2), dtype="<i2")
+        ref_a = np.frombuffer(audioop.alaw2lin(bytes(codes), 2), dtype="<i2")
+        assert (_ulaw_expand(codes) == ref_u.astype(np.float64)).all()
+        assert (_alaw_expand(codes) == ref_a.astype(np.float64)).all()
+
+        # end-to-end: a μ-law RIFF container built from a real sine
+        t = np.linspace(0, 0.05, 400, endpoint=False)
+        lin16 = (0.7 * np.sin(2 * np.pi * 440 * t) * 32767).astype("<i2")
+        ulaw = audioop.lin2ulaw(lin16.tobytes(), 2)
+        fmt = struct.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 8)
+        body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        body += b"data" + struct.pack("<I", len(ulaw)) + ulaw
+        payload = b"RIFF" + struct.pack("<I", len(body)) + body
+        rate, ch, samples = decode_wav(payload)
+        assert (rate, ch) == (8000, 1)
+        want = np.frombuffer(audioop.ulaw2lin(ulaw, 2), dtype="<i2") / 32768.0
+        assert np.allclose(samples[:, 0], want)
+
     def test_extract_features_uses_real_png_path(self, spark):
         """A PNG payload flows through the mapInPandas feature
         extractor via the REAL decode (identical features to the same
