@@ -22,6 +22,7 @@ can't blow a batch. Metadata-only predicates prune before any decode.
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -656,6 +657,212 @@ def extract_features(assets: DataFrame) -> DataFrame:
             )
 
     return fan_out(assets).mapInPandas(_extract, FEATURE_SCHEMA)
+
+
+# -- MP4 / ISO BMFF container metadata (public spec ISO/IEC 14496-12) --------
+
+#: box types whose payload is a sequence of child boxes
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl", b"edts"}
+
+
+def mp4_metadata(payload: bytes) -> dict:
+    """Parse an ISO BMFF (MP4/MOV) container's box tree → metadata:
+    ``{brand, duration_sec, n_tracks, tracks: [{handler, codec, width,
+    height, n_samples, n_keyframes}]}``.
+
+    This is the metadata-prune stage a 100 TB video pipeline runs
+    BEFORE any expensive decode (filter by duration / codec / keyframe
+    density); the box grammar is simple length-prefixed structs — no
+    codec involved.  The sample DATA (h264/aac payloads) stays behind
+    the documented codec stub boundary."""
+    if len(payload) < 8 or payload[4:8] != b"ftyp":
+        raise ValueError("not an ISO BMFF payload (no ftyp)")
+    brand = payload[8:12].decode("ascii", "replace")
+    out: dict = {"brand": brand, "duration_sec": None, "tracks": []}
+    mvhd_scale = None
+
+    def walk(lo: int, hi: int, path: tuple[bytes, ...]) -> None:
+        nonlocal mvhd_scale
+        pos = lo
+        while pos + 8 <= hi:
+            (size,) = struct.unpack_from(">I", payload, pos)
+            typ = payload[pos + 4 : pos + 8]
+            body = pos + 8
+            if size == 1:  # 64-bit largesize
+                (size,) = struct.unpack_from(">Q", payload, pos + 8)
+                body = pos + 16
+            elif size == 0:  # to end of enclosing box
+                size = hi - pos
+            end = pos + size
+            if end > hi or size < 8:
+                raise ValueError("corrupt ISO BMFF box size")
+            if typ in _MP4_CONTAINERS:
+                walk(body, end, path + (typ,))
+            elif typ == b"mvhd":
+                ver = payload[body]
+                if ver == 1:
+                    scale, dur = struct.unpack_from(">IQ", payload, body + 20)
+                else:
+                    scale, dur = struct.unpack_from(">II", payload, body + 12)
+                mvhd_scale = scale
+                out["duration_sec"] = round(dur / scale, 6) if scale else None
+            elif typ == b"hdlr":
+                out["tracks"].append(
+                    {
+                        "handler": payload[body + 8 : body + 12].decode("ascii", "replace"),
+                        "codec": None,
+                        "width": None,
+                        "height": None,
+                        "n_samples": None,
+                        "n_keyframes": None,
+                    }
+                )
+            elif typ == b"stsd" and out["tracks"]:
+                (n_entries,) = struct.unpack_from(">I", payload, body + 4)
+                if n_entries:
+                    entry = body + 8
+                    tr = out["tracks"][-1]
+                    tr["codec"] = payload[entry + 4 : entry + 8].decode("ascii", "replace")
+                    if tr["handler"] == "vide":
+                        w, h = struct.unpack_from(">HH", payload, entry + 32)
+                        tr["width"], tr["height"] = w, h
+            elif typ == b"stsz" and out["tracks"]:
+                (n,) = struct.unpack_from(">I", payload, body + 8)
+                out["tracks"][-1]["n_samples"] = n
+            elif typ == b"stss" and out["tracks"]:
+                (n,) = struct.unpack_from(">I", payload, body + 4)
+                out["tracks"][-1]["n_keyframes"] = n
+            pos = end
+
+    walk(0, len(payload), ())
+    # stss absent ⇒ every sample is a sync sample (spec §8.6.2)
+    for tr in out["tracks"]:
+        if tr["n_keyframes"] is None and tr["n_samples"] is not None:
+            tr["n_keyframes"] = tr["n_samples"]
+    out["n_tracks"] = len(out["tracks"])
+    return out
+
+
+def build_minimal_mp4(
+    duration_ms: int,
+    n_samples: int,
+    n_keyframes: int,
+    width: int = 640,
+    height: int = 360,
+) -> bytes:
+    """Minimal valid ISO BMFF tree (ftyp + moov[mvhd, video trak with
+    stsd(avc1)/stsz/stss, audio trak with stsd(mp4a)/stsz]) — the
+    fixture/sink twin of mp4_metadata, per ISO/IEC 14496-12."""
+
+    def box(typ: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+    mvhd = box(
+        b"mvhd",
+        b"\x00" * 4 + b"\x00" * 8 + struct.pack(">II", 1000, int(duration_ms)) + b"\x00" * 80,
+    )
+    avc1 = (
+        struct.pack(">I", 8 + 78)
+        + b"avc1"
+        + b"\x00" * 24
+        + struct.pack(">HH", width, height)
+        + b"\x00" * 50
+    )
+    stbl = (
+        box(b"stsd", struct.pack(">II", 0, 1) + avc1)
+        + box(b"stsz", struct.pack(">III", 0, 0, int(n_samples)))
+        + box(
+            b"stss",
+            struct.pack(">II", 0, int(n_keyframes)) + b"\x00\x00\x00\x01" * int(n_keyframes),
+        )
+    )
+    trak_v = box(
+        b"trak",
+        box(
+            b"mdia",
+            box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12)
+            + box(b"minf", box(b"stbl", stbl)),
+        ),
+    )
+    mp4a = struct.pack(">I", 8 + 28) + b"mp4a" + b"\x00" * 28
+    trak_a = box(
+        b"trak",
+        box(
+            b"mdia",
+            box(b"hdlr", b"\x00" * 8 + b"soun" + b"\x00" * 12)
+            + box(
+                b"minf",
+                box(
+                    b"stbl",
+                    box(b"stsd", struct.pack(">II", 0, 1) + mp4a)
+                    + box(b"stsz", struct.pack(">III", 0, 0, 2 * int(n_samples))),
+                ),
+            ),
+        ),
+    )
+    return box(b"ftyp", b"isom" + b"\x00\x00\x02\x00" + b"isomiso2avc1") + box(
+        b"moov", mvhd + trak_v + trak_a
+    )
+
+
+#: output schema of video_metadata
+VIDEO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("brand", T.StringType(), True),
+        T.StructField("duration_sec", T.DoubleType(), True),
+        T.StructField("n_tracks", T.IntegerType(), True),
+        T.StructField("video_codec", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("n_keyframes", T.LongType(), True),
+        T.StructField("parse_ok", T.BooleanType(), False),
+    ]
+)
+
+
+def video_metadata(assets: DataFrame) -> DataFrame:
+    """Per-asset MP4 container metadata via mp4_metadata — the
+    prune-before-decode stage (drop/route assets by duration, codec,
+    keyframe density WITHOUT touching sample data).  Unparseable
+    payloads yield parse_ok=false, never a job failure."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    meta = mp4_metadata(bytes(payload) if payload is not None else b"")
+                    vid = next(
+                        (t for t in meta["tracks"] if t["handler"] == "vide"), None
+                    )
+                    rows.append(
+                        (
+                            int(aid),
+                            meta["brand"],
+                            meta["duration_sec"],
+                            meta["n_tracks"],
+                            vid["codec"] if vid else None,
+                            vid["width"] if vid else None,
+                            vid["height"] if vid else None,
+                            vid["n_samples"] if vid else None,
+                            vid["n_keyframes"] if vid else None,
+                            True,
+                        )
+                    )
+                except (ValueError, IndexError, struct.error):
+                    rows.append(
+                        (int(aid), None, None, None, None, None, None, None, None, False)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[f.name for f in VIDEO_META_SCHEMA.fields],
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        _extract, schema=VIDEO_META_SCHEMA
+    )
 
 
 #: output schema of codec_roundtrip_features

@@ -363,3 +363,78 @@ def pipe_multimodal_codec(spark, sf_dir):
     from impala_cut_spark.operators.multimodal import codec_roundtrip_features
 
     return codec_roundtrip_features(t(spark, sf_dir, "documents"))
+
+
+def _video_meta_oracle() -> str:
+    """The container round-trip is lossless struct packing, so the
+    oracle replays the expected facts directly from the document
+    columns the payload was built from."""
+    return """
+SELECT doc_id,
+       'isom' AS brand,
+       floor(CAST(n_chars AS DOUBLE) / 1000 * 1000000 + 0.5) / 1000000
+         AS duration_sec,
+       CAST(n_chars % 100 + 1 AS BIGINT) AS n_samples,
+       CAST(n_chars % 7 + 1 AS BIGINT) AS n_keyframes,
+       CAST(n_chars % 100 + 1 AS BIGINT) >= 10 AS keep
+FROM documents
+"""
+
+
+@query("pipe_multimodal_video", oracle=_video_meta_oracle())
+def pipe_multimodal_video(spark, sf_dir):
+    """Round-8 video-container conformance + prune pass: each document
+    fabricates a deterministic minimal MP4 (ISO/IEC 14496-12 box tree
+    via multimodal.build_minimal_mp4 — duration n_chars ms, sample and
+    keyframe counts derived from n_chars), parses it back through
+    mp4_metadata (the prune-before-decode stage a 100 TB video
+    pipeline runs), and emits the parsed facts plus a keyframe-budget
+    keep gate.  The struct round-trip is lossless, so the oracle needs
+    no container code: it recomputes the facts from n_chars.  Scale:
+    one Arrow-batched narrow map, no shuffle."""
+    import math
+
+    import pandas as pd
+
+    from impala_cut_spark.operators.multimodal import (
+        build_minimal_mp4,
+        mp4_metadata,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+
+    def _rt(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                n = int(n_chars)
+                payload = build_minimal_mp4(
+                    duration_ms=n, n_samples=n % 100 + 1, n_keyframes=n % 7 + 1
+                )
+                meta = mp4_metadata(payload)
+                vid = next(t_ for t_ in meta["tracks"] if t_["handler"] == "vide")
+                rows.append(
+                    (
+                        int(doc_id),
+                        meta["brand"],
+                        math.floor(meta["duration_sec"] * 1_000_000 + 0.5) / 1_000_000,
+                        int(vid["n_samples"]),
+                        int(vid["n_keyframes"]),
+                        int(vid["n_samples"]) >= 10,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "brand", "duration_sec", "n_samples",
+                    "n_keyframes", "keep",
+                ],
+            )
+
+    return docs.select("doc_id", "n_chars").mapInPandas(
+        _rt,
+        schema=(
+            "doc_id bigint, brand string, duration_sec double, "
+            "n_samples bigint, n_keyframes bigint, keep boolean"
+        ),
+    )

@@ -555,6 +555,81 @@ class TestMultimodal:
         assert np.allclose(feats[1], feats[2], atol=0.05)
         assert not np.allclose(feats[1], multimodal.fake_features(bytes(rows[0][5])), atol=0.05)
 
+    @staticmethod
+    def _build_mp4(duration_scale=(5400, 1000), n_samples=48, n_keyframes=4,
+                   with_stss=True, largesize_moov=False):
+        """Minimal valid ISO BMFF tree per ISO/IEC 14496-12: ftyp +
+        moov[mvhd, trak[mdia[hdlr(vide), minf[stbl[stsd(avc1), stsz,
+        stss?]]]], trak[...hdlr(soun), stsd(mp4a)...]]."""
+        import struct
+
+        def box(typ, payload):
+            return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+        dur, scale = duration_scale
+        mvhd = box(b"mvhd", b"\x00" + b"\x00" * 3 + b"\x00" * 8
+                   + struct.pack(">II", scale, dur) + b"\x00" * 80)
+        avc1 = struct.pack(">I", 8 + 78) + b"avc1" + b"\x00" * 24 + struct.pack(">HH", 640, 360) + b"\x00" * 50
+        stsd_v = box(b"stsd", struct.pack(">II", 0, 1) + avc1)
+        stsz_v = box(b"stsz", struct.pack(">III", 0, 0, n_samples))
+        stbl_children = stsd_v + stsz_v
+        if with_stss:
+            stbl_children += box(b"stss", struct.pack(">II", 0, n_keyframes)
+                                 + b"\x00\x00\x00\x01" * n_keyframes)
+        trak_v = box(b"trak", box(b"mdia",
+            box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12)
+            + box(b"minf", box(b"stbl", stbl_children))))
+        mp4a = struct.pack(">I", 8 + 28) + b"mp4a" + b"\x00" * 28
+        trak_a = box(b"trak", box(b"mdia",
+            box(b"hdlr", b"\x00" * 8 + b"soun" + b"\x00" * 12)
+            + box(b"minf", box(b"stbl",
+                box(b"stsd", struct.pack(">II", 0, 1) + mp4a)
+                + box(b"stsz", struct.pack(">III", 0, 0, 200))))))
+        moov_payload = mvhd + trak_v + trak_a
+        if largesize_moov:
+            moov = struct.pack(">I", 1) + b"moov" + struct.pack(">Q", 16 + len(moov_payload)) + moov_payload
+        else:
+            moov = box(b"moov", moov_payload)
+        return box(b"ftyp", b"isom" + b"\x00\x00\x02\x00" + b"isomiso2avc1") + moov
+
+    def test_mp4_metadata_box_tree(self):
+        from impala_cut_spark.operators.multimodal import mp4_metadata
+
+        meta = mp4_metadata(self._build_mp4())
+        assert meta["brand"] == "isom"
+        assert meta["duration_sec"] == 5.4
+        assert meta["n_tracks"] == 2
+        vid = meta["tracks"][0]
+        assert vid == {"handler": "vide", "codec": "avc1", "width": 640,
+                       "height": 360, "n_samples": 48, "n_keyframes": 4}
+        aud = meta["tracks"][1]
+        assert (aud["handler"], aud["codec"], aud["n_samples"]) == ("soun", "mp4a", 200)
+        # stss absent => every sample is a sync sample (spec 8.6.2)
+        meta2 = mp4_metadata(self._build_mp4(with_stss=False))
+        assert meta2["tracks"][0]["n_keyframes"] == 48
+        # 64-bit largesize boxes parse too
+        meta3 = mp4_metadata(self._build_mp4(largesize_moov=True))
+        assert meta3["duration_sec"] == 5.4 and meta3["n_tracks"] == 2
+        with pytest.raises(ValueError):
+            mp4_metadata(b"\x00\x00\x00\x08free not-bmff")
+
+    def test_video_metadata_dataframe(self, spark):
+        """The mapInPandas prune stage: parseable payloads yield their
+        container facts; garbage yields parse_ok=false, not a crash."""
+        from impala_cut_spark.operators.multimodal import video_metadata
+
+        rows = [
+            (1, "video", "video/mp4", 640, 360, bytearray(self._build_mp4())),
+            (2, "video", "video/mp4", 0, 0, bytearray(b"not a video at all")),
+        ]
+        assets = spark.createDataFrame(rows, multimodal.ASSET_SCHEMA)
+        got = {r.asset_id: r for r in video_metadata(assets).collect()}
+        ok = got[1]
+        assert ok.parse_ok and ok.brand == "isom" and ok.video_codec == "avc1"
+        assert (ok.width, ok.height, ok.n_samples, ok.n_keyframes) == (640, 360, 48, 4)
+        assert abs(ok.duration_sec - 5.4) < 1e-9 and ok.n_tracks == 2
+        assert not got[2].parse_ok
+
     def test_g711_wav_decode_matches_stdlib_reference(self):
         """μ-law / A-law WAV (format tags 7/6) expand exactly per
         ITU-T G.711 — verified against the stdlib audioop reference on
