@@ -50,6 +50,31 @@ def tokens(text: Column) -> Column:
     return F.filter(F.split(text, " "), lambda x: x != "")
 
 
+def html_text(html: Column) -> Column:
+    """HTML → plain text as a PURE JVM expression chain — no Python in
+    the hot path, so the crawl front-end's heaviest map stays inside
+    whole-stage codegen: drop <script>/<style> subtrees (they contain
+    text no model should train on), strip the remaining tags, unescape
+    the five entities html.escape emits (&amp; LAST — decoding it
+    first would let escaped entity heads re-decode, the classic
+    double-unescape bug), collapse whitespace.  This is the
+    tag-soup-tolerant extraction stage of the WARC→HTTP→HTML→text
+    pipeline (sources/warc.py feeds it), not an HTML5 tree parser —
+    boilerplate removal happens downstream (quality/Gopher ops)."""
+    c = F.regexp_replace(html, r"(?is)<(script|style)\b[^>]*>.*?</\1\s*>", " ")
+    c = F.regexp_replace(c, r"(?s)<[^>]*>", " ")
+    for ent, ch in (
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#x27;", "'"),
+        ("&#39;", "'"),
+        ("&amp;", "&"),  # must come last
+    ):
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
 def normalized(text: Column) -> Column:
     """Canonical form for exact-dedup fingerprints: lowercase, strip
     non-alphanumerics, collapse whitespace."""

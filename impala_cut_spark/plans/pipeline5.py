@@ -523,3 +523,109 @@ def pipe_warc_ingest(spark, sf_dir):
             "content_length bigint, content_md5 string, was_gzipped boolean"
         ),
     )
+
+
+def _crawl_extract_oracle() -> str:
+    """Every layer of the crawl front-end is lossless around the
+    document text (WARC framing, HTTP framing, html.escape ↔ the
+    entity-unescape chain, tag wrapping ↔ tag stripping), modulo the
+    whitespace collapse — which DuckDB replays directly."""
+    return """
+SELECT doc_id,
+       CAST(200 AS INT) AS http_status,
+       'text/html; charset=utf-8' AS mime,
+       md5(trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g')))
+         AS text_md5,
+       doc_id % 2 = 1 AS was_gzipped
+FROM documents
+"""
+
+
+@query("pipe_crawl_extract", oracle=_crawl_extract_oracle())
+def pipe_crawl_extract(spark, sf_dir):
+    """Round-8 END-TO-END crawl front-end conformance: each document
+    becomes a full synthetic crawl capture IN-PLAN — html.escape'd
+    text wrapped in an HTML page (with a <script> subtree that must
+    NOT leak into the extraction), framed as an HTTP/1.1 200 response,
+    framed as a (gzip-member for odd doc_ids) WARC response record —
+    then ingested back through the REAL pipeline: parse_warc →
+    parse_http_response → text.html_text, where the HTML→text stage
+    is a pure JVM expression chain (whole-stage codegen, no Python).
+    Every layer is lossless around the text modulo whitespace
+    collapse, so the DuckDB oracle is just md5 of the
+    whitespace-collapsed document text — a defect in ANY layer breaks
+    the strict hash match.  Scale: one Arrow-batched narrow map for
+    the container layers + one codegen'd projection; no shuffle."""
+    import html as html_mod
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from impala_cut_spark.operators.text import html_text
+    from impala_cut_spark.sources.warc import (
+        build_warc,
+        parse_http_response,
+        parse_warc,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+
+    def _capture(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                s = text if isinstance(text, str) else ""
+                page = (
+                    "<html><head><title></title>"
+                    "<script type='text/javascript'>var x = 1 < 2;</script>"
+                    "<style>p { color: red; }</style></head>"
+                    "<body>\n<p>" + html_mod.escape(s) + "</p>\n</body></html>"
+                ).encode("utf-8")
+                http = (
+                    b"HTTP/1.1 200 OK\r\n"
+                    b"Content-Type: text/html; charset=utf-8\r\n"
+                    b"Content-Length: " + str(len(page)).encode() + b"\r\n\r\n"
+                ) + page
+                gz = int(doc_id) % 2 == 1
+                payload = build_warc(
+                    [
+                        {
+                            "headers": {
+                                "WARC-Type": "response",
+                                "WARC-Target-URI": f"urn:doc:{int(doc_id)}",
+                            },
+                            "content": http,
+                        }
+                    ],
+                    gzipped=gz,
+                )
+                rec = parse_warc(payload)[0]
+                status, headers, body = parse_http_response(rec["content"])
+                rows.append(
+                    (
+                        int(doc_id),
+                        int(status),
+                        headers.get("content-type"),
+                        body.decode("utf-8"),
+                        gz,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "http_status", "mime", "html", "was_gzipped"],
+            )
+
+    captured = docs.select("doc_id", "text").mapInPandas(
+        _capture,
+        schema=(
+            "doc_id bigint, http_status int, mime string, html string, "
+            "was_gzipped boolean"
+        ),
+    )
+    return captured.select(
+        "doc_id",
+        "http_status",
+        "mime",
+        F.md5(html_text(F.col("html"))).alias("text_md5"),
+        "was_gzipped",
+    )

@@ -118,6 +118,28 @@ def parse_warc(payload: bytes) -> list[dict]:
     return records
 
 
+def parse_http_response(content: bytes) -> tuple[int, dict[str, str], bytes]:
+    """Split a WARC response record's content — a full HTTP/1.x
+    response — into (status_code, lower-cased headers, body bytes).
+    The crawl front-end needs this before any HTML handling: the
+    Content-Type routing decision is an HTTP-header fact, not a WARC
+    one."""
+    sep = content.find(b"\r\n\r\n")
+    if sep < 0:
+        raise ValueError("HTTP response missing header/body separator")
+    head = content[:sep].decode("iso-8859-1")  # HTTP/1.x header charset
+    lines = head.split("\r\n")
+    parts = lines[0].split(None, 2)
+    if len(parts) < 2 or not parts[0].startswith("HTTP/"):
+        raise ValueError(f"bad HTTP status line {lines[0]!r}")
+    status = int(parts[1])
+    headers: dict[str, str] = {}
+    for line in lines[1:]:
+        k, _, v = line.partition(":")
+        headers[k.strip().lower()] = v.strip()
+    return status, headers, content[sep + 4 :]
+
+
 #: output schema of warc_ingest — one row per WARC record
 WARC_RECORD_SCHEMA = T.StructType(
     [

@@ -8,6 +8,8 @@ weight algebra and target-vs-raw monotonicity.
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from impala_cut_spark.operators import corpus, dedup, similarity
@@ -147,3 +149,56 @@ def test_dsir_bucket_table_is_bounded(spark):
         .toString()
     )
     assert "BroadcastExchange" in plan or "BroadcastQueryStage" in plan
+
+
+# --- round-8: crawl front-end (WARC -> HTTP -> HTML -> text) ----------------
+
+
+def test_html_text_extraction_semantics(spark):
+    """html_text (a pure JVM expression chain): script/style subtrees
+    dropped, tags stripped, the five html.escape entities decoded with
+    &amp; LAST (no double-unescape), whitespace collapsed."""
+    import html as html_mod
+
+    from pyspark.sql import functions as F
+
+    from impala_cut_spark.operators.text import html_text
+
+    cases = [
+        ("<p>hello <b>world</b></p>", "hello world"),
+        ("<script>var x = '<p>not text</p>';</script>after", "after"),
+        ("<style>p{}</style>body", "body"),
+        ("a &lt;tag&gt; &amp; &quot;q&quot; &#x27;s&#39;", "a <tag> & \"q\" 's'"),
+        # &amp;lt; is the ESCAPED literal "&lt;" — must decode to &lt;,
+        # not to "<" (the double-unescape bug)
+        ("&amp;lt;still-text&amp;gt;", "&lt;still-text&gt;"),
+        ("  lots\n\n of\t\twhitespace  ", "lots of whitespace"),
+        ("<SCRIPT a='b'>x</SCRIPT >kept", "kept"),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], "html string")
+    got = [r.t for r in df.select(html_text(F.col("html")).alias("t")).collect()]
+    assert got == [w for _, w in cases]
+
+    # escape -> extract round-trips arbitrary text exactly
+    tricky = "a < b & c > d \"quoted\" 'single' &amp; pre-escaped"
+    df2 = spark.createDataFrame([(f"<p>{html_mod.escape(tricky)}</p>",)], "html string")
+    assert df2.select(html_text(F.col("html")).alias("t")).collect()[0].t == tricky
+
+
+def test_http_response_split():
+    from impala_cut_spark.sources.warc import parse_http_response
+
+    body = "héllo".encode("utf-8")
+    raw = (
+        b"HTTP/1.1 301 Moved Permanently\r\n"
+        b"Location: https://example.org/\r\n"
+        b"Content-Type: text/html; charset=utf-8\r\n\r\n"
+    ) + body
+    status, headers, got = parse_http_response(raw)
+    assert status == 301
+    assert headers["location"] == "https://example.org/"
+    assert got == body
+    with pytest.raises(ValueError):
+        parse_http_response(b"not http at all")
+    with pytest.raises(ValueError):
+        parse_http_response(b"GARBAGE line\r\n\r\nbody")
