@@ -87,6 +87,10 @@ SMOKE = {
     "pipe_dedup_weights": "SoftDeDup 1/n weights (cluster agg + join-back)",
     "pipe_ngram_novelty": "n-gram novelty curve (first-seen agg + join-back)",
     "pipe_ann_recall": "ANN recall@5 report (10 probes vs corpus, 2 searches + join)",
+    # round-8 families
+    "pipe_warc_ingest": "WARC build+parse round-trip (narrow map, no shuffle)",
+    "pipe_crawl_extract": "crawl front-end WARC→HTTP→HTML→text (map + codegen chain)",
+    "pipe_multimodal_codec": "PNG/GIF/PPM encode+decode round-trip (narrow map)",
 }
 
 #: per-row root-cause notes (r6 verdict #3/#4: every outlier ratio
