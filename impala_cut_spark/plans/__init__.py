@@ -143,6 +143,18 @@ from impala_cut_spark.plans import perf  # noqa: E402,F401
 #:     is a sub-shape of the newcomer and cov_events_daily keeps
 #:     event-time agg in-window) → stream_topk_trending, the first
 #:     driver row for the rank-overlay streaming family (r7 #8).
+#: Second r8 rotation — witness the two NEW round-8 families (crawl
+#: ingestion; both oracle-green at sf0.01 AND sf0.1 on first check):
+#:   pipe_decontaminate (witnessed r3-r7; the broadcast-benchmark
+#:     decontamination shape stays in-window via
+#:     pipe_decontaminate_neardup) → pipe_crawl_extract, the
+#:     end-to-end WARC→HTTP→HTML→text front-end — a container-parsing
+#:     + codegen-extraction family nothing else in the window holds;
+#:   pipe_embed_pq (witnessed r4-r7; the PQ encode is composed
+#:     IN-WINDOW by pipe_ann_ivfpq's ADC search path) →
+#:     pipe_warc_ingest, the ISO 28500 record parser (member-per-
+#:     record gzip resync, the crawl container itself).
+#: Every donor keeps its oracle below the window.
 DRIVER_WINDOW: list[str] = [
     # TPC-H (6 of 23 — q3/q4/q5/q8/q9/q10/q11/q12/q13/q14/q15/q16/
     # q17/q19/q20/q22 below the window, oracles intact)
@@ -187,13 +199,13 @@ DRIVER_WINDOW: list[str] = [
     "stream_dedup",
     "pipe_sessions",
     # round-3 pipeline families (pipeline2.py)
-    "pipe_decontaminate",
+    "pipe_crawl_extract",
     "pipe_dup_block_share",
     "pipe_embed_semdedup",
     # round-7 family (second r7 rotation)
     "pipe_dsir_weights",
     # round-4 families
-    "pipe_embed_pq",
+    "pipe_warc_ingest",
     "pipe_ann_ivfpq",
     "stream_neardup",
     # round-5 families

@@ -199,11 +199,15 @@ def test_driver_window_is_first_50():
         # (first driver row for the rank-overlay streaming family)
         "streaming": ["stream_topk_trending", "stream_dedup", "pipe_sessions"],
         # second r7 rotation: pipe_embed_quantize ceded to
-        # pipe_dsir_weights (narrow-map encode shape held by
-        # pipe_embed_pq in-window); round-8: pipe_pii_redact ceded to
+        # pipe_dsir_weights; round-8: pipe_pii_redact ceded to
         # pipe_dup_block_share (regex-transform shape held by
-        # pipe_text_all)
-        "pipeline2": ["pipe_decontaminate"],
+        # pipe_text_all); second r8 rotation: pipe_decontaminate ceded
+        # to pipe_crawl_extract — the decontamination family's window
+        # row is now its near-dup variant
+        "decontamination": ["pipe_decontaminate_neardup"],
+        # round-8 crawl front-end families (WARC container + the
+        # end-to-end WARC→HTTP→HTML→text extraction)
+        "crawl": ["pipe_warc_ingest", "pipe_crawl_extract"],
         "dsir": ["pipe_dsir_weights"],
         # round-8 newcomers (r7 verdict #1): the bench-headliner
         # retrieval row, a perf_* adaptation, and the four new r7
