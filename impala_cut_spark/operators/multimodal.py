@@ -74,9 +74,9 @@ def decode_image(payload: bytes) -> "np.ndarray":
     """Decode a raster payload to an (H, W, 3) uint8 array.
 
     Real for PPM (P6), uncompressed 24-bit BMP, PNG (stdlib zlib —
-    _decode_png), baseline JPEG (operators/jpeg.py) and GIF87a/89a
-    (decode_gif). Remaining codec formats (WEBP/TIFF/…) raise — the
-    documented stub boundary."""
+    _decode_png), baseline JPEG (operators/jpeg.py), GIF87a/89a
+    (decode_gif) and baseline TIFF (operators/tiff.py). Remaining
+    codec formats (WEBP/…) raise — the documented stub boundary."""
     if payload[:2] == b"P6":
         return _decode_ppm(payload)
     if payload[:2] == b"BM":
@@ -89,10 +89,14 @@ def decode_image(payload: bytes) -> "np.ndarray":
         return decode_jpeg(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif(payload)
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        from impala_cut_spark.operators.tiff import decode_tiff
+
+        return decode_tiff(payload)
     raise NotImplementedError(
-        "image decode stub for remaining codec formats (WEBP/TIFF/…): "
-        "install pillow and replace with PIL.Image.open (PPM/BMP/PNG/GIF "
-        "and baseline JPEG decode natively here)"
+        "image decode stub for remaining codec formats (WEBP/…): "
+        "install pillow and replace with PIL.Image.open (PPM/BMP/PNG/GIF/"
+        "TIFF and baseline JPEG decode natively here)"
     )
 
 

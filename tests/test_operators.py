@@ -321,12 +321,93 @@ class TestSimilarity:
 
 class TestMultimodal:
     def test_decode_image_stub_for_remaining_codecs(self):
-        # WEBP/TIFF stay documented stub boundaries; PNG, baseline
-        # JPEG and GIF are real paths since round 8
+        # WEBP stays the documented stub boundary; PNG, baseline JPEG,
+        # GIF and baseline TIFF are real paths since round 8
         with pytest.raises(NotImplementedError):
             multimodal.decode_image(b"RIFF\x00\x00\x00\x00WEBPwebp-ish")
-        with pytest.raises(NotImplementedError):
-            multimodal.decode_image(b"II*\x00tiff-ish payload")
+
+    def test_tiff_roundtrip_all_compressions(self):
+        """Lossless round-trips across none / LZW(+predictor) /
+        Deflate / PackBits, gray and RGB, both through decode_image's
+        dispatch."""
+        import numpy as np
+
+        from impala_cut_spark.operators.tiff import encode_tiff
+
+        rng = np.random.default_rng(3)
+        for comp in (1, 5, 8, 32773):
+            for pred in ((1, 2) if comp == 5 else (1,)):
+                for ch in (1, 3):
+                    shape = (13, 9) if ch == 1 else (13, 9, 3)
+                    img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+                    got = multimodal.decode_image(
+                        encode_tiff(img, compression=comp, predictor=pred)
+                    )
+                    want = (
+                        np.repeat(img[:, :, None], 3, axis=2) if ch == 1 else img
+                    )
+                    assert (got == want).all(), (comp, pred, ch)
+
+    def test_tiff_matches_jvm_imageio_both_directions(self, spark, tmp_path):
+        """Write LZW / PackBits / Deflate TIFFs with the JVM ImageIO
+        codec and decode them here bit-exactly; then encode here and
+        have the JVM decode bit-exactly — true external conformance in
+        both directions."""
+        import numpy as np
+
+        from impala_cut_spark.operators.tiff import decode_tiff, encode_tiff
+
+        jvm = spark._jvm
+        rng = np.random.default_rng(11)
+        h, w = 23, 17
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        bi = jvm.java.awt.image.BufferedImage(w, h, 1)  # TYPE_INT_RGB
+        for y in range(h):
+            for x in range(w):
+                r, g, b = (int(v) for v in img[y, x])
+                bi.setRGB(x, y, (r << 16) | (g << 8) | b)
+        for ctype in ("LZW", "PackBits", "Deflate"):
+            path = str(tmp_path / f"ref_{ctype}.tif")
+            wr = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("tiff").next()
+            param = wr.getDefaultWriteParam()
+            param.setCompressionMode(2)  # MODE_EXPLICIT
+            param.setCompressionType(ctype)
+            ios = jvm.javax.imageio.ImageIO.createImageOutputStream(jvm.java.io.File(path))
+            wr.setOutput(ios)
+            wr.write(None, jvm.javax.imageio.IIOImage(bi, None, None), param)
+            ios.close()
+            got = decode_tiff(open(path, "rb").read())
+            assert (got == img).all(), ctype
+        # reverse: the JVM decodes OUR LZW+predictor output bit-exactly
+        mine = str(tmp_path / "mine.tif")
+        open(mine, "wb").write(encode_tiff(img, compression=5, predictor=2))
+        row = spark.read.format("image").load(mine).collect()[0]["image"]
+        ref = np.frombuffer(bytes(row["data"]), dtype=np.uint8).reshape(
+            row["height"], row["width"], row["nChannels"]
+        )[..., ::-1]
+        assert (ref == img).all()
+
+    def test_tiff_real_world_and_unsupported_variants(self):
+        import os
+
+        import numpy as np
+
+        from impala_cut_spark.operators.tiff import decode_tiff, encode_tiff
+
+        p = "/root/.pyenv/versions/3.13.0/lib/python3.13/test/test_email/data/python.tiff"
+        if os.path.exists(p):  # real-world RGBA uncompressed, foreign writer
+            img = decode_tiff(open(p, "rb").read())
+            assert img.shape == (16, 16, 3) and img.dtype == np.uint8
+            assert img.std() > 0
+        # tiled layout stays a documented boundary
+        import struct as st
+
+        base = bytearray(encode_tiff(np.zeros((4, 4), dtype=np.uint8)))
+        # graft a TileWidth (322) tag id over the StripOffsets id
+        idx = bytes(base).find(st.pack("<H", 273))
+        base[idx : idx + 2] = st.pack("<H", 322)
+        with pytest.raises(NotImplementedError, match="tiled"):
+            decode_tiff(bytes(base))
 
     def test_gif_roundtrip_lossless(self):
         """GIF is lossless for <=256-color images: encode_gif →
