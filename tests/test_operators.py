@@ -605,16 +605,46 @@ class TestMultimodal:
             assert mine.shape == ref.shape
             assert d.mean() < 0.5, (im["origin"], d.mean(), d.max())
 
-    def test_jpeg_progressive_is_stubbed(self):
+    def test_jpeg_progressive_matches_jvm_imageio(self, spark):
+        """Real-world PROGRESSIVE JPEGs (SOF2: spectral-selection +
+        successive-approximation scans, color and grayscale) decode to
+        max |diff| <= 2 vs the JVM ImageIO reference (IDCT rounding)."""
         import os
+
+        import numpy as np
 
         from impala_cut_spark.operators.jpeg import decode_jpeg
 
-        p = "/usr/share/doc/nodejs/thin-white-stripe.jpg"  # SOF2
-        if not os.path.exists(p):
-            pytest.skip("progressive fixture not present")
-        with pytest.raises(NotImplementedError):
-            decode_jpeg(open(p, "rb").read())
+        paths = [
+            "/usr/share/doc/nodejs/thin-white-stripe.jpg",
+            "/usr/share/doc/nodejs/full-white-stripe.jpg",
+            "/opt/spark/data/mllib/images/origin/multi-channel/grayscale.jpg",
+        ]
+        paths = [p for p in paths if os.path.exists(p)]
+        if not paths:
+            pytest.skip("progressive fixtures not present")
+        for row in spark.read.format("image").load(paths).collect():
+            im = row["image"]
+            nc = im["nChannels"]
+            ref = np.frombuffer(bytes(im["data"]), dtype=np.uint8).reshape(
+                im["height"], im["width"], nc
+            )
+            ref_rgb = ref[..., :3][..., ::-1] if nc >= 3 else np.repeat(ref, 3, axis=2)
+            local = "/" + im["origin"].split("file:", 1)[-1].lstrip("/")
+            mine = decode_jpeg(open(local, "rb").read())
+            d = np.abs(mine.astype(int) - ref_rgb.astype(int))
+            assert d.max() <= 2 and d.mean() < 0.1, (im["origin"], d.max(), d.mean())
+
+    def test_jpeg_arithmetic_coding_is_stubbed(self):
+        import struct
+
+        from impala_cut_spark.operators.jpeg import decode_jpeg
+
+        # minimal stream carrying an SOF9 (arithmetic sequential) marker
+        sof9 = struct.pack(">BHHB", 8, 2, 2, 1) + bytes([1, 0x11, 0])
+        payload = b"\xff\xd8" + b"\xff\xc9" + struct.pack(">H", 2 + len(sof9)) + sof9
+        with pytest.raises(NotImplementedError, match="SOF9"):
+            decode_jpeg(payload)
 
     def test_extract_features_uses_real_jpeg_path(self, spark):
         """A JPEG payload flows through the mapInPandas extractor via
