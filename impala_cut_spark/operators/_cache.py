@@ -46,6 +46,14 @@ _SLOTS: dict[tuple[int, str], deque] = {}
 KEEP = 2
 
 
+def _is_stopped(sess) -> bool:
+    """True once SparkSession.stop() ran (SparkContext.stop nulls _jsc)."""
+    try:
+        return getattr(sess._sc, "_jsc", None) is None
+    except Exception:
+        return True
+
+
 def register_persisted(df, slot: str, keep: int = KEEP):
     """Track a just-persisted DataFrame; evict (unpersist) the oldest
     entries beyond ``keep`` for the same (session, slot).  Returns
@@ -56,10 +64,20 @@ def register_persisted(df, slot: str, keep: int = KEEP):
     ``persist()`` on a plan that is already cached reuses the SAME
     cache entry — if the queue held both frames, evicting the older
     one would unpersist the newer one's data too (found by
-    tests/test_cache_registry.py on first run)."""
+    tests/test_cache_registry.py on first run).
+
+    Each call also sweeps entries whose session has been stopped
+    (tests spin up several sessions): without the sweep the queues pin
+    dead sessions' DataFrames forever, and — because the pinned frame
+    pins its session object — a fresh session could never reuse the
+    id() a dead-but-listed one still occupies, yet the stale queue
+    would still be consulted if it somehow did.  Stopped entries are
+    dropped without unpersist (their JVM is gone)."""
     key = (id(df.sparkSession), slot)
     evicted = []
     with _LOCK:
+        for k in [k for k, q in _SLOTS.items() if q and _is_stopped(q[0].sparkSession)]:
+            del _SLOTS[k]
         q = _SLOTS.setdefault(key, deque())
         for existing in list(q):
             try:

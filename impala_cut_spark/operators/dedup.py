@@ -123,7 +123,16 @@ def candidate_pairs_from_groups(
             F.countDistinct(id_col).alias("_group_n")
         )
         oversized = sizes.filter(F.col("_group_n") > max_group).drop("_group_n")
-        keyed = keyed.join(oversized, key_cols, "left_anti")
+        # eqNullSafe, not a name-list equi-join: groupBy puts NULL keys in
+        # one group, and a plain anti-join would never match that group
+        # (NULL != NULL) — the giant NULL bucket would sail through to
+        # collect_set, the exact OOM this two-phase form exists to stop
+        k, o = keyed.alias("_cpk"), oversized.alias("_cpo")
+        cond = None
+        for c in key_cols:
+            e = F.col(f"_cpk.{c}").eqNullSafe(F.col(f"_cpo.{c}"))
+            cond = e if cond is None else cond & e
+        keyed = k.join(o, cond, "left_anti")
     grouped = (
         keyed.groupBy(*key_cols)
         .agg(F.collect_set(id_col).alias("ids"))

@@ -192,6 +192,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = seg[0]
+            if ns < len(frame[2]):
+                # legal multi-scan baseline (T.81 non-interleaved scans,
+                # a subset of components each): accumulate quantized
+                # coefficients across ALL scans, reconstruct once
+                return _decode_baseline_multiscan(payload, i - 2, frame, qt, huff, dri)
             scan = []
             for c in range(ns):
                 cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
@@ -199,6 +204,122 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             return _decode_scan(payload, i + ln, frame, scan, qt, huff, dri)
         i += ln
     raise ValueError("no SOS in JPEG")
+
+
+def _decode_baseline_multiscan(payload, i, frame, qt, huff, dri) -> np.ndarray:
+    """Baseline JPEG whose entropy data spans several SOS segments
+    (T.81 lets a sequential frame carry one scan per component, or any
+    partial interleave): each scan's quantized coefficients land in the
+    shared per-component planes, then the progressive path's
+    reconstruction runs once.  ``i`` points at the first SOS marker."""
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    coefs = {
+        cid: np.zeros((mcuy * vi, mcux * hi, 64), dtype=np.int32)
+        for cid, hi, vi, _ in comps
+    }
+    while i < len(payload) - 1:
+        if payload[i] != 0xFF:
+            raise ValueError("bad marker stream")
+        m = payload[i + 1]
+        i += 2
+        if m == 0x01 or 0xD0 <= m <= 0xD7:
+            continue
+        if m == 0xD9:  # EOI
+            break
+        (ln,) = struct.unpack_from(">H", payload, i)
+        seg = payload[i + 2 : i + ln]
+        if m == 0xC4:  # later scans may re-define huffman tables
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 15
+                counts = list(seg[p + 1 : p + 17])
+                nvals = sum(counts)
+                huff[(tc, th)] = _Huff(counts, seg[p + 17 : p + 17 + nvals])
+                p += 17 + nvals
+        elif m == 0xDD:
+            (dri,) = struct.unpack_from(">H", seg, 0)
+        elif m == 0xDA:
+            ns = seg[0]
+            scan = []
+            for c in range(ns):
+                cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
+                scan.append((cs, tt >> 4, tt & 15))
+            i = _sequential_scan(payload, i + ln, frame, scan, huff, dri, coefs)
+            continue
+        i += ln
+    return _reconstruct_from_coefficients(frame, coefs, qt)
+
+
+def _sequential_scan(payload, pos, frame, scan, huff, dri, coefs) -> int:
+    """Decode one sequential (full DC+AC) scan's entropy data into the
+    shared coefficient planes; returns the position of the marker that
+    follows it.  Interleaved scans walk MCU order; single-component
+    scans walk that component's own block raster (T.81 §A.2.2)."""
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    by_id = {cid: (hi, vi) for cid, hi, vi, _ in comps}
+    r = _BitReader(payload, pos)
+    pred = {cs: 0 for cs, _, _ in scan}
+
+    def block(cs, td, ta, by, bx):
+        zz = coefs[cs][by, bx]
+        t = r.decode(huff[(0, td)])
+        pred[cs] += _extend(r.receive(t), t)
+        zz[0] = pred[cs]
+        k = 1
+        while k < 64:
+            rs = r.decode(huff[(1, ta)])
+            rr, s = rs >> 4, rs & 15
+            if s == 0:
+                if rr == 15:
+                    k += 16
+                    continue
+                break  # EOB
+            k += rr
+            if k > 63:
+                raise ValueError("AC index overflow")
+            zz[k] = _extend(r.receive(s), s)
+            k += 1
+
+    if len(scan) > 1:  # interleaved: MCU order
+        for m_i in range(mcux * mcuy):
+            if dri and m_i and m_i % dri == 0:
+                r.align_past_rst()
+                pred = {cs: 0 for cs in pred}
+            my, mx = divmod(m_i, mcux)
+            for cs, td, ta in scan:
+                hi, vi = by_id[cs]
+                for byy in range(vi):
+                    for bxx in range(hi):
+                        block(cs, td, ta, my * vi + byy, mx * hi + bxx)
+    else:  # non-interleaved: the component's own block raster
+        (cs, td, ta) = scan[0]
+        hi, vi = by_id[cs]
+        cw = -(-(w * hi) // (8 * hmax))
+        ch = -(-(h * vi) // (8 * vmax))
+        n = 0
+        for by in range(ch):
+            for bx in range(cw):
+                if dri and n and n % dri == 0:
+                    r.align_past_rst()
+                    pred = {cs: 0 for cs in pred}
+                block(cs, td, ta, by, bx)
+                n += 1
+    pos = r.i
+    while pos < len(payload) - 1:  # skip pad bytes up to the next marker
+        if payload[pos] == 0xFF and payload[pos + 1] != 0x00 and not (
+            0xD0 <= payload[pos + 1] <= 0xD7
+        ):
+            break
+        pos += 1
+    return pos
 
 
 def _decode_scan(payload, pos, frame, scan, qt, huff, dri) -> np.ndarray:
@@ -368,12 +489,22 @@ def _quality_scale(q: np.ndarray, quality: int) -> np.ndarray:
     return np.clip((q * s + 50) // 100, 1, 255).astype(np.int32)
 
 
-def encode_jpeg(arr: np.ndarray, quality: int = 90, restart_interval: int = 0) -> bytes:
+def encode_jpeg(
+    arr: np.ndarray,
+    quality: int = 90,
+    restart_interval: int = 0,
+    interleave: bool = True,
+) -> bytes:
     """(H, W, 3) or (H, W) uint8 → baseline JFIF JPEG, 4:4:4 (no
     subsampling), Annex-K huffman tables.  ``restart_interval`` > 0
     emits a DRI segment and RSTn markers every that-many MCUs (with
     the spec's predictor reset + bit padding) so the decoder's
-    restart/resync path has a fixture."""
+    restart/resync path has a fixture.  ``interleave=False`` emits one
+    SOS per component (T.81 non-interleaved sequential mode — the
+    legal multi-scan baseline layout) instead of a single interleaved
+    scan."""
+    if not interleave and restart_interval:
+        raise ValueError("restart_interval only supported for interleaved scans")
     gray = arr.ndim == 2
     h, w = arr.shape[:2]
     if gray:
@@ -414,14 +545,6 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90, restart_interval: int = 0) -
     # DRI
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
-    # SOS
-    sos = bytes([nc])
-    for c in range(nc):
-        sos += bytes([c + 1, 0x00 if c == 0 else 0x11])
-    sos += b"\x00\x3f\x00"
-    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
-
-    wtr = _BitWriter()
     hp = -(-h // 8) * 8
     wp = -(-w // 8) * 8
     padded = []
@@ -431,54 +554,78 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90, restart_interval: int = 0) -
         pp[h:, :w] = p[h - 1 : h, :]
         pp[:, w:] = pp[:, w - 1 : w]
         padded.append(pp)
-    pred = [0] * len(ycc)
     inv_zz = ZIGZAG  # coef_flat[ZIGZAG] gives zigzag-ordered scan
-    m_i = 0
-    for my in range(hp // 8):
-        for mx in range(wp // 8):
-            if restart_interval and m_i and m_i % restart_interval == 0:
-                wtr.flush()  # pad to a byte boundary with 1-bits
-                wtr.out += bytes(
-                    [0xFF, 0xD0 + ((m_i // restart_interval - 1) % 8)]
-                )
-                pred = [0] * len(ycc)
-            m_i += 1
-            for ci, p in enumerate(padded):
-                blk = p[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] - 128.0
-                coef = _DCT @ blk @ _DCT.T
-                qz = np.round(coef.reshape(64)[inv_zz] / qts[ci][inv_zz]).astype(np.int64)
-                # DC
-                diff = int(qz[0]) - pred[ci]
-                pred[ci] = int(qz[0])
-                t = 0 if diff == 0 else int(diff if diff > 0 else -diff).bit_length()
-                ln, code = dc_t[ci][t]
+
+    def emit_block(wtr, ci, my, mx, pred):
+        blk = padded[ci][my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] - 128.0
+        coef = _DCT @ blk @ _DCT.T
+        qz = np.round(coef.reshape(64)[inv_zz] / qts[ci][inv_zz]).astype(np.int64)
+        # DC
+        diff = int(qz[0]) - pred[ci]
+        pred[ci] = int(qz[0])
+        t = 0 if diff == 0 else int(diff if diff > 0 else -diff).bit_length()
+        ln, code = dc_t[ci][t]
+        wtr.put(code, ln)
+        if t:
+            v = diff if diff >= 0 else diff + (1 << t) - 1
+            wtr.put(v, t)
+        # AC
+        run = 0
+        last_nz = int(np.max(np.nonzero(qz)[0])) if np.any(qz[1:]) else 0
+        for k in range(1, 64):
+            v = int(qz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                ln, code = ac_t[ci][0xF0]
                 wtr.put(code, ln)
-                if t:
-                    v = diff if diff >= 0 else diff + (1 << t) - 1
-                    wtr.put(v, t)
-                # AC
-                run = 0
-                last_nz = int(np.max(np.nonzero(qz)[0])) if np.any(qz[1:]) else 0
-                for k in range(1, 64):
-                    v = int(qz[k])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        ln, code = ac_t[ci][0xF0]
-                        wtr.put(code, ln)
-                        run -= 16
-                    s = int(v if v > 0 else -v).bit_length()
-                    ln, code = ac_t[ci][(run << 4) | s]
-                    wtr.put(code, ln)
-                    vv = v if v >= 0 else v + (1 << s) - 1
-                    wtr.put(vv, s)
-                    run = 0
-                if last_nz < 63:
-                    ln, code = ac_t[ci][0x00]
-                    wtr.put(code, ln)
-    wtr.flush()
-    out += wtr.out
+                run -= 16
+            s = int(v if v > 0 else -v).bit_length()
+            ln, code = ac_t[ci][(run << 4) | s]
+            wtr.put(code, ln)
+            vv = v if v >= 0 else v + (1 << s) - 1
+            wtr.put(vv, s)
+            run = 0
+        if last_nz < 63:
+            ln, code = ac_t[ci][0x00]
+            wtr.put(code, ln)
+
+    if interleave:
+        # SOS: one interleaved scan over all components
+        sos = bytes([nc])
+        for c in range(nc):
+            sos += bytes([c + 1, 0x00 if c == 0 else 0x11])
+        sos += b"\x00\x3f\x00"
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+        wtr = _BitWriter()
+        pred = [0] * len(ycc)
+        m_i = 0
+        for my in range(hp // 8):
+            for mx in range(wp // 8):
+                if restart_interval and m_i and m_i % restart_interval == 0:
+                    wtr.flush()  # pad to a byte boundary with 1-bits
+                    wtr.out += bytes(
+                        [0xFF, 0xD0 + ((m_i // restart_interval - 1) % 8)]
+                    )
+                    pred = [0] * len(ycc)
+                m_i += 1
+                for ci in range(len(ycc)):
+                    emit_block(wtr, ci, my, mx, pred)
+        wtr.flush()
+        out += wtr.out
+    else:
+        # one SOS per component — the non-interleaved multi-scan layout
+        for ci in range(len(ycc)):
+            sos = bytes([1, ci + 1, 0x00 if ci == 0 else 0x11]) + b"\x00\x3f\x00"
+            out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+            wtr = _BitWriter()
+            pred = [0] * len(ycc)
+            for my in range(hp // 8):
+                for mx in range(wp // 8):
+                    emit_block(wtr, ci, my, mx, pred)
+            wtr.flush()
+            out += wtr.out
     out += b"\xff\xd9"
     return bytes(out)
 

@@ -23,6 +23,7 @@ can't blow a batch. Metadata-only predicates prune before any decode.
 from __future__ import annotations
 
 import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -32,6 +33,22 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from impala_cut_spark.partitioning import fan_out
+
+#: every exception a corrupt/truncated asset can surface from the decoders:
+#: zlib.error (PNG IDAT / TIFF deflate strips), EOFError (JPEG bit reader on
+#: truncated entropy data), KeyError (missing huffman/quant tables or TIFF
+#: tags), TypeError (malformed tag payload shapes). The extract/resize paths
+#: must never fail a job on one bad asset — they degrade to byte features.
+_DECODE_ERRORS = (
+    NotImplementedError,
+    ValueError,
+    IndexError,
+    KeyError,
+    TypeError,
+    EOFError,
+    struct.error,
+    zlib.error,
+)
 
 #: schema of a multimodal asset table
 ASSET_SCHEMA = T.StructType(
@@ -640,11 +657,11 @@ def extract_features(assets: DataFrame) -> DataFrame:
         p = p if p is not None else b""
         try:
             return image_features(decode_image(bytes(p)))
-        except (NotImplementedError, ValueError, IndexError, struct.error):
+        except _DECODE_ERRORS:
             pass
         try:
             return audio_features(*decode_wav(bytes(p)))
-        except (NotImplementedError, ValueError, IndexError, struct.error):
+        except _DECODE_ERRORS:
             # codec-bearing/opaque/truncated → byte features
             return fake_features(p)
 
@@ -855,7 +872,7 @@ def video_metadata(assets: DataFrame) -> DataFrame:
                             True,
                         )
                     )
-                except (ValueError, IndexError, struct.error):
+                except _DECODE_ERRORS:
                     rows.append(
                         (int(aid), None, None, None, None, None, None, None, None, False)
                     )
@@ -948,7 +965,7 @@ def resize_stub(assets: DataFrame, width: int, height: int) -> DataFrame:
                 try:
                     img = decode_image(bytes(p) if p is not None else b"")
                     payloads.append(encode_ppm(resize_image(img, width, height)))
-                except (NotImplementedError, ValueError, IndexError):
+                except _DECODE_ERRORS:
                     payloads.append(p)  # stub: metadata-only
             out["payload"] = payloads
             out["width"] = np.int32(width)

@@ -234,8 +234,8 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     elif predictor != 1:
         raise NotImplementedError(f"TIFF predictor {predictor} not supported")
     if photo == 3:  # palette: 16-bit colormap, R then G then B planes
-        cm = tags[320][0]
-        vals = struct.unpack(bo + f"{len(cm)//2}H", cm)
+        # ColorMap is TIFF type 3 (SHORT) so _read_ifd already parsed ints
+        vals = tags[320]
         ncol = len(vals) // 3
         pal = (np.array(vals, dtype=np.uint32).reshape(3, ncol).T // 257).astype(np.uint8)
         return np.ascontiguousarray(pal[img[:, :, 0]])

@@ -155,11 +155,37 @@ from impala_cut_spark.plans import perf  # noqa: E402,F401
 #:     pipe_warc_ingest, the ISO 28500 record parser (member-per-
 #:     record gzip resync, the crawl container itself).
 #: Every donor keeps its oracle below the window.
+#: Round-9 rotation (VERDICT r8 #1) — witness the six never-seen rows
+#: the r8 verdict named; every donor keeps its oracle below the window:
+#:   tpch_q2 (witnessed r1-r8, the longest-running TPC row) →
+#:     cov_seqfile_scan, the §2.1 SequenceFile scanner family
+#:     (hdfs-sequence-scanner.cc) with ZERO driver rows in 8 rounds —
+#:     q2's multi-join + correlated-subquery shapes stay in-window via
+#:     tpch_q7/q18/q21 and cov_predicates_views;
+#:   tpcds_q59 (witnessed r3-r8) → cov_rcfile_scan, the §2.1 RCFile
+#:     scanner family (hdfs-rcfile-scanner.cc), the other never-
+#:     witnessed format row — q59's date-dim star agg stays via
+#:     tpcds_q55/q65;
+#:   tpcds_q68 (witnessed r6-r8) → pipe_multimodal_codec, the NEW r8
+#:     codec round-trip conformance row — q68's demographics-star
+#:     shape stays via tpcds_q34 (same dims), its big-agg join via q65;
+#:   pipe_text_all (witnessed r2-r8; narrow-map text analysis stays
+#:     in-window via pipe_quality_classifier + pipe_crawl_extract's
+#:     regexp chain) → pipe_multimodal_video, the NEW r8 MP4 box-tree
+#:     metadata row;
+#:   stream_dedup (witnessed r2-r8; streaming keyed state stays via
+#:     stream_neardup, the strictly richer cross-batch LSH state gate)
+#:     → stream_join, the stream-stream join family's first driver row;
+#:   pipe_dedup_exact (witnessed r2-r8; the fingerprint groupBy shape
+#:     stays via pipe_dedup_weights — the same md5 fingerprint agg
+#:     feeding cluster sizes — and pipe_dedup_clusters' keep-first) →
+#:     perf_sort_stress, the bench headliner with no driver row
+#:     (full-width ORDER BY + LIMIT+OFFSET paging under spill).
 DRIVER_WINDOW: list[str] = [
     # TPC-H (6 of 23 — q3/q4/q5/q8/q9/q10/q11/q12/q13/q14/q15/q16/
     # q17/q19/q20/q22 below the window, oracles intact)
     "pipe_bm25",
-    "tpch_q2",
+    "cov_seqfile_scan",
     "perf_web_revenue",
     "tpch_q7",
     "tpch_q18",
@@ -168,9 +194,9 @@ DRIVER_WINDOW: list[str] = [
     "tpcds_q8",
     "tpcds_q34",
     "tpcds_q55",
-    "tpcds_q59",
+    "cov_rcfile_scan",
     "tpcds_q65",
-    "tpcds_q68",
+    "pipe_multimodal_codec",
     "tpcds_q96",
     # §2 operator families, merged one-per-row (coverage2.py)
     "cov_predicates_views",
@@ -187,8 +213,8 @@ DRIVER_WINDOW: list[str] = [
     "cov_external_scan",
     "cov_lzo_scan",
     # LLM-pipeline + streaming operators (one row each)
-    "pipe_text_all",
-    "pipe_dedup_exact",
+    "pipe_multimodal_video",
+    "perf_sort_stress",
     "pipe_dedup_jaccard",
     "pipe_dedup_minhash",
     "pipe_dedup_clusters",
@@ -196,7 +222,7 @@ DRIVER_WINDOW: list[str] = [
     "pipe_ann_recall",
     "pipe_multimodal_features",
     "stream_topk_trending",
-    "stream_dedup",
+    "stream_join",
     "pipe_sessions",
     # round-3 pipeline families (pipeline2.py)
     "pipe_crawl_extract",

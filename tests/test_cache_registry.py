@@ -36,6 +36,37 @@ def test_register_persisted_bounds_slot(spark):
         df.unpersist()
 
 
+def test_register_persisted_sweeps_stopped_sessions(spark):
+    """Entries whose session has been stopped are dropped on the next
+    register call: without the sweep, dead sessions' queues pin their
+    DataFrames (and thus the session objects) forever, and a recycled
+    id() could alias a fresh session onto a dead session's queue."""
+    from collections import deque
+
+    from impala_cut_spark.operators import _cache
+    from impala_cut_spark.operators._cache import _SLOTS, register_persisted
+
+    class _DeadSC:
+        _jsc = None  # what SparkContext.stop() leaves behind
+
+    class _DeadSession:
+        _sc = _DeadSC()
+
+    class _DeadFrame:
+        sparkSession = _DeadSession()
+
+    dead_key = (id(_DeadFrame.sparkSession), "test_slot_dead")
+    with _cache._LOCK:
+        _SLOTS[dead_key] = deque([_DeadFrame()])
+    live = spark.range(4).persist(StorageLevel.MEMORY_AND_DISK)
+    register_persisted(live, "test_slot_sweep", keep=2)
+    assert dead_key not in _SLOTS  # dead session's queue swept
+    assert _is_persisted(live)  # live entry untouched
+    live.unpersist()
+    with _cache._LOCK:
+        _SLOTS.pop((id(spark), "test_slot_sweep"), None)
+
+
 def test_overlapping_bm25_calls_keep_both_caches(spark, sf_dir):
     """The r7 form unpersisted the PREVIOUS call's tf table on entry:
     build A's (lazy) result, make call B, then consume A — A's tf must

@@ -171,6 +171,33 @@ class TestDedup:
         assert got["md5"] == got["exact"]
         assert got["md5"], "expected some near-dup pairs in synthetic corpus"
 
+    def test_candidate_pairs_drop_overcap_null_keyed_group(self, spark):
+        """groupBy puts NULL keys in one group, but a plain anti-join
+        never matches NULL (NULL != NULL) — the count-then-collect cap
+        must use a null-safe join so an over-cap NULL-keyed bucket is
+        dropped like any other (it was the OOM the two-phase form
+        exists to stop).  Below-cap NULL groups still pair up."""
+        rows = (
+            [("k1", i) for i in range(3)]  # normal group, over cap
+            + [(None, 100 + i) for i in range(4)]  # NULL group, over cap
+            + [("k2", 200), ("k2", 201)]  # normal group, under cap
+        )
+        keyed = spark.createDataFrame(rows, "band string, doc_id long")
+        got = {
+            (r.id_a, r.id_b)
+            for r in dedup.candidate_pairs_from_groups(keyed, max_group=2).collect()
+        }
+        assert got == {(200, 201)}
+        # NULL group below the cap still produces its pairs
+        keyed2 = spark.createDataFrame(
+            [(None, 1), (None, 2), ("k", 3), ("k", 4)], "band string, doc_id long"
+        )
+        got2 = {
+            (r.id_a, r.id_b)
+            for r in dedup.candidate_pairs_from_groups(keyed2, max_group=2).collect()
+        }
+        assert got2 == {(1, 2), (3, 4)}
+
     def test_connected_components_match_union_find(self, spark):
         """Star-algorithm components equal a driver-side union-find on
         random graphs: cliques, chains (worst case for label
@@ -634,6 +661,105 @@ class TestMultimodal:
             mine = decode_jpeg(open(local, "rb").read())
             d = np.abs(mine.astype(int) - ref_rgb.astype(int))
             assert d.max() <= 2 and d.mean() < 0.1, (im["origin"], d.max(), d.mean())
+
+    def test_jpeg_multiscan_baseline(self, spark, tmp_path):
+        """T.81 lets a sequential frame spread its components over
+        several non-interleaved scans.  encode_jpeg(interleave=False)
+        emits that layout (one SOS per component); decode_jpeg must
+        accumulate coefficients across scans and match the interleaved
+        decode BIT-EXACTLY, and the JVM ImageIO decoder must agree on
+        our multi-scan file (true external conformance)."""
+        import numpy as np
+
+        from impala_cut_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+        rng = np.random.default_rng(7)
+        img = (
+            np.linspace(0, 255, 40 * 48 * 3).reshape(40, 48, 3)
+            + rng.integers(0, 30, (40, 48, 3))
+        ).clip(0, 255).astype(np.uint8)
+        multi = encode_jpeg(img, quality=92, interleave=False)
+        single = encode_jpeg(img, quality=92, interleave=True)
+        assert (decode_jpeg(multi) == decode_jpeg(single)).all()
+        # grayscale + odd dimensions through the same path
+        odd = img[:33, :29]
+        assert (
+            decode_jpeg(encode_jpeg(odd, interleave=False))
+            == decode_jpeg(encode_jpeg(odd))
+        ).all()
+        g = img[:, :, 1]
+        assert (
+            decode_jpeg(encode_jpeg(g, interleave=False))
+            == decode_jpeg(encode_jpeg(g))
+        ).all()
+        # the JVM decodes our multi-scan file (IDCT rounding tolerance)
+        path = str(tmp_path / "multiscan.jpg")
+        open(path, "wb").write(multi)
+        row = spark.read.format("image").load(path).collect()[0]["image"]
+        ref = np.frombuffer(bytes(row["data"]), dtype=np.uint8).reshape(
+            row["height"], row["width"], row["nChannels"]
+        )[..., ::-1]
+        d = np.abs(decode_jpeg(multi).astype(int) - ref.astype(int))
+        assert d.max() <= 3 and d.mean() < 0.1, (d.max(), d.mean())
+
+    def test_tiff_palette_matches_jvm_imageio(self, spark, tmp_path):
+        """Palette (photometric 3) TIFF written by the JVM ImageIO
+        codec decodes bit-exactly — ColorMap is a SHORT-typed tag, so
+        the parsed ints are used directly (the r8 form re-unpacked them
+        as bytes and crashed on every palette file)."""
+        import numpy as np
+
+        jvm = spark._jvm
+        h, w = 11, 13
+        rng = np.random.default_rng(5)
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        bi = jvm.java.awt.image.BufferedImage(w, h, 13)  # TYPE_BYTE_INDEXED
+        for y in range(h):
+            for x in range(w):
+                r, g, b = (int(v) for v in img[y, x])
+                bi.setRGB(x, y, (r << 16) | (g << 8) | b)
+        path = str(tmp_path / "palette.tif")
+        wr = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("tiff").next()
+        ios = jvm.javax.imageio.ImageIO.createImageOutputStream(jvm.java.io.File(path))
+        wr.setOutput(ios)
+        wr.write(None, jvm.javax.imageio.IIOImage(bi, None, None), wr.getDefaultWriteParam())
+        ios.close()
+        data = open(path, "rb").read()
+        from impala_cut_spark.operators.tiff import _read_ifd, decode_tiff
+
+        bo = "<" if data[:2] == b"II" else ">"
+        assert _read_ifd(data, bo)[262] == [3]  # really palette photometric
+        got = decode_tiff(data)
+        # ground truth = what the JVM itself reads back (indexed quantizes)
+        row = spark.read.format("image").load(path).collect()[0]["image"]
+        ref = np.frombuffer(bytes(row["data"]), dtype=np.uint8).reshape(
+            row["height"], row["width"], row["nChannels"]
+        )[..., ::-1]
+        assert (got == ref).all()
+
+    def test_extract_features_degrades_on_corrupt_assets(self, spark):
+        """The never-fail contract: corrupt/truncated payloads that
+        surface zlib.error (PNG IDAT), EOFError/IndexError (truncated
+        JPEG entropy data) or KeyError (missing tables) degrade to the
+        byte-feature fallback instead of failing the job."""
+        import numpy as np
+
+        from impala_cut_spark.operators.jpeg import encode_jpeg
+
+        yy, xx = np.mgrid[0:24, 0:32]
+        img = np.stack([(xx * 5) % 256, (yy * 7) % 256, (yy * 3) % 256], axis=2).astype(np.uint8)
+        png = bytearray(multimodal.encode_png(img))
+        i = bytes(png).find(b"IDAT")
+        png[i + 4 : i + 14] = b"\x00" * 10  # corrupt the zlib stream
+        jp = encode_jpeg(img, quality=90)
+        rows = [
+            (1, "image", "image/png", 32, 24, png),
+            (2, "image", "image/jpeg", 32, 24, bytearray(jp[: len(jp) // 2])),
+        ]
+        assets = spark.createDataFrame(rows, multimodal.ASSET_SCHEMA)
+        feats = {r.asset_id: np.array(r.features) for r in multimodal.extract_features(assets).collect()}
+        assert np.allclose(feats[1], multimodal.fake_features(bytes(rows[0][5])))
+        assert np.allclose(feats[2], multimodal.fake_features(bytes(rows[1][5])))
 
     def test_jpeg_arithmetic_coding_is_stubbed(self):
         import struct

@@ -163,10 +163,13 @@ def test_driver_window_is_first_50():
     assert names[:50] == DRIVER_WINDOW
     # every operator family has a row inside the window
     families = {
-        # round-8 rotation (r7 verdict #1/#8): tpch_q1→pipe_bm25 and
-        # tpcds_q52→q55 among eight swaps — see plans/__init__.py ledger
-        "tpch": ["tpch_q2", "tpch_q7"],
+        # round-9 rotation (r8 verdict #1): tpch_q2→cov_seqfile_scan,
+        # tpcds_q59→cov_rcfile_scan, tpcds_q68→pipe_multimodal_codec,
+        # pipe_text_all→pipe_multimodal_video, stream_dedup→stream_join,
+        # pipe_dedup_exact→perf_sort_stress — see plans/__init__.py ledger
+        "tpch": ["tpch_q7", "tpch_q18", "tpch_q21"],
         "tpcds": ["tpcds_q55"],
+        "formats": ["cov_seqfile_scan", "cov_rcfile_scan", "cov_lzo_scan"],
         "predicates": ["cov_predicates_views"],
         "joins": ["cov_join_all"],
         "aggs": ["cov_agg_all"],
@@ -183,9 +186,13 @@ def test_driver_window_is_first_50():
         "functions": ["cov_fn_string", "cov_fn_timestamp",
                       "cov_fn_condcast"],
         "external": ["cov_external_scan"],
-        "text": ["pipe_text_all"],
-        "dedup": ["pipe_dedup_exact", "pipe_dedup_jaccard",
-                  "pipe_dedup_minhash"],
+        # round-9: pipe_text_all ceded to pipe_multimodal_video —
+        # narrow-map text analysis stays via the classifier + crawl rows
+        "text": ["pipe_quality_classifier", "pipe_crawl_extract"],
+        # round-9: pipe_dedup_exact ceded to perf_sort_stress — the md5
+        # fingerprint agg stays via pipe_dedup_weights/pipe_dedup_clusters
+        "dedup": ["pipe_dedup_weights", "pipe_dedup_jaccard",
+                  "pipe_dedup_minhash", "pipe_dedup_clusters"],
         # second r6 rotation: pipe_embed_neardup (0 rows at sf0.01 —
         # zero-information evidence; LSH-cosine shape held by
         # pipe_embed_semdedup) ceded its slot to pipe_bigram_ppl
@@ -194,10 +201,14 @@ def test_driver_window_is_first_50():
         "similarity": ["pipe_embed_semdedup", "pipe_ann_recall"],
         "lm_scoring": ["pipe_bigram_ppl"],
         "heavy_hitters": ["pipe_freq_shingles"],
-        "multimodal": ["pipe_multimodal_features"],
-        # round-8: stream_events_hourly ceded to stream_topk_trending
-        # (first driver row for the rank-overlay streaming family)
-        "streaming": ["stream_topk_trending", "stream_dedup", "pipe_sessions"],
+        # round-9: the two NEW r8 codec/container rows take slots
+        "multimodal": ["pipe_multimodal_features", "pipe_multimodal_codec",
+                       "pipe_multimodal_video"],
+        # round-8: stream_events_hourly ceded to stream_topk_trending;
+        # round-9: stream_dedup ceded to stream_join (keyed state stays
+        # via stream_neardup)
+        "streaming": ["stream_topk_trending", "stream_join",
+                      "stream_neardup", "pipe_sessions"],
         # second r7 rotation: pipe_embed_quantize ceded to
         # pipe_dsir_weights; round-8: pipe_pii_redact ceded to
         # pipe_dup_block_share (regex-transform shape held by
@@ -213,7 +224,7 @@ def test_driver_window_is_first_50():
         # retrieval row, a perf_* adaptation, and the four new r7
         # families now hold driver slots
         "retrieval": ["pipe_bm25"],
-        "perf": ["perf_web_revenue"],
+        "perf": ["perf_web_revenue", "perf_sort_stress"],
         "block_dedup": ["pipe_dup_block_share", "pipe_dedup_weights"],
         "novelty": ["pipe_ngram_novelty"],
     }
