@@ -678,15 +678,36 @@ SIMHASH_BLOCKS = 4  # pigeonhole: hamming ≤ 3 ⇒ ≥1 of 4 blocks equal
 SIMHASH_BITS_MD5 = 60
 
 
+#: packed-lane mask: one bit every 16 positions, so ``h >>> j & MASK``
+#: isolates bit positions {j, j+16, j+32, j+48} into four independent
+#: 16-bit accumulator lanes of a single BIGINT
+_LANE_MASK = 0x0001_0001_0001_0001
+
+
 def simhash(docs: DataFrame, hash_family: str = "xxhash64") -> DataFrame:
     """(doc_id, sig): SimHash over distinct tokens.
 
-    bit_i(sig) = sign of Σ_tokens (bit_i(h(token)) ? +1 : −1).
-    Computed as explode → n_bits conditional sums → bit-pack; one
-    shuffle on doc_id.  hash_family ``xxhash64`` (engine-native, 64
-    bits) or ``md5_affine`` (cross-engine md5-derived 60-bit hash —
-    every op below it is integer arithmetic both engines share, so the
-    DuckDB oracle reproduces the signature bit-for-bit).
+    bit_i(sig) = sign of Σ_tokens (bit_i(h(token)) ? +1 : −1), i.e.
+    bit set ⟺ 2·ones_i > n_tokens (ties → 0, matching the strict >).
+
+    Computed as explode → SIXTEEN packed lane sums + one count → bit
+    extraction on the aggregated row; one shuffle on doc_id.  The r8
+    form summed 64 separate ``when(bit_i, +1, −1)`` aggregate columns
+    per token row — 64 aggregation buffers and 64 branch evaluations
+    per row, the most expensive operator in the registry per row
+    touched (~19 s at sf0.1).  Packing 4 bit-position counts into the
+    16-bit lanes of one BIGINT (``sum((h >>> j) & 0x0001000100010001)``
+    for j = 0..15) cuts that to 16 two-op sums; the 64 per-bit
+    majority tests then run once per DOCUMENT on the aggregated row,
+    not once per token.  Lane capacity bounds the doc size: safe for
+    ≤ 65 535 DISTINCT tokens per document (a ~0.5 MB+ all-unique-words
+    text; the corpus chunkers upstream cap well below this).
+
+    hash_family ``xxhash64`` (engine-native, 64 bits) or ``md5_affine``
+    (cross-engine md5-derived 60-bit hash — every op below it is
+    integer arithmetic both engines share, so the DuckDB oracle
+    reproduces the signature bit-for-bit; the oracle's 64-sum SQL form
+    is unchanged — signatures are identical).
     """
     n_bits = SIMHASH_BITS_MD5 if hash_family == "md5_affine" else SIMHASH_BITS
     tok = docs.select(
@@ -701,17 +722,26 @@ def simhash(docs: DataFrame, hash_family: str = "xxhash64") -> DataFrame:
         # bit 63 is the sign bit of BIGINT — its mask is the negative literal
         return F.lit(1 << i if i < 63 else -(1 << 63)).cast("bigint")
 
+    lane_mask = F.lit(_LANE_MASK).cast("bigint")
     sums = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("_n_tok"),
         *[
             F.sum(
-                F.when(F.col("h").bitwiseAND(_bit(i)) != 0, 1).otherwise(-1)
-            ).alias(f"s_{i}")
-            for i in range(n_bits)
-        ]
+                (F.shiftrightunsigned(F.col("h"), j) if j else F.col("h"))
+                .bitwiseAND(lane_mask)
+            ).alias(f"p_{j}")
+            for j in range(16)
+        ],
     )
     sig = F.lit(0).cast("bigint")
     for i in range(n_bits):
-        sig = sig + F.when(F.col(f"s_{i}") > 0, _bit(i)).otherwise(F.lit(0).cast("bigint"))
+        j, lane = i % 16, i // 16
+        ones = F.shiftrightunsigned(F.col(f"p_{j}"), 16 * lane).bitwiseAND(
+            F.lit(0xFFFF).cast("bigint")
+        )
+        sig = sig + F.when(ones * 2 > F.col("_n_tok"), _bit(i)).otherwise(
+            F.lit(0).cast("bigint")
+        )
     return sums.select("doc_id", sig.alias("sig"))
 
 

@@ -149,9 +149,12 @@ class ImpalaSession:
         #: with the definition text (ToSqlUtils.getCreateViewSql —
         #: Spark's temp-view catalog keeps the plan, not the SQL)
         self._view_defs: dict[str, str] = {}
-        # avro scan DDL (STORED AS AVRO … LOCATION) resolves to the
-        # pyavro Python DataSource — register it up front
+        # avro/warc scan DDL (STORED AS AVRO|WARC … LOCATION) resolves
+        # to the pyavro/pywarc Python DataSources — register them up front
         from impala_cut_spark.sources.avro import register_avro_source
+        from impala_cut_spark.sources.warc import register_warc_source
+
+        register_warc_source(self.spark)
 
         register_avro_source(self.spark)
 
@@ -187,6 +190,12 @@ class ImpalaSession:
                 from impala_cut_spark.sources.avro import read_avro
 
                 df = read_avro(self.spark, path)
+            elif fmt == "warc":
+                # self-describing like avro: records carry their own
+                # headers; the scan schema is the fixed record shape
+                from impala_cut_spark.sources.warc import read_warc
+
+                df = read_warc(self.spark, path)
             else:
                 if not collist:
                     raise ValueError(
@@ -378,12 +387,13 @@ class ImpalaSession:
     #: column list tolerates one paren-nesting level so typed columns
     #: like decimal(10,2) still match (ADVICE r2 #4); seqfile/rcfile
     #: REQUIRE it (text payloads carry no schema, exactly like the
-    #: reference's metastore-declared schemas), avro self-describes.
+    #: reference's metastore-declared schemas), avro and warc
+    #: self-describe.
     _LEGACY_TABLE = re.compile(
         r"^\s*create\s+(?:external\s+)?table\s+(?:if\s+not\s+exists\s+)?"
         r"([A-Za-z_][\w.]*)\s*(\((?:[^()]|\([^()]*\))*\))?\s*"
         r"(?:row\s+format\s+delimited\s+fields\s+terminated\s+by\s+'((?:[^']|'')*)'\s*)?"
-        r"stored\s+as\s+(avro|sequencefile|rcfile|lzotext)\b.*?"
+        r"stored\s+as\s+(avro|sequencefile|rcfile|lzotext|warc)\b.*?"
         r"\blocation\s+'((?:[^']|'')*)'",
         re.IGNORECASE | re.DOTALL,
     )

@@ -16,11 +16,23 @@ both the plain and the multi-member-gzip form via
 zlib.decompressobj(wbits=31) + unused_data chaining (stdlib only; the
 same from-scratch precedent as the LZO/PNG/JPEG/GIF codecs).
 
-Spark-side plumbing (warc_ingest) is an Arrow-batched mapInPandas over
-binary payload columns — at 100 TB, WARC files land as
-``spark.read.format("binaryFile")`` rows or as a binary column of an
-asset table, records explode executor-side, and malformed payloads
-degrade to parse_ok=false rows instead of failing the job.
+Spark-side plumbing comes in two forms:
+
+- ``warc_ingest`` — an Arrow-batched mapInPandas over binary payload
+  columns (WARC bytes already sitting in a table);
+- the ``pywarc`` Python DataSource (``WarcFileSource``) — mounts a
+  file, directory, or glob of ``.warc`` / ``.warc.gz`` FILES the way a
+  real crawl pipeline starts: one Spark partition per archive file
+  (the scan-range analogue of the reference's per-format scanner
+  subclasses, ``be/src/exec/hdfs-scan-node.h:77-95``), records decoded
+  executor-side by a STREAMING parser (``iter_warc_records``) that
+  never materializes the whole archive — one record in memory at a
+  time, gzip members inflated incrementally.  ``STORED AS WARC …
+  LOCATION`` DDL mounts it (session.py), following the pyavro
+  precedent.
+
+Malformed payloads/files degrade to parse_ok=false rows instead of
+failing the job (a 100 TB crawl always contains corrupt archives).
 
 The reference engine has no WARC surface (extension component —
 SURVEY.md pipeline ops); built from the public ISO 28500 grammar only.
@@ -28,11 +40,15 @@ SURVEY.md pipeline ops); built from the public ISO 28500 grammar only.
 
 from __future__ import annotations
 
+import glob as _glob
+import os
 import zlib
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
+
+from impala_cut_spark.sources.external import ExternalSource, make_datasource
 
 _CRLF = b"\r\n"
 
@@ -118,6 +134,107 @@ def parse_warc(payload: bytes) -> list[dict]:
     return records
 
 
+class _StreamBuf:
+    """Incremental view over a (possibly multi-member-gzip) stream:
+    pulls chunks from the file object on demand, inflating gzip members
+    as they complete — memory holds the undecoded tail of one chunk
+    plus the unconsumed record bytes, never the whole archive."""
+
+    def __init__(self, f, chunk: int = 1 << 20):
+        self.f = f
+        self.chunk = chunk
+        self.buf = bytearray()
+        self.eof = False
+        first = f.read(2)
+        self.gz = first == b"\x1f\x8b"
+        self._pending = first
+        self._d = zlib.decompressobj(wbits=31) if self.gz else None
+        self._d_fed = False  # current member has consumed input
+
+    def _pump(self) -> None:
+        data = self._pending or self.f.read(self.chunk)
+        self._pending = b""
+        if not data:
+            if self.gz and self._d_fed and not self._d.eof:
+                raise ValueError("truncated gzip member in WARC stream")
+            self.eof = True
+            return
+        if self.gz:
+            while data:
+                self.buf += self._d.decompress(data)
+                self._d_fed = True
+                if self._d.eof:
+                    data = self._d.unused_data
+                    self._d = zlib.decompressobj(wbits=31)
+                    self._d_fed = False
+                else:
+                    data = b""
+        else:
+            self.buf += data
+
+    def ensure(self, n: int) -> bool:
+        while len(self.buf) < n and not self.eof:
+            self._pump()
+        return len(self.buf) >= n
+
+    def find(self, token: bytes, start: int = 0) -> int:
+        while True:
+            i = self.buf.find(token, start)
+            if i >= 0:
+                return i
+            if self.eof:
+                return -1
+            start = max(0, len(self.buf) - len(token) + 1)
+            self._pump()
+
+    def consume(self, n: int) -> None:
+        del self.buf[:n]
+
+
+def iter_warc_records(f) -> Iterator[dict]:
+    """Stream records from an open binary file object (plain or
+    member-per-record gzip) — the scan path for mounted archive FILES.
+    Yields the same ``{headers, content}`` dicts as parse_warc, one
+    record resident at a time."""
+    s = _StreamBuf(f)
+    while True:
+        while s.ensure(2) and s.buf[:2] == _CRLF:  # inter-record CRLFs
+            s.consume(2)
+        if not s.ensure(1):
+            return
+        eol = s.find(_CRLF)
+        if eol < 0:
+            raise ValueError("truncated WARC version line")
+        version = bytes(s.buf[:eol])
+        if not version.startswith(b"WARC/"):
+            raise ValueError(f"bad WARC version line {version[:20]!r}")
+        s.consume(eol + 2)
+        headers: dict[str, str] = {}
+        while True:
+            eol = s.find(_CRLF)
+            if eol < 0:
+                raise ValueError("truncated WARC header block")
+            if eol == 0:
+                s.consume(2)
+                break
+            line = bytes(s.buf[:eol])
+            k, _, v = line.partition(b":")
+            headers[k.strip().decode("utf-8", "replace")] = v.strip().decode(
+                "utf-8", "replace"
+            )
+            s.consume(eol + 2)
+        length = int(
+            next(v for k, v in headers.items() if k.lower() == "content-length")
+        )
+        if not s.ensure(length + 4):
+            raise ValueError("WARC content block truncated")
+        content = bytes(s.buf[:length])
+        if bytes(s.buf[length : length + 4]) != _CRLF + _CRLF:
+            raise ValueError("WARC record missing terminating CRLFCRLF")
+        s.consume(length + 4)
+        yield {"headers": headers, "content": content}
+
+
 def parse_http_response(content: bytes) -> tuple[int, dict[str, str], bytes]:
     """Split a WARC response record's content — a full HTTP/1.x
     response — into (status_code, lower-cased headers, body bytes).
@@ -190,3 +307,124 @@ def warc_ingest(sources: DataFrame, id_col: str = "source_id", payload_col: str 
     return sources.select(id_col, payload_col).mapInPandas(
         _parse, schema=WARC_RECORD_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# pywarc Python DataSource — mount directories of real .warc/.warc.gz
+# files (the pyavro shape: one scan range per file, executor-side parse)
+# ---------------------------------------------------------------------------
+
+#: DDL schema of a mounted WARC scan — one row per record, with the
+#: originating file name (the crawl-shard provenance column)
+WARC_SCAN_DDL = (
+    "file string, record_index int, warc_type string, target_uri string, "
+    "record_id string, content_type string, content_length bigint, "
+    "content binary, parse_ok boolean"
+)
+
+
+class WarcFileSource(ExternalSource):
+    """WARC scan over a file, directory, or glob — one scan range
+    (partition) per archive file, records streamed executor-side via
+    iter_warc_records (bounded memory: one record at a time).  A
+    corrupt file yields its good prefix of records plus ONE
+    parse_ok=false row — never a job failure."""
+
+    def __init__(self, path: str = "", **_opts):
+        # lazy: the catalog instantiates sources without options while
+        # probing — only resolve (and require) the path on first use
+        self._path = path
+
+    @property
+    def files(self) -> list[str]:
+        path = self._path
+        if not path:
+            raise ValueError("pywarc requires .options(path=...)")
+        if path.startswith("file:"):  # catalog tables hand over a URI
+            path = path[len("file:") :]
+        if os.path.isdir(path):
+            found = sorted(
+                _glob.glob(os.path.join(path, "*.warc"))
+                + _glob.glob(os.path.join(path, "*.warc.gz"))
+            )
+            return found or [path]
+        return sorted(_glob.glob(path)) or [path]
+
+    def schema(self) -> str:
+        return WARC_SCAN_DDL
+
+    def num_partitions(self) -> int:
+        return len(self.files)
+
+    def get_next(self, partition: int) -> Iterator[tuple]:
+        path = self.files[partition]
+        name = os.path.basename(path)
+        try:
+            with open(path, "rb") as f:
+                for i, rec in enumerate(iter_warc_records(f)):
+                    hl = {k.lower(): v for k, v in rec["headers"].items()}
+                    yield (
+                        name,
+                        i,
+                        hl.get("warc-type"),
+                        hl.get("warc-target-uri"),
+                        hl.get("warc-record-id"),
+                        hl.get("content-type"),
+                        len(rec["content"]),
+                        rec["content"],
+                        True,
+                    )
+        except (OSError, ValueError, IndexError, zlib.error, EOFError):
+            yield (name, None, None, None, None, None, None, None, False)
+
+
+def register_warc_source(spark) -> None:
+    """Idempotently register the ``pywarc`` format on a session."""
+    try:
+        spark.dataSource.register(make_datasource("pywarc", WarcFileSource))
+    except Exception:
+        pass  # already registered
+
+
+def read_warc(spark, path: str):
+    """``spark.read.format("pywarc")`` convenience wrapper."""
+    register_warc_source(spark)
+    # the shared _ExternalReader implements pushFilters, which Spark
+    # refuses to plan unless the pushdown feature flag is on
+    # (ImpalaSession sets it; bare sessions need it here)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    return spark.read.format("pywarc").options(path=path).load()
+
+
+def write_warc_files(
+    rows: Iterator[tuple[dict, bytes]] | list[tuple[dict, bytes]],
+    dst_dir: str,
+    records_per_file: int = 500,
+    gzipped: bool = True,
+) -> list[str]:
+    """Fixture/export writer: shard (headers, content) pairs into
+    ``dst_dir/part-NNNNN.warc[.gz]`` archives via build_warc.  Returns
+    the written paths."""
+    os.makedirs(dst_dir, exist_ok=True)
+    paths: list[str] = []
+    batch: list[dict] = []
+    idx = 0
+
+    def _flush() -> None:
+        nonlocal idx, batch
+        if not batch:
+            return
+        ext = "warc.gz" if gzipped else "warc"
+        p = os.path.join(dst_dir, f"part-{idx:05d}.{ext}")
+        with open(p, "wb") as f:
+            f.write(build_warc(batch, gzipped=gzipped))
+        paths.append(p)
+        idx += 1
+        batch = []
+
+    for headers, content in rows:
+        batch.append({"headers": headers, "content": content})
+        if len(batch) >= records_per_file:
+            _flush()
+    _flush()
+    return paths

@@ -268,6 +268,46 @@ class TestDedup:
             assert r.id_a < r.id_b
             assert 0 <= r.hamming <= 3
 
+    def test_simhash_packed_lanes_match_per_bit_formula(self, docs):
+        """The 16 packed-lane sums (4 bit-position counts per BIGINT,
+        round 9) must reproduce the definitional per-bit form — 64
+        separate sum(when(bit_i, +1, -1)) aggregates — bit-for-bit, in
+        BOTH hash families (the md5 family is also oracle-pinned by
+        pipe_dedup_simhash, so a lane bug would double-fail)."""
+        from pyspark.sql import functions as F
+
+        def reference_sig(docs, fam):
+            n_bits = 60 if fam == "md5_affine" else 64
+            tok = docs.select(
+                "doc_id",
+                F.explode(F.array_distinct(dedup.tokens(F.col("text")))).alias("tok"),
+            )
+            h = dedup.md5_hash60(F.col("tok")) if fam == "md5_affine" else F.xxhash64("tok")
+            tok = tok.withColumn("h", h)
+
+            def _bit(i):
+                return F.lit(1 << i if i < 63 else -(1 << 63)).cast("bigint")
+
+            sums = tok.groupBy("doc_id").agg(
+                *[
+                    F.sum(
+                        F.when(F.col("h").bitwiseAND(_bit(i)) != 0, 1).otherwise(-1)
+                    ).alias(f"s_{i}")
+                    for i in range(n_bits)
+                ]
+            )
+            sig = F.lit(0).cast("bigint")
+            for i in range(n_bits):
+                sig = sig + F.when(F.col(f"s_{i}") > 0, _bit(i)).otherwise(
+                    F.lit(0).cast("bigint")
+                )
+            return sums.select("doc_id", sig.alias("sig"))
+
+        for fam in ("xxhash64", "md5_affine"):
+            want = {(r.doc_id, r.sig) for r in reference_sig(docs, fam).collect()}
+            got = {(r.doc_id, r.sig) for r in dedup.simhash(docs, fam).collect()}
+            assert got == want, fam
+
 
 class TestSimilarity:
     def test_brute_force_topk_shape_and_order(self, emb):

@@ -103,6 +103,96 @@ def test_warc_ingest_dataframe(spark):
     assert len(by_src[3]) == 1 and not by_src[3][0].parse_ok
 
 
+@pytest.mark.parametrize("gzipped", [False, True])
+def test_streaming_iterator_matches_parse_warc(gzipped):
+    """iter_warc_records (the mounted-file scan path) must yield the
+    exact records parse_warc materializes, in order — plain and
+    member-per-record gzip, including tiny chunk sizes that force
+    token matches across chunk boundaries."""
+    import io
+
+    from impala_cut_spark.sources.warc import iter_warc_records
+
+    recs = _recs(5)
+    blob = build_warc(recs, gzipped=gzipped)
+    assert list(iter_warc_records(io.BytesIO(blob))) == parse_warc(blob)
+
+    # 7-byte reads: every version line / header / CRLFCRLF spans chunks
+    class _Tiny(io.BytesIO):
+        def read(self, n=-1):
+            return super().read(min(n, 7) if n and n > 0 else n)
+
+    assert list(iter_warc_records(_Tiny(blob))) == parse_warc(blob)
+
+
+def test_streaming_iterator_truncation_raises():
+    import io
+
+    from impala_cut_spark.sources.warc import iter_warc_records
+
+    blob = build_warc(_recs(2), gzipped=True)
+    with pytest.raises(ValueError):
+        list(iter_warc_records(io.BytesIO(blob[: len(blob) - 9])))
+    plain = build_warc(_recs(2))
+    with pytest.raises(ValueError):
+        list(iter_warc_records(io.BytesIO(plain[: len(plain) - 9])))
+
+
+def test_pywarc_file_mount(spark, tmp_path):
+    """The pywarc DataSource mounts a directory of real .warc/.warc.gz
+    files: one partition per archive, streamed records, provenance
+    file column, corrupt files degrading to one parse_ok=false row."""
+    from impala_cut_spark.sources.warc import read_warc, write_warc_files
+
+    d = str(tmp_path / "crawl")
+    recs = _recs(7)
+    write_warc_files(
+        [(r["headers"], r["content"]) for r in recs], d, records_per_file=3
+    )
+    write_warc_files(
+        [(recs[0]["headers"], recs[0]["content"])], d, records_per_file=1, gzipped=False
+    )
+    df = read_warc(spark, d)
+    assert df.rdd.getNumPartitions() == 4  # 3 gz shards + 1 plain
+    rows = df.collect()
+    assert len(rows) == 8 and all(r.parse_ok for r in rows)
+    gz_rows = [r for r in rows if r.file.endswith(".gz")]
+    assert len(gz_rows) == 7
+    by_uri = {r.target_uri: r for r in gz_rows}
+    for want in recs:
+        got = by_uri[want["headers"]["WARC-Target-URI"]]
+        assert bytes(got.content) == want["content"]
+        assert got.content_length == len(want["content"])
+        assert got.content_type == want["headers"]["Content-Type"]
+    # corrupt member degrades, good files unaffected
+    (tmp_path / "crawl" / "junk.warc").write_bytes(b"NOT WARC\r\n\r\n")
+    rows2 = read_warc(spark, d).collect()
+    bad = [r for r in rows2 if not r.parse_ok]
+    assert len(bad) == 1 and bad[0].file == "junk.warc"
+    assert sum(1 for r in rows2 if r.parse_ok) == 8
+
+
+def test_pywarc_ddl_mount(tmp_path):
+    """STORED AS WARC … LOCATION mounts a crawl directory as a session
+    view (the avro-mount precedent)."""
+    from impala_cut_spark.session import ImpalaSession
+    from impala_cut_spark.sources.warc import write_warc_files
+
+    d = str(tmp_path / "crawl_ddl")
+    recs = _recs(4)
+    write_warc_files(
+        [(r["headers"], r["content"]) for r in recs], d, records_per_file=2
+    )
+    s = ImpalaSession()
+    s.sql(f"create external table crawl_t stored as warc location '{d}'")
+    got = s.sql(
+        "select count(*) n, sum(cast(parse_ok as int)) ok, "
+        "sum(content_length) total from crawl_t"
+    ).collect()[0]
+    assert got.n == 4 and got.ok == 4
+    assert got.total == sum(len(r["content"]) for r in recs)
+
+
 def test_hypothesis_roundtrip():
     from hypothesis import HealthCheck, given, settings
     from hypothesis import strategies as st

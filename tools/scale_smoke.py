@@ -348,11 +348,18 @@ def run_skew(spark) -> None:
         "candidate_pairs_from_groups — the over-cap bucket is dropped from a\n"
         "(key, count) aggregate before any collect_set id array exists, so\n"
         "no single aggregation buffer ever holds the 30%-of-corpus id list.\n"
-        "Bar: ident ≤ 2× uniform.  (simhash's ~60s ABSOLUTE cost here is\n"
-        "constant-factor, not asymptotic: r8 probe measured ~19s at sf0.1 →\n"
-        "~60s at this ~sf1 corpus = 3.2× wall at 10× data — the 64 per-bit\n"
-        "signature sums plus a genuinely dense output, ~98k hamming≤3 pairs\n"
-        "per 5k synthetic docs.)\n\n"
+        "Bar: ident ≤ 2× uniform.  (Round 9 re-attributed simhash's absolute\n"
+        "cost: the 64 per-bit aggregate sums were REPLACED by 16 packed-lane\n"
+        "sums — 4 bit-position counts in the 16-bit lanes of one BIGINT via\n"
+        "sum((h >>> j) & 0x0001000100010001), majority tests on the\n"
+        "aggregated per-DOC row, signatures bit-identical — but a direct A/B\n"
+        "showed the signature aggregation was never the bottleneck: old form\n"
+        "~1.3-2.8s, packed form ~1.2-1.4s on this ~sf1 corpus (both warm).\n"
+        "The ~40-50s total is the PAIR stage and it is output-volume-bound:\n"
+        "3.5M verified hamming<=3 pairs (~70/doc — the synthetic corpus is\n"
+        "near-dup dense), so the wall tracks true output size, which no\n"
+        "operator rework can shrink.  The packed form is kept: 17 vs 65\n"
+        "aggregation buffers per group cuts per-doc hash-agg state ~4x.)\n\n"
         "| query | family | uniform s | ident s | ident/uniform |\n|---|---|---|---|---|\n"
     )
     for name, fam in IDENT_QUERIES.items():
