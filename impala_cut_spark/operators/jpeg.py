@@ -55,22 +55,35 @@ _DCT = _dct_matrix()
 
 
 class _Huff:
-    """Canonical huffman table: (bits-per-length, values) -> decode map."""
+    """Canonical huffman table: (bits-per-length, values) → decode map
+    plus a flat 16-bit-prefix fast table (round 9): entry =
+    (symbol << 5) | code_length for every 16-bit window starting with
+    that code, 0 = invalid — one list index replaces the per-bit tree
+    walk in the decoder's hottest loop."""
 
     def __init__(self, counts: list[int], values: bytes):
         self.lookup: dict[tuple[int, int], int] = {}
+        fast = [0] * 65536
         code, k = 0, 0
         for ln in range(1, 17):
             for _ in range(counts[ln - 1]):
                 self.lookup[(ln, code)] = values[k]
+                packed = (values[k] << 5) | ln
+                base = code << (16 - ln)
+                for idx in range(base, base + (1 << (16 - ln))):
+                    fast[idx] = packed
                 code += 1
                 k += 1
             code <<= 1
+        self.fast = fast
 
 
 class _BitReader:
     """MSB-first bit reader over entropy-coded data with 0xFF00
-    stuffing; stops at any marker (0xFF xx, xx != 0)."""
+    stuffing; stops at any marker (0xFF xx, xx != 0).  Round 9: bulk
+    8-byte refills whenever the window ahead carries no 0xFF, a flat
+    16-bit-prefix huffman lookup, and mask-extraction receive — the
+    pure-Python bit-walk was the decoder's dominant cost."""
 
     def __init__(self, data: bytes, pos: int):
         self.d = data
@@ -88,9 +101,32 @@ class _BitReader:
                 return False
         else:
             self.i += 1
-        self.acc = (self.acc << 8) | b
+        # mask off already-consumed high bits BEFORE growing — without
+        # it acc accumulates every byte ever read and all shifts go
+        # O(stream length) (quadratic decode, found by profiling r9)
+        self.acc = (((self.acc & ((1 << self.n) - 1)) << 8)) | b
         self.n += 8
         return True
+
+    def _fill_to(self, want: int) -> None:
+        """Grow the buffer to >= want bits if the stream allows: 8
+        clean bytes at a time (no 0xFF anywhere in the window — never
+        crosses stuffing or a marker), else byte-at-a-time."""
+        d, i = self.d, self.i
+        acc = self.acc & ((1 << self.n) - 1)
+        n = self.n
+        while n < want:
+            chunk = d[i : i + 8]
+            if len(chunk) == 8 and b"\xff" not in chunk:
+                acc = (acc << 64) | int.from_bytes(chunk, "big")
+                n += 64
+                i += 8
+            else:
+                self.acc, self.n, self.i = acc, n, i
+                if not self._fill():
+                    return
+                acc, n, i = self.acc, self.n, self.i
+        self.acc, self.n, self.i = acc, n, i
 
     def bit(self) -> int:
         if self.n == 0 and not self._fill():
@@ -99,12 +135,26 @@ class _BitReader:
         return (self.acc >> self.n) & 1
 
     def receive(self, t: int) -> int:
-        v = 0
-        for _ in range(t):
-            v = (v << 1) | self.bit()
-        return v
+        if t == 0:
+            return 0
+        if self.n < t:
+            self._fill_to(t)
+            if self.n < t:
+                raise EOFError("entropy stream ended at a marker")
+        self.n -= t
+        return (self.acc >> self.n) & ((1 << t) - 1)
 
     def decode(self, table: _Huff) -> int:
+        if self.n < 16:
+            self._fill_to(16)
+        n = self.n
+        if n >= 16:
+            v = table.fast[(self.acc >> (n - 16)) & 0xFFFF]
+            if v:
+                self.n = n - (v & 31)
+                return v >> 5
+            raise ValueError("bad huffman code")
+        # tail: fewer than 16 bits remain before a marker — bit walk
         code, ln = 0, 0
         for _ in range(16):
             code = (code << 1) | self.bit()
@@ -191,17 +241,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         elif m == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("SOS before SOF")
-            ns = seg[0]
-            if ns < len(frame[2]):
-                # legal multi-scan baseline (T.81 non-interleaved scans,
-                # a subset of components each): accumulate quantized
-                # coefficients across ALL scans, reconstruct once
-                return _decode_baseline_multiscan(payload, i - 2, frame, qt, huff, dri)
-            scan = []
-            for c in range(ns):
-                cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
-                scan.append((cs, tt >> 4, tt & 15))
-            return _decode_scan(payload, i + ln, frame, scan, qt, huff, dri)
+            # one path for single- AND multi-scan baseline (T.81 lets a
+            # sequential frame carry one scan per component): quantized
+            # coefficients accumulate per component across every scan,
+            # then one vectorized dequantize+IDCT reconstruction
+            return _decode_baseline_multiscan(payload, i - 2, frame, qt, huff, dri)
         i += ln
     raise ValueError("no SOS in JPEG")
 
@@ -267,15 +311,20 @@ def _sequential_scan(payload, pos, frame, scan, huff, dri, coefs) -> int:
     by_id = {cid: (hi, vi) for cid, hi, vi, _ in comps}
     r = _BitReader(payload, pos)
     pred = {cs: 0 for cs, _, _ in scan}
+    # hoist per-component state out of the hot block loop: huffman
+    # tables, the coefficient plane, bound reader methods
+    tabs = {cs: (huff[(0, td)], huff[(1, ta)]) for cs, td, ta in scan}
+    decode, receive = r.decode, r.receive
 
-    def block(cs, td, ta, by, bx):
+    def block(cs, by, bx):
+        dc_t, ac_t = tabs[cs]
         zz = coefs[cs][by, bx]
-        t = r.decode(huff[(0, td)])
-        pred[cs] += _extend(r.receive(t), t)
+        t = decode(dc_t)
+        pred[cs] += _extend(receive(t), t)
         zz[0] = pred[cs]
         k = 1
         while k < 64:
-            rs = r.decode(huff[(1, ta)])
+            rs = decode(ac_t)
             rr, s = rs >> 4, rs & 15
             if s == 0:
                 if rr == 15:
@@ -285,20 +334,20 @@ def _sequential_scan(payload, pos, frame, scan, huff, dri, coefs) -> int:
             k += rr
             if k > 63:
                 raise ValueError("AC index overflow")
-            zz[k] = _extend(r.receive(s), s)
+            zz[k] = _extend(receive(s), s)
             k += 1
 
     if len(scan) > 1:  # interleaved: MCU order
+        order = [(cs, *by_id[cs]) for cs, _, _ in scan]
         for m_i in range(mcux * mcuy):
             if dri and m_i and m_i % dri == 0:
                 r.align_past_rst()
                 pred = {cs: 0 for cs in pred}
             my, mx = divmod(m_i, mcux)
-            for cs, td, ta in scan:
-                hi, vi = by_id[cs]
+            for cs, hi, vi in order:
                 for byy in range(vi):
                     for bxx in range(hi):
-                        block(cs, td, ta, my * vi + byy, mx * hi + bxx)
+                        block(cs, my * vi + byy, mx * hi + bxx)
     else:  # non-interleaved: the component's own block raster
         (cs, td, ta) = scan[0]
         hi, vi = by_id[cs]
@@ -310,7 +359,7 @@ def _sequential_scan(payload, pos, frame, scan, huff, dri, coefs) -> int:
                 if dri and n and n % dri == 0:
                     r.align_past_rst()
                     pred = {cs: 0 for cs in pred}
-                block(cs, td, ta, by, bx)
+                block(cs, by, bx)
                 n += 1
     pos = r.i
     while pos < len(payload) - 1:  # skip pad bytes up to the next marker
@@ -320,78 +369,6 @@ def _sequential_scan(payload, pos, frame, scan, huff, dri, coefs) -> int:
             break
         pos += 1
     return pos
-
-
-def _decode_scan(payload, pos, frame, scan, qt, huff, dri) -> np.ndarray:
-    h, w, comps = frame
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    by_id = {cid: (hi, vi, tq) for cid, hi, vi, tq in comps}
-    planes = {}
-    for cid, hi, vi, tq in comps:
-        planes[cid] = np.zeros((mcuy * vi * 8, mcux * hi * 8), dtype=np.uint8)
-    order = []
-    for cs, td, ta in scan:
-        hi, vi, tq = by_id[cs]
-        order.append((cs, hi, vi, qt[tq], huff[(0, td)], huff[(1, ta)]))
-    r = _BitReader(payload, pos)
-    pred = {cs: 0 for cs, *_ in order}
-    n_mcu = mcux * mcuy
-    for m_i in range(n_mcu):
-        if dri and m_i and m_i % dri == 0:
-            r.align_past_rst()
-            pred = {cs: 0 for cs in pred}
-        my, mx = divmod(m_i, mcux)
-        for cs, hi, vi, q, hdc, hac in order:
-            for byy in range(vi):
-                for bxx in range(hi):
-                    zz = np.zeros(64, dtype=np.int32)
-                    t = r.decode(hdc)
-                    diff = _extend(r.receive(t), t)
-                    pred[cs] += diff
-                    zz[0] = pred[cs]
-                    k = 1
-                    while k < 64:
-                        rs = r.decode(hac)
-                        rr, ss = rs >> 4, rs & 15
-                        if ss == 0:
-                            if rr == 15:
-                                k += 16
-                                continue
-                            break  # EOB
-                        k += rr
-                        if k > 63:
-                            raise ValueError("AC index overflow")
-                        zz[k] = _extend(r.receive(ss), ss)
-                        k += 1
-                    coef = np.zeros(64, dtype=np.float64)
-                    coef[ZIGZAG] = zz * q
-                    blk = coef.reshape(8, 8)
-                    spatial = _DCT.T @ blk @ _DCT + 128.0
-                    out = np.clip(np.round(spatial), 0, 255).astype(np.uint8)
-                    y0 = (my * vi + byy) * 8
-                    x0 = (mx * hi + bxx) * 8
-                    planes[cs][y0 : y0 + 8, x0 : x0 + 8] = out
-    # upsample to full-res grid, crop, color-convert
-    full = []
-    for cid, hi, vi, tq in comps:
-        p = planes[cid]
-        if hi != hmax or vi != vmax:
-            p = np.repeat(np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1)
-        full.append(p[:h, :w].astype(np.float64))
-    if len(full) == 1:
-        g = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
-        return np.repeat(g[:, :, None], 3, axis=2)
-    if len(full) != 3:
-        raise NotImplementedError(f"{len(full)}-component JPEG not supported")
-    y, cb, cr = full
-    r_ = y + 1.402 * (cr - 128.0)
-    g_ = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b_ = y + 1.772 * (cb - 128.0)
-    rgb = np.stack([r_, g_, b_], axis=2)
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 
 # ---------------------------------------------------------------------------
@@ -477,6 +454,9 @@ class _BitWriter:
             self.out.append(b)
             if b == 0xFF:
                 self.out.append(0x00)
+        # drop emitted bits — an unmasked accumulator makes every shift
+        # O(stream length) (quadratic encode; same r9 fix as the reader)
+        self.acc &= (1 << self.n) - 1
 
     def flush(self) -> None:
         if self.n:
@@ -763,10 +743,15 @@ def _progressive_scan(payload, pos, frame, scan, huff, dri, coefs, ss, se, ah, a
 
     def ac_refine(cs, ta, by, bx):
         # T.81 §G.1.2.3: weave new ±1<<al coefficients between
-        # correction bits for every already-nonzero coefficient
+        # correction bits for every already-nonzero coefficient.
+        # Walks a plain-int list copy of the block — per-element numpy
+        # scalar access made this the progressive decoder's dominant
+        # cost (profiled r9) — and writes back once.
         nonlocal eobrun
-        blk = coefs[cs][by, bx]
+        row = coefs[cs][by, bx]
+        blk = row.tolist()
         p1, m1 = 1 << al, -1 << al
+        bit = r.bit
         k = ss
         if eobrun == 0:
             while k <= se:
@@ -782,11 +767,11 @@ def _progressive_scan(payload, pos, frame, scan, huff, dri, coefs, ss, se, ah, a
                 else:
                     if s != 1:
                         raise ValueError("bad AC refinement magnitude")
-                    val = p1 if r.bit() else m1
+                    val = p1 if bit() else m1
                 while k <= se:
                     c = blk[k]
                     if c != 0:
-                        if r.bit() and (c & p1) == 0:
+                        if bit() and (c & p1) == 0:
                             blk[k] = c + (p1 if c >= 0 else m1)
                     else:
                         if rr == 0:
@@ -799,10 +784,11 @@ def _progressive_scan(payload, pos, frame, scan, huff, dri, coefs, ss, se, ah, a
         if eobrun > 0:
             while k <= se:  # EOB band: correction bits only
                 c = blk[k]
-                if c != 0 and r.bit() and (c & p1) == 0:
+                if c != 0 and bit() and (c & p1) == 0:
                     blk[k] = c + (p1 if c >= 0 else m1)
                 k += 1
             eobrun -= 1
+        row[:] = blk
 
     def maybe_restart(n):
         nonlocal eobrun, pred
@@ -854,9 +840,10 @@ def _progressive_scan(payload, pos, frame, scan, huff, dri, coefs, ss, se, ah, a
 
 
 def _reconstruct_from_coefficients(frame, coefs, qt) -> np.ndarray:
-    """Shared final stage: dequantize zigzag coefficient planes, IDCT,
-    upsample chroma, color-convert — identical math to the baseline
-    path."""
+    """Shared final stage: dequantize zigzag coefficient planes, one
+    BATCHED IDCT over all blocks of a component (broadcast matmul —
+    round 9; the per-block Python loop was quadratic overhead at 1 MP),
+    upsample chroma, color-convert."""
     h, w, comps = frame
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
@@ -864,16 +851,16 @@ def _reconstruct_from_coefficients(frame, coefs, qt) -> np.ndarray:
     for cid, hi, vi, tq in comps:
         cz = coefs[cid]
         by, bx, _ = cz.shape
-        deq = cz.astype(np.float64) * qt[tq][None, None, :]
+        deq = cz.reshape(-1, 64).astype(np.float64) * qt[tq][None, :]
         nat = np.zeros_like(deq)
-        nat[:, :, ZIGZAG] = deq
-        plane = np.zeros((by * 8, bx * 8), dtype=np.float64)
-        for yy in range(by):
-            for xx in range(bx):
-                blk = nat[yy, xx].reshape(8, 8)
-                plane[yy * 8 : yy * 8 + 8, xx * 8 : xx * 8 + 8] = (
-                    _DCT.T @ blk @ _DCT + 128.0
-                )
+        nat[:, ZIGZAG] = deq
+        blocks = nat.reshape(-1, 8, 8)
+        spatial = _DCT.T @ blocks @ _DCT + 128.0  # (n, 8, 8), broadcast
+        plane = (
+            spatial.reshape(by, bx, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(by * 8, bx * 8)
+        )
         p = np.clip(np.round(plane), 0, 255).astype(np.uint8)
         if hi != hmax or vi != vmax:
             p = np.repeat(np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1)

@@ -899,16 +899,29 @@ CODEC_FEATURE_SCHEMA = T.StructType(
 
 def codec_roundtrip_features(docs: DataFrame) -> DataFrame:
     """Codec-conformance feature pass, ORACLE-CHECKABLE BY DESIGN: each
-    document's md5 digest becomes a deterministic 4×4 image, ENCODED
-    with a real codec chosen by doc_id % 3 (PNG / GIF / PPM — all
-    lossless), decoded back through decode_image's dispatch, and
-    reduced to the mean pixel byte.  Because the codecs are lossless,
-    DuckDB replays the expected mean DIRECTLY from md5(text)'s hex
-    bytes with no image code at all — any encode/decode defect in the
-    in-plan codec path breaks the hash match.  Arrow-batched
+    document's md5 digest becomes a deterministic image, ENCODED with a
+    real codec chosen by doc_id % 5 (PNG / GIF / PPM / TIFF — all
+    lossless — plus a JPEG arm), decoded back through decode_image's
+    dispatch, and reduced to the mean pixel byte.  Because the paths
+    are exact, DuckDB replays the expected mean DIRECTLY from
+    md5(text)'s hex bytes with no image code at all — any encode/decode
+    defect in the in-plan codec path breaks the hash match.
+
+    The JPEG arm (round 9) rides an exactness corner of the spec: a
+    16×16 grayscale image of four FLAT 8×8 blocks with EVEN values has
+    only DC coefficients (8·(v−128), an even multiple of the quality-50
+    luma quantizer q₀=16 divided exactly by 2), so quantization
+    round-trips losslessly — while still driving the full entropy
+    layer: DC prediction across MCUs, huffman coding, EOB, marker
+    framing, and BOTH scan layouts (odd doc_ids emit the T.81
+    non-interleaved one-SOS-per-component form).  The TIFF arm uses
+    LZW + horizontal-differencing predictor.  Arrow-batched
     mapInPandas; one narrow map, no shuffle."""
     import hashlib
     import math
+
+    from impala_cut_spark.operators.jpeg import encode_jpeg
+    from impala_cut_spark.operators.tiff import encode_tiff
 
     def _batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -916,21 +929,40 @@ def codec_roundtrip_features(docs: DataFrame) -> DataFrame:
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 s = text if isinstance(text, str) else ""
                 raw = hashlib.md5(s.encode("utf-8")).digest()
-                px = np.frombuffer(raw, dtype=np.uint8).reshape(4, 4)
-                codec = ("png", "gif", "ppm")[int(doc_id) % 3]
+                b = np.frombuffer(raw, dtype=np.uint8)
+                px = b.reshape(4, 4)
+                codec = ("png", "gif", "ppm", "tiff", "jpeg")[int(doc_id) % 5]
+                n_px = 16
                 if codec == "png":
                     payload = encode_png(px)
                 elif codec == "gif":
                     payload = encode_gif(np.repeat(px[:, :, None], 3, axis=2))
-                else:
+                elif codec == "ppm":
                     payload = encode_ppm(np.repeat(px[:, :, None], 3, axis=2))
+                elif codec == "tiff":
+                    payload = encode_tiff(
+                        np.repeat(px[:, :, None], 3, axis=2),
+                        compression=5,
+                        predictor=2,
+                    )
+                else:  # jpeg: 4 flat even-valued blocks — exact at q50
+                    vals = (b[:4] & 0xFE).astype(np.uint8)
+                    img16 = np.zeros((16, 16), dtype=np.uint8)
+                    img16[:8, :8] = vals[0]
+                    img16[:8, 8:] = vals[1]
+                    img16[8:, :8] = vals[2]
+                    img16[8:, 8:] = vals[3]
+                    payload = encode_jpeg(
+                        img16, quality=50, interleave=int(doc_id) % 2 == 0
+                    )
+                    n_px = 256
                 img = decode_image(payload)
-                mean = float(img[:, :, 0].astype(np.int64).sum()) / 16.0
+                mean = float(img[:, :, 0].astype(np.int64).sum()) / float(n_px)
                 rows.append(
                     (
                         int(doc_id),
                         codec,
-                        16,
+                        n_px,
                         math.floor(mean * 1_000_000 + 0.5) / 1_000_000,
                     )
                 )

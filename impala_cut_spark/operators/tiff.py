@@ -89,6 +89,10 @@ def _tiff_lzw_decode(data: bytes, expected: int) -> bytes:
             break
         code = (acc >> (nbits - width)) & ((1 << width) - 1)
         nbits -= width
+        # drop consumed high bits — an unmasked accumulator makes every
+        # shift O(stream length) (the quadratic-decode bug r9 profiling
+        # found in the JPEG bit reader; same fix here)
+        acc &= (1 << nbits) - 1
         if code == 256:  # clear
             table = table[:258]
             width = 9
@@ -127,6 +131,7 @@ def _tiff_lzw_encode(data: bytes) -> bytes:
         while nbits >= 8:
             nbits -= 8
             out.append((acc >> nbits) & 0xFF)
+        acc &= (1 << nbits) - 1  # drop emitted bits (quadratic otherwise)
 
     table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
     next_code = 258

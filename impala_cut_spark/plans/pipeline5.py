@@ -329,21 +329,27 @@ def pipe_ann_recall(spark, sf_dir):
 
 
 def _codec_roundtrip_oracle() -> str:
-    """The codecs under test are LOSSLESS, so the oracle needs no image
-    code: the expected mean pixel byte is the mean of md5(text)'s 16
-    digest bytes, parsed from DuckDB's md5() hex string."""
+    """The codec paths under test are EXACT (PNG/GIF/PPM/TIFF lossless;
+    the JPEG arm's flat even-valued blocks quantize losslessly at
+    quality 50), so the oracle needs no image code: the expected mean
+    pixel byte comes straight from md5(text)'s hex digest — all 16
+    bytes for the lossless arms, the first 4 bytes with the low bit
+    cleared for the JPEG arm."""
     return """
 WITH h AS (SELECT doc_id, md5(coalesce(text, '')) AS hx FROM documents),
 b AS (SELECT doc_id, hx, unnest(range(0, 16)) AS i FROM h),
-v AS (SELECT doc_id,
+v AS (SELECT doc_id, i,
              (strpos('0123456789abcdef', substr(hx, CAST(2*i+1 AS INT), 1)) - 1) * 16
            + (strpos('0123456789abcdef', substr(hx, CAST(2*i+2 AS INT), 1)) - 1) AS byte
       FROM b)
 SELECT doc_id,
-       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
-            ELSE 'ppm' END AS codec,
-       CAST(16 AS BIGINT) AS n_px,
-       floor(avg(CAST(byte AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS mean_byte
+       CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+            WHEN 2 THEN 'ppm' WHEN 3 THEN 'tiff' ELSE 'jpeg' END AS codec,
+       CAST(CASE WHEN doc_id % 5 = 4 THEN 256 ELSE 16 END AS BIGINT) AS n_px,
+       floor(avg(CASE WHEN doc_id % 5 = 4
+                      THEN CASE WHEN i < 4 THEN CAST(byte - byte % 2 AS DOUBLE) END
+                      ELSE CAST(byte AS DOUBLE) END) * 1000000 + 0.5) / 1000000
+         AS mean_byte
 FROM v
 GROUP BY doc_id
 """
@@ -351,15 +357,17 @@ GROUP BY doc_id
 
 @query("pipe_multimodal_codec", oracle=_codec_roundtrip_oracle())
 def pipe_multimodal_codec(spark, sf_dir):
-    """Round-8 codec-conformance pass: every document's md5 digest
-    becomes a 4x4 image, encoded with a REAL codec chosen by
-    doc_id % 3 (PNG / GIF / PPM - all lossless, operators/multimodal.py
-    + the hand-rolled PNG/GIF paths), decoded back through
-    decode_image's signature dispatch, and reduced to the mean pixel
-    byte.  Losslessness makes the oracle codec-free: DuckDB parses
-    md5(text)'s hex bytes and averages them - an encode or decode
-    defect anywhere in the in-plan codec path breaks the hash match.
-    Scale: one Arrow-batched narrow map, no shuffle."""
+    """Codec-conformance pass (round 8, JPEG+TIFF arms round 9): every
+    document's md5 digest becomes a deterministic image, encoded with a
+    REAL codec chosen by doc_id % 5 (PNG / GIF / PPM / TIFF-LZW+
+    predictor — all lossless — plus the exact-by-construction JPEG arm:
+    flat even-valued 8x8 blocks quantize losslessly at quality 50 while
+    driving DC prediction, huffman coding and both T.81 scan layouts),
+    decoded back through decode_image's signature dispatch, and reduced
+    to the mean pixel byte.  Exactness makes the oracle codec-free:
+    DuckDB parses md5(text)'s hex bytes and averages them - an encode
+    or decode defect anywhere in the in-plan codec path breaks the hash
+    match.  Scale: one Arrow-batched narrow map, no shuffle."""
     from impala_cut_spark.operators.multimodal import codec_roundtrip_features
 
     return codec_roundtrip_features(t(spark, sf_dir, "documents"))

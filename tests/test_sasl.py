@@ -166,3 +166,110 @@ def test_framed_file_flush_splits_oversized_writes(monkeypatch):
     raw.seek(0)
     r = st.FramedFile(raw)
     assert r.read(len(payload)) == payload
+
+
+# ---------------------------------------------------------------------------
+# LDAP simple bind (impala_cut_spark/ldap_auth.py) — the real credential
+# check behind PLAIN (reference authentication.cc SaslLdapCheckPass →
+# ldap_sasl_bind_s), implemented from RFC 4511/X.690 and verified against
+# an in-process fake directory that BER-decodes the BindRequest.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def fake_ldap():
+    import socketserver
+    import threading
+
+    from impala_cut_spark import ldap_auth as la
+
+    DIRECTORY = {
+        "uid=analyst,ou=people,dc=example,dc=com": "s3cret",
+        "uid=etl,ou=people,dc=example,dc=com": "hunter2",
+    }
+
+    class Handler(socketserver.BaseRequestHandler):
+        def handle(self):
+            try:
+                buf = b""
+                while True:
+                    chunk = self.request.recv(4096)
+                    if not chunk:
+                        return
+                    buf += chunk
+                    tag, payload, nxt = la.parse_ber(buf)
+                    msg, buf = buf[:nxt], buf[nxt:]
+                    try:
+                        mid, dn, pw = la.parse_bind_request(msg)
+                    except la.LdapError:
+                        return  # unbind or garbage — drop the connection
+                    ok = DIRECTORY.get(dn) == pw and pw != ""
+                    rc = la.SUCCESS if ok else la.INVALID_CREDENTIALS
+                    self.request.sendall(
+                        la.bind_response(mid, rc, "" if ok else "invalid credentials")
+                    )
+            except (ConnectionError, la.LdapError):
+                pass
+
+    srv = socketserver.ThreadingTCPServer(("127.0.0.1", 0), Handler)
+    srv.daemon_threads = True
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv.server_address
+    srv.shutdown()
+
+
+def test_ldap_ber_roundtrip():
+    from impala_cut_spark import ldap_auth as la
+
+    msg = la.bind_request(7, "uid=analyst,ou=people,dc=example,dc=com", "pä§s")
+    mid, dn, pw = la.parse_bind_request(msg)
+    assert (mid, dn, pw) == (7, "uid=analyst,ou=people,dc=example,dc=com", "pä§s")
+    resp = la.bind_response(7, la.INVALID_CREDENTIALS, "nope")
+    assert la.parse_bind_response(resp) == (7, la.INVALID_CREDENTIALS, "nope")
+    # long-form BER length (payload > 127 bytes) round-trips too
+    big = la.bind_request(1, "uid=" + "x" * 300, "pw")
+    assert la.parse_bind_request(big)[1] == "uid=" + "x" * 300
+
+
+def test_ldap_simple_bind_against_fake_directory(fake_ldap):
+    from impala_cut_spark import ldap_auth as la
+
+    host, port = fake_ldap
+    rc, _ = la.simple_bind(host, port, "uid=analyst,ou=people,dc=example,dc=com", "s3cret")
+    assert rc == la.SUCCESS
+    rc, diag = la.simple_bind(host, port, "uid=analyst,ou=people,dc=example,dc=com", "wrong")
+    assert rc == la.INVALID_CREDENTIALS and diag
+
+
+def test_ldap_validator_plugs_into_plain_negotiation(fake_ldap):
+    """End-to-end: SASL/PLAIN negotiation validated by a REAL LDAP
+    simple bind against the fake directory — the reference's exact
+    auth chain (PLAIN initial response → ldap bind → COMPLETE)."""
+    from impala_cut_spark import ldap_auth as la
+
+    host, port = fake_ldap
+    validate = la.ldap_validator(host, port, "uid=#UID,ou=people,dc=example,dc=com")
+    # success path over the SASL wire
+    rbuf, wbuf = io.BytesIO(), io.BytesIO()
+    st._send(rbuf, st.START, b"PLAIN")
+    st._send(rbuf, st.OK, b"\x00analyst\x00s3cret")
+    rbuf.seek(0)
+    assert st.server_negotiate(rbuf, wbuf, validate) == "analyst"
+    # wrong password → SaslError + ERROR status on the wire
+    rbuf, wbuf = io.BytesIO(), io.BytesIO()
+    st._send(rbuf, st.START, b"PLAIN")
+    st._send(rbuf, st.OK, b"\x00analyst\x00wrong")
+    rbuf.seek(0)
+    with pytest.raises(st.SaslError):
+        st.server_negotiate(rbuf, wbuf, validate)
+    # RFC 4513 §5.1.2: empty password must fail CLOSED (a directory
+    # would treat it as an anonymous bind and answer success)
+    assert not validate("analyst", "")
+
+
+def test_ldap_validator_fails_closed_when_directory_down():
+    from impala_cut_spark import ldap_auth as la
+
+    validate = la.ldap_validator("127.0.0.1", 1, "uid=#UID", timeout=0.3)
+    assert not validate("analyst", "s3cret")

