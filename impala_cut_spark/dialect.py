@@ -687,17 +687,18 @@ def rewrite_statements(sql: str) -> str:
         sa = _STORED_AS.search(sql)
         if sa:
             fmt = sa.group(1).lower()
-            if fmt in ("avro", "avrofile"):
-                # the session layer intercepts LOCATION-bearing avro
-                # DDL and mounts it via the pyavro reader
-                # (ImpalaSession.sql → sources/avro.py); reaching here
-                # means a managed/writable avro table was requested
+            if fmt in ("avro", "avrofile", "warc"):
+                # the session layer intercepts LOCATION-bearing avro and
+                # warc DDL and mounts them via the pyavro/pywarc readers
+                # (ImpalaSession.sql → sources/avro.py, sources/warc.py);
+                # reaching here means a managed/writable table was
+                # requested
                 raise ValueError(
-                    "STORED AS AVRO is read-only here: give the table a "
-                    "LOCATION '<file|dir|glob>' (mounted via the pure-"
-                    "Python pyavro scan, sources/avro.py) or use "
-                    "read_avro(); avro WRITES are unsupported (engine "
-                    "writes text and parquet — reference "
+                    f"STORED AS {fmt.upper()} is read-only here: give the "
+                    "table a LOCATION '<file|dir|glob>' (mounted via the "
+                    "pure-Python pyavro/pywarc scans) or use read_avro()/"
+                    "read_warc(); writes for this format are unsupported "
+                    "(engine writes text and parquet — reference "
                     "hdfs-table-sink.cc:341-347)"
                 )
             provider = _FORMAT_MAP.get(fmt)

@@ -90,7 +90,7 @@ SMOKE = {
     # round-8 families
     "pipe_warc_ingest": "WARC build+parse round-trip (narrow map, no shuffle)",
     "pipe_crawl_extract": "crawl front-end WARC→HTTP→HTML→text (map + codegen chain)",
-    "pipe_multimodal_codec": "PNG/GIF/PPM encode+decode round-trip (narrow map)",
+    "pipe_multimodal_codec": "PNG/GIF/PPM/TIFF/JPEG encode+decode round-trip (narrow map)",
 }
 
 #: per-row root-cause notes (r6 verdict #3/#4: every outlier ratio
@@ -479,6 +479,7 @@ def run_x100(spark) -> None:
         r = round(big[name] / small[name], 1) if small[name] > 0 else float("nan")
         flag = "" if r <= 100 else " ⚠"
         lines.append(f"| {name} | {fam} | {small[name]} | {big[name]} | {r}×{flag} |\n")
+    lines.append("\n")
     _patch_scale("## 100× spot-check", "".join(lines))
     print(json.dumps({"small": small, "big": big}))
 
