@@ -1,13 +1,14 @@
 """Multimodal-column plumbing: opaque ``binary`` payloads + typed metadata.
 
 Decode is REAL for the formats real crawls are made of — binary PPM
-(P6), uncompressed 24-bit BMP, and (round 8) PNG (stdlib zlib, 8-bit
-gray / gray+alpha / RGB / RGBA / palette, all five scanline filters;
-RFC 2083 / ISO 15948), baseline JPEG (operators/jpeg.py: from-scratch
-huffman + IDCT per ITU-T T.81, validated against the JVM's ImageIO
-decoder) AND GIF87a/89a (from-scratch LZW, bit-exact vs ImageIO) —
-the same from-scratch precedent as the LZO codec.  Remaining codec
-formats (WEBP/TIFF images, MP3 audio, video containers) stay STUBBED:
+(P6), uncompressed 24-bit BMP, and (round 8) PNG (stdlib zlib, gray /
+gray+alpha / RGB / RGBA / palette at every legal bit depth 1/2/4/8/16,
+Adam7 interlace, all five scanline filters; RFC 2083 / ISO 15948),
+baseline JPEG (operators/jpeg.py: from-scratch huffman + IDCT per
+ITU-T T.81, validated against the JVM's ImageIO decoder) AND
+GIF87a/89a (from-scratch LZW, bit-exact vs ImageIO) — the same
+from-scratch precedent as the LZO codec.  Remaining codec formats
+(WEBP images, MP3 audio, video codecs) stay STUBBED:
 ``decode_image`` raises NotImplementedError for those, and
 ``fake_features`` is the deterministic stand-in.  The
 Spark-side plumbing is identical either way: schema, Arrow batch
@@ -180,15 +181,88 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
+#: Adam7 pass origins and steps (spec §8.2): (x0, y0, dx, dy)
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _png_defilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Undo the five PNG scanline filters over ``h`` rows of ``stride``
+    filtered bytes each (spec §6: filtering is BYTE-wise; the "left"
+    byte sits ``bpp`` = ceil(bits-per-pixel/8) bytes back)."""
+    if len(raw) < h * (stride + 1):
+        raise ValueError("PNG scanline payload size mismatch")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).copy()
+        if f == 0:  # None
+            pass
+        elif f == 1:  # Sub (intra-row recurrence)
+            for x in range(bpp, stride):
+                line[x] = (int(line[x]) + int(line[x - bpp])) & 0xFF
+        elif f == 2:  # Up — no intra-row dependency: vectorized
+            line = ((line.astype(np.int16) + prev) & 0xFF).astype(np.uint8)
+        elif f == 3:  # Average
+            for x in range(stride):
+                a = int(line[x - bpp]) if x >= bpp else 0
+                line[x] = (int(line[x]) + ((a + int(prev[x])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for x in range(stride):
+                a = int(line[x - bpp]) if x >= bpp else 0
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                line[x] = (int(line[x]) + _paeth(a, int(prev[x]), c)) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        out[y] = line
+        prev = line
+    return out
+
+
+def _png_samples(rows: np.ndarray, w: int, ch: int, depth: int, ctype: int) -> np.ndarray:
+    """Defiltered scanline bytes → (H, w, ch) uint8 samples.  16-bit
+    samples reduce to their high byte (the spec's sample-depth scaling
+    for an 8-bit consumer); 1/2/4-bit gray scales to full range,
+    palette indices pass through unscaled."""
+    h = rows.shape[0]
+    if depth == 8:
+        return rows.reshape(h, w, ch)
+    if depth == 16:
+        return np.ascontiguousarray(rows.reshape(h, w, ch, 2)[..., 0])
+    # sub-byte depths: spec restricts them to 1-channel gray/palette
+    bits = np.unpackbits(rows, axis=1)
+    if depth == 1:
+        s = bits[:, :w]
+    else:
+        grp = bits.reshape(h, -1, depth)
+        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+        s = (grp * weights).sum(axis=2, dtype=np.uint16)[:, :w]
+    if ctype == 0:  # gray: scale to [0, 255]
+        s = s * (255 // ((1 << depth) - 1))
+    return s.reshape(h, w, 1).astype(np.uint8)
+
+
 def _decode_png(payload: bytes) -> np.ndarray:
-    """PNG → (H, W, 3) uint8: 8-bit gray / gray+alpha / RGB / RGBA /
-    palette, non-interlaced, all five scanline filters (None/Sub/Up/
-    Average/Paeth).  Alpha is dropped and gray replicated to match
-    decode_image's RGB contract.  16-bit depth and Adam7 interlace
-    remain documented stub boundaries (rare in crawls; the spec's
-    corner cases, not its volume).  Spec-conformance evidence: the
-    filter-by-filter hypothesis round-trip vs encode_png plus decoding
-    real-world PNGs from foreign encoders (tests/test_operators.py)."""
+    """PNG → (H, W, 3) uint8: gray / gray+alpha / RGB / RGBA / palette
+    at every legal bit depth (1/2/4/8/16), interlace methods 0 and
+    Adam7, all five scanline filters (None/Sub/Up/Average/Paeth).
+    Alpha is dropped, gray replicated, and 16-bit samples reduced to
+    their high byte to match decode_image's 8-bit RGB contract.
+    Spec-conformance evidence: the filter-by-filter hypothesis
+    round-trip vs encode_png, decoding real-world PNGs from foreign
+    encoders, and bit-exact agreement with the JVM's ImageIO on
+    interlaced/16-bit/sub-byte variants it re-encodes
+    (tests/test_operators.py)."""
     import struct
     import zlib
 
@@ -212,49 +286,39 @@ def _decode_png(payload: bytes) -> np.ndarray:
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, ctype, _comp, _filt, interlace = ihdr
-    if depth != 8:
-        raise NotImplementedError(f"{depth}-bit PNG not supported (8-bit only)")
-    if interlace:
-        raise NotImplementedError("Adam7-interlaced PNG not supported")
     ch = _PNG_CHANNELS.get(ctype)
     if ch is None:
         raise ValueError(f"bad PNG color type {ctype}")
+    if depth not in (1, 2, 4, 8, 16) or (depth < 8 and ctype not in (0, 3)):
+        raise ValueError(f"illegal PNG depth {depth} for color type {ctype}")
     if ctype == 3 and plte is None:
         raise ValueError("palette PNG missing PLTE")
     raw = zlib.decompress(bytes(idat))
-    stride = w * ch
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG scanline payload size mismatch")
-    out = np.empty((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint8)
-    for y in range(h):
-        f = raw[y * (stride + 1)]
-        line = np.frombuffer(
-            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
-        ).copy()
-        if f == 0:  # None
-            pass
-        elif f == 1:  # Sub (intra-row recurrence)
-            for x in range(ch, stride):
-                line[x] = (int(line[x]) + int(line[x - ch])) & 0xFF
-        elif f == 2:  # Up — no intra-row dependency: vectorized
-            line = ((line.astype(np.int16) + prev) & 0xFF).astype(np.uint8)
-        elif f == 3:  # Average
-            for x in range(stride):
-                a = int(line[x - ch]) if x >= ch else 0
-                line[x] = (int(line[x]) + ((a + int(prev[x])) >> 1)) & 0xFF
-        elif f == 4:  # Paeth
-            for x in range(stride):
-                a = int(line[x - ch]) if x >= ch else 0
-                c = int(prev[x - ch]) if x >= ch else 0
-                line[x] = (int(line[x]) + _paeth(a, int(prev[x]), c)) & 0xFF
-        else:
-            raise ValueError(f"bad PNG filter type {f}")
-        out[y] = line
-        prev = line
+    bpp = max(1, ch * depth // 8)
+    if not interlace:
+        stride = (w * ch * depth + 7) // 8
+        out = _png_samples(_png_defilter(raw, h, stride, bpp), w, ch, depth, ctype)
+    elif interlace == 1:
+        out = np.zeros((h, w, ch), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            rw = (w - x0 + dx - 1) // dx
+            rh = (h - y0 + dy - 1) // dy
+            if rw <= 0 or rh <= 0:
+                continue
+            stride = (rw * ch * depth + 7) // 8
+            size = rh * (stride + 1)
+            rows = _png_defilter(raw[off : off + size], rh, stride, bpp)
+            out[y0::dy, x0::dx] = _png_samples(rows, rw, ch, depth, ctype)
+            off += size
+    else:
+        raise ValueError(f"bad PNG interlace method {interlace}")
     if ctype == 3:  # palette lookup: index plane → RGB
-        return np.ascontiguousarray(plte[out.reshape(h, w)])
-    img = out.reshape(h, w, ch)
+        idx = out.reshape(h, w)
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError("PNG palette index out of range")
+        return np.ascontiguousarray(plte[idx])
+    img = out
     if ch == 1:
         img = np.repeat(img, 3, axis=2)
     elif ch == 2:  # gray+alpha → gray replicated, alpha dropped

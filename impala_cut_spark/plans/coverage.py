@@ -877,24 +877,32 @@ SELECT n_nationkey, n_name, n_regionkey FROM nation
 )
 def cov_rcfile_scan(spark, sf_dir):
     """RCFile columnar scan (SURVEY §2.1; hdfs-rcfile-scanner.cc): the
-    nation table round-trips through an RCFile fixture written by
-    sources/rcfile.py (old-style SEQ6 layout, the same the reference's
-    Hive-written oldrcfile.rc fixture uses — tests/test_rcfile.py
-    anchors the reader against THAT file, so this round-trip cannot be
-    wrong-but-consistent) and must parse back value-identical to the
-    parquet original."""
+    nation table round-trips through a two-file RCFile directory — one
+    uncompressed, one SnappyCodec-compressed (the reference matrix's
+    snap/block axis; codec = from-scratch sources/snappy.py, validated
+    against Hadoop's own SnappyCodec in tests/test_snappy.py) — written
+    by sources/rcfile.py (old-style SEQ6 layout, the same the
+    reference's Hive-written oldrcfile.rc fixture uses —
+    tests/test_rcfile.py anchors the reader against THAT file, so the
+    round-trip cannot be wrong-but-consistent) and must parse back
+    value-identical to the parquet original."""
     import os
 
     from impala_cut_spark.sources.rcfile import read_rcfile, write_rcfile
 
-    fixture = f"/tmp/impala_cut_spark_fixtures/rcfile_nation_{os.path.basename(os.path.normpath(sf_dir))}.rc"
-    if not os.path.exists(fixture):
-        os.makedirs(os.path.dirname(fixture), exist_ok=True)
+    fixture = f"/tmp/impala_cut_spark_fixtures/rcfile_nation_{os.path.basename(os.path.normpath(sf_dir))}"
+    if not os.path.exists(os.path.join(fixture, "part-1.rc")):
+        os.makedirs(fixture, exist_ok=True)
         rows = [
             [r.n_nationkey, r.n_name, r.n_regionkey]
             for r in t(spark, sf_dir, "nation").collect()
         ]
-        write_rcfile(rows, 3, fixture, rows_per_group=16)
+        half = len(rows) // 2
+        write_rcfile(rows[:half], 3, os.path.join(fixture, "part-0.rc"),
+                     rows_per_group=16)
+        write_rcfile(rows[half:], 3, os.path.join(fixture, "part-1.rc"),
+                     rows_per_group=16,
+                     codec="org.apache.hadoop.io.compress.SnappyCodec")
     return read_rcfile(
         spark, fixture, "n_nationkey bigint, n_name string, n_regionkey bigint"
     )

@@ -12,8 +12,10 @@ with one Spark partition per file, decoding executor-side.
 Scope (the flat-table surface Impala-era avro tables actually use):
 records of primitives — null / boolean / int / long / float / double /
 bytes / string — plus nullable unions ``[T, "null"]`` and enums;
-``null`` and ``deflate`` codecs. Nested records/arrays/maps raise a
-clear error.
+``null``, ``deflate`` and ``snappy`` codecs (snappy blocks carry a
+4-byte big-endian CRC32 of the uncompressed bytes per the spec; the
+codec itself is the from-scratch ``sources/snappy.py``). Nested
+records/arrays/maps raise a clear error.
 
 Scale: the file list shards the scan (scan-range analogue); each
 partition streams blocks of one file — no driver involvement. A
@@ -134,7 +136,7 @@ def read_header(buf):
     sync = _read_exact(buf, 16)
     schema = json.loads(meta["avro.schema"].decode("utf-8"))
     codec = meta.get("avro.codec", b"null").decode("utf-8")
-    if codec not in ("null", "deflate"):
+    if codec not in ("null", "deflate", "snappy"):
         raise ValueError(f"unsupported avro codec {codec!r}")
     return schema, codec, sync
 
@@ -156,6 +158,13 @@ def read_avro_file(path: str) -> Iterator[tuple]:
             block = _read_exact(f, size)
             if codec == "deflate":
                 block = zlib.decompress(block, -15)
+            elif codec == "snappy":
+                from impala_cut_spark.sources import snappy as _snappy
+
+                raw, crc = block[:-4], block[-4:]
+                block = _snappy.decompress(raw)
+                if struct.pack(">I", zlib.crc32(block) & 0xFFFFFFFF) != crc:
+                    raise ValueError("avro snappy block CRC mismatch")
             buf = io.BytesIO(block)
             for _ in range(count):
                 yield tuple(d(buf) for d in decoders)
@@ -317,6 +326,14 @@ def write_avro(path: str, fields: list[tuple[str, object]], rows: list[tuple],
     if codec == "deflate":
         comp = zlib.compressobj(wbits=-15)
         data = comp.compress(data) + comp.flush()
+    elif codec == "snappy":
+        from impala_cut_spark.sources import snappy as _snappy
+
+        data = _snappy.compress(data) + struct.pack(
+            ">I", zlib.crc32(data) & 0xFFFFFFFF
+        )
+    elif codec != "null":
+        raise ValueError(f"unsupported write codec {codec!r}")
     sync = b"\x00" * 8 + b"impala16"  # any 16 bytes
     with open(path, "wb") as f:
         f.write(_MAGIC)

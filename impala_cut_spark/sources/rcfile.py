@@ -28,8 +28,11 @@ requested columns' buffers and SKIPS the rest (the scanner's selling
 point, hdfs-rcfile-scanner.h:214-218) — ``read_rcfile`` takes the
 projected column list for exactly this.
 
-Compression: uncompressed and zlib/gzip ("DefaultCodec"/"GzipCodec")
-key+column blocks; anything else raises the documented codec boundary.
+Compression: uncompressed, zlib/gzip ("DefaultCodec"/"GzipCodec") and
+snappy ("SnappyCodec", Hadoop BlockCompressorStream framing over the
+from-scratch ``sources/snappy.py`` codec — the reference's scanner
+matrix carries a snap/block axis) key+column blocks; anything else
+raises the documented codec boundary.
 
 Scale note: like the Avro reader, one scan range per FILE (the Python
 decoder does not split on sync markers mid-file); many files scan in
@@ -137,9 +140,15 @@ def _decompress(codec: str | None, data: bytes, uncompressed_len: int) -> bytes:
         return zlib.decompress(data, wbits=31)
     if "Default" in codec:
         return zlib.decompress(data)
+    if "Snappy" in codec:
+        # SnappyCodec wraps buffers in Hadoop's BlockCompressorStream
+        # framing (from-scratch codec: sources/snappy.py)
+        from impala_cut_spark.sources import snappy as _snappy
+
+        return _snappy.hadoop_decompress(data)
     raise NotImplementedError(
         f"RCFile codec {codec!r} needs a codec lib absent from this "
-        "container (uncompressed/Default/Gzip decode natively)"
+        "container (uncompressed/Default/Gzip/Snappy decode natively)"
     )
 
 
@@ -151,6 +160,10 @@ def _compress(codec: str | None, data: bytes) -> bytes:
         return co.compress(data) + co.flush()
     if "Default" in codec:
         return zlib.compress(data)
+    if "Snappy" in codec:
+        from impala_cut_spark.sources import snappy as _snappy
+
+        return _snappy.hadoop_compress(data)
     raise NotImplementedError(f"RCFile write codec {codec!r} unsupported")
 
 

@@ -32,12 +32,19 @@ _NULL = "\\N"  # text-converter.inline.h:41 null sentinel
 
 
 def write_sequencefile_text(
-    df: DataFrame, path: str, sep: str = ",", escape: str = "\\"
+    df: DataFrame,
+    path: str,
+    sep: str = ",",
+    escape: str = "\\",
+    codec: str | None = None,
 ) -> None:
     """Write ``df`` as a text-payload SequenceFile: key = a meaningless
     record number (Hive writes row offsets; readers ignore it), value =
     the ``\\N``-null delimited rendering of the row — byte-compatible
-    with what read_text_table parses."""
+    with what read_text_table parses.  ``codec``: a Hadoop codec class
+    name (e.g. ``org.apache.hadoop.io.compress.SnappyCodec``) for a
+    record-compressed file — the reference's scanner matrix compression
+    axis (snap/block, def/block, gzip)."""
     line = F.to_csv(
         # to_csv gives the SAME quoting/escape rules from_csv expects;
         # whitespace preservation is the reference's text-writer rule
@@ -54,7 +61,7 @@ def write_sequencefile_text(
     )
     lines = df.select(line.alias("line"))
     pairs = lines.rdd.map(lambda r: (0, r.line))
-    pairs.saveAsSequenceFile(path)
+    pairs.saveAsSequenceFile(path, compressionCodecClass=codec)
 
 
 def read_sequencefile_text(

@@ -587,6 +587,121 @@ class TestMultimodal:
 
         roundtrip()
 
+    @staticmethod
+    def _build_png(samples, depth, ctype, interlace=0, plte=None):
+        """Hand-assemble a conformant PNG from a (h, w, ch) sample
+        array (uint16 for depth 16, small ints otherwise), filter 0
+        rows, optional Adam7 pass splitting — an independent encoder
+        for variants encode_png doesn't emit."""
+        import struct
+        import zlib
+
+        import numpy as np
+
+        h, w, ch = samples.shape
+
+        def pack_row(row):  # row: flat (w*ch,) sample vector
+            if depth == 8:
+                return row.astype(np.uint8).tobytes()
+            if depth == 16:
+                return row.astype(">u2").tobytes()
+            acc = n = 0
+            buf = bytearray()
+            for v in row:
+                acc = (acc << depth) | int(v)
+                n += depth
+                if n == 8:
+                    buf.append(acc)
+                    acc = n = 0
+            if n:
+                buf.append(acc << (8 - n))
+            return bytes(buf)
+
+        def emit(region):  # region: (rh, rw, ch) → filtered scanlines
+            out = bytearray()
+            for y in range(region.shape[0]):
+                out.append(0)  # filter None
+                out += pack_row(region[y].reshape(-1))
+            return out
+
+        raw = bytearray()
+        if interlace:
+            for x0, y0, dx, dy in multimodal._ADAM7:
+                sub = samples[y0::dy, x0::dx]
+                if sub.size:
+                    raw += emit(sub)
+        else:
+            raw += emit(samples)
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
+        body = multimodal.PNG_SIG + multimodal._png_chunk(b"IHDR", ihdr)
+        if plte is not None:
+            body += multimodal._png_chunk(b"PLTE", plte.astype(np.uint8).tobytes())
+        body += multimodal._png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        return body + multimodal._png_chunk(b"IEND", b"")
+
+    def test_png_adam7_interlace_rgb_and_gray(self):
+        import numpy as np
+
+        rng = np.random.default_rng(11)
+        for h, w in ((1, 1), (2, 3), (7, 7), (11, 5), (16, 16), (9, 23)):
+            img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            got = multimodal.decode_image(self._build_png(img, 8, 2, interlace=1))
+            assert (got == img).all(), (h, w)
+            gray = rng.integers(0, 256, size=(h, w, 1), dtype=np.uint8)
+            got = multimodal.decode_image(self._build_png(gray, 8, 0, interlace=1))
+            assert (got == np.repeat(gray, 3, axis=2)).all(), (h, w)
+
+    def test_png_adam7_matches_jvm_imageio(self, spark, tmp_path):
+        """An Adam7 RGB PNG assembled by the independent in-test
+        encoder must decode identically through our decoder and the
+        JVM's ImageIO (spark image source)."""
+        import numpy as np
+
+        rng = np.random.default_rng(4)
+        img = rng.integers(0, 256, size=(13, 17, 3), dtype=np.uint8)
+        path = str(tmp_path / "adam7.png")
+        open(path, "wb").write(self._build_png(img, 8, 2, interlace=1))
+        row = spark.read.format("image").load(path).collect()[0]["image"]
+        assert row["height"] == 13 and row["width"] == 17
+        ref = np.frombuffer(bytes(row["data"]), dtype=np.uint8).reshape(
+            13, 17, row["nChannels"]
+        )[..., :3][..., ::-1]  # ImageIO hands BGR
+        assert (ref == img).all()
+        assert (multimodal.decode_image(open(path, "rb").read()) == img).all()
+
+    def test_png_16bit_reduces_to_high_byte(self):
+        import numpy as np
+
+        rng = np.random.default_rng(5)
+        s16 = rng.integers(0, 65536, size=(6, 5, 3), dtype=np.uint16)
+        got = multimodal.decode_image(self._build_png(s16, 16, 2))
+        assert (got == (s16 >> 8).astype(np.uint8)).all()
+        # 16-bit gray + Adam7 combined
+        g16 = rng.integers(0, 65536, size=(9, 4, 1), dtype=np.uint16)
+        got = multimodal.decode_image(self._build_png(g16, 16, 0, interlace=1))
+        assert (got == np.repeat((g16 >> 8).astype(np.uint8), 3, axis=2)).all()
+
+    def test_png_sub_byte_gray_scales_to_full_range(self):
+        import numpy as np
+
+        rng = np.random.default_rng(6)
+        for depth, scale in ((1, 255), (2, 85), (4, 17)):
+            v = rng.integers(0, 1 << depth, size=(7, 11, 1), dtype=np.uint8)
+            got = multimodal.decode_image(self._build_png(v, depth, 0))
+            assert (got == np.repeat(v * scale, 3, axis=2)).all(), depth
+
+    def test_png_sub_byte_palette_plain_and_interlaced(self):
+        import numpy as np
+
+        rng = np.random.default_rng(8)
+        plte = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+        idx = rng.integers(0, 16, size=(10, 9, 1), dtype=np.uint8)
+        for il in (0, 1):
+            got = multimodal.decode_image(
+                self._build_png(idx, 4, 3, interlace=il, plte=plte)
+            )
+            assert (got == plte[idx.reshape(10, 9)]).all(), il
+
     def test_png_gray_alpha_and_unsupported_variants(self):
         import struct
         import zlib
@@ -609,7 +724,9 @@ class TestMultimodal:
         )
         got = multimodal.decode_image(payload)
         assert (got == np.repeat(base[..., :1], 3, axis=2)).all()
-        # 16-bit and Adam7 stay documented stub boundaries
+        # truncated scanline payloads still raise a clear error (these
+        # were the pre-round-9 16-bit/Adam7 stub boundaries — both now
+        # decode for real, but a 13-byte IDAT is short either way)
         for depth, interlace in ((16, 0), (8, 1)):
             ihdr = struct.pack(">IIBBBBB", 2, 2, depth, 2, 0, 0, interlace)
             bad = (
@@ -618,7 +735,7 @@ class TestMultimodal:
                 + multimodal._png_chunk(b"IDAT", zlib.compress(b"\x00" * 13))
                 + multimodal._png_chunk(b"IEND", b"")
             )
-            with pytest.raises(NotImplementedError):
+            with pytest.raises(ValueError):
                 multimodal.decode_image(bad)
 
     def test_jpeg_roundtrip_within_lossy_tolerance(self):

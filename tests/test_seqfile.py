@@ -102,3 +102,22 @@ def test_stored_as_sequencefile_ddl_mount(spark, tmp_path):
     assert got == sorted([(1, "a|x"), (2, None)], key=repr)
     with pytest.raises(ValueError, match="column list"):
         sess.sql(f"CREATE TABLE seq_bad STORED AS SEQUENCEFILE LOCATION '{path}'")
+
+
+@pytest.mark.parametrize(
+    "codec",
+    [
+        "org.apache.hadoop.io.compress.SnappyCodec",
+        "org.apache.hadoop.io.compress.DefaultCodec",
+    ],
+)
+def test_compressed_roundtrip(spark, tmp_out, codec):
+    """Record-compressed SequenceFiles (the reference matrix's
+    snap/def compression axis) decompress transparently through the
+    real Hadoop reader."""
+    rows = [(i, f"name_{i}", i / 7.0) for i in range(500)]
+    schema = "id bigint, name string, x double"
+    df = spark.createDataFrame(rows, schema)
+    write_sequencefile_text(df, tmp_out, codec=codec)
+    back = read_sequencefile_text(spark, tmp_out, schema)
+    assert sorted(map(tuple, back.collect())) == rows
