@@ -1,9 +1,11 @@
 """Baseline TIFF 6.0 codec — pure numpy + stdlib zlib.
 
 From-scratch implementation of the public spec (the LZO/PNG/JPEG/GIF
-precedent): both byte orders, strip organization, 8-bit gray /
-white-is-zero / RGB(+extra samples) / palette photometrics, horizontal
-differencing predictor, and the compressions real TIFFs carry — none,
+precedent): both byte orders, strip AND tiled (§15) organization —
+edge tiles decompress at full TileWidth×TileLength and clip — 8-bit
+gray / white-is-zero / RGB(+extra samples) / palette photometrics,
+horizontal differencing predictor (per image row for strips, per tile
+row for tiles), and the compressions real TIFFs carry — none,
 PackBits, Deflate (tags 8 and 32946: plain zlib streams), and
 TIFF-flavor LZW (MSB-first codes, clear 256 / EOI 257, the spec's
 early width change; the paired encoder's boundary sits one entry later
@@ -11,11 +13,12 @@ because a decoder learns each table entry one code behind the
 encoder).
 
 Conformance evidence (tests/test_operators.py): LZW / PackBits /
-Deflate TIFFs WRITTEN BY the JVM's ImageIO codec decode bit-exactly,
-the JVM decodes this encoder's output bit-exactly (both directions,
-via the Spark py4j gateway), and the stdlib test corpus's real-world
-RGBA python.tiff decodes.  Tiled organization and 16-bit depths raise
-NotImplementedError — documented boundaries.
+Deflate TIFFs WRITTEN BY the JVM's ImageIO codec — strip and
+explicitly-tiled layouts — decode bit-exactly, the JVM decodes this
+encoder's output bit-exactly (both directions, via the Spark py4j
+gateway), and the stdlib test corpus's real-world RGBA python.tiff
+decodes.  16-bit depths raise NotImplementedError — a documented
+boundary.
 
 The reference engine has no multimodal surface (extension component);
 decode_image in multimodal.py dispatches here on the II*/MM* magic.
@@ -194,13 +197,26 @@ def _packbits_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
+def _tiff_inflate(comp: int, chunk: bytes, expected: int) -> bytes:
+    """Decompress one strip/tile to ``expected`` bytes."""
+    if comp == 1:
+        return chunk[:expected]
+    if comp == 5:
+        return _tiff_lzw_decode(chunk, expected)
+    if comp == 32773:
+        return _unpackbits(chunk, expected)
+    if comp in (8, 32946):  # (Adobe) deflate — a plain zlib stream
+        import zlib
+
+        return zlib.decompress(chunk)[:expected]
+    raise NotImplementedError(f"TIFF compression {comp} not supported")
+
+
 def decode_tiff(payload: bytes) -> np.ndarray:
     if payload[:4] not in (b"II*\x00", b"MM\x00*"):
         raise ValueError("not a TIFF payload")
     bo = "<" if payload[:2] == b"II" else ">"
     tags = _read_ifd(payload, bo)
-    if 322 in tags or 323 in tags:
-        raise NotImplementedError("tiled TIFF not supported (strips only)")
     w = tags[256][0]
     h = tags[257][0]
     bits = tags.get(258, [8])
@@ -210,34 +226,45 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     photo = tags.get(262, [1])[0]
     spp = tags.get(277, [1])[0]
     predictor = tags.get(317, [1])[0]
-    rps = tags.get(278, [h])[0] or h
-    offsets = tags[273]
-    counts = tags[279]
-    stride = w * spp
-    raw = bytearray()
-    for si, (o, c) in enumerate(zip(offsets, counts)):
-        nrows = min(rps, h - si * rps)
-        expected = nrows * stride
-        chunk = payload[o : o + c]
-        if comp == 1:
-            raw += chunk[:expected]
-        elif comp == 5:
-            raw += _tiff_lzw_decode(chunk, expected)
-        elif comp == 32773:
-            raw += _unpackbits(chunk, expected)
-        elif comp in (8, 32946):  # (Adobe) deflate — a plain zlib stream
-            import zlib
-
-            raw += zlib.decompress(chunk)[:expected]
-        else:
-            raise NotImplementedError(f"TIFF compression {comp} not supported")
-    if len(raw) != h * stride:
-        raise ValueError("TIFF strip payload size mismatch")
-    img = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(h, w, spp)
-    if predictor == 2:  # horizontal differencing
-        img = np.cumsum(img.astype(np.int64), axis=1).astype(np.uint8).reshape(h, w, spp)
-    elif predictor != 1:
+    if predictor not in (1, 2):
         raise NotImplementedError(f"TIFF predictor {predictor} not supported")
+    if 322 in tags:  # tiled layout (TIFF 6.0 §15)
+        tw = tags[322][0]
+        tl = tags[323][0]
+        offsets = tags[324]
+        counts = tags[325]
+        across = (w + tw - 1) // tw
+        img = np.zeros((h, w, spp), dtype=np.uint8)
+        for ti, (o, c) in enumerate(zip(offsets, counts)):
+            ty, tx = divmod(ti, across)
+            y0, x0 = ty * tl, tx * tw
+            if y0 >= h:  # ignore extra planes/IFD leftovers
+                break
+            # tiles decompress to the FULL tile size — edge tiles are
+            # padded on disk and clipped here (§15: TileWidth×TileLength)
+            raw = _tiff_inflate(comp, payload[o : o + c], tl * tw * spp)
+            if len(raw) != tl * tw * spp:
+                raise ValueError("TIFF tile payload size mismatch")
+            tile = np.frombuffer(raw, dtype=np.uint8).reshape(tl, tw, spp)
+            if predictor == 2:  # horizontal differencing resets per tile row
+                tile = np.cumsum(tile.astype(np.int64), axis=1).astype(np.uint8)
+            img[y0 : y0 + tl, x0 : x0 + tw] = tile[
+                : min(tl, h - y0), : min(tw, w - x0)
+            ]
+    else:
+        rps = tags.get(278, [h])[0] or h
+        offsets = tags[273]
+        counts = tags[279]
+        stride = w * spp
+        raw = bytearray()
+        for si, (o, c) in enumerate(zip(offsets, counts)):
+            nrows = min(rps, h - si * rps)
+            raw += _tiff_inflate(comp, payload[o : o + c], nrows * stride)
+        if len(raw) != h * stride:
+            raise ValueError("TIFF strip payload size mismatch")
+        img = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(h, w, spp)
+        if predictor == 2:  # horizontal differencing resets per image row
+            img = np.cumsum(img.astype(np.int64), axis=1).astype(np.uint8)
     if photo == 3:  # palette: 16-bit colormap, R then G then B planes
         # ColorMap is TIFF type 3 (SHORT) so _read_ifd already parsed ints
         vals = tags[320]

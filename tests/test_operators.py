@@ -466,15 +466,50 @@ class TestMultimodal:
             img = decode_tiff(open(p, "rb").read())
             assert img.shape == (16, 16, 3) and img.dtype == np.uint8
             assert img.std() > 0
-        # tiled layout stays a documented boundary
+        # 16-bit depth stays a documented boundary
         import struct as st
 
         base = bytearray(encode_tiff(np.zeros((4, 4), dtype=np.uint8)))
-        # graft a TileWidth (322) tag id over the StripOffsets id
-        idx = bytes(base).find(st.pack("<H", 273))
-        base[idx : idx + 2] = st.pack("<H", 322)
-        with pytest.raises(NotImplementedError, match="tiled"):
+        # patch BitsPerSample (258) value from 8 to 16
+        idx = bytes(base).find(st.pack("<HHI", 258, 3, 1))
+        base[idx + 8 : idx + 10] = st.pack("<H", 16)
+        with pytest.raises(NotImplementedError, match="bit"):
             decode_tiff(bytes(base))
+
+    def test_tiff_tiled_layout_matches_jvm_imageio(self, spark, tmp_path):
+        """Explicitly-TILED TIFFs (TIFF 6.0 §15) written by the JVM
+        ImageIO codec decode bit-exactly — tile grid paste, edge-tile
+        clipping (image dims deliberately not tile multiples), LZW and
+        Deflate tile compression."""
+        import numpy as np
+
+        from impala_cut_spark.operators.tiff import decode_tiff
+
+        jvm = spark._jvm
+        rng = np.random.default_rng(12)
+        h, w = 37, 29  # NOT multiples of the 16x16 tile grid
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        bi = jvm.java.awt.image.BufferedImage(w, h, 1)  # TYPE_INT_RGB
+        for y in range(h):
+            for x in range(w):
+                r, g, b = (int(v) for v in img[y, x])
+                bi.setRGB(x, y, (r << 16) | (g << 8) | b)
+        for ctype in ("LZW", "Deflate", "PackBits"):
+            path = str(tmp_path / f"tiled_{ctype}.tif")
+            wr = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("tiff").next()
+            param = wr.getDefaultWriteParam()
+            param.setCompressionMode(2)  # MODE_EXPLICIT
+            param.setCompressionType(ctype)
+            param.setTilingMode(2)  # MODE_EXPLICIT
+            param.setTiling(16, 16, 0, 0)
+            ios = jvm.javax.imageio.ImageIO.createImageOutputStream(
+                jvm.java.io.File(path)
+            )
+            wr.setOutput(ios)
+            wr.write(None, jvm.javax.imageio.IIOImage(bi, None, None), param)
+            ios.close()
+            got = decode_tiff(open(path, "rb").read())
+            assert (got == img).all(), ctype
 
     def test_gif_roundtrip_lossless(self):
         """GIF is lossless for <=256-color images: encode_gif →
