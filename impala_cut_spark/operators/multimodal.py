@@ -7,8 +7,10 @@ Adam7 interlace, all five scanline filters; RFC 2083 / ISO 15948),
 baseline JPEG (operators/jpeg.py: from-scratch huffman + IDCT per
 ITU-T T.81, validated against the JVM's ImageIO decoder) AND
 GIF87a/89a (from-scratch LZW, bit-exact vs ImageIO) — the same
-from-scratch precedent as the LZO codec.  Remaining codec formats
-(WEBP images, MP3 audio, video codecs) stay STUBBED:
+from-scratch precedent as the LZO codec.  Container/frame METADATA is
+real for MP4 (ISO 14496-12 box tree) and MPEG audio (ISO 11172-3
+frame headers) — the prune-before-decode stage.  Remaining codec
+formats (WEBP images, MP3/AAC sample data, video codecs) stay STUBBED:
 ``decode_image`` raises NotImplementedError for those, and
 ``fake_features`` is the deterministic stand-in.  The
 Spark-side plumbing is identical either way: schema, Arrow batch
@@ -948,6 +950,144 @@ def video_metadata(assets: DataFrame) -> DataFrame:
     return assets.select("asset_id", "payload").mapInPandas(
         _extract, schema=VIDEO_META_SCHEMA
     )
+
+
+# -- MPEG audio (MP3) frame-header metadata (public spec ISO 11172-3) -------
+
+#: bitrate tables in kbps, index 1..14 (index 0 = "free", 15 = bad)
+_MP3_BITRATES = {
+    # (mpeg1?, layer) → table
+    (True, 1): (32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+    (True, 2): (32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+    (True, 3): (32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+    (False, 1): (32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+    (False, 2): (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    (False, 3): (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+
+#: sample-rate tables by version bits (3=MPEG1, 2=MPEG2, 0=MPEG2.5)
+_MP3_RATES = {
+    3: (44100, 48000, 32000),
+    2: (22050, 24000, 16000),
+    0: (11025, 12000, 8000),
+}
+
+
+def mp3_metadata(payload: bytes) -> dict:
+    """Walk an MPEG audio (MP1/MP2/MP3) elementary stream's frame
+    headers → ``{version, layer, bitrate_kbps, sample_rate, channels,
+    n_frames, duration_sec, vbr}``.
+
+    Like mp4_metadata this is the prune-before-decode stage: the frame
+    grammar (ISO/IEC 11172-3 §2.4.1) is pure header arithmetic — sync,
+    version/layer bits, bitrate + sample-rate table lookups, padding —
+    so duration/bitrate filters run on a 100 TB crawl without touching
+    a perceptual decoder.  Skips a leading ID3v2 tag (syncsafe size)
+    and a trailing ID3v1 block; audio sample DATA stays behind the
+    documented codec stub boundary.  ``bitrate_kbps`` is the stream
+    bitrate for CBR, the mean over frames for VBR (``vbr`` = whether
+    frame bitrates differ)."""
+    pos = 0
+    # ID3v2 header: "ID3" ver(2) flags(1) syncsafe-size(4)
+    if payload[:3] == b"ID3" and len(payload) >= 10:
+        size = 0
+        for b in payload[6:10]:
+            size = (size << 7) | (b & 0x7F)
+        pos = 10 + size
+    n_frames = 0
+    bitrates: list[int] = []
+    duration = 0.0
+    version = layer = sample_rate = channels = None
+    end = len(payload)
+    if end >= 128 and payload[end - 128 : end - 125] == b"TAG":  # ID3v1 trailer
+        end -= 128
+    while pos + 4 <= end:
+        if payload[pos] != 0xFF or (payload[pos + 1] & 0xE0) != 0xE0:
+            if n_frames:  # trailing garbage after a valid stream: stop
+                break
+            pos += 1  # leading garbage: resync
+            continue
+        b1, b2, b3 = payload[pos + 1], payload[pos + 2], payload[pos + 3]
+        vbits = (b1 >> 3) & 3
+        lbits = (b1 >> 1) & 3
+        bidx = (b2 >> 4) & 0xF
+        ridx = (b2 >> 2) & 3
+        pad = (b2 >> 1) & 1
+        mode = (b3 >> 6) & 3
+        if vbits == 1 or lbits == 0 or bidx in (0, 15) or ridx == 3:
+            if n_frames:
+                break
+            pos += 1
+            continue
+        mpeg1 = vbits == 3
+        lyr = 4 - lbits  # bits 11/10/01 → layer 1/2/3
+        kbps = _MP3_BITRATES[(mpeg1, lyr)][bidx - 1]
+        rate = _MP3_RATES[vbits][ridx]
+        if lyr == 1:
+            flen = (12000 * kbps // rate + pad) * 4
+            spf = 384
+        elif lyr == 2:
+            flen = 144000 * kbps // rate + pad
+            spf = 1152
+        else:  # layer III: MPEG2/2.5 frames carry one 576-sample granule
+            flen = (144000 if mpeg1 else 72000) * kbps // rate + pad
+            spf = 1152 if mpeg1 else 576
+        if pos + flen > end:
+            break  # truncated final frame
+        if n_frames == 0:
+            version = {3: "MPEG1", 2: "MPEG2", 0: "MPEG2.5"}[vbits]
+            layer = lyr
+            sample_rate = rate
+            channels = 1 if mode == 3 else 2
+        n_frames += 1
+        bitrates.append(kbps)
+        duration += spf / rate
+        pos += flen
+    if not n_frames:
+        raise ValueError("no MPEG audio frames found")
+    return {
+        "version": version,
+        "layer": layer,
+        "bitrate_kbps": round(sum(bitrates) / len(bitrates), 3),
+        "sample_rate": sample_rate,
+        "channels": channels,
+        "n_frames": n_frames,
+        "duration_sec": round(duration, 6),
+        "vbr": len(set(bitrates)) > 1,
+    }
+
+
+def build_mp3(
+    n_frames: int,
+    bitrate_idx: int = 9,
+    rate_idx: int = 0,
+    mono: bool = False,
+    id3_size: int = 0,
+) -> bytes:
+    """Assemble a valid MPEG1 Layer III stream (optionally behind an
+    ID3v2 tag) with ``n_frames`` zero-payload frames — the fixture/sink
+    twin of mp3_metadata, from the same public header tables."""
+    out = bytearray()
+    if id3_size:
+        out += b"ID3\x04\x00\x00" + bytes(
+            [(id3_size >> 21) & 0x7F, (id3_size >> 14) & 0x7F,
+             (id3_size >> 7) & 0x7F, id3_size & 0x7F]
+        )
+        out += bytes(id3_size)
+    kbps = _MP3_BITRATES[(True, 3)][bitrate_idx - 1]
+    rate = _MP3_RATES[3][rate_idx]
+    flen = 144000 * kbps // rate  # padding bit 0
+    hdr = bytes(
+        [
+            0xFF,
+            0xFB,  # MPEG1 (11), Layer III (01), no CRC (1)
+            (bitrate_idx << 4) | (rate_idx << 2),
+            (0xC0 if mono else 0x00) | 0x04,  # mode + original bit
+        ]
+    )
+    for _ in range(int(n_frames)):
+        out += hdr + bytes(flen - 4)
+    return bytes(out)
 
 
 #: output schema of codec_roundtrip_features

@@ -533,6 +533,88 @@ def pipe_warc_ingest(spark, sf_dir):
     )
 
 
+def _mp3_meta_oracle() -> str:
+    """MP3 frame headers are pure table arithmetic (ISO 11172-3), so
+    the oracle replays the expected facts from the same public tables
+    the builder used — bitrate/sample-rate table lookups as DuckDB
+    list indexing, duration as frames × 1152 / rate."""
+    return """
+SELECT doc_id,
+       CAST(([32,40,48,56,64,80,96,112,128,160,192,224,256,320])
+            [CAST(doc_id % 14 AS INT) + 1] AS DOUBLE) AS bitrate_kbps,
+       CAST(([44100,48000,32000])[CAST(doc_id % 3 AS INT) + 1] AS INT)
+         AS sample_rate,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS INT) AS channels,
+       CAST(n_chars % 40 + 1 AS BIGINT) AS n_frames,
+       floor(CAST(n_chars % 40 + 1 AS DOUBLE) * 1152
+             / ([44100,48000,32000])[CAST(doc_id % 3 AS INT) + 1]
+             * 1000000 + 0.5) / 1000000 AS duration_sec,
+       CAST(n_chars % 40 + 1 AS BIGINT) >= 20 AS keep
+FROM documents
+"""
+
+
+@query("pipe_multimodal_audio", oracle=_mp3_meta_oracle())
+def pipe_multimodal_audio(spark, sf_dir):
+    """Round-9 MPEG-audio metadata conformance + prune pass: each
+    document fabricates a deterministic MPEG1 Layer III stream
+    (multimodal.build_mp3 — bitrate/sample-rate/channel-mode indices
+    from doc_id, frame count from n_chars, an ID3v2 tag in front for
+    every third doc), walks it back through mp3_metadata (frame-header
+    arithmetic per ISO 11172-3 — the prune-before-decode stage an
+    audio crawl runs), and emits the parsed facts plus a
+    duration-budget keep gate.  Header parsing is exact table lookups,
+    so the oracle needs no audio code: it replays the same public
+    tables as DuckDB list indexing.  Scale: one Arrow-batched narrow
+    map, no shuffle."""
+    import pandas as pd
+
+    from impala_cut_spark.operators.multimodal import build_mp3, mp3_metadata
+
+    docs = t(spark, sf_dir, "documents")
+
+    def _rt(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                d, n = int(doc_id), int(n_chars)
+                payload = build_mp3(
+                    n_frames=n % 40 + 1,
+                    bitrate_idx=d % 14 + 1,
+                    rate_idx=d % 3,
+                    mono=d % 2 == 0,
+                    id3_size=48 if d % 3 == 0 else 0,
+                )
+                m = mp3_metadata(payload)
+                rows.append(
+                    (
+                        d,
+                        float(m["bitrate_kbps"]),
+                        int(m["sample_rate"]),
+                        int(m["channels"]),
+                        int(m["n_frames"]),
+                        float(m["duration_sec"]),
+                        int(m["n_frames"]) >= 20,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "bitrate_kbps", "sample_rate", "channels",
+                    "n_frames", "duration_sec", "keep",
+                ],
+            )
+
+    return docs.select("doc_id", "n_chars").mapInPandas(
+        _rt,
+        schema=(
+            "doc_id bigint, bitrate_kbps double, sample_rate int, "
+            "channels int, n_frames bigint, duration_sec double, "
+            "keep boolean"
+        ),
+    )
+
+
 def _crawl_extract_oracle() -> str:
     """Every layer of the crawl front-end is lossless around the
     document text (WARC framing, HTTP framing, html.escape ↔ the

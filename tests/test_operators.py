@@ -1745,3 +1745,67 @@ class TestBloomDecontaminate:
         fill = 1 - math.exp(-k * n / n_bits)
         assert fill < 0.7, f"bitmap saturated: fill≈{fill:.2f} (n={n})"
         assert true_hits < total  # sanity: prefiltering has headroom
+
+
+class TestMp3Metadata:
+    """MPEG audio frame-header walker (multimodal.mp3_metadata) — the
+    ISO 11172-3 header tables, framing arithmetic and tag skipping."""
+
+    def test_cbr_roundtrip_all_table_entries(self):
+        for bidx in range(1, 15):
+            for ridx in range(3):
+                p = multimodal.build_mp3(7, bitrate_idx=bidx, rate_idx=ridx)
+                m = multimodal.mp3_metadata(p)
+                assert m["version"] == "MPEG1" and m["layer"] == 3
+                assert m["bitrate_kbps"] == multimodal._MP3_BITRATES[(True, 3)][bidx - 1]
+                assert m["sample_rate"] == multimodal._MP3_RATES[3][ridx]
+                assert m["n_frames"] == 7 and not m["vbr"]
+                assert m["duration_sec"] == round(7 * 1152 / m["sample_rate"], 6)
+
+    def test_channels_and_id3v2_skip(self):
+        mono = multimodal.mp3_metadata(multimodal.build_mp3(3, mono=True, id3_size=200))
+        stereo = multimodal.mp3_metadata(multimodal.build_mp3(3, mono=False))
+        assert mono["channels"] == 1 and stereo["channels"] == 2
+        assert mono["n_frames"] == 3
+
+    def test_id3v1_trailer_ignored(self):
+        p = multimodal.build_mp3(4) + b"TAG" + bytes(125)
+        assert multimodal.mp3_metadata(p)["n_frames"] == 4
+
+    def test_vbr_mean_bitrate(self):
+        p = multimodal.build_mp3(2, bitrate_idx=5) + multimodal.build_mp3(
+            2, bitrate_idx=9
+        )
+        m = multimodal.mp3_metadata(p)
+        assert m["vbr"] and m["n_frames"] == 4
+        t3 = multimodal._MP3_BITRATES[(True, 3)]
+        assert m["bitrate_kbps"] == round((t3[4] * 2 + t3[8] * 2) / 4, 3)
+
+    def test_mpeg2_layer3_half_rate_frames(self):
+        # hand-built MPEG2 Layer III frame: version bits 10, layer 01
+        # → 72000*kbps/rate frame length, 576 samples per frame
+        import numpy as np  # noqa: F401
+
+        bidx, ridx = 4, 1  # 32 kbps, 24000 Hz
+        kbps = multimodal._MP3_BITRATES[(False, 3)][bidx - 1]
+        rate = multimodal._MP3_RATES[2][ridx]
+        flen = 72000 * kbps // rate
+        hdr = bytes([0xFF, 0xF3, (bidx << 4) | (ridx << 2), 0x04])
+        p = (hdr + bytes(flen - 4)) * 5
+        m = multimodal.mp3_metadata(p)
+        assert m["version"] == "MPEG2" and m["n_frames"] == 5
+        assert m["sample_rate"] == rate
+        assert m["duration_sec"] == round(5 * 576 / rate, 6)
+
+    def test_truncated_final_frame_dropped(self):
+        p = multimodal.build_mp3(3)
+        m = multimodal.mp3_metadata(p[: len(p) - 10])
+        assert m["n_frames"] == 2
+
+    def test_leading_garbage_resync_and_no_frames(self):
+        p = b"\x00\xffjunk" + multimodal.build_mp3(2)
+        assert multimodal.mp3_metadata(p)["n_frames"] == 2
+        with pytest.raises(ValueError):
+            multimodal.mp3_metadata(b"not audio at all")
+        with pytest.raises(ValueError):
+            multimodal.mp3_metadata(b"")
