@@ -121,7 +121,9 @@ def decode_image(payload: bytes) -> "np.ndarray":
 
 
 def _decode_ppm(payload: bytes) -> np.ndarray:
-    """Binary PPM (P6): ASCII header 'P6 <w> <h> <maxval>' + raw RGB."""
+    """Binary PPM (P6): ASCII header 'P6 <w> <h> <maxval>' + raw RGB.
+    maxval > 255 (16-bit, big-endian sample pairs per the netpbm spec)
+    reduces to the high byte for the 8-bit RGB contract."""
     parts, pos = [], 2
     while len(parts) < 3:
         while pos < len(payload) and payload[pos : pos + 1].isspace():
@@ -136,27 +138,56 @@ def _decode_ppm(payload: bytes) -> np.ndarray:
         pos = end
     pos += 1  # single whitespace after maxval
     w, h, maxval = parts
-    if maxval > 255:
-        raise NotImplementedError("16-bit PPM not supported")
+    if maxval > 65535 or maxval < 1:
+        raise ValueError(f"bad PPM maxval {maxval}")
+    if maxval > 255:  # two bytes per sample, most significant first
+        arr = np.frombuffer(payload, dtype=">u2", count=w * h * 3, offset=pos)
+        scaled = arr.astype(np.float64) * (255.0 / maxval)
+        return (scaled + 0.5).astype(np.uint8).reshape(h, w, 3)
+    if maxval != 255:  # scale odd maxvals to full range
+        arr = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+        return ((arr.astype(np.float64) * (255.0 / maxval)) + 0.5).astype(
+            np.uint8
+        ).reshape(h, w, 3)
     arr = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
     return arr.reshape(h, w, 3).copy()
 
 
 def _decode_bmp(payload: bytes) -> np.ndarray:
-    """Uncompressed 24-bit BMP (BITMAPINFOHEADER, BI_RGB)."""
+    """Uncompressed BMP (BITMAPINFOHEADER, BI_RGB): 24-bit BGR, 32-bit
+    BGRA (alpha/padding byte dropped), and 8-bit palette rows; bottom-up
+    or top-down (negative height)."""
     import struct
 
     off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
     w, h = struct.unpack_from("<ii", payload, 18)
     bpp = struct.unpack_from("<H", payload, 28)[0]
     comp = struct.unpack_from("<I", payload, 30)[0]
-    if bpp != 24 or comp != 0:
-        raise NotImplementedError("only uncompressed 24-bit BMP supported")
+    if comp not in (0, 3) or bpp not in (8, 24, 32):
+        raise NotImplementedError(
+            f"BMP bpp={bpp} compression={comp} not supported "
+            "(8-bit palette / 24-bit / 32-bit BI_RGB decode natively)"
+        )
     flip = h > 0
     h = abs(h)
-    stride = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+    nb = bpp // 8
+    stride = (w * nb + 3) & ~3  # rows padded to 4 bytes
     rows = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=off)
-    img = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)[..., ::-1]  # BGR→RGB
+    if bpp == 8:  # palette: BGRA quads follow the info header
+        (used,) = struct.unpack_from("<I", payload, 46)
+        ncol = used or 256
+        pal_off = 14 + hdr_size
+        pal = np.frombuffer(
+            payload, dtype=np.uint8, count=ncol * 4, offset=pal_off
+        ).reshape(ncol, 4)[:, :3][:, ::-1]  # BGRx → RGB
+        idx = rows.reshape(h, stride)[:, :w]
+        if int(idx.max(initial=0)) >= ncol:
+            raise ValueError("BMP palette index out of range")
+        img = pal[idx]
+    else:
+        img = rows.reshape(h, stride)[:, : w * nb].reshape(h, w, nb)
+        img = img[..., :3][..., ::-1]  # BGR(A) → RGB, alpha dropped
     return (img[::-1] if flip else img).copy()
 
 

@@ -12,13 +12,17 @@ early width change; the paired encoder's boundary sits one entry later
 because a decoder learns each table entry one code behind the
 encoder).
 
+16-bit gray/RGB samples decode (either byte order, predictor applied
+at 16-bit width) and reduce to their high byte for the 8-bit RGB
+contract; other depths raise NotImplementedError — documented
+boundaries.
+
 Conformance evidence (tests/test_operators.py): LZW / PackBits /
 Deflate TIFFs WRITTEN BY the JVM's ImageIO codec — strip and
-explicitly-tiled layouts — decode bit-exactly, the JVM decodes this
-encoder's output bit-exactly (both directions, via the Spark py4j
-gateway), and the stdlib test corpus's real-world RGBA python.tiff
-decodes.  16-bit depths raise NotImplementedError — a documented
-boundary.
+explicitly-tiled layouts, 8- and 16-bit — decode bit-exactly, the JVM
+decodes this encoder's output bit-exactly (both directions, via the
+Spark py4j gateway), and the stdlib test corpus's real-world RGBA
+python.tiff decodes.
 
 The reference engine has no multimodal surface (extension component);
 decode_image in multimodal.py dispatches here on the II*/MM* magic.
@@ -220,10 +224,19 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     w = tags[256][0]
     h = tags[257][0]
     bits = tags.get(258, [8])
-    if any(b != 8 for b in bits):
-        raise NotImplementedError(f"{bits}-bit TIFF not supported (8-bit only)")
-    comp = tags.get(259, [1])[0]
     photo = tags.get(262, [1])[0]
+    if all(b == 8 for b in bits):
+        wide = False
+    elif all(b == 16 for b in bits) and photo in (0, 1, 2):
+        wide = True  # 16-bit gray/RGB: high-byte reduction at the end
+    else:
+        raise NotImplementedError(
+            f"{bits}-bit TIFF (photometric {photo}) not supported"
+        )
+    dt = np.dtype(bo + "u2") if wide else np.dtype(np.uint8)
+    bpsample = 2 if wide else 1
+    mask = 0xFFFF if wide else 0xFF
+    comp = tags.get(259, [1])[0]
     spp = tags.get(277, [1])[0]
     predictor = tags.get(317, [1])[0]
     if predictor not in (1, 2):
@@ -234,7 +247,7 @@ def decode_tiff(payload: bytes) -> np.ndarray:
         offsets = tags[324]
         counts = tags[325]
         across = (w + tw - 1) // tw
-        img = np.zeros((h, w, spp), dtype=np.uint8)
+        img = np.zeros((h, w, spp), dtype=dt)
         for ti, (o, c) in enumerate(zip(offsets, counts)):
             ty, tx = divmod(ti, across)
             y0, x0 = ty * tl, tx * tw
@@ -242,12 +255,12 @@ def decode_tiff(payload: bytes) -> np.ndarray:
                 break
             # tiles decompress to the FULL tile size — edge tiles are
             # padded on disk and clipped here (§15: TileWidth×TileLength)
-            raw = _tiff_inflate(comp, payload[o : o + c], tl * tw * spp)
-            if len(raw) != tl * tw * spp:
+            raw = _tiff_inflate(comp, payload[o : o + c], tl * tw * spp * bpsample)
+            if len(raw) != tl * tw * spp * bpsample:
                 raise ValueError("TIFF tile payload size mismatch")
-            tile = np.frombuffer(raw, dtype=np.uint8).reshape(tl, tw, spp)
+            tile = np.frombuffer(raw, dtype=dt).reshape(tl, tw, spp)
             if predictor == 2:  # horizontal differencing resets per tile row
-                tile = np.cumsum(tile.astype(np.int64), axis=1).astype(np.uint8)
+                tile = (np.cumsum(tile.astype(np.int64), axis=1) & mask).astype(dt)
             img[y0 : y0 + tl, x0 : x0 + tw] = tile[
                 : min(tl, h - y0), : min(tw, w - x0)
             ]
@@ -255,16 +268,18 @@ def decode_tiff(payload: bytes) -> np.ndarray:
         rps = tags.get(278, [h])[0] or h
         offsets = tags[273]
         counts = tags[279]
-        stride = w * spp
+        stride = w * spp * bpsample
         raw = bytearray()
         for si, (o, c) in enumerate(zip(offsets, counts)):
             nrows = min(rps, h - si * rps)
             raw += _tiff_inflate(comp, payload[o : o + c], nrows * stride)
         if len(raw) != h * stride:
             raise ValueError("TIFF strip payload size mismatch")
-        img = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(h, w, spp)
+        img = np.frombuffer(bytes(raw), dtype=dt).reshape(h, w, spp)
         if predictor == 2:  # horizontal differencing resets per image row
-            img = np.cumsum(img.astype(np.int64), axis=1).astype(np.uint8)
+            img = (np.cumsum(img.astype(np.int64), axis=1) & mask).astype(dt)
+    if wide:  # 16→8: high byte (the spec's sample-depth reduction)
+        img = (img >> 8).astype(np.uint8)
     if photo == 3:  # palette: 16-bit colormap, R then G then B planes
         # ColorMap is TIFF type 3 (SHORT) so _read_ifd already parsed ints
         vals = tags[320]

@@ -466,15 +466,39 @@ class TestMultimodal:
             img = decode_tiff(open(p, "rb").read())
             assert img.shape == (16, 16, 3) and img.dtype == np.uint8
             assert img.std() > 0
-        # 16-bit depth stays a documented boundary
+        # odd sample depths stay a documented boundary
         import struct as st
 
         base = bytearray(encode_tiff(np.zeros((4, 4), dtype=np.uint8)))
-        # patch BitsPerSample (258) value from 8 to 16
+        # patch BitsPerSample (258) value from 8 to 12
         idx = bytes(base).find(st.pack("<HHI", 258, 3, 1))
-        base[idx + 8 : idx + 10] = st.pack("<H", 16)
+        base[idx + 8 : idx + 10] = st.pack("<H", 12)
         with pytest.raises(NotImplementedError, match="bit"):
             decode_tiff(bytes(base))
+
+    def test_tiff_16bit_gray_matches_jvm_imageio(self, spark, tmp_path):
+        """A 16-bit grayscale TIFF written by the JVM ImageIO codec
+        (TYPE_USHORT_GRAY raster with known samples) decodes to the
+        high byte of each sample."""
+        import numpy as np
+
+        from impala_cut_spark.operators.tiff import decode_tiff
+
+        jvm = spark._jvm
+        rng = np.random.default_rng(13)
+        h, w = 9, 14
+        s16 = rng.integers(0, 65536, size=(h, w), dtype=np.uint16)
+        bi = jvm.java.awt.image.BufferedImage(w, h, 11)  # TYPE_USHORT_GRAY
+        raster = bi.getRaster()
+        for y in range(h):
+            for x in range(w):
+                raster.setSample(x, y, 0, int(s16[y, x]))
+        path = str(tmp_path / "g16.tif")
+        ok = jvm.javax.imageio.ImageIO.write(bi, "tiff", jvm.java.io.File(path))
+        assert ok
+        got = decode_tiff(open(path, "rb").read())
+        want = np.repeat((s16 >> 8).astype(np.uint8)[:, :, None], 3, axis=2)
+        assert (got == want).all()
 
     def test_tiff_tiled_layout_matches_jvm_imageio(self, spark, tmp_path):
         """Explicitly-TILED TIFFs (TIFF 6.0 §15) written by the JVM
@@ -1227,6 +1251,91 @@ class TestMultimodalRealDecode:
         )
         back = multimodal.decode_image(bytes(header) + bytes(body))
         assert np.array_equal(img, back)
+
+    def test_ppm_16bit_and_odd_maxval(self):
+        import numpy as np
+
+        rng = np.random.default_rng(14)
+        s16 = rng.integers(0, 65536, size=(5, 7, 3), dtype=np.uint16)
+        payload = b"P6\n7 5\n65535\n" + s16.astype(">u2").tobytes()
+        got = multimodal.decode_image(payload)
+        want = (s16.astype(np.float64) * (255.0 / 65535) + 0.5).astype(np.uint8)
+        assert (got == want).all()
+        # 1000-maxval two-byte samples scale by 255/1000
+        s = rng.integers(0, 1001, size=(3, 4, 3), dtype=np.uint16)
+        got = multimodal.decode_image(b"P6\n4 3\n1000\n" + s.astype(">u2").tobytes())
+        assert (got == (s * (255.0 / 1000) + 0.5).astype(np.uint8)).all()
+        # odd single-byte maxval scales to full range
+        s8 = rng.integers(0, 16, size=(3, 4, 3), dtype=np.uint8)
+        got = multimodal.decode_image(b"P6\n4 3\n15\n" + s8.tobytes())
+        assert (got == s8 * 17).all()
+
+    @staticmethod
+    def _build_bmp(img, bpp, top_down=False, pal=None):
+        """Hand-assemble a BI_RGB BMP at 8/24/32 bpp."""
+        import struct
+
+        import numpy as np
+
+        h, w = img.shape[:2]
+        nb = bpp // 8
+        stride = (w * nb + 3) & ~3
+        rows = img if top_down else img[::-1]
+        body = bytearray()
+        for row in rows:
+            if bpp == 8:
+                line = row.tobytes()  # palette indices
+            elif bpp == 24:
+                line = row[:, ::-1].tobytes()  # RGB → BGR
+            else:  # 32: BGRA with a marker alpha byte
+                bgra = np.concatenate(
+                    [row[:, ::-1], np.full((w, 1), 0xAB, np.uint8)], axis=1
+                )
+                line = bgra.tobytes()
+            body += line + b"\x00" * (stride - len(line))
+        paldata = b""
+        ncol = 0
+        if pal is not None:
+            ncol = len(pal)
+            quads = np.concatenate(
+                [pal[:, ::-1], np.zeros((ncol, 1), np.uint8)], axis=1
+            )
+            paldata = quads.tobytes()
+        off = 54 + len(paldata)
+        hdr = (
+            b"BM"
+            + struct.pack("<IHHI", off + len(body), 0, 0, off)
+            + struct.pack(
+                "<IiiHHIIiiII",
+                40, w, (-h if top_down else h), 1, bpp, 0,
+                len(body), 0, 0, ncol, 0,
+            )
+        )
+        return bytes(hdr) + paldata + bytes(body)
+
+    def test_bmp_32bit_palette_and_topdown(self, spark, tmp_path):
+        import numpy as np
+
+        rng = np.random.default_rng(15)
+        img = rng.integers(0, 256, size=(6, 5, 3), dtype=np.uint8)
+        # 32-bit BGRA, bottom-up and top-down
+        for td in (False, True):
+            got = multimodal.decode_image(self._build_bmp(img, 32, top_down=td))
+            assert (got == img).all(), td
+        # 8-bit palette
+        pal = rng.integers(0, 256, size=(17, 3), dtype=np.uint8)
+        idx = rng.integers(0, 17, size=(6, 5), dtype=np.uint8)
+        got = multimodal.decode_image(self._build_bmp(idx, 8, pal=pal))
+        assert (got == pal[idx]).all()
+        # conformance: the JVM ImageIO decodes the same hand-built
+        # palette BMP to the same pixels
+        path = str(tmp_path / "pal.bmp")
+        open(path, "wb").write(self._build_bmp(idx, 8, pal=pal))
+        row = spark.read.format("image").load(path).collect()[0]["image"]
+        ref = np.frombuffer(bytes(row["data"]), dtype=np.uint8).reshape(
+            6, 5, row["nChannels"]
+        )[..., :3][..., ::-1]
+        assert (ref == pal[idx]).all()
 
     def test_resize_real_pixels(self, spark):
         import numpy as np
