@@ -614,11 +614,13 @@ def decode_wav(payload: bytes) -> tuple[int, int, "np.ndarray"]:
     float64 samples in [-1, 1], shape (n_frames, n_channels)).
 
     Real for the codec-free / table-codec formats: uncompressed PCM
-    (format tag 1, 8- or 16-bit) and — round 8 — the G.711 telephony
-    codecs A-law (tag 6) and μ-law (tag 7), whose expansion is a
-    16-line public-spec formula (ITU-T G.711), no codec library
-    needed. Perceptual codecs (mp3/aac/ogg) raise — the same
-    documented stub boundary as codec-bearing images."""
+    (format tag 1 at 8/16/24/32-bit, tag 3 IEEE float32/64, the
+    WAVE_FORMAT_EXTENSIBLE wrapper's SubFormat unwrap) and — round 8 —
+    the G.711 telephony codecs A-law (tag 6) and μ-law (tag 7), whose
+    expansion is a 16-line public-spec formula (ITU-T G.711), no codec
+    library needed. Perceptual codecs (mp3/aac/ogg) raise — the same
+    documented stub boundary as codec-bearing images (their frame
+    METADATA parses via mp3_metadata)."""
     import struct
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
@@ -633,7 +635,10 @@ def decode_wav(payload: bytes) -> tuple[int, int, "np.ndarray"]:
         if cid == b"fmt ":
             tag, channels, rate = struct.unpack_from("<HHI", body, 0)
             bits = struct.unpack_from("<H", body, 14)[0]
-            if tag not in (1, 6, 7):
+            if tag == 0xFFFE and len(body) >= 40:  # WAVE_FORMAT_EXTENSIBLE
+                # SubFormat GUID's leading u16 is the real format tag
+                tag = struct.unpack_from("<H", body, 24)[0]
+            if tag not in (1, 3, 6, 7):
                 raise NotImplementedError(f"compressed WAV (format tag {tag}) not supported")
         elif cid == b"data":
             data = body
@@ -648,10 +653,22 @@ def decode_wav(payload: bytes) -> tuple[int, int, "np.ndarray"]:
         samples = _alaw_expand(np.frombuffer(data, dtype=np.uint8)) / 32768.0
     elif tag == 7:  # G.711 μ-law
         samples = _ulaw_expand(np.frombuffer(data, dtype=np.uint8)) / 32768.0
+    elif tag == 3 and bits == 32:  # IEEE float
+        samples = np.frombuffer(data, dtype="<f4", count=len(data) // 4).astype(np.float64)
+    elif tag == 3 and bits == 64:
+        samples = np.frombuffer(data, dtype="<f8", count=len(data) // 8).copy()
     elif bits == 16:
         samples = np.frombuffer(data, dtype="<i2", count=len(data) // 2) / 32768.0
     elif bits == 8:
         samples = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif bits == 24:  # packed little-endian 3-byte signed
+        n = len(data) // 3
+        b = np.frombuffer(data, dtype=np.uint8, count=n * 3).reshape(n, 3).astype(np.int64)
+        v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        v -= (v >> 23) << 24  # sign-extend
+        samples = v / 8388608.0
+    elif bits == 32:
+        samples = np.frombuffer(data, dtype="<i4", count=len(data) // 4) / 2147483648.0
     else:
         raise NotImplementedError(f"{bits}-bit PCM not supported")
     n = (len(samples) // channels) * channels

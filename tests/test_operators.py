@@ -1465,6 +1465,44 @@ class TestAudioWav:
         assert abs(f[1] - 0.5 / np.sqrt(2)) < 1e-2
         assert 0.0 < f[3] < 1.0  # zero-crossing rate
 
+    def test_wav_wide_pcm_and_float_formats(self):
+        """24/32-bit PCM, IEEE float32/64, and the EXTENSIBLE wrapper
+        decode to the same normalized signal."""
+        import struct
+
+        rng = np.random.default_rng(16)
+        sig = np.clip(rng.normal(scale=0.3, size=256), -1, 1)
+
+        def wav(tag, bits, data, extensible=False):
+            if extensible:
+                sub = struct.pack("<H", tag) + b"\x00\x00" + bytes(12)
+                fmt = struct.pack(
+                    "<HHIIHHHHI", 0xFFFE, 1, 8000, 0, 0, bits, 22, bits, 3
+                ) + sub
+            else:
+                fmt = struct.pack("<HHIIHH", tag, 1, 8000, 0, 0, bits)
+            c = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            c += b"data" + struct.pack("<I", len(data)) + data
+            return b"RIFF" + struct.pack("<I", len(c)) + c
+
+        # 24-bit packed int
+        v24 = (sig * 8388607).astype(np.int64)
+        d24 = b"".join(int(v & 0xFFFFFF).to_bytes(3, "little") for v in v24)
+        _, _, s24 = multimodal.decode_wav(wav(1, 24, d24))
+        assert np.max(np.abs(s24[:, 0] - v24 / 8388608.0)) < 1e-12
+        # 32-bit int
+        v32 = (sig * 2147483000).astype("<i4")
+        _, _, s32 = multimodal.decode_wav(wav(1, 32, v32.tobytes()))
+        assert np.max(np.abs(s32[:, 0] - v32 / 2147483648.0)) < 1e-12
+        # float32 / float64
+        _, _, f32 = multimodal.decode_wav(wav(3, 32, sig.astype("<f4").tobytes()))
+        assert np.max(np.abs(f32[:, 0] - sig)) < 1e-6
+        _, _, f64 = multimodal.decode_wav(wav(3, 64, sig.astype("<f8").tobytes()))
+        assert (f64[:, 0] == sig).all()
+        # EXTENSIBLE wrapper around 24-bit PCM
+        _, _, se = multimodal.decode_wav(wav(1, 24, d24, extensible=True))
+        assert (se == s24).all()
+
     def test_compressed_container_is_stubbed(self):
         with pytest.raises(NotImplementedError):
             multimodal.decode_wav(b"ID3\x04mp3-ish payload")
