@@ -1000,6 +1000,91 @@ def video_metadata(assets: DataFrame) -> DataFrame:
     )
 
 
+# -- WebP container metadata (public spec: RIFF container + RFC 6386) -------
+
+
+def webp_metadata(payload: bytes) -> dict:
+    """Parse a WebP RIFF container's chunk list → metadata:
+    ``{format, width, height, has_alpha, has_animation, has_icc,
+    has_exif, chunks}`` — format is ``lossy`` (VP8 key frame, RFC 6386
+    §9.1 uncompressed frame header), ``lossless`` (VP8L header) or
+    ``extended`` (VP8X canvas).
+
+    Like mp4_metadata/mp3_metadata this is the prune-before-decode
+    stage: dimensions and feature flags come from fixed-layout headers,
+    no entropy decode.  When both a VP8X canvas and an image-data chunk
+    are present the dimensions cross-check (corrupt containers raise).
+    Pixel decode for WebP stays behind the documented codec stub
+    boundary."""
+    if len(payload) < 16 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("not a WebP payload")
+    out: dict = {
+        "format": None,
+        "width": None,
+        "height": None,
+        "has_alpha": False,
+        "has_animation": False,
+        "has_icc": False,
+        "has_exif": False,
+        "chunks": [],
+    }
+    canvas = None
+    pos = 12
+    while pos + 8 <= len(payload):
+        fourcc = payload[pos : pos + 4].decode("ascii", "replace")
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = pos + 8
+        out["chunks"].append(fourcc)
+        if fourcc == "VP8X" and size >= 10:
+            flags = payload[body]
+            out["has_icc"] = bool(flags & 0x20)
+            out["has_alpha"] = out["has_alpha"] or bool(flags & 0x10)
+            out["has_exif"] = bool(flags & 0x08)
+            out["has_animation"] = bool(flags & 0x02)
+            cw = int.from_bytes(payload[body + 4 : body + 7], "little") + 1
+            chh = int.from_bytes(payload[body + 7 : body + 10], "little") + 1
+            canvas = (cw, chh)
+            out["format"] = "extended"
+            out["width"], out["height"] = cw, chh
+        elif fourcc == "VP8 " and size >= 10:
+            # RFC 6386 §9.1: 3-byte frame tag, key frames follow with
+            # the 9D 01 2A start code + 14-bit dims (2-bit scale each)
+            tag = int.from_bytes(payload[body : body + 3], "little")
+            if not tag & 1:  # key frame
+                if payload[body + 3 : body + 6] != b"\x9d\x01\x2a":
+                    raise ValueError("VP8 key frame missing start code")
+                (wbits,) = struct.unpack_from("<H", payload, body + 6)
+                (hbits,) = struct.unpack_from("<H", payload, body + 8)
+                w, h = wbits & 0x3FFF, hbits & 0x3FFF
+                if canvas and not out["has_animation"] and canvas != (w, h):
+                    raise ValueError(
+                        f"VP8 frame {w}x{h} disagrees with VP8X canvas {canvas}"
+                    )
+                if out["format"] is None:
+                    out["format"] = "lossy"
+                    out["width"], out["height"] = w, h
+        elif fourcc == "VP8L" and size >= 5:
+            if payload[body] != 0x2F:
+                raise ValueError("bad VP8L signature byte")
+            bits = int.from_bytes(payload[body + 1 : body + 5], "little")
+            w = (bits & 0x3FFF) + 1
+            h = ((bits >> 14) & 0x3FFF) + 1
+            out["has_alpha"] = out["has_alpha"] or bool((bits >> 28) & 1)
+            if canvas and not out["has_animation"] and canvas != (w, h):
+                raise ValueError(
+                    f"VP8L image {w}x{h} disagrees with VP8X canvas {canvas}"
+                )
+            if out["format"] is None:
+                out["format"] = "lossless"
+                out["width"], out["height"] = w, h
+        elif fourcc == "ALPH":
+            out["has_alpha"] = True
+        pos = body + size + (size & 1)  # chunks are even-padded
+    if out["format"] is None:
+        raise ValueError("WebP container holds no image chunk")
+    return out
+
+
 # -- MPEG audio (MP3) frame-header metadata (public spec ISO 11172-3) -------
 
 #: bitrate tables in kbps, index 1..14 (index 0 = "free", 15 = bad)

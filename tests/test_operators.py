@@ -1956,3 +1956,64 @@ class TestMp3Metadata:
             multimodal.mp3_metadata(b"not audio at all")
         with pytest.raises(ValueError):
             multimodal.mp3_metadata(b"")
+
+
+class TestWebpMetadata:
+    """WebP RIFF container metadata (multimodal.webp_metadata) — the
+    prune-before-decode stage, validated on the stdlib test corpus's
+    real python.webp (VP8X + ALPH + VP8 key frame)."""
+
+    REAL = "/root/.pyenv/versions/3.13.0/lib/python3.13/test/test_email/data/python.webp"
+
+    def test_real_world_extended_file(self):
+        import os
+
+        if not os.path.exists(self.REAL):
+            pytest.skip("stdlib python.webp not present")
+        m = multimodal.webp_metadata(open(self.REAL, "rb").read())
+        assert m["format"] == "extended"
+        assert (m["width"], m["height"]) == (16, 16)
+        assert m["has_alpha"] and not m["has_animation"]
+        assert m["chunks"] == ["VP8X", "ALPH", "VP8 "]
+
+    @staticmethod
+    def _riff(chunks):
+        import struct
+
+        body = b"WEBP"
+        for fourcc, payload in chunks:
+            body += fourcc + struct.pack("<I", len(payload)) + payload
+            if len(payload) & 1:
+                body += b"\x00"
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    def test_vp8l_header_dimensions_and_alpha(self):
+        # 14-bit w-1 / h-1 + alpha bit packed little-endian after 0x2F
+        w, h = 300, 77
+        bits = (w - 1) | ((h - 1) << 14) | (1 << 28)
+        p = self._riff([(b"VP8L", bytes([0x2F]) + bits.to_bytes(4, "little"))])
+        m = multimodal.webp_metadata(p)
+        assert m["format"] == "lossless"
+        assert (m["width"], m["height"], m["has_alpha"]) == (300, 77, True)
+
+    def test_plain_lossy_key_frame(self):
+        import struct
+
+        tag = (0 | (0 << 1) | (1 << 4) | (100 << 5)).to_bytes(3, "little")
+        frame = tag + b"\x9d\x01\x2a" + struct.pack("<HH", 640, 480) + b"\x00" * 4
+        m = multimodal.webp_metadata(self._riff([(b"VP8 ", frame)]))
+        assert m["format"] == "lossy"
+        assert (m["width"], m["height"]) == (640, 480)
+
+    def test_canvas_mismatch_and_corrupt_raise(self):
+        import struct
+
+        vp8x = bytes([0x00]) + b"\x00" * 3 + (15).to_bytes(3, "little") + (15).to_bytes(3, "little")
+        tag = (1 << 4).to_bytes(3, "little")
+        frame = tag + b"\x9d\x01\x2a" + struct.pack("<HH", 99, 99) + b"\x00" * 4
+        with pytest.raises(ValueError, match="disagrees"):
+            multimodal.webp_metadata(self._riff([(b"VP8X", vp8x), (b"VP8 ", frame)]))
+        with pytest.raises(ValueError):
+            multimodal.webp_metadata(b"RIFF\x00\x00\x00\x00WAVE")
+        with pytest.raises(ValueError):
+            multimodal.webp_metadata(self._riff([(b"EXIF", b"x")]))
