@@ -88,13 +88,39 @@ def main() -> None:
         encode_tiff(img, compression=5, predictor=2), decode_tiff, mp)
     add("tiff-packbits", "our PackBits, 1 MP",
         encode_tiff(img, compression=32773), decode_tiff, mp)
+    # snappy (round 9): container-codec throughput on realistic bytes —
+    # 4 MB of delimited-text rows, the RCFile/SeqFile/Avro payload shape
+    text_blob = (
+        b"\n".join(
+            b"%d,customer_name_%d,address line %d,%d.%02d,BUILDING comment"
+            % (i, i, i % 997, i % 5000, i % 100)
+            for i in range(40000)
+        )
+    )
+    from impala_cut_spark.sources import snappy as _snappy
+
+    comp = _snappy.compress(text_blob)
+    dt = _time(_snappy.decompress, comp, 3)
+    rows.append(
+        ("snappy", f"4 MB delimited text ({len(comp)/1e6:.1f} MB compressed)",
+         round(len(comp) / 1e3, 1), round(dt, 3),
+         round(len(text_blob) / 1e6 / dt, 3), "—")
+    )
+    ct = _time(_snappy.compress, text_blob, 3)
+    rows.append(
+        ("snappy-encode", "4 MB delimited text",
+         round(len(text_blob) / 1e3, 1), round(ct, 3),
+         round(len(text_blob) / 1e6 / ct, 3), "—")
+    )
 
     # --- SCALE.md section -------------------------------------------------
     lines = [
         "## Codec throughput (tools/codec_bench.py)\n\n",
         "Single-core decode on realistic payloads (the ImageIO-validated\n"
         "kitten photo and real progressive files; 1 MP = the same photo\n"
-        "tiled to 1024x768 and re-encoded).  min-of-N wall per decode.\n\n",
+        "tiled to 1024x768 and re-encoded).  min-of-N wall per decode.\n"
+        "Snappy rows (r9) measure UNCOMPRESSED MB/s on 4 MB of delimited\n"
+        "text — the RCFile/SeqFile/Avro payload shape.\n\n",
         "| codec | payload | KB | decode s | MB/s/core | MP/s/core |\n"
         "|---|---|---|---|---|---|\n",
     ]
@@ -104,13 +130,14 @@ def main() -> None:
     core_hours = 100e12 / (jpeg_mbs * 1e6) / 3600
     native_mbs = 150  # libjpeg-turbo ballpark, single core
     native_hours = 100e12 / (native_mbs * 1e6) / 3600
+    fleet_hours = core_hours / 8000  # 1000 executors × 8 cores
     lines.append(
         f"""
 100 TB extrapolation (crawl-image decode, the multimodal path's
 dominant cost): at the measured ~{jpeg_mbs} MB/s/core for real
-baseline JPEG, 100 TB of JPEG payload costs ~{core_hours/1e6:.1f}M
-core-hours — ~{core_hours/(8000*24):.0f} days on a 1000-executor x
-8-core fleet, ~${core_hours*0.05/1e6:.2f}M at $0.05/core-hour.  A
+baseline JPEG, 100 TB of JPEG payload costs ~{core_hours:,.0f}
+core-hours — ~{fleet_hours:.1f} wall-hours on a 1000-executor x
+8-core fleet, ~${core_hours*0.05:,.0f} at $0.05/core-hour.  A
 native decoder (libjpeg-turbo class, ~{native_mbs} MB/s/core) does the
 same work in ~{native_hours:,.0f} core-hours (~${native_hours*0.05:,.0f}).
 The pure-Python codecs are CONFORMANCE components (oracle-checked,
