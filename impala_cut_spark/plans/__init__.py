@@ -181,6 +181,19 @@ from impala_cut_spark.plans import perf  # noqa: E402,F401
 #:     feeding cluster sizes — and pipe_dedup_clusters' keep-first) →
 #:     perf_sort_stress, the bench headliner with no driver row
 #:     (full-width ORDER BY + LIMIT+OFFSET paging under spill).
+#: Second r9 rotation — witness the two rows born this round; every
+#: donor keeps its oracle below the window:
+#:   pipe_warc_ingest (witnessed r8; the in-plan WARC build+parse
+#:     round-trip) → cov_warc_scan, the strictly RICHER twin: the same
+#:     oracle but through real .warc/.warc.gz archive FILES on disk
+#:     scanned back via the pywarc DataSource (r8 verdict Missing #2's
+#:     production path — file mount, streaming member-chain parse);
+#:   pipe_multimodal_features (witnessed r3-r8; the multimodal
+#:     narrow-map shape stays in-window TWICE via
+#:     pipe_multimodal_codec and pipe_multimodal_video) →
+#:     pipe_multimodal_audio, the NEW r9 MPEG-audio frame-header
+#:     metadata row (ISO 11172-3 table arithmetic, ID3 skip, the
+#:     audio prune-before-decode stage).
 DRIVER_WINDOW: list[str] = [
     # TPC-H (6 of 23 — q3/q4/q5/q8/q9/q10/q11/q12/q13/q14/q15/q16/
     # q17/q19/q20/q22 below the window, oracles intact)
@@ -220,7 +233,7 @@ DRIVER_WINDOW: list[str] = [
     "pipe_dedup_clusters",
     "pipe_bigram_ppl",
     "pipe_ann_recall",
-    "pipe_multimodal_features",
+    "pipe_multimodal_audio",
     "stream_topk_trending",
     "stream_join",
     "pipe_sessions",
@@ -230,8 +243,8 @@ DRIVER_WINDOW: list[str] = [
     "pipe_embed_semdedup",
     # round-7 family (second r7 rotation)
     "pipe_dsir_weights",
-    # round-4 families
-    "pipe_warc_ingest",
+    # round-4 families (pipe_warc_ingest → cov_warc_scan, 2nd r9 rotation)
+    "cov_warc_scan",
     "pipe_ann_ivfpq",
     "stream_neardup",
     # round-5 families

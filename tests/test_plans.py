@@ -201,8 +201,11 @@ def test_driver_window_is_first_50():
         "similarity": ["pipe_embed_semdedup", "pipe_ann_recall"],
         "lm_scoring": ["pipe_bigram_ppl"],
         "heavy_hitters": ["pipe_freq_shingles"],
-        # round-9: the two NEW r8 codec/container rows take slots
-        "multimodal": ["pipe_multimodal_features", "pipe_multimodal_codec",
+        # round-9: the two NEW r8 codec/container rows take slots;
+        # second r9 rotation: pipe_multimodal_features (witnessed
+        # r3-r8) ceded to pipe_multimodal_audio — the narrow-map
+        # multimodal shape stays via codec+video
+        "multimodal": ["pipe_multimodal_audio", "pipe_multimodal_codec",
                        "pipe_multimodal_video"],
         # round-8: stream_events_hourly ceded to stream_topk_trending;
         # round-9: stream_dedup ceded to stream_join (keyed state stays
@@ -216,9 +219,10 @@ def test_driver_window_is_first_50():
         # to pipe_crawl_extract — the decontamination family's window
         # row is now its near-dup variant
         "decontamination": ["pipe_decontaminate_neardup"],
-        # round-8 crawl front-end families (WARC container + the
-        # end-to-end WARC→HTTP→HTML→text extraction)
-        "crawl": ["pipe_warc_ingest", "pipe_crawl_extract"],
+        # round-8 crawl front-end families; second r9 rotation:
+        # pipe_warc_ingest ceded to its strictly richer file-mount
+        # twin cov_warc_scan (same oracle, real archives on disk)
+        "crawl": ["cov_warc_scan", "pipe_crawl_extract"],
         "dsir": ["pipe_dsir_weights"],
         # round-8 newcomers (r7 verdict #1): the bench-headliner
         # retrieval row, a perf_* adaptation, and the four new r7
