@@ -12,9 +12,10 @@ with one Spark partition per file, decoding executor-side.
 Scope (the flat-table surface Impala-era avro tables actually use):
 records of primitives — null / boolean / int / long / float / double /
 bytes / string — plus nullable unions ``[T, "null"]`` and enums;
-``null``, ``deflate`` and ``snappy`` codecs (snappy blocks carry a
-4-byte big-endian CRC32 of the uncompressed bytes per the spec; the
-codec itself is the from-scratch ``sources/snappy.py``). Nested
+``null``, ``deflate``, ``snappy``, ``bzip2`` and ``xz`` codecs
+(snappy blocks carry a 4-byte big-endian CRC32 of the uncompressed
+bytes per the spec; the snappy codec itself is the from-scratch
+``sources/snappy.py``; bzip2/xz ride the stdlib). Nested
 records/arrays/maps raise a clear error.
 
 Scale: the file list shards the scan (scan-range analogue); each
@@ -136,7 +137,7 @@ def read_header(buf):
     sync = _read_exact(buf, 16)
     schema = json.loads(meta["avro.schema"].decode("utf-8"))
     codec = meta.get("avro.codec", b"null").decode("utf-8")
-    if codec not in ("null", "deflate", "snappy"):
+    if codec not in ("null", "deflate", "snappy", "bzip2", "xz"):
         raise ValueError(f"unsupported avro codec {codec!r}")
     return schema, codec, sync
 
@@ -165,6 +166,14 @@ def read_avro_file(path: str) -> Iterator[tuple]:
                 block = _snappy.decompress(raw)
                 if struct.pack(">I", zlib.crc32(block) & 0xFFFFFFFF) != crc:
                     raise ValueError("avro snappy block CRC mismatch")
+            elif codec == "bzip2":
+                import bz2
+
+                block = bz2.decompress(block)
+            elif codec == "xz":
+                import lzma
+
+                block = lzma.decompress(block)
             buf = io.BytesIO(block)
             for _ in range(count):
                 yield tuple(d(buf) for d in decoders)
@@ -332,6 +341,14 @@ def write_avro(path: str, fields: list[tuple[str, object]], rows: list[tuple],
         data = _snappy.compress(data) + struct.pack(
             ">I", zlib.crc32(data) & 0xFFFFFFFF
         )
+    elif codec == "bzip2":
+        import bz2
+
+        data = bz2.compress(data)
+    elif codec == "xz":
+        import lzma
+
+        data = lzma.compress(data, format=lzma.FORMAT_XZ)
     elif codec != "null":
         raise ValueError(f"unsupported write codec {codec!r}")
     sync = b"\x00" * 8 + b"impala16"  # any 16 bytes

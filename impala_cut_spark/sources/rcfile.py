@@ -146,9 +146,18 @@ def _decompress(codec: str | None, data: bytes, uncompressed_len: int) -> bytes:
         from impala_cut_spark.sources import snappy as _snappy
 
         return _snappy.hadoop_decompress(data)
+    if "Lz4" in codec:  # same framing over the from-scratch lz4 block
+        from impala_cut_spark.sources import lz4 as _lz4
+
+        return _lz4.hadoop_decompress(data)
+    if "BZip2" in codec:  # Hadoop BZip2Codec writes plain .bz2 streams
+        import bz2
+
+        return bz2.decompress(data)
     raise NotImplementedError(
         f"RCFile codec {codec!r} needs a codec lib absent from this "
-        "container (uncompressed/Default/Gzip/Snappy decode natively)"
+        "container (uncompressed/Default/Gzip/Snappy/Lz4/BZip2 decode "
+        "natively)"
     )
 
 
@@ -164,6 +173,14 @@ def _compress(codec: str | None, data: bytes) -> bytes:
         from impala_cut_spark.sources import snappy as _snappy
 
         return _snappy.hadoop_compress(data)
+    if "Lz4" in codec:
+        from impala_cut_spark.sources import lz4 as _lz4
+
+        return _lz4.hadoop_compress(data)
+    if "BZip2" in codec:
+        import bz2
+
+        return bz2.compress(data)
     raise NotImplementedError(f"RCFile write codec {codec!r} unsupported")
 
 
