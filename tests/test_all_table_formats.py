@@ -7,7 +7,9 @@ runs the functional workload across the format × codec grid of
 Here: the same TPC-H join+agg runs over nation+region materialized in
 each format this engine scans — parquet (baseline), delimited text,
 SequenceFile, RCFile (plain + gzip codec), LZO text (lzop container),
-and Avro (null + deflate codecs) — mounted through the Impala DDL
+compressed text (.snappy/.lz4 via the from-scratch codecs, decoded by
+the JVM codec factory in the real scan path), and Avro (null +
+deflate codecs) — mounted through the Impala DDL
 surface (`STORED AS … LOCATION`), and every format must produce the
 identical result.
 """
@@ -184,3 +186,38 @@ def test_formats_cross_join_text_with_parquet(isession, frames, expected, tmp_pa
     ).createOrReplaceTempView("fmt_nation_text2")
     region.createOrReplaceTempView("fmt_region_parquet2")
     run_fmt(isession, "fmt_nation_text2", "fmt_region_parquet2", expected)
+
+
+@pytest.mark.parametrize("ext", ["snappy", "lz4"])
+def test_formats_compressed_text(isession, frames, expected, tmp_path_factory, ext):
+    """The text/snap-block axis of the reference's format x codec grid:
+    delimited text compressed with the from-scratch snappy/lz4 codecs
+    in Hadoop framing, named .snappy/.lz4 — Spark's text reader
+    resolves the codec BY EXTENSION through the Hadoop codec factory
+    (i.e. the JVM SnappyCodec/Lz4Codec decodes OUR framed bytes in the
+    real scan path, a second independent conformance check), and the
+    scan result must match parquet exactly."""
+    from impala_cut_spark.sources import lz4 as lz4mod
+    from impala_cut_spark.sources import snappy as snappymod
+    from impala_cut_spark.sources.sinks import read_text_table
+
+    base = tmp_path_factory.mktemp(f"fmt_text_{ext}")
+    nation, region = frames
+    comp = {"snappy": snappymod.hadoop_compress, "lz4": lz4mod.hadoop_compress}[ext]
+    for name, df in (("nation", nation), ("region", region)):
+        rows = df.collect()
+        lines = (
+            "\n".join(",".join("" if v is None else str(v) for v in r) for r in rows)
+            + "\n"
+        ).encode()
+        d = base / name
+        d.mkdir()
+        (d / f"part-0.{ext}").write_bytes(comp(lines))
+    read_text_table(
+        isession.spark, str(base / "nation"),
+        "n_nationkey int, n_name string, n_regionkey int",
+    ).createOrReplaceTempView(f"fmt_nation_text_{ext}")
+    read_text_table(
+        isession.spark, str(base / "region"), "r_regionkey int, r_name string"
+    ).createOrReplaceTempView(f"fmt_region_text_{ext}")
+    run_fmt(isession, f"fmt_nation_text_{ext}", f"fmt_region_text_{ext}", expected)
