@@ -12,7 +12,9 @@ with one Spark partition per file, decoding executor-side.
 Scope (the flat-table surface Impala-era avro tables actually use):
 records of primitives — null / boolean / int / long / float / double /
 bytes / string — plus nullable unions ``[T, "null"]`` and enums;
-``null``, ``deflate``, ``snappy``, ``bzip2`` and ``xz`` codecs
+``null``, ``deflate``, ``snappy``, ``bzip2``, ``xz`` and
+``zstandard`` codecs (the spec's full list — zstd via the from-scratch
+RFC 8878 decoder in ``sources/zstd.py``)
 (snappy blocks carry a 4-byte big-endian CRC32 of the uncompressed
 bytes per the spec; the snappy codec itself is the from-scratch
 ``sources/snappy.py``; bzip2/xz ride the stdlib). Nested
@@ -137,7 +139,7 @@ def read_header(buf):
     sync = _read_exact(buf, 16)
     schema = json.loads(meta["avro.schema"].decode("utf-8"))
     codec = meta.get("avro.codec", b"null").decode("utf-8")
-    if codec not in ("null", "deflate", "snappy", "bzip2", "xz"):
+    if codec not in ("null", "deflate", "snappy", "bzip2", "xz", "zstandard"):
         raise ValueError(f"unsupported avro codec {codec!r}")
     return schema, codec, sync
 
@@ -174,6 +176,10 @@ def read_avro_file(path: str) -> Iterator[tuple]:
                 import lzma
 
                 block = lzma.decompress(block)
+            elif codec == "zstandard":
+                from impala_cut_spark.sources import zstd as _zstd
+
+                block = _zstd.decompress(block)
             buf = io.BytesIO(block)
             for _ in range(count):
                 yield tuple(d(buf) for d in decoders)
@@ -349,6 +355,10 @@ def write_avro(path: str, fields: list[tuple[str, object]], rows: list[tuple],
         import lzma
 
         data = lzma.compress(data, format=lzma.FORMAT_XZ)
+    elif codec == "zstandard":
+        from impala_cut_spark.sources import zstd as _zstd
+
+        data = _zstd.compress(data)  # store-mode frame (zstd.py docstring)
     elif codec != "null":
         raise ValueError(f"unsupported write codec {codec!r}")
     sync = b"\x00" * 8 + b"impala16"  # any 16 bytes

@@ -1,0 +1,185 @@
+"""Zstandard decoder (sources/zstd.py) — RFC 8878 conformance.
+
+Independent anchor: zstd-jni (com.github.luben.zstd, bundled with
+Spark for shuffle/parquet compression) compresses varied corpora at
+levels 1..22 and the from-scratch decoder must reproduce the exact
+bytes; zstd-jni likewise decodes the store-mode encoder's frames.
+The corpus is chosen to force every decoder path: RLE and raw blocks,
+1- and 4-stream Huffman literals, direct and FSE-compressed weight
+descriptions, treeless repeats, predefined + FSE + RLE + repeat
+sequence tables, repeat-offsets (incl. the ll==0 twist), multi-block
+frames and frames larger than one 128 KiB block."""
+
+from __future__ import annotations
+
+import os
+import random
+import struct
+
+import pytest
+
+from impala_cut_spark.sources import zstd
+
+
+def _corpus() -> dict[str, bytes]:
+    rng = random.Random(1)
+    words = ["the", "quick", "brown", "fox", "jumps", "over", "lazy",
+             "dog", "zstd", "frame", "entropy", "table"]
+    text = (" ".join(rng.choice(words) for _ in range(20000))).encode()
+    mixed = bytearray()
+    for _ in range(300):
+        if rng.random() < 0.5:
+            mixed += bytes(rng.randrange(256) for _ in range(rng.randrange(60)))
+        else:
+            mixed += bytes([rng.randrange(256)]) * rng.randrange(200)
+    return {
+        "tiny": b"abc",
+        "empty": b"",
+        "rle": b"a" * 10000,
+        "two-symbol": b"ababbaab" * 4000,  # the power-of-2 weight-total tree
+        "text": text,
+        "random": bytes(rng.randrange(256) for _ in range(20000)),
+        "mixed": bytes(mixed),
+        "repet": b"abcdefgh" * 30000,
+        "csvish": b"\n".join(b"%d,name_%d,addr %d" % (i, i, i % 97)
+                             for i in range(30000)),
+        "multiblock": (" ".join(rng.choice(words)
+                                for _ in range(150000))).encode(),
+    }
+
+
+@pytest.fixture(scope="module")
+def jzstd(spark):
+    return spark._sc._jvm.com.github.luben.zstd.Zstd
+
+
+def test_decodes_zstd_jni_output_all_levels(jzstd):
+    for name, data in _corpus().items():
+        for lvl in (1, 3, 9, 19, 22):
+            comp = bytes(jzstd.compress(bytearray(data), lvl))
+            got = zstd.decompress(comp, expected=len(data))
+            assert got == data, (name, lvl)
+
+
+def test_store_mode_frames_decode_via_zstd_jni(jzstd):
+    for name, data in _corpus().items():
+        ours = zstd.compress(data)
+        if not data:
+            assert zstd.decompress(ours) == b""
+            continue
+        back = bytes(jzstd.decompress(bytearray(ours), len(data)))
+        assert back == data, name
+        # and through our own decoder
+        assert zstd.decompress(ours, expected=len(data)) == data, name
+
+
+def test_store_mode_multiblock_framing():
+    data = os.urandom(300 * 1024)  # > 2 raw blocks
+    frame = zstd.compress(data)
+    assert zstd.decompress(frame) == data
+    # declared frame content size is the 8-byte field after the FHD
+    assert struct.unpack_from("<Q", frame, 5)[0] == len(data)
+
+
+def test_concatenated_and_skippable_frames(jzstd):
+    a, b = b"first" * 100, b"second" * 77
+    skippable = struct.pack("<II", 0x184D2A53, 7) + b"ignored"
+    blob = (bytes(jzstd.compress(bytearray(a), 3)) + skippable
+            + bytes(jzstd.compress(bytearray(b), 19)))
+    assert zstd.decompress(blob) == a + b
+
+
+def test_checksum_flag_frames(jzstd):
+    # zstd-jni static helpers don't set the checksum flag; build one by
+    # hand around a store-mode frame: set FHD bit 2 and append 4 bytes
+    data = b"checksummed content " * 50
+    frame = bytearray(zstd.compress(data))
+    frame[4] |= 0x04
+    frame += b"\x00\x00\x00\x00"  # xxh64 low bytes (presence-only)
+    assert zstd.decompress(bytes(frame)) == data
+
+
+def test_corrupt_frames_raise():
+    with pytest.raises(ValueError, match="magic"):
+        zstd.decompress(b"\x00\x00\x00\x00rest")
+    good = zstd.compress(b"hello world")
+    with pytest.raises(ValueError):
+        zstd.decompress(good, expected=5)
+    # reserved block type (3)
+    bad = bytearray(good)
+    bad[13] |= 0x06  # block header low byte: type bits → 3
+    with pytest.raises(ValueError):
+        zstd.decompress(bytes(bad))
+
+
+def test_two_symbol_tree_regression(jzstd):
+    """The table-log edge case this implementation got wrong first: a
+    Huffman tree whose explicit weight total is an exact power of two
+    (two 1-bit symbols, one implied) — tableLog must still grow by one
+    for the implied symbol."""
+    data = (b"64" * 3000) + b"\n"
+    comp = bytes(jzstd.compress(bytearray(data), 19))
+    assert zstd.decompress(comp) == data
+
+
+def test_repeat_offset_histories(jzstd):
+    """Alternating near-periodic rows exercise the three-slot repeat
+    offsets incl. the literals_length==0 rep1-1 twist at high levels."""
+    rng = random.Random(9)
+    rows = []
+    for i in range(4000):
+        rows.append(b"%05d,%s,%05d" % (i, b"const_mid", (i * 7) % 99))
+        if rng.random() < 0.2:
+            rows.append(rows[-1])  # exact repeats
+    data = b"\n".join(rows)
+    for lvl in (3, 19):
+        comp = bytes(jzstd.compress(bytearray(data), lvl))
+        assert zstd.decompress(comp, expected=len(data)) == data
+
+
+def test_avro_zstandard_codec(tmp_path, jzstd):
+    from impala_cut_spark.sources.avro import read_avro_file, write_avro
+
+    rows = [(i, f"name_{i}" * 12) for i in range(400)]
+    path = str(tmp_path / "t.avro")
+    write_avro(path, [("id", "long"), ("name", "string")], rows,
+               codec="zstandard")
+    assert list(read_avro_file(path)) == rows
+    # cross-direction: an avro file whose zstd block was compressed by
+    # zstd-jni (a REAL entropy-coded frame) reads back identically
+    plain = str(tmp_path / "plain.avro")
+    write_avro(plain, [("id", "long"), ("name", "string")], rows, codec="null")
+    raw = open(plain, "rb").read()
+    # container: header…sync | count | size | block | sync
+    sync = raw[-16:]
+    head_end = raw.index(sync) + 16
+    body = raw[head_end:-16]
+    # strip the two zigzag varints in front of the block
+    import io
+
+    from impala_cut_spark.sources.avro import _read_long
+
+    bio = io.BytesIO(body)
+    count = _read_long(bio)
+    size = _read_long(bio)
+    block = body[bio.tell() : bio.tell() + size]
+    comp = bytes(jzstd.compress(bytearray(block), 19))
+
+    def wvar(n):
+        out = bytearray()
+        n = (n << 1) ^ (n >> 63)
+        while True:
+            b = n & 0x7F
+            n >>= 7
+            if n:
+                out.append(b | 0x80)
+            else:
+                out.append(b)
+                return bytes(out)
+
+    # the codec meta value is length-prefixed: zigzag(4)=0x08 "null" →
+    # zigzag(9)=0x12 "zstandard"
+    hdr = raw[:head_end].replace(b"\x08null", b"\x12zstandard", 1)
+    jpath = str(tmp_path / "jzstd.avro")
+    open(jpath, "wb").write(hdr + wvar(count) + wvar(len(comp)) + comp + sync)
+    assert list(read_avro_file(jpath)) == rows

@@ -112,6 +112,34 @@ def main() -> None:
          round(len(text_blob) / 1e3, 1), round(ct, 3),
          round(len(text_blob) / 1e6 / ct, 3), "—")
     )
+    from impala_cut_spark.sources import lz4 as _lz4
+    from impala_cut_spark.sources import zstd as _zstd
+
+    lcomp = _lz4.compress(text_blob)
+    ldt = _time(_lz4.decompress, lcomp, 3)
+    rows.append(
+        ("lz4", f"4 MB delimited text ({len(lcomp)/1e6:.1f} MB compressed)",
+         round(len(lcomp) / 1e3, 1), round(ldt, 3),
+         round(len(text_blob) / 1e6 / ldt, 3), "—")
+    )
+    # zstd decode on a REAL entropy-coded frame: use the JVM encoder
+    # via a temp SparkSession only if available; else skip the row
+    try:
+        from pyspark.sql import SparkSession
+
+        sp = (SparkSession.builder.master("local[2]")
+              .config("spark.ui.enabled", "false").getOrCreate())
+        jz = sp._sc._jvm.com.github.luben.zstd.Zstd
+        zc = bytes(jz.compress(bytearray(text_blob), 3))
+        zdt = _time(lambda p: _zstd.decompress(p), zc, 3)
+        rows.append(
+            ("zstd", f"4 MB delimited text ({len(zc)/1e6:.1f} MB lvl-3 frame)",
+             round(len(zc) / 1e3, 1), round(zdt, 3),
+             round(len(text_blob) / 1e6 / zdt, 3), "—")
+        )
+        sp.stop()
+    except Exception as e:  # pragma: no cover
+        print(f"  zstd row skipped: {e}")
 
     # --- SCALE.md section -------------------------------------------------
     lines = [
