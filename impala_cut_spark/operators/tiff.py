@@ -14,14 +14,16 @@ encoder).
 
 16-bit gray/RGB samples decode (either byte order, predictor applied
 at 16-bit width) and reduce to their high byte for the 8-bit RGB
-contract; other depths raise NotImplementedError — documented
-boundaries.
+contract; 1/2/4-bit gray/bilevel/palette decode via MSB-first
+byte-aligned rows (BitsPerSample defaults to 1 per §4 — bilevel scans
+often omit the tag); CCITT fax compressions and other depths raise
+NotImplementedError — documented boundaries.
 
 Conformance evidence (tests/test_operators.py): LZW / PackBits /
 Deflate TIFFs WRITTEN BY the JVM's ImageIO codec — strip and
-explicitly-tiled layouts, 8- and 16-bit — decode bit-exactly, the JVM
-decodes this encoder's output bit-exactly (both directions, via the
-Spark py4j gateway), and the stdlib test corpus's real-world RGBA
+explicitly-tiled layouts, 1-, 8- and 16-bit — decode bit-exactly, the
+JVM decodes this encoder's output bit-exactly (both directions, via
+the Spark py4j gateway), and the stdlib test corpus's real-world RGBA
 python.tiff decodes.
 
 The reference engine has no multimodal surface (extension component);
@@ -216,6 +218,54 @@ def _tiff_inflate(comp: int, chunk: bytes, expected: int) -> bytes:
     raise NotImplementedError(f"TIFF compression {comp} not supported")
 
 
+def _decode_subbyte(payload: bytes, tags: dict, bo: str) -> np.ndarray:
+    """1/2/4-bit TIFF (bilevel scans, low-depth gray, small palettes):
+    rows are bit-packed most-significant-bit first and byte-aligned per
+    row (TIFF 6.0 §4); strips only, single sample per pixel."""
+    w = tags[256][0]
+    h = tags[257][0]
+    depth = tags.get(258, [1])[0]
+    comp = tags.get(259, [1])[0]
+    photo = tags.get(262, [1])[0]
+    if 322 in tags:
+        raise NotImplementedError("tiled sub-byte TIFF not supported")
+    if tags.get(277, [1])[0] != 1:
+        raise NotImplementedError("multi-sample sub-byte TIFF not supported")
+    if tags.get(317, [1])[0] != 1:
+        raise NotImplementedError("predictor on sub-byte TIFF not supported")
+    rps = tags.get(278, [h])[0] or h
+    stride = (w * depth + 7) // 8
+    raw = bytearray()
+    for si, (o, c) in enumerate(zip(tags[273], tags[279])):
+        nrows = min(rps, h - si * rps)
+        raw += _tiff_inflate(comp, payload[o : o + c], nrows * stride)
+    if len(raw) != h * stride:
+        raise ValueError("TIFF strip payload size mismatch")
+    rows = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(h, stride)
+    bitsarr = np.unpackbits(rows, axis=1)
+    if depth == 1:
+        s = bitsarr[:, :w].astype(np.uint8)
+    else:
+        grp = bitsarr.reshape(h, -1, depth)
+        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+        s = (grp * weights).sum(axis=2, dtype=np.uint16)[:, :w].astype(np.uint8)
+    maxv = (1 << depth) - 1
+    if photo == 3:
+        vals = tags[320]
+        ncol = len(vals) // 3
+        pal = (np.array(vals, dtype=np.uint32).reshape(3, ncol).T // 257
+               ).astype(np.uint8)
+        if int(s.max(initial=0)) >= ncol:
+            raise ValueError("TIFF palette index out of range")
+        return np.ascontiguousarray(pal[s])
+    if photo in (0, 1):
+        g = (s * (255 // maxv)).astype(np.uint8)
+        if photo == 0:  # white-is-zero
+            g = 255 - g
+        return np.repeat(g[:, :, None], 3, axis=2).copy()
+    raise NotImplementedError(f"sub-byte TIFF photometric {photo} not supported")
+
+
 def decode_tiff(payload: bytes) -> np.ndarray:
     if payload[:4] not in (b"II*\x00", b"MM\x00*"):
         raise ValueError("not a TIFF payload")
@@ -223,8 +273,10 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     tags = _read_ifd(payload, bo)
     w = tags[256][0]
     h = tags[257][0]
-    bits = tags.get(258, [8])
+    bits = tags.get(258, [1])  # BitsPerSample defaults to 1 (TIFF 6.0 §4)
     photo = tags.get(262, [1])[0]
+    if bits[0] in (1, 2, 4) and len(set(bits)) == 1:
+        return _decode_subbyte(payload, tags, bo)
     if all(b == 8 for b in bits):
         wide = False
     elif all(b == 16 for b in bits) and photo in (0, 1, 2):

@@ -2017,3 +2017,119 @@ class TestWebpMetadata:
             multimodal.webp_metadata(b"RIFF\x00\x00\x00\x00WAVE")
         with pytest.raises(ValueError):
             multimodal.webp_metadata(self._riff([(b"EXIF", b"x")]))
+
+
+class TestTiffSubByte:
+    """1/2/4-bit TIFF decode (operators/tiff.py _decode_subbyte) —
+    bilevel scans and low-depth palettes, with the JVM ImageIO's
+    1-bit TIFF writer as the independent anchor."""
+
+    def test_bilevel_matches_jvm_imageio(self, spark, tmp_path):
+        import numpy as np
+
+        from impala_cut_spark.operators.tiff import decode_tiff
+
+        jvm = spark._jvm
+        rng = np.random.default_rng(21)
+        h, w = 17, 23  # width NOT a byte multiple: row padding exercised
+        bits = rng.integers(0, 2, size=(h, w), dtype=np.uint8)
+        bi = jvm.java.awt.image.BufferedImage(w, h, 12)  # TYPE_BYTE_BINARY
+        for y in range(h):
+            for x in range(w):
+                v = 0xFFFFFF if bits[y, x] else 0
+                bi.setRGB(x, y, v)
+        path = str(tmp_path / "bilevel.tif")
+        wr = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("tiff").next()
+        param = wr.getDefaultWriteParam()
+        param.setCompressionMode(2)  # MODE_EXPLICIT
+        param.setCompressionType("Deflate")  # default would be CCITT
+        ios = jvm.javax.imageio.ImageIO.createImageOutputStream(
+            jvm.java.io.File(path)
+        )
+        wr.setOutput(ios)
+        wr.write(None, jvm.javax.imageio.IIOImage(bi, None, None), param)
+        ios.close()
+        got = decode_tiff(open(path, "rb").read())
+        want = np.repeat((bits * 255)[:, :, None], 3, axis=2)
+        assert (got == want).all()
+
+    @staticmethod
+    def _build(depth, photo, samples, bo="<", plte=None):
+        """Hand-assemble a strip TIFF at a sub-byte depth."""
+        import struct as st
+
+        import numpy as np
+
+        h, w = samples.shape
+        stride = (w * depth + 7) // 8
+        rows = bytearray()
+        for y in range(h):
+            acc = n = 0
+            row = bytearray()
+            for v in samples[y]:
+                acc = (acc << depth) | int(v)
+                n += depth
+                if n == 8:
+                    row.append(acc)
+                    acc = n = 0
+            if n:
+                row.append(acc << (8 - n))
+            rows += row.ljust(stride, b"\x00")
+        entries = [
+            (256, 3, 1, w), (257, 3, 1, h), (258, 3, 1, depth),
+            (259, 3, 1, 1), (262, 3, 1, photo), (273, 4, 1, None),
+            (277, 3, 1, 1), (278, 3, 1, h), (279, 4, 1, len(rows)),
+        ]
+        extra = bytearray()
+        if plte is not None:
+            entries.append((320, 3, len(plte) * 3, None))
+        entries.sort()
+        ifd_size = 2 + len(entries) * 12 + 4
+        extra_base = 8 + ifd_size
+        out = bytearray(b"II*\x00" + st.pack("<I", 8))
+        out += st.pack("<H", len(entries))
+        strip_pos = None
+        for tag, typ, cnt, val in entries:
+            out += st.pack("<HHI", tag, typ, cnt)
+            if tag == 273:
+                strip_pos = len(out)
+                out += st.pack("<I", 0)
+            elif tag == 320:
+                out += st.pack("<I", extra_base + len(extra))
+                cm = np.concatenate([plte[:, 0], plte[:, 1], plte[:, 2]])
+                extra += (cm.astype(np.uint32) * 257).astype("<u2").tobytes()
+            elif typ == 3:
+                out += st.pack("<HH", val, 0)
+            else:
+                out += st.pack("<I", val)
+        out += st.pack("<I", 0)
+        out += extra
+        st.pack_into("<I", out, strip_pos, len(out))
+        out += rows
+        return bytes(out)
+
+    def test_gray_depths_scale_to_full_range(self):
+        import numpy as np
+
+        from impala_cut_spark.operators.tiff import decode_tiff
+
+        rng = np.random.default_rng(22)
+        for depth, scale in ((1, 255), (2, 85), (4, 17)):
+            s = rng.integers(0, 1 << depth, size=(9, 13), dtype=np.uint8)
+            got = decode_tiff(self._build(depth, 1, s))
+            want = np.repeat((s * scale)[:, :, None], 3, axis=2)
+            assert (got == want).all(), depth
+            # white-is-zero inverts
+            got0 = decode_tiff(self._build(depth, 0, s))
+            assert (got0 == 255 - want).all(), depth
+
+    def test_4bit_palette(self):
+        import numpy as np
+
+        from impala_cut_spark.operators.tiff import decode_tiff
+
+        rng = np.random.default_rng(23)
+        pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+        idx = rng.integers(0, 16, size=(7, 10), dtype=np.uint8)
+        got = decode_tiff(self._build(4, 3, idx, plte=pal))
+        assert (got == pal[idx]).all()
