@@ -197,6 +197,25 @@ def encode_ppm(arr: np.ndarray) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + arr.astype(np.uint8).tobytes()
 
 
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 → uncompressed 24-bit bottom-up BI_RGB BMP
+    (fixture/sink twin of _decode_bmp)."""
+    import struct
+
+    h, w = arr.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    body = bytearray()
+    for row in arr[::-1]:
+        bgr = np.ascontiguousarray(row[:, ::-1]).tobytes()
+        body += bgr + b"\x00" * (stride - len(bgr))
+    hdr = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 0, 0, 0, 0)
+    )
+    return bytes(hdr) + bytes(body)
+
+
 # -- PNG (public spec, RFC 2083 / ISO 15948; stdlib zlib) --------------------
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -1237,8 +1256,8 @@ CODEC_FEATURE_SCHEMA = T.StructType(
 def codec_roundtrip_features(docs: DataFrame) -> DataFrame:
     """Codec-conformance feature pass, ORACLE-CHECKABLE BY DESIGN: each
     document's md5 digest becomes a deterministic image, ENCODED with a
-    real codec chosen by doc_id % 5 (PNG / GIF / PPM / TIFF — all
-    lossless — plus a JPEG arm), decoded back through decode_image's
+    real codec chosen by doc_id % 6 (PNG / GIF / PPM / TIFF / BMP —
+    all lossless — plus a JPEG arm), decoded back through decode_image's
     dispatch, and reduced to the mean pixel byte.  Because the paths
     are exact, DuckDB replays the expected mean DIRECTLY from
     md5(text)'s hex bytes with no image code at all — any encode/decode
@@ -1268,7 +1287,7 @@ def codec_roundtrip_features(docs: DataFrame) -> DataFrame:
                 raw = hashlib.md5(s.encode("utf-8")).digest()
                 b = np.frombuffer(raw, dtype=np.uint8)
                 px = b.reshape(4, 4)
-                codec = ("png", "gif", "ppm", "tiff", "jpeg")[int(doc_id) % 5]
+                codec = ("png", "gif", "ppm", "tiff", "jpeg", "bmp")[int(doc_id) % 6]
                 n_px = 16
                 if codec == "png":
                     payload = encode_png(px)
@@ -1276,6 +1295,8 @@ def codec_roundtrip_features(docs: DataFrame) -> DataFrame:
                     payload = encode_gif(np.repeat(px[:, :, None], 3, axis=2))
                 elif codec == "ppm":
                     payload = encode_ppm(np.repeat(px[:, :, None], 3, axis=2))
+                elif codec == "bmp":
+                    payload = encode_bmp(np.repeat(px[:, :, None], 3, axis=2))
                 elif codec == "tiff":
                     payload = encode_tiff(
                         np.repeat(px[:, :, None], 3, axis=2),

@@ -329,7 +329,8 @@ def pipe_ann_recall(spark, sf_dir):
 
 
 def _codec_roundtrip_oracle() -> str:
-    """The codec paths under test are EXACT (PNG/GIF/PPM/TIFF lossless;
+    """The codec paths under test are EXACT (PNG/GIF/PPM/TIFF/BMP
+    lossless;
     the JPEG arm's flat even-valued blocks quantize losslessly at
     quality 50), so the oracle needs no image code: the expected mean
     pixel byte comes straight from md5(text)'s hex digest — all 16
@@ -343,10 +344,11 @@ v AS (SELECT doc_id, i,
            + (strpos('0123456789abcdef', substr(hx, CAST(2*i+2 AS INT), 1)) - 1) AS byte
       FROM b)
 SELECT doc_id,
-       CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
-            WHEN 2 THEN 'ppm' WHEN 3 THEN 'tiff' ELSE 'jpeg' END AS codec,
-       CAST(CASE WHEN doc_id % 5 = 4 THEN 256 ELSE 16 END AS BIGINT) AS n_px,
-       floor(avg(CASE WHEN doc_id % 5 = 4
+       CASE CAST(doc_id % 6 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+            WHEN 2 THEN 'ppm' WHEN 3 THEN 'tiff' WHEN 4 THEN 'jpeg'
+            ELSE 'bmp' END AS codec,
+       CAST(CASE WHEN doc_id % 6 = 4 THEN 256 ELSE 16 END AS BIGINT) AS n_px,
+       floor(avg(CASE WHEN doc_id % 6 = 4
                       THEN CASE WHEN i < 4 THEN CAST(byte - byte % 2 AS DOUBLE) END
                       ELSE CAST(byte AS DOUBLE) END) * 1000000 + 0.5) / 1000000
          AS mean_byte
@@ -359,8 +361,8 @@ GROUP BY doc_id
 def pipe_multimodal_codec(spark, sf_dir):
     """Codec-conformance pass (round 8, JPEG+TIFF arms round 9): every
     document's md5 digest becomes a deterministic image, encoded with a
-    REAL codec chosen by doc_id % 5 (PNG / GIF / PPM / TIFF-LZW+
-    predictor — all lossless — plus the exact-by-construction JPEG arm:
+    REAL codec chosen by doc_id % 6 (PNG / GIF / PPM / TIFF-LZW+
+    predictor / BMP — all lossless — plus the exact-by-construction JPEG arm:
     flat even-valued 8x8 blocks quantize losslessly at quality 50 while
     driving DC prediction, huffman coding and both T.81 scan layouts),
     decoded back through decode_image's signature dispatch, and reduced
