@@ -16,12 +16,17 @@ encoder).
 at 16-bit width) and reduce to their high byte for the 8-bit RGB
 contract; 1/2/4-bit gray/bilevel/palette decode via MSB-first
 byte-aligned rows (BitsPerSample defaults to 1 per §4 — bilevel scans
-often omit the tag); CCITT fax compressions and other depths raise
+often omit the tag); the CCITT FAX compressions bilevel scans actually
+ship in — Modified Huffman (comp 2), T.4 1D/2D with EOL + mode-tag
+rows (comp 3), Group 4 / T.6 (comp 4) — decode from the published
+ITU-T run-length tables and 2D modes.  Other depths raise
 NotImplementedError — documented boundaries.
 
 Conformance evidence (tests/test_operators.py): LZW / PackBits /
 Deflate TIFFs WRITTEN BY the JVM's ImageIO codec — strip and
-explicitly-tiled layouts, 1-, 8- and 16-bit — decode bit-exactly, the
+explicitly-tiled layouts, 1-, 8- and 16-bit — decode bit-exactly, all
+three ImageIO CCITT writers round-trip bit-exactly (incl. 2700-wide
+rows driving the extended >2560 makeup codes), the
 JVM decodes this encoder's output bit-exactly (both directions, via
 the Spark py4j gateway), and the stdlib test corpus's real-world RGBA
 python.tiff decodes.
@@ -234,6 +239,22 @@ def _decode_subbyte(payload: bytes, tags: dict, bo: str) -> np.ndarray:
     if tags.get(317, [1])[0] != 1:
         raise NotImplementedError("predictor on sub-byte TIFF not supported")
     rps = tags.get(278, [h])[0] or h
+    if comp in (2, 3, 4):  # CCITT fax: bilevel run-length/2D coding
+        if depth != 1:
+            raise ValueError("CCITT TIFF must be 1-bit")
+        strips = [payload[o : o + c]
+                  for o, c in zip(tags[273], tags[279])]
+        s = decode_ccitt(strips, w, h, comp, rps,
+                         t4_2d=bool(tags.get(292, [0])[0] & 1))
+        # CCITT codes white runs first; sample value for white follows
+        # the photometric (0 = WhiteIsZero → white sample 0)
+        if photo == 1:
+            s = 1 - s
+        maxv = 1
+        g = (s * 255).astype(np.uint8)
+        if photo == 0:
+            g = 255 - g
+        return np.repeat(g[:, :, None], 3, axis=2).copy()
     stride = (w * depth + 7) // 8
     raw = bytearray()
     for si, (o, c) in enumerate(zip(tags[273], tags[279])):
@@ -412,3 +433,279 @@ def encode_tiff(arr: np.ndarray, compression: int = 1, predictor: int = 1) -> by
     struct.pack_into("<I", out, strip_field_pos, strip_off)
     out += strip
     return bytes(out)
+
+
+# -- CCITT fax compressions (ITU-T T.4 / T.6; TIFF comp 2, 3, 4) -------------
+#
+# The Modified-Huffman run-length tables below are the published T.4
+# tables (white/black terminating 0-63, makeups to 2560); the G4 path
+# implements the T.6 2D modes (pass / horizontal / vertical ±3) against
+# a reference line.  Conformance: every row-run length 0..2600 is
+# round-tripped through the JVM ImageIO CCITT writers in the tests.
+
+_T4_WHITE = {
+    "00110101": 0, "000111": 1, "0111": 2, "1000": 3, "1011": 4,
+    "1100": 5, "1110": 6, "1111": 7, "10011": 8, "10100": 9,
+    "00111": 10, "01000": 11, "001000": 12, "000011": 13, "110100": 14,
+    "110101": 15, "101010": 16, "101011": 17, "0100111": 18,
+    "0001100": 19, "0001000": 20, "0010111": 21, "0000011": 22,
+    "0000100": 23, "0101000": 24, "0101011": 25, "0010011": 26,
+    "0100100": 27, "0011000": 28, "00000010": 29, "00000011": 30,
+    "00011010": 31, "00011011": 32, "00010010": 33, "00010011": 34,
+    "00010100": 35, "00010101": 36, "00010110": 37, "00010111": 38,
+    "00101000": 39, "00101001": 40, "00101010": 41, "00101011": 42,
+    "00101100": 43, "00101101": 44, "00000100": 45, "00000101": 46,
+    "00001010": 47, "00001011": 48, "01010010": 49, "01010011": 50,
+    "01010100": 51, "01010101": 52, "00100100": 53, "00100101": 54,
+    "01011000": 55, "01011001": 56, "01011010": 57, "01011011": 58,
+    "01001010": 59, "01001011": 60, "00110010": 61, "00110011": 62,
+    "00110100": 63,
+    # makeups
+    "11011": 64, "10010": 128, "010111": 192, "0110111": 256,
+    "00110110": 320, "00110111": 384, "01100100": 448, "01100101": 512,
+    "01101000": 576, "01100111": 640, "011001100": 704, "011001101": 768,
+    "011010010": 832, "011010011": 896, "011010100": 960,
+    "011010101": 1024, "011010110": 1088, "011010111": 1152,
+    "011011000": 1216, "011011001": 1280, "011011010": 1344,
+    "011011011": 1408, "010011000": 1472, "010011001": 1536,
+    "010011010": 1600, "011000": 1664, "010011011": 1728,
+}
+
+_T4_BLACK = {
+    "0000110111": 0, "010": 1, "11": 2, "10": 3, "011": 4, "0011": 5,
+    "0010": 6, "00011": 7, "000101": 8, "000100": 9, "0000100": 10,
+    "0000101": 11, "0000111": 12, "00000100": 13, "00000111": 14,
+    "000011000": 15, "0000010111": 16, "0000011000": 17,
+    "0000001000": 18, "00001100111": 19, "00001101000": 20,
+    "00001101100": 21, "00000110111": 22, "00000101000": 23,
+    "00000010111": 24, "00000011000": 25, "000011001010": 26,
+    "000011001011": 27, "000011001100": 28, "000011001101": 29,
+    "000001101000": 30, "000001101001": 31, "000001101010": 32,
+    "000001101011": 33, "000011010010": 34, "000011010011": 35,
+    "000011010100": 36, "000011010101": 37, "000011010110": 38,
+    "000011010111": 39, "000001101100": 40, "000001101101": 41,
+    "000011011010": 42, "000011011011": 43, "000001010100": 44,
+    "000001010101": 45, "000001010110": 46, "000001010111": 47,
+    "000001100100": 48, "000001100101": 49, "000001010010": 50,
+    "000001010011": 51, "000000100100": 52, "000000110111": 53,
+    "000000111000": 54, "000000100111": 55, "000000101000": 56,
+    "000001011000": 57, "000001011001": 58, "000000101011": 59,
+    "000000101100": 60, "000001011010": 61, "000001100110": 62,
+    "000001100111": 63,
+    # makeups
+    "0000001111": 64, "000011001000": 128, "000011001001": 192,
+    "000001011011": 256, "000000110011": 320, "000000110100": 384,
+    "000000110101": 448, "0000001101100": 512, "0000001101101": 576,
+    "0000001001010": 640, "0000001001011": 704, "0000001001100": 768,
+    "0000001001101": 832, "0000001110010": 896, "0000001110011": 960,
+    "0000001110100": 1024, "0000001110101": 1088, "0000001110110": 1152,
+    "0000001110111": 1216, "0000001010010": 1280, "0000001010011": 1344,
+    "0000001010100": 1408, "0000001010101": 1472, "0000001011010": 1536,
+    "0000001011011": 1600, "0000001100100": 1664, "0000001100101": 1728,
+}
+
+#: extended makeups (shared between colors, T.4 table 3)
+_T4_EXT = {
+    "00000001000": 1792, "00000001100": 1856, "00000001101": 1920,
+    "000000010010": 1984, "000000010011": 2048, "000000010100": 2112,
+    "000000010101": 2176, "000000010110": 2240, "000000010111": 2304,
+    "000000011100": 2368, "000000011101": 2432, "000000011110": 2496,
+    "000000011111": 2560,
+}
+
+_WHITE_CODES = dict(_T4_WHITE)
+_WHITE_CODES.update(_T4_EXT)
+_BLACK_CODES = dict(_T4_BLACK)
+_BLACK_CODES.update(_T4_EXT)
+_MAX_CODE_LEN = 13
+
+
+class _MsbBits:
+    """MSB-first forward bit reader for fax streams."""
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0  # bit position
+
+    def bits_left(self) -> int:
+        return len(self.data) * 8 - self.pos
+
+    def read(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            byte = self.data[self.pos >> 3]
+            v = (v << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
+            self.pos += 1
+        return v
+
+    def peek(self, n: int) -> int:
+        save = self.pos
+        avail = min(n, self.bits_left())
+        v = self.read(avail) << (n - avail)
+        self.pos = save
+        return v
+
+    def align(self) -> None:
+        self.pos = (self.pos + 7) & ~7
+
+
+def _read_run(bits: _MsbBits, table: dict) -> int:
+    """One complete MH run: makeup codes accumulate until a
+    terminating (< 64) code closes the run."""
+    total = 0
+    while True:
+        prefix = ""
+        while len(prefix) <= _MAX_CODE_LEN:
+            if bits.bits_left() <= 0:
+                raise ValueError("CCITT: bitstream exhausted mid-code")
+            prefix += "1" if bits.read(1) else "0"
+            if prefix in table:
+                run = table[prefix]
+                break
+        else:
+            raise ValueError(f"CCITT: invalid code {prefix!r}")
+        total += run
+        if run < 64:
+            return total
+
+
+def _decode_mh_row(bits: _MsbBits, w: int) -> list[int]:
+    """One 1D Modified-Huffman row → run lengths (white first)."""
+    runs = []
+    pos = 0
+    white = True
+    while pos < w:
+        run = _read_run(bits, _WHITE_CODES if white else _BLACK_CODES)
+        runs.append(run)
+        pos += run
+        white = not white
+    if pos != w:
+        raise ValueError("CCITT: row runs exceed width")
+    return runs
+
+
+def _paint(row: np.ndarray, runs: list[int]) -> None:
+    pos = 0
+    color = 0  # white
+    for run in runs:
+        if color:
+            row[pos : pos + run] = 1
+        pos += run
+        color ^= 1
+
+
+def _find_b1(ref: np.ndarray, a0: int, color: int, w: int) -> int:
+    """First changing element on the reference line right of a0 whose
+    (new-run) color is opposite to the current color (T.6 §2.2.2)."""
+    i = a0 + 1
+    if i < 0:
+        i = 0
+    while i < w:
+        prev = ref[i - 1] if i > 0 else 0
+        if ref[i] != prev and ref[i] != color:
+            return i
+        i += 1
+    return w
+
+
+def _next_change(ref: np.ndarray, i: int, w: int) -> int:
+    j = i + 1
+    while j < w and ref[j] == ref[j - 1]:
+        j += 1
+    return j
+
+
+def _decode_g4_row(bits: _MsbBits, ref: np.ndarray, w: int) -> np.ndarray:
+    """One T.6 2D-coded row against reference line ``ref`` (0=white)."""
+    row = np.zeros(w, dtype=np.uint8)
+    a0 = -1
+    color = 0  # white
+    while a0 < w:
+        b1 = _find_b1(ref, a0, color, w)
+        b2 = _next_change(ref, b1, w) if b1 < w else w
+        if bits.peek(4) == 0b0001:  # pass: fill through b2, color kept
+            bits.read(4)
+            if color:
+                row[max(a0, 0) : b2] = 1
+            a0 = b2
+            continue
+        if bits.peek(3) == 0b001:  # horizontal: two MH runs
+            bits.read(3)
+            r1 = _read_run(bits, _WHITE_CODES if color == 0 else _BLACK_CODES)
+            r2 = _read_run(bits, _BLACK_CODES if color == 0 else _WHITE_CODES)
+            s = max(a0, 0)
+            if color == 0:
+                row[s + r1 : s + r1 + r2] = 1
+            else:
+                row[s : s + r1] = 1
+            a0 = s + r1 + r2
+            continue
+        # vertical modes: a1 = b1 + offset, color toggles
+        if bits.peek(1) == 0b1:
+            bits.read(1)
+            off = 0
+        elif bits.peek(3) == 0b011:
+            bits.read(3)
+            off = 1
+        elif bits.peek(3) == 0b010:
+            bits.read(3)
+            off = -1
+        elif bits.peek(6) == 0b000011:
+            bits.read(6)
+            off = 2
+        elif bits.peek(6) == 0b000010:
+            bits.read(6)
+            off = -2
+        elif bits.peek(7) == 0b0000011:
+            bits.read(7)
+            off = 3
+        elif bits.peek(7) == 0b0000010:
+            bits.read(7)
+            off = -3
+        else:
+            raise ValueError("CCITT T.6: invalid mode code")
+        a1 = max(0, min(b1 + off, w))
+        if color:
+            row[max(a0, 0) : a1] = 1
+        a0 = a1
+        color ^= 1
+        if a0 >= w:
+            break
+    return row
+
+
+def decode_ccitt(strips: list[bytes], w: int, h: int, comp: int,
+                 rps: int, t4_2d: bool = False) -> np.ndarray:
+    """CCITT strips → (h, w) uint8 samples, 0 = white, 1 = black.
+    comp 2 = Modified Huffman (byte-aligned rows), comp 3 = T.4
+    (EOL-led rows; 2D rows carry a 1-bit mode tag when tag 292 bit 0
+    is set), comp 4 = T.6 / Group 4 (continuous 2D stream)."""
+    out = np.zeros((h, w), dtype=np.uint8)
+    y = 0
+    for si, strip in enumerate(strips):
+        nrows = min(rps, h - si * rps)
+        bits = _MsbBits(strip)
+        ref = np.zeros(w, dtype=np.uint8)  # imaginary all-white row
+        for _ in range(nrows):
+            if comp == 4:
+                row = _decode_g4_row(bits, ref, w)
+            elif comp == 3:
+                # skip fill bits + the 000000000001 EOL
+                while bits.bits_left() >= 12 and bits.peek(12) != 1:
+                    bits.read(1)
+                if bits.bits_left() >= 12:
+                    bits.read(12)
+                one_d = bits.read(1) if t4_2d else 1
+                if one_d:
+                    row = np.zeros(w, dtype=np.uint8)
+                    _paint(row, _decode_mh_row(bits, w))
+                else:
+                    row = _decode_g4_row(bits, ref, w)
+            else:  # comp 2: byte-aligned MH rows
+                row = np.zeros(w, dtype=np.uint8)
+                _paint(row, _decode_mh_row(bits, w))
+                bits.align()
+            out[y] = row
+            ref = row
+            y += 1
+    return out
