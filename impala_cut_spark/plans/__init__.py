@@ -194,6 +194,19 @@ from impala_cut_spark.plans import perf  # noqa: E402,F401
 #:     pipe_multimodal_audio, the NEW r9 MPEG-audio frame-header
 #:     metadata row (ISO 11172-3 table arithmetic, ID3 skip, the
 #:     audio prune-before-decode stage).
+#: Third r9 rotation — three more never-witnessed rows in; donors all
+#: multi-round veterans with their shapes held elsewhere in-window:
+#:   stream_drift (witnessed r5-r8; custom stateful streaming stays
+#:     via stream_neardup's cross-batch LSH state) → stream_sliding,
+#:     the overlapping-window aggregation family's first driver row;
+#:   tpcds_q96 (witnessed r4-r8; time/household-dim count-star held by
+#:     tpcds_q34's demographics star and q55's brand star) →
+#:     perf_agg_types, the all-aggregate-function bench headliner with
+#:     no driver row;
+#:   cov_topn (witnessed r1-r8; §2.6 TakeOrderedAndProject stays
+#:     plan-pinned in the bench and the sort family keeps cov_sort_all
+#:     + perf_sort_stress in-window) → cov_like_regex, the §2.2
+#:     LIKE/RLIKE/REGEXP family (never driver-witnessed in 9 rounds).
 DRIVER_WINDOW: list[str] = [
     # TPC-H (6 of 23 — q3/q4/q5/q8/q9/q10/q11/q12/q13/q14/q15/q16/
     # q17/q19/q20/q22 below the window, oracles intact)
@@ -210,13 +223,13 @@ DRIVER_WINDOW: list[str] = [
     "cov_rcfile_scan",
     "tpcds_q65",
     "pipe_multimodal_codec",
-    "tpcds_q96",
+    "perf_agg_types",
     # §2 operator families, merged one-per-row (coverage2.py)
     "cov_predicates_views",
     "cov_join_all",
     "cov_agg_all",
     "cov_sort_all",
-    "cov_topn",
+    "cov_like_regex",
     "cov_setops_all",
     "cov_fn_string",
     "pipe_ngram_novelty",
@@ -252,7 +265,7 @@ DRIVER_WINDOW: list[str] = [
     "pipe_quality_classifier",
     "pipe_dedup_weights",
     "pipe_decontaminate_neardup",
-    "stream_drift",
+    "stream_sliding",
     # round-6 rotation
     "pipe_freq_shingles",
 ]

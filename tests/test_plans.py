@@ -173,7 +173,11 @@ def test_driver_window_is_first_50():
         "predicates": ["cov_predicates_views"],
         "joins": ["cov_join_all"],
         "aggs": ["cov_agg_all"],
-        "sort": ["cov_sort_all", "cov_topn"],
+        # third r9 rotation: cov_topn ceded to cov_like_regex (§2.6
+        # TakeOrderedAndProject stays plan-pinned below; sort family
+        # holds cov_sort_all + perf_sort_stress)
+        "sort": ["cov_sort_all", "perf_sort_stress"],
+        "like_regex": ["cov_like_regex"],
         "setops": ["cov_setops_all"],
         # round-6 rotation: cov_fn_decimal, pipe_dedup_simhash and
         # pipe_ann_topk ceded slots to tpcds_q27/q68 + pipe_freq_shingles
@@ -210,8 +214,10 @@ def test_driver_window_is_first_50():
         # round-8: stream_events_hourly ceded to stream_topk_trending;
         # round-9: stream_dedup ceded to stream_join (keyed state stays
         # via stream_neardup)
+        # third r9 rotation: stream_drift ceded to stream_sliding
+        # (custom stateful streaming stays via stream_neardup)
         "streaming": ["stream_topk_trending", "stream_join",
-                      "stream_neardup", "pipe_sessions"],
+                      "stream_sliding", "stream_neardup", "pipe_sessions"],
         # second r7 rotation: pipe_embed_quantize ceded to
         # pipe_dsir_weights; round-8: pipe_pii_redact ceded to
         # pipe_dup_block_share (regex-transform shape held by
@@ -228,7 +234,7 @@ def test_driver_window_is_first_50():
         # retrieval row, a perf_* adaptation, and the four new r7
         # families now hold driver slots
         "retrieval": ["pipe_bm25"],
-        "perf": ["perf_web_revenue", "perf_sort_stress"],
+        "perf": ["perf_web_revenue", "perf_sort_stress", "perf_agg_types"],
         "block_dedup": ["pipe_dup_block_share", "pipe_dedup_weights"],
         "novelty": ["pipe_ngram_novelty"],
     }
