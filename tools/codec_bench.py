@@ -137,6 +137,30 @@ def main() -> None:
              round(len(zc) / 1e3, 1), round(zdt, 3),
              round(len(text_blob) / 1e6 / zdt, 3), "—")
         )
+        # CCITT G4: a 1 MP dithered bilevel scan written by ImageIO
+        jvm = sp._jvm
+        bil = (img.mean(axis=2) > 128).astype(np.uint8)
+        h2, w2 = bil.shape
+        bi = jvm.java.awt.image.BufferedImage(w2, h2, 12)
+        for y in range(h2):
+            for x in range(w2):
+                bi.setRGB(x, y, 0xFFFFFF if bil[y, x] else 0)
+        wr = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("tiff").next()
+        pr = wr.getDefaultWriteParam()
+        pr.setCompressionMode(2)
+        pr.setCompressionType("CCITT T.6")
+        ios = jvm.javax.imageio.ImageIO.createImageOutputStream(
+            jvm.java.io.File("/tmp/codec_bench_g4.tif"))
+        wr.setOutput(ios)
+        wr.write(None, jvm.javax.imageio.IIOImage(bi, None, None), pr)
+        ios.close()
+        g4 = open("/tmp/codec_bench_g4.tif", "rb").read()
+        gdt = _time(decode_tiff, g4, 3)
+        rows.append(
+            ("tiff-ccitt-g4", "ImageIO bilevel scan, 1 MP",
+             round(len(g4) / 1e3, 1), round(gdt, 3),
+             round(len(g4) / 1e6 / gdt, 3), round(mp / gdt, 3))
+        )
         sp.stop()
     except Exception as e:  # pragma: no cover
         print(f"  zstd row skipped: {e}")
