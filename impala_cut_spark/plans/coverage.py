@@ -937,6 +937,48 @@ def cov_lzo_scan(spark, sf_dir):
 
 # ---------------------------------------------------------------------------
 @query(
+    "cov_text_compressed",
+    oracle="""
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+""",
+)
+def cov_text_compressed(spark, sf_dir):
+    """Compressed delimited text (SURVEY §2.1 text/snap-block axis,
+    round 9): the nation table splits across one Hadoop-framed
+    .snappy file and one .lz4 file — written by the from-scratch
+    codecs (sources/snappy.py, sources/lz4.py) — and Spark's text
+    reader resolves each BY EXTENSION through the Hadoop codec
+    factory, i.e. the JVM SnappyCodec/Lz4Codec decode our framed
+    bytes inside the real scan path.  The union must parse back
+    value-identical to the parquet original."""
+    import os
+
+    from impala_cut_spark.sources import lz4 as lz4mod
+    from impala_cut_spark.sources import snappy as snappymod
+    from impala_cut_spark.sources.sinks import read_text_table
+
+    fixture = f"/tmp/impala_cut_spark_fixtures/ctext_nation_{os.path.basename(os.path.normpath(sf_dir))}"
+    if not os.path.exists(os.path.join(fixture, "part-1.lz4")):
+        os.makedirs(fixture, exist_ok=True)
+        rows = [
+            (r.n_nationkey, r.n_name, r.n_regionkey)
+            for r in t(spark, sf_dir, "nation").collect()
+        ]
+        half = len(rows) // 2
+        for name, comp, part in (
+            ("part-0.snappy", snappymod.hadoop_compress, rows[:half]),
+            ("part-1.lz4", lz4mod.hadoop_compress, rows[half:]),
+        ):
+            lines = ("\n".join(f"{a},{b},{c}" for a, b, c in part) + "\n").encode()
+            with open(os.path.join(fixture, name), "wb") as fh:
+                fh.write(comp(lines))
+    return read_text_table(
+        spark, fixture, "n_nationkey bigint, n_name string, n_regionkey bigint"
+    )
+
+
+# ---------------------------------------------------------------------------
+@query(
     "cov_warc_scan",
     oracle="""
 SELECT doc_id,
