@@ -149,3 +149,17 @@ def test_avro_bzip2_xz_codecs(tmp_path, codec):
     write_avro(path, [("id", "long"), ("name", "string")], rows, codec=codec)
     assert list(read_avro_file(path)) == rows
     assert os.path.getsize(path) < sum(len(r[1]) for r in rows)
+
+
+def test_hypothesis_roundtrip():
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(st.binary(max_size=4096))
+    def rt(data):
+        assert lz4.decompress(lz4.compress(data)) == data
+        assert lz4.hadoop_decompress(lz4.hadoop_compress(data)) == data
+
+    rt()

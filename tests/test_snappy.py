@@ -171,3 +171,19 @@ def test_crc_is_of_uncompressed_bytes(tmp_path):
     crc = payload[-4:]
     plain = snappy.decompress(payload[:-4])
     assert zlib.crc32(plain) & 0xFFFFFFFF == int.from_bytes(crc, "big")
+
+
+def test_hypothesis_roundtrip():
+    """Property fuzz: arbitrary byte structures survive both framings
+    (the §5 property-invariant strategy applied to the codec)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(st.binary(max_size=4096))
+    def rt(data):
+        assert snappy.decompress(snappy.compress(data)) == data
+        assert snappy.hadoop_decompress(snappy.hadoop_compress(data)) == data
+
+    rt()

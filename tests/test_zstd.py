@@ -183,3 +183,16 @@ def test_avro_zstandard_codec(tmp_path, jzstd):
     jpath = str(tmp_path / "jzstd.avro")
     open(jpath, "wb").write(hdr + wvar(count) + wvar(len(comp)) + comp + sync)
     assert list(read_avro_file(jpath)) == rows
+
+
+def test_hypothesis_store_mode_roundtrip():
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(st.binary(max_size=4096))
+    def rt(data):
+        assert zstd.decompress(zstd.compress(data), expected=len(data)) == data
+
+    rt()
