@@ -617,6 +617,114 @@ def pipe_multimodal_audio(spark, sf_dir):
     )
 
 
+def _crawl_images_oracle() -> str:
+    """Every layer is exact (WARC framing, HTTP framing, the PNG/GIF/
+    BMP round-trips), so the oracle replays the expected mean pixel
+    byte from md5(text)'s hex digest — the codec-row arithmetic behind
+    the full crawl transport."""
+    return """
+WITH h AS (SELECT doc_id, md5(coalesce(text, '')) AS hx FROM documents),
+b AS (SELECT doc_id, hx, unnest(range(0, 16)) AS i FROM h),
+v AS (SELECT doc_id, i,
+             (strpos('0123456789abcdef', substr(hx, CAST(2*i+1 AS INT), 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(hx, CAST(2*i+2 AS INT), 1)) - 1) AS byte
+      FROM b)
+SELECT doc_id,
+       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image/png'
+            WHEN 1 THEN 'image/gif' ELSE 'image/bmp' END AS mime,
+       CAST(200 AS INT) AS http_status,
+       doc_id % 2 = 1 AS was_gzipped,
+       floor(avg(CAST(byte AS DOUBLE)) * 1000000 + 0.5) / 1000000
+         AS mean_byte
+FROM v
+GROUP BY doc_id
+"""
+
+
+@query("pipe_crawl_images", oracle=_crawl_images_oracle())
+def pipe_crawl_images(spark, sf_dir):
+    """Round-9 END-TO-END crawl-IMAGE path: each document becomes a
+    deterministic image asset (md5 digest → 4x4 pixels, encoded
+    PNG/GIF/BMP by doc_id % 3), framed as an HTTP/1.1 200 image
+    response inside a (gzip-member for odd doc_ids) WARC record, then
+    ingested back through the REAL pipeline a 100 TB image crawl
+    runs: parse_warc → parse_http_response → decode_image (signature
+    dispatch on the body bytes) → mean pixel byte.  Every layer is
+    lossless, so the DuckDB oracle replays the expected mean straight
+    from md5 hex — a defect in ANY of container framing, HTTP framing
+    or the three codecs breaks the hash match.  Scale: one
+    Arrow-batched narrow map, no shuffle; metadata (mime) prunes
+    before decode in a real crawl."""
+    import hashlib
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from impala_cut_spark.operators.multimodal import (
+        decode_image,
+        encode_bmp,
+        encode_gif,
+        encode_png,
+    )
+    from impala_cut_spark.sources.warc import (
+        build_warc,
+        parse_http_response,
+        parse_warc,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+
+    def _rt(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                s = text if isinstance(text, str) else ""
+                px = np.frombuffer(
+                    hashlib.md5(s.encode("utf-8")).digest(), dtype=np.uint8
+                ).reshape(4, 4)
+                rgb = np.repeat(px[:, :, None], 3, axis=2)
+                kind = d % 3
+                if kind == 0:
+                    body, mime = encode_png(px), "image/png"
+                elif kind == 1:
+                    body, mime = encode_gif(rgb), "image/gif"
+                else:
+                    body, mime = encode_bmp(rgb), "image/bmp"
+                http = (
+                    b"HTTP/1.1 200 OK\r\nContent-Type: " + mime.encode()
+                    + b"\r\nContent-Length: " + str(len(body)).encode()
+                    + b"\r\n\r\n" + body
+                )
+                gz = d % 2 == 1
+                payload = build_warc(
+                    [{"headers": {"WARC-Type": "response",
+                                  "WARC-Target-URI": f"urn:img:{d}"},
+                      "content": http}],
+                    gzipped=gz,
+                )
+                rec = parse_warc(payload)[0]
+                status, headers, got_body = parse_http_response(rec["content"])
+                img = decode_image(bytes(got_body))
+                mean = float(img[:, :, 0].astype(np.int64).sum()) / 16.0
+                rows.append(
+                    (d, headers.get("content-type"), int(status), gz,
+                     math.floor(mean * 1_000_000 + 0.5) / 1_000_000)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "mime", "http_status", "was_gzipped",
+                         "mean_byte"],
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        _rt,
+        schema=("doc_id bigint, mime string, http_status int, "
+                "was_gzipped boolean, mean_byte double"),
+    )
+
+
 def _crawl_extract_oracle() -> str:
     """Every layer of the crawl front-end is lossless around the
     document text (WARC framing, HTTP framing, html.escape ↔ the

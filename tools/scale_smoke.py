@@ -93,6 +93,7 @@ SMOKE = {
     "pipe_multimodal_codec": "PNG/GIF/PPM/TIFF/JPEG encode+decode round-trip (narrow map)",
     # round-9 families
     "pipe_multimodal_audio": "MP3 frame-header metadata walk (narrow map, no shuffle)",
+    "pipe_crawl_images": "crawl-image path WARC→HTTP→decode (narrow map, no shuffle)",
 }
 
 #: per-row root-cause notes (r6 verdict #3/#4: every outlier ratio
