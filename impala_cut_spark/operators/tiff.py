@@ -665,6 +665,10 @@ def _decode_g4_row(bits: _MsbBits, ref: np.ndarray, w: int) -> np.ndarray:
         else:
             raise ValueError("CCITT T.6: invalid mode code")
         a1 = max(0, min(b1 + off, w))
+        if a1 <= a0 and a0 >= 0:
+            # T.6 requires a1 > a0 (strictly monotone) — a corrupt
+            # stream must fail, not spin (never-fail batch contract)
+            raise ValueError("CCITT T.6: non-monotone coding element")
         if color:
             row[max(a0, 0) : a1] = 1
         a0 = a1
