@@ -178,6 +178,8 @@ X100_QUERIES = {
     "pipe_budget_select": "token-budget selection",
     # r8 verdict #6: the crawl front-end is new and had only 10× evidence
     "pipe_crawl_extract": "crawl front-end (WARC→HTTP→HTML→text)",
+    # r9: the crawl-image integration row rides the same fixture
+    "pipe_crawl_images": "crawl-image path (WARC→HTTP→image decode)",
 }
 X100_DST = "/tmp/scale_sf10"
 X100_REPLICAS = 100
