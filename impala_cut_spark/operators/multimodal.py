@@ -169,6 +169,19 @@ def _decode_bmp(payload: bytes) -> np.ndarray:
             f"BMP bpp={bpp} compression={comp} not supported "
             "(8-bit palette / 24-bit / 32-bit BI_RGB decode natively)"
         )
+    # BI_BITFIELDS: honor the channel masks instead of assuming BGRA —
+    # masks live at byte 54 whether appended after a 40-byte info header
+    # or embedded in a V4/V5 header.  Only whole-byte masks map onto the
+    # uint8 channel-gather below; anything else is an honest boundary.
+    chan_order = [2, 1, 0]  # default BGR(A) → RGB gather indices
+    if comp == 3:
+        if bpp != 32:
+            raise NotImplementedError(f"BMP BI_BITFIELDS with bpp={bpp}")
+        masks = struct.unpack_from("<III", payload, 54)
+        byte_masks = {0xFF << (8 * k): k for k in range(4)}
+        if any(m not in byte_masks for m in masks):
+            raise NotImplementedError(f"BMP non-byte-aligned channel masks {masks}")
+        chan_order = [byte_masks[m] for m in masks]  # R,G,B byte positions
     flip = h > 0
     h = abs(h)
     nb = bpp // 8
@@ -187,7 +200,7 @@ def _decode_bmp(payload: bytes) -> np.ndarray:
         img = pal[idx]
     else:
         img = rows.reshape(h, stride)[:, : w * nb].reshape(h, w, nb)
-        img = img[..., :3][..., ::-1]  # BGR(A) → RGB, alpha dropped
+        img = img[..., chan_order]  # masked/default gather → RGB, alpha dropped
     return (img[::-1] if flip else img).copy()
 
 

@@ -51,6 +51,8 @@ def decompress(buf: bytes, expected: int | None = None) -> bytes:
         lit = token >> 4
         if lit == 15:
             while True:
+                if i >= n:
+                    raise ValueError("lz4: truncated literal length")
                 b = buf[i]
                 i += 1
                 lit += b
@@ -62,6 +64,8 @@ def decompress(buf: bytes, expected: int | None = None) -> bytes:
         i += lit
         if i >= n:  # last sequence: literals only
             break
+        if i + 2 > n:  # a short slice would decode a bogus small offset
+            raise ValueError("lz4: truncated sequence")
         off = int.from_bytes(buf[i : i + 2], "little")
         i += 2
         if off == 0 or off > len(out):
@@ -69,6 +73,8 @@ def decompress(buf: bytes, expected: int | None = None) -> bytes:
         ml = token & 0xF
         if ml == 15:
             while True:
+                if i >= n:
+                    raise ValueError("lz4: truncated match length")
                 b = buf[i]
                 i += 1
                 ml += b

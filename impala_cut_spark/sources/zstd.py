@@ -182,11 +182,15 @@ def _fse_decode_stream(table: _FseTable, bb: _BackBits, limit: int) -> list[int]
     s2 = bb.read(table.log)
     while len(out) < limit:
         out.append(table.symbol[s1])
+        if len(out) == limit:  # never emit past limit (flush path included)
+            break
         if bb.bits_left() < table.nbits[s1]:
             out.append(table.symbol[s2])
             break
         s1 = table.base[s1] + bb.read(table.nbits[s1])
         out.append(table.symbol[s2])
+        if len(out) == limit:
+            break
         if bb.bits_left() < table.nbits[s2]:
             out.append(table.symbol[s1])
             break
@@ -395,7 +399,9 @@ def _decode_literals(block: bytes, ctx: _FrameCtx) -> tuple[bytes, int]:
     return bytes(b"".join(parts)), hdr + comp
 
 
-def _decode_block(block: bytes, ctx: _FrameCtx, out: bytearray) -> None:
+def _decode_block(
+    block: bytes, ctx: _FrameCtx, out: bytearray, frame_start: int = 0
+) -> None:
     literals, pos = _decode_literals(block, ctx)
     # Number_of_Sequences
     b0 = block[pos]
@@ -406,7 +412,9 @@ def _decode_block(block: bytes, ctx: _FrameCtx, out: bytearray) -> None:
         nseq = ((b0 - 128) << 8) | block[pos + 1]
         pos += 2
     else:
-        nseq = block[pos + 1] | (block[pos + 2] << 8) | 0x7F00
+        # RFC 8878 §3.1.1.3.2.1: long form is byte1 + (byte2<<8) + 0x7F00
+        # (arithmetic ADD — OR only coincides when byte2's low 7 bits are 0).
+        nseq = block[pos + 1] + (block[pos + 2] << 8) + 0x7F00
         pos += 3
     if nseq == 0:
         out += literals
@@ -476,7 +484,8 @@ def _decode_block(block: bytes, ctx: _FrameCtx, out: bytearray) -> None:
                 reps[0] = offset
         out += literals[lit_pos : lit_pos + ll]
         lit_pos += ll
-        if offset > len(out):
+        if offset > len(out) - frame_start:
+            # matches may never reach back past the current frame's start
             raise ValueError("zstd: match offset beyond window")
         start = len(out) - offset
         if offset >= ml:
@@ -524,6 +533,7 @@ def decompress(data: bytes, expected: int | None = None) -> bytes:
                 fcs += 256
             pos += fcs_size
         ctx = _FrameCtx()
+        frame_start = len(out)
         while True:
             hdr = int.from_bytes(data[pos : pos + 3], "little")
             pos += 3
@@ -537,7 +547,7 @@ def decompress(data: bytes, expected: int | None = None) -> bytes:
                 out += bytes([data[pos]]) * bsize
                 pos += 1
             elif btype == 2:
-                _decode_block(data[pos : pos + bsize], ctx, out)
+                _decode_block(data[pos : pos + bsize], ctx, out, frame_start)
                 pos += bsize
             else:
                 raise ValueError("zstd: reserved block type")

@@ -163,3 +163,28 @@ def test_hypothesis_roundtrip():
         assert lz4.hadoop_decompress(lz4.hadoop_compress(data)) == data
 
     rt()
+
+
+def test_truncated_streams_raise_clearly():
+    """Truncation surfaces as explicit ValueError, never as silent
+    wrong output (ADVICE r9): a 1-byte offset slice used to decode as
+    a bogus small offset."""
+    # 4 literals then only ONE offset byte (sequence needs two)
+    with pytest.raises(ValueError, match="truncated sequence"):
+        lz4.decompress(bytes([0x40]) + b"abcd" + b"\x04")
+    # literal-length extension byte missing entirely
+    with pytest.raises(ValueError, match="truncated literal length"):
+        lz4.decompress(bytes([0xF0]))
+    # match-length extension byte missing after a valid offset
+    with pytest.raises(ValueError, match="truncated match length"):
+        lz4.decompress(bytes([0x4F]) + b"abcd" + b"\x04\x00")
+    # truncating a real stream at every point still fails loudly or
+    # returns a strict prefix — never garbage past the cut
+    full = b"the quick brown fox " * 40
+    comp = lz4.compress(full)
+    for cut in range(1, len(comp)):
+        try:
+            got = lz4.decompress(comp[:cut])
+        except ValueError:
+            continue
+        assert full.startswith(got)

@@ -1337,6 +1337,53 @@ class TestMultimodalRealDecode:
         )[..., :3][..., ::-1]
         assert (ref == pal[idx]).all()
 
+    @staticmethod
+    def _build_bmp_bitfields(img, masks):
+        """32-bit BI_BITFIELDS BMP: 40-byte info header + 3 mask DWORDs.
+        ``masks`` = (R, G, B) bit masks; pixels packed accordingly."""
+        import struct
+
+        import numpy as np
+
+        h, w = img.shape[:2]
+        shifts = [max(0, m.bit_length() - 8) for m in masks]
+        px = np.zeros((h, w), np.uint32)
+        for c, sh in enumerate(shifts):
+            px |= img[..., c].astype(np.uint32) << sh
+        body = px[::-1].astype("<u4").tobytes()  # bottom-up, stride = 4w
+        off = 54 + 12
+        hdr = (
+            b"BM"
+            + struct.pack("<IHHI", off + len(body), 0, 0, off)
+            + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 32, 3,
+                          len(body), 0, 0, 0, 0)
+            + struct.pack("<III", *masks)
+        )
+        return bytes(hdr) + body
+
+    def test_bmp_bitfields_masks(self):
+        """BI_BITFIELDS channel masks are honored (ADVICE r9): RGBA-order
+        masks decode un-swapped; default BGRA masks match BI_RGB; a
+        non-byte-aligned (565-style) mask set raises instead of lying."""
+        import numpy as np
+
+        rng = np.random.default_rng(16)
+        img = rng.integers(0, 256, size=(4, 7, 3), dtype=np.uint8)
+        # default BGRA layout expressed as explicit masks
+        got = multimodal.decode_image(
+            self._build_bmp_bitfields(img, (0x00FF0000, 0x0000FF00, 0x000000FF))
+        )
+        assert (got == img).all()
+        # RGBA byte order — pre-fix this decoded with R/B swapped
+        got = multimodal.decode_image(
+            self._build_bmp_bitfields(img, (0x000000FF, 0x0000FF00, 0x00FF0000))
+        )
+        assert (got == img).all()
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_image(
+                self._build_bmp_bitfields(img, (0xF800, 0x07E0, 0x001F))
+            )
+
     def test_resize_real_pixels(self, spark):
         import numpy as np
 

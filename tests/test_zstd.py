@@ -196,3 +196,75 @@ def test_hypothesis_store_mode_roundtrip():
         assert zstd.decompress(zstd.compress(data), expected=len(data)) == data
 
     rt()
+
+
+def test_long_form_sequence_count(jzstd):
+    """RFC 8878 §3.1.1.3.2.1 long form (byte0 == 0xFF): nseq is an
+    arithmetic SUM (byte1 + byte2<<8 + 0x7F00), not a bitwise OR
+    (ADVICE r9 high — OR only coincides when byte2's low 7 bits are 0).
+    Real encoders rarely exceed 0x7F00 sequences per block (~21k max
+    observed at level 19/22 on dense-match input), so this hand-builds
+    a conformant frame with exactly 0x8000 sequences — 1 literal +
+    3-byte repeat-offset-1 match each, 128 KiB regenerated, RLE
+    sequence modes — and cross-validates it against zstd-jni, which
+    decodes it to the identical bytes.  nseq bytes FF 00 01: the OR
+    form reads 0x7F00 (drops 256 sequences) and truncates the output;
+    the SUM form reads 0x8000."""
+    import struct
+
+    rng = random.Random(3)
+    nseq = 0x8000
+    lits = bytes(rng.randrange(65, 91) for _ in range(nseq))
+    block = (
+        bytes([0x0C, 0x00, 0x08]) + lits      # raw literals, 20-bit size 32768
+        + bytes([0xFF, 0x00, 0x01])           # Number_of_Sequences long form
+        + bytes([0x54, 0x01, 0x00, 0x00])     # RLE modes; ll=1, of=0, ml=0
+        + b"\x01"                             # backward-bitstream sentinel
+    )
+    frame = (
+        struct.pack("<I", 0xFD2FB528)
+        + bytes([0xA0]) + struct.pack("<I", nseq * 4)  # single-seg, 4-byte FCS
+        + (1 | (2 << 1) | (len(block) << 3)).to_bytes(3, "little")
+        + block
+    )
+    expected = b"".join(bytes([c]) * 4 for c in lits)
+    assert zstd.decompress(frame, expected=len(expected)) == expected
+    # independent anchor: the reference decoder agrees byte-for-byte
+    assert bytes(jzstd.decompress(bytearray(frame), len(expected))) == expected
+
+
+def test_match_offset_cannot_cross_frame_boundary():
+    """A frame's matches may only reference its OWN output (ADVICE r9):
+    hand-built second frame whose first sequence uses initial repeat
+    offset 4 with zero bytes produced — it must raise, not silently
+    copy bytes from the previous frame's output."""
+    import struct
+
+    # block: raw literals size 0 | nseq=1 | modes=RLE/RLE/RLE |
+    # ll=0 of_code=0 ml_code=0 | backward bitstream sentinel byte.
+    # Decodes to: ll=0, of_value=1 (+ll==0 → reps[1]=4), ml=3.
+    block = bytes([0x00, 0x01, 0x54, 0x00, 0x00, 0x00, 0x01])
+    evil = (
+        struct.pack("<I", 0xFD2FB528)
+        + bytes([0x20, 0x03])  # single-segment, 1-byte FCS = 3
+        + (1 | (2 << 1) | (len(block) << 3)).to_bytes(3, "little")
+        + block
+    )
+    # alone: offset 4 with 0 bytes of frame output → reject
+    with pytest.raises(ValueError, match="offset beyond window"):
+        zstd.decompress(evil)
+    # after a frame that DID produce ≥4 bytes: still reject (the old
+    # len(out)-wide check silently copied b'EFGH' here)
+    with pytest.raises(ValueError, match="offset beyond window"):
+        zstd.decompress(zstd.compress(b"ABCDEFGH") + evil)
+
+
+def test_fse_weight_stream_never_overshoots_limit():
+    """_fse_decode_stream appends two symbols per iteration; a corrupt
+    Huffman-weight stream must still cap at `limit` (ADVICE r9) rather
+    than yield limit+1 weights and build a 257-symbol table."""
+    table = zstd._FseTable(1, [1, 1])  # 2-entry table, 1-bit states
+    for limit in (1, 2, 3, 4, 5):
+        bb = zstd._BackBits(bytes([0xFF] * 8 + [0x01]))
+        out = zstd._fse_decode_stream(table, bb, limit)
+        assert len(out) <= limit, (limit, len(out))
