@@ -701,7 +701,9 @@ def simhash(docs: DataFrame, hash_family: str = "xxhash64") -> DataFrame:
     majority tests then run once per DOCUMENT on the aggregated row,
     not once per token.  Lane capacity bounds the doc size: safe for
     ≤ 65 535 DISTINCT tokens per document (a ~0.5 MB+ all-unique-words
-    text; the corpus chunkers upstream cap well below this).
+    text; the corpus chunkers upstream cap well below this) — an
+    in-plan ``assert_true`` fails loudly past the boundary instead of
+    letting a lane carry corrupt the signature (r9 verdict #4).
 
     hash_family ``xxhash64`` (engine-native, 64 bits) or ``md5_affine``
     (cross-engine md5-derived 60-bit hash — every op below it is
@@ -742,7 +744,22 @@ def simhash(docs: DataFrame, hash_family: str = "xxhash64") -> DataFrame:
         sig = sig + F.when(ones * 2 > F.col("_n_tok"), _bit(i)).otherwise(
             F.lit(0).cast("bigint")
         )
-    return sums.select("doc_id", sig.alias("sig"))
+    # 16-bit lane capacity guard (r9 verdict #4): a document with more
+    # distinct tokens than a lane can count would silently carry into
+    # the neighbouring bit-position counter and corrupt the signature.
+    # Fail loudly instead; woven into the sig expression (adds 0) so
+    # column pruning cannot drop the check.
+    cap = F.assert_true(
+        F.col("_n_tok") <= F.lit(0xFFFF).cast("bigint"),
+        F.format_string(
+            "simhash: doc %s has %d distinct tokens — exceeds the 65535"
+            " packed-lane capacity; chunk or pre-filter oversized docs",
+            F.col("doc_id").cast("string"),
+            F.col("_n_tok"),
+        ),
+    )
+    guarded = sig + F.coalesce(cap.cast("bigint"), F.lit(0).cast("bigint"))
+    return sums.select("doc_id", guarded.alias("sig"))
 
 
 def simhash_pairs(

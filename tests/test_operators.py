@@ -308,6 +308,22 @@ class TestDedup:
             got = {(r.doc_id, r.sig) for r in dedup.simhash(docs, fam).collect()}
             assert got == want, fam
 
+    def test_simhash_lane_capacity_guard(self, spark):
+        """r9 verdict #4: ≥65,536 distinct tokens per document would
+        carry into the neighbouring 16-bit lane and silently corrupt
+        the signature — the plan must fail loudly instead.  Boundary:
+        exactly 65,535 distinct tokens still computes."""
+        cap = 0xFFFF
+
+        def doc(n):
+            text = " ".join(f"t{i}" for i in range(n))
+            return spark.createDataFrame([(1, text)], "doc_id long, text string")
+
+        ok = dedup.simhash(doc(cap)).collect()
+        assert len(ok) == 1 and ok[0].sig is not None
+        with pytest.raises(Exception, match="packed-lane capacity"):
+            dedup.simhash(doc(cap + 1)).collect()
+
 
 class TestSimilarity:
     def test_brute_force_topk_shape_and_order(self, emb):
