@@ -207,19 +207,53 @@ from impala_cut_spark.plans import perf  # noqa: E402,F401
 #:     plan-pinned in the bench and the sort family keeps cov_sort_all
 #:     + perf_sort_stress in-window) → cov_like_regex, the §2.2
 #:     LIKE/RLIKE/REGEXP family (never driver-witnessed in 9 rounds).
+#: Round-10 rotation (VERDICT r9 #2) — witness the nine never-seen rows
+#: the r9 verdict named; every donor keeps its oracle below the window:
+#:   cov_fn_condcast (witnessed r1-r9, the merged conditional+cast fn
+#:     row) → cov_fn_conditional, its fine-grained §2.8 conditional
+#:     half (conditional-functions.cc) — the cast half enters via the
+#:     next swap, so BOTH constituent shapes stay in-window;
+#:   pipe_dedup_minhash (witnessed r2-r9; banded-LSH candidate shape
+#:     stays via pipe_decontaminate_neardup's MinHash probe and
+#:     pipe_embed_semdedup's LSH-bucketed join; its bench pin is
+#:     window-independent) → cov_fn_cast, the fine-grained §2.8 cast
+#:     matrix (CastExpr.java) with no driver row in 9 rounds;
+#:   cov_lzo_scan (witnessed r4-r9; the compressed-text §2.1 axis
+#:     stays in-window via the newcomer itself) → cov_text_compressed,
+#:     the round-9 snappy/lz4 compressed-text scan family
+#:     (hdfs-text-scanner.cc codec path), a format family born r9
+#:     with no driver row;
+#:   stream_topk_trending (witnessed r8-r9) → stream_enrich, the
+#:     stream-static broadcast-enrich family's first driver row;
+#:   stream_neardup (witnessed r4-r9; the custom keyed-state gate
+#:     shape stays via the newcomer — itself an
+#:     applyInPandasWithState gate) → stream_budget_gate, the
+#:     token-budget admission gate (never witnessed);
+#:   cov_events_daily (witnessed r1-r9; event-time daily agg shape
+#:     held by stream_sliding + cov_agg_all) → perf_string_like, the
+#:     targeted-perf string/LIKE scan adaptation (never witnessed);
+#:   perf_web_revenue (witnessed r8-r9; scan+filter+agg perf shape
+#:     stays via the newcomer) → perf_grep_scan, the hive-benchmark
+#:     grep adaptation (never witnessed);
+#:   tpcds_q55 (witnessed r8-r9) → tpcds_q53, the item-manufacturer
+#:     quarterly pivot twin (never witnessed; q55 keeps its oracle
+#:     below the window and q65 keeps the star-agg shape in-window);
+#:   tpcds_q34 (witnessed r7-r9) → tpcds_q89, the category rolling
+#:     pivot (never witnessed; q34's demographics-star shape held
+#:     below-window by q27/q68, in-window big-star by q65).
 DRIVER_WINDOW: list[str] = [
     # TPC-H (6 of 23 — q3/q4/q5/q8/q9/q10/q11/q12/q13/q14/q15/q16/
     # q17/q19/q20/q22 below the window, oracles intact)
     "pipe_bm25",
     "cov_seqfile_scan",
-    "perf_web_revenue",
+    "perf_grep_scan",
     "tpch_q7",
     "tpch_q18",
     "tpch_q21",
     # TPC-DS shapes (7 of 22 — the rest follow below the window)
     "tpcds_q8",
-    "tpcds_q34",
-    "tpcds_q55",
+    "tpcds_q89",
+    "tpcds_q53",
     "cov_rcfile_scan",
     "tpcds_q65",
     "pipe_multimodal_codec",
@@ -234,20 +268,20 @@ DRIVER_WINDOW: list[str] = [
     "cov_fn_string",
     "pipe_ngram_novelty",
     "cov_fn_timestamp",
-    "cov_fn_condcast",
-    "cov_events_daily",
+    "cov_fn_conditional",
+    "perf_string_like",
     "cov_external_scan",
-    "cov_lzo_scan",
+    "cov_text_compressed",
     # LLM-pipeline + streaming operators (one row each)
     "pipe_multimodal_video",
     "perf_sort_stress",
     "pipe_dedup_jaccard",
-    "pipe_dedup_minhash",
+    "cov_fn_cast",
     "pipe_dedup_clusters",
     "pipe_bigram_ppl",
     "pipe_ann_recall",
     "pipe_multimodal_audio",
-    "stream_topk_trending",
+    "stream_enrich",
     "stream_join",
     "pipe_sessions",
     # round-3 pipeline families (pipeline2.py)
@@ -259,7 +293,7 @@ DRIVER_WINDOW: list[str] = [
     # round-4 families (pipe_warc_ingest → cov_warc_scan, 2nd r9 rotation)
     "cov_warc_scan",
     "pipe_ann_ivfpq",
-    "stream_neardup",
+    "stream_budget_gate",
     # round-5 families
     "pipe_dedup_substring",
     "pipe_quality_classifier",
