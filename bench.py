@@ -18,9 +18,29 @@ import sys
 import time
 
 
+def _noise_sentinel(rounds: int = 1_000_000) -> float:
+    """Fixed single-thread CPU kernel (chained md5 of a 64-byte block):
+    identical work every run, so its wall time moves ONLY with host
+    conditions (CPU steal, thermal, contention) — never with engine
+    changes.  Timed at bench start AND end and recorded in the JSON so
+    a round-over-round wall regression can be attributed: sentinel flat
+    → code effect; sentinel inflated the same way → host drift
+    (r9 verdict #1: the round-9 numbers were taken under ~20-30%
+    ambient steal this kernel would have exposed).  Quiet-window
+    reference on this box: ~0.50 s (BASELINE.md round-10 note)."""
+    t0 = time.perf_counter()
+    h = b"\x00" * 64
+    import hashlib
+
+    for _ in range(rounds):
+        h = hashlib.md5(h).digest()
+    return round(time.perf_counter() - t0, 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sentinel_start = _noise_sentinel()
 
     from impala_cut_spark.session import build_session
     from impala_cut_spark.plans import REGISTRY
@@ -99,6 +119,21 @@ def main() -> None:
     except Exception:
         duck = {}
 
+    sentinel_end = _noise_sentinel()
+
+    # Same-window Spark/DuckDB ratio over the oracle-bearing subset:
+    # both engines measured minutes apart under the SAME host
+    # conditions, so the ratio is immune to the ambient-steal drift
+    # that moved round-9 wall numbers ±30% (r9 verdict #1b) — treat
+    # THIS as the headline round-over-round comparison, wall seconds
+    # as the secondary absolute.
+    common = [n for n in times if n in duck]
+    spark_common = sum(times[n] for n in common)
+    duck_common = sum(duck[n] for n in common)
+    ratios = {
+        n: round(times[n] / duck[n], 3) for n in common if duck[n] > 0
+    }
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -108,6 +143,15 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "duckdb_proxy": duck,
+                "proxy_ratio": round(spark_common / duck_common, 3)
+                if duck_common
+                else None,
+                "proxy_ratio_per_query": ratios,
+                "noise_sentinel": {
+                    "start_sec": sentinel_start,
+                    "end_sec": sentinel_end,
+                    "quiet_ref_sec": 0.50,
+                },
                 "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
             }
         )

@@ -120,6 +120,93 @@ def decode_image(payload: bytes) -> "np.ndarray":
     )
 
 
+# -- Alternate decode kernel: JDK ImageIO (r9 verdict #3) --------------------
+#
+# The mapInPandas batch functions are the documented swap-in seam for a
+# native decoder; this proves the seam with a kernel that is actually
+# in-container: javax.imageio via py4j.  On the driver it reuses the
+# SparkContext gateway; inside an executor Python worker (no gateway)
+# it lazily launches ONE sidecar JVM per worker process and reuses it
+# across batches — the same one-helper-per-worker shape a
+# libjpeg-turbo/ffmpeg sidecar would take at 100 TB.  Pixel transfer is
+# a single byte array (JVM re-encodes to 24-bit BMP, lossless), never
+# a per-pixel py4j call.
+
+_IMAGEIO_GATEWAY = None
+
+
+def _imageio_jvm():
+    global _IMAGEIO_GATEWAY
+    if _IMAGEIO_GATEWAY is None:
+        try:
+            from pyspark import SparkContext
+
+            sc = SparkContext._active_spark_context
+        except Exception:  # pragma: no cover - pyspark always importable here
+            sc = None
+        if sc is not None and sc._gateway is not None:
+            _IMAGEIO_GATEWAY = sc._gateway
+        else:
+            from py4j.java_gateway import (
+                GatewayParameters,
+                JavaGateway,
+                launch_gateway,
+            )
+
+            port = launch_gateway(
+                die_on_exit=True, javaopts=["-Djava.awt.headless=true"]
+            )
+            _IMAGEIO_GATEWAY = JavaGateway(
+                gateway_parameters=GatewayParameters(port=port, auto_convert=True)
+            )
+    return _IMAGEIO_GATEWAY.jvm
+
+
+def imageio_decode(payload: bytes) -> "np.ndarray":
+    """decode_image twin backed by JDK ImageIO: read → draw onto a
+    TYPE_3BYTE_BGR canvas (normalizes palette/gray/alpha variants) →
+    re-encode as 24-bit BMP (lossless) → one byte-array transfer →
+    _decode_bmp.  Decode failures degrade exactly like the pure
+    kernel's (`parse_ok=false` contract): raised as NotImplementedError
+    /ValueError, both in _DECODE_ERRORS."""
+    jvm = _imageio_jvm()
+    try:
+        bi = jvm.javax.imageio.ImageIO.read(
+            jvm.java.io.ByteArrayInputStream(bytearray(payload))
+        )
+    except Exception as e:  # Py4JJavaError on corrupt container bytes
+        raise ValueError(f"imageio: unreadable payload: {e}") from None
+    if bi is None:
+        raise NotImplementedError("imageio: no registered reader for payload")
+    rgb = jvm.java.awt.image.BufferedImage(bi.getWidth(), bi.getHeight(), 5)
+    g = rgb.createGraphics()
+    g.drawImage(bi, 0, 0, None)
+    g.dispose()
+    baos = jvm.java.io.ByteArrayOutputStream()
+    if not jvm.javax.imageio.ImageIO.write(rgb, "bmp", baos):
+        raise ValueError("imageio: BMP transfer encode failed")
+    return _decode_bmp(bytes(baos.toByteArray()))
+
+
+#: the pluggable decode kernels; plan builders read the selection from
+#: $SPARK_GRAFT_IMAGE_KERNEL at PLAN TIME (driver) and close over the
+#: NAME, so workers resolve the callable locally and a test/operator
+#: can flip kernels without restarting the session.
+IMAGE_KERNELS: dict = {"pure": decode_image, "imageio": imageio_decode}
+
+
+def image_kernel_name() -> str:
+    import os
+
+    name = os.environ.get("SPARK_GRAFT_IMAGE_KERNEL", "pure")
+    if name not in IMAGE_KERNELS:
+        raise ValueError(
+            f"SPARK_GRAFT_IMAGE_KERNEL={name!r}: known kernels "
+            f"{sorted(IMAGE_KERNELS)}"
+        )
+    return name
+
+
 def _decode_ppm(payload: bytes) -> np.ndarray:
     """Binary PPM (P6): ASCII header 'P6 <w> <h> <maxval>' + raw RGB.
     maxval > 255 (16-bit, big-endian sample pairs per the netpbm spec)
@@ -795,14 +882,19 @@ def fake_features(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
 
 def extract_features(assets: DataFrame) -> DataFrame:
     """mapInPandas feature extraction — the production shape: Arrow
-    batches in, one feature row per asset out, no driver involvement."""
+    batches in, one feature row per asset out, no driver involvement.
+    The image-decode kernel is pluggable ($SPARK_GRAFT_IMAGE_KERNEL,
+    resolved at plan time on the driver, name closed over into the
+    batch function) — the native-decoder swap-in seam, proven by the
+    'imageio' kernel."""
+    kernel_name = image_kernel_name()
 
     def _one(p: bytes | None) -> np.ndarray:
         import struct
 
         p = p if p is not None else b""
         try:
-            return image_features(decode_image(bytes(p)))
+            return image_features(IMAGE_KERNELS[kernel_name](bytes(p)))
         except _DECODE_ERRORS:
             pass
         try:

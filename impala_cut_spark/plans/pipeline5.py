@@ -662,10 +662,11 @@ def pipe_crawl_images(spark, sf_dir):
     import pandas as pd
 
     from impala_cut_spark.operators.multimodal import (
-        decode_image,
+        IMAGE_KERNELS,
         encode_bmp,
         encode_gif,
         encode_png,
+        image_kernel_name,
     )
     from impala_cut_spark.sources.warc import (
         build_warc,
@@ -674,6 +675,11 @@ def pipe_crawl_images(spark, sf_dir):
     )
 
     docs = t(spark, sf_dir, "documents")
+    # decode-kernel seam (r9 verdict #3): name resolved at plan time on
+    # the driver; workers look up the callable locally.  The 'imageio'
+    # kernel runs this same path through JDK ImageIO and must produce
+    # identical rows (tests/test_pipeline5_ops.py).
+    kernel_name = image_kernel_name()
 
     def _rt(batches):
         for pdf in batches:
@@ -706,7 +712,7 @@ def pipe_crawl_images(spark, sf_dir):
                 )
                 rec = parse_warc(payload)[0]
                 status, headers, got_body = parse_http_response(rec["content"])
-                img = decode_image(bytes(got_body))
+                img = IMAGE_KERNELS[kernel_name](bytes(got_body))
                 mean = float(img[:, :, 0].astype(np.int64).sum()) / 16.0
                 rows.append(
                     (d, headers.get("content-type"), int(status), gz,

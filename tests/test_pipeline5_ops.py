@@ -202,3 +202,46 @@ def test_http_response_split():
         parse_http_response(b"not http at all")
     with pytest.raises(ValueError):
         parse_http_response(b"GARBAGE line\r\n\r\nbody")
+
+
+def test_crawl_images_imageio_kernel_matches_pure(spark, sf_dir, monkeypatch):
+    """r9 verdict #3: the decode-kernel seam is real — running the
+    full pipe_crawl_images path (WARC → HTTP → image decode → mean)
+    with the JDK-ImageIO kernel produces row-identical output to the
+    pure-Python kernel.  Kernel name is resolved at PLAN time on the
+    driver and closed over into the mapInPandas function, so the flag
+    flips per-query without a session restart; executor Python workers
+    lazily launch one sidecar JVM each."""
+    from impala_cut_spark.plans import REGISTRY
+
+    spec = REGISTRY["pipe_crawl_images"]
+    pure = sorted(map(tuple, spec.spark(spark, sf_dir).collect()))
+    monkeypatch.setenv("SPARK_GRAFT_IMAGE_KERNEL", "imageio")
+    alt = sorted(map(tuple, spec.spark(spark, sf_dir).collect()))
+    assert alt == pure
+    assert len(pure) > 0
+
+
+def test_imageio_kernel_decode_parity():
+    """imageio_decode is a decode_image twin: exact pixels on the
+    lossless formats (PNG gray+RGB, BMP, GIF); unknown payloads degrade
+    through the same _DECODE_ERRORS contract."""
+    import numpy as np
+
+    from impala_cut_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(10)
+    img = rng.integers(0, 256, size=(9, 6, 3), dtype=np.uint8)
+    gray = rng.integers(0, 256, size=(4, 4), dtype=np.uint8)
+    poster = (img // 51 * 51).astype(np.uint8)
+    for payload in (
+        mm.encode_png(img),
+        mm.encode_png(gray),
+        mm.encode_bmp(img),
+        mm.encode_gif(poster),
+    ):
+        a = mm.decode_image(payload)
+        b = mm.imageio_decode(payload)
+        assert a.shape == b.shape and (a == b).all()
+    with pytest.raises(mm._DECODE_ERRORS):
+        mm.imageio_decode(b"not an image at all")

@@ -161,6 +161,26 @@ def main() -> None:
              round(len(g4) / 1e3, 1), round(gdt, 3),
              round(len(g4) / 1e6 / gdt, 3), round(mp / gdt, 3))
         )
+        # imageio-kernel (r9 verdict #3): the alternate decode kernel
+        # behind $SPARK_GRAFT_IMAGE_KERNEL — JDK ImageIO through py4j
+        # (decode + lossless BMP transfer + _decode_bmp), here reusing
+        # the live gateway exactly as the driver path does.
+        from impala_cut_spark.operators.multimodal import imageio_decode
+
+        jq90 = encode_jpeg(img, quality=90)
+        it = _time(imageio_decode, jq90, 3)
+        rows.append(
+            ("imageio-kernel", "same q90 JPEG via JDK ImageIO, 1 MP",
+             round(len(jq90) / 1e3, 1), round(it, 3),
+             round(len(jq90) / 1e6 / it, 3), round(mp / it, 3))
+        )
+        pngp = encode_png(img)
+        ipt = _time(imageio_decode, pngp, 3)
+        rows.append(
+            ("imageio-kernel", "same filter-0 PNG via JDK ImageIO, 1 MP",
+             round(len(pngp) / 1e3, 1), round(ipt, 3),
+             round(len(pngp) / 1e6 / ipt, 3), round(mp / ipt, 3))
+        )
         sp.stop()
     except Exception as e:  # pragma: no cover
         print(f"  zstd row skipped: {e}")
