@@ -520,50 +520,82 @@ _BLACK_CODES.update(_T4_EXT)
 _MAX_CODE_LEN = 13
 
 
+def _codes_by_len(table: dict) -> list[dict]:
+    """length-indexed integer lookup tables: _BY_LEN[L][int(code, 2)]
+    = run.  Prefix-freedom means the SHORTEST length whose table
+    contains the current window prefix is the decoded code."""
+    out: list[dict] = [dict() for _ in range(_MAX_CODE_LEN + 1)]
+    for code, run in table.items():
+        out[len(code)][int(code, 2)] = run
+    return out
+
+
+_WHITE_BY_LEN = _codes_by_len(_WHITE_CODES)
+_BLACK_BY_LEN = _codes_by_len(_BLACK_CODES)
+
+
 class _MsbBits:
-    """MSB-first forward bit reader for fax streams."""
+    """MSB-first forward bit reader for fax streams, vectorized (r9
+    verdict #5): the strip is unpacked to a bit array ONCE and the
+    13-bit window value at every bit position is precomputed in 13
+    whole-array passes, so peek/read are O(1) lookups instead of
+    per-bit Python loops.  Reads past the end zero-pad, matching the
+    old peek semantics."""
+
+    __slots__ = ("n", "pos", "_win")
 
     def __init__(self, data: bytes) -> None:
-        self.data = data
+        bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+        self.n = len(bits)
+        padded = np.concatenate(
+            [bits, np.zeros(_MAX_CODE_LEN, np.uint8)]
+        ).astype(np.int32)
+        v = np.zeros(self.n, np.int32)
+        for k in range(_MAX_CODE_LEN):
+            v = (v << 1) | padded[k : k + self.n]
+        # plain list: per-peek indexing is ~3x faster than numpy
+        # scalar indexing, and the walker peeks once per coding element
+        self._win = v.tolist()
         self.pos = 0  # bit position
 
     def bits_left(self) -> int:
-        return len(self.data) * 8 - self.pos
-
-    def read(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            byte = self.data[self.pos >> 3]
-            v = (v << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
-            self.pos += 1
-        return v
+        return self.n - self.pos
 
     def peek(self, n: int) -> int:
-        save = self.pos
-        avail = min(n, self.bits_left())
-        v = self.read(avail) << (n - avail)
-        self.pos = save
+        if self.pos >= self.n:
+            return 0
+        return self._win[self.pos] >> (_MAX_CODE_LEN - n)
+
+    def read(self, n: int) -> int:
+        v = self.peek(n)
+        self.pos += n
         return v
 
     def align(self) -> None:
         self.pos = (self.pos + 7) & ~7
 
 
-def _read_run(bits: _MsbBits, table: dict) -> int:
+def _read_run(bits: _MsbBits, tables: list[dict]) -> int:
     """One complete MH run: makeup codes accumulate until a
-    terminating (< 64) code closes the run."""
+    terminating (< 64) code closes the run.  ``tables`` is a
+    length-indexed list from _codes_by_len."""
     total = 0
     while True:
-        prefix = ""
-        while len(prefix) <= _MAX_CODE_LEN:
-            if bits.bits_left() <= 0:
-                raise ValueError("CCITT: bitstream exhausted mid-code")
-            prefix += "1" if bits.read(1) else "0"
-            if prefix in table:
-                run = table[prefix]
-                break
-        else:
-            raise ValueError(f"CCITT: invalid code {prefix!r}")
+        if bits.bits_left() <= 0:
+            raise ValueError("CCITT: bitstream exhausted mid-code")
+        v13 = bits.peek(_MAX_CODE_LEN)
+        run = None
+        for length in range(2, _MAX_CODE_LEN + 1):
+            d = tables[length]
+            if d:
+                run = d.get(v13 >> (_MAX_CODE_LEN - length))
+                if run is not None:
+                    if bits.bits_left() < length:
+                        raise ValueError("CCITT: bitstream exhausted mid-code")
+                    bits.pos += length
+                    break
+        if run is None:
+            raise ValueError(f"CCITT: invalid code at bit {bits.pos}")
         total += run
         if run < 64:
             return total
@@ -575,7 +607,7 @@ def _decode_mh_row(bits: _MsbBits, w: int) -> list[int]:
     pos = 0
     white = True
     while pos < w:
-        run = _read_run(bits, _WHITE_CODES if white else _BLACK_CODES)
+        run = _read_run(bits, _WHITE_BY_LEN if white else _BLACK_BY_LEN)
         runs.append(run)
         pos += run
         white = not white
@@ -594,45 +626,48 @@ def _paint(row: np.ndarray, runs: list[int]) -> None:
         color ^= 1
 
 
-def _find_b1(ref: np.ndarray, a0: int, color: int, w: int) -> int:
-    """First changing element on the reference line right of a0 whose
-    (new-run) color is opposite to the current color (T.6 §2.2.2)."""
-    i = a0 + 1
-    if i < 0:
-        i = 0
-    while i < w:
-        prev = ref[i - 1] if i > 0 else 0
-        if ref[i] != prev and ref[i] != color:
-            return i
-        i += 1
-    return w
-
-
-def _next_change(ref: np.ndarray, i: int, w: int) -> int:
-    j = i + 1
-    while j < w and ref[j] == ref[j - 1]:
-        j += 1
-    return j
-
-
 def _decode_g4_row(bits: _MsbBits, ref: np.ndarray, w: int) -> np.ndarray:
-    """One T.6 2D-coded row against reference line ``ref`` (0=white)."""
+    """One T.6 2D-coded row against reference line ``ref`` (0=white).
+
+    The reference line's changing elements are extracted ONCE per row
+    into a sorted position array (consecutive entries alternate new-run
+    colors), so b1 is a searchsorted + at-most-one parity step and b2
+    the following entry — replacing the per-pixel scans that made the
+    G4 walker the slowest decoder in codec_bench (r9 verdict #5)."""
     row = np.zeros(w, dtype=np.uint8)
+    prev = np.empty_like(ref)
+    prev[0] = 0  # imaginary white pixel left of the row
+    prev[1:] = ref[:-1]
+    chg = np.flatnonzero(ref != prev).tolist()
+    nch = len(chg)
+    # changing elements alternate new-run colors, and the first change
+    # (from the imaginary white margin) is always to black — so element
+    # k's color is first_color ^ (k & 1), no per-element ref lookups
+    first_color = int(ref[chg[0]]) if nch else 0
     a0 = -1
     color = 0  # white
+    i = 0  # a0 is strictly monotone, so this pointer only moves right
     while a0 < w:
-        b1 = _find_b1(ref, a0, color, w)
-        b2 = _next_change(ref, b1, w) if b1 < w else w
-        if bits.peek(4) == 0b0001:  # pass: fill through b2, color kept
-            bits.read(4)
+        # b1: first changing element right of a0 whose new-run color is
+        # opposite to the current color (T.6 §2.2.2)
+        while i < nch and chg[i] <= a0:
+            i += 1
+        j = i
+        if j < nch and (first_color ^ (j & 1)) == color:
+            j += 1  # same color → the NEXT change flips (alternation)
+        b1 = chg[j] if j < nch else w
+        b2 = chg[j + 1] if j + 1 < nch else w
+        v7 = bits.peek(7)  # one window covers every T.6 mode code
+        if v7 >> 3 == 0b0001:  # pass: fill through b2, color kept
+            bits.pos += 4
             if color:
                 row[max(a0, 0) : b2] = 1
             a0 = b2
             continue
-        if bits.peek(3) == 0b001:  # horizontal: two MH runs
-            bits.read(3)
-            r1 = _read_run(bits, _WHITE_CODES if color == 0 else _BLACK_CODES)
-            r2 = _read_run(bits, _BLACK_CODES if color == 0 else _WHITE_CODES)
+        if v7 >> 4 == 0b001:  # horizontal: two MH runs
+            bits.pos += 3
+            r1 = _read_run(bits, _WHITE_BY_LEN if color == 0 else _BLACK_BY_LEN)
+            r2 = _read_run(bits, _BLACK_BY_LEN if color == 0 else _WHITE_BY_LEN)
             s = max(a0, 0)
             if color == 0:
                 row[s + r1 : s + r1 + r2] = 1
@@ -641,26 +676,26 @@ def _decode_g4_row(bits: _MsbBits, ref: np.ndarray, w: int) -> np.ndarray:
             a0 = s + r1 + r2
             continue
         # vertical modes: a1 = b1 + offset, color toggles
-        if bits.peek(1) == 0b1:
-            bits.read(1)
+        if v7 >> 6 == 0b1:
+            bits.pos += 1
             off = 0
-        elif bits.peek(3) == 0b011:
-            bits.read(3)
+        elif v7 >> 4 == 0b011:
+            bits.pos += 3
             off = 1
-        elif bits.peek(3) == 0b010:
-            bits.read(3)
+        elif v7 >> 4 == 0b010:
+            bits.pos += 3
             off = -1
-        elif bits.peek(6) == 0b000011:
-            bits.read(6)
+        elif v7 >> 1 == 0b000011:
+            bits.pos += 6
             off = 2
-        elif bits.peek(6) == 0b000010:
-            bits.read(6)
+        elif v7 >> 1 == 0b000010:
+            bits.pos += 6
             off = -2
-        elif bits.peek(7) == 0b0000011:
-            bits.read(7)
+        elif v7 == 0b0000011:
+            bits.pos += 7
             off = 3
-        elif bits.peek(7) == 0b0000010:
-            bits.read(7)
+        elif v7 == 0b0000010:
+            bits.pos += 7
             off = -3
         else:
             raise ValueError("CCITT T.6: invalid mode code")

@@ -138,13 +138,22 @@ def main() -> None:
              round(len(text_blob) / 1e6 / zdt, 3), "—")
         )
         # CCITT G4: a 1 MP dithered bilevel scan written by ImageIO
+        # (fixture built by PNG → ImageIO.read → drawImage onto a
+        # TYPE_BYTE_BINARY canvas: one byte-array transfer instead of
+        # the 786k per-pixel setRGB py4j calls this used to make)
         jvm = sp._jvm
         bil = (img.mean(axis=2) > 128).astype(np.uint8)
         h2, w2 = bil.shape
+        png_fix = encode_png(
+            np.repeat(bil[:, :, None] * np.uint8(255), 3, axis=2)
+        )
+        src = jvm.javax.imageio.ImageIO.read(
+            jvm.java.io.ByteArrayInputStream(bytearray(png_fix))
+        )
         bi = jvm.java.awt.image.BufferedImage(w2, h2, 12)
-        for y in range(h2):
-            for x in range(w2):
-                bi.setRGB(x, y, 0xFFFFFF if bil[y, x] else 0)
+        g2d = bi.createGraphics()
+        g2d.drawImage(src, 0, 0, None)
+        g2d.dispose()
         wr = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("tiff").next()
         pr = wr.getDefaultWriteParam()
         pr.setCompressionMode(2)
@@ -226,6 +235,36 @@ per-block Python loop); progressive ~4x (list-local AC refinement).
 
 """
     )
+    g4_row = next((r for r in rows if r[0] == "tiff-ccitt-g4"), None)
+    if g4_row is not None:
+        lines.append(
+            f"Round-10 (r9 verdict #5): the CCITT G4 row walker is "
+            f"vectorized — the strip's 13-bit windows are precomputed in "
+            f"13 whole-array numpy passes (O(1) peek/read), MH codes "
+            f"resolve through length-indexed integer tables, and the "
+            f"reference line's changing elements become one sorted array "
+            f"per row (searchsorted b1/b2) — measuring "
+            f"{g4_row[5]} MP/s/core vs 1.1 MP/s in round 9 "
+            f"(~{float(g4_row[5]) / 1.1:.0f}x).\n\n"
+        )
+    pure_q90 = next(
+        (r for r in rows if r[0] == "jpeg-baseline" and "q90" in r[1]), None
+    )
+    io_q90 = next(
+        (r for r in rows if r[0] == "imageio-kernel" and "JPEG" in r[1]), None
+    )
+    if pure_q90 and io_q90:
+        lines.append(
+            f"Round-10 kernel seam (r9 verdict #3): the imageio-kernel "
+            f"rows decode the SAME 1 MP payloads through the alternate "
+            f"JDK-ImageIO kernel behind $SPARK_GRAFT_IMAGE_KERNEL "
+            f"(pipe_crawl_images is row-identical under it — "
+            f"tests/test_pipeline5_ops.py): q90 JPEG "
+            f"{io_q90[3]} s vs {pure_q90[3]} s pure-Python "
+            f"({pure_q90[3] / io_q90[3]:.1f}x) — the measured gain a "
+            f"native-kernel swap buys with schema, partitioning and "
+            f"degradation contract unchanged.\n\n"
+        )
     scale = Path(__file__).resolve().parent.parent / "SCALE.md"
     text = scale.read_text()
     header = "## Codec throughput"
