@@ -180,6 +180,8 @@ X100_QUERIES = {
     "pipe_crawl_extract": "crawl front-end (WARC→HTTP→HTML→text)",
     # r9: the crawl-image integration row rides the same fixture
     "pipe_crawl_images": "crawl-image path (WARC→HTTP→image decode)",
+    # r9 verdict #6: the MP3 frame-header walk had only 10× evidence
+    "pipe_multimodal_audio": "MP3 frame-header walk (ID3 skip + ISO 11172-3)",
 }
 X100_DST = "/tmp/scale_sf10"
 X100_REPLICAS = 100
