@@ -1044,3 +1044,62 @@ def cov_warc_scan(spark, sf_dir):
         F.md5("content").alias("content_md5"),
         F.col("file").endswith(".gz").alias("was_gzipped"),
     )
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "cov_text_exact",
+    oracle=r"""
+SELECT n_nationkey AS nationkey,
+       n_name || ',' || n_name AS with_comma,
+       '' AS empty_col,
+       CAST(NULL AS VARCHAR) AS null_col,
+       n_name || '\' AS with_backslash,
+       CAST(n_nationkey * 7 AS INT) AS num
+FROM nation
+""",
+)
+def cov_text_exact(spark, sf_dir):
+    """Impala-EXACT text INSERT→SCAN round-trip (SURVEY §2.1 delta
+    closure, round 10): the nation table is projected onto the four
+    value shapes the csv reader/writer get WRONG — a field containing
+    the delimiter (the reference escapes in place, never quotes), an
+    EMPTY string (the reference reads '' — univocity reads NULL), a
+    real NULL (the 2-byte \\N sentinel) and a field ending in the
+    escape char — written by write_text_table_exact and scanned back
+    by read_text_table_exact (pure JVM expression chain:
+    sentinel-substitute → split → \\N-check-before-unescape →
+    unescape → cast).  The oracle replays the expected values from the
+    parquet originals with zero text code, so any escaping defect in
+    either direction breaks the hash match.  Scale: writer and scanner
+    are both whole-stage-codegen maps, no shuffle, no collect."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from impala_cut_spark.sources.sinks import (
+        read_text_table_exact,
+        write_text_table_exact,
+    )
+
+    fixture = (
+        "/tmp/impala_cut_spark_fixtures/"
+        f"etext_nation_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    if not os.path.exists(os.path.join(fixture, "_SUCCESS")):
+        nation = t(spark, sf_dir, "nation")
+        df = nation.select(
+            F.col("n_nationkey").alias("nationkey"),
+            F.concat("n_name", F.lit(","), "n_name").alias("with_comma"),
+            F.lit("").alias("empty_col"),
+            F.lit(None).cast("string").alias("null_col"),
+            F.concat("n_name", F.lit("\\")).alias("with_backslash"),
+            (F.col("n_nationkey") * 7).cast("int").alias("num"),
+        )
+        write_text_table_exact(df, fixture)
+    return read_text_table_exact(
+        spark,
+        fixture,
+        "nationkey bigint, with_comma string, empty_col string, "
+        "null_col string, with_backslash string, num int",
+    )

@@ -226,6 +226,129 @@ def read_text_table(
     return reader.csv(path)
 
 
+#: sentinels for the exact text parser: \x00 cannot appear in the
+#: reference's text tables (its writer has no binary escape), so a
+#: 2-byte \x00-prefixed token is collision-free for substituted
+#: escaped-escape / escaped-delimiter sequences.
+_TXT_SENT_ESC = "\x00E"
+_TXT_SENT_SEP = "\x00D"
+
+
+def read_text_table_exact(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    sep: str = ",",
+    escape: str = "\\",
+    abort_on_error: bool = False,
+) -> DataFrame:
+    """Impala-EXACT delimited-text scan (hdfs-text-scanner.cc +
+    delimited-text-parser.cc + text-converter.inline.h semantics) as a
+    pure JVM expression chain over ``spark.read.text`` — closes the two
+    csv-reader deltas documented in SURVEY §2.1 (round 10):
+
+    * an empty unquoted field is the EMPTY STRING, not NULL — the
+      reference's TextConverter nulls only the literal 2-byte ``\\N``
+      sentinel (text-converter.inline.h:41), while univocity nulls any
+      unquoted empty field;
+    * the escape character escapes delimiters inside unquoted fields —
+      the reference's text format has NO quoting at all
+      (delimited-text-parser.cc:110 tracks escapes while scanning for
+      delimiters), while univocity honors escapes only inside quotes.
+
+    Parse, entirely inside whole-stage codegen: (1) substitute
+    escaped-escape then escaped-delimiter with \\x00 sentinels (two
+    literal ``replace`` calls), (2) split on the now-unambiguous bare
+    delimiter, then per field (3) the RAW 2-char ``\\N`` sentinel →
+    NULL (checked before unescaping, as the reference does), (4) drop
+    remaining escape chars (TextConverter::UnescapeString: escape
+    removed, following byte kept literal), (5) restore sentinels,
+    (6) cast to the target type (non-ANSI cast = the reference's
+    convert-or-NULL).  ``abort_on_error=True`` mirrors the reference's
+    query option: ragged rows or unconvertible non-null fields raise
+    instead of degrading to NULL.
+
+    Boundary (shared with the csv path): an escaped ROW delimiter is
+    not honored — ``spark.read.text`` splits at every newline, like a
+    scan-range split would.  The exact writer escapes newlines anyway
+    for byte-parity with hdfs-text-table-writer.cc.
+    """
+    import re as _re
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import _parse_datatype_string
+
+    if "\x00" in sep + escape or "N" in sep + escape:
+        raise ValueError("text-exact: delimiter/escape may not be NUL or 'N'")
+    st = _parse_datatype_string(schema)
+    nullsent = escape + "N"
+    s = F.col("value")
+    s = F.replace(s, F.lit(escape + escape), F.lit(_TXT_SENT_ESC))
+    s = F.replace(s, F.lit(escape + sep), F.lit(_TXT_SENT_SEP))
+    fields = F.split(s, _re.escape(sep), -1)
+    cols = []
+    for i, fld in enumerate(st.fields):
+        raw = fields.getItem(i)
+        un = F.regexp_replace(raw, _re.escape(escape) + "(.)", "$1")
+        un = F.replace(un, F.lit(_TXT_SENT_SEP), F.lit(sep))
+        un = F.replace(un, F.lit(_TXT_SENT_ESC), F.lit(escape))
+        val = F.when(raw == F.lit(nullsent), F.lit(None)).otherwise(un).cast(
+            fld.dataType
+        )
+        if abort_on_error and fld.dataType.simpleString() != "string":
+            ok = raw.isNull() | (raw == F.lit(nullsent)) | val.isNotNull()
+            val = F.when(
+                F.assert_true(
+                    ok,
+                    F.concat(
+                        F.lit(f"text scan: cannot convert column {fld.name}: "),
+                        un,
+                    ),
+                ).isNull(),
+                val,
+            )
+        cols.append(val.alias(fld.name))
+    df = spark.read.text(path)
+    if abort_on_error:
+        n = len(st.fields)
+        ragged = F.assert_true(
+            F.size(fields) == F.lit(n),
+            F.concat(
+                F.lit(f"text scan: expected {n} fields, got "),
+                F.size(fields).cast("string"),
+            ),
+        )
+        cols[0] = F.when(ragged.isNull(), cols[0]).alias(st.fields[0].name)
+    return df.select(*cols)
+
+
+def write_text_table_exact(
+    df: DataFrame,
+    path: str,
+    sep: str = ",",
+    escape: str = "\\",
+    mode: str = "overwrite",
+) -> None:
+    """Impala-EXACT text writer (hdfs-text-table-writer.cc parity,
+    round 10): fields joined by the bare delimiter with the escape char
+    doubled and delimiters/newlines escaped IN-PLACE — the reference
+    NEVER quotes (Spark's csv writer wraps such fields in quotes
+    instead) — and NULL written as the unescaped ``\\N`` sentinel.
+    Inverse of read_text_table_exact; round-trip property-tested."""
+    from pyspark.sql import functions as F
+
+    cols = []
+    for f in df.schema.fields:
+        c = F.col(f.name).cast("string")
+        esc = F.replace(c, F.lit(escape), F.lit(escape + escape))
+        esc = F.replace(esc, F.lit(sep), F.lit(escape + sep))
+        esc = F.replace(esc, F.lit("\n"), F.lit(escape + "\n"))
+        cols.append(
+            F.when(c.isNull(), F.lit(escape + "N")).otherwise(esc)
+        )
+    df.select(F.concat_ws(sep, *cols).alias("value")).write.mode(mode).text(path)
+
+
 def write_parquet_table(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Parquet writer (hdfs-parquet-table-writer.cc parity)."""
     df.write.mode(mode).parquet(path)

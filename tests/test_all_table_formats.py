@@ -221,3 +221,127 @@ def test_formats_compressed_text(isession, frames, expected, tmp_path_factory, e
         isession.spark, str(base / "region"), "r_regionkey int, r_name string"
     ).createOrReplaceTempView(f"fmt_region_text_{ext}")
     run_fmt(isession, f"fmt_nation_text_{ext}", f"fmt_region_text_{ext}", expected)
+
+
+class TestExactTextSemantics:
+    """read/write_text_table_exact (round 10): the Impala text format
+    has NO quoting — escape-in-place, '' ≠ NULL, the \\N sentinel
+    checked on raw bytes before unescaping."""
+
+    SCHEMA = "a string, b string, n int"
+
+    def _rt(self, spark, tmp_path, rows, **kw):
+        from impala_cut_spark.sources.sinks import (
+            read_text_table_exact,
+            write_text_table_exact,
+        )
+
+        df = spark.createDataFrame(rows, self.SCHEMA)
+        p = str(tmp_path / "t")
+        write_text_table_exact(df, p, **kw)
+        back = read_text_table_exact(spark, p, self.SCHEMA, **kw)
+        return sorted(map(tuple, back.collect()), key=lambda r: r[2])
+
+    def test_deltas_closed(self, spark, tmp_path):
+        rows = [
+            ("has,comma", "x", 1),        # delimiter inside a field
+            ("", "empty stays empty", 2),  # '' reads back '', NOT NULL
+            (None, "real null", 3),        # NULL → \N → NULL
+            ("ends with \\", "x\\,y", 4),  # escape char data, both shapes
+            ("\\N", "literal backslash-N DATA", 5),  # escaped ≠ sentinel
+        ]
+        assert self._rt(spark, tmp_path, rows) == rows
+
+    def test_raw_file_shape_is_impala_not_csv(self, spark, tmp_path):
+        """The on-disk bytes must be escape-in-place (no quotes): the
+        reference's writer emits a\\,b — Spark's csv writer would emit
+        \"a,b\"."""
+        import glob
+
+        from impala_cut_spark.sources.sinks import write_text_table_exact
+
+        df = spark.createDataFrame([("a,b", None)], "x string, y string")
+        p = str(tmp_path / "raw")
+        write_text_table_exact(df, p)
+        data = b"".join(
+            open(f, "rb").read() for f in glob.glob(p + "/part-*")
+        )
+        assert data.strip() == b"a\\,b,\\N"
+
+    def test_reads_reference_style_file(self, spark, tmp_path):
+        """Hand-written unquoted file with every delta case decodes per
+        text-converter.inline.h: \\N → NULL, empty → '', a\\,b → 'a,b',
+        stray escape dropped (\\x → x)."""
+        from impala_cut_spark.sources.sinks import read_text_table_exact
+
+        (tmp_path / "f.txt").write_text(
+            "a\\,b,,1\n\\N,\\x,2\ntrail\\\\,\\N,\\N\n"
+        )
+        got = sorted(
+            map(
+                tuple,
+                read_text_table_exact(
+                    spark, str(tmp_path), self.SCHEMA
+                ).collect(),
+            ),
+            key=lambda r: (r[2] is None, r[2]),
+        )
+        assert got == [
+            ("a,b", "", 1),
+            (None, "x", 2),
+            ("trail\\", None, None),
+        ]
+
+    def test_abort_on_error(self, spark, tmp_path):
+        from impala_cut_spark.sources.sinks import read_text_table_exact
+
+        (tmp_path / "bad.txt").write_text("a,b,notanint\n")
+        with pytest.raises(Exception, match="cannot convert"):
+            read_text_table_exact(
+                spark, str(tmp_path), self.SCHEMA, abort_on_error=True
+            ).collect()
+        (tmp_path / "bad.txt").write_text("onlyonefield\n")
+        with pytest.raises(Exception, match="expected 3 fields"):
+            read_text_table_exact(
+                spark, str(tmp_path), self.SCHEMA, abort_on_error=True
+            ).collect()
+        # permissive: both rows degrade to NULLs instead
+        (tmp_path / "bad.txt").write_text("a,b,notanint\nonlyonefield\n")
+        got = read_text_table_exact(spark, str(tmp_path), self.SCHEMA).collect()
+        assert len(got) == 2 and all(r.n is None for r in got)
+
+    def test_hypothesis_roundtrip(self, spark, tmp_path):
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from impala_cut_spark.sources.sinks import (
+            read_text_table_exact,
+            write_text_table_exact,
+        )
+
+        # any char except the row delimiter and NUL (documented bounds)
+        field = st.text(
+            alphabet=st.characters(blacklist_characters="\n\r\x00"),
+            max_size=12,
+        )
+        cases = st.lists(
+            st.tuples(st.one_of(st.none(), field), st.one_of(st.none(), field)),
+            min_size=1,
+            max_size=6,
+        )
+
+        @settings(
+            max_examples=12,
+            deadline=None,
+            suppress_health_check=[HealthCheck.too_slow],
+        )
+        @given(cases)
+        def rt(rows):
+            rows = [(a, b, i) for i, (a, b) in enumerate(rows)]
+            df = spark.createDataFrame(rows, self.SCHEMA)
+            p = str(tmp_path / "h")
+            write_text_table_exact(df, p)
+            back = read_text_table_exact(spark, p, self.SCHEMA)
+            assert sorted(map(tuple, back.collect()), key=lambda r: r[2]) == rows
+
+        rt()
