@@ -95,8 +95,9 @@ def decode_image(payload: bytes) -> "np.ndarray":
 
     Real for PPM (P6), uncompressed 24-bit BMP, PNG (stdlib zlib —
     _decode_png), baseline JPEG (operators/jpeg.py), GIF87a/89a
-    (decode_gif) and baseline TIFF (operators/tiff.py). Remaining
-    codec formats (WEBP/…) raise — the documented stub boundary."""
+    (decode_gif), baseline TIFF (operators/tiff.py) and lossless WebP
+    (operators/vp8l.py, round 10 — libwebp-validated). Remaining codec
+    formats (lossy VP8/…) raise — the documented stub boundary."""
     if payload[:2] == b"P6":
         return _decode_ppm(payload)
     if payload[:2] == b"BM":
@@ -113,10 +114,16 @@ def decode_image(payload: bytes) -> "np.ndarray":
         from impala_cut_spark.operators.tiff import decode_tiff
 
         return decode_tiff(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from impala_cut_spark.operators.vp8l import decode_webp
+
+        # lossless VP8L decodes natively (round 10, libwebp-validated);
+        # lossy VP8 raises inside — the remaining stub boundary
+        return decode_webp(payload)[..., :3].copy()
     raise NotImplementedError(
-        "image decode stub for remaining codec formats (WEBP/…): "
+        "image decode stub for remaining codec formats (lossy WEBP/…): "
         "install pillow and replace with PIL.Image.open (PPM/BMP/PNG/GIF/"
-        "TIFF and baseline JPEG decode natively here)"
+        "TIFF, baseline JPEG and lossless WEBP decode natively here)"
     )
 
 

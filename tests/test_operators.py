@@ -404,9 +404,15 @@ class TestSimilarity:
 
 class TestMultimodal:
     def test_decode_image_stub_for_remaining_codecs(self):
-        # WEBP stays the documented stub boundary; PNG, baseline JPEG,
-        # GIF and baseline TIFF are real paths since round 8
+        # Lossy VP8 stays the documented stub boundary (lossless VP8L
+        # decodes natively since round 10); a VP8-bearing container
+        # raises NotImplementedError, junk chunks a ValueError — both
+        # inside the _DECODE_ERRORS degrade contract
         with pytest.raises(NotImplementedError):
+            multimodal.decode_image(
+                b"RIFF\x10\x00\x00\x00WEBPVP8 \x04\x00\x00\x00abcd"
+            )
+        with pytest.raises(ValueError):
             multimodal.decode_image(b"RIFF\x00\x00\x00\x00WEBPwebp-ish")
 
     def test_tiff_roundtrip_all_compressions(self):

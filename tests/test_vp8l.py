@@ -1,0 +1,234 @@
+"""WebP lossless (operators/vp8l.py) — conformance vs the container's
+own libwebp.so.7 (ctypes, tests-only dependency, same role zstd-jni
+plays for the zstd decoder).
+
+Both directions: libwebp's lossless ENCODER output (which exercises
+subtract-green, predictor and color transforms, palettes with pixel
+bundling, color cache, 2D-LZ77 and meta prefix codes) must decode
+byte-exactly here; our minimal encoder's frames must decode byte-
+exactly under libwebp.  Plus the REAL lossless-coded ALPH alpha plane
+of CPython's test python.webp.
+
+NOTE: libwebp's simple lossless encoder may rewrite RGB under alpha=0
+pixels (non-exact cleanup) — ground truth is therefore libwebp's own
+DECODE of its frame, not the input array.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import struct
+
+import numpy as np
+import pytest
+
+from impala_cut_spark.operators import multimodal, vp8l
+
+pytestmark = pytest.mark.filterwarnings("ignore::DeprecationWarning")
+
+
+@pytest.fixture(scope="module")
+def libwebp():
+    try:
+        lw = ctypes.CDLL("libwebp.so.7")
+    except OSError:
+        pytest.skip("libwebp.so.7 not present")
+    lw.WebPEncodeLosslessRGBA.restype = ctypes.c_size_t
+    lw.WebPEncodeLosslessRGBA.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_char_p),
+    ]
+    lw.WebPDecodeRGBA.restype = ctypes.POINTER(ctypes.c_ubyte)
+    lw.WebPDecodeRGBA.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+    ]
+    return lw
+
+
+def _lw_encode(lw, img: np.ndarray) -> bytes:
+    img = np.ascontiguousarray(img.astype(np.uint8))
+    h, w = img.shape[:2]
+    out = ctypes.c_char_p()
+    n = lw.WebPEncodeLosslessRGBA(img.tobytes(), w, h, w * 4, ctypes.byref(out))
+    assert n > 0
+    return ctypes.string_at(out, n)
+
+
+def _lw_decode(lw, payload: bytes) -> np.ndarray:
+    w, h = ctypes.c_int(), ctypes.c_int()
+    ptr = lw.WebPDecodeRGBA(payload, len(payload), ctypes.byref(w), ctypes.byref(h))
+    assert ptr, "libwebp rejected payload"
+    return np.ctypeslib.as_array(ptr, shape=(h.value, w.value, 4)).copy()
+
+
+def _vp8l_chunk(payload: bytes) -> bytes:
+    pos = 12
+    while pos + 8 <= len(payload):
+        four = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        if four == b"VP8L":
+            return payload[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)
+    raise AssertionError("no VP8L chunk")
+
+
+def _cases() -> dict[str, np.ndarray]:
+    rng = np.random.default_rng(3)
+    from impala_cut_spark.operators.jpeg import decode_jpeg
+
+    kit = decode_jpeg(
+        open("/opt/spark/data/mllib/images/origin/kittens/54893.jpg", "rb").read()
+    )
+    gy, gx = np.mgrid[0:64, 0:64]
+    grad = np.stack(
+        [gx * 4 % 256, gy * 4 % 256, (gx + gy) * 2 % 256, np.full_like(gx, 255)],
+        axis=2,
+    )
+    pal3 = np.array(
+        [[250, 10, 10, 255], [10, 250, 10, 255], [10, 10, 250, 255]], np.uint8
+    )
+    pal13 = rng.integers(0, 256, (13, 4), np.uint8)
+    pal13[:, 3] = 255
+    pal200 = rng.integers(0, 256, (200, 4), np.uint8)
+    photo = np.dstack([kit[:256, :300], np.full((256, 300, 1), 255, np.uint8)])
+    pa = photo.copy()
+    pa[..., 3] = rng.integers(1, 256, size=pa.shape[:2], dtype=np.uint8)
+    bic = np.where(
+        (gx + gy)[:, :, None] % 2 == 0, np.uint8(10), np.uint8(200)
+    ) * np.ones((64, 64, 4), np.uint8)
+    bic[..., 3] = 255
+    return {
+        # flat/gradient: LZ77 + predictor transform
+        "flat": np.full((40, 60, 4), 77, np.uint8),
+        "gradient": grad.astype(np.uint8),
+        # ≤2/≤4/≤16/>16 colors: color-indexing incl. every bundling width
+        "bicolor": bic,
+        "tricolor": pal3[rng.integers(0, 3, (33, 47))],
+        "pal13": pal13[rng.integers(0, 13, (29, 31))],
+        "pal200": pal200[rng.integers(0, 200, (50, 50))],
+        # photographic: subtract-green + predictor + color transform +
+        # meta prefix codes; the tiled one adds long-range 2D LZ77
+        "photo": np.ascontiguousarray(photo),
+        "photo-alpha": np.ascontiguousarray(pa),
+        "big-tiled": np.ascontiguousarray(
+            np.dstack(
+                [np.tile(kit, (3, 3, 1))[:700, :800],
+                 np.full((700, 800, 1), 255, np.uint8)]
+            )
+        ),
+        # degenerate shapes
+        "1x1": rng.integers(0, 256, (1, 1, 4), np.uint8),
+        "1x300": (rng.integers(0, 4, (1, 300, 4), np.uint8) * 60),
+        "300x1": (rng.integers(0, 4, (300, 1, 4), np.uint8) * 60),
+        "noise": rng.integers(0, 256, (50, 70, 4), np.uint8),
+    }
+
+
+def test_decodes_libwebp_lossless_output(libwebp):
+    """Real-encoder conformance across every feature family."""
+    for name, img in _cases().items():
+        payload = _lw_encode(libwebp, img)
+        ref = _lw_decode(libwebp, payload)
+        got = vp8l.decode_vp8l(_vp8l_chunk(payload))
+        assert got.shape == ref.shape, name
+        assert (got == ref).all(), name
+
+
+def test_libwebp_decodes_our_encoder(libwebp):
+    """Other direction: our minimal VP8L frames are spec-conformant
+    under the reference decoder — including mixed-length canonical
+    prefix codes from skewed histograms."""
+    rng = np.random.default_rng(4)
+    skew = np.full((20, 50, 4), 100, np.uint8)
+    skew[0, :10] = [7, 13, 19, 255]
+    skew[1, :3] = [200, 201, 202, 40]
+    for img in (
+        rng.integers(0, 256, (9, 13, 4), np.uint8),
+        (rng.integers(0, 4, (1, 300, 4), np.uint8) * 60),
+        skew,
+        np.full((5, 5, 4), 7, np.uint8),
+    ):
+        riff = vp8l.encode_webp_lossless(img)
+        got = _lw_decode(libwebp, riff)
+        assert (got == img).all()
+        # and our own decoder agrees
+        assert (vp8l.decode_vp8l(vp8l.encode_vp8l(img)) == img).all()
+
+
+def test_real_alph_plane_matches_libwebp(libwebp):
+    """The REAL libwebp-encoded lossless ALPH plane inside CPython's
+    python.webp (compression method 1: headerless VP8L, alpha in the
+    green channel) must decode to the same alpha bytes libwebp's full
+    decoder produces."""
+    path = (
+        "/root/.pyenv/versions/3.13.0/lib/python3.13/test/"
+        "test_email/data/python.webp"
+    )
+    try:
+        payload = open(path, "rb").read()
+    except OSError:
+        pytest.skip("stdlib python.webp not present")
+    ref = _lw_decode(libwebp, payload)
+    h, w = ref.shape[:2]
+    pos = 12
+    alph = None
+    while pos + 8 <= len(payload):
+        four = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        if four == b"ALPH":
+            alph = payload[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)
+    assert alph is not None and alph[0] & 3 == 1  # method 1 = lossless
+    got = vp8l.decode_vp8l_alpha(alph[1:], w, h)
+    assert (got == ref[..., 3]).all()
+
+
+def test_decode_image_dispatch(libwebp):
+    """decode_image routes RIFF/WEBP: lossless → real RGB pixels;
+    lossy VP8 → NotImplementedError (the remaining stub)."""
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (8, 11, 3), np.uint8)
+    rgba = np.dstack([img, np.full((8, 11, 1), 255, np.uint8)])
+    payload = _lw_encode(libwebp, rgba)
+    got = multimodal.decode_image(payload)
+    assert got.shape == (8, 11, 3) and (got == img).all()
+    lossy = (
+        "/root/.pyenv/versions/3.13.0/lib/python3.13/test/"
+        "test_email/data/python.webp"
+    )
+    try:
+        data = open(lossy, "rb").read()
+    except OSError:
+        pytest.skip("stdlib python.webp not present")
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(data)
+
+
+def test_hypothesis_roundtrip():
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(
+        st.integers(1, 12), st.integers(1, 12), st.integers(0, 2 ** 32 - 1),
+        st.sampled_from([2, 4, 256]),
+    )
+    def rt(w, h, seed, vals):
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, vals, (h, w, 4), np.uint8) * (255 // (vals - 1))
+        assert (vp8l.decode_vp8l(vp8l.encode_vp8l(img)) == img).all()
+
+    rt()
+
+
+def test_corrupt_streams_rejected():
+    with pytest.raises(ValueError):
+        vp8l.decode_vp8l(b"\x00junk")
+    good = bytearray(vp8l.encode_vp8l(np.full((4, 4, 3), 9, np.uint8)))
+    good[9] ^= 0xFF  # flip bits inside the prefix-code section
+    with pytest.raises((ValueError, IndexError)):
+        vp8l.decode_vp8l(bytes(good))
+    with pytest.raises(ValueError):
+        vp8l.decode_webp(b"RIFF\x04\x00\x00\x00WAVE")

@@ -84,6 +84,28 @@ def main() -> None:
     # GIF needs <=256 colors: web-safe posterize keeps photo statistics
     poster = (img // 51 * 51).astype(np.uint8)
     add("gif", "our LZW 216-color, 1 MP", encode_gif(poster), decode_gif, mp)
+    # webp-lossless (round 10): decode a REAL libwebp-encoded frame —
+    # subtract-green + predictor + color transform + meta prefix codes
+    try:
+        import ctypes
+
+        lwc = ctypes.CDLL("libwebp.so.7")
+        lwc.WebPEncodeLosslessRGBA.restype = ctypes.c_size_t
+        lwc.WebPEncodeLosslessRGBA.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_char_p)]
+        rgba = np.dstack([img, np.full(img.shape[:2] + (1,), 255, np.uint8)])
+        wout = ctypes.c_char_p()
+        wn = lwc.WebPEncodeLosslessRGBA(
+            np.ascontiguousarray(rgba).tobytes(),
+            img.shape[1], img.shape[0], img.shape[1] * 4, ctypes.byref(wout))
+        wpayload = ctypes.string_at(wout, wn)
+        from impala_cut_spark.operators.vp8l import decode_webp
+
+        add("webp-lossless", "libwebp VP8L photo, 1 MP", wpayload,
+            decode_webp, mp)
+    except OSError:
+        print("  webp-lossless row skipped: no libwebp")
     add("tiff-lzw", "our LZW+predictor, 1 MP",
         encode_tiff(img, compression=5, predictor=2), decode_tiff, mp)
     add("tiff-packbits", "our PackBits, 1 MP",
