@@ -59,6 +59,20 @@ class _LsbReader:
         self.nbits -= n
         return v
 
+    def peek8(self) -> int:
+        while self.nbits < 8:
+            b = self.d[self.i] if self.i < len(self.d) else 0
+            if self.i >= len(self.d) + 8:
+                raise ValueError("vp8l: bitstream exhausted")
+            self.i += 1
+            self.acc |= b << self.nbits
+            self.nbits += 8
+        return self.acc & 0xFF
+
+    def drop(self, n: int) -> None:
+        self.acc >>= n
+        self.nbits -= n
+
 
 class _LsbWriter:
     def __init__(self) -> None:
@@ -87,9 +101,12 @@ class _LsbWriter:
 class _Prefix:
     """Canonical prefix decoder: codes assigned shortest-first, within a
     length by ascending symbol (the DEFLATE rule the spec references).
-    Decode walks bit-by-bit, first-read bit = MSB of the code."""
+    First-read bit = MSB of the code; since the stream is LSB-first, an
+    8-bit peek keyed by the REVERSED code resolves every code of ≤ 8
+    bits in one table lookup (two-level scheme: longer codes fall back
+    to the bit-walk dict)."""
 
-    __slots__ = ("table", "single")
+    __slots__ = ("table", "single", "root")
 
     def __init__(self, lengths: list[int]) -> None:
         nz = [(ln, sym) for sym, ln in enumerate(lengths) if ln > 0]
@@ -98,6 +115,7 @@ class _Prefix:
         if len(nz) == 1:
             self.single = nz[0][1]
             self.table = None
+            self.root = None
             return
         self.single = None
         max_len = max(ln for ln, _ in nz)
@@ -110,17 +128,32 @@ class _Prefix:
             code = (code + bl_count[ln - 1]) << 1
             next_code[ln] = code
         table: dict[tuple[int, int], int] = {}
+        root: list = [None] * 256
         for ln, sym in sorted(nz):
-            table[(ln, next_code[ln])] = sym
+            c = next_code[ln]
+            table[(ln, c)] = sym
             next_code[ln] += 1
+            if ln <= 8:
+                rev = 0
+                cc = c
+                for _ in range(ln):
+                    rev = (rev << 1) | (cc & 1)
+                    cc >>= 1
+                for hi in range(1 << (8 - ln)):
+                    root[rev | (hi << ln)] = (sym, ln)
         # completeness check (Kraft equality) — corrupt streams fail here
         if sum(1 << (max_len - ln) for ln, _ in nz) != 1 << max_len:
             raise ValueError("vp8l: prefix code is not complete")
         self.table = table
+        self.root = root
 
     def decode(self, br: _LsbReader) -> int:
         if self.single is not None:
             return self.single
+        e = self.root[br.peek8()]
+        if e is not None:
+            br.drop(e[1])
+            return e[0]
         code = 0
         ln = 0
         table = self.table
@@ -418,11 +451,6 @@ def _inv_color_transform(
     ).reshape(-1)
 
 
-def _avg2(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """Per-channel (a+b)//2 on packed ARGB scalars (numpy uint32 math)."""
-    return (((a ^ b) & 0xFEFEFEFE) >> 1) + (a & b)
-
-
 def _clamp_add_full(l: int, t: int, tl: int) -> int:
     out = 0
     for sh in (0, 8, 16, 24):
@@ -464,67 +492,90 @@ def _select(l: int, t: int, tl: int) -> int:
 def _inv_predictor(
     img: np.ndarray, pdata: np.ndarray, bits: int, w: int, h: int
 ) -> np.ndarray:
+    """Inverse predictor transform, all-Python-int hot loop (numpy
+    scalar boxing measured ~3x slower) with the packed per-channel
+    tricks: ARGB add/average never unpack to channels."""
     tw = _subsample_size(w, bits)
-    pe = pdata.reshape(-1, tw)
-    buf = img.astype(np.uint32).copy()
-    int_ = int
-    for pos in range(w * h):
-        x = pos % w
-        y = pos // w
-        if pos == 0:
-            pred = 0xFF000000
-        elif y == 0:
-            pred = int_(buf[pos - 1])  # top row: left
-        elif x == 0:
-            pred = int_(buf[pos - w])  # left column: top
-        else:
-            mode = (int_(pe[y >> bits, x >> bits]) >> 8) & 0xFF
-            l = int_(buf[pos - 1])
-            t = int_(buf[pos - w])
-            tl = int_(buf[pos - w - 1])
-            tr = int_(buf[pos - w + 1])  # contiguous-buffer semantics
-            if mode == 0:
-                pred = 0xFF000000
+    mode_rows = (
+        ((pdata.reshape(-1, tw) >> np.uint32(8)) & np.uint32(0xFF))
+        .astype(np.int64)
+        .tolist()
+    )
+    buf: list[int] = img.astype(np.int64).tolist()
+    npix = w * h
+
+    def addpx(v: int, p: int) -> int:
+        return (((v & 0xFF00FF) + (p & 0xFF00FF)) & 0xFF00FF) | (
+            ((v & 0xFF00FF00) + (p & 0xFF00FF00)) & 0xFF00FF00
+        )
+
+    if npix:
+        buf[0] = addpx(buf[0], 0xFF000000)
+    for x in range(1, min(w, npix)):  # top row: left predictor
+        buf[x] = addpx(buf[x], buf[x - 1])
+    pos = w
+    for y in range(1, h):
+        mrow = mode_rows[y >> bits]
+        buf[pos] = addpx(buf[pos], buf[pos - w])  # left column: top
+        pos += 1
+        for x in range(1, w):
+            mode = mrow[x >> bits]
+            if mode == 7:  # Average2(L, T) — the most common mode
+                l = buf[pos - 1]
+                t = buf[pos - w]
+                pred = (((l ^ t) & 0xFEFEFEFE) >> 1) + (l & t)
             elif mode == 1:
-                pred = l
+                pred = buf[pos - 1]
             elif mode == 2:
-                pred = t
+                pred = buf[pos - w]
             elif mode == 3:
-                pred = tr
+                pred = buf[pos - w + 1]  # contiguous-buffer semantics
             elif mode == 4:
-                pred = tl
+                pred = buf[pos - w - 1]
+            elif mode == 0:
+                pred = 0xFF000000
             elif mode == 5:
-                pred = int_(_avg2(_avg2(np.uint32(l), np.uint32(tr)), np.uint32(t)))
+                l = buf[pos - 1]
+                t = buf[pos - w]
+                tr = buf[pos - w + 1]
+                a = (((l ^ tr) & 0xFEFEFEFE) >> 1) + (l & tr)
+                pred = (((a ^ t) & 0xFEFEFEFE) >> 1) + (a & t)
             elif mode == 6:
-                pred = int_(_avg2(np.uint32(l), np.uint32(tl)))
-            elif mode == 7:
-                pred = int_(_avg2(np.uint32(l), np.uint32(t)))
+                l = buf[pos - 1]
+                tl = buf[pos - w - 1]
+                pred = (((l ^ tl) & 0xFEFEFEFE) >> 1) + (l & tl)
             elif mode == 8:
-                pred = int_(_avg2(np.uint32(tl), np.uint32(t)))
+                tl = buf[pos - w - 1]
+                t = buf[pos - w]
+                pred = (((tl ^ t) & 0xFEFEFEFE) >> 1) + (tl & t)
             elif mode == 9:
-                pred = int_(_avg2(np.uint32(t), np.uint32(tr)))
+                t = buf[pos - w]
+                tr = buf[pos - w + 1]
+                pred = (((t ^ tr) & 0xFEFEFEFE) >> 1) + (t & tr)
             elif mode == 10:
-                pred = int_(
-                    _avg2(
-                        _avg2(np.uint32(l), np.uint32(tl)),
-                        _avg2(np.uint32(t), np.uint32(tr)),
-                    )
-                )
+                l = buf[pos - 1]
+                tl = buf[pos - w - 1]
+                t = buf[pos - w]
+                tr = buf[pos - w + 1]
+                a = (((l ^ tl) & 0xFEFEFEFE) >> 1) + (l & tl)
+                b2 = (((t ^ tr) & 0xFEFEFEFE) >> 1) + (t & tr)
+                pred = (((a ^ b2) & 0xFEFEFEFE) >> 1) + (a & b2)
             elif mode == 11:
-                pred = _select(l, t, tl)
+                pred = _select(buf[pos - 1], buf[pos - w], buf[pos - w - 1])
             elif mode == 12:
-                pred = _clamp_add_full(l, t, tl)
+                pred = _clamp_add_full(
+                    buf[pos - 1], buf[pos - w], buf[pos - w - 1]
+                )
             elif mode == 13:
-                pred = _clamp_add_half(int_(_avg2(np.uint32(l), np.uint32(t))), tl)
+                l = buf[pos - 1]
+                t = buf[pos - w]
+                ave = (((l ^ t) & 0xFEFEFEFE) >> 1) + (l & t)
+                pred = _clamp_add_half(ave, buf[pos - w - 1])
             else:
                 raise ValueError(f"vp8l: predictor mode {mode} out of range")
-        # per-channel addition mod 256
-        v = int_(buf[pos])
-        buf[pos] = (
-            (((v & 0xFF00FF) + (pred & 0xFF00FF)) & 0xFF00FF)
-            | (((v & 0xFF00FF00) + (pred & 0xFF00FF00)) & 0xFF00FF00)
-        )
-    return buf
+            buf[pos] = addpx(buf[pos], pred)
+            pos += 1
+    return np.array(buf, dtype=np.uint32)
 
 
 def _inv_color_indexing(
@@ -710,16 +761,26 @@ def encode_vp8l(arr: np.ndarray) -> bytes:
     for v, c in zip(*np.unique(chans["g"], return_counts=True)):
         green_freq[int(v)] = int(c)
     codes = {}
+
+    def _emit_pair(lens: list[int]):
+        """(codes, emission lengths): a single-symbol code costs ZERO
+        bits per symbol on the wire (the decoder short-circuits), so
+        its emission lengths are all 0 even though the header carries
+        the 1-entry simple code."""
+        if sum(1 for ln in lens if ln) == 1:
+            return _canonical_codes(lens), [0] * len(lens)
+        return _canonical_codes(lens), lens
+
     glen = _huffman_lengths(green_freq)
     _write_prefix_code(bw, glen)
-    codes["g"] = (_canonical_codes(glen), glen)
+    codes["g"] = _emit_pair(glen)
     for key in ("r", "b", "a"):
         freq = [0] * 256
         for v, c in zip(*np.unique(chans[key], return_counts=True)):
             freq[int(v)] = int(c)
         lens = _huffman_lengths(freq)
         _write_prefix_code(bw, lens)
-        codes[key] = (_canonical_codes(lens), lens)
+        codes[key] = _emit_pair(lens)
     # distance code: unused, one dummy symbol
     _write_prefix_code(bw, [1] + [0] * 39)
     gc, gl = codes["g"]
