@@ -10,7 +10,7 @@ GIF87a/89a (from-scratch LZW, bit-exact vs ImageIO) — the same
 from-scratch precedent as the LZO codec.  Container/frame METADATA is
 real for MP4 (ISO 14496-12 box tree) and MPEG audio (ISO 11172-3
 frame headers) — the prune-before-decode stage.  Remaining codec
-formats (WEBP images, MP3/AAC sample data, video codecs) stay STUBBED:
+formats (lossy-VP8 WEBP images, MP3/AAC sample data, video codecs) stay STUBBED:
 ``decode_image`` raises NotImplementedError for those, and
 ``fake_features`` is the deterministic stand-in.  The
 Spark-side plumbing is identical either way: schema, Arrow batch

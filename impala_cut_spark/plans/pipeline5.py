@@ -835,3 +835,72 @@ def pipe_crawl_extract(spark, sf_dir):
         F.md5(html_text(F.col("html"))).alias("text_md5"),
         "was_gzipped",
     )
+
+
+def _webp_roundtrip_oracle() -> str:
+    """VP8L is lossless, so the oracle is codec-free: the expected mean
+    pixel byte is the average of md5(text)'s 16 hex-pair bytes."""
+    return """
+WITH h AS (SELECT doc_id, md5(coalesce(text, '')) AS hx FROM documents),
+b AS (SELECT doc_id, hx, unnest(range(0, 16)) AS i FROM h),
+v AS (SELECT doc_id,
+             (strpos('0123456789abcdef', substr(hx, CAST(2*i+1 AS INT), 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(hx, CAST(2*i+2 AS INT), 1)) - 1) AS byte
+      FROM b)
+SELECT doc_id,
+       'webp-lossless' AS codec,
+       CAST(16 AS BIGINT) AS n_px,
+       floor(avg(CAST(byte AS DOUBLE)) * 1000000 + 0.5) / 1000000
+         AS mean_byte
+FROM v
+GROUP BY doc_id
+"""
+
+
+@query("pipe_multimodal_webp", oracle=_webp_roundtrip_oracle())
+def pipe_multimodal_webp(spark, sf_dir):
+    """Round-10 WebP-lossless conformance pass: every document's md5
+    digest becomes a deterministic 4x4 gray image, encoded to a real
+    RIFF/WEBP VP8L container (operators/vp8l.py encode_webp_lossless —
+    canonical prefix codes over the spec's code-length code), decoded
+    back through decode_image's RIFF signature dispatch (the
+    from-scratch VP8L decoder, libwebp-cross-validated in
+    tests/test_vp8l.py), and reduced to the mean pixel byte.  VP8L is
+    lossless, so the oracle replays the expected mean straight from
+    md5 hex with zero image code — an entropy-coding or transform
+    defect in EITHER direction breaks the hash match.  Scale: one
+    Arrow-batched narrow map, no shuffle, no collect."""
+    import hashlib
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from impala_cut_spark.operators.multimodal import decode_image
+    from impala_cut_spark.operators.vp8l import encode_webp_lossless
+
+    docs = t(spark, sf_dir, "documents")
+
+    def _rt(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                s = text if isinstance(text, str) else ""
+                px = np.frombuffer(
+                    hashlib.md5(s.encode("utf-8")).digest(), dtype=np.uint8
+                ).reshape(4, 4)
+                rgb = np.repeat(px[:, :, None], 3, axis=2)
+                img = decode_image(encode_webp_lossless(rgb))
+                mean = float(img[:, :, 0].astype(np.int64).sum()) / 16.0
+                rows.append(
+                    (int(doc_id), "webp-lossless", 16,
+                     math.floor(mean * 1_000_000 + 0.5) / 1_000_000)
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "codec", "n_px", "mean_byte"]
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        _rt,
+        schema="doc_id bigint, codec string, n_px bigint, mean_byte double",
+    )
