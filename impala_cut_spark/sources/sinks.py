@@ -232,6 +232,7 @@ def read_text_table(
 #: escaped-escape / escaped-delimiter sequences.
 _TXT_SENT_ESC = "\x00E"
 _TXT_SENT_SEP = "\x00D"
+_TXT_SENT_NL = "\x00L"
 
 
 def read_text_table_exact(
@@ -241,6 +242,7 @@ def read_text_table_exact(
     sep: str = ",",
     escape: str = "\\",
     abort_on_error: bool = False,
+    multiline: bool = False,
 ) -> DataFrame:
     """Impala-EXACT delimited-text scan (hdfs-text-scanner.cc +
     delimited-text-parser.cc + text-converter.inline.h semantics) as a
@@ -268,10 +270,15 @@ def read_text_table_exact(
     query option: ragged rows or unconvertible non-null fields raise
     instead of degrading to NULL.
 
-    Boundary (shared with the csv path): an escaped ROW delimiter is
-    not honored — ``spark.read.text`` splits at every newline, like a
-    scan-range split would.  The exact writer escapes newlines anyway
-    for byte-parity with hdfs-text-table-writer.cc.
+    ``multiline=True`` honors ESCAPED ROW DELIMITERS too (fields may
+    contain newlines, written as escape+\\n by the exact writer): the
+    file is read wholetext — one scan unit per file, the same
+    file-granular parallelism .gz text has — the three escape pairs are
+    sentinel-substituted over the whole file, rows split on the then-
+    unambiguous bare newline, and the newline sentinel restores inside
+    fields.  Default (line-granular, splittable) keeps the documented
+    boundary: an escaped row delimiter splits, as a scan-range split
+    would in the reference.
     """
     import re as _re
 
@@ -282,15 +289,19 @@ def read_text_table_exact(
         raise ValueError("text-exact: delimiter/escape may not be NUL or 'N'")
     st = _parse_datatype_string(schema)
     nullsent = escape + "N"
-    s = F.col("value")
-    s = F.replace(s, F.lit(escape + escape), F.lit(_TXT_SENT_ESC))
-    s = F.replace(s, F.lit(escape + sep), F.lit(_TXT_SENT_SEP))
-    fields = F.split(s, _re.escape(sep), -1)
+    if multiline:
+        base = F.col("value")  # substituted whole-file, pre-split
+    else:
+        base = F.col("value")
+        base = F.replace(base, F.lit(escape + escape), F.lit(_TXT_SENT_ESC))
+        base = F.replace(base, F.lit(escape + sep), F.lit(_TXT_SENT_SEP))
+    fields = F.split(base, _re.escape(sep), -1)
     cols = []
     for i, fld in enumerate(st.fields):
         raw = fields.getItem(i)
         un = F.regexp_replace(raw, _re.escape(escape) + "(.)", "$1")
         un = F.replace(un, F.lit(_TXT_SENT_SEP), F.lit(sep))
+        un = F.replace(un, F.lit(_TXT_SENT_NL), F.lit("\n"))
         un = F.replace(un, F.lit(_TXT_SENT_ESC), F.lit(escape))
         val = F.when(raw == F.lit(nullsent), F.lit(None)).otherwise(un).cast(
             fld.dataType
@@ -308,7 +319,18 @@ def read_text_table_exact(
                 val,
             )
         cols.append(val.alias(fld.name))
-    df = spark.read.text(path)
+    if multiline:
+        whole = spark.read.text(path, wholetext=True).filter(
+            F.col("value") != ""  # empty file → zero rows, like read.text
+        )
+        sub = F.col("value")
+        sub = F.replace(sub, F.lit(escape + escape), F.lit(_TXT_SENT_ESC))
+        sub = F.replace(sub, F.lit(escape + sep), F.lit(_TXT_SENT_SEP))
+        sub = F.replace(sub, F.lit(escape + "\n"), F.lit(_TXT_SENT_NL))
+        sub = F.regexp_replace(sub, "\n$", "")  # final newline = terminator
+        df = whole.select(F.explode(F.split(sub, "\n", -1)).alias("value"))
+    else:
+        df = spark.read.text(path)
     if abort_on_error:
         n = len(st.fields)
         ragged = F.assert_true(

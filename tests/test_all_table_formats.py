@@ -345,3 +345,70 @@ class TestExactTextSemantics:
             assert sorted(map(tuple, back.collect()), key=lambda r: r[2]) == rows
 
         rt()
+
+    def test_multiline_escaped_row_delimiters(self, spark, tmp_path):
+        """multiline=True honors ESCAPED newlines inside fields (the
+        reference's delimited-text-parser escape tracking), whole-file
+        scan units; empty files read as zero rows."""
+        from impala_cut_spark.sources.sinks import (
+            read_text_table_exact,
+            write_text_table_exact,
+        )
+
+        rows = [
+            ("line1\nline2", "x,y", 1),
+            (None, "trail\\", 2),
+            ("", "\nstarts", 3),
+            ("ends\n", "\\N", 4),
+        ]
+        df = spark.createDataFrame(rows, self.SCHEMA)
+        p = str(tmp_path / "ml")
+        write_text_table_exact(df, p)
+        back = read_text_table_exact(spark, p, self.SCHEMA, multiline=True)
+        assert sorted(map(tuple, back.collect()), key=lambda r: r[2]) == rows
+        # the same file read WITHOUT multiline splits at the escaped
+        # newline — the documented line-granular boundary
+        flat = read_text_table_exact(spark, p, self.SCHEMA)
+        assert flat.count() > len(rows)
+        # empty file → zero rows
+        (tmp_path / "empty").mkdir()
+        (tmp_path / "empty" / "f.txt").write_text("")
+        assert (
+            read_text_table_exact(
+                spark, str(tmp_path / "empty"), self.SCHEMA, multiline=True
+            ).count()
+            == 0
+        )
+
+    def test_multiline_hypothesis_roundtrip(self, spark, tmp_path):
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from impala_cut_spark.sources.sinks import (
+            read_text_table_exact,
+            write_text_table_exact,
+        )
+
+        field = st.text(
+            alphabet=st.characters(blacklist_characters="\r\x00"),
+            max_size=10,
+        )  # newlines ALLOWED in multiline mode
+
+        @settings(max_examples=10, deadline=None,
+                  suppress_health_check=[HealthCheck.too_slow])
+        @given(st.lists(st.tuples(st.one_of(st.none(), field),
+                                  st.one_of(st.none(), field)),
+                        min_size=1, max_size=5))
+        def rt(pairs):
+            rows = [(a, b, i) for i, (a, b) in enumerate(pairs)]
+            df = spark.createDataFrame(rows, self.SCHEMA)
+            p = str(tmp_path / "mh")
+            write_text_table_exact(df, p)
+            back = read_text_table_exact(
+                spark, p, self.SCHEMA, multiline=True
+            )
+            assert (
+                sorted(map(tuple, back.collect()), key=lambda r: r[2]) == rows
+            )
+
+        rt()
