@@ -95,9 +95,11 @@ def decode_image(payload: bytes) -> "np.ndarray":
 
     Real for PPM (P6), uncompressed 24-bit BMP, PNG (stdlib zlib —
     _decode_png), baseline JPEG (operators/jpeg.py), GIF87a/89a
-    (decode_gif), baseline TIFF (operators/tiff.py) and lossless WebP
-    (operators/vp8l.py, round 10 — libwebp-validated). Remaining codec
-    formats (lossy VP8/…) raise — the documented stub boundary."""
+    (decode_gif), baseline TIFF (operators/tiff.py) and BOTH WebP
+    codings (round 10, libwebp-validated: lossless VP8L in
+    operators/vp8l.py; lossy VP8 key frames in operators/vp8.py, YUV
+    byte-exact, RGB via the documented vp8_to_rgb conversion).
+    Remaining boundaries (animations, inter frames) raise."""
     if payload[:2] == b"P6":
         return _decode_ppm(payload)
     if payload[:2] == b"BM":
@@ -117,13 +119,12 @@ def decode_image(payload: bytes) -> "np.ndarray":
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
         from impala_cut_spark.operators.vp8l import decode_webp
 
-        # lossless VP8L decodes natively (round 10, libwebp-validated);
-        # lossy VP8 raises inside — the remaining stub boundary
+        # both codings decode natively (round 10, libwebp-validated)
         return decode_webp(payload)[..., :3].copy()
     raise NotImplementedError(
-        "image decode stub for remaining codec formats (lossy WEBP/…): "
+        "image decode stub for remaining codec formats: "
         "install pillow and replace with PIL.Image.open (PPM/BMP/PNG/GIF/"
-        "TIFF, baseline JPEG and lossless WEBP decode natively here)"
+        "TIFF, baseline JPEG and both WEBP codings decode natively here)"
     )
 
 

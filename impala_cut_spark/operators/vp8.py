@@ -19,9 +19,12 @@ published intra toolchain, implemented here from the spec:
 
 Output is the YUV 4:2:0 planes, byte-exact against libwebp's
 WebPDecodeYUV (tests/test_vp8.py decodes real libwebp-encoded frames
-at several quality levels plus CPython's python.webp).  RGB conversion
-for decode_image uses the same fixed-point BT.601 + fancy-upsampling
-path libwebp applies, so full-RGB output matches libwebp too.
+at qualities 0-100, multi-MB/multi-segment/odd-dimension shapes, and
+CPython's python.webp).  RGB for the decode_image contract uses
+nearest-neighbor chroma upsampling + the integer BT.601 conversion
+(vp8_to_rgb) — the VP8 spec ends at YUV; RGB reconstruction is
+explicitly an output-stage choice, so the conformance tests compare
+the YUV planes.
 
 Constant tables live in _vp8_tables.py (RFC 6386 13.4/13.5/11.4/14.1,
 byte-verified against the container's libwebp rodata).
@@ -105,8 +108,11 @@ class _Bool:
 
 # luma 16x16 modes
 DC_PRED, V_PRED, H_PRED, TM_PRED, B_PRED = 0, 1, 2, 3, 4
-# 4x4 sub-modes
-(B_DC, B_TM, B_VE, B_HE, B_LD, B_RD, B_VR, B_VL, B_HD, B_HU) = range(10)
+# 4x4 sub-modes — NUMBERED per the extracted probability table's
+# convention (B_RD/B_VR before B_LD; verified against the tree array
+# and index arithmetic in the library's ParseIntraMode disassembly —
+# the table's context rows are meaningless under any other numbering)
+(B_DC, B_TM, B_VE, B_HE, B_RD, B_VR, B_LD, B_VL, B_HD, B_HU) = range(10)
 
 _KF_YMODE_TREE = [-B_PRED, 2, 4, 6, -DC_PRED, -V_PRED, -H_PRED, -TM_PRED]
 _UVMODE_TREE = [-DC_PRED, 2, -V_PRED, 4, -H_PRED, -TM_PRED]

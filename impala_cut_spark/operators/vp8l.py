@@ -801,15 +801,21 @@ def encode_vp8l(arr: np.ndarray) -> bytes:
 
 
 def decode_webp(payload: bytes) -> np.ndarray:
-    """RIFF/WEBP container → (H, W, 4) uint8 RGBA for LOSSLESS (VP8L)
-    files.  Lossy (VP8) payloads raise NotImplementedError — the
-    documented codec stub boundary (a full video-intra codec)."""
+    """RIFF/WEBP container → (H, W, 4) uint8 RGBA.
+
+    LOSSLESS (VP8L) decodes via this module; LOSSY (VP8 key frames)
+    via operators/vp8.py (round 10 — YUV planes byte-exact vs libwebp,
+    RGB via vp8_to_rgb's documented conversion, alpha 255; a lossless-
+    coded ALPH plane, when present, is decoded via decode_vp8l_alpha).
+    Remaining boundary: animations (ANMF) and filtered ALPH variants.
+    """
     import struct
 
     if len(payload) < 16 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
         raise ValueError("webp: not a RIFF/WEBP payload")
     pos = 12
-    saw_lossy = False
+    lossy = None
+    alph = None
     while pos + 8 <= len(payload):
         fourcc = payload[pos : pos + 4]
         (size,) = struct.unpack_from("<I", payload, pos + 4)
@@ -817,14 +823,26 @@ def decode_webp(payload: bytes) -> np.ndarray:
         if fourcc == b"VP8L":
             return decode_vp8l(body)
         if fourcc == b"VP8 ":
-            saw_lossy = True
+            lossy = body
+        elif fourcc == b"ALPH":
+            alph = body
         pos += 8 + size + (size & 1)
-    if saw_lossy:
-        raise NotImplementedError(
-            "webp: lossy VP8 frame decode not supported (lossless VP8L "
-            "decodes natively; see operators/vp8l.py)"
-        )
-    raise ValueError("webp: no image chunk found")
+    if lossy is not None:
+        from impala_cut_spark.operators.vp8 import decode_vp8, vp8_to_rgb
+
+        y, u, v = decode_vp8(lossy)
+        rgb = vp8_to_rgb(y, u, v)
+        h, w = rgb.shape[:2]
+        out = np.empty((h, w, 4), dtype=np.uint8)
+        out[..., :3] = rgb
+        out[..., 3] = 255
+        if alph is not None and len(alph) >= 1:
+            b0 = alph[0]
+            if b0 & 3 == 1 and (b0 >> 2) & 3 == 0:  # lossless, unfiltered
+                out[..., 3] = decode_vp8l_alpha(alph[1:], w, h)
+            # other ALPH methods/filters: alpha stays opaque (documented)
+        return out
+    raise ValueError("webp: no still-image chunk found (animation?)")
 
 
 def encode_webp_lossless(arr: np.ndarray) -> bytes:

@@ -404,16 +404,21 @@ class TestSimilarity:
 
 class TestMultimodal:
     def test_decode_image_stub_for_remaining_codecs(self):
-        # Lossy VP8 stays the documented stub boundary (lossless VP8L
-        # decodes natively since round 10); a VP8-bearing container
-        # raises NotImplementedError, junk chunks a ValueError — both
-        # inside the _DECODE_ERRORS degrade contract
-        with pytest.raises(NotImplementedError):
+        # Both WebP codings decode natively since round 10 (VP8L
+        # lossless + VP8 key-frame); what remains inside the
+        # _DECODE_ERRORS degrade contract: corrupt VP8 payloads
+        # (ValueError from the keyframe checks), junk containers, and
+        # inter frames (NotImplementedError — need reference buffers)
+        with pytest.raises(ValueError):
             multimodal.decode_image(
                 b"RIFF\x10\x00\x00\x00WEBPVP8 \x04\x00\x00\x00abcd"
             )
         with pytest.raises(ValueError):
             multimodal.decode_image(b"RIFF\x00\x00\x00\x00WEBPwebp-ish")
+        from impala_cut_spark.operators.vp8 import decode_vp8
+
+        with pytest.raises(NotImplementedError):  # inter-frame tag bit
+            decode_vp8(b"\x01\x00\x00\x9d\x01\x2a\x10\x00\x10\x00" + b"\x00" * 8)
 
     def test_tiff_roundtrip_all_compressions(self):
         """Lossless round-trips across none / LZW(+predictor) /

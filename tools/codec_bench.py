@@ -104,8 +104,20 @@ def main() -> None:
 
         add("webp-lossless", "libwebp VP8L photo, 1 MP", wpayload,
             decode_webp, mp)
+        # vp8 lossy (round 10): YUV-exact key-frame decode
+        lwc.WebPEncodeRGBA.restype = ctypes.c_size_t
+        lwc.WebPEncodeRGBA.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_float, ctypes.POINTER(ctypes.c_char_p)]
+        lout = ctypes.c_char_p()
+        ln = lwc.WebPEncodeRGBA(
+            np.ascontiguousarray(rgba).tobytes(),
+            img.shape[1], img.shape[0], img.shape[1] * 4, 75.0,
+            ctypes.byref(lout))
+        add("webp-vp8", "libwebp q75 VP8 photo, 1 MP",
+            ctypes.string_at(lout, ln), decode_webp, mp)
     except OSError:
-        print("  webp-lossless row skipped: no libwebp")
+        print("  webp rows skipped: no libwebp")
     add("tiff-lzw", "our LZW+predictor, 1 MP",
         encode_tiff(img, compression=5, predictor=2), decode_tiff, mp)
     add("tiff-packbits", "our PackBits, 1 MP",
