@@ -740,117 +740,122 @@ def _c(v: int) -> int:  # signed clamp to [-128, 127]
     return -128 if v < -128 else (127 if v > 127 else v)
 
 
-def _u2s(v: int) -> int:
-    return v - 128
-
-
-def _s2u(v: int) -> int:
-    return _clip255(v + 128)
-
-
-def _filter_common(pix: list[int], hev: bool) -> list[int]:
-    """4-pixel normal sub-filter on [p1,p0,q0,q1] (signed domain)."""
-    p1, p0, q0, q1 = (_u2s(v) for v in pix)
-    a = _c(p1 - q1) if hev else 0
-    a = _c(a + 3 * (q0 - p0))
+def _filter_common4(p1, p0, q0, q1, hev):
+    """Normal sub-filter on unsigned [p1,p0,q0,q1] → new (p1,p0,q0,q1)."""
+    sp1, sp0, sq0, sq1 = p1 - 128, p0 - 128, q0 - 128, q1 - 128
+    a = _c(sp1 - sq1) if hev else 0
+    a = _c(a + 3 * (sq0 - sp0))
     f1 = _c(a + 4) >> 3
     f2 = _c(a + 3) >> 3
-    q0n = _s2u(q0 - f1)
-    p0n = _s2u(p0 + f2)
-    if not hev:
-        a = (f1 + 1) >> 1
-        q1n = _s2u(q1 - a)
-        p1n = _s2u(p1 + a)
-    else:
-        q1n = _s2u(q1)
-        p1n = _s2u(p1)
-    return [p1n, p0n, q0n, q1n]
+    v = sq0 - f1 + 128
+    nq0 = 0 if v < 0 else (255 if v > 255 else v)
+    v = sp0 + f2 + 128
+    np0 = 0 if v < 0 else (255 if v > 255 else v)
+    if hev:
+        return p1, np0, nq0, q1
+    a = (f1 + 1) >> 1
+    v = sq1 - a + 128
+    nq1 = 0 if v < 0 else (255 if v > 255 else v)
+    v = sp1 + a + 128
+    np1 = 0 if v < 0 else (255 if v > 255 else v)
+    return np1, np0, nq0, nq1
 
 
-def _mb_filter(pix: list[int]) -> list[int]:
-    """6-pixel macroblock-edge filter on [p2,p1,p0,q0,q1,q2]."""
-    p2, p1, p0, q0, q1, q2 = (_u2s(v) for v in pix)
-    w = _c(_c(p1 - q1) + 3 * (q0 - p0))
-    a = _c((27 * w + 63) >> 7)  # RFC §15.3: every tap is re-clamped
-    q0n = _s2u(q0 - a)
-    p0n = _s2u(p0 + a)
+def _mb_filter6(p2, p1, p0, q0, q1, q2):
+    """Macroblock-edge 6-pixel filter (RFC §15.3; every tap re-clamped)."""
+    sp2, sp1, sp0 = p2 - 128, p1 - 128, p0 - 128
+    sq0, sq1, sq2 = q0 - 128, q1 - 128, q2 - 128
+    w = _c(_c(sp1 - sq1) + 3 * (sq0 - sp0))
+    a = _c((27 * w + 63) >> 7)
+    v = sq0 - a + 128
+    nq0 = 0 if v < 0 else (255 if v > 255 else v)
+    v = sp0 + a + 128
+    np0 = 0 if v < 0 else (255 if v > 255 else v)
     a = _c((18 * w + 63) >> 7)
-    q1n = _s2u(q1 - a)
-    p1n = _s2u(p1 + a)
+    v = sq1 - a + 128
+    nq1 = 0 if v < 0 else (255 if v > 255 else v)
+    v = sp1 + a + 128
+    np1 = 0 if v < 0 else (255 if v > 255 else v)
     a = _c((9 * w + 63) >> 7)
-    q2n = _s2u(q2 - a)
-    p2n = _s2u(p2 + a)
-    return [p2n, p1n, p0n, q0n, q1n, q2n]
+    v = sq2 - a + 128
+    nq2 = 0 if v < 0 else (255 if v > 255 else v)
+    v = sp2 + a + 128
+    np2 = 0 if v < 0 else (255 if v > 255 else v)
+    return np2, np1, np0, nq0, nq1, nq2
 
 
-def _needs_filter(pix: list[int], ilimit: int, elimit: int) -> bool:
-    p3, p2, p1, p0, q0, q1, q2, q3 = pix
-    return (
-        abs(p0 - q0) * 2 + (abs(p1 - q1) >> 1) <= elimit
-        and abs(p3 - p2) <= ilimit
-        and abs(p2 - p1) <= ilimit
-        and abs(p1 - p0) <= ilimit
-        and abs(q3 - q2) <= ilimit
-        and abs(q2 - q1) <= ilimit
-        and abs(q1 - q0) <= ilimit
-    )
-
-
-def _is_hev(pix: list[int], thresh: int) -> bool:
-    _, _, p1, p0, q0, q1, _, _ = pix
-    return abs(p1 - p0) > thresh or abs(q1 - q0) > thresh
-
-
-def _filter_edge(plane, edge_x, y_lo, y_hi, ilimit, elimit, hev_t, mb_edge, horizontal):
-    """Filter one vertical (or horizontal when ``horizontal``) edge."""
-    for t in range(y_lo, y_hi):
-        if horizontal:
-            idx = [(edge_x + d, t) for d in range(-4, 4)]
-        else:
-            idx = [(t, edge_x + d) for d in range(-4, 4)]
-        pix = [int(plane[a, b]) for a, b in idx]
-        if not _needs_filter(pix, ilimit, elimit):
-            continue
-        hev = _is_hev(pix, hev_t)
-        if mb_edge:
-            if hev:
-                new = _filter_common(pix[2:6], True)
-                for k, v in zip(range(2, 6), new):
-                    a, b = idx[k]
-                    plane[a, b] = v
+def _filter_edge(buf, e, lo, hi, ilimit, elimit, hev_t, mb_edge, horizontal):
+    """Filter one edge of a list-of-lists plane buffer.  ``e`` is the
+    column (vertical edge) or row (horizontal edge) of the q0 pixel."""
+    if horizontal:
+        r = [buf[e + d] for d in range(-4, 4)]
+        for t in range(lo, hi):
+            p3 = r[0][t]; p2 = r[1][t]; p1 = r[2][t]; p0 = r[3][t]
+            q0 = r[4][t]; q1 = r[5][t]; q2 = r[6][t]; q3 = r[7][t]
+            if (abs(p0 - q0) * 2 + (abs(p1 - q1) >> 1) > elimit
+                    or abs(p3 - p2) > ilimit or abs(p2 - p1) > ilimit
+                    or abs(p1 - p0) > ilimit or abs(q3 - q2) > ilimit
+                    or abs(q2 - q1) > ilimit or abs(q1 - q0) > ilimit):
+                continue
+            hev = abs(p1 - p0) > hev_t or abs(q1 - q0) > hev_t
+            if mb_edge and not hev:
+                (r[1][t], r[2][t], r[3][t], r[4][t], r[5][t], r[6][t]) = (
+                    _mb_filter6(p2, p1, p0, q0, q1, q2)
+                )
             else:
-                new = _mb_filter(pix[1:7])
-                for k, v in zip(range(1, 7), new):
-                    a, b = idx[k]
-                    plane[a, b] = v
-        else:
-            new = _filter_common(pix[2:6], hev)
-            for k, v in zip(range(2, 6), new):
-                a, b = idx[k]
-                plane[a, b] = v
+                (r[2][t], r[3][t], r[4][t], r[5][t]) = _filter_common4(
+                    p1, p0, q0, q1, hev if not mb_edge else True
+                )
+    else:
+        for t in range(lo, hi):
+            row = buf[t]
+            p3, p2, p1, p0, q0, q1, q2, q3 = row[e - 4 : e + 4]
+            if (abs(p0 - q0) * 2 + (abs(p1 - q1) >> 1) > elimit
+                    or abs(p3 - p2) > ilimit or abs(p2 - p1) > ilimit
+                    or abs(p1 - p0) > ilimit or abs(q3 - q2) > ilimit
+                    or abs(q2 - q1) > ilimit or abs(q1 - q0) > ilimit):
+                continue
+            hev = abs(p1 - p0) > hev_t or abs(q1 - q0) > hev_t
+            if mb_edge and not hev:
+                row[e - 3 : e + 3] = _mb_filter6(p2, p1, p0, q0, q1, q2)
+            else:
+                row[e - 2 : e + 2] = _filter_common4(
+                    p1, p0, q0, q1, hev if not mb_edge else True
+                )
 
 
-def _simple_edge(plane, edge_x, y_lo, y_hi, elimit, horizontal):
-    for t in range(y_lo, y_hi):
-        if horizontal:
-            idx = [(edge_x + d, t) for d in range(-2, 2)]
-        else:
-            idx = [(t, edge_x + d) for d in range(-2, 2)]
-        p1, p0, q0, q1 = (int(plane[a, b]) for a, b in idx)
-        if abs(p0 - q0) * 2 + (abs(p1 - q1) >> 1) > elimit:
-            continue
-        # simple filter always applies the 2-tap (hev) adjustment
-        sp1, sp0, sq0, sq1 = (_u2s(v) for v in (p1, p0, q0, q1))
-        a = _c(_c(sp1 - sq1) + 3 * (sq0 - sp0))
-        f1 = _c(a + 4) >> 3
-        f2 = _c(a + 3) >> 3
-        plane[idx[1]] = _s2u(sp0 + f2)
-        plane[idx[2]] = _s2u(sq0 - f1)
+def _simple_edge(buf, e, lo, hi, elimit, horizontal):
+    if horizontal:
+        r = [buf[e + d] for d in range(-2, 2)]
+        for t in range(lo, hi):
+            p1 = r[0][t]; p0 = r[1][t]; q0 = r[2][t]; q1 = r[3][t]
+            if abs(p0 - q0) * 2 + (abs(p1 - q1) >> 1) > elimit:
+                continue
+            _, r[1][t], r[2][t], _ = _filter_common4(p1, p0, q0, q1, True)
+    else:
+        for t in range(lo, hi):
+            row = buf[t]
+            p1, p0, q0, q1 = row[e - 2 : e + 2]
+            if abs(p0 - q0) * 2 + (abs(p1 - q1) >> 1) > elimit:
+                continue
+            _, row[e - 1], row[e], _ = _filter_common4(p1, p0, q0, q1, True)
 
 
 def _loop_filter(f, Y, U, V, mb_w, mb_h, segments, ymodes, skips, fstore):
     if f.filter_level == 0:
         return
+    # list-of-lists buffers: per-pixel numpy scalar indexing made the
+    # filter 75% of decode time; plain list slicing is ~5x faster
+    Yb = Y.tolist()
+    Ub = U.tolist()
+    Vb = V.tolist()
+    _run_loop_filter(f, Yb, Ub, Vb, mb_w, mb_h, segments, ymodes, fstore)
+    Y[:, :] = np.asarray(Yb, dtype=np.int64)
+    U[:, :] = np.asarray(Ub, dtype=np.int64)
+    V[:, :] = np.asarray(Vb, dtype=np.int64)
+
+
+def _run_loop_filter(f, Y, U, V, mb_w, mb_h, segments, ymodes, fstore):
     for mby in range(mb_h):
         for mbx in range(mb_w):
             i = mby * mb_w + mbx
