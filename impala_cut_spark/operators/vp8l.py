@@ -838,11 +838,55 @@ def decode_webp(payload: bytes) -> np.ndarray:
         out[..., 3] = 255
         if alph is not None and len(alph) >= 1:
             b0 = alph[0]
-            if b0 & 3 == 1 and (b0 >> 2) & 3 == 0:  # lossless, unfiltered
-                out[..., 3] = decode_vp8l_alpha(alph[1:], w, h)
-            # other ALPH methods/filters: alpha stays opaque (documented)
+            method = b0 & 3
+            filt = (b0 >> 2) & 3
+            if method == 0:  # raw bytes
+                plane = np.frombuffer(
+                    alph, dtype=np.uint8, count=w * h, offset=1
+                ).reshape(h, w).copy()
+                out[..., 3] = _alpha_unfilter(plane, filt)
+            elif method == 1:  # lossless-coded
+                plane = decode_vp8l_alpha(alph[1:], w, h)
+                out[..., 3] = _alpha_unfilter(plane, filt)
+            # other methods: alpha stays opaque (documented boundary)
         return out
     raise ValueError("webp: no still-image chunk found (animation?)")
+
+
+def _alpha_unfilter(plane: np.ndarray, filt: int) -> np.ndarray:
+    """Invert the ALPH plane filter (container spec §alpha filtering):
+    0 none, 1 horizontal (left), 2 vertical (above), 3 gradient
+    (clamp(left+above-aboveleft)); the first row of every mode and the
+    first pixel of every row fall back per the reference unfilters."""
+    if filt == 0:
+        return plane
+    h, w = plane.shape
+    out = plane.astype(np.int64)
+    if filt == 1:  # horizontal: rows are prefix sums; row starts at
+        out[0] = np.cumsum(out[0]) & 0xFF  # 0 (no previous row)
+        for y in range(1, h):
+            out[y, 0] = (out[y, 0] + out[y - 1, 0]) & 0xFF
+            out[y] = np.cumsum(out[y]) & 0xFF
+        return out.astype(np.uint8)
+    if filt == 2:  # vertical: first row horizontal-from-0, then columns
+        out[0] = np.cumsum(out[0]) & 0xFF
+        out = np.cumsum(out, axis=0) & 0xFF
+        return out.astype(np.uint8)
+    # gradient
+    out[0] = np.cumsum(out[0]) & 0xFF
+    for y in range(1, h):
+        row = out[y]
+        prev = out[y - 1]
+        left = int(prev[0])
+        tl = left
+        for x in range(w):
+            top = int(prev[x])
+            g = left + top - tl
+            g = 0 if g < 0 else (255 if g > 255 else g)
+            left = (int(row[x]) + g) & 0xFF
+            tl = top
+            row[x] = left
+    return out.astype(np.uint8)
 
 
 def encode_webp_lossless(arr: np.ndarray) -> bytes:

@@ -197,3 +197,68 @@ def test_lossy_alpha_via_decode_webp(libwebp):
     got = decode_webp(data)
     assert got.shape == ref.shape
     assert (got[..., 3] == ref[..., 3]).all()  # ALPH plane exact
+
+def test_alpha_methods_and_filters(libwebp):
+    """ALPH plane coverage: raw (method 0) and lossless (method 1)
+    payloads the encoder emits decode alpha byte-exact; hand-built
+    ALPH chunks with prediction filters 1-3 (horizontal / vertical /
+    gradient) match libwebp's own unfilters byte-for-byte."""
+    from impala_cut_spark.operators.vp8l import decode_webp
+
+    libwebp.WebPDecodeRGBA.restype = ctypes.POINTER(ctypes.c_ubyte)
+    libwebp.WebPDecodeRGBA.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+    ]
+
+    def lw_rgba(payload):
+        w, h = ctypes.c_int(), ctypes.c_int()
+        ptr = libwebp.WebPDecodeRGBA(
+            payload, len(payload), ctypes.byref(w), ctypes.byref(h)
+        )
+        assert ptr
+        return np.ctypeslib.as_array(ptr, shape=(h.value, w.value, 4)).copy()
+
+    rng = np.random.default_rng(12)
+    W, H = 48, 64
+    gy, gx = np.mgrid[0:H, 0:W]
+    for alpha in (
+        (gx * 4 % 256).astype(np.uint8),             # smooth → method 1
+        rng.integers(0, 256, (H, W), np.uint8),      # noise → method 0 raw
+    ):
+        img = np.dstack(
+            [rng.integers(0, 256, (H, W, 3), np.uint8), alpha[:, :, None]]
+        )
+        payload = _enc(libwebp, img, 75.0)
+        assert (decode_webp(payload)[..., 3] == lw_rgba(payload)[..., 3]).all()
+
+    # hand-built ALPH chunks exercising prediction filters 1-3
+    base = _enc(
+        libwebp,
+        np.dstack([rng.integers(0, 256, (H, W, 3), np.uint8),
+                   rng.integers(0, 256, (H, W, 1), np.uint8)]),
+        75.0,
+    )
+
+    def rebuild(payload, alph_body):
+        chunks = []
+        pos = 12
+        while pos + 8 <= len(payload):
+            four = payload[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", payload, pos + 4)
+            chunks.append([four, payload[pos + 8 : pos + 8 + size]])
+            pos += 8 + size + (size & 1)
+        for c in chunks:
+            if c[0] == b"ALPH":
+                c[1] = alph_body
+        body = b""
+        for four, ch in chunks:
+            body += four + struct.pack("<I", len(ch)) + ch
+            if len(ch) & 1:
+                body += b"\x00"
+        return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + body
+
+    for filt in (1, 2, 3):
+        raw = rng.integers(0, 256, (H, W), np.uint8)
+        payload = rebuild(base, bytes([filt << 2]) + raw.tobytes())
+        assert (decode_webp(payload)[..., 3] == lw_rgba(payload)[..., 3]).all(), filt
