@@ -281,6 +281,19 @@ per-block Python loop); progressive ~4x (list-local AC refinement).
             f"{g4_row[5]} MP/s/core vs 1.1 MP/s in round 9 "
             f"(~{float(g4_row[5]) / 1.1:.0f}x).\n\n"
         )
+    webp_rows = [r for r in rows if r[0].startswith("webp")]
+    if webp_rows:
+        lines.append(
+            "Round-10: BOTH WebP codings decode natively and "
+            "libwebp-validated — VP8L lossless (byte-exact pixels both "
+            "directions, incl. the real lossless ALPH plane of CPython's "
+            "python.webp) and VP8 lossy key frames (loop-filtered YUV "
+            "planes byte-exact vs WebPDecodeYUV across quality 0-100; "
+            "RGB via the documented vp8_to_rgb conversion).  Like every "
+            "codec here these are CONFORMANCE components; at 100 TB the "
+            "kernel inside the batch function swaps for a native library "
+            "(the $SPARK_GRAFT_IMAGE_KERNEL seam), plumbing unchanged.\n\n"
+        )
     pure_q90 = next(
         (r for r in rows if r[0] == "jpeg-baseline" and "q90" in r[1]), None
     )
