@@ -168,8 +168,13 @@ def test_driver_window_is_first_50():
         # pipe_text_all→pipe_multimodal_video, stream_dedup→stream_join,
         # pipe_dedup_exact→perf_sort_stress — see plans/__init__.py ledger
         "tpch": ["tpch_q7", "tpch_q18", "tpch_q21"],
-        "tpcds": ["tpcds_q55"],
-        "formats": ["cov_seqfile_scan", "cov_rcfile_scan", "cov_lzo_scan"],
+        # round-10: q55 ceded to q53 (manufacturer-pivot twin) and
+        # q34 to q89 (category pivot); q65 keeps the big star agg
+        "tpcds": ["tpcds_q53", "tpcds_q89", "tpcds_q65", "tpcds_q8"],
+        # round-10: cov_lzo_scan ceded to cov_text_compressed (the
+        # compressed-text axis keeps a window row either way)
+        "formats": ["cov_seqfile_scan", "cov_rcfile_scan",
+                    "cov_text_compressed", "cov_warc_scan"],
         "predicates": ["cov_predicates_views"],
         "joins": ["cov_join_all"],
         "aggs": ["cov_agg_all"],
@@ -187,16 +192,21 @@ def test_driver_window_is_first_50():
         # round-8: cov_fn_math ceded to pipe_ngram_novelty (math fns
         # keep goldens + the randomized differential + three sibling
         # fn window rows)
+        # round-10: the merged condcast row ceded to its fine-grained
+        # halves cov_fn_conditional + cov_fn_cast (both shapes stay)
         "functions": ["cov_fn_string", "cov_fn_timestamp",
-                      "cov_fn_condcast"],
+                      "cov_fn_conditional", "cov_fn_cast"],
         "external": ["cov_external_scan"],
         # round-9: pipe_text_all ceded to pipe_multimodal_video —
         # narrow-map text analysis stays via the classifier + crawl rows
         "text": ["pipe_quality_classifier", "pipe_crawl_extract"],
         # round-9: pipe_dedup_exact ceded to perf_sort_stress — the md5
         # fingerprint agg stays via pipe_dedup_weights/pipe_dedup_clusters
+        # round-10: pipe_dedup_minhash ceded its slot to cov_fn_cast
+        # (banded-LSH shape held by pipe_decontaminate_neardup +
+        # pipe_embed_semdedup; its bench pin is window-independent)
         "dedup": ["pipe_dedup_weights", "pipe_dedup_jaccard",
-                  "pipe_dedup_minhash", "pipe_dedup_clusters"],
+                  "pipe_dedup_clusters"],
         # second r6 rotation: pipe_embed_neardup (0 rows at sf0.01 —
         # zero-information evidence; LSH-cosine shape held by
         # pipe_embed_semdedup) ceded its slot to pipe_bigram_ppl
@@ -216,8 +226,11 @@ def test_driver_window_is_first_50():
         # via stream_neardup)
         # third r9 rotation: stream_drift ceded to stream_sliding
         # (custom stateful streaming stays via stream_neardup)
-        "streaming": ["stream_topk_trending", "stream_join",
-                      "stream_sliding", "stream_neardup", "pipe_sessions"],
+        # round-10: stream_topk_trending ceded to stream_enrich and
+        # stream_neardup to stream_budget_gate (itself a keyed-state
+        # gate, so the custom-state shape stays in-window)
+        "streaming": ["stream_enrich", "stream_join",
+                      "stream_sliding", "stream_budget_gate", "pipe_sessions"],
         # second r7 rotation: pipe_embed_quantize ceded to
         # pipe_dsir_weights; round-8: pipe_pii_redact ceded to
         # pipe_dup_block_share (regex-transform shape held by
@@ -234,7 +247,10 @@ def test_driver_window_is_first_50():
         # retrieval row, a perf_* adaptation, and the four new r7
         # families now hold driver slots
         "retrieval": ["pipe_bm25"],
-        "perf": ["perf_web_revenue", "perf_sort_stress", "perf_agg_types"],
+        # round-10: perf_web_revenue ceded to perf_grep_scan (same
+        # scan+filter+agg perf family) and perf_string_like entered
+        "perf": ["perf_grep_scan", "perf_string_like", "perf_sort_stress",
+                 "perf_agg_types"],
         "block_dedup": ["pipe_dup_block_share", "pipe_dedup_weights"],
         "novelty": ["pipe_ngram_novelty"],
     }
