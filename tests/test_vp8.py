@@ -262,3 +262,44 @@ def test_alpha_methods_and_filters(libwebp):
         raw = rng.integers(0, 256, (H, W), np.uint8)
         payload = rebuild(base, bytes([filt << 2]) + raw.tobytes())
         assert (decode_webp(payload)[..., 3] == lw_rgba(payload)[..., 3]).all(), filt
+
+
+def test_full_rgba_byte_exact(libwebp):
+    """End-to-end lossy path matches WebPDecodeRGBA byte-for-byte:
+    exact YUV + the reproduced fancy upsampler + fixed-point YUV→RGB
+    + composed ALPH alpha."""
+    from impala_cut_spark.operators.vp8l import decode_webp
+
+    libwebp.WebPDecodeRGBA.restype = ctypes.POINTER(ctypes.c_ubyte)
+    libwebp.WebPDecodeRGBA.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+    ]
+
+    def lw_rgba(p):
+        w, h = ctypes.c_int(), ctypes.c_int()
+        ptr = libwebp.WebPDecodeRGBA(p, len(p), ctypes.byref(w), ctypes.byref(h))
+        assert ptr
+        return np.ctypeslib.as_array(ptr, shape=(h.value, w.value, 4)).copy()
+
+    rng = np.random.default_rng(13)
+    from impala_cut_spark.operators.jpeg import decode_jpeg
+
+    kit = decode_jpeg(
+        open("/opt/spark/data/mllib/images/origin/kittens/54893.jpg", "rb").read()
+    )
+    for img in (
+        np.dstack([rng.integers(0, 256, (32, 32, 3), np.uint8),
+                   np.full((32, 32, 1), 255, np.uint8)]),
+        np.dstack([kit[:128, :160], np.full((128, 160, 1), 255, np.uint8)]),
+        np.dstack([rng.integers(0, 256, (23, 37, 3), np.uint8),
+                   np.full((23, 37, 1), 255, np.uint8)]),
+    ):
+        for q in (20.0, 75.0, 95.0):
+            p = _enc(libwebp, img, q)
+            assert (decode_webp(p) == lw_rgba(p)).all(), q
+    try:
+        data = open(PYWEBP, "rb").read()
+    except OSError:
+        return
+    assert (decode_webp(data) == lw_rgba(data)).all()

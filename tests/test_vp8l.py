@@ -203,12 +203,11 @@ def test_decode_image_dispatch(libwebp):
     except OSError:
         pytest.skip("stdlib python.webp not present")
     got = multimodal.decode_image(data)
-    # the lossy YUV stage is byte-exact (tests/test_vp8.py); the RGB
-    # stage is our documented conversion, so compare loosely here
+    # lossy decode is byte-exact END-TO-END: exact YUV planes
+    # (tests/test_vp8.py) + libwebp's fancy upsampler and fixed-point
+    # YUV→RGB reproduced in vp8_to_rgb
     ref = _lw_decode(libwebp, data)[..., :3]
-    assert got.shape == ref.shape
-    diff = np.abs(got.astype(int) - ref.astype(int))
-    assert float(diff.mean()) < 8.0
+    assert got.shape == ref.shape and (got == ref).all()
 
 
 def test_hypothesis_roundtrip():
