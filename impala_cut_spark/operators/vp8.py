@@ -133,10 +133,6 @@ _SEGMENT_TREE = [2, 4, -0, -1, -2, -3]
 _MODE_TO_B = {DC_PRED: B_DC, V_PRED: B_VE, H_PRED: B_HE, TM_PRED: B_TM}
 
 
-def _clip255(v: int) -> int:
-    return 0 if v < 0 else (255 if v > 255 else v)
-
-
 # -- headers -------------------------------------------------------------------
 
 
