@@ -182,6 +182,8 @@ X100_QUERIES = {
     "pipe_crawl_images": "crawl-image path (WARC→HTTP→image decode)",
     # r9 verdict #6: the MP3 frame-header walk had only 10× evidence
     "pipe_multimodal_audio": "MP3 frame-header walk (ID3 skip + ISO 11172-3)",
+    # r10: the VP8L round-trip row rides the same documents fixture
+    "pipe_multimodal_webp": "WebP VP8L encode+decode round-trip (narrow map)",
 }
 X100_DST = "/tmp/scale_sf10"
 X100_REPLICAS = 100
