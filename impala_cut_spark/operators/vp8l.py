@@ -720,6 +720,14 @@ def _write_prefix_code(bw: _LsbWriter, lengths: list[int]) -> None:
     for ln in lengths:
         cl_freq[ln] += 1
     cl_lengths = _huffman_lengths(cl_freq, max_len=7)
+    if sum(1 for ln in cl_lengths if ln) == 1:
+        # All code lengths equal (uniform histogram): the code-length
+        # code has ONE symbol, which decoders read with ZERO bits per
+        # entry while the 1-bit canonical code would emit one — a
+        # silent desync.  Give a never-emitted second symbol a 1-bit
+        # code so every per-entry emission below carries a real bit.
+        real = next(s for s, ln in enumerate(cl_lengths) if ln)
+        cl_lengths[0 if real != 0 else 1] = 1
     cl_codes = _canonical_codes(cl_lengths)
     bw.write(15, 4)  # num_code_lengths = 19
     for sym in _CL_ORDER:
@@ -819,6 +827,10 @@ def decode_webp(payload: bytes) -> np.ndarray:
     while pos + 8 <= len(payload):
         fourcc = payload[pos : pos + 4]
         (size,) = struct.unpack_from("<I", payload, pos + 4)
+        if pos + 8 + size > len(payload):
+            # trusting the RIFF size field would silently truncate and
+            # surface later as a confusing entropy-decode error
+            raise ValueError("webp: truncated chunk")
         body = payload[pos + 8 : pos + 8 + size]
         if fourcc == b"VP8L":
             return decode_vp8l(body)

@@ -340,7 +340,14 @@ def read_text_table_exact(
                 F.size(fields).cast("string"),
             ),
         )
-        cols[0] = F.when(ragged.isNull(), cols[0]).alias(st.fields[0].name)
+        # Woven into EVERY output column (not just cols[0]): a query
+        # that prunes the first column must still trip the guard —
+        # Catalyst drops checks attached only to pruned columns (the
+        # same hazard dedup.py's simhash lane guard documents).
+        cols = [
+            F.when(ragged.isNull(), c).alias(st.fields[i].name)
+            for i, c in enumerate(cols)
+        ]
     return df.select(*cols)
 
 
@@ -362,11 +369,20 @@ def write_text_table_exact(
     cols = []
     for f in df.schema.fields:
         c = F.col(f.name).cast("string")
+        # NUL bytes cannot round-trip: the exact reader's \x00-prefixed
+        # sentinels assume none (true for the reference writer, not for
+        # arbitrary Spark data) — guard in-plan instead of corrupting.
+        nul_ok = F.assert_true(
+            ~c.contains("\x00"),
+            F.lit(f"text write: NUL byte in column {f.name} unsupported"),
+        )
         esc = F.replace(c, F.lit(escape), F.lit(escape + escape))
         esc = F.replace(esc, F.lit(sep), F.lit(escape + sep))
         esc = F.replace(esc, F.lit("\n"), F.lit(escape + "\n"))
         cols.append(
-            F.when(c.isNull(), F.lit(escape + "N")).otherwise(esc)
+            F.when(c.isNull(), F.lit(escape + "N")).otherwise(
+                F.when(nul_ok.isNull(), esc)
+            )
         )
     df.select(F.concat_ws(sep, *cols).alias("value")).write.mode(mode).text(path)
 

@@ -310,6 +310,35 @@ class TestExactTextSemantics:
         got = read_text_table_exact(spark, str(tmp_path), self.SCHEMA).collect()
         assert len(got) == 2 and all(r.n is None for r in got)
 
+    def test_abort_on_error_survives_column_pruning(self, spark, tmp_path):
+        """ADVICE r10: the ragged-row guard was woven only into the
+        FIRST output column, so a query pruning it silently null-padded
+        ragged rows despite abort_on_error=True.  The guard now rides
+        every column."""
+        from impala_cut_spark.sources.sinks import read_text_table_exact
+
+        (tmp_path / "bad.txt").write_text("onlyonefield\n")
+        df = read_text_table_exact(
+            spark, str(tmp_path), self.SCHEMA, abort_on_error=True
+        )
+        for keep in ("a", "b", "n"):
+            with pytest.raises(Exception, match="expected 3 fields"):
+                df.select(keep).collect()
+
+    def test_writer_rejects_nul_bytes(self, spark, tmp_path):
+        """ADVICE r10: a literal \\x00 in a field would collide with the
+        reader's sentinel tokens and round-trip corrupted — the writer
+        now raises in-plan instead (the no-NUL assumption holds for the
+        reference writer, not arbitrary Spark data)."""
+        from impala_cut_spark.sources.sinks import write_text_table_exact
+
+        df = spark.createDataFrame([("ok", "has\x00Dnul", 1)], self.SCHEMA)
+        with pytest.raises(Exception, match="NUL byte in column b"):
+            write_text_table_exact(df, str(tmp_path / "t"))
+        # NULL fields take the \N branch and must NOT trip the guard
+        ok = spark.createDataFrame([("x", None, 2)], self.SCHEMA)
+        write_text_table_exact(ok, str(tmp_path / "t2"))
+
     def test_hypothesis_roundtrip(self, spark, tmp_path):
         from hypothesis import HealthCheck, given, settings
         from hypothesis import strategies as st

@@ -237,3 +237,30 @@ def test_corrupt_streams_rejected():
         vp8l.decode_vp8l(bytes(good))
     with pytest.raises(ValueError):
         vp8l.decode_webp(b"RIFF\x04\x00\x00\x00WAVE")
+
+def test_uniform_histogram_roundtrip(libwebp):
+    """All 256 symbols of a channel equally frequent → every code
+    length 8 → the code-length code has a SINGLE symbol.  The r10
+    encoder emitted 1 bit per length there while decoders consume 0,
+    desyncing the stream silently (ADVICE r10, medium).  The fix pads
+    the code-length code with a dummy 1-bit symbol; both our decoder
+    and libwebp must now round-trip the frame."""
+    ramp = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    img = np.stack([ramp, ramp.T, ramp[::-1], ramp[:, ::-1]], axis=-1)
+    body = vp8l.encode_vp8l(img)
+    assert (vp8l.decode_vp8l(body) == img).all()
+    riff = vp8l.encode_webp_lossless(img)
+    assert (_lw_decode(libwebp, riff) == img).all()
+
+
+def test_truncated_chunk_rejected():
+    """A RIFF size field pointing past the payload must fail loudly at
+    the container layer, not as a downstream entropy-decode error
+    (ADVICE r10, low)."""
+    good = vp8l.encode_webp_lossless(np.full((4, 4, 3), 9, np.uint8))
+    with pytest.raises(ValueError, match="truncated chunk"):
+        vp8l.decode_webp(good[:-3])
+    bad = bytearray(good)
+    bad[16:20] = (2 ** 30).to_bytes(4, "little")  # VP8L chunk size
+    with pytest.raises(ValueError, match="truncated chunk"):
+        vp8l.decode_webp(bytes(bad))
