@@ -241,13 +241,45 @@ from impala_cut_spark.plans import perf  # noqa: E402,F401
 #:   tpcds_q34 (witnessed r7-r9) → tpcds_q89, the category rolling
 #:     pivot (never witnessed; q34's demographics-star shape held
 #:     below-window by q27/q68, in-window big-star by q65).
+#: Round-11 rotation (VERDICT r10 #2) — the Tier-B cohort from the
+#: COVERAGE.md tier map; every donor keeps its oracle below the window:
+#:   pipe_multimodal_codec (witnessed r9-r10) → pipe_multimodal_webp,
+#:     the r10 VP8L codec round-trip (tier rule #25 high-priority;
+#:     codec-conformance shape stays via pipe_multimodal_video/audio);
+#:   cov_text_compressed (witnessed r10) → cov_text_exact, the other
+#:     r10-born row: the §2.1 Impala-exact text semantics pair
+#:     (''≠NULL, escape-in-place) — the text-scan axis keeps a window
+#:     row either way, and the codec path keeps its oracle below;
+#:   tpch_q7 (witnessed r7-r10) → tpcds_q7, the never-witnessed
+#:     demographics-filter star agg (q7's multi-join CASE-agg shape
+#:     stays via tpch_q18/q21 + cov_agg_all);
+#:   cov_fn_timestamp (witnessed r1-r10) → tpcds_q63, the
+#:     item-manufacturer rolling pivot twin (never witnessed; fn
+#:     families keep cov_fn_conditional + cov_fn_cast in-window plus
+#:     goldens + the randomized DuckDB differential);
+#:   cov_fn_string (witnessed r1-r10) → pipe_asof, the as-of temporal
+#:     join — Tier-B #1: nothing in-window has ever held an as-of
+#:     shape (string fns keep goldens + differential + oracle below);
+#:   pipe_dedup_weights (witnessed r8-r10) → pipe_sample_stratified,
+#:     per-stratum deterministic sampling (Tier-B #2; the
+#:     md5-fingerprint agg shape stays via pipe_dedup_clusters'
+#:     keep-first and pipe_dup_block_share's fp aggregate);
+#:   pipe_crawl_extract (witnessed r8-r10) → pipe_split_hash, the
+#:     deterministic hash train/val/test split (Tier-B #2; the crawl
+#:     container family stays in-window via cov_warc_scan);
+#:   pipe_dsir_weights (witnessed r7-r10) → pipe_pack_greedy, sequence
+#:     packing first-fit bins (Tier-B #3; the broadcast-scoring shape
+#:     stays via pipe_quality_classifier, bucket aggs via cov_agg_all);
+#:   pipe_embed_semdedup (witnessed r4-r10) → pipe_chunking, the
+#:     overlap document chunker (Tier-B #4; the LSH-bucketed embedding
+#:     shape stays via pipe_ann_ivfpq + pipe_ann_recall).
 DRIVER_WINDOW: list[str] = [
     # TPC-H (6 of 23 — q3/q4/q5/q8/q9/q10/q11/q12/q13/q14/q15/q16/
     # q17/q19/q20/q22 below the window, oracles intact)
     "pipe_bm25",
     "cov_seqfile_scan",
     "perf_grep_scan",
-    "tpch_q7",
+    "tpcds_q7",
     "tpch_q18",
     "tpch_q21",
     # TPC-DS shapes (7 of 22 — the rest follow below the window)
@@ -256,7 +288,7 @@ DRIVER_WINDOW: list[str] = [
     "tpcds_q53",
     "cov_rcfile_scan",
     "tpcds_q65",
-    "pipe_multimodal_codec",
+    "pipe_multimodal_webp",
     "perf_agg_types",
     # §2 operator families, merged one-per-row (coverage2.py)
     "cov_predicates_views",
@@ -265,13 +297,13 @@ DRIVER_WINDOW: list[str] = [
     "cov_sort_all",
     "cov_like_regex",
     "cov_setops_all",
-    "cov_fn_string",
+    "pipe_asof",
     "pipe_ngram_novelty",
-    "cov_fn_timestamp",
+    "tpcds_q63",
     "cov_fn_conditional",
     "perf_string_like",
     "cov_external_scan",
-    "cov_text_compressed",
+    "cov_text_exact",
     # LLM-pipeline + streaming operators (one row each)
     "pipe_multimodal_video",
     "perf_sort_stress",
@@ -285,11 +317,11 @@ DRIVER_WINDOW: list[str] = [
     "stream_join",
     "pipe_sessions",
     # round-3 pipeline families (pipeline2.py)
-    "pipe_crawl_extract",
+    "pipe_split_hash",
     "pipe_dup_block_share",
-    "pipe_embed_semdedup",
+    "pipe_chunking",
     # round-7 family (second r7 rotation)
-    "pipe_dsir_weights",
+    "pipe_pack_greedy",
     # round-4 families (pipe_warc_ingest → cov_warc_scan, 2nd r9 rotation)
     "cov_warc_scan",
     "pipe_ann_ivfpq",
@@ -297,7 +329,7 @@ DRIVER_WINDOW: list[str] = [
     # round-5 families
     "pipe_dedup_substring",
     "pipe_quality_classifier",
-    "pipe_dedup_weights",
+    "pipe_sample_stratified",
     "pipe_decontaminate_neardup",
     "stream_sliding",
     # round-6 rotation

@@ -167,14 +167,22 @@ def test_driver_window_is_first_50():
         # tpcds_q59→cov_rcfile_scan, tpcds_q68→pipe_multimodal_codec,
         # pipe_text_all→pipe_multimodal_video, stream_dedup→stream_join,
         # pipe_dedup_exact→perf_sort_stress — see plans/__init__.py ledger
-        "tpch": ["tpch_q7", "tpch_q18", "tpch_q21"],
+        # round-11: tpch_q7 ceded to tpcds_q7 (multi-join CASE-agg
+        # shape stays via q18/q21 + cov_agg_all)
+        "tpch": ["tpch_q18", "tpch_q21"],
         # round-10: q55 ceded to q53 (manufacturer-pivot twin) and
         # q34 to q89 (category pivot); q65 keeps the big star agg
-        "tpcds": ["tpcds_q53", "tpcds_q89", "tpcds_q65", "tpcds_q8"],
+        # round-11 newcomers: q7 (demographics star) and q63 (the
+        # manufacturer-pivot twin of in-window q53)
+        "tpcds": ["tpcds_q53", "tpcds_q89", "tpcds_q65", "tpcds_q8",
+                  "tpcds_q7", "tpcds_q63"],
         # round-10: cov_lzo_scan ceded to cov_text_compressed (the
         # compressed-text axis keeps a window row either way)
+        # round-11: cov_text_compressed ceded to cov_text_exact — the
+        # §2.1 text axis keeps a window row either way, now via the
+        # Impala-exact semantics pair
         "formats": ["cov_seqfile_scan", "cov_rcfile_scan",
-                    "cov_text_compressed", "cov_warc_scan"],
+                    "cov_text_exact", "cov_warc_scan"],
         "predicates": ["cov_predicates_views"],
         "joins": ["cov_join_all"],
         "aggs": ["cov_agg_all"],
@@ -194,32 +202,43 @@ def test_driver_window_is_first_50():
         # fn window rows)
         # round-10: the merged condcast row ceded to its fine-grained
         # halves cov_fn_conditional + cov_fn_cast (both shapes stay)
-        "functions": ["cov_fn_string", "cov_fn_timestamp",
-                      "cov_fn_conditional", "cov_fn_cast"],
+        # round-11: cov_fn_string → pipe_asof and cov_fn_timestamp →
+        # tpcds_q63 — fn families keep TWO window rows plus goldens
+        # and the randomized DuckDB differential; both donors keep
+        # their oracles below the window
+        "functions": ["cov_fn_conditional", "cov_fn_cast"],
         "external": ["cov_external_scan"],
         # round-9: pipe_text_all ceded to pipe_multimodal_video —
         # narrow-map text analysis stays via the classifier + crawl rows
-        "text": ["pipe_quality_classifier", "pipe_crawl_extract"],
+        # round-11: pipe_crawl_extract ceded to pipe_split_hash (the
+        # WARC container family stays via cov_warc_scan)
+        "text": ["pipe_quality_classifier"],
         # round-9: pipe_dedup_exact ceded to perf_sort_stress — the md5
         # fingerprint agg stays via pipe_dedup_weights/pipe_dedup_clusters
         # round-10: pipe_dedup_minhash ceded its slot to cov_fn_cast
         # (banded-LSH shape held by pipe_decontaminate_neardup +
         # pipe_embed_semdedup; its bench pin is window-independent)
-        "dedup": ["pipe_dedup_weights", "pipe_dedup_jaccard",
-                  "pipe_dedup_clusters"],
+        # round-11: pipe_dedup_weights ceded to pipe_sample_stratified
+        # (md5-fingerprint agg stays via clusters + dup_block_share)
+        "dedup": ["pipe_dedup_jaccard", "pipe_dedup_clusters",
+                  "pipe_dedup_substring"],
         # second r6 rotation: pipe_embed_neardup (0 rows at sf0.01 —
         # zero-information evidence; LSH-cosine shape held by
         # pipe_embed_semdedup) ceded its slot to pipe_bigram_ppl
         # round-8: pipe_ann_ivf ceded to pipe_ann_recall, which
         # composes the IVF search with its brute-force ground truth
-        "similarity": ["pipe_embed_semdedup", "pipe_ann_recall"],
+        # round-11: pipe_embed_semdedup ceded to pipe_chunking (the
+        # LSH-bucketed embedding shape stays via ivfpq + recall)
+        "similarity": ["pipe_ann_ivfpq", "pipe_ann_recall"],
         "lm_scoring": ["pipe_bigram_ppl"],
         "heavy_hitters": ["pipe_freq_shingles"],
         # round-9: the two NEW r8 codec/container rows take slots;
         # second r9 rotation: pipe_multimodal_features (witnessed
         # r3-r8) ceded to pipe_multimodal_audio — the narrow-map
         # multimodal shape stays via codec+video
-        "multimodal": ["pipe_multimodal_audio", "pipe_multimodal_codec",
+        # round-11: pipe_multimodal_codec ceded to the r10-born VP8L
+        # round-trip row (tier rule #25)
+        "multimodal": ["pipe_multimodal_audio", "pipe_multimodal_webp",
                        "pipe_multimodal_video"],
         # round-8: stream_events_hourly ceded to stream_topk_trending;
         # round-9: stream_dedup ceded to stream_join (keyed state stays
@@ -241,8 +260,14 @@ def test_driver_window_is_first_50():
         # round-8 crawl front-end families; second r9 rotation:
         # pipe_warc_ingest ceded to its strictly richer file-mount
         # twin cov_warc_scan (same oracle, real archives on disk)
-        "crawl": ["cov_warc_scan", "pipe_crawl_extract"],
-        "dsir": ["pipe_dsir_weights"],
+        "crawl": ["cov_warc_scan"],
+        # round-11: pipe_dsir_weights ceded to pipe_pack_greedy (the
+        # broadcast-scoring shape stays via pipe_quality_classifier);
+        # the five Tier-B newcomer families now hold driver slots
+        "temporal": ["pipe_asof"],
+        "sampling": ["pipe_sample_stratified", "pipe_split_hash"],
+        "packing": ["pipe_pack_greedy"],
+        "chunking": ["pipe_chunking"],
         # round-8 newcomers (r7 verdict #1): the bench-headliner
         # retrieval row, a perf_* adaptation, and the four new r7
         # families now hold driver slots
@@ -251,7 +276,7 @@ def test_driver_window_is_first_50():
         # scan+filter+agg perf family) and perf_string_like entered
         "perf": ["perf_grep_scan", "perf_string_like", "perf_sort_stress",
                  "perf_agg_types"],
-        "block_dedup": ["pipe_dup_block_share", "pipe_dedup_weights"],
+        "block_dedup": ["pipe_dup_block_share"],
         "novelty": ["pipe_ngram_novelty"],
     }
     for fam, members in families.items():
@@ -364,3 +389,15 @@ def test_every_headliner_has_a_plan_pin():
     headliners = {n for n, s in REGISTRY.items() if s.headline}
     missing = sorted(headliners - set(_PLAN_PINS))
     assert not missing, f"headliners without plan pins: {missing}"
+
+
+def test_every_driver_window_row_has_a_plan_pin():
+    """EVERY driver-window row must carry a plan pin (round-10 verdict
+    What's-wrong #1: the 9 r10-rotated-in rows shipped unpinned while
+    COVERAGE.md claimed all 50 were — this makes it structurally
+    impossible for a rotation to outrun the pin file again).
+    Regenerate: python tools/gen_plan_pins.py."""
+    from impala_cut_spark.plans import DRIVER_WINDOW
+
+    missing = sorted(set(DRIVER_WINDOW) - set(_PLAN_PINS))
+    assert not missing, f"driver-window rows without plan pins: {missing}"

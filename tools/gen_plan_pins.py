@@ -61,9 +61,16 @@ def main() -> None:
 
     # pin every driver-window row AND every bench headliner (round-5
     # verdict #3: headliners must all have audited, pinned plans even
-    # when they rotate out of the correctness window)
+    # when they rotate out of the correctness window), AND every name
+    # already pinned (round-11: rotation must never SHRINK the pin set —
+    # rotated-out rows keep their plan regression guard)
+    prior = set(json.loads(OUT.read_text())) if OUT.exists() else set()
     names = list(DRIVER_WINDOW) + sorted(
-        n for n, s in REGISTRY.items() if s.headline and n not in DRIVER_WINDOW
+        (
+            {n for n, s in REGISTRY.items() if s.headline}
+            | (prior & set(REGISTRY))
+        )
+        - set(DRIVER_WINDOW)
     )
     pins: dict[str, dict] = {}
     for name in names:
