@@ -196,11 +196,68 @@ def imageio_decode(payload: bytes) -> "np.ndarray":
     return _decode_bmp(bytes(baos.toByteArray()))
 
 
+_LIBWEBP = None
+
+
+def _libwebp():
+    """Lazily dlopen the container's own libwebp (the library the
+    conformance tests already validate the pure decoders against);
+    one handle per executor Python worker."""
+    global _LIBWEBP
+    if _LIBWEBP is None:
+        import ctypes
+
+        lw = ctypes.CDLL("libwebp.so.7")
+        lw.WebPDecodeRGBA.restype = ctypes.POINTER(ctypes.c_ubyte)
+        lw.WebPDecodeRGBA.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        lw.WebPFree.argtypes = [ctypes.c_void_p]
+        lw.WebPFree.restype = None
+        _LIBWEBP = lw
+    return _LIBWEBP
+
+
+def webp_native_decode(payload: bytes) -> "np.ndarray":
+    """decode_image twin with RIFF/WEBP payloads routed to libwebp
+    (r10 verdict Missing #2: JDK ImageIO cannot read WebP, leaving the
+    slowest pure-Python kernel — lossy VP8 — without a native swap-in).
+    Both codings are pixel-identical to the pure kernel by the vp8/vp8l
+    conformance suites (YUV and RGB byte-exact vs WebPDecodeRGBA), so
+    kernel choice cannot change query results.  Every other format
+    falls through to the pure decoder; a payload libwebp rejects
+    degrades through the same _DECODE_ERRORS contract."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        import ctypes
+
+        lw = _libwebp()
+        w, h = ctypes.c_int(), ctypes.c_int()
+        ptr = lw.WebPDecodeRGBA(
+            payload, len(payload), ctypes.byref(w), ctypes.byref(h)
+        )
+        if not ptr:
+            raise ValueError("webp-native: libwebp rejected payload")
+        try:
+            arr = np.ctypeslib.as_array(ptr, shape=(h.value, w.value, 4))
+            rgb = np.ascontiguousarray(arr[..., :3])
+        finally:
+            lw.WebPFree(ctypes.cast(ptr, ctypes.c_void_p))
+        return rgb
+    return decode_image(payload)
+
+
 #: the pluggable decode kernels; plan builders read the selection from
 #: $SPARK_GRAFT_IMAGE_KERNEL at PLAN TIME (driver) and close over the
 #: NAME, so workers resolve the callable locally and a test/operator
 #: can flip kernels without restarting the session.
-IMAGE_KERNELS: dict = {"pure": decode_image, "imageio": imageio_decode}
+IMAGE_KERNELS: dict = {
+    "pure": decode_image,
+    "imageio": imageio_decode,
+    "webp-native": webp_native_decode,
+}
 
 
 def image_kernel_name() -> str:

@@ -53,6 +53,14 @@ __all__ = ["decode_vp8", "vp8_to_rgb"]
 
 # -- boolean decoder (RFC 6386 §7) --------------------------------------------
 
+#: renormalization shift per post-split range value: the §7.3 loop
+#: doubles rng until >= 128, i.e. shifts by 8 - bit_length(rng); a
+#: 256-entry table turns the per-bit while-loop into one lookup
+#: (round 11).  At most ONE byte refill can occur per renorm (shift
+#: <= 7, pending bits <= 7), inserted at the post-shift bit offset —
+#: identical to feeding the byte mid-loop and shifting the remainder.
+_RENORM = tuple(8 - r.bit_length() if 0 < r < 128 else 0 for r in range(256))
+
 
 class _Bool:
     __slots__ = ("d", "pos", "val", "rng", "bits")
@@ -76,15 +84,17 @@ class _Bool:
         else:
             ret = 0
             self.rng = split
-        while self.rng < 128:
-            self.val = (self.val << 1) & 0xFFFF_FFFF
-            self.rng <<= 1
-            self.bits += 1
-            if self.bits == 8:
-                self.bits = 0
+        sh = _RENORM[self.rng]
+        if sh:
+            self.val = (self.val << sh) & 0xFFFF_FFFF
+            self.rng <<= sh
+            bits = self.bits + sh
+            if bits >= 8:
+                bits -= 8
                 if self.pos < len(self.d):
-                    self.val |= self.d[self.pos]
+                    self.val |= self.d[self.pos] << bits
                 self.pos += 1
+            self.bits = bits
         return ret
 
     def literal(self, n: int) -> int:
@@ -268,118 +278,198 @@ def _dequant_factors(f: _Frame, segment: int):
 
 def _decode_coeffs(
     bd: _Bool, probs, first: int, quant, ctx: int
-) -> tuple[np.ndarray, int]:
-    """Decode one 4x4 block's coefficients → (natural-order int32[16],
-    nonzero flag).  ``probs`` = coeff_probs[block_type]; ``ctx`` in 0-2."""
-    out = np.zeros(16, dtype=np.int64)
+) -> tuple[list, int]:
+    """Decode one 4x4 block's coefficients → (natural-order int[16]
+    list, nonzero flag).  ``probs`` = coeff_probs[block_type]; ``ctx``
+    in 0-2.  The §7 boolean decoder is INLINED on local ints — the
+    half-million per-megapixel bd.bit() method calls were ~20% of
+    decode time (round 11); decoder state round-trips through ``bd``
+    at the call boundary.  Each inlined site is the same primitive:
+    split/compare for the bit, then the §7.3 renormalize loop."""
+    d = bd.d
+    dlen = len(d)
+    pos = bd.pos
+    val = bd.val
+    rng = bd.rng
+    bits = bd.bits
+    out = [0] * 16
     n = first
     nonzero = 0
     skip_eob = False
+    q_dc, q_ac = quant[0], quant[1]
+    bands = BANDS
+    zigzag = ZIGZAG
+    cat_probs = CAT_PROBS
+    renorm = _RENORM
     while n < 16:
-        p = probs[BANDS[n]][ctx]
+        p = probs[bands[n]][ctx]
         if not skip_eob:
-            if not bd.bit(p[0]):  # EOB
+            split = 1 + (((rng - 1) * p[0]) >> 8)
+            big = split << 8
+            if val >= big:
+                rng -= split
+                val -= big
+                eob = False
+            else:
+                rng = split
+                eob = True
+            sh = renorm[rng]
+            if sh:
+                val = (val << sh) & 0xFFFF_FFFF
+                rng <<= sh
+                bits += sh
+                if bits >= 8:
+                    bits -= 8
+                    if pos < dlen:
+                        val |= d[pos] << bits
+                    pos += 1
+            if eob:
                 break
-        if not bd.bit(p[1]):  # zero
+        split = 1 + (((rng - 1) * p[1]) >> 8)
+        big = split << 8
+        if val >= big:
+            rng -= split
+            val -= big
+            zero = False
+        else:
+            rng = split
+            zero = True
+        sh = renorm[rng]
+        if sh:
+            val = (val << sh) & 0xFFFF_FFFF
+            rng <<= sh
+            bits += sh
+            if bits >= 8:
+                bits -= 8
+                if pos < dlen:
+                    val |= d[pos] << bits
+                pos += 1
+        if zero:
             n += 1
             ctx = 0
             skip_eob = True
             continue
         skip_eob = False
-        if not bd.bit(p[2]):
-            val = 1
+        split = 1 + (((rng - 1) * p[2]) >> 8)
+        big = split << 8
+        if val >= big:
+            rng -= split
+            val -= big
+            one = False
+        else:
+            rng = split
+            one = True
+        sh = renorm[rng]
+        if sh:
+            val = (val << sh) & 0xFFFF_FFFF
+            rng <<= sh
+            bits += sh
+            if bits >= 8:
+                bits -= 8
+                if pos < dlen:
+                    val |= d[pos] << bits
+                pos += 1
+        if one:
+            v = 1
             ctx = 1
         else:
+            # larger magnitudes: walk the category tree with the same
+            # inlined primitive behind a local prob cursor
             ctx = 2
-            if not bd.bit(p[3]):
-                if not bd.bit(p[4]):
-                    val = 2
+            bd.pos, bd.val, bd.rng, bd.bits = pos, val, rng, bits
+            bit = bd.bit
+            if not bit(p[3]):
+                if not bit(p[4]):
+                    v = 2
                 else:
-                    val = 3 + bd.bit(p[5])
-            elif not bd.bit(p[6]):
-                base, cp = CAT_PROBS[0] if not bd.bit(p[7]) else CAT_PROBS[1]
+                    v = 3 + bit(p[5])
+            elif not bit(p[6]):
+                base, cp = cat_probs[0] if not bit(p[7]) else cat_probs[1]
                 extra = 0
                 for cpb in cp:
-                    extra = (extra << 1) | bd.bit(cpb)
-                val = base + extra
+                    extra = (extra << 1) | bit(cpb)
+                v = base + extra
             else:
-                if not bd.bit(p[8]):
-                    base, cp = CAT_PROBS[2] if not bd.bit(p[9]) else CAT_PROBS[3]
+                if not bit(p[8]):
+                    base, cp = cat_probs[2] if not bit(p[9]) else cat_probs[3]
                 else:
-                    base, cp = CAT_PROBS[4] if not bd.bit(p[10]) else CAT_PROBS[5]
+                    base, cp = cat_probs[4] if not bit(p[10]) else cat_probs[5]
                 extra = 0
                 for cpb in cp:
-                    extra = (extra << 1) | bd.bit(cpb)
-                val = base + extra
-        if bd.bit(128):
-            val = -val
-        out[ZIGZAG[n]] = val * quant[0 if n == 0 else 1]
+                    extra = (extra << 1) | bit(cpb)
+                v = base + extra
+            pos, val, rng, bits = bd.pos, bd.val, bd.rng, bd.bits
+        # sign bit (prob 128)
+        split = 1 + (((rng - 1) * 128) >> 8)
+        big = split << 8
+        if val >= big:
+            rng -= split
+            val -= big
+            v = -v
+        else:
+            rng = split
+        sh = renorm[rng]
+        if sh:
+            val = (val << sh) & 0xFFFF_FFFF
+            rng <<= sh
+            bits += sh
+            if bits >= 8:
+                bits -= 8
+                if pos < dlen:
+                    val |= d[pos] << bits
+                pos += 1
+        out[zigzag[n]] = v * (q_dc if n == 0 else q_ac)
         nonzero = 1
         n += 1
+    bd.pos, bd.val, bd.rng, bd.bits = pos, val, rng, bits
     return out, nonzero
 
 
 # -- inverse transforms (§14.3-14.4) -------------------------------------------
 
 
-def _iwht(inp: np.ndarray) -> np.ndarray:
-    """Inverse Walsh-Hadamard for the Y2 block → 16 DC values."""
-    out = np.zeros(16, dtype=np.int64)
-    tmp = np.zeros(16, dtype=np.int64)
-    for i in range(4):
-        a1 = inp[i] + inp[12 + i]
-        b1 = inp[4 + i] + inp[8 + i]
-        c1 = inp[4 + i] - inp[8 + i]
-        d1 = inp[i] - inp[12 + i]
-        tmp[i] = a1 + b1
-        tmp[4 + i] = c1 + d1
-        tmp[8 + i] = a1 - b1
-        tmp[12 + i] = d1 - c1
-    for i in range(4):
-        a1 = tmp[4 * i] + tmp[4 * i + 3]
-        b1 = tmp[4 * i + 1] + tmp[4 * i + 2]
-        c1 = tmp[4 * i + 1] - tmp[4 * i + 2]
-        d1 = tmp[4 * i] - tmp[4 * i + 3]
-        out[4 * i] = (a1 + b1 + 3) >> 3
-        out[4 * i + 1] = (c1 + d1 + 3) >> 3
-        out[4 * i + 2] = (a1 - b1 + 3) >> 3
-        out[4 * i + 3] = (d1 - c1 + 3) >> 3
-    return out
+def _iwht_batch(inp: np.ndarray) -> np.ndarray:
+    """Inverse Walsh-Hadamard for (m, 16) Y2 blocks → (m, 16) DC values
+    (the scalar §14.3 ops vectorized over the block axis; arithmetic
+    right shift on int64 matches the spec's floor semantics)."""
+    c = inp.reshape(-1, 4, 4)  # [m, row k, column i]
+    a1 = c[:, 0, :] + c[:, 3, :]
+    b1 = c[:, 1, :] + c[:, 2, :]
+    c1 = c[:, 1, :] - c[:, 2, :]
+    d1 = c[:, 0, :] - c[:, 3, :]
+    t = np.stack([a1 + b1, c1 + d1, a1 - b1, d1 - c1], axis=1)
+    a1 = t[:, :, 0] + t[:, :, 3]
+    b1 = t[:, :, 1] + t[:, :, 2]
+    c1 = t[:, :, 1] - t[:, :, 2]
+    d1 = t[:, :, 0] - t[:, :, 3]
+    out = np.stack(
+        [(a1 + b1 + 3) >> 3, (c1 + d1 + 3) >> 3,
+         (a1 - b1 + 3) >> 3, (d1 - c1 + 3) >> 3],
+        axis=2,
+    )
+    return out.reshape(-1, 16)
 
 
-def _idct4x4(c: np.ndarray) -> np.ndarray:
-    """Exact VP8 inverse DCT (c in natural order) → int16 4x4 residual."""
+def _idct4x4_batch(c: np.ndarray) -> np.ndarray:
+    """Exact VP8 inverse DCT on (m, 16) natural-order blocks → (m, 4, 4)
+    residuals (§14.4 vectorized over the block axis)."""
     cos = 20091
     sin = 35468
-    tmp = np.zeros(16, dtype=np.int64)
-    for i in range(4):
-        a1 = c[i] + c[8 + i]
-        b1 = c[i] - c[8 + i]
-        t1 = (c[4 + i] * sin) >> 16
-        t2 = c[12 + i] + ((c[12 + i] * cos) >> 16)
-        c1 = t1 - t2
-        t1 = c[4 + i] + ((c[4 + i] * cos) >> 16)
-        t2 = (c[12 + i] * sin) >> 16
-        d1 = t1 + t2
-        tmp[i] = a1 + d1
-        tmp[12 + i] = a1 - d1
-        tmp[4 + i] = b1 + c1
-        tmp[8 + i] = b1 - c1
-    out = np.zeros(16, dtype=np.int64)
-    for i in range(4):
-        a1 = tmp[4 * i] + tmp[4 * i + 2]
-        b1 = tmp[4 * i] - tmp[4 * i + 2]
-        t1 = (tmp[4 * i + 1] * sin) >> 16
-        t2 = tmp[4 * i + 3] + ((tmp[4 * i + 3] * cos) >> 16)
-        c1 = t1 - t2
-        t1 = tmp[4 * i + 1] + ((tmp[4 * i + 1] * cos) >> 16)
-        t2 = (tmp[4 * i + 3] * sin) >> 16
-        d1 = t1 + t2
-        out[4 * i] = (a1 + d1 + 4) >> 3
-        out[4 * i + 3] = (a1 - d1 + 4) >> 3
-        out[4 * i + 1] = (b1 + c1 + 4) >> 3
-        out[4 * i + 2] = (b1 - c1 + 4) >> 3
-    return out.reshape(4, 4)
+    c = c.reshape(-1, 4, 4)
+    a1 = c[:, 0, :] + c[:, 2, :]
+    b1 = c[:, 0, :] - c[:, 2, :]
+    c1 = ((c[:, 1, :] * sin) >> 16) - (c[:, 3, :] + ((c[:, 3, :] * cos) >> 16))
+    d1 = (c[:, 1, :] + ((c[:, 1, :] * cos) >> 16)) + ((c[:, 3, :] * sin) >> 16)
+    t = np.stack([a1 + d1, b1 + c1, b1 - c1, a1 - d1], axis=1)
+    a1 = t[:, :, 0] + t[:, :, 2]
+    b1 = t[:, :, 0] - t[:, :, 2]
+    c1 = ((t[:, :, 1] * sin) >> 16) - (t[:, :, 3] + ((t[:, :, 3] * cos) >> 16))
+    d1 = (t[:, :, 1] + ((t[:, :, 1] * cos) >> 16)) + ((t[:, :, 3] * sin) >> 16)
+    return np.stack(
+        [(a1 + d1 + 4) >> 3, (b1 + c1 + 4) >> 3,
+         (b1 - c1 + 4) >> 3, (a1 - d1 + 4) >> 3],
+        axis=2,
+    )
 
 
 # -- intra prediction (§12) ----------------------------------------------------
@@ -424,11 +514,9 @@ def _pred4(
     """4x4 B_PRED into Y[y0:y0+4, x0:x0+4]; ``tr`` = the 4 above-right
     pixels.  Edges are guaranteed present: the caller pads row -1 /
     col -1 with the 127/129 conventions."""
-    A = Y[y0 - 1, x0 : x0 + 4]
-    L = Y[y0 : y0 + 4, x0 - 1]
     P = int(Y[y0 - 1, x0 - 1])
-    a = [int(v) for v in A] + [int(v) for v in tr]
-    l = [int(v) for v in L]
+    a = Y[y0 - 1, x0 : x0 + 4].tolist() + tr.tolist()
+    l = Y[y0 : y0 + 4, x0 - 1].tolist()
     out = Y[y0 : y0 + 4, x0 : x0 + 4]
 
     def avg3(x, y, z):
@@ -545,13 +633,17 @@ def decode_vp8(data: bytes):
     #  left of the frame reads 129, above-left corner also 127 on the
     #  top row / 129 down the left side — matched below per predictor)
 
-    # per-MB mode parse (partition 1, after the header bool state)
+    # per-MB mode parse (partition 1, after the header bool state).
+    # Plain Python lists throughout the sequential bookkeeping: numpy
+    # scalar indexing on these tiny per-MB state arrays was a real
+    # fraction of decode time (round 11).
     b = f.b
-    segments = np.zeros(mb_h * mb_w, dtype=np.int64)
-    skips = np.zeros(mb_h * mb_w, dtype=np.int64)
-    ymodes = np.zeros(mb_h * mb_w, dtype=np.int64)
-    uvmodes = np.zeros(mb_h * mb_w, dtype=np.int64)
-    bmodes = np.zeros((mb_h * mb_w, 16), dtype=np.int64)
+    n_mb = mb_h * mb_w
+    segments = [0] * n_mb
+    skips = [0] * n_mb
+    ymodes = [0] * n_mb
+    uvmodes = [0] * n_mb
+    bmodes: list = [None] * n_mb
     #: per-MB bottom row of sub-modes (context for the MB below)
     above_b = [[B_DC] * 4 for _ in range(mb_w)]
     for mby in range(mb_h):
@@ -565,101 +657,137 @@ def decode_vp8(data: bytes):
             ym = b.tree(_KF_YMODE_TREE, KF_YMODE_PROBS)
             ymodes[i] = ym
             if ym == B_PRED:
+                bm = [0] * 16
                 for sy in range(4):
                     for sx in range(4):
-                        a = above_b[mbx][sx] if sy == 0 else bmodes[i][(sy - 1) * 4 + sx]
-                        l = left_b[sy] if sx == 0 else bmodes[i][sy * 4 + sx - 1]
-                        m = b.tree(_BMODE_TREE, KF_BMODE_PROBS[a][l])
-                        bmodes[i][sy * 4 + sx] = m
-                above_b[mbx] = [int(v) for v in bmodes[i][12:16]]
-                left_b = [int(bmodes[i][r * 4 + 3]) for r in range(4)]
+                        a = above_b[mbx][sx] if sy == 0 else bm[(sy - 1) * 4 + sx]
+                        l = left_b[sy] if sx == 0 else bm[sy * 4 + sx - 1]
+                        bm[sy * 4 + sx] = b.tree(_BMODE_TREE, KF_BMODE_PROBS[a][l])
+                bmodes[i] = bm
+                above_b[mbx] = bm[12:16]
+                left_b = [bm[r * 4 + 3] for r in range(4)]
             else:
                 eq = _MODE_TO_B[ym]
-                bmodes[i][:] = eq
+                bmodes[i] = [eq] * 16
                 above_b[mbx] = [eq] * 4
                 left_b = [eq] * 4
             uvmodes[i] = b.tree(_UVMODE_TREE, KF_UVMODE_PROBS)
 
     # coefficient decode + reconstruction
     # nonzero contexts: per-plane per-4x4-column/row flags
-    above_nz_y = np.zeros((mb_w, 4), dtype=np.int64)
-    above_nz_u = np.zeros((mb_w, 2), dtype=np.int64)
-    above_nz_v = np.zeros((mb_w, 2), dtype=np.int64)
-    above_nz_y2 = np.zeros(mb_w, dtype=np.int64)
+    above_nz_y = [[0] * 4 for _ in range(mb_w)]
+    above_nz_u = [[0] * 2 for _ in range(mb_w)]
+    above_nz_v = [[0] * 2 for _ in range(mb_w)]
+    above_nz_y2 = [0] * mb_w
     fstore = np.zeros((mb_h, mb_w, 2), dtype=np.int64)  # (has_coeffs, level) for LF
     n_parts = len(f.token_parts)
+    zero16 = [0] * 16  # shared: np.asarray copies, rows are never mutated
     for mby in range(mb_h):
         bd = f.token_parts[mby % n_parts]
-        left_nz_y = np.zeros(4, dtype=np.int64)
-        left_nz_u = np.zeros(2, dtype=np.int64)
-        left_nz_v = np.zeros(2, dtype=np.int64)
+        left_nz_y = [0] * 4
+        left_nz_u = [0] * 2
+        left_nz_v = [0] * 2
         left_nz_y2 = 0
+        # phase 1 (sequential entropy decode): the whole MB row's
+        # coefficients land in one (mb_w, 25, 16) buffer so the inverse
+        # transforms can run as ONE vectorized batch per row (round 11 —
+        # the per-block scalar iDCT was ~15% of decode time)
+        row_coeff_lists = [[zero16] * 25 for _ in range(mb_w)]
+        row_nz_lists = [[False] * 25 for _ in range(mb_w)]
         for mbx in range(mb_w):
             i = mby * mb_w + mbx
-            seg = int(segments[i])
-            qy1, qy2, quv = _dequant_factors(f, seg)
-            ym = int(ymodes[i])
+            qy1, qy2, quv = _dequant_factors(f, segments[i])
+            ym = ymodes[i]
             has_y2 = ym != B_PRED
-            coeffs = np.zeros((25, 16), dtype=np.int64)
+            coeffs = row_coeff_lists[mbx]
+            nzs = row_nz_lists[mbx]
             mb_nonzero = 0
+            anz_y = above_nz_y[mbx]
             if skips[i]:
                 # skipped MB: no coefficients; nonzero ctx resets (but
                 # Y2 ctx persists only for MBs WITH Y2 — RFC 13.1)
-                left_nz_y[:] = 0
-                above_nz_y[mbx, :] = 0
-                left_nz_u[:] = 0
-                above_nz_u[mbx, :] = 0
-                left_nz_v[:] = 0
-                above_nz_v[mbx, :] = 0
+                left_nz_y[:] = (0, 0, 0, 0)
+                anz_y[:] = (0, 0, 0, 0)
+                left_nz_u[:] = (0, 0)
+                above_nz_u[mbx][:] = (0, 0)
+                left_nz_v[:] = (0, 0)
+                above_nz_v[mbx][:] = (0, 0)
                 if has_y2:
                     left_nz_y2 = 0
                     above_nz_y2[mbx] = 0
             else:
                 first = 0
                 if has_y2:
-                    ctx = int(above_nz_y2[mbx] + left_nz_y2)
+                    ctx = above_nz_y2[mbx] + left_nz_y2
                     c, nz = _decode_coeffs(bd, f.coeff_probs[1], 0, qy2, ctx)
                     coeffs[24] = c
+                    nzs[24] = nz != 0
                     above_nz_y2[mbx] = left_nz_y2 = nz
                     mb_nonzero |= nz
                     first = 1
                 ptype = 0 if has_y2 else 3
                 for sy in range(4):
+                    lnz = left_nz_y[sy]
                     for sx in range(4):
-                        ctx = int(above_nz_y[mbx, sx] + left_nz_y[sy])
                         c, nz = _decode_coeffs(
-                            bd, f.coeff_probs[ptype], first, qy1, ctx
+                            bd, f.coeff_probs[ptype], first, qy1,
+                            anz_y[sx] + lnz,
                         )
                         coeffs[sy * 4 + sx] = c
-                        above_nz_y[mbx, sx] = left_nz_y[sy] = nz
+                        nzs[sy * 4 + sx] = nz != 0
+                        anz_y[sx] = lnz = nz
                         mb_nonzero |= nz
-                for plane, base, anz, lnz in (
-                    (16, 16, above_nz_u, left_nz_u),
-                    (20, 20, above_nz_v, left_nz_v),
+                    left_nz_y[sy] = lnz
+                for base, anzs, lnzs in (
+                    (16, above_nz_u[mbx], left_nz_u),
+                    (20, above_nz_v[mbx], left_nz_v),
                 ):
                     for sy in range(2):
                         for sx in range(2):
-                            ctx = int(anz[mbx, sx] + lnz[sy])
                             c, nz = _decode_coeffs(
-                                bd, f.coeff_probs[2], 0, quv, ctx
+                                bd, f.coeff_probs[2], 0, quv,
+                                anzs[sx] + lnzs[sy],
                             )
                             coeffs[base + sy * 2 + sx] = c
-                            anz[mbx, sx] = lnz[sy] = nz
+                            nzs[base + sy * 2 + sx] = nz != 0
+                            anzs[sx] = lnzs[sy] = nz
                             mb_nonzero |= nz
             fstore[mby, mbx, 0] = mb_nonzero
-            # --- reconstruction ---
+        # phase 2 (batched inverse transforms for the row)
+        row_coeffs = np.asarray(row_coeff_lists, dtype=np.int64)
+        row_nz = np.asarray(row_nz_lists, dtype=bool)
+        y2_mbs = np.asarray(
+            [x for x in range(mb_w) if ymodes[mby * mb_w + x] != B_PRED],
+            dtype=np.intp,
+        )
+        if len(y2_mbs):
+            dcs = _iwht_batch(row_coeffs[y2_mbs, 24])
+            row_coeffs[y2_mbs, :16, 0] = dcs
+            # a zero-token Y block still needs its iDCT when the iWHT
+            # hands it a nonzero DC (matches the scalar blk.any() gate)
+            row_nz[y2_mbs, :16] |= dcs != 0
+        flat_nz = row_nz.reshape(-1)
+        res = np.zeros((mb_w * 25, 4, 4), dtype=np.int64)
+        if flat_nz.any():
+            res[flat_nz] = _idct4x4_batch(row_coeffs.reshape(-1, 16)[flat_nz])
+        res = res.reshape(mb_w, 25, 4, 4)
+        row_nz_lists = row_nz.tolist()  # refreshed with the iWHT DCs
+        # phase 3 (prediction + residual add, sequential per MB)
+        for mbx in range(mb_w):
+            i = mby * mb_w + mbx
+            ym = ymodes[i]
+            nzs = row_nz_lists[mbx]
+            nza = row_nz[mbx]
+            mres = res[mbx]
             x0, y0 = mbx * 16 + 1, mby * 16 + 1
             cx0, cy0 = mbx * 8 + 1, mby * 8 + 1
-            if has_y2:
-                dcs = _iwht(coeffs[24])
-                for k in range(16):
-                    coeffs[k][0] = dcs[k]
             if mbx == mb_w - 1:
                 # rightmost MB: the 4 above-right samples replicate the
                 # last above pixel (row 0 already holds 127s)
                 if mby > 0:
                     Y[y0 - 1, x0 + 16 : x0 + 20] = Y[y0 - 1, x0 + 15]
             if ym == B_PRED:
+                bm = bmodes[i]
                 for sy in range(4):
                     for sx in range(4):
                         bx, by = x0 + sx * 4, y0 + sy * 4
@@ -667,34 +795,41 @@ def decode_vp8(data: bytes):
                             tr = Y[y0 - 1, x0 + 16 : x0 + 20]
                         else:
                             tr = Y[by - 1, bx + 4 : bx + 8]
-                        _pred4(Y, bx, by, int(bmodes[i][sy * 4 + sx]), tr)
-                        blk = coeffs[sy * 4 + sx]
-                        if blk.any():
-                            res = _idct4x4(blk)
-                            v = Y[by : by + 4, bx : bx + 4] + res
+                        _pred4(Y, bx, by, bm[sy * 4 + sx], tr)
+                        if nzs[sy * 4 + sx]:
+                            v = Y[by : by + 4, bx : bx + 4] + mres[sy * 4 + sx]
                             Y[by : by + 4, bx : bx + 4] = np.clip(v, 0, 255)
             else:
                 _pred16_or_8(Y, x0, y0, 16, ym, mby > 0, mbx > 0)
-                for sy in range(4):
-                    for sx in range(4):
-                        blk = coeffs[sy * 4 + sx]
-                        if blk.any():
-                            res = _idct4x4(blk)
-                            by, bx = y0 + sy * 4, x0 + sx * 4
-                            v = Y[by : by + 4, bx : bx + 4] + res
-                            Y[by : by + 4, bx : bx + 4] = np.clip(v, 0, 255)
+                if nza[:16].any():
+                    # one composite 16x16 add: untouched blocks carry a
+                    # zero residual, so clip is the identity there
+                    comp = (
+                        mres[:16]
+                        .reshape(4, 4, 4, 4)
+                        .transpose(0, 2, 1, 3)
+                        .reshape(16, 16)
+                    )
+                    v = Y[y0 : y0 + 16, x0 : x0 + 16] + comp
+                    Y[y0 : y0 + 16, x0 : x0 + 16] = np.clip(v, 0, 255)
             for plane, base in ((U, 16), (V, 20)):
-                _pred16_or_8(plane, cx0, cy0, 8, int(uvmodes[i]), mby > 0, mbx > 0)
-                for sy in range(2):
-                    for sx in range(2):
-                        blk = coeffs[base + sy * 2 + sx]
-                        if blk.any():
-                            res = _idct4x4(blk)
-                            by, bx = cy0 + sy * 4, cx0 + sx * 4
-                            v = plane[by : by + 4, bx : bx + 4] + res
-                            plane[by : by + 4, bx : bx + 4] = np.clip(v, 0, 255)
+                _pred16_or_8(plane, cx0, cy0, 8, uvmodes[i], mby > 0, mbx > 0)
+                if nza[base : base + 4].any():
+                    comp = (
+                        mres[base : base + 4]
+                        .reshape(2, 2, 4, 4)
+                        .transpose(0, 2, 1, 3)
+                        .reshape(8, 8)
+                    )
+                    v = plane[cy0 : cy0 + 8, cx0 : cx0 + 8] + comp
+                    plane[cy0 : cy0 + 8, cx0 : cx0 + 8] = np.clip(v, 0, 255)
 
-    _loop_filter(f, Y, U, V, mb_w, mb_h, segments, ymodes, skips, fstore)
+    _loop_filter(
+        f, Y, U, V, mb_w, mb_h,
+        np.asarray(segments, dtype=np.int64),
+        np.asarray(ymodes, dtype=np.int64),
+        skips, fstore,
+    )
 
     y = Y[1 : H + 1, 1 : W + 1].astype(np.uint8)
     u = U[1 : ((H + 1) >> 1) + 1, 1 : ((W + 1) >> 1) + 1].astype(np.uint8)
@@ -733,168 +868,212 @@ def _lf_params(f: _Frame, level: int):
     return interior, hev
 
 
-def _c(v: int) -> int:  # signed clamp to [-128, 127]
-    return -128 if v < -128 else (127 if v > 127 else v)
+def _vcl(x, lo, hi, _mx=np.maximum, _mn=np.minimum):
+    """np.clip without its python dispatch wrapper (~7us/call saved —
+    the filter makes ~50k small-array clips per megapixel)."""
+    return _mn(_mx(x, lo), hi)
 
 
-def _filter_common4(p1, p0, q0, q1, hev):
-    """Normal sub-filter on unsigned [p1,p0,q0,q1] → new (p1,p0,q0,q1)."""
+def _vec_common4(p1, p0, q0, q1, hev):
+    """Vectorized normal sub-filter (RFC §15.2) on int64 lane arrays
+    of unsigned [p1,p0,q0,q1]; ``hev`` is a boolean lane mask.  Returns
+    the filtered (p1, p0, q0, q1) — p1/q1 pass through on hev lanes,
+    exactly like the scalar form (arithmetic >> on int64 = the spec's
+    sign-propagating shift)."""
     sp1, sp0, sq0, sq1 = p1 - 128, p0 - 128, q0 - 128, q1 - 128
-    a = _c(sp1 - sq1) if hev else 0
-    a = _c(a + 3 * (sq0 - sp0))
-    f1 = _c(a + 4) >> 3
-    f2 = _c(a + 3) >> 3
-    v = sq0 - f1 + 128
-    nq0 = 0 if v < 0 else (255 if v > 255 else v)
-    v = sp0 + f2 + 128
-    np0 = 0 if v < 0 else (255 if v > 255 else v)
-    if hev:
-        return p1, np0, nq0, q1
+    a = np.where(hev, _vcl(sp1 - sq1, -128, 127), 0)
+    a = _vcl(a + 3 * (sq0 - sp0), -128, 127)
+    f1 = _vcl(a + 4, -128, 127) >> 3
+    f2 = _vcl(a + 3, -128, 127) >> 3
+    nq0 = _vcl(sq0 - f1 + 128, 0, 255)
+    np0 = _vcl(sp0 + f2 + 128, 0, 255)
     a = (f1 + 1) >> 1
-    v = sq1 - a + 128
-    nq1 = 0 if v < 0 else (255 if v > 255 else v)
-    v = sp1 + a + 128
-    np1 = 0 if v < 0 else (255 if v > 255 else v)
+    nq1 = np.where(hev, q1, _vcl(sq1 - a + 128, 0, 255))
+    np1 = np.where(hev, p1, _vcl(sp1 + a + 128, 0, 255))
     return np1, np0, nq0, nq1
 
 
-def _mb_filter6(p2, p1, p0, q0, q1, q2):
-    """Macroblock-edge 6-pixel filter (RFC §15.3; every tap re-clamped)."""
+def _vec_mb6(p2, p1, p0, q0, q1, q2):
+    """Vectorized macroblock-edge 6-pixel filter (RFC §15.3)."""
     sp2, sp1, sp0 = p2 - 128, p1 - 128, p0 - 128
     sq0, sq1, sq2 = q0 - 128, q1 - 128, q2 - 128
-    w = _c(_c(sp1 - sq1) + 3 * (sq0 - sp0))
-    a = _c((27 * w + 63) >> 7)
-    v = sq0 - a + 128
-    nq0 = 0 if v < 0 else (255 if v > 255 else v)
-    v = sp0 + a + 128
-    np0 = 0 if v < 0 else (255 if v > 255 else v)
-    a = _c((18 * w + 63) >> 7)
-    v = sq1 - a + 128
-    nq1 = 0 if v < 0 else (255 if v > 255 else v)
-    v = sp1 + a + 128
-    np1 = 0 if v < 0 else (255 if v > 255 else v)
-    a = _c((9 * w + 63) >> 7)
-    v = sq2 - a + 128
-    nq2 = 0 if v < 0 else (255 if v > 255 else v)
-    v = sp2 + a + 128
-    np2 = 0 if v < 0 else (255 if v > 255 else v)
+    w = _vcl(_vcl(sp1 - sq1, -128, 127) + 3 * (sq0 - sp0), -128, 127)
+    a = _vcl((27 * w + 63) >> 7, -128, 127)
+    nq0 = _vcl(sq0 - a + 128, 0, 255)
+    np0 = _vcl(sp0 + a + 128, 0, 255)
+    a = _vcl((18 * w + 63) >> 7, -128, 127)
+    nq1 = _vcl(sq1 - a + 128, 0, 255)
+    np1 = _vcl(sp1 + a + 128, 0, 255)
+    a = _vcl((9 * w + 63) >> 7, -128, 127)
+    nq2 = _vcl(sq2 - a + 128, 0, 255)
+    np2 = _vcl(sp2 + a + 128, 0, 255)
     return np2, np1, np0, nq0, nq1, nq2
 
 
-def _filter_edge(buf, e, lo, hi, ilimit, elimit, hev_t, mb_edge, horizontal):
-    """Filter one edge of a list-of-lists plane buffer.  ``e`` is the
-    column (vertical edge) or row (horizontal edge) of the q0 pixel."""
-    if horizontal:
-        r = [buf[e + d] for d in range(-4, 4)]
-        for t in range(lo, hi):
-            p3 = r[0][t]; p2 = r[1][t]; p1 = r[2][t]; p0 = r[3][t]
-            q0 = r[4][t]; q1 = r[5][t]; q2 = r[6][t]; q3 = r[7][t]
-            if (abs(p0 - q0) * 2 + (abs(p1 - q1) >> 1) > elimit
-                    or abs(p3 - p2) > ilimit or abs(p2 - p1) > ilimit
-                    or abs(p1 - p0) > ilimit or abs(q3 - q2) > ilimit
-                    or abs(q2 - q1) > ilimit or abs(q1 - q0) > ilimit):
-                continue
-            hev = abs(p1 - p0) > hev_t or abs(q1 - q0) > hev_t
-            if mb_edge and not hev:
-                (r[1][t], r[2][t], r[3][t], r[4][t], r[5][t], r[6][t]) = (
-                    _mb_filter6(p2, p1, p0, q0, q1, q2)
-                )
-            else:
-                (r[2][t], r[3][t], r[4][t], r[5][t]) = _filter_common4(
-                    p1, p0, q0, q1, hev if not mb_edge else True
-                )
+def _vec_filter_seg(seg, ilimit, elimit, hev_t, mb_edge, simple):
+    """Filter a gathered (n, L, 8) edge segment IN PLACE: last axis is
+    [p3..q3] across the edge, middle axis the L lanes along it, first
+    axis the batched macroblocks (per-MB limits broadcast as (n,1))."""
+    p3, p2, p1, p0 = seg[..., 0], seg[..., 1], seg[..., 2], seg[..., 3]
+    q0, q1, q2, q3 = seg[..., 4], seg[..., 5], seg[..., 6], seg[..., 7]
+    filt = np.abs(p0 - q0) * 2 + (np.abs(p1 - q1) >> 1) <= elimit
+    if simple:
+        _, np0, nq0, _ = _vec_common4(
+            p1, p0, q0, q1, np.ones_like(filt)
+        )
+        seg[..., 3] = np.where(filt, np0, p0)
+        seg[..., 4] = np.where(filt, nq0, q0)
+        return
+    for x, y in ((p3, p2), (p2, p1), (p1, p0), (q3, q2), (q2, q1), (q1, q0)):
+        filt &= np.abs(x - y) <= ilimit
+    hev = (np.abs(p1 - p0) > hev_t) | (np.abs(q1 - q0) > hev_t)
+    if mb_edge:
+        np2, np1, np0, nq0, nq1, nq2 = _vec_mb6(p2, p1, p0, q0, q1, q2)
+        _, cp0, cq0, _ = _vec_common4(p1, p0, q0, q1, np.ones_like(hev))
+        m6 = filt & ~hev
+        m4 = filt & hev
+        seg[..., 1] = np.where(m6, np2, p2)
+        seg[..., 2] = np.where(m6, np1, p1)
+        seg[..., 3] = np.where(m6, np0, np.where(m4, cp0, p0))
+        seg[..., 4] = np.where(m6, nq0, np.where(m4, cq0, q0))
+        seg[..., 5] = np.where(m6, nq1, q1)
+        seg[..., 6] = np.where(m6, nq2, q2)
     else:
-        for t in range(lo, hi):
-            row = buf[t]
-            p3, p2, p1, p0, q0, q1, q2, q3 = row[e - 4 : e + 4]
-            if (abs(p0 - q0) * 2 + (abs(p1 - q1) >> 1) > elimit
-                    or abs(p3 - p2) > ilimit or abs(p2 - p1) > ilimit
-                    or abs(p1 - p0) > ilimit or abs(q3 - q2) > ilimit
-                    or abs(q2 - q1) > ilimit or abs(q1 - q0) > ilimit):
-                continue
-            hev = abs(p1 - p0) > hev_t or abs(q1 - q0) > hev_t
-            if mb_edge and not hev:
-                row[e - 3 : e + 3] = _mb_filter6(p2, p1, p0, q0, q1, q2)
-            else:
-                row[e - 2 : e + 2] = _filter_common4(
-                    p1, p0, q0, q1, hev if not mb_edge else True
-                )
+        np1, np0, nq0, nq1 = _vec_common4(p1, p0, q0, q1, hev)
+        seg[..., 2] = np.where(filt, np1, p1)
+        seg[..., 3] = np.where(filt, np0, p0)
+        seg[..., 4] = np.where(filt, nq0, q0)
+        seg[..., 5] = np.where(filt, nq1, q1)
 
 
-def _simple_edge(buf, e, lo, hi, elimit, horizontal):
+_LANE16 = np.arange(16)
+_TAP8 = np.arange(-4, 4)
+
+
+def _vec_edge(plane, ex, ey, lanes, ilim, elim, hev, mb_edge, simple,
+              horizontal):
+    """Gather-filter-scatter one edge per batched MB.  ``ex``/``ey`` are
+    (n,) q0 coordinates; per-MB limits come in as (n,) and broadcast."""
+    if len(ex) == 0:
+        return
+    il = ilim[:, None]
+    el = elim[:, None]
+    hv = hev[:, None]
     if horizontal:
-        r = [buf[e + d] for d in range(-2, 2)]
-        for t in range(lo, hi):
-            p1 = r[0][t]; p0 = r[1][t]; q0 = r[2][t]; q1 = r[3][t]
-            if abs(p0 - q0) * 2 + (abs(p1 - q1) >> 1) > elimit:
-                continue
-            _, r[1][t], r[2][t], _ = _filter_common4(p1, p0, q0, q1, True)
+        rows = ey[:, None] + _TAP8  # (n, 8) taps across the edge
+        cols = ex[:, None] + lanes  # (n, L) lanes along it
+        seg = plane[rows[:, None, :], cols[:, :, None]]  # (n, L, 8)
+        _vec_filter_seg(seg, il, el, hv, mb_edge, simple)
+        plane[rows[:, None, 1:7], cols[:, :, None]] = seg[..., 1:7]
     else:
-        for t in range(lo, hi):
-            row = buf[t]
-            p1, p0, q0, q1 = row[e - 2 : e + 2]
-            if abs(p0 - q0) * 2 + (abs(p1 - q1) >> 1) > elimit:
-                continue
-            _, row[e - 1], row[e], _ = _filter_common4(p1, p0, q0, q1, True)
+        rows = ey[:, None] + lanes
+        cols = ex[:, None] + _TAP8
+        seg = plane[rows[:, :, None], cols[:, None, :]]
+        _vec_filter_seg(seg, il, el, hv, mb_edge, simple)
+        plane[rows[:, :, None], cols[:, None, 1:7]] = seg[..., 1:7]
+
+
+def _vec_edge_uv(U, V, ex, ey, lanes, ilim, elim, hev, mb_edge,
+                 horizontal):
+    """Chroma twin of _vec_edge: U and V share every index and limit,
+    so both planes' edges are gathered into ONE doubled batch and run
+    through a single filter pass (halves the chroma numpy overhead)."""
+    if len(ex) == 0:
+        return
+    n = len(ex)
+    il = np.concatenate([ilim, ilim])[:, None]
+    el = np.concatenate([elim, elim])[:, None]
+    hv = np.concatenate([hev, hev])[:, None]
+    if horizontal:
+        rows = ey[:, None] + _TAP8
+        cols = ex[:, None] + lanes
+        ri, ci = rows[:, None, :], cols[:, :, None]
+        seg = np.concatenate([U[ri, ci], V[ri, ci]], axis=0)
+        _vec_filter_seg(seg, il, el, hv, mb_edge, False)
+        U[rows[:, None, 1:7], ci] = seg[:n, :, 1:7]
+        V[rows[:, None, 1:7], ci] = seg[n:, :, 1:7]
+    else:
+        rows = ey[:, None] + lanes
+        cols = ex[:, None] + _TAP8
+        ri, ci = rows[:, :, None], cols[:, None, :]
+        seg = np.concatenate([U[ri, ci], V[ri, ci]], axis=0)
+        _vec_filter_seg(seg, il, el, hv, mb_edge, False)
+        U[ri, cols[:, None, 1:7]] = seg[:n, :, 1:7]
+        V[ri, cols[:, None, 1:7]] = seg[n:, :, 1:7]
 
 
 def _loop_filter(f, Y, U, V, mb_w, mb_h, segments, ymodes, skips, fstore):
+    """Wavefront-vectorized loop filter (round 11 — the per-pixel form
+    was ~45% of decode time).  The per-MB raster schedule has data
+    dependencies on the left (0,-1), top (-1,0) and top-RIGHT (-1,+1)
+    neighbours — a macroblock's top-edge filter reads rows its
+    top-right neighbour's left-edge filter wrote — so macroblocks on
+    an anti-diagonal d = 2·row + col are mutually independent and are
+    filtered as one numpy batch, edge pass by edge pass in the exact
+    per-MB order (left V, inner V, top H, inner H).  Byte-exact vs the
+    scalar schedule by construction; anchored by the libwebp
+    conformance suite."""
     if f.filter_level == 0:
         return
-    # list-of-lists buffers: per-pixel numpy scalar indexing made the
-    # filter 75% of decode time; plain list slicing is ~5x faster
-    Yb = Y.tolist()
-    Ub = U.tolist()
-    Vb = V.tolist()
-    _run_loop_filter(f, Yb, Ub, Vb, mb_w, mb_h, segments, ymodes, fstore)
-    Y[:, :] = np.asarray(Yb, dtype=np.int64)
-    U[:, :] = np.asarray(Ub, dtype=np.int64)
-    V[:, :] = np.asarray(Vb, dtype=np.int64)
-
-
-def _run_loop_filter(f, Y, U, V, mb_w, mb_h, segments, ymodes, fstore):
-    for mby in range(mb_h):
-        for mbx in range(mb_w):
-            i = mby * mb_w + mbx
-            level = _filter_level(f, int(segments[i]), int(ymodes[i]))
-            if level == 0:
-                continue
-            interior, hev_t = _lf_params(f, level)
-            mb_elimit = (level + 2) * 2 + interior
-            sub_elimit = level * 2 + interior
-            inner = bool(fstore[mby, mbx, 0]) or int(ymodes[i]) == B_PRED
-            x0, y0 = mbx * 16 + 1, mby * 16 + 1
-            cx0, cy0 = mbx * 8 + 1, mby * 8 + 1
-            if f.filter_simple:
-                if mbx > 0:
-                    _simple_edge(Y, x0, y0, y0 + 16, mb_elimit, False)
-                if inner:
-                    for dx in (4, 8, 12):
-                        _simple_edge(Y, x0 + dx, y0, y0 + 16, sub_elimit, False)
-                if mby > 0:
-                    _simple_edge(Y, y0, x0, x0 + 16, mb_elimit, True)
-                if inner:
-                    for dy in (4, 8, 12):
-                        _simple_edge(Y, y0 + dy, x0, x0 + 16, sub_elimit, True)
-                continue
-            if mbx > 0:
-                _filter_edge(Y, x0, y0, y0 + 16, interior, mb_elimit, hev_t, True, False)
-                _filter_edge(U, cx0, cy0, cy0 + 8, interior, mb_elimit, hev_t, True, False)
-                _filter_edge(V, cx0, cy0, cy0 + 8, interior, mb_elimit, hev_t, True, False)
-            if inner:
-                for dx in (4, 8, 12):
-                    _filter_edge(Y, x0 + dx, y0, y0 + 16, interior, sub_elimit, hev_t, False, False)
-                _filter_edge(U, cx0 + 4, cy0, cy0 + 8, interior, sub_elimit, hev_t, False, False)
-                _filter_edge(V, cx0 + 4, cy0, cy0 + 8, interior, sub_elimit, hev_t, False, False)
-            if mby > 0:
-                _filter_edge(Y, y0, x0, x0 + 16, interior, mb_elimit, hev_t, True, True)
-                _filter_edge(U, cy0, cx0, cx0 + 8, interior, mb_elimit, hev_t, True, True)
-                _filter_edge(V, cy0, cx0, cx0 + 8, interior, mb_elimit, hev_t, True, True)
-            if inner:
-                for dy in (4, 8, 12):
-                    _filter_edge(Y, y0 + dy, x0, x0 + 16, interior, sub_elimit, hev_t, False, True)
-                _filter_edge(U, cy0 + 4, cx0, cx0 + 8, interior, sub_elimit, hev_t, False, True)
-                _filter_edge(V, cy0 + 4, cx0, cx0 + 8, interior, sub_elimit, hev_t, False, True)
+    n = mb_h * mb_w
+    levels = np.empty(n, dtype=np.int64)
+    for i in range(n):  # tiny: per-MB scalar level/limit derivation
+        levels[i] = _filter_level(f, int(segments[i]), int(ymodes[i]))
+    interior = np.empty(n, dtype=np.int64)
+    hev_t = np.empty(n, dtype=np.int64)
+    for i in range(n):
+        interior[i], hev_t[i] = _lf_params(f, int(levels[i]))
+    mb_elimit = (levels + 2) * 2 + interior
+    sub_elimit = levels * 2 + interior
+    inner = (fstore[:, :, 0].reshape(-1) != 0) | (ymodes == B_PRED)
+    active = levels > 0
+    simple = bool(f.filter_simple)
+    lane8 = _LANE16[:8]
+    for d in range(2 * (mb_h - 1) + mb_w + 1):
+        mbys = np.arange(max(0, (d - mb_w + 1 + 1) // 2), min(mb_h, d // 2 + 1))
+        mbxs = d - 2 * mbys
+        sel = (mbxs >= 0) & (mbxs < mb_w)
+        mbys, mbxs = mbys[sel], mbxs[sel]
+        idx = mbys * mb_w + mbxs
+        on = active[idx]
+        if not on.any():
+            continue
+        mbys, mbxs, idx = mbys[on], mbxs[on], idx[on]
+        x0 = mbxs * 16 + 1
+        y0 = mbys * 16 + 1
+        cx0 = mbxs * 8 + 1
+        cy0 = mbys * 8 + 1
+        ilim = interior[idx]
+        hev = hev_t[idx]
+        mb_el = mb_elimit[idx]
+        sub_el = sub_elimit[idx]
+        inn = inner[idx]
+        left = mbxs > 0
+        top = mbys > 0
+        # left MB edge (vertical), then inner vertical edges
+        _vec_edge(Y, x0[left], y0[left], _LANE16, ilim[left], mb_el[left],
+                  hev[left], True, simple, False)
+        if not simple:
+            _vec_edge_uv(U, V, cx0[left], cy0[left], lane8, ilim[left],
+                         mb_el[left], hev[left], True, False)
+        for dx in (4, 8, 12):
+            _vec_edge(Y, x0[inn] + dx, y0[inn], _LANE16, ilim[inn],
+                      sub_el[inn], hev[inn], False, simple, False)
+        if not simple:
+            _vec_edge_uv(U, V, cx0[inn] + 4, cy0[inn], lane8, ilim[inn],
+                         sub_el[inn], hev[inn], False, False)
+        # top MB edge (horizontal), then inner horizontal edges
+        _vec_edge(Y, x0[top], y0[top], _LANE16, ilim[top], mb_el[top],
+                  hev[top], True, simple, True)
+        if not simple:
+            _vec_edge_uv(U, V, cx0[top], cy0[top], lane8, ilim[top],
+                         mb_el[top], hev[top], True, True)
+        for dy in (4, 8, 12):
+            _vec_edge(Y, x0[inn], y0[inn] + dy, _LANE16, ilim[inn],
+                      sub_el[inn], hev[inn], False, simple, True)
+        if not simple:
+            _vec_edge_uv(U, V, cx0[inn], cy0[inn] + 4, lane8, ilim[inn],
+                         sub_el[inn], hev[inn], False, True)
 
 
 # -- YUV → RGB -------------------------------------------------------------------
@@ -912,16 +1091,18 @@ def _fancy_upsample(c: np.ndarray, H: int, W: int) -> np.ndarray:
     j = np.arange(H)
     b = j >> 1
     bn = np.clip(np.where(j & 1, b + 1, b - 1), 0, ch - 1)
-    C = c.astype(np.int64)
+    C = c.astype(np.int32)  # 9*255 + 3*510 + 255 + 8 fits easily
     return (9 * C[b][:, a] + 3 * (C[b][:, an] + C[bn][:, a]) + C[bn][:, an] + 8) >> 4
 
 
 def _clip8(v14: np.ndarray) -> np.ndarray:
-    """libwebp VP8Clip8: in-range 14-bit values shift down, out-of-range
-    saturate."""
-    return np.where(
-        (v14 & ~16383) == 0, v14 >> 6, np.where(v14 < 0, 0, 255)
-    ).astype(np.uint8)
+    """libwebp VP8Clip8.  The branchy reference form is
+    ((v & ~16383) == 0) ? v >> 6 : (v < 0 ? 0 : 255) — identical to
+    clip(v >> 6, 0, 255) for every int (in-range values shift to
+    0..255; v >= 16384 shifts to >= 256 and saturates high; negative
+    v stays negative under the arithmetic shift and saturates low),
+    and the single clip pass is ~8x faster (round 11)."""
+    return np.clip(v14 >> 6, 0, 255).astype(np.uint8)
 
 
 def vp8_to_rgb(
@@ -937,7 +1118,7 @@ def vp8_to_rgb(
     a zero-slack fit over interior pixels).  ``fancy=False`` keeps the
     cheap nearest-neighbor + integer BT.601 form."""
     H, W = y.shape
-    yy = y.astype(np.int64)
+    yy = y.astype(np.int32)  # max |term| ~ 255*33050 << 2^31
     if fancy:
         uu = _fancy_upsample(u, H, W)
         vv = _fancy_upsample(v, H, W)

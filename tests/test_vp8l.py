@@ -264,3 +264,47 @@ def test_truncated_chunk_rejected():
     bad[16:20] = (2 ** 30).to_bytes(4, "little")  # VP8L chunk size
     with pytest.raises(ValueError, match="truncated chunk"):
         vp8l.decode_webp(bytes(bad))
+
+
+def test_webp_native_kernel_matches_pure(libwebp):
+    """r10 verdict #4: the ctypes-libwebp kernel behind
+    $SPARK_GRAFT_IMAGE_KERNEL must be pixel-identical to the pure
+    decoders on BOTH codings and fall through to decode_image for
+    every non-WebP format (same parity pattern as
+    test_crawl_images_imageio_kernel_matches_pure)."""
+    import ctypes
+
+    from impala_cut_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (24, 17, 4), np.uint8)
+    lossless = _lw_encode(libwebp, img)
+    assert (mm.webp_native_decode(lossless) == mm.decode_image(lossless)).all()
+    # lossy VP8 (quality 75) — RGB path is byte-exact vs WebPDecodeRGBA
+    libwebp.WebPEncodeRGBA.restype = ctypes.c_size_t
+    libwebp.WebPEncodeRGBA.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_float, ctypes.POINTER(ctypes.c_char_p),
+    ]
+    rgba = np.ascontiguousarray(img)
+    out = ctypes.c_char_p()
+    n = libwebp.WebPEncodeRGBA(
+        rgba.tobytes(), 17, 24, 17 * 4, 75.0, ctypes.byref(out)
+    )
+    assert n > 0
+    lossy = ctypes.string_at(out, n)
+    assert (mm.webp_native_decode(lossy) == mm.decode_image(lossy)).all()
+    # non-WebP payloads fall through to the pure decoder unchanged
+    png = mm.encode_png(img[..., :3])
+    assert (mm.webp_native_decode(png) == mm.decode_image(png)).all()
+    with pytest.raises(ValueError, match="libwebp rejected"):
+        mm.webp_native_decode(b"RIFF\x04\x00\x00\x00WEBPjunkjunk")
+    # and the selector accepts the new arm
+    import os
+
+    os.environ["SPARK_GRAFT_IMAGE_KERNEL"] = "webp-native"
+    try:
+        assert mm.image_kernel_name() == "webp-native"
+        assert mm.IMAGE_KERNELS[mm.image_kernel_name()] is mm.webp_native_decode
+    finally:
+        del os.environ["SPARK_GRAFT_IMAGE_KERNEL"]

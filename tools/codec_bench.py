@@ -103,7 +103,7 @@ def main() -> None:
         from impala_cut_spark.operators.vp8l import decode_webp
 
         add("webp-lossless", "libwebp VP8L photo, 1 MP", wpayload,
-            decode_webp, mp)
+            decode_webp, mp, reps=5)
         # vp8 lossy (round 10): YUV-exact key-frame decode
         lwc.WebPEncodeRGBA.restype = ctypes.c_size_t
         lwc.WebPEncodeRGBA.argtypes = [
@@ -114,8 +114,17 @@ def main() -> None:
             np.ascontiguousarray(rgba).tobytes(),
             img.shape[1], img.shape[0], img.shape[1] * 4, 75.0,
             ctypes.byref(lout))
+        lossy_payload = ctypes.string_at(lout, ln)
         add("webp-vp8", "libwebp q75 VP8 photo, 1 MP",
-            ctypes.string_at(lout, ln), decode_webp, mp)
+            lossy_payload, decode_webp, mp, reps=5)
+        # the native swap-in behind $SPARK_GRAFT_IMAGE_KERNEL (r10
+        # verdict #4): same payloads through the ctypes libwebp kernel
+        from impala_cut_spark.operators.multimodal import webp_native_decode
+
+        add("webp-lossless-native", "same VP8L payload, libwebp kernel",
+            wpayload, webp_native_decode, mp, reps=5)
+        add("webp-vp8-native", "same VP8 payload, libwebp kernel",
+            lossy_payload, webp_native_decode, mp, reps=5)
     except OSError:
         print("  webp rows skipped: no libwebp")
     add("tiff-lzw", "our LZW+predictor, 1 MP",
