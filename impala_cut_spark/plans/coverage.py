@@ -1055,7 +1055,9 @@ SELECT n_nationkey AS nationkey,
        '' AS empty_col,
        CAST(NULL AS VARCHAR) AS null_col,
        n_name || '\' AS with_backslash,
-       CAST(n_nationkey * 7 AS INT) AS num
+       CAST(n_nationkey * 7 AS INT) AS num,
+       n_name || chr(10) || n_name AS with_newline,
+       n_name || ',' || chr(10) || '\' AS mixed_esc
 FROM nation
 """,
 )
@@ -1069,10 +1071,17 @@ def cov_text_exact(spark, sf_dir):
     escape char — written by write_text_table_exact and scanned back
     by read_text_table_exact (pure JVM expression chain:
     sentinel-substitute → split → \\N-check-before-unescape →
-    unescape → cast).  The oracle replays the expected values from the
+    unescape → cast).  A SECOND fixture exercises the multiline arm
+    (round 11, r10 verdict task #7): fields containing raw newlines —
+    including one mixing delimiter + newline + trailing escape — are
+    written with escaped ROW delimiters and scanned back wholetext
+    with ``multiline=True``, joined back on the key (nation is tiny →
+    broadcast).  The oracle replays the expected values from the
     parquet originals with zero text code, so any escaping defect in
-    either direction breaks the hash match.  Scale: writer and scanner
-    are both whole-stage-codegen maps, no shuffle, no collect."""
+    either direction, either mode, breaks the hash match.  Scale:
+    writer and scanner are whole-stage-codegen maps, no collect; the
+    multiline arm is one scan unit per FILE — the same file-granular
+    parallelism .gz text has (sinks.py docstring)."""
     import os
 
     from pyspark.sql import functions as F
@@ -1097,9 +1106,25 @@ def cov_text_exact(spark, sf_dir):
             (F.col("n_nationkey") * 7).cast("int").alias("num"),
         )
         write_text_table_exact(df, fixture)
-    return read_text_table_exact(
+    ml_fixture = fixture + "_ml"
+    if not os.path.exists(os.path.join(ml_fixture, "_SUCCESS")):
+        nation = t(spark, sf_dir, "nation")
+        df2 = nation.select(
+            F.col("n_nationkey").alias("nationkey"),
+            F.concat("n_name", F.lit("\n"), "n_name").alias("with_newline"),
+            F.concat("n_name", F.lit(",\n\\")).alias("mixed_esc"),
+        )
+        write_text_table_exact(df2, ml_fixture)
+    flat = read_text_table_exact(
         spark,
         fixture,
         "nationkey bigint, with_comma string, empty_col string, "
         "null_col string, with_backslash string, num int",
     )
+    ml = read_text_table_exact(
+        spark,
+        ml_fixture,
+        "nationkey bigint, with_newline string, mixed_esc string",
+        multiline=True,
+    )
+    return flat.join(ml, "nationkey")

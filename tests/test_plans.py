@@ -401,3 +401,26 @@ def test_every_driver_window_row_has_a_plan_pin():
 
     missing = sorted(set(DRIVER_WINDOW) - set(_PLAN_PINS))
     assert not missing, f"driver-window rows without plan pins: {missing}"
+
+
+def test_xxhash_twins_share_plan_shape(plans):
+    """r10 verdict #8 (xxhash-twin decision): the xxhash64 fast paths
+    STAY registered — they are the engine-native production hash family
+    when cross-engine reproducibility isn't needed — and this test
+    asserts the one thing their rows-only check can't: they run the
+    IDENTICAL distributed plan shape as their DuckDB-hash-checked
+    md5-affine twins (only the hash expressions differ), so the
+    oracle-checked twin's plan audit and pins cover both.  Recall vs
+    exact Jaccard/hamming for the xx family is separately tested in
+    tests/test_operators.py."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from gen_plan_pins import plan_signals
+
+    for xx, md5 in (
+        ("pipe_dedup_minhash_xx", "pipe_dedup_minhash"),
+        ("pipe_dedup_simhash_xx", "pipe_dedup_simhash"),
+    ):
+        assert plan_signals(plans(xx)) == plan_signals(plans(md5)), (xx, md5)
