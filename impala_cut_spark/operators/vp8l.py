@@ -204,11 +204,26 @@ def _read_prefix_code(br: _LsbReader, alphabet_size: int) -> _Prefix:
     lengths = [0] * alphabet_size
     symbol = 0
     prev_len = 8
+    # inlined root-table decode of the code-length code: this loop
+    # runs once per alphabet entry (280 + 3x256 + 40 per image) and
+    # the bound-method round-trip dominated tiny-image decode (r11)
+    single = cl.single
+    root = cl.root
+    peek8 = br.peek8
+    drop = br.drop
     while symbol < alphabet_size:
         if max_symbol <= 0:
             break
         max_symbol -= 1
-        code_len = cl.decode(br)
+        if single is not None:
+            code_len = single
+        else:
+            e = root[peek8()]
+            if e is not None:
+                drop(e[1])
+                code_len = e[0]
+            else:
+                code_len = cl.decode(br)  # >8-bit fallback (rare)
         if code_len < 16:
             lengths[symbol] = code_len
             symbol += 1
@@ -638,7 +653,10 @@ def _argb_to_rgba(argb: np.ndarray, w: int, h: int) -> np.ndarray:
 
 
 def _huffman_lengths(freqs: list[int], max_len: int = 15) -> list[int]:
-    """Length-limited canonical huffman code lengths (package-merge)."""
+    """Length-limited canonical huffman code lengths (package-merge;
+    plain heap Huffman fast path when the unrestricted tree already
+    fits the limit — the common case for small alphabets, and ~10x
+    cheaper than the always-package-merge form it replaces, round 11)."""
     syms = [i for i, f in enumerate(freqs) if f > 0]
     n = len(syms)
     if n == 0:
@@ -647,6 +665,26 @@ def _huffman_lengths(freqs: list[int], max_len: int = 15) -> list[int]:
         out = [0] * len(freqs)
         out[syms[0]] = 1
         return out
+    if n <= (1 << max_len):
+        import heapq
+
+        # (freq, tiebreak, symbol set) — the deterministic tiebreak
+        # keeps output stable; only LENGTHS matter for canonical codes
+        heap = [(freqs[s], s, (s,)) for s in syms]
+        heapq.heapify(heap)
+        lengths = [0] * len(freqs)
+        k = len(freqs)
+        while len(heap) > 1:
+            fa, _, sa = heapq.heappop(heap)
+            fb, _, sb = heapq.heappop(heap)
+            for sym in sa:
+                lengths[sym] += 1
+            for sym in sb:
+                lengths[sym] += 1
+            heapq.heappush(heap, (fa + fb, k, sa + sb))
+            k += 1
+        if max(lengths[s] for s in syms) <= max_len:
+            return lengths
     # package-merge: L rounds of pair-packaging merged back with the
     # original items; a symbol's code length = how many of the final
     # first 2n-2 entries contain it.
@@ -683,6 +721,23 @@ def _canonical_codes(lengths: list[int]) -> list[int]:
             codes[sym] = next_code[ln]
             next_code[ln] += 1
     return codes
+
+
+def _rev_codes(codes: list[int], lengths: list[int]) -> list[int]:
+    """Pre-reverse every canonical code for LSB-first emission (prefix
+    codes are read MSB-first) — reversing once per TABLE instead of
+    once per emitted symbol (round 11: the per-symbol reversal loop
+    dominated tiny-image encode)."""
+    out = [0] * len(codes)
+    for sym, ln in enumerate(lengths):
+        if ln:
+            code = codes[sym]
+            rev = 0
+            for _ in range(ln):
+                rev = (rev << 1) | (code & 1)
+                code >>= 1
+            out[sym] = rev
+    return out
 
 
 def _write_code(bw: _LsbWriter, code: int, ln: int) -> None:
@@ -729,12 +784,14 @@ def _write_prefix_code(bw: _LsbWriter, lengths: list[int]) -> None:
         real = next(s for s, ln in enumerate(cl_lengths) if ln)
         cl_lengths[0 if real != 0 else 1] = 1
     cl_codes = _canonical_codes(cl_lengths)
+    cl_rev = _rev_codes(cl_codes, cl_lengths)
     bw.write(15, 4)  # num_code_lengths = 19
     for sym in _CL_ORDER:
         bw.write(cl_lengths[sym], 3)
     bw.write(0, 1)  # no explicit max-symbol
+    write = bw.write
     for ln in lengths:
-        _write_code(bw, cl_codes[ln], cl_lengths[ln])
+        write(cl_rev[ln], cl_lengths[ln])
 
 
 def encode_vp8l(arr: np.ndarray) -> bytes:
@@ -774,10 +831,12 @@ def encode_vp8l(arr: np.ndarray) -> bytes:
         """(codes, emission lengths): a single-symbol code costs ZERO
         bits per symbol on the wire (the decoder short-circuits), so
         its emission lengths are all 0 even though the header carries
-        the 1-entry simple code."""
+        the 1-entry simple code.  Codes come back PRE-REVERSED for
+        direct LSB-first emission (round 11 — reversing per symbol
+        dominated tiny-image encode)."""
         if sum(1 for ln in lens if ln) == 1:
-            return _canonical_codes(lens), [0] * len(lens)
-        return _canonical_codes(lens), lens
+            return _rev_codes(_canonical_codes(lens), lens), [0] * len(lens)
+        return _rev_codes(_canonical_codes(lens), lens), lens
 
     glen = _huffman_lengths(green_freq)
     _write_prefix_code(bw, glen)
@@ -795,16 +854,30 @@ def encode_vp8l(arr: np.ndarray) -> bytes:
     rc, rl = codes["r"]
     bc, bl = codes["b"]
     ac, al = codes["a"]
-    g, r, b, a = chans["g"], chans["r"], chans["b"], chans["a"]
-    for i in range(w * h):
-        gv = int(g[i])
-        _write_code(bw, gc[gv], gl[gv])
-        rv = int(r[i])
-        _write_code(bw, rc[rv], rl[rv])
-        bv = int(b[i])
-        _write_code(bw, bc[bv], bl[bv])
-        av = int(a[i])
-        _write_code(bw, ac[av], al[av])
+    # one interleaved g,r,b,a symbol stream, emitted with the writer
+    # state held in locals (the per-sample method-call round-trip was
+    # the other half of tiny-image encode cost)
+    sym = np.empty(4 * w * h, dtype=np.int64)
+    sym[0::4] = chans["g"]
+    sym[1::4] = chans["r"]
+    sym[2::4] = chans["b"]
+    sym[3::4] = chans["a"]
+    revs = [gc, rc, bc, ac]
+    lens4 = [gl, rl, bl, al]
+    acc = bw.acc
+    nbits = bw.nbits
+    out = bw.out
+    for i, v in enumerate(sym.tolist()):
+        k = i & 3
+        n = lens4[k][v]
+        acc |= revs[k][v] << nbits
+        nbits += n
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    bw.acc = acc
+    bw.nbits = nbits
     return bw.bytes()
 
 

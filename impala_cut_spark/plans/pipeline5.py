@@ -869,7 +869,12 @@ def pipe_multimodal_webp(spark, sf_dir):
     lossless, so the oracle replays the expected mean straight from
     md5 hex with zero image code — an entropy-coding or transform
     defect in EITHER direction breaks the hash match.  Scale: one
-    Arrow-batched narrow map, no shuffle, no collect."""
+    Arrow-batched narrow map, no collect.  The codec kernel costs
+    ~1.3 ms/doc — three orders over the scan — so the input is
+    repartitioned to the session's core count first (round 11: the
+    single sf0.1 parquet split otherwise serializes the whole row
+    onto one core; at 100 TB the files already split at
+    maxPartitionBytes and this exchange moves only (doc_id, text))."""
     import hashlib
     import math
 
@@ -900,7 +905,11 @@ def pipe_multimodal_webp(spark, sf_dir):
                 rows, columns=["doc_id", "codec", "n_px", "mean_byte"]
             )
 
-    return docs.select("doc_id", "text").mapInPandas(
+    narrow = docs.select("doc_id", "text")
+    cores = spark.sparkContext.defaultParallelism
+    if narrow.rdd.getNumPartitions() < cores:
+        narrow = narrow.repartition(cores)
+    return narrow.mapInPandas(
         _rt,
         schema="doc_id bigint, codec string, n_px bigint, mean_byte double",
     )
