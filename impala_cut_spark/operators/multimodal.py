@@ -815,6 +815,11 @@ def decode_wav(payload: bytes) -> tuple[int, int, "np.ndarray"]:
     pos, tag, rate, channels, bits, data = 12, None, None, None, None, None
     while pos + 8 <= len(payload):
         cid, sz = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+        if pos + 8 + sz > len(payload):
+            # trusting the size field would silently truncate the data
+            # chunk (wrong durations/features) — fail loudly instead,
+            # like the vp8l container walker (round 11)
+            raise ValueError("wav: truncated chunk")
         body = payload[pos + 8 : pos + 8 + sz]
         if cid == b"fmt ":
             tag, channels, rate = struct.unpack_from("<HHI", body, 0)
@@ -1223,6 +1228,10 @@ def webp_metadata(payload: bytes) -> dict:
         fourcc = payload[pos : pos + 4].decode("ascii", "replace")
         (size,) = struct.unpack_from("<I", payload, pos + 4)
         body = pos + 8
+        if body + size > len(payload):
+            # short slices past the end would int.from_bytes to zeros
+            # and report a phantom 1x1 canvas — fail loudly (round 11)
+            raise ValueError("webp: truncated chunk")
         out["chunks"].append(fourcc)
         if fourcc == "VP8X" and size >= 10:
             flags = payload[body]

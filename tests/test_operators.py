@@ -1526,6 +1526,15 @@ class TestAudioWav:
         assert samples.shape == (16000, 1)
         assert np.max(np.abs(samples[:, 0] - sig)) < 1e-3  # 16-bit quantization
 
+    def test_wav_truncated_chunk_rejected(self):
+        """A RIFF size field pointing past the payload must fail loudly
+        at the container layer, not silently shorten the data chunk
+        (round-11 hardening, same policy as the vp8l walker)."""
+        sig = np.zeros(1000)
+        payload = multimodal.encode_wav(sig, rate=8000)
+        with pytest.raises(ValueError, match="truncated chunk"):
+            multimodal.decode_wav(payload[:-5])
+
     def test_wav_stereo_and_features(self):
         t = np.linspace(0, 0.5, 4000, endpoint=False)
         stereo = np.stack([np.sin(2 * np.pi * 220 * t), np.zeros_like(t)], axis=1)

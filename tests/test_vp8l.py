@@ -308,3 +308,16 @@ def test_webp_native_kernel_matches_pure(libwebp):
         assert mm.IMAGE_KERNELS[mm.image_kernel_name()] is mm.webp_native_decode
     finally:
         del os.environ["SPARK_GRAFT_IMAGE_KERNEL"]
+
+
+def test_webp_metadata_truncated_chunk_rejected():
+    """webp_metadata must not report a phantom canvas from a truncated
+    VP8X/VP8L chunk (short slices int.from_bytes to zeros) — round-11
+    hardening, same policy as decode_webp."""
+    from impala_cut_spark.operators.multimodal import webp_metadata
+
+    good = vp8l.encode_webp_lossless(np.full((6, 5, 3), 3, np.uint8))
+    meta = webp_metadata(good)
+    assert (meta["width"], meta["height"]) == (5, 6)
+    with pytest.raises(ValueError, match="truncated chunk"):
+        webp_metadata(good[:-2])
