@@ -307,36 +307,128 @@ def _decode_pixels(
     meta_bits: int,
     cache_bits: int,
 ) -> np.ndarray:
-    """The spatially-coded image: returns (h*w,) uint32 ARGB."""
+    """The spatially-coded image: returns (h*w,) uint32 ARGB.
+
+    Round 11: the per-symbol prefix decode is inlined on LOCAL
+    bit-reader state (root-table fast path; the object decoder stays
+    the >8-bit-code fallback) and pixels land in a plain Python list —
+    the per-pixel numpy scalar writes and bound-method decode
+    round-trips were ~60% of large-image decode wall."""
     npix = w * h
-    out = np.zeros(npix, dtype=np.uint32)
+    out = [0] * npix
     cache = [0] * (1 << cache_bits) if cache_bits else None
+    shift = 32 - cache_bits if cache_bits else 0
     pos = 0
-    g0 = groups[0]
-    green_c, red_c, blue_c, alpha_c, dist_c = g0
+    green_c, red_c, blue_c, alpha_c, dist_c = groups[0]
     use_meta = meta is not None
     mw = _subsample_size(w, meta_bits) if use_meta else 0
+    meta_l = meta.tolist() if use_meta else None
     cur_row = -1
+    d = br.d
+    dlen = len(d)
+    hard = dlen + 8
+    acc = br.acc
+    nbits = br.nbits
+    i = br.i
+    groot, gsingle = green_c.root, green_c.single
+    rroot, rsingle = red_c.root, red_c.single
+    broot, bsingle = blue_c.root, blue_c.single
+    aroot, asingle = alpha_c.root, alpha_c.single
     while pos < npix:
         if use_meta:
-            x, y = pos % w, pos // w
+            x = pos % w
+            y = pos // w
             if (x & ((1 << meta_bits) - 1)) == 0 or y != cur_row:
                 cur_row = y
-                gi = int(meta[(y >> meta_bits) * mw + (x >> meta_bits)])
+                gi = meta_l[(y >> meta_bits) * mw + (x >> meta_bits)]
                 green_c, red_c, blue_c, alpha_c, dist_c = groups[gi]
-        code = green_c.decode(br)
+                groot, gsingle = green_c.root, green_c.single
+                rroot, rsingle = red_c.root, red_c.single
+                broot, bsingle = blue_c.root, blue_c.single
+                aroot, asingle = alpha_c.root, alpha_c.single
+        if gsingle is not None:
+            code = gsingle
+        else:
+            while nbits < 8:
+                if i >= hard:
+                    raise ValueError("vp8l: bitstream exhausted")
+                acc |= (d[i] if i < dlen else 0) << nbits
+                i += 1
+                nbits += 8
+            e = groot[acc & 0xFF]
+            if e is not None:
+                code = e[0]
+                acc >>= e[1]
+                nbits -= e[1]
+            else:
+                br.acc, br.nbits, br.i = acc, nbits, i
+                code = green_c.decode(br)
+                acc, nbits, i = br.acc, br.nbits, br.i
         if code < 256:  # literal
-            r = red_c.decode(br)
-            b = blue_c.decode(br)
-            a = alpha_c.decode(br)
+            if rsingle is not None:
+                r = rsingle
+            else:
+                while nbits < 8:
+                    if i >= hard:
+                        raise ValueError("vp8l: bitstream exhausted")
+                    acc |= (d[i] if i < dlen else 0) << nbits
+                    i += 1
+                    nbits += 8
+                e = rroot[acc & 0xFF]
+                if e is not None:
+                    r = e[0]
+                    acc >>= e[1]
+                    nbits -= e[1]
+                else:
+                    br.acc, br.nbits, br.i = acc, nbits, i
+                    r = red_c.decode(br)
+                    acc, nbits, i = br.acc, br.nbits, br.i
+            if bsingle is not None:
+                b = bsingle
+            else:
+                while nbits < 8:
+                    if i >= hard:
+                        raise ValueError("vp8l: bitstream exhausted")
+                    acc |= (d[i] if i < dlen else 0) << nbits
+                    i += 1
+                    nbits += 8
+                e = broot[acc & 0xFF]
+                if e is not None:
+                    b = e[0]
+                    acc >>= e[1]
+                    nbits -= e[1]
+                else:
+                    br.acc, br.nbits, br.i = acc, nbits, i
+                    b = blue_c.decode(br)
+                    acc, nbits, i = br.acc, br.nbits, br.i
+            if asingle is not None:
+                a = asingle
+            else:
+                while nbits < 8:
+                    if i >= hard:
+                        raise ValueError("vp8l: bitstream exhausted")
+                    acc |= (d[i] if i < dlen else 0) << nbits
+                    i += 1
+                    nbits += 8
+                e = aroot[acc & 0xFF]
+                if e is not None:
+                    a = e[0]
+                    acc >>= e[1]
+                    nbits -= e[1]
+                else:
+                    br.acc, br.nbits, br.i = acc, nbits, i
+                    a = alpha_c.decode(br)
+                    acc, nbits, i = br.acc, br.nbits, br.i
             px = (a << 24) | (r << 16) | (code << 8) | b
             out[pos] = px
             if cache is not None:
-                cache[((px * 0x1E35A7BD) & 0xFFFFFFFF) >> (32 - cache_bits)] = px
+                cache[((px * 0x1E35A7BD) & 0xFFFFFFFF) >> shift] = px
             pos += 1
         elif code < 256 + 24:  # LZ77 backward reference
+            br.acc, br.nbits, br.i = acc, nbits, i
             length = _lz77_value(code - 256, br)
             dist_code = _lz77_value(dist_c.decode(br), br)
+            acc, nbits, i = br.acc, br.nbits, br.i
             dist = _plane_to_distance(dist_code, w)
             if dist > pos or pos + length > npix:
                 raise ValueError("vp8l: backward reference out of range")
@@ -344,13 +436,13 @@ def _decode_pixels(
                 if dist >= length:
                     out[pos : pos + length] = out[pos - dist : pos - dist + length]
                 else:
-                    for k in range(length):
-                        out[pos + k] = out[pos + k - dist]
+                    for k in range(pos, pos + length):
+                        out[k] = out[k - dist]
             else:
-                for k in range(length):
-                    px = int(out[pos + k - dist])
-                    out[pos + k] = px
-                    cache[((px * 0x1E35A7BD) & 0xFFFFFFFF) >> (32 - cache_bits)] = px
+                for k in range(pos, pos + length):
+                    px = out[k - dist]
+                    out[k] = px
+                    cache[((px * 0x1E35A7BD) & 0xFFFFFFFF) >> shift] = px
             pos += length
             cur_row = -1  # force group re-lookup after a copy
         else:  # color cache hit
@@ -359,7 +451,8 @@ def _decode_pixels(
             px = cache[code - 256 - 24]
             out[pos] = px
             pos += 1
-    return out
+    br.acc, br.nbits, br.i = acc, nbits, i
+    return np.asarray(out, dtype=np.uint32)
 
 
 def _decode_image_stream(
@@ -575,8 +668,32 @@ def _inv_predictor(
                 a = (((l ^ tl) & 0xFEFEFEFE) >> 1) + (l & tl)
                 b2 = (((t ^ tr) & 0xFEFEFEFE) >> 1) + (t & tr)
                 pred = (((a ^ b2) & 0xFEFEFEFE) >> 1) + (a & b2)
-            elif mode == 11:
-                pred = _select(buf[pos - 1], buf[pos - w], buf[pos - w - 1])
+            elif mode == 11:  # Select — inlined (round 11: ~30% of
+                # real libwebp-photo pixels land here)
+                l = buf[pos - 1]
+                t = buf[pos - w]
+                tl = buf[pos - w - 1]
+                lc = l & 0xFF
+                tc = t & 0xFF
+                pp = lc + tc - (tl & 0xFF)
+                pl = abs(pp - lc)
+                pt = abs(pp - tc)
+                lc = (l >> 8) & 0xFF
+                tc = (t >> 8) & 0xFF
+                pp = lc + tc - ((tl >> 8) & 0xFF)
+                pl += abs(pp - lc)
+                pt += abs(pp - tc)
+                lc = (l >> 16) & 0xFF
+                tc = (t >> 16) & 0xFF
+                pp = lc + tc - ((tl >> 16) & 0xFF)
+                pl += abs(pp - lc)
+                pt += abs(pp - tc)
+                lc = l >> 24
+                tc = t >> 24
+                pp = lc + tc - (tl >> 24)
+                pl += abs(pp - lc)
+                pt += abs(pp - tc)
+                pred = t if pt <= pl else l
             elif mode == 12:
                 pred = _clamp_add_full(
                     buf[pos - 1], buf[pos - w], buf[pos - w - 1]
@@ -588,7 +705,10 @@ def _inv_predictor(
                 pred = _clamp_add_half(ave, buf[pos - w - 1])
             else:
                 raise ValueError(f"vp8l: predictor mode {mode} out of range")
-            buf[pos] = addpx(buf[pos], pred)
+            v = buf[pos]  # addpx inlined (786k calls/MP)
+            buf[pos] = (
+                ((v & 0xFF00FF) + (pred & 0xFF00FF)) & 0xFF00FF
+            ) | (((v & 0xFF00FF00) + (pred & 0xFF00FF00)) & 0xFF00FF00)
             pos += 1
     return np.array(buf, dtype=np.uint32)
 
