@@ -582,21 +582,6 @@ def _clamp_add_half(ave: int, tl: int) -> int:
     return out
 
 
-def _select(l: int, t: int, tl: int) -> int:
-    # |p-T| = |L-TL| and |p-L| = |T-TL| for p = L+T-TL; the spec picks
-    # whichever of T/L the predictor is closer to, TIES TO TOP
-    # (Select(top, left, top_left): pa_minus_pb <= 0 → top)
-    pl = pt = 0
-    for sh in (0, 8, 16, 24):
-        lc = (l >> sh) & 0xFF
-        tc = (t >> sh) & 0xFF
-        tlc = (tl >> sh) & 0xFF
-        p = lc + tc - tlc
-        pl += abs(p - lc)
-        pt += abs(p - tc)
-    return t if pt <= pl else l
-
-
 def _inv_predictor(
     img: np.ndarray, pdata: np.ndarray, bits: int, w: int, h: int
 ) -> np.ndarray:
@@ -858,15 +843,6 @@ def _rev_codes(codes: list[int], lengths: list[int]) -> list[int]:
                 code >>= 1
             out[sym] = rev
     return out
-
-
-def _write_code(bw: _LsbWriter, code: int, ln: int) -> None:
-    # prefix codes are read MSB-first: emit the reversed code LSB-first
-    rev = 0
-    for _ in range(ln):
-        rev = (rev << 1) | (code & 1)
-        code >>= 1
-    bw.write(rev, ln)
 
 
 def _write_prefix_code(bw: _LsbWriter, lengths: list[int]) -> None:
