@@ -890,36 +890,24 @@ def _write_prefix_code(bw: _LsbWriter, lengths: list[int]) -> None:
         write(cl_rev[ln], cl_lengths[ln])
 
 
-def encode_vp8l(arr: np.ndarray) -> bytes:
-    """(H, W, 3|4) uint8 → VP8L chunk body.  Minimal-but-conformant:
-    no transforms, no color cache, no LZ77, one prefix-code group —
-    every pixel a literal under real entropy coding (libwebp decodes
-    the output byte-exactly; fixture/round-trip twin of decode_vp8l)."""
-    if arr.ndim != 3 or arr.shape[2] not in (3, 4):
-        raise ValueError("encode_vp8l: need (H, W, 3|4) uint8")
-    h, w = arr.shape[:2]
-    if not (0 < w <= 16384 and 0 < h <= 16384):
-        raise ValueError("encode_vp8l: dims out of range")
-    rgba = np.empty((h, w, 4), dtype=np.uint8)
-    rgba[..., :3] = arr[..., :3]
-    rgba[..., 3] = arr[..., 3] if arr.shape[2] == 4 else 255
-    bw = _LsbWriter()
-    bw.write(0x2F, 8)
-    bw.write(w - 1, 14)
-    bw.write(h - 1, 14)
-    bw.write(1 if arr.shape[2] == 4 else 0, 1)
-    bw.write(0, 3)  # version
-    bw.write(0, 1)  # no transforms... (top-level loop reads 1 bit)
+def _write_literal_image(
+    bw: _LsbWriter,
+    g: np.ndarray,
+    r: np.ndarray,
+    b: np.ndarray,
+    a: np.ndarray,
+    top_level: bool,
+) -> None:
+    """Write one spatially-coded image as pure literals: color-cache
+    bit 0, (meta-prefix bit 0 when top-level), the five prefix codes,
+    then the interleaved g/r/b/a symbol stream — the shared body of
+    the plain and palette encoder arms."""
     bw.write(0, 1)  # no color cache
-    bw.write(0, 1)  # no meta prefix codes
-    chans = {
-        "g": rgba[..., 1].reshape(-1),
-        "r": rgba[..., 0].reshape(-1),
-        "b": rgba[..., 2].reshape(-1),
-        "a": rgba[..., 3].reshape(-1),
-    }
+    if top_level:
+        bw.write(0, 1)  # no meta prefix codes
+    chans = {"g": g, "r": r, "b": b, "a": a}
     green_freq = [0] * (256 + 24)
-    for v, c in zip(*np.unique(chans["g"], return_counts=True)):
+    for v, c in zip(*np.unique(g, return_counts=True)):
         green_freq[int(v)] = int(c)
     codes = {}
 
@@ -953,11 +941,12 @@ def encode_vp8l(arr: np.ndarray) -> bytes:
     # one interleaved g,r,b,a symbol stream, emitted with the writer
     # state held in locals (the per-sample method-call round-trip was
     # the other half of tiny-image encode cost)
-    sym = np.empty(4 * w * h, dtype=np.int64)
-    sym[0::4] = chans["g"]
-    sym[1::4] = chans["r"]
-    sym[2::4] = chans["b"]
-    sym[3::4] = chans["a"]
+    n_px = len(g)
+    sym = np.empty(4 * n_px, dtype=np.int64)
+    sym[0::4] = g
+    sym[1::4] = r
+    sym[2::4] = b
+    sym[3::4] = a
     revs = [gc, rc, bc, ac]
     lens4 = [gl, rl, bl, al]
     acc = bw.acc
@@ -974,6 +963,104 @@ def encode_vp8l(arr: np.ndarray) -> bytes:
             nbits -= 8
     bw.acc = acc
     bw.nbits = nbits
+
+
+def encode_vp8l(arr: np.ndarray) -> bytes:
+    """(H, W, 3|4) uint8 → VP8L chunk body.
+
+    Minimal-but-conformant: no color cache, no LZ77, one prefix-code
+    group — every symbol a literal under real entropy coding (libwebp
+    decodes the output byte-exactly; fixture/round-trip twin of
+    decode_vp8l).  Images with ≤ 256 distinct colors take the
+    COLOR-INDEXING arm (round 11): the palette rides a delta-coded
+    1×n sub-image and pixels become bundled indices on the green
+    channel — up to 8 pixels per coded byte for bilevel content —
+    exercising the same transform + pixel-bundling path the decoder
+    handles for libwebp output, now in BOTH directions."""
+    if arr.ndim != 3 or arr.shape[2] not in (3, 4):
+        raise ValueError("encode_vp8l: need (H, W, 3|4) uint8")
+    h, w = arr.shape[:2]
+    if not (0 < w <= 16384 and 0 < h <= 16384):
+        raise ValueError("encode_vp8l: dims out of range")
+    rgba = np.empty((h, w, 4), dtype=np.uint8)
+    rgba[..., :3] = arr[..., :3]
+    rgba[..., 3] = arr[..., 3] if arr.shape[2] == 4 else 255
+    bw = _LsbWriter()
+    bw.write(0x2F, 8)
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(1 if arr.shape[2] == 4 else 0, 1)
+    bw.write(0, 3)  # version
+    # ARGB packed pixels, decoder's channel layout: (a<<24)|(r<<16)|(g<<8)|b
+    argb = (
+        (rgba[..., 3].astype(np.uint32) << 24)
+        | (rgba[..., 0].astype(np.uint32) << 16)
+        | (rgba[..., 1].astype(np.uint32) << 8)
+        | rgba[..., 2].astype(np.uint32)
+    ).reshape(-1)
+    palette = np.unique(argb)
+    n_colors = len(palette)
+    if n_colors <= 2:
+        _wb = 3
+    elif n_colors <= 4:
+        _wb = 2
+    elif n_colors <= 16:
+        _wb = 1
+    else:
+        _wb = 0
+    # cost model: bundling pays when the packed symbol stream plus the
+    # palette sub-image undercut the plain literals by more than the
+    # five extra prefix-code tables (~250 symbol-equivalents) — tiny
+    # images stay on the plain arm, low-color real images bundle
+    pays = (
+        n_colors <= 256
+        and _subsample_size(w, _wb) * h + n_colors + 250 < w * h
+    )
+    if pays:
+        bw.write(1, 1)  # a transform follows
+        bw.write(3, 2)  # color indexing
+        bw.write(n_colors - 1, 8)
+        # palette sub-image: 1×n, entries delta-coded per byte channel
+        pal_bytes = palette.copy().view(np.uint8).reshape(-1, 4)
+        deltas = pal_bytes.astype(np.int16)
+        deltas[1:] -= pal_bytes[:-1].astype(np.int16)
+        deltas = (deltas & 0xFF).astype(np.uint8)
+        dpix = deltas.view(np.uint32).reshape(-1)
+        _write_literal_image(
+            bw,
+            (dpix >> 8) & 0xFF,
+            (dpix >> 16) & 0xFF,
+            dpix & 0xFF,
+            dpix >> 24,
+            top_level=False,
+        )
+        bw.write(0, 1)  # end of transforms
+        width_bits = _wb
+        idx = np.searchsorted(palette, argb).reshape(h, w).astype(np.uint32)
+        per = 1 << width_bits  # pixels per packed byte
+        ibits = 8 >> width_bits
+        packed_w = _subsample_size(w, width_bits)
+        padded = np.zeros((h, packed_w * per), dtype=np.uint32)
+        padded[:, :w] = idx
+        packed = np.zeros((h, packed_w), dtype=np.uint32)
+        for j in range(per):
+            packed |= padded[:, j::per] << np.uint32(j * ibits)
+        packed = packed.reshape(-1)
+        zeros = np.zeros(len(packed), dtype=np.uint32)
+        _write_literal_image(
+            bw, packed, zeros, zeros, np.full(len(packed), 255, np.uint32),
+            top_level=True,
+        )
+        return bw.bytes()
+    bw.write(0, 1)  # no transforms (top-level loop reads 1 bit)
+    _write_literal_image(
+        bw,
+        rgba[..., 1].reshape(-1),
+        rgba[..., 0].reshape(-1),
+        rgba[..., 2].reshape(-1),
+        rgba[..., 3].reshape(-1),
+        top_level=True,
+    )
     return bw.bytes()
 
 

@@ -321,3 +321,31 @@ def test_webp_metadata_truncated_chunk_rejected():
     assert (meta["width"], meta["height"]) == (5, 6)
     with pytest.raises(ValueError, match="truncated chunk"):
         webp_metadata(good[:-2])
+
+
+def test_palette_encoding_all_bundle_tiers(libwebp):
+    """Round-11 encoder arm: ≤256-color images take the color-indexing
+    transform with pixel bundling (8/4/2/1 px per coded byte).  Each
+    tier must round-trip through OUR decoder and through libwebp, at
+    odd widths that leave a partial packed byte at row end."""
+    rng = np.random.default_rng(12)
+    for n_colors, shape in ((2, (17, 23)), (4, (19, 21)), (16, (40, 41)),
+                            (200, (23, 17)), (1, (15, 29))):
+        pal = rng.integers(0, 256, (max(n_colors, 1), 4), np.uint8)
+        pal = np.unique(pal, axis=0)  # distinct rows
+        idx = rng.integers(0, len(pal), shape)
+        img = pal[idx]  # (h, w, 4)
+        body = vp8l.encode_vp8l(img)
+        assert (vp8l.decode_vp8l(body) == img).all(), n_colors
+        riff = vp8l.encode_webp_lossless(img)
+        assert (_lw_decode(libwebp, riff) == img).all(), n_colors
+        if len(pal) <= 16:
+            # the transform flag is stream bit 40 (after the 8-bit
+            # signature, 2x14-bit dims, alpha hint, 3-bit version):
+            # byte 5, bit 0 — it must be SET on the bundled arm
+            assert body[5] & 1, n_colors
+    # tiny images stay on the plain arm (table overhead dominates)
+    tiny = rng.integers(0, 256, (4, 4, 3), np.uint8)
+    tbody = vp8l.encode_vp8l(tiny)
+    assert not (tbody[5] & 1)  # no transform
+    assert (vp8l.decode_vp8l(tbody)[..., :3] == tiny).all()
