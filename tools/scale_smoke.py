@@ -94,6 +94,12 @@ SMOKE = {
     # round-9 families
     "pipe_multimodal_audio": "MP3 frame-header metadata walk (narrow map, no shuffle)",
     "pipe_crawl_images": "crawl-image path WARC→HTTP→decode (narrow map, no shuffle)",
+    # round-11 window newcomers (r10 verdict #2 cohort)
+    "pipe_asof": "as-of join (union-scan + last-before fold, 1 shuffle)",
+    "pipe_sample_stratified": "stratified sample (per-stratum hash-rank)",
+    "pipe_split_hash": "deterministic hash split (narrow map)",
+    "pipe_pack_greedy": "sequence packing (first-fit bins)",
+    "pipe_chunking": "overlap chunking (posexplode + substr)",
 }
 
 #: per-row root-cause notes (r6 verdict #3/#4: every outlier ratio
