@@ -227,6 +227,20 @@ def test_hypothesis_roundtrip():
 
     rt()
 
+    # larger low-color frames cross the cost gate into the palette arm
+    @settings(max_examples=15, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(
+        st.integers(17, 45), st.integers(17, 45),
+        st.integers(0, 2 ** 32 - 1), st.sampled_from([2, 3, 4, 16, 200]),
+    )
+    def rt_palette(w, h, seed, vals):
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, vals, (h, w, 4), np.uint8) * (255 // max(vals - 1, 1))
+        assert (vp8l.decode_vp8l(vp8l.encode_vp8l(img)) == img).all()
+
+    rt_palette()
+
 
 def test_corrupt_streams_rejected():
     with pytest.raises(ValueError):
