@@ -1,0 +1,671 @@
+"""From-scratch Brotli decoder (RFC 7932), pure Python.
+
+Backs the crawl front-end's ``Content-Encoding: br`` arm (sources/warc.py
+``decode_http_body``): raw web crawls store HTTP bodies with their
+on-the-wire encodings, and brotli is the one common encoding the Python
+standard library cannot inflate (gzip/deflate → zlib, zstd → the
+from-scratch sources/zstd.py).  The reference engine
+(rampage644/impala-cut) contains no brotli anywhere — this extends the
+WARC ingestion path, which itself exceeds the reference.
+
+Complete RFC 7932 surface: stream header window bits, compressed /
+uncompressed / metadata meta-blocks, simple (1-4 symbol) and complex
+prefix codes with the static code-length-code, block switching for all
+three categories, literal context modes (LSB6/MSB6/UTF8/Signed) and
+context maps with RLE + inverse-move-to-front, the four-slot distance
+ring buffer with short codes, NPOSTFIX/NDIRECT distance parameters, and
+static-dictionary references through the 121 Appendix B word transforms.
+
+Validated byte-exact against the container's libbrotli (ctypes,
+tests only — ``tests/test_brotli.py``): encoder round-trips across
+qualities 0-11 and window sizes, transform-by-transform parity with
+``BrotliTransformDictionaryWord``, and table parity with the lib's
+exported RFC constants.  All constant tables are RFC 7932 published
+data (see _brotli_tables.py); the static dictionary ships as
+_brotli_dict.bin, sha256-pinned to the RFC Appendix A value.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from ._brotli_tables import (
+    BLOCK_LEN,
+    CONTEXT_LUT,
+    COPY_LEN,
+    COPY_RANGE_BASE,
+    DICT_OFFSETS,
+    DICT_SHA256,
+    DICT_SIZE_BITS,
+    DIST_SHORT_INDEX,
+    DIST_SHORT_DELTA,
+    INSERT_LEN,
+    INSERT_RANGE_BASE,
+    TRANSFORMS,
+)
+
+__all__ = ["compress", "decompress", "transform_dictionary_word"]
+
+
+# -- bit reader (LSB-first, strict end) ---------------------------------------
+
+
+class _Bits:
+    __slots__ = ("d", "i", "acc", "nbits")
+
+    def __init__(self, data: bytes) -> None:
+        self.d = data
+        self.i = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def read(self, n: int) -> int:
+        while self.nbits < n:
+            if self.i >= len(self.d):
+                raise ValueError("brotli: truncated stream")
+            self.acc |= self.d[self.i] << self.nbits
+            self.i += 1
+            self.nbits += 8
+        v = self.acc & ((1 << n) - 1)
+        self.acc >>= n
+        self.nbits -= n
+        return v
+
+    def peek8(self) -> int:
+        while self.nbits < 8:
+            # past-the-end peeks pad with zeros: a code shorter than the
+            # peek width may legally end in the stream's final byte
+            b = self.d[self.i] if self.i < len(self.d) else 0
+            if self.i >= len(self.d) + 4:
+                raise ValueError("brotli: truncated stream")
+            self.i += 1
+            self.acc |= b << self.nbits
+            self.nbits += 8
+        return self.acc & 0xFF
+
+    def drop(self, n: int) -> None:
+        if n > self.nbits:
+            raise ValueError("brotli: truncated stream")
+        self.acc >>= n
+        self.nbits -= n
+
+    def byte_align(self) -> int:
+        """Discard bits up to the next byte boundary; returns them."""
+        n = self.nbits & 7
+        return self.read(n) if n else 0
+
+    def take_bytes(self, n: int) -> bytes:
+        """Read n raw bytes (caller must be byte-aligned)."""
+        assert self.nbits & 7 == 0
+        out = bytearray()
+        while self.nbits and n:
+            out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+            n -= 1
+        if n:
+            if self.i + n > len(self.d):
+                raise ValueError("brotli: truncated stream")
+            out += self.d[self.i : self.i + n]
+            self.i += n
+        return bytes(out)
+
+    def at_end(self) -> bool:
+        """True when only zero padding bits remain."""
+        if self.acc != 0:
+            return False
+        return all(b == 0 for b in self.d[self.i :])
+
+
+# -- canonical prefix codes ----------------------------------------------------
+
+
+class _Prefix:
+    """Canonical prefix decoder, DEFLATE rule (shortest first, ascending
+    symbol within a length); first-read bit = MSB of the code, so the
+    8-bit root table is keyed by the reversed code (same two-level
+    scheme as operators/vp8l.py)."""
+
+    __slots__ = ("table", "single", "root")
+
+    def __init__(self, lengths: list[int]) -> None:
+        nz = [(ln, sym) for sym, ln in enumerate(lengths) if ln > 0]
+        if not nz:
+            raise ValueError("brotli: empty prefix code")
+        if len(nz) == 1:
+            self.single = nz[0][1]
+            self.table = None
+            self.root = None
+            return
+        self.single = None
+        max_len = max(ln for ln, _ in nz)
+        if sum(1 << (max_len - ln) for ln, _ in nz) != 1 << max_len:
+            raise ValueError("brotli: prefix code is not complete")
+        bl_count = [0] * (max_len + 1)
+        for ln, _ in nz:
+            bl_count[ln] += 1
+        code = 0
+        next_code = [0] * (max_len + 1)
+        for ln in range(1, max_len + 1):
+            code = (code + bl_count[ln - 1]) << 1
+            next_code[ln] = code
+        table: dict[tuple[int, int], int] = {}
+        root: list = [None] * 256
+        for ln, sym in sorted(nz):
+            c = next_code[ln]
+            table[(ln, c)] = sym
+            next_code[ln] += 1
+            if ln <= 8:
+                rev = 0
+                cc = c
+                for _ in range(ln):
+                    rev = (rev << 1) | (cc & 1)
+                    cc >>= 1
+                for hi in range(1 << (8 - ln)):
+                    root[rev | (hi << ln)] = (sym, ln)
+        self.table = table
+        self.root = root
+
+    def decode(self, br: _Bits) -> int:
+        if self.single is not None:
+            return self.single
+        e = self.root[br.peek8()]
+        if e is not None:
+            br.drop(e[1])
+            return e[0]
+        code = 0
+        ln = 0
+        table = self.table
+        while True:
+            code = (code << 1) | br.read(1)
+            ln += 1
+            sym = table.get((ln, code))
+            if sym is not None:
+                return sym
+            if ln > 15:
+                raise ValueError("brotli: invalid prefix code in stream")
+
+
+def _simple_prefix_code(br: _Bits, alphabet_size: int) -> _Prefix:
+    """RFC 7932 section 3.4 — 1 to 4 explicitly listed symbols."""
+    abits = max(1, (alphabet_size - 1).bit_length())
+    nsym = br.read(2) + 1
+    syms = []
+    for _ in range(nsym):
+        s = br.read(abits)
+        if s >= alphabet_size:
+            raise ValueError("brotli: simple code symbol out of range")
+        if s in syms:
+            raise ValueError("brotli: duplicate symbol in simple code")
+        syms.append(s)
+    if nsym == 1:
+        p = _Prefix.__new__(_Prefix)
+        p.single = syms[0]
+        p.table = None
+        p.root = None
+        return p
+    if nsym == 2:
+        syms.sort()
+        code_lens = [1, 1]
+    elif nsym == 3:
+        if syms[1] > syms[2]:
+            syms[1], syms[2] = syms[2], syms[1]
+        code_lens = [1, 2, 2]
+    else:
+        if br.read(1):  # tree-select
+            if syms[2] > syms[3]:
+                syms[2], syms[3] = syms[3], syms[2]
+            code_lens = [1, 2, 3, 3]
+        else:
+            syms.sort()
+            code_lens = [2, 2, 2, 2]
+    lengths = [0] * alphabet_size
+    for s, ln in zip(syms, code_lens):
+        lengths[s] = ln
+    return _Prefix(lengths)
+
+
+#: section 3.5 — order in which code-length-code lengths appear
+_CL_ORDER = [1, 2, 3, 4, 0, 5, 17, 6, 16, 7, 8, 9, 10, 11, 12, 13, 14, 15]
+#: static prefix code over code-length-code lengths: 4-bit peek ->
+#: (value, bits consumed)
+_CL_STATIC_LEN = [2, 2, 2, 3, 2, 2, 2, 4, 2, 2, 2, 3, 2, 2, 2, 4]
+_CL_STATIC_VAL = [0, 4, 3, 2, 0, 4, 3, 1, 0, 4, 3, 2, 0, 4, 3, 5]
+
+
+def _complex_prefix_code(br: _Bits, alphabet_size: int, hskip: int) -> _Prefix:
+    """RFC 7932 section 3.5 — code lengths themselves prefix-coded."""
+    cl_lens = [0] * 18
+    space = 32
+    num_codes = 0
+    for i in range(hskip, 18):
+        peek = br.peek8() & 0xF
+        v = _CL_STATIC_VAL[peek]
+        br.drop(_CL_STATIC_LEN[peek])
+        cl_lens[_CL_ORDER[i]] = v
+        if v:
+            space -= 32 >> v
+            num_codes += 1
+            if space <= 0:
+                break
+    if num_codes != 1 and space != 0:
+        raise ValueError("brotli: code-length code is not complete")
+    cl_code = _Prefix(cl_lens)
+
+    lengths = [0] * alphabet_size
+    symbol = 0
+    prev_len = 8
+    repeat = 0
+    repeat_len = 0
+    space = 32768
+    while symbol < alphabet_size and space > 0:
+        cl = cl_code.decode(br)
+        if cl < 16:
+            lengths[symbol] = cl
+            symbol += 1
+            repeat = 0  # a literal length breaks any repeat accumulation
+            if cl:
+                prev_len = cl
+                space -= 32768 >> cl
+        else:
+            extra = cl - 14  # 16 -> 2 bits, 17 -> 3 bits
+            new_len = prev_len if cl == 16 else 0
+            if repeat_len != new_len:
+                repeat = 0
+                repeat_len = new_len
+            old = repeat
+            if repeat:
+                repeat = (repeat - 2) << extra
+            repeat += br.read(extra) + 3
+            delta = repeat - old
+            if symbol + delta > alphabet_size:
+                raise ValueError("brotli: code-length repeat overruns alphabet")
+            for _ in range(delta):
+                lengths[symbol] = repeat_len
+                symbol += 1
+            if repeat_len:
+                space -= delta << (15 - repeat_len)
+    if space != 0:
+        raise ValueError("brotli: prefix code lengths are not complete")
+    return _Prefix(lengths)
+
+
+def _read_prefix_code(br: _Bits, alphabet_size: int) -> _Prefix:
+    hskip = br.read(2)
+    if hskip == 1:
+        return _simple_prefix_code(br, alphabet_size)
+    return _complex_prefix_code(br, alphabet_size, hskip)
+
+
+# -- helpers -------------------------------------------------------------------
+
+
+def _var_len_uint8(br: _Bits) -> int:
+    """Value 1..256 (NBLTYPES / NTREES encoding, section 9.2)."""
+    if not br.read(1):
+        return 1
+    n = br.read(3)
+    if n == 0:
+        return 2
+    return (1 << n) + br.read(n) + 1
+
+
+def _read_context_map(br: _Bits, n_entries: int, n_trees: int) -> list[int]:
+    """Section 7.3 — RLE of zeros + optional inverse-move-to-front."""
+    rlemax = br.read(4) + 1 if br.read(1) else 0
+    code = _read_prefix_code(br, n_trees + rlemax)
+    cmap: list[int] = []
+    while len(cmap) < n_entries:
+        sym = code.decode(br)
+        if sym == 0:
+            cmap.append(0)
+        elif sym <= rlemax:
+            reps = (1 << sym) + br.read(sym)
+            if len(cmap) + reps > n_entries:
+                raise ValueError("brotli: context-map RLE overruns map")
+            cmap.extend([0] * reps)
+        else:
+            cmap.append(sym - rlemax)
+    if br.read(1):  # inverse move-to-front
+        mtf = list(range(256))
+        for i, v in enumerate(cmap):
+            val = mtf[v]
+            cmap[i] = val
+            if v:
+                del mtf[v]
+                mtf.insert(0, val)
+    return cmap
+
+
+def _block_switch(
+    br: _Bits,
+    type_code: _Prefix,
+    count_code: _Prefix,
+    btype: int,
+    prev: int,
+    n_types: int,
+) -> tuple[int, int, int]:
+    """Returns (new type, new prev, new remaining count)."""
+    sym = type_code.decode(br)
+    if sym == 0:
+        new = prev
+    elif sym == 1:
+        new = (btype + 1) % n_types
+    else:
+        new = sym - 2
+    off, nbits = BLOCK_LEN[count_code.decode(br)]
+    return new, btype, off + br.read(nbits)
+
+
+def _read_block_count(br: _Bits, count_code: _Prefix) -> int:
+    off, nbits = BLOCK_LEN[count_code.decode(br)]
+    return off + br.read(nbits)
+
+
+# -- static dictionary ---------------------------------------------------------
+
+_DICT_PATH = os.path.join(os.path.dirname(__file__), "_brotli_dict.bin")
+_dict_data: bytes | None = None
+
+
+def _dictionary() -> bytes:
+    global _dict_data
+    if _dict_data is None:
+        with open(_DICT_PATH, "rb") as f:
+            data = f.read()
+        if hashlib.sha256(data).hexdigest() != DICT_SHA256:
+            raise ValueError("brotli: static dictionary file is corrupt")
+        _dict_data = data
+    return _dict_data
+
+
+def _uppercase_utf8(t: bytearray, i: int) -> int:
+    """RFC 7932 section 8 'ferment' step at position i; returns width."""
+    c = t[i]
+    if c < 192:
+        if 97 <= c <= 122:
+            t[i] ^= 32
+        return 1
+    if c < 224:
+        if i + 1 < len(t):
+            t[i + 1] ^= 32
+        return 2
+    if i + 2 < len(t):
+        t[i + 2] ^= 5
+    return 3
+
+
+def transform_dictionary_word(length: int, word_id: int) -> bytes:
+    """Expand a static-dictionary reference: word index + transform id
+    packed into word_id per section 8.  Raises on invalid references."""
+    if not 4 <= length <= 24 or DICT_SIZE_BITS[length] == 0:
+        raise ValueError("brotli: invalid dictionary word length")
+    bits = DICT_SIZE_BITS[length]
+    index = word_id & ((1 << bits) - 1)
+    tid = word_id >> bits
+    if tid >= len(TRANSFORMS):
+        raise ValueError("brotli: invalid dictionary transform")
+    base = DICT_OFFSETS[length] + index * length
+    word = _dictionary()[base : base + length]
+    prefix, typ, suffix = TRANSFORMS[tid]
+    if typ >= 12:  # omit-first-N
+        n = typ - 11
+        word = word[n:] if n < len(word) else b""
+    elif 1 <= typ <= 9:  # omit-last-N
+        word = word[:-typ] if typ < len(word) else b""
+    if typ == 10:  # uppercase-first
+        t = bytearray(word)
+        if t:
+            _uppercase_utf8(t, 0)
+        word = bytes(t)
+    elif typ == 11:  # uppercase-all
+        t = bytearray(word)
+        i = 0
+        while i < len(t):
+            i += _uppercase_utf8(t, i)
+        word = bytes(t)
+    return prefix + word + suffix
+
+
+# -- stream decode -------------------------------------------------------------
+
+
+def _window_bits(br: _Bits) -> int:
+    if not br.read(1):
+        return 16
+    n = br.read(3)
+    if n:
+        return 17 + n
+    n = br.read(3)
+    if n == 0:
+        return 17
+    if n == 1:
+        raise ValueError("brotli: reserved WBITS pattern")
+    return 8 + n
+
+
+def decompress(data: bytes, max_output: int | None = None) -> bytes:
+    """Decode a complete brotli stream.  ``max_output`` bounds the
+    output size (decompression-bomb guard for untrusted crawl data)."""
+    br = _Bits(data)
+    window = (1 << _window_bits(br)) - 16
+    out = bytearray()
+    # distance ring buffer, section 4
+    rb = [16, 15, 11, 4]
+    rb_idx = 0
+
+    while True:
+        islast = br.read(1)
+        if islast and br.read(1):  # ISLASTEMPTY
+            break
+        mnibbles = br.read(2) + 4
+        if mnibbles == 7:  # MNIBBLES code 3: metadata block
+            if br.read(1):
+                raise ValueError("brotli: reserved metadata bit set")
+            skip_bytes = br.read(2)
+            if skip_bytes == 0:
+                skiplen = 0
+            else:
+                v = br.read(8 * skip_bytes)
+                if skip_bytes > 1 and (v >> (8 * (skip_bytes - 1))) == 0:
+                    raise ValueError("brotli: non-minimal metadata length")
+                skiplen = v + 1
+            br.byte_align()
+            br.take_bytes(skiplen)
+            if islast:
+                break
+            continue
+        mlen = br.read(4 * mnibbles) + 1
+        if mnibbles > 4 and (mlen - 1) >> (4 * (mnibbles - 1)) == 0:
+            raise ValueError("brotli: non-minimal MLEN encoding")
+        if max_output is not None and len(out) + mlen > max_output:
+            raise ValueError("brotli: output exceeds allowed size")
+        if not islast and br.read(1):  # ISUNCOMPRESSED
+            br.byte_align()
+            out += br.take_bytes(mlen)
+            continue
+
+        # -- meta-block header: block types per category (L, I, D)
+        n_types = [0, 0, 0]
+        btype = [0, 0, 0]
+        bprev = [1, 1, 1]
+        blen = [1 << 28, 1 << 28, 1 << 28]
+        tcodes: list[_Prefix | None] = [None, None, None]
+        ccodes: list[_Prefix | None] = [None, None, None]
+        for cat in range(3):
+            n = _var_len_uint8(br)
+            n_types[cat] = n
+            if n >= 2:
+                tcodes[cat] = _read_prefix_code(br, n + 2)
+                ccodes[cat] = _read_prefix_code(br, 26)
+                blen[cat] = _read_block_count(br, ccodes[cat])
+
+        npostfix = br.read(2)
+        ndirect = br.read(4) << npostfix
+        postfix_mask = (1 << npostfix) - 1
+        ctx_modes = [br.read(2) for _ in range(n_types[0])]
+
+        ntrees_l = _var_len_uint8(br)
+        if ntrees_l >= 2:
+            cmap_l = _read_context_map(br, 64 * n_types[0], ntrees_l)
+        else:
+            cmap_l = [0] * (64 * n_types[0])
+        ntrees_d = _var_len_uint8(br)
+        if ntrees_d >= 2:
+            cmap_d = _read_context_map(br, 4 * n_types[2], ntrees_d)
+        else:
+            cmap_d = [0] * (4 * n_types[2])
+
+        lit_codes = [_read_prefix_code(br, 256) for _ in range(ntrees_l)]
+        cmd_codes = [_read_prefix_code(br, 704) for _ in range(n_types[1])]
+        dist_alpha = 16 + ndirect + (48 << npostfix)
+        dist_codes = [_read_prefix_code(br, dist_alpha) for _ in range(ntrees_d)]
+
+        # -- data loop
+        mode = ctx_modes[0] << 9
+        while mlen > 0:
+            if blen[1] == 0:
+                btype[1], bprev[1], blen[1] = _block_switch(
+                    br, tcodes[1], ccodes[1], btype[1], bprev[1], n_types[1]
+                )
+            blen[1] -= 1
+            cmd = cmd_codes[btype[1]].decode(br)
+            rng = cmd >> 6
+            implicit_d0 = rng < 2
+            if implicit_d0:
+                rng_idx = rng
+            else:
+                rng_idx = rng - 2
+            ins_off, ins_bits = INSERT_LEN[INSERT_RANGE_BASE[rng_idx] + ((cmd >> 3) & 7)]
+            cpy_off, cpy_bits = COPY_LEN[COPY_RANGE_BASE[rng_idx] + (cmd & 7)]
+            insert_len = ins_off + br.read(ins_bits) if ins_bits else ins_off
+            copy_len = cpy_off + br.read(cpy_bits) if cpy_bits else cpy_off
+
+            if insert_len:
+                if insert_len > mlen:
+                    raise ValueError("brotli: insert overruns meta-block")
+                for _ in range(insert_len):
+                    if blen[0] == 0:
+                        btype[0], bprev[0], blen[0] = _block_switch(
+                            br, tcodes[0], ccodes[0], btype[0], bprev[0], n_types[0]
+                        )
+                        mode = ctx_modes[btype[0]] << 9
+                    blen[0] -= 1
+                    p1 = out[-1] if out else 0
+                    p2 = out[-2] if len(out) > 1 else 0
+                    ctx = CONTEXT_LUT[mode + p1] | CONTEXT_LUT[mode + 256 + p2]
+                    tree = cmap_l[(btype[0] << 6) + ctx]
+                    out.append(lit_codes[tree].decode(br))
+                mlen -= insert_len
+            if mlen <= 0:
+                break  # copy part of the final command is unused
+
+            if implicit_d0:
+                distance = rb[(rb_idx + 3) & 3]
+                dcode = 0
+            else:
+                if blen[2] == 0:
+                    btype[2], bprev[2], blen[2] = _block_switch(
+                        br, tcodes[2], ccodes[2], btype[2], bprev[2], n_types[2]
+                    )
+                blen[2] -= 1
+                dctx = 3 if copy_len > 4 else copy_len - 2
+                tree = cmap_d[(btype[2] << 2) + dctx]
+                dcode = dist_codes[tree].decode(br)
+                if dcode < 16:
+                    distance = (
+                        rb[(rb_idx + DIST_SHORT_INDEX[dcode]) & 3]
+                        + DIST_SHORT_DELTA[dcode]
+                    )
+                    if distance <= 0:
+                        raise ValueError("brotli: invalid short distance")
+                elif dcode < 16 + ndirect:
+                    distance = dcode - 16 + 1
+                else:
+                    h = (dcode - ndirect - 16) >> npostfix
+                    lo = (dcode - ndirect - 16) & postfix_mask
+                    nbits = 1 + (h >> 1)
+                    offset = ((2 + (h & 1)) << nbits) - 4
+                    distance = (
+                        ((offset + br.read(nbits)) << npostfix)
+                        + lo
+                        + ndirect
+                        + 1
+                    )
+
+            max_dist = min(len(out), window)
+            if distance > max_dist:
+                # static dictionary reference
+                word = transform_dictionary_word(copy_len, distance - max_dist - 1)
+                if len(word) > mlen:
+                    raise ValueError("brotli: dictionary word overruns meta-block")
+                out += word
+                mlen -= len(word)
+            else:
+                if copy_len > mlen:
+                    raise ValueError("brotli: copy overruns meta-block")
+                start = len(out) - distance
+                if distance >= copy_len:
+                    out += out[start : start + copy_len]
+                else:  # overlapping copy
+                    for k in range(copy_len):
+                        out.append(out[start + k])
+                mlen -= copy_len
+                if dcode != 0:
+                    rb[rb_idx & 3] = distance
+                    rb_idx += 1
+
+        if islast:
+            break
+
+    if not br.at_end():
+        raise ValueError("brotli: garbage after final meta-block")
+    return bytes(out)
+
+
+# -- minimal encoder (store mode) ----------------------------------------------
+
+
+def compress(data: bytes) -> bytes:
+    """Emit a valid brotli stream in store mode: uncompressed
+    meta-blocks (≤ 2^24-1 bytes each, section 9.2) under a 16-bit
+    window header, closed by an ISLAST+ISLASTEMPTY block.  No
+    compression — this exists so fixtures and round-trip tests can
+    produce ``Content-Encoding: br`` payloads without any native
+    library on the data path; decode-side parity with libbrotlidec is
+    asserted in tests/test_brotli.py."""
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def put(v: int, n: int) -> None:
+        nonlocal acc, nbits
+        acc |= (v & ((1 << n) - 1)) << nbits
+        nbits += n
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    put(0, 1)  # WBITS = 16
+    pos = 0
+    while pos < len(data):
+        chunk = data[pos : pos + (1 << 24) - 1]
+        pos += len(chunk)
+        put(0, 1)  # ISLAST = 0
+        mlen = len(chunk) - 1
+        nibbles = max(4, (mlen.bit_length() + 3) // 4)
+        put(nibbles - 4, 2)
+        put(mlen, 4 * nibbles)
+        put(1, 1)  # ISUNCOMPRESSED
+        if nbits:  # byte-align
+            out.append(acc & 0xFF)
+            acc = 0
+            nbits = 0
+        out += chunk
+    put(1, 1)  # ISLAST
+    put(1, 1)  # ISLASTEMPTY
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)

@@ -257,6 +257,64 @@ def parse_http_response(content: bytes) -> tuple[int, dict[str, str], bytes]:
     return status, headers, content[sep + 4 :]
 
 
+def _dechunk(body: bytes) -> bytes:
+    """Decode an RFC 9112 chunked transfer coding: hex size line,
+    chunk bytes, CRLF, … terminated by a 0-size chunk (trailers, if
+    any, are discarded)."""
+    out = bytearray()
+    pos = 0
+    while True:
+        eol = body.find(b"\r\n", pos)
+        if eol < 0:
+            raise ValueError("http: truncated chunk size line")
+        size_tok = body[pos:eol].split(b";", 1)[0].strip()  # drop extensions
+        size = int(size_tok, 16)
+        pos = eol + 2
+        if size == 0:
+            return bytes(out)  # trailers after this are ignored
+        if pos + size + 2 > len(body):
+            raise ValueError("http: truncated chunk body")
+        out += body[pos : pos + size]
+        if body[pos + size : pos + size + 2] != b"\r\n":
+            raise ValueError("http: chunk missing terminating CRLF")
+        pos += size + 2
+
+
+def decode_http_body(headers: dict[str, str], body: bytes) -> tuple[bytes, str]:
+    """Undo the on-the-wire codings of an HTTP response body: the
+    ``Transfer-Encoding: chunked`` framing, then ``Content-Encoding``
+    — gzip/x-gzip and deflate (zlib, both the RFC 1950-wrapped and the
+    raw form real servers emit), br (the from-scratch RFC 7932 decoder
+    in sources/brotli.py), and zstd (the from-scratch RFC 8878 decoder
+    in sources/zstd.py).  Raw crawls store bodies exactly as received,
+    so this is the step between parse_http_response and any
+    content handling.  Returns (decoded bytes, the encoding undone —
+    'identity' when none).  Unknown encodings raise ValueError (the
+    crawl operators degrade that to parse_ok=false)."""
+    te = headers.get("transfer-encoding", "").lower()
+    if "chunked" in te:
+        body = _dechunk(body)
+    enc = headers.get("content-encoding", "identity").strip().lower() or "identity"
+    if enc in ("identity", "none", ""):
+        return body, "identity"
+    if enc in ("gzip", "x-gzip"):
+        return zlib.decompress(body, wbits=47), enc  # gzip or zlib wrapper
+    if enc == "deflate":
+        try:
+            return zlib.decompress(body), enc  # RFC 1950 zlib-wrapped
+        except zlib.error:
+            return zlib.decompress(body, wbits=-15), enc  # raw-deflate servers
+    if enc == "br":
+        from impala_cut_spark.sources import brotli
+
+        return brotli.decompress(body), enc
+    if enc == "zstd":
+        from impala_cut_spark.sources import zstd
+
+        return zstd.decompress(body), enc
+    raise ValueError(f"http: unsupported content-encoding {enc!r}")
+
+
 #: output schema of warc_ingest — one row per WARC record
 WARC_RECORD_SCHEMA = T.StructType(
     [
