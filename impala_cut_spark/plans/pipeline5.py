@@ -913,3 +913,114 @@ def pipe_multimodal_webp(spark, sf_dir):
         _rt,
         schema="doc_id bigint, codec string, n_px bigint, mean_byte double",
     )
+
+
+def _crawl_encoded_oracle() -> str:
+    """Every wire coding the crawl path undoes is lossless (chunked
+    framing, gzip/deflate via zlib, br via the from-scratch RFC 7932
+    decoder, zstd via the from-scratch RFC 8878 decoder), so the
+    oracle replays the decoded body facts straight from the document
+    text — any defect in the chunk walker or any of the four codecs
+    breaks the strict hash match."""
+    return """
+SELECT doc_id,
+       CASE CAST(doc_id % 5 AS INT)
+            WHEN 0 THEN 'identity' WHEN 1 THEN 'gzip'
+            WHEN 2 THEN 'deflate' WHEN 3 THEN 'br' ELSE 'zstd'
+       END AS encoding,
+       doc_id % 3 = 0 AS was_chunked,
+       octet_length(encode(coalesce(text, ''))) AS body_bytes,
+       md5(coalesce(text, '')) AS text_md5
+FROM documents
+"""
+
+
+@query("pipe_crawl_encoded", oracle=_crawl_encoded_oracle())
+def pipe_crawl_encoded(spark, sf_dir):
+    """Round-11 END-TO-END encoded-crawl conformance: each document
+    body is put ON THE WIRE the way real crawl captures store it —
+    content-coded by doc_id % 5 (identity / gzip / deflate / br via
+    the store-mode sources/brotli.py encoder / zstd via the store-mode
+    sources/zstd.py encoder), chunked-transfer-framed for doc_id % 3
+    == 0, framed as an HTTP/1.1 200 response inside a (gzip-member for
+    odd doc_ids) WARC record — then ingested back through the REAL
+    pipeline: parse_warc → parse_http_response → decode_http_body.
+    Every coding is lossless, so the DuckDB oracle replays the decoded
+    length and md5 straight from the document text; a defect in the
+    chunk walker or ANY of the four content codecs breaks the strict
+    hash match.  Scale: one Arrow-batched narrow map, no shuffle; at
+    100 TB the decode runs where the scan runs (executor-side,
+    one record in memory at a time)."""
+    import hashlib
+    import zlib as zlib_mod
+
+    import pandas as pd
+
+    from impala_cut_spark.sources import brotli as brotli_mod
+    from impala_cut_spark.sources import zstd as zstd_mod
+    from impala_cut_spark.sources.warc import (
+        build_warc,
+        decode_http_body,
+        parse_http_response,
+        parse_warc,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+
+    def _wire(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                raw = (text if isinstance(text, str) else "").encode("utf-8")
+                arm = d % 5
+                if arm == 0:
+                    enc, body = "identity", raw
+                elif arm == 1:
+                    gz = zlib_mod.compressobj(wbits=31)
+                    enc, body = "gzip", gz.compress(raw) + gz.flush()
+                elif arm == 2:
+                    enc, body = "deflate", zlib_mod.compress(raw)
+                elif arm == 3:
+                    enc, body = "br", brotli_mod.compress(raw)
+                else:
+                    enc, body = "zstd", zstd_mod.compress(raw)
+                headers = b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+                if enc != "identity":
+                    headers += b"Content-Encoding: " + enc.encode() + b"\r\n"
+                chunked = d % 3 == 0
+                if chunked:
+                    headers += b"Transfer-Encoding: chunked\r\n"
+                    framed = bytearray()
+                    for i in range(0, len(body), 1000):
+                        piece = body[i : i + 1000]
+                        framed += b"%x\r\n" % len(piece) + piece + b"\r\n"
+                    framed += b"0\r\n\r\n"
+                    body = bytes(framed)
+                else:
+                    headers += b"Content-Length: " + str(len(body)).encode() + b"\r\n"
+                http = headers + b"\r\n" + body
+                payload = build_warc(
+                    [{"headers": {"WARC-Type": "response",
+                                  "WARC-Target-URI": f"urn:doc:{d}"},
+                      "content": http}],
+                    gzipped=d % 2 == 1,
+                )
+                rec = parse_warc(payload)[0]
+                _, hdrs, wire_body = parse_http_response(rec["content"])
+                decoded, applied = decode_http_body(hdrs, wire_body)
+                rows.append(
+                    (d, applied, chunked, len(decoded),
+                     hashlib.md5(decoded).hexdigest())
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "encoding", "was_chunked", "body_bytes",
+                         "text_md5"],
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        _wire,
+        schema=("doc_id bigint, encoding string, was_chunked boolean, "
+                "body_bytes bigint, text_md5 string"),
+    )

@@ -165,6 +165,30 @@ def main() -> None:
          round(len(lcomp) / 1e3, 1), round(ldt, 3),
          round(len(text_blob) / 1e6 / ldt, 3), "—")
     )
+    # brotli decode on a REAL entropy-coded stream (round 11): use the
+    # container's libbrotlienc via ctypes only to PRODUCE the payload
+    # (encode side, same role as zstd-jni below); decode is the
+    # from-scratch RFC 7932 decoder
+    try:
+        import ctypes as _ct
+
+        from impala_cut_spark.sources import brotli as _brotli
+
+        _benc = _ct.CDLL("libbrotlienc.so.1")
+        _benc.BrotliEncoderCompress.restype = _ct.c_int
+        _bout = _ct.create_string_buffer(len(text_blob) + 2048)
+        _bn = _ct.c_size_t(len(_bout))
+        assert _benc.BrotliEncoderCompress(
+            9, 22, 0, len(text_blob), text_blob, _ct.byref(_bn), _bout)
+        bc = _bout.raw[: _bn.value]
+        bdt = _time(_brotli.decompress, bc, 3)
+        rows.append(
+            ("brotli", f"4 MB delimited text ({len(bc)/1e6:.1f} MB q9 stream)",
+             round(len(bc) / 1e3, 1), round(bdt, 3),
+             round(len(text_blob) / 1e6 / bdt, 3), "—")
+        )
+    except Exception as e:  # pragma: no cover - env-dependent
+        print(f"  brotli row skipped: {e}")
     # zstd decode on a REAL entropy-coded frame: use the JVM encoder
     # via a temp SparkSession only if available; else skip the row
     try:
