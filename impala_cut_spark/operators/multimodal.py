@@ -9,8 +9,11 @@ ITU-T T.81, validated against the JVM's ImageIO decoder) AND
 GIF87a/89a (from-scratch LZW, bit-exact vs ImageIO) — the same
 from-scratch precedent as the LZO codec.  Container/frame METADATA is
 real for MP4 (ISO 14496-12 box tree) and MPEG audio (ISO 11172-3
-frame headers) — the prune-before-decode stage.  Remaining codec
-formats (lossy-VP8 WEBP images, MP3/AAC sample data, video codecs) stay STUBBED:
+frame headers) — the prune-before-decode stage.  Both WebP codings
+decode natively since r10 (operators/vp8.py, operators/vp8l.py) and
+animated GIF/WebP compose natively since r11 (decode_gif_frames /
+vp8l.decode_webp_anim).  Remaining codec formats (MP3/AAC sample
+data, video codecs) stay STUBBED:
 ``decode_image`` raises NotImplementedError for those, and
 ``fake_features`` is the deterministic stand-in.  The
 Spark-side plumbing is identical either way: schema, Arrow batch
@@ -625,6 +628,107 @@ def decode_gif(payload: bytes) -> np.ndarray:
     raise ValueError("GIF contained no image block")
 
 
+def decode_gif_frames(payload: bytes) -> list[tuple[np.ndarray, int]]:
+    """GIF87a/89a animation → [(composited RGBA canvas, delay in
+    centiseconds)], one per image block, per the GIF89a composition
+    rules: the logical screen starts fully transparent; each frame's
+    raster paints its rectangle skipping the Graphic Control
+    Extension's transparent index; disposal 0/1 keeps the canvas,
+    2 clears the frame rectangle back to transparent AFTER display
+    (the de-facto renderer behavior — the spec's background-color fill
+    predates transparency support), 3 restores the pre-frame canvas.
+    Single-image GIFs return one entry; decode_gif (first frame on an
+    opaque logical screen) is unchanged for still-image callers."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw = int.from_bytes(payload[6:8], "little")
+    sh = int.from_bytes(payload[8:10], "little")
+    flags = payload[10]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = np.frombuffer(payload, dtype=np.uint8, count=3 * n, offset=pos).reshape(n, 3)
+        pos += 3 * n
+    canvas = np.zeros((sh, sw, 4), dtype=np.uint8)
+    frames: list[tuple[np.ndarray, int]] = []
+    delay = 0
+    transparent = -1
+    disposal = 0
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension
+            label = payload[pos + 1]
+            pos += 2
+            if label == 0xF9 and payload[pos] >= 4:  # Graphic Control Ext
+                gflags = payload[pos + 1]
+                delay = int.from_bytes(payload[pos + 2 : pos + 4], "little")
+                transparent = payload[pos + 4] if gflags & 1 else -1
+                disposal = (gflags >> 2) & 7
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"bad GIF block 0x{b:02x}")
+        ix = int.from_bytes(payload[pos + 1 : pos + 3], "little")
+        iy = int.from_bytes(payload[pos + 3 : pos + 5], "little")
+        iw = int.from_bytes(payload[pos + 5 : pos + 7], "little")
+        ih = int.from_bytes(payload[pos + 7 : pos + 9], "little")
+        iflags = payload[pos + 9]
+        pos += 10
+        ct = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 7)
+            ct = np.frombuffer(payload, dtype=np.uint8, count=3 * n, offset=pos).reshape(n, 3)
+            pos += 3 * n
+        if ct is None:
+            raise ValueError("GIF image with no color table")
+        min_code = payload[pos]
+        pos += 1
+        data = bytearray()
+        while payload[pos] != 0:
+            ln = payload[pos]
+            data += payload[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = _gif_lzw_decode(bytes(data), min_code, iw * ih)
+        img = np.asarray(idx, dtype=np.int32).reshape(ih, iw)
+        if iflags & 0x40:  # interlaced
+            out = np.empty_like(img)
+            rows = (
+                list(range(0, ih, 8))
+                + list(range(4, ih, 8))
+                + list(range(2, ih, 4))
+                + list(range(1, ih, 2))
+            )
+            for src, dst in enumerate(rows):
+                out[dst] = img[src]
+            img = out
+        if iy + ih > sh or ix + iw > sw:
+            raise ValueError("GIF frame exceeds logical screen")
+        saved = canvas.copy() if disposal == 3 else None
+        region = canvas[iy : iy + ih, ix : ix + iw]
+        opaque = img != transparent
+        region[..., :3] = np.where(
+            opaque[..., None], ct[np.clip(img, 0, len(ct) - 1)], region[..., :3]
+        )
+        region[..., 3] = np.where(opaque, 255, region[..., 3])
+        frames.append((canvas.copy(), delay))
+        if disposal == 2:
+            region[:] = 0
+        elif disposal == 3 and saved is not None:
+            canvas = saved
+        delay = 0
+        transparent = -1
+        disposal = 0
+    if not frames:
+        raise ValueError("GIF contained no image block")
+    return frames
+
+
 def _gif_lzw_decode(data: bytes, min_code: int, limit: int) -> list[int]:
     clear = 1 << min_code
     eoi = clear + 1
@@ -684,7 +788,15 @@ def encode_gif(arr: np.ndarray) -> bytes:
     out += pal.tobytes()
     out += b"\x2c" + b"\x00\x00\x00\x00" + w.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\x00"
     out += bytes([min_code])
-    # LZW encode (greedy longest-match)
+    out += _gif_lzw_encode(idx.tolist(), min_code)
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def _gif_lzw_encode(idx: list, min_code: int) -> bytes:
+    """Greedy longest-match GIF LZW over palette indices → the
+    255-byte sub-blocked body (without the min-code byte or the
+    zero terminator)."""
     clear = 1 << min_code
     eoi = clear + 1
     table: dict[tuple[int, ...], int] = {(i,): i for i in range(clear)}
@@ -705,7 +817,7 @@ def encode_gif(arr: np.ndarray) -> bytes:
 
     put(clear, width)
     cur: tuple[int, ...] = ()
-    for v in idx.tolist():
+    for v in idx:
         nxt = cur + (int(v),)
         if nxt in table:
             cur = nxt
@@ -727,10 +839,66 @@ def encode_gif(arr: np.ndarray) -> bytes:
     put(eoi, width)
     if nacc:
         body.append(acc & 0xFF)
+    out = bytearray()
     for i in range(0, len(body), 255):
         chunk = body[i : i + 255]
         out += bytes([len(chunk)]) + chunk
-    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def encode_gif_anim(
+    frames: list,
+    delays_cs: list,
+    offsets: list | None = None,
+    disposal: int | list = 0,
+    transparent_rgb: tuple | None = None,
+    loop: int = 0,
+) -> bytes:
+    """Mux (H, W, 3) uint8 frames into an animated GIF89a (global
+    palette over the union of colors, NETSCAPE2.0 loop extension, one
+    Graphic Control Extension + image block per frame) — the
+    fixture/round-trip twin of decode_gif_frames.  ``transparent_rgb``
+    names a palette color whose pixels are written as transparent."""
+    if len(frames) != len(delays_cs) or not frames:
+        raise ValueError("encode_gif_anim: frames/delays mismatch")
+    offsets = offsets or [(0, 0)] * len(frames)
+    colors = np.unique(
+        np.concatenate([f.reshape(-1, 3) for f in frames], axis=0), axis=0
+    )
+    if len(colors) > 255:
+        raise ValueError("encode_gif_anim needs <=255 distinct colors")
+    lut = {tuple(c): i for i, c in enumerate(colors)}
+    tidx = -1
+    if transparent_rgb is not None:
+        tidx = lut.get(tuple(transparent_rgb), -1)
+        if tidx < 0:
+            raise ValueError("transparent_rgb not present in any frame")
+    bits = max(1, int(len(colors) - 1).bit_length())
+    psize = 1 << bits
+    pal = np.zeros((psize, 3), dtype=np.uint8)
+    pal[: len(colors)] = colors
+    sw = max(x + f.shape[1] for (x, _), f in zip(offsets, frames))
+    sh = max(y + f.shape[0] for (_, y), f in zip(offsets, frames))
+    out = bytearray(b"GIF89a")
+    out += sw.to_bytes(2, "little") + sh.to_bytes(2, "little")
+    out += bytes([0x80 | (bits - 1), 0, 0])
+    out += pal.tobytes()
+    out += (b"\x21\xff\x0bNETSCAPE2.0\x03\x01"
+            + int(loop).to_bytes(2, "little") + b"\x00")
+    min_code = max(2, bits)
+    disposals = disposal if isinstance(disposal, list) else [disposal] * len(frames)
+    for (x, y), fr, delay, disp in zip(offsets, frames, delays_cs, disposals):
+        gflags = (disp & 7) << 2 | (1 if tidx >= 0 else 0)
+        out += (b"\x21\xf9\x04" + bytes([gflags])
+                + int(delay).to_bytes(2, "little")
+                + bytes([max(tidx, 0)]) + b"\x00")
+        ih, iw = fr.shape[:2]
+        out += (b"\x2c" + x.to_bytes(2, "little") + y.to_bytes(2, "little")
+                + iw.to_bytes(2, "little") + ih.to_bytes(2, "little")
+                + b"\x00")
+        idx = [lut[tuple(px)] for px in fr.reshape(-1, 3)]
+        out += bytes([min_code]) + _gif_lzw_encode(idx, min_code) + b"\x00"
+    out += b"\x3b"
     return bytes(out)
 
 
@@ -1553,6 +1721,63 @@ FRAME_SCHEMA = T.StructType(
         T.StructField("frame_payload", T.BinaryType(), True),
     ]
 )
+
+
+#: output schema of animation_frames — one row per composited frame
+ANIM_FRAME_SCHEMA = (
+    "asset_id bigint, codec string, frame_idx int, ts_ms int, "
+    "width int, height int, mean_rgba double, parse_ok boolean"
+)
+
+
+def animation_frames(
+    assets: DataFrame, id_col: str = "asset_id", payload_col: str = "payload"
+) -> DataFrame:
+    """One output row per COMPOSITED animation frame — real decode,
+    not stride slicing (frame_sample's stub contract stays for raw
+    streams): GIF89a animations through decode_gif_frames (LZW +
+    GCE disposal/transparency composition) and animated WebP through
+    decode_webp_anim (VP8X/ANIM/ANMF demux over the native VP8/VP8L
+    frame decoders, blend/dispose composition).  ``ts_ms`` is the
+    frame's start time (cumulative prior durations; GIF centiseconds
+    normalized to ms), ``mean_rgba`` the mean over the full RGBA
+    canvas.  Malformed payloads degrade to ONE parse_ok=false row,
+    never a job failure.  Scale: Arrow-batched narrow map, no
+    shuffle; one animation resident per iteration."""
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from impala_cut_spark.operators.vp8l import decode_webp_anim
+
+        for pdf in batches:
+            rows = []
+            for aid, p in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(p) if p is not None else b""
+                try:
+                    if raw[:6] in (b"GIF87a", b"GIF89a"):
+                        codec = "gif"
+                        frames = [(c, d * 10) for c, d in decode_gif_frames(raw)]
+                    elif raw[:4] == b"RIFF" and raw[8:12] == b"WEBP":
+                        codec = "webp"
+                        frames = decode_webp_anim(raw)
+                    else:
+                        raise ValueError("not an animation container")
+                    ts = 0
+                    for fi, (canvas, dur) in enumerate(frames):
+                        h, w = canvas.shape[:2]
+                        rows.append(
+                            (int(aid), codec, fi, ts, w, h,
+                             float(canvas.astype(np.float64).mean()), True)
+                        )
+                        ts += int(dur)
+                except _DECODE_ERRORS:
+                    rows.append((int(aid), None, -1, 0, 0, 0, 0.0, False))
+            yield pd.DataFrame(
+                rows,
+                columns=["asset_id", "codec", "frame_idx", "ts_ms",
+                         "width", "height", "mean_rgba", "parse_ok"],
+            )
+
+    return assets.mapInPandas(_frames, ANIM_FRAME_SCHEMA)
 
 
 def frame_sample(

@@ -1071,8 +1071,7 @@ def decode_webp(payload: bytes) -> np.ndarray:
     via operators/vp8.py (round 10 — YUV planes byte-exact vs libwebp,
     RGB via vp8_to_rgb's documented conversion, alpha 255; a lossless-
     coded ALPH plane, when present, is decoded via decode_vp8l_alpha).
-    Remaining boundary: animations (ANMF) and filtered ALPH variants.
-    """
+    Animated containers route to decode_webp_anim (round 11)."""
     import struct
 
     if len(payload) < 16 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
@@ -1166,3 +1165,171 @@ def encode_webp_lossless(arr: np.ndarray) -> bytes:
     if len(body) & 1:
         chunk += b"\x00"
     return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+# -- animated WebP (VP8X/ANIM/ANMF container layer) ----------------------------
+#
+# WebP animations carry standalone VP8/VP8L key-frame bitstreams inside
+# ANMF chunks (the format has no inter-frame prediction across frames —
+# frames composite onto a canvas via per-frame blend/dispose flags), so
+# the round-10 still-image decoders above are the complete codec layer;
+# this section adds the container demux, the canvas composition rules
+# from the container spec, and a mux twin for fixtures/round-trips.
+
+
+def webp_frames(payload: bytes) -> dict:
+    """Demux an animated WebP: RIFF → VP8X (animation flag) → ANIM
+    (background color, loop count) → one entry per ANMF chunk.  Each
+    frame decodes through the SAME still-image path (decode_webp on a
+    rewrapped minimal container), so demux adds no codec surface.
+    Returns ``{w, h, bg_rgba, loop, frames: [{x, y, duration_ms,
+    blend, dispose, rgba}]}``.  Raises on still images (callers route
+    those to decode_webp directly) and on malformed containers."""
+    import struct
+
+    if len(payload) < 16 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("webp: not a RIFF/WEBP payload")
+    pos = 12
+    out: dict | None = None
+    while pos + 8 <= len(payload):
+        fourcc = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        if pos + 8 + size > len(payload):
+            raise ValueError("webp: truncated chunk")
+        body = payload[pos + 8 : pos + 8 + size]
+        if fourcc == b"VP8X":
+            if len(body) < 10:
+                raise ValueError("webp: short VP8X chunk")
+            if not body[0] & 0x02:
+                raise ValueError("webp: VP8X without animation flag")
+            w = int.from_bytes(body[4:7], "little") + 1
+            h = int.from_bytes(body[7:10], "little") + 1
+            out = {"w": w, "h": h, "bg_rgba": (0, 0, 0, 0), "loop": 0,
+                   "frames": []}
+        elif fourcc == b"ANIM":
+            if out is None:
+                raise ValueError("webp: ANIM before VP8X")
+            b, g, r, a = body[0], body[1], body[2], body[3]  # BGRA order
+            out["bg_rgba"] = (r, g, b, a)
+            out["loop"] = int.from_bytes(body[4:6], "little")
+        elif fourcc == b"ANMF":
+            if out is None:
+                raise ValueError("webp: ANMF before VP8X")
+            if len(body) < 16:
+                raise ValueError("webp: short ANMF header")
+            fx = int.from_bytes(body[0:3], "little") * 2
+            fy = int.from_bytes(body[3:6], "little") * 2
+            fw = int.from_bytes(body[6:9], "little") + 1
+            fh = int.from_bytes(body[9:12], "little") + 1
+            dur = int.from_bytes(body[12:15], "little")
+            flags = body[15]
+            sub = body[16:]
+            wrapped = (b"RIFF"
+                       + struct.pack("<I", 4 + len(sub)) + b"WEBP" + sub)
+            rgba = decode_webp(wrapped)
+            if rgba.shape[:2] != (fh, fw):
+                raise ValueError("webp: ANMF size disagrees with bitstream")
+            out["frames"].append({
+                "x": fx, "y": fy, "duration_ms": dur,
+                "blend": not flags & 0x02,   # bit 1: 1 = do NOT blend
+                "dispose": bool(flags & 0x01),  # bit 0: dispose to background
+                "rgba": rgba,
+            })
+        pos += 8 + size + (size & 1)
+    if out is None:
+        raise ValueError("webp: no VP8X chunk (still image?)")
+    if not out["frames"]:
+        raise ValueError("webp: animation with no ANMF frames")
+    return out
+
+
+def decode_webp_anim(payload: bytes) -> list[tuple[np.ndarray, int]]:
+    """Animated WebP → [(composited RGBA canvas, duration ms)], one
+    per frame, composed per the container spec: the canvas starts
+    fully transparent; blending method 0 alpha-composites the frame
+    over the canvas rectangle, method 1 overwrites it; disposal 1
+    clears the frame rectangle back to transparent AFTER the frame is
+    shown (the libwebp demuxer's behavior — the ANIM background color
+    is a renderer hint, not part of the composition).  Still images
+    return a single (decode_webp(payload), 0) entry."""
+    try:
+        anim = webp_frames(payload)
+    except ValueError:
+        return [(decode_webp(payload), 0)]
+    canvas = np.zeros((anim["h"], anim["w"], 4), dtype=np.uint8)
+    shown: list[tuple[np.ndarray, int]] = []
+    for fr in anim["frames"]:
+        x, y = fr["x"], fr["y"]
+        fh, fw = fr["rgba"].shape[:2]
+        if y + fh > anim["h"] or x + fw > anim["w"]:
+            raise ValueError("webp: ANMF frame exceeds canvas")
+        region = canvas[y : y + fh, x : x + fw]
+        if fr["blend"]:
+            fa = fr["rgba"][..., 3:4].astype(np.float64) / 255.0
+            ca = region[..., 3:4].astype(np.float64) / 255.0
+            oa = fa + ca * (1.0 - fa)
+            rgb = np.where(
+                oa > 0,
+                (fr["rgba"][..., :3] * fa + region[..., :3] * ca * (1.0 - fa))
+                / np.maximum(oa, 1e-12),
+                0.0,
+            )
+            region[..., :3] = np.floor(rgb + 0.5).astype(np.uint8)
+            region[..., 3] = np.floor(oa[..., 0] * 255.0 + 0.5).astype(np.uint8)
+        else:
+            region[:] = fr["rgba"]
+        shown.append((canvas.copy(), fr["duration_ms"]))
+        if fr["dispose"]:
+            region[:] = 0
+    return shown
+
+
+def encode_webp_anim(
+    frames: list[np.ndarray],
+    durations_ms: list[int],
+    offsets: list[tuple[int, int]] | None = None,
+    loop: int = 0,
+    blend: bool = False,
+    dispose: bool = False,
+    canvas: tuple[int, int] | None = None,
+) -> bytes:
+    """Mux (H, W, 4) RGBA frames into an animated WebP (VP8X + ANIM +
+    one losslessly-coded ANMF per frame) — the fixture/round-trip twin
+    of decode_webp_anim.  Offsets must be even (the container stores
+    x/2, y/2).  With the defaults (no blend, no dispose, no offsets)
+    decode_webp_anim returns the input frames exactly."""
+    import struct
+
+    if len(frames) != len(durations_ms) or not frames:
+        raise ValueError("webp: frames/durations mismatch")
+    offsets = offsets or [(0, 0)] * len(frames)
+    cw = ch = 0
+    for (x, y), fr in zip(offsets, frames):
+        if x % 2 or y % 2:
+            raise ValueError("webp: ANMF offsets must be even")
+        cw = max(cw, x + fr.shape[1])
+        ch = max(ch, y + fr.shape[0])
+    if canvas is not None:
+        cw, ch = max(cw, canvas[0]), max(ch, canvas[1])
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        return fourcc + struct.pack("<I", len(body)) + body \
+            + (b"\x00" if len(body) & 1 else b"")
+
+    parts = [chunk(b"VP8X", bytes([0x02, 0, 0, 0])
+                   + (cw - 1).to_bytes(3, "little")
+                   + (ch - 1).to_bytes(3, "little"))]
+    parts.append(chunk(b"ANIM", b"\x00\x00\x00\x00"
+                       + int(loop).to_bytes(2, "little")))
+    flags = (0 if blend else 0x02) | (0x01 if dispose else 0)
+    for (x, y), fr, dur in zip(offsets, frames, durations_ms):
+        sub = chunk(b"VP8L", encode_vp8l(fr))
+        body = ((x // 2).to_bytes(3, "little")
+                + (y // 2).to_bytes(3, "little")
+                + (fr.shape[1] - 1).to_bytes(3, "little")
+                + (fr.shape[0] - 1).to_bytes(3, "little")
+                + int(dur).to_bytes(3, "little")
+                + bytes([flags]) + sub)
+        parts.append(chunk(b"ANMF", body))
+    payload = b"".join(parts)
+    return b"RIFF" + struct.pack("<I", 4 + len(payload)) + b"WEBP" + payload

@@ -1024,3 +1024,97 @@ def pipe_crawl_encoded(spark, sf_dir):
         schema=("doc_id bigint, encoding string, was_chunked boolean, "
                 "body_bytes bigint, text_md5 string"),
     )
+
+
+def _anim_frames_oracle() -> str:
+    """The animation layer is lossless for solid opaque frames with no
+    blend/dispose (canvas after frame i = frame i), so the oracle
+    replays every per-frame fact — count, timestamps, canvas mean —
+    straight from md5(text) hex: frame i's color is digest bytes
+    4i..4i+2, alpha 255."""
+    return """
+WITH h AS (SELECT doc_id, md5(coalesce(text, '')) AS hx,
+                  CAST(2 + doc_id % 3 AS INT) AS k
+           FROM documents),
+f AS (SELECT doc_id, hx, k, CAST(unnest(range(0, k)) AS INT) AS i FROM h),
+px AS (SELECT doc_id, k, i,
+              (strpos('0123456789abcdef', substr(hx, 8*i+1, 1)) - 1) * 16
+            + (strpos('0123456789abcdef', substr(hx, 8*i+2, 1)) - 1) AS r,
+              (strpos('0123456789abcdef', substr(hx, 8*i+3, 1)) - 1) * 16
+            + (strpos('0123456789abcdef', substr(hx, 8*i+4, 1)) - 1) AS g,
+              (strpos('0123456789abcdef', substr(hx, 8*i+5, 1)) - 1) * 16
+            + (strpos('0123456789abcdef', substr(hx, 8*i+6, 1)) - 1) AS b
+       FROM f)
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'webp' ELSE 'gif' END AS codec,
+       i AS frame_idx,
+       CAST(5 * i * (i + 1) AS INT) AS ts_ms,
+       CAST(4 AS INT) AS width, CAST(4 AS INT) AS height,
+       CAST(r + g + b + 255 AS DOUBLE) / 4 AS mean_rgba,
+       TRUE AS parse_ok
+FROM px
+"""
+
+
+@query("pipe_multimodal_anim", oracle=_anim_frames_oracle())
+def pipe_multimodal_anim(spark, sf_dir):
+    """Round-11 animation round-trip: each document becomes a REAL
+    animated asset — 2 + doc_id%3 solid 4x4 frames colored from the
+    md5 digest (frame i = digest bytes 4i..4i+2, opaque), duration
+    (i+1)*10 ms — muxed by the engine's own encoders (animated WebP:
+    VP8X/ANIM/ANMF over losslessly-coded VP8L frames for even
+    doc_ids; animated GIF89a with per-frame Graphic Control
+    Extensions for odd), then decoded back through the REAL operator
+    (multimodal.animation_frames: demux → per-frame VP8L/LZW decode →
+    canvas composition → cumulative timestamps).  Solid opaque frames
+    make every layer exact, so the DuckDB oracle replays frame count,
+    timestamps and canvas means straight from md5 hex — a defect in
+    either mux, either frame codec, or the composition rules breaks
+    the strict hash match.  Scale: one Arrow-batched narrow map,
+    ~3 rows out per asset, no shuffle."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from impala_cut_spark.operators.multimodal import (
+        ANIM_FRAME_SCHEMA,
+        animation_frames,
+        encode_gif_anim,
+    )
+    from impala_cut_spark.operators.vp8l import encode_webp_anim
+
+    docs = t(spark, sf_dir, "documents")
+
+    def _mux(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                s = text if isinstance(text, str) else ""
+                digest = hashlib.md5(s.encode("utf-8")).digest()
+                k = 2 + d % 3
+                rgb = [tuple(digest[4 * i : 4 * i + 3]) for i in range(k)]
+                durs = [(i + 1) * 10 for i in range(k)]
+                if d % 2 == 0:
+                    frames = [
+                        np.full((4, 4, 4), c + (255,), dtype=np.uint8)
+                        for c in rgb
+                    ]
+                    payload = encode_webp_anim(frames, durs)
+                else:
+                    frames = [np.full((4, 4, 3), c, dtype=np.uint8) for c in rgb]
+                    payload = encode_gif_anim(frames, [dr // 10 for dr in durs])
+                ids.append(d)
+                payloads.append(bytearray(payload))
+            yield pd.DataFrame({"asset_id": pd.Series(ids, dtype="int64"),
+                                "payload": pd.Series(payloads, dtype="object")})
+
+    assets = docs.select("doc_id", "text").mapInPandas(
+        _mux, schema="asset_id bigint, payload binary"
+    )
+    out = animation_frames(assets)
+    return out.selectExpr(
+        "asset_id AS doc_id", "codec", "frame_idx", "ts_ms",
+        "width", "height", "mean_rgba", "parse_ok",
+    )
