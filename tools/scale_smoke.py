@@ -190,6 +190,9 @@ X100_QUERIES = {
     "pipe_multimodal_audio": "MP3 frame-header walk (ID3 skip + ISO 11172-3)",
     # r10: the VP8L round-trip row rides the same documents fixture
     "pipe_multimodal_webp": "WebP VP8L encode+decode round-trip (narrow map)",
+    # r11: the encoded-crawl and animation rows ride the same fixture
+    "pipe_crawl_encoded": "crawl wire codings (chunked + gzip/deflate/br/zstd)",
+    "pipe_multimodal_anim": "animated GIF/WebP mux+demux+composition",
 }
 X100_DST = "/tmp/scale_sf10"
 X100_REPLICAS = 100
