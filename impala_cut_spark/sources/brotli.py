@@ -52,13 +52,14 @@ __all__ = ["compress", "decompress", "transform_dictionary_word"]
 
 
 class _Bits:
-    __slots__ = ("d", "i", "acc", "nbits")
+    __slots__ = ("d", "i", "acc", "nbits", "pad")
 
     def __init__(self, data: bytes) -> None:
         self.d = data
         self.i = 0
         self.acc = 0
         self.nbits = 0
+        self.pad = 0  # virtual zero bytes appended by past-the-end peeks
 
     def read(self, n: int) -> int:
         while self.nbits < n:
@@ -76,11 +77,13 @@ class _Bits:
         while self.nbits < 8:
             # past-the-end peeks pad with zeros: a code shorter than the
             # peek width may legally end in the stream's final byte
-            b = self.d[self.i] if self.i < len(self.d) else 0
-            if self.i >= len(self.d) + 4:
-                raise ValueError("brotli: truncated stream")
-            self.i += 1
-            self.acc |= b << self.nbits
+            if self.i < len(self.d):
+                self.acc |= self.d[self.i] << self.nbits
+                self.i += 1
+            else:
+                if self.pad >= 4:
+                    raise ValueError("brotli: truncated stream")
+                self.pad += 1
             self.nbits += 8
         return self.acc & 0xFF
 
@@ -96,8 +99,12 @@ class _Bits:
         return self.read(n) if n else 0
 
     def take_bytes(self, n: int) -> bytes:
-        """Read n raw bytes (caller must be byte-aligned)."""
+        """Read n raw bytes (caller must be byte-aligned).  Raises if
+        the accumulator holds zero padding from a past-the-end peek —
+        those are not stream bytes (truncated-stream guard)."""
         assert self.nbits & 7 == 0
+        if n and self.pad:
+            raise ValueError("brotli: truncated stream")
         out = bytearray()
         while self.nbits and n:
             out.append(self.acc & 0xFF)

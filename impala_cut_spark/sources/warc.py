@@ -280,9 +280,27 @@ def _dechunk(body: bytes) -> bytes:
         pos += size + 2
 
 
-def decode_http_body(headers: dict[str, str], body: bytes) -> tuple[bytes, str]:
+#: default decoded-body cap — a crawl record is content-length-bounded
+#: on the wire, but a KB-sized gzip/br/zstd bomb can expand without
+#: limit; 256 MiB is far above any real page yet keeps one hostile
+#: record from taking down an executor.
+MAX_DECODED_BODY = 256 * 1024 * 1024
+
+
+def _zlib_capped(body: bytes, wbits: int, cap: int) -> bytes:
+    d = zlib.decompressobj(wbits=wbits)
+    out = d.decompress(body, cap + 1)
+    if len(out) > cap or (d.unconsumed_tail and not d.eof):
+        raise ValueError("http: decoded body exceeds allowed size")
+    return out
+
+
+def decode_http_body(
+    headers: dict[str, str], body: bytes, max_output: int = MAX_DECODED_BODY
+) -> tuple[bytes, str]:
     """Undo the on-the-wire codings of an HTTP response body: the
     ``Transfer-Encoding: chunked`` framing, then ``Content-Encoding``
+    — every arm bounded by ``max_output`` (bomb guard) —
     — gzip/x-gzip and deflate (zlib, both the RFC 1950-wrapped and the
     raw form real servers emit), br (the from-scratch RFC 7932 decoder
     in sources/brotli.py), and zstd (the from-scratch RFC 8878 decoder
@@ -298,20 +316,20 @@ def decode_http_body(headers: dict[str, str], body: bytes) -> tuple[bytes, str]:
     if enc in ("identity", "none", ""):
         return body, "identity"
     if enc in ("gzip", "x-gzip"):
-        return zlib.decompress(body, wbits=47), enc  # gzip or zlib wrapper
+        return _zlib_capped(body, 47, max_output), enc  # gzip or zlib wrapper
     if enc == "deflate":
         try:
-            return zlib.decompress(body), enc  # RFC 1950 zlib-wrapped
+            return _zlib_capped(body, 15, max_output), enc  # RFC 1950 wrapped
         except zlib.error:
-            return zlib.decompress(body, wbits=-15), enc  # raw-deflate servers
+            return _zlib_capped(body, -15, max_output), enc  # raw-deflate servers
     if enc == "br":
         from impala_cut_spark.sources import brotli
 
-        return brotli.decompress(body), enc
+        return brotli.decompress(body, max_output=max_output), enc
     if enc == "zstd":
         from impala_cut_spark.sources import zstd
 
-        return zstd.decompress(body), enc
+        return zstd.decompress(body, max_output=max_output), enc
     raise ValueError(f"http: unsupported content-encoding {enc!r}")
 
 

@@ -500,8 +500,13 @@ def _decode_block(
     out += literals[lit_pos:]
 
 
-def decompress(data: bytes, expected: int | None = None) -> bytes:
-    """Decode a (possibly concatenated) sequence of zstd frames."""
+def decompress(
+    data: bytes, expected: int | None = None, max_output: int | None = None
+) -> bytes:
+    """Decode a (possibly concatenated) sequence of zstd frames.
+    ``max_output`` bounds the decoded size (decompression-bomb guard
+    for untrusted inputs — checked per block, before the bytes are
+    materialized past the cap)."""
     data = bytes(data)
     out = bytearray()
     pos = 0
@@ -551,6 +556,8 @@ def decompress(data: bytes, expected: int | None = None) -> bytes:
                 pos += bsize
             else:
                 raise ValueError("zstd: reserved block type")
+            if max_output is not None and len(out) > max_output:
+                raise ValueError("zstd: output exceeds allowed size")
             if last:
                 break
         if checksum:

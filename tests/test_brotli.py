@@ -335,3 +335,35 @@ def test_decode_http_body_chunked():
     assert got == payload and enc == "gzip"
     with pytest.raises(ValueError):
         decode_http_body({"transfer-encoding": "chunked"}, b"5\r\nhel")
+
+
+def test_decode_http_body_bomb_guard():
+    """A KB-sized compressed body expanding past max_output must raise
+    in every coding arm, without materializing the expansion."""
+    from impala_cut_spark.sources import zstd
+    from impala_cut_spark.sources.warc import decode_http_body
+
+    big = b"\x00" * 4_000_000
+    gz = zlib.compressobj(wbits=31)
+    arms = [
+        ({"content-encoding": "gzip"}, gz.compress(big) + gz.flush()),
+        ({"content-encoding": "deflate"}, zlib.compress(big)),
+        ({"content-encoding": "br"}, _lib_compress(big, 9, 22)
+         if _ENC is not None else brotli.compress(big)),
+        ({"content-encoding": "zstd"}, zstd.compress(big)),
+    ]
+    for headers, body in arms:
+        with pytest.raises(ValueError, match="exceeds allowed size"):
+            decode_http_body(headers, body, max_output=1_000_000)
+        got, _ = decode_http_body(headers, body, max_output=len(big))
+        assert got == big, headers
+
+
+def test_truncated_uncompressed_block_raises_not_zero_fills():
+    """A store-mode stream cut inside its raw bytes must raise — the
+    bit reader's past-the-end zero padding is for short final codes,
+    never for raw byte copies."""
+    comp = brotli.compress(b"0123456789abcdef")
+    for cut in (1, 2, 3, 4):
+        with pytest.raises(ValueError, match="truncated"):
+            brotli.decompress(comp[:-cut])
