@@ -273,6 +273,17 @@ from impala_cut_spark.plans import perf  # noqa: E402,F401
 #:   pipe_embed_semdedup (witnessed r4-r10) → pipe_chunking, the
 #:     overlap document chunker (Tier-B #4; the LSH-bucketed embedding
 #:     shape stays via pipe_ann_ivfpq + pipe_ann_recall).
+#: Second r11 rotation — witness the two rows BORN this round (the
+#: tier map's newborn-priority rule); donors keep oracles below:
+#:   pipe_multimodal_video (witnessed r9-r10) → pipe_multimodal_anim,
+#:     animated GIF/WebP demux + canvas composition (the multimodal
+#:     family keeps pipe_multimodal_webp + pipe_multimodal_audio
+#:     in-window; the MP4 box-tree walk keeps its oracle below);
+#:   pipe_ngram_novelty (witnessed r8-r10) → pipe_crawl_encoded, the
+#:     encoded-crawl wire path: chunked framing + gzip/deflate/br/zstd
+#:     content codings through decode_http_body (the first-seen
+#:     agg+join-back shape stays via pipe_dup_block_share; the crawl
+#:     container family keeps cov_warc_scan in-window).
 DRIVER_WINDOW: list[str] = [
     # TPC-H (6 of 23 — q3/q4/q5/q8/q9/q10/q11/q12/q13/q14/q15/q16/
     # q17/q19/q20/q22 below the window, oracles intact)
@@ -298,14 +309,14 @@ DRIVER_WINDOW: list[str] = [
     "cov_like_regex",
     "cov_setops_all",
     "pipe_asof",
-    "pipe_ngram_novelty",
+    "pipe_crawl_encoded",
     "tpcds_q63",
     "cov_fn_conditional",
     "perf_string_like",
     "cov_external_scan",
     "cov_text_exact",
     # LLM-pipeline + streaming operators (one row each)
-    "pipe_multimodal_video",
+    "pipe_multimodal_anim",
     "perf_sort_stress",
     "pipe_dedup_jaccard",
     "cov_fn_cast",

@@ -237,9 +237,11 @@ def test_driver_window_is_first_50():
         # r3-r8) ceded to pipe_multimodal_audio — the narrow-map
         # multimodal shape stays via codec+video
         # round-11: pipe_multimodal_codec ceded to the r10-born VP8L
-        # round-trip row (tier rule #25)
+        # round-trip row (tier rule #25); second r11 rotation:
+        # pipe_multimodal_video ceded to the r11-born animation row
+        # (MP4 box-tree walk keeps its oracle below the window)
         "multimodal": ["pipe_multimodal_audio", "pipe_multimodal_webp",
-                       "pipe_multimodal_video"],
+                       "pipe_multimodal_anim"],
         # round-8: stream_events_hourly ceded to stream_topk_trending;
         # round-9: stream_dedup ceded to stream_join (keyed state stays
         # via stream_neardup)
@@ -277,7 +279,10 @@ def test_driver_window_is_first_50():
         "perf": ["perf_grep_scan", "perf_string_like", "perf_sort_stress",
                  "perf_agg_types"],
         "block_dedup": ["pipe_dup_block_share"],
-        "novelty": ["pipe_ngram_novelty"],
+        # second r11 rotation: pipe_ngram_novelty ceded to the r11-born
+        # encoded-crawl wire-codings row (first-seen agg+join-back
+        # shape stays via pipe_dup_block_share)
+        "crawl_codings": ["pipe_crawl_encoded"],
     }
     for fam, members in families.items():
         assert all(m in DRIVER_WINDOW for m in members), fam
