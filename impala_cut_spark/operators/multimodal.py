@@ -1302,6 +1302,234 @@ def build_minimal_mp4(
     )
 
 
+def heif_metadata(payload: bytes) -> dict:
+    """Parse a HEIF/AVIF still-image container (ISO/IEC 23008-12 over
+    the 14496-12 box grammar) → metadata: ``{brand, primary_item,
+    n_items, codec, width, height, bit_depth, rotation, has_alpha,
+    is_grid, n_tiles}``.
+
+    This is the metadata-prune stage for the two codecs modern crawls
+    actually serve (AVIF/HEIC): route/filter by dimensions, codec,
+    depth and derived-image structure BEFORE any sample decode — the
+    AV1/HEVC payloads themselves stay behind the documented codec stub
+    boundary (same contract as mp4_metadata/mp3_metadata).  Width and
+    height come from the ``ispe`` property ASSOCIATED with the primary
+    item via ``ipma`` → ``ipco`` indices (not a global max), alpha
+    from an ``auxl``-referenced item, grids from a primary ``grid``
+    item's ``dimg`` references.  Validated against real libheif
+    (x265/aom) encoder output in tests/test_heif.py."""
+    if len(payload) < 16 or payload[4:8] != b"ftyp":
+        raise ValueError("not an ISO BMFF payload (no ftyp)")
+    brand = payload[8:12].decode("ascii", "replace")
+    out: dict = {
+        "brand": brand, "primary_item": None, "n_items": 0, "codec": None,
+        "width": None, "height": None, "bit_depth": None, "rotation": 0,
+        "has_alpha": False, "is_grid": False, "n_tiles": 0,
+    }
+    items: dict[int, str] = {}
+    ipco_props: list[tuple[bytes, bytes]] = []
+    ipma: dict[int, list[int]] = {}
+    aux_refs: list[tuple[int, int]] = []   # (aux item, target)
+    dimg_refs: dict[int, int] = {}         # from_item -> tile count
+
+    def children(lo: int, hi: int):
+        pos = lo
+        while pos + 8 <= hi:
+            (size,) = struct.unpack_from(">I", payload, pos)
+            typ = payload[pos + 4 : pos + 8]
+            body = pos + 8
+            if size == 1:
+                (size,) = struct.unpack_from(">Q", payload, pos + 8)
+                body = pos + 16
+            elif size == 0:
+                size = hi - pos
+            end = pos + size
+            if end > hi or size < 8:
+                raise ValueError("corrupt ISO BMFF box size")
+            yield typ, body, end
+            pos = end
+
+    def parse_iinf(lo: int, hi: int) -> None:
+        ver = payload[lo]
+        pos = lo + 4
+        if ver == 0:
+            pos += 2
+        else:
+            pos += 4
+        for typ, body, end in children(pos, hi):
+            if typ != b"infe":
+                continue
+            v = payload[body]
+            p = body + 4
+            if v == 2:
+                iid = struct.unpack_from(">H", payload, p)[0]
+                p += 2
+            elif v == 3:
+                iid = struct.unpack_from(">I", payload, p)[0]
+                p += 4
+            else:
+                continue
+            p += 2  # protection index
+            items[iid] = payload[p : p + 4].decode("ascii", "replace")
+
+    def parse_ipma(lo: int, hi: int) -> None:
+        ver = payload[lo]
+        flags = int.from_bytes(payload[lo + 1 : lo + 4], "big")
+        pos = lo + 4
+        (n,) = struct.unpack_from(">I", payload, pos)
+        pos += 4
+        for _ in range(n):
+            if ver == 0:
+                iid = struct.unpack_from(">H", payload, pos)[0]
+                pos += 2
+            else:
+                iid = struct.unpack_from(">I", payload, pos)[0]
+                pos += 4
+            cnt = payload[pos]
+            pos += 1
+            assoc = []
+            for _ in range(cnt):
+                if flags & 1:
+                    v = struct.unpack_from(">H", payload, pos)[0]
+                    pos += 2
+                    assoc.append(v & 0x7FFF)
+                else:
+                    assoc.append(payload[pos] & 0x7F)
+                    pos += 1
+            ipma[iid] = assoc
+
+    def parse_iref(lo: int, hi: int) -> None:
+        ver = payload[lo]
+        wide = 4 if ver else 2
+        fmt = ">I" if ver else ">H"
+        for typ, body, end in children(lo + 4, hi):
+            from_id = struct.unpack_from(fmt, payload, body)[0]
+            (cnt,) = struct.unpack_from(">H", payload, body + wide)
+            tos = [
+                struct.unpack_from(fmt, payload, body + wide + 2 + i * wide)[0]
+                for i in range(cnt)
+            ]
+            if typ == b"auxl":
+                for t in tos:
+                    aux_refs.append((from_id, t))
+            elif typ == b"dimg":
+                dimg_refs[from_id] = cnt
+
+    def walk_meta(lo: int, hi: int) -> None:
+        for typ, body, end in children(lo, hi):
+            if typ == b"pitm":
+                v = payload[body]
+                out["primary_item"] = (
+                    struct.unpack_from(">H", payload, body + 4)[0]
+                    if v == 0
+                    else struct.unpack_from(">I", payload, body + 4)[0]
+                )
+            elif typ == b"iinf":
+                parse_iinf(body, end)
+            elif typ == b"iref":
+                parse_iref(body, end)
+            elif typ == b"iprp":
+                for t2, b2, e2 in children(body, end):
+                    if t2 == b"ipco":
+                        for t3, b3, e3 in children(b2, e2):
+                            ipco_props.append((t3, payload[b3:e3]))
+                    elif t2 == b"ipma":
+                        parse_ipma(b2, e2)
+
+    for typ, body, end in children(0, len(payload)):
+        if typ == b"meta":  # full box: skip version+flags
+            walk_meta(body + 4, end)
+
+    out["n_items"] = len(items)
+    pid = out["primary_item"]
+    if pid is None or pid not in items:
+        raise ValueError("heif: no primary item")
+    ptype = items[pid]
+    if ptype == "grid":
+        out["is_grid"] = True
+        out["n_tiles"] = dimg_refs.get(pid, 0)
+        tile_types = {items[i] for i in items if items[i] in ("av01", "hvc1")}
+        out["codec"] = next(iter(tile_types), None)
+    elif ptype in ("av01", "hvc1"):
+        out["codec"] = ptype
+    for idx in ipma.get(pid, []):
+        if not 1 <= idx <= len(ipco_props):
+            continue
+        ptyp, pbody = ipco_props[idx - 1]
+        if ptyp == b"ispe":
+            out["width"], out["height"] = struct.unpack_from(">II", pbody, 4)
+        elif ptyp == b"pixi":
+            n = pbody[4]
+            if n:
+                out["bit_depth"] = pbody[5]
+        elif ptyp == b"irot":
+            out["rotation"] = (pbody[0] & 3) * 90
+    out["has_alpha"] = any(t == pid for _, t in aux_refs) or (
+        out["is_grid"] and any(items.get(f) == "grid" and f != pid
+                               for f, _ in aux_refs)
+    )
+    return out
+
+
+def build_minimal_avif(
+    width: int,
+    height: int,
+    codec: str = "av01",
+    bit_depth: int = 8,
+    rotation: int = 0,
+    alpha: bool = False,
+) -> bytes:
+    """Minimal valid HEIF/AVIF item tree (ftyp + meta[hdlr, pitm,
+    iinf/infe, iref(auxl), iprp[ipco(ispe, pixi, irot), ipma]] + mdat
+    with placeholder coded data) — the fixture/sink twin of
+    heif_metadata, per ISO/IEC 23008-12.  The coded payload is a stub
+    (sample decode is the documented boundary); every metadata field
+    round-trips."""
+    brand = b"avif" if codec == "av01" else b"heic"
+
+    def box(typ: bytes, payload_: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload_)) + typ + payload_
+
+    def full(typ: bytes, ver: int, flags: int, payload_: bytes) -> bytes:
+        return box(typ, bytes([ver]) + flags.to_bytes(3, "big") + payload_)
+
+    items = [(1, codec.encode())]
+    if alpha:
+        items.append((2, codec.encode()))
+    infes = b"".join(
+        full(b"infe", 2, 0, struct.pack(">HH", iid, 0) + typ + b"\x00")
+        for iid, typ in items
+    )
+    iinf = full(b"iinf", 0, 0, struct.pack(">H", len(items)) + infes)
+    props = [
+        full(b"ispe", 0, 0, struct.pack(">II", width, height)),
+        full(b"pixi", 0, 0, bytes([3, bit_depth, bit_depth, bit_depth])),
+    ]
+    assoc = [1, 2]
+    if rotation:
+        props.append(box(b"irot", bytes([(rotation // 90) & 3])))
+        assoc.append(3)
+    ipco = box(b"ipco", b"".join(props))
+    entries = struct.pack(">HB", 1, len(assoc)) + bytes(a | 0x80 for a in assoc)
+    if alpha:
+        entries += struct.pack(">HB", 2, 1) + bytes([1 | 0x80])
+    ipma = full(b"ipma", 0, 0, struct.pack(">I", len(items)) + entries)
+    meta_children = [
+        full(b"hdlr", 0, 0, b"\x00" * 4 + b"pict" + b"\x00" * 12 + b"\x00"),
+        full(b"pitm", 0, 0, struct.pack(">H", 1)),
+        iinf,
+        box(b"iprp", ipco + ipma),
+    ]
+    if alpha:
+        aux = full(
+            b"iref", 0, 0, box(b"auxl", struct.pack(">HHH", 2, 1, 1))
+        )
+        meta_children.append(aux)
+    meta = full(b"meta", 0, 0, b"".join(meta_children))
+    ftyp = box(b"ftyp", brand + b"\x00\x00\x00\x00" + brand + b"mif1miaf")
+    return ftyp + meta + box(b"mdat", b"\x00stub-coded-data")
+
+
 #: output schema of video_metadata
 VIDEO_META_SCHEMA = T.StructType(
     [
@@ -1317,6 +1545,55 @@ VIDEO_META_SCHEMA = T.StructType(
         T.StructField("parse_ok", T.BooleanType(), False),
     ]
 )
+
+
+#: output schema of image_container_metadata
+HEIF_META_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("brand", T.StringType(), True),
+        T.StructField("codec", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("bit_depth", T.IntegerType(), True),
+        T.StructField("rotation", T.IntegerType(), True),
+        T.StructField("has_alpha", T.BooleanType(), True),
+        T.StructField("is_grid", T.BooleanType(), True),
+        T.StructField("parse_ok", T.BooleanType(), False),
+    ]
+)
+
+
+def image_container_metadata(assets: DataFrame) -> DataFrame:
+    """Per-asset HEIF/AVIF container metadata via heif_metadata — the
+    prune-before-decode stage for the modern crawl image codecs
+    (route/filter by dimensions, codec, depth, rotation, alpha, grid
+    structure without touching AV1/HEVC sample data).  Unparseable
+    payloads yield parse_ok=false, never a job failure."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    m = heif_metadata(bytes(payload) if payload is not None else b"")
+                    rows.append(
+                        (int(aid), m["brand"], m["codec"], m["width"],
+                         m["height"], m["bit_depth"], m["rotation"],
+                         m["has_alpha"], m["is_grid"], True)
+                    )
+                except _DECODE_ERRORS:
+                    rows.append(
+                        (int(aid), None, None, None, None, None, None,
+                         None, None, False)
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in HEIF_META_SCHEMA.fields]
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        _extract, schema=HEIF_META_SCHEMA
+    )
 
 
 def video_metadata(assets: DataFrame) -> DataFrame:

@@ -1110,11 +1110,91 @@ def pipe_multimodal_anim(spark, sf_dir):
             yield pd.DataFrame({"asset_id": pd.Series(ids, dtype="int64"),
                                 "payload": pd.Series(payloads, dtype="object")})
 
-    assets = docs.select("doc_id", "text").mapInPandas(
+    narrow = docs.select("doc_id", "text")
+    cores = spark.sparkContext.defaultParallelism
+    if narrow.rdd.getNumPartitions() < cores:
+        narrow = narrow.repartition(cores)
+    assets = narrow.mapInPandas(
         _mux, schema="asset_id bigint, payload binary"
     )
     out = animation_frames(assets)
     return out.selectExpr(
         "asset_id AS doc_id", "codec", "frame_idx", "ts_ms",
         "width", "height", "mean_rgba", "parse_ok",
+    )
+
+
+def _heif_meta_oracle() -> str:
+    """The HEIF muxer/parser pair is lossless for every metadata field,
+    so the oracle replays the container facts straight from md5 hex."""
+    return """
+WITH h AS (SELECT doc_id, md5(coalesce(text, '')) AS hx FROM documents),
+b AS (SELECT doc_id,
+             (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) AS b0,
+             (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1) AS b1
+      FROM h)
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'avif' ELSE 'heic' END AS brand,
+       CASE WHEN doc_id % 2 = 0 THEN 'av01' ELSE 'hvc1' END AS codec,
+       CAST(16 + b0 AS INT) AS width,
+       CAST(16 + b1 AS INT) AS height,
+       CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 8 WHEN 1 THEN 10
+            ELSE 12 END AS INT) AS bit_depth,
+       CAST(90 * (doc_id % 4) AS INT) AS rotation,
+       doc_id % 5 = 0 AS has_alpha,
+       FALSE AS is_grid,
+       TRUE AS parse_ok
+FROM b
+"""
+
+
+@query("pipe_multimodal_heif", oracle=_heif_meta_oracle())
+def pipe_multimodal_heif(spark, sf_dir):
+    """Round-11 HEIF/AVIF metadata-prune conformance: each document
+    becomes a HEIF item tree (build_minimal_avif — brand/codec by
+    doc_id parity, dimensions from the md5 digest, bit depth / irot /
+    alpha aux item cycling) and is read back through the REAL operator
+    (image_container_metadata → heif_metadata: box walk, infe item
+    table, ipma→ipco property association, auxl references).  Every
+    field is lossless, so the DuckDB oracle replays the container
+    facts from md5 hex.  The parser is additionally validated against
+    real libheif x265/aom encoder output in tests/test_heif.py.
+    Scale: one Arrow-batched narrow map, no shuffle — the route/filter
+    step a 100 TB image crawl runs before any AV1/HEVC decode."""
+    import hashlib
+
+    import pandas as pd
+
+    from impala_cut_spark.operators.multimodal import (
+        build_minimal_avif,
+        image_container_metadata,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+
+    def _mux(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                s = text if isinstance(text, str) else ""
+                dg = hashlib.md5(s.encode("utf-8")).digest()
+                payloads.append(bytearray(build_minimal_avif(
+                    16 + dg[0], 16 + dg[1],
+                    codec="av01" if d % 2 == 0 else "hvc1",
+                    bit_depth=(8, 10, 12)[d % 3],
+                    rotation=90 * (d % 4),
+                    alpha=d % 5 == 0,
+                )))
+                ids.append(d)
+            yield pd.DataFrame({"asset_id": pd.Series(ids, dtype="int64"),
+                                "payload": pd.Series(payloads, dtype="object")})
+
+    assets = docs.select("doc_id", "text").mapInPandas(
+        _mux, schema="asset_id bigint, payload binary"
+    )
+    return image_container_metadata(assets).withColumnRenamed(
+        "asset_id", "doc_id"
     )
