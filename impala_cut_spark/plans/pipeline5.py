@@ -940,8 +940,8 @@ def pipe_crawl_encoded(spark, sf_dir):
     """Round-11 END-TO-END encoded-crawl conformance: each document
     body is put ON THE WIRE the way real crawl captures store it —
     content-coded by doc_id % 5 (identity / gzip / deflate / br via
-    the store-mode sources/brotli.py encoder / zstd via the store-mode
-    sources/zstd.py encoder), chunked-transfer-framed for doc_id % 3
+    the engine's own compressing RFC 7932 encoder in sources/brotli.py
+    / zstd via the store-mode sources/zstd.py encoder), chunked-transfer-framed for doc_id % 3
     == 0, framed as an HTTP/1.1 200 response inside a (gzip-member for
     odd doc_ids) WARC record — then ingested back through the REAL
     pipeline: parse_warc → parse_http_response → decode_http_body.

@@ -23,6 +23,14 @@ qualities 0-11 and window sizes, transform-by-transform parity with
 exported RFC constants.  All constant tables are RFC 7932 published
 data (see _brotli_tables.py); the static dictionary ships as
 _brotli_dict.bin, sha256-pinned to the RFC Appendix A value.
+
+The module also carries a real compressing ENCODER (``compress``
+level 1: greedy hash-chain LZ77 into insert-and-copy commands,
+entropy-coded meta-blocks with complex/simple prefix-code emission,
+explicit distances under NPOSTFIX=NDIRECT=0) whose every output
+stream must decode via libbrotlidec in tests — the cross-anchored
+encoder/decoder pair the LZO/zstd/VP8L codecs established; level 0
+keeps the store-mode form.
 """
 
 from __future__ import annotations
@@ -631,48 +639,332 @@ def decompress(data: bytes, max_output: int | None = None) -> bytes:
     return bytes(out)
 
 
-# -- minimal encoder (store mode) ----------------------------------------------
+# -- encoder ---------------------------------------------------------------------
 
 
-def compress(data: bytes) -> bytes:
-    """Emit a valid brotli stream in store mode: uncompressed
-    meta-blocks (≤ 2^24-1 bytes each, section 9.2) under a 16-bit
-    window header, closed by an ISLAST+ISLASTEMPTY block.  No
-    compression — this exists so fixtures and round-trip tests can
-    produce ``Content-Encoding: br`` payloads without any native
-    library on the data path; decode-side parity with libbrotlidec is
-    asserted in tests/test_brotli.py."""
-    out = bytearray()
-    acc = 0
-    nbits = 0
+class _BitWriter:
+    __slots__ = ("out", "acc", "nbits")
 
-    def put(v: int, n: int) -> None:
-        nonlocal acc, nbits
-        acc |= (v & ((1 << n) - 1)) << nbits
-        nbits += n
-        while nbits >= 8:
-            out.append(acc & 0xFF)
-            acc >>= 8
-            nbits -= 8
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
 
-    put(0, 1)  # WBITS = 16
+    def put(self, v: int, n: int) -> None:
+        self.acc |= (v & ((1 << n) - 1)) << self.nbits
+        self.nbits += n
+        while self.nbits >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def put_code(self, code: int, length: int) -> None:
+        """Prefix-code bits: first-read bit = MSB of the code."""
+        for k in range(length - 1, -1, -1):
+            self.put((code >> k) & 1, 1)
+
+    def byte_align(self) -> None:
+        if self.nbits:
+            self.out.append(self.acc & 0xFF)
+            self.acc = 0
+            self.nbits = 0
+
+    def bytes(self) -> bytes:
+        out = bytearray(self.out)
+        if self.nbits:
+            out.append(self.acc & 0xFF)
+        return bytes(out)
+
+
+def compress(data: bytes, level: int = 1) -> bytes:
+    """Emit a valid brotli stream.  ``level=0`` is store mode
+    (uncompressed meta-blocks); ``level=1`` (default) actually
+    compresses: greedy hash-chain LZ77 into insert-and-copy commands,
+    one literal / command / distance prefix code per meta-block
+    (complex or simple per section 3), explicit distances under
+    NPOSTFIX=NDIRECT=0.  Both forms decode via libbrotlidec and the
+    decoder above (tests/test_brotli.py) — no native library on the
+    data path either direction."""
+    if level == 0:
+        return _compress_store(data)
+    bw = _BitWriter()
+    # WBITS = 22 ('1' + 3-bit 5): the window must cover every in-chunk
+    # backward distance, or the decoder reads long matches as static-
+    # dictionary references
+    bw.put(1, 1)
+    bw.put(5, 3)
+    step = (1 << 22) - 16  # every in-chunk distance stays addressable
+    if not data:
+        bw.put(1, 1)  # ISLAST
+        bw.put(1, 1)  # ISLASTEMPTY
+        return bw.bytes()
+    for pos in range(0, len(data), step):
+        chunk = data[pos : pos + step]
+        _encode_meta_block(bw, chunk, pos + step >= len(data))
+    return bw.bytes()
+
+
+def _compress_store(data: bytes) -> bytes:
+    bw = _BitWriter()
+    bw.put(0, 1)  # WBITS = 16
     pos = 0
     while pos < len(data):
         chunk = data[pos : pos + (1 << 24) - 1]
         pos += len(chunk)
-        put(0, 1)  # ISLAST = 0
+        bw.put(0, 1)  # ISLAST = 0
         mlen = len(chunk) - 1
         nibbles = max(4, (mlen.bit_length() + 3) // 4)
-        put(nibbles - 4, 2)
-        put(mlen, 4 * nibbles)
-        put(1, 1)  # ISUNCOMPRESSED
-        if nbits:  # byte-align
-            out.append(acc & 0xFF)
-            acc = 0
-            nbits = 0
-        out += chunk
-    put(1, 1)  # ISLAST
-    put(1, 1)  # ISLASTEMPTY
-    if nbits:
-        out.append(acc & 0xFF)
-    return bytes(out)
+        bw.put(nibbles - 4, 2)
+        bw.put(mlen, 4 * nibbles)
+        bw.put(1, 1)  # ISUNCOMPRESSED
+        bw.byte_align()
+        bw.out += chunk
+    bw.put(1, 1)  # ISLAST
+    bw.put(1, 1)  # ISLASTEMPTY
+    return bw.bytes()
+
+
+#: explicit-distance command cells: (insert code base, copy code base)
+#: -> range index (section 5; +2 when emitted, so the distance symbol
+#: is always read)
+_CELL_TO_RANGE = {
+    (INSERT_RANGE_BASE[i], COPY_RANGE_BASE[i]): i for i in range(9)
+}
+
+
+def _len_code(table: list[tuple[int, int]], v: int) -> int:
+    """Largest code whose first value is <= v (tables are sorted)."""
+    lo, hi = 0, len(table) - 1
+    while lo < hi:
+        mid = (lo + hi + 1) >> 1
+        if table[mid][0] <= v:
+            lo = mid
+        else:
+            hi = mid - 1
+    return lo
+
+
+def _lz_parse(chunk: bytes) -> list[tuple[int, int, int, int]]:
+    """Greedy hash matcher → (lit_start, lit_end, copy_len, distance)
+    commands; the final command carries copy_len=0 (sentinel: its copy
+    code is never consumed by the decoder once MLEN is exhausted)."""
+    n = len(chunk)
+    cmds: list[tuple[int, int, int, int]] = []
+    table: dict[bytes, int] = {}
+    ip = 0
+    lit = 0
+    limit = n - 3
+    while ip < limit:
+        key = chunk[ip : ip + 4]
+        cand = table.get(key, -1)
+        table[key] = ip
+        if cand < 0:
+            ip += 1
+            continue
+        ml = 4
+        while ip + ml < n and chunk[cand + ml] == chunk[ip + ml]:
+            ml += 1
+        cmds.append((lit, ip, ml, ip - cand))
+        ip += ml
+        lit = ip
+    if lit < n:
+        # trailing-literals command; its copy code is a sentinel the
+        # decoder never consumes past MLEN.  When the chunk ends ON a
+        # copy, no sentinel: the decoder stops reading at exactly that
+        # command, so extra bits would be trailing garbage.
+        cmds.append((lit, n, 0, 0))
+    return cmds
+
+
+def _dist_symbol(d: int) -> tuple[int, int, int]:
+    """Distance -> (dcode, extra bits, extra value) under
+    NPOSTFIX=0, NDIRECT=0 (section 4)."""
+    v = d + 3
+    nbits = v.bit_length() - 2
+    b = (v >> nbits) - 2
+    extra = v - ((2 + b) << nbits)
+    return 16 + (nbits - 1) * 2 + b, nbits, extra
+
+
+def _write_prefix_code(bw: _BitWriter, lengths: list[int]) -> list[tuple[int, int]]:
+    """Emit a section-3 prefix-code description; returns the canonical
+    (code, length) per symbol for the data phase."""
+    nz = [(s, ln) for s, ln in enumerate(lengths) if ln]
+    abits = max(1, (len(lengths) - 1).bit_length())
+    codes = _canonical(lengths)
+    if len(nz) == 1:
+        bw.put(1, 2)  # HSKIP: simple form
+        bw.put(0, 2)  # NSYM - 1 = 0
+        bw.put(nz[0][0], abits)
+        # decoders consume ZERO bits per symbol of a single-symbol code
+        # (the same rule the VP8L encoder desync fix pinned): the data
+        # phase must emit nothing for it
+        codes = list(codes)
+        codes[nz[0][0]] = (0, 0)
+        return codes
+    if len(nz) <= 4:
+        syms = [s for s, _ in nz]
+        lens = sorted(ln for _, ln in nz)
+        bw.put(1, 2)
+        bw.put(len(nz) - 1, 2)
+        if len(nz) == 2:  # lengths 1,1 — sorted symbols
+            for s in sorted(syms):
+                bw.put(s, abits)
+        elif len(nz) == 3:  # 1,2,2 — the len-1 symbol first, rest sorted
+            one = next(s for s, ln in nz if ln == 1)
+            rest = sorted(s for s, ln in nz if ln != 1)
+            for s in [one] + rest:
+                bw.put(s, abits)
+        else:
+            if lens == [2, 2, 2, 2]:
+                for s in sorted(syms):
+                    bw.put(s, abits)
+                bw.put(0, 1)  # tree-select
+            else:  # 1,2,3,3
+                one = next(s for s, ln in nz if ln == 1)
+                two = next(s for s, ln in nz if ln == 2)
+                rest = sorted(s for s, ln in nz if ln == 3)
+                for s in [one, two] + rest:
+                    bw.put(s, abits)
+                bw.put(1, 1)
+        return codes
+    # complex form: emit symbol lengths up to the last nonzero one,
+    # zeros literally (no 16/17 repeats — simplicity over density)
+    seq = lengths[: nz[-1][0] + 1]
+    freq = [0] * 18
+    for ln in seq:
+        freq[ln] += 1
+    used = [v for v, f in enumerate(freq) if f]
+    if len(used) == 1:
+        cl_lens = [0] * 18
+        cl_lens[used[0]] = 1  # single-symbol: 0-bit code (num_codes==1)
+    else:
+        from impala_cut_spark.operators.vp8l import _huffman_lengths
+
+        hl = _huffman_lengths(freq, max_len=5)
+        cl_lens = hl + [0] * (18 - len(hl))
+    bw.put(0, 2)  # HSKIP = 0
+    # code-length-code lengths via the static code — defined by the
+    # decoder's 4-bit LSB-first lookup (_CL_STATIC_*), so the bit
+    # patterns here are stream-order values for put(), not canonical
+    # MSB-first codes: value -> (stream bits LSB-first, bit count)
+    static = {0: (0b00, 2), 1: (0b0111, 4), 2: (0b011, 3), 3: (0b10, 2),
+              4: (0b01, 2), 5: (0b1111, 4)}
+    space = 32
+    ncodes = 0
+    for sym in _CL_ORDER:
+        v = cl_lens[sym]
+        code, nb = static[v]
+        bw.put(code, nb)
+        if v:
+            space -= 32 >> v
+            ncodes += 1
+            if space <= 0:
+                break
+    cl_codes = _canonical(cl_lens)
+    if len(used) > 1:  # a 0-bit code-length code emits no length bits
+        for ln in seq:
+            c, w = cl_codes[ln]
+            bw.put_code(c, w)
+    return codes
+
+
+def _canonical(lengths: list[int]) -> list[tuple[int, int]]:
+    """Symbol -> (canonical code, length); DEFLATE rule."""
+    max_len = max(lengths, default=0)
+    bl = [0] * (max_len + 1)
+    for ln in lengths:
+        if ln:
+            bl[ln] += 1
+    code = 0
+    nxt = [0] * (max_len + 1)
+    for ln in range(1, max_len + 1):
+        code = (code + bl[ln - 1]) << 1
+        nxt[ln] = code
+    out: list[tuple[int, int]] = [(0, 0)] * len(lengths)
+    for sym in sorted(range(len(lengths)), key=lambda s: (lengths[s], s)):
+        ln = lengths[sym]
+        if ln:
+            out[sym] = (nxt[ln], ln)
+            nxt[ln] += 1
+    return out
+
+
+def _histogram(freqs: dict[int, int], size: int) -> list[int]:
+    lens = [0] * size
+    items = [(s, f) for s, f in freqs.items() if f]
+    if len(items) == 1:
+        lens[items[0][0]] = 1
+        return lens
+    from impala_cut_spark.operators.vp8l import _huffman_lengths
+
+    table = [0] * size
+    for s, f in items:
+        table[s] = f
+    hl = _huffman_lengths(table, max_len=15)
+    return hl + [0] * (size - len(hl))
+
+
+def _encode_meta_block(bw: _BitWriter, chunk: bytes, is_last: bool) -> None:
+    cmds = _lz_parse(chunk)
+    # histograms
+    lit_f: dict[int, int] = {}
+    cmd_f: dict[int, int] = {}
+    dist_f: dict[int, int] = {}
+    encoded = []
+    for ls, le, cl, d in cmds:
+        ins = le - ls
+        ic = _len_code(INSERT_LEN, ins)
+        cc = _len_code(COPY_LEN, cl) if cl else 0
+        rng = _CELL_TO_RANGE[(ic & ~7, cc & ~7)]
+        cmd = (rng + 2) << 6 | (ic & 7) << 3 | (cc & 7)
+        cmd_f[cmd] = cmd_f.get(cmd, 0) + 1
+        for b in chunk[ls:le]:
+            lit_f[b] = lit_f.get(b, 0) + 1
+        if cl:
+            dc, _, _ = _dist_symbol(d)
+            dist_f[dc] = dist_f.get(dc, 0) + 1
+        encoded.append((ls, le, cl, d, cmd, ic, cc))
+    if not lit_f:
+        lit_f[0] = 1  # header demands a literal code even if unused
+    if not dist_f:
+        dist_f[0] = 1
+
+    bw.put(1 if is_last else 0, 1)
+    if is_last:
+        bw.put(0, 1)  # ISLASTEMPTY = 0
+    mlen = len(chunk) - 1
+    nibbles = max(4, (mlen.bit_length() + 3) // 4)
+    bw.put(nibbles - 4, 2)
+    bw.put(mlen, 4 * nibbles)
+    if not is_last:
+        bw.put(0, 1)  # ISUNCOMPRESSED = 0
+    for _ in range(3):  # NBLTYPES L/I/D = 1
+        bw.put(0, 1)
+    bw.put(0, 2)  # NPOSTFIX
+    bw.put(0, 4)  # NDIRECT >> NPOSTFIX
+    bw.put(0, 2)  # context mode for the single literal block type
+    bw.put(0, 1)  # NTREESL = 1
+    bw.put(0, 1)  # NTREESD = 1
+    lit_codes = _write_prefix_code(bw, _histogram(lit_f, 256))
+    cmd_codes = _write_prefix_code(bw, _histogram(cmd_f, 704))
+    dist_codes = _write_prefix_code(bw, _histogram(dist_f, 64))
+
+    for ls, le, cl, d, cmd, ic, cc in encoded:
+        c, w = cmd_codes[cmd]
+        bw.put_code(c, w)
+        off, nb = INSERT_LEN[ic]
+        if nb:
+            bw.put((le - ls) - off, nb)
+        off, nb = COPY_LEN[cc]
+        if nb:
+            bw.put(cl - off if cl else 0, nb)
+        for b in chunk[ls:le]:
+            c, w = lit_codes[b]
+            bw.put_code(c, w)
+        if cl:
+            dc, nb, extra = _dist_symbol(d)
+            c, w = dist_codes[dc]
+            bw.put_code(c, w)
+            if nb:
+                bw.put(extra, nb)

@@ -176,7 +176,7 @@ def test_rfc_tables_match_lib_exports():
 @needs_lib
 def test_store_mode_streams_decode_via_libbrotli():
     for name, data in _corpus().items():
-        comp = brotli.compress(data)
+        comp = brotli.compress(data, level=0)
         assert _lib_decompress(comp, len(data)) == data, name
         assert brotli.decompress(comp) == data, name
 
@@ -184,7 +184,7 @@ def test_store_mode_streams_decode_via_libbrotli():
 @needs_lib
 def test_store_mode_multi_metablock():
     data = bytes(range(256)) * 70000  # ~17.9 MB: > one 2^24-1 block
-    comp = brotli.compress(data)
+    comp = brotli.compress(data, level=0)
     assert brotli.decompress(comp) == data
     assert _lib_decompress(comp, len(data)) == data
 
@@ -220,7 +220,9 @@ def test_handcrafted_metadata_block_is_skipped():
 
 
 def test_corrupt_streams_raise():
-    good = brotli.compress(b"hello world, hello brotli")
+    # store mode: truncation semantics are deterministic (raw bytes
+    # missing), unlike entropy streams whose tail may be padding
+    good = brotli.compress(b"hello world, hello brotli", level=0)
     with pytest.raises(ValueError):
         brotli.decompress(good[:-4] if len(good) > 4 else b"")
     with pytest.raises(ValueError):
@@ -256,7 +258,7 @@ def test_hypothesis_store_mode_roundtrip():
     @settings(max_examples=60, deadline=None)
     @given(st.binary(max_size=4096))
     def check(data):
-        assert brotli.decompress(brotli.compress(data)) == data
+        assert brotli.decompress(brotli.compress(data, level=0)) == data
 
     check()
 
@@ -363,7 +365,57 @@ def test_truncated_uncompressed_block_raises_not_zero_fills():
     """A store-mode stream cut inside its raw bytes must raise — the
     bit reader's past-the-end zero padding is for short final codes,
     never for raw byte copies."""
-    comp = brotli.compress(b"0123456789abcdef")
+    comp = brotli.compress(b"0123456789abcdef", level=0)
     for cut in (1, 2, 3, 4):
         with pytest.raises(ValueError, match="truncated"):
             brotli.decompress(comp[:-cut])
+
+
+@needs_lib
+def test_level1_encoder_decodes_via_libbrotli():
+    """The compressing encoder (greedy LZ + entropy-coded meta-blocks)
+    must round-trip through BOTH libbrotlidec and the own decoder, and
+    actually compress."""
+    for name, data in _corpus().items():
+        z = brotli.compress(data, level=1)
+        assert _lib_decompress(z, len(data)) == data, name
+        assert brotli.decompress(z) == data, name
+    text = _corpus()["text"]
+    assert len(brotli.compress(text, level=1)) < len(text) // 2
+
+
+@needs_lib
+def test_level1_multi_chunk_and_copy_tail():
+    # > one 4 MB meta-block, plus a payload that ends ON a copy (the
+    # no-sentinel path: trailing command bits would be garbage)
+    data = (b"0123456789abcdef" * 300000)[: (1 << 22) + 12345]
+    z = brotli.compress(data, level=1)
+    assert brotli.decompress(z) == data
+    assert _lib_decompress(z, len(data)) == data
+    tail_copy = b"hello world " * 10  # ends on a copy of " world "
+    z = brotli.compress(tail_copy, level=1)
+    assert brotli.decompress(z) == tail_copy
+    assert _lib_decompress(z, len(tail_copy)) == tail_copy
+
+
+def test_level1_hypothesis_roundtrip():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.binary(max_size=8192))
+    def check(data):
+        assert brotli.decompress(brotli.compress(data, level=1)) == data
+
+    check()
+
+
+def test_level1_uniform_histogram_codes():
+    """All 256 literals equally frequent → a flat 8-bit code whose
+    code-length code is single-symbol (0-bit) — the emission path the
+    VP8L encoder once desynced on."""
+    data = bytes(range(256)) * 40
+    z = brotli.compress(data, level=1)
+    assert brotli.decompress(z) == data
+    if _DEC is not None:
+        assert _lib_decompress(z, len(data)) == data
