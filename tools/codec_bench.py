@@ -187,6 +187,12 @@ def main() -> None:
              round(len(bc) / 1e3, 1), round(bdt, 3),
              round(len(text_blob) / 1e6 / bdt, 3), "—")
         )
+        bet = _time(_brotli.compress, text_blob, 3)
+        rows.append(
+            ("brotli-encode", "4 MB delimited text (level-1 own encoder)",
+             round(len(_brotli.compress(text_blob)) / 1e3, 1), round(bet, 3),
+             round(len(text_blob) / 1e6 / bet, 3), "—")
+        )
     except Exception as e:  # pragma: no cover - env-dependent
         print(f"  brotli row skipped: {e}")
     # zstd decode on a REAL entropy-coded frame: use the JVM encoder
