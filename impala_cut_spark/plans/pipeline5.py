@@ -1277,3 +1277,109 @@ def pipe_pdf_extract(spark, sf_dir):
             F.coalesce(F.col("text"), F.lit("")), r"\s+", " "))).alias("text_md5"),
         "parse_ok",
     )
+
+
+def _exif_oracle() -> str:
+    """Writer twin + parser are lossless for every EXIF field (GPS
+    decomposed exactly into d/m/s·1e-4 rationals), so the oracle
+    replays the facts from md5 hex; the stripped twin must read back
+    empty — asserted in-plan, the oracle just pins FALSE."""
+    return """
+WITH h AS (SELECT doc_id, md5(coalesce(text, '')) AS hx FROM documents),
+b AS (SELECT doc_id,
+             (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) AS b0,
+             (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1) AS b1,
+             (strpos('0123456789abcdef', substr(hx, 5, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(hx, 6, 1)) - 1) AS b2,
+             (strpos('0123456789abcdef', substr(hx, 7, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(hx, 8, 1)) - 1) AS b3
+      FROM h)
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'jpeg' ELSE 'png' END AS container,
+       'cam_' || CAST(b0 AS VARCHAR) AS make,
+       CAST(1 + b1 % 8 AS INT) AS orientation,
+       doc_id % 3 = 0 AS has_gps,
+       CASE WHEN doc_id % 3 = 0 THEN
+         floor((CAST(b2 % 90 AS DOUBLE) + CAST(b3 % 60 AS DOUBLE) / 60)
+               * 1000000 + 0.5) / 1000000
+       END AS gps_lat,
+       FALSE AS stripped_has_exif
+FROM b
+"""
+
+
+@query("pipe_multimodal_exif", oracle=_exif_oracle())
+def pipe_multimodal_exif(spark, sf_dir):
+    """Round-11 EXIF provenance/privacy conformance: each document
+    becomes a real engine-encoded image (JPEG via operators/jpeg.py
+    for even doc_ids, PNG for odd) with an injected EXIF block
+    (make/orientation from md5 bytes; GPS rationals for doc_id%3==0),
+    then runs BOTH pipeline verbs — exif_metadata extraction and
+    strip_exif privacy scrubbing (re-extracted to prove the GPS is
+    gone; the image must still decode identically, pinned in
+    tests/test_exif.py).  Every field is lossless (GPS decomposed
+    exactly into d/m/s·1e-4 rationals), so the DuckDB oracle replays
+    the facts straight from md5 hex.  Scale: one Arrow-batched narrow
+    map, no shuffle — the route-or-scrub step before any training on
+    crawled images."""
+    import hashlib
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from impala_cut_spark.operators.exif import (
+        build_exif_segment,
+        exif_metadata,
+        insert_exif,
+        strip_exif,
+    )
+    from impala_cut_spark.operators.jpeg import encode_jpeg
+    from impala_cut_spark.operators.multimodal import encode_png
+
+    docs = t(spark, sf_dir, "documents")
+
+    def _run(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                s = text if isinstance(text, str) else ""
+                dg = hashlib.md5(s.encode("utf-8")).digest()
+                gps = None
+                if d % 3 == 0:
+                    gps = (dg[2] % 90 + (dg[3] % 60) / 60.0, 11.97)
+                seg = build_exif_segment(
+                    make=f"cam_{dg[0]}", orientation=1 + dg[1] % 8, gps=gps)
+                px = np.frombuffer(dg, dtype=np.uint8).reshape(4, 4)
+                rgb = np.repeat(px[:, :, None], 3, axis=2)
+                base = encode_jpeg(rgb) if d % 2 == 0 else encode_png(px)
+                tagged = insert_exif(base, seg)
+                m = exif_metadata(tagged)
+                stripped = exif_metadata(strip_exif(tagged))
+                lat = m["gps_lat"]
+                if lat is not None:
+                    lat = math.floor(lat * 1_000_000 + 0.5) / 1_000_000
+                rows.append(
+                    (d, m["container"], m["make"], m["orientation"],
+                     m["has_gps"], lat,
+                     stripped["has_gps"] or stripped["make"] is not None)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "container", "make", "orientation",
+                         "has_gps", "gps_lat", "stripped_has_exif"],
+            )
+
+    narrow = docs.select("doc_id", "text")
+    cores = spark.sparkContext.defaultParallelism
+    if narrow.rdd.getNumPartitions() < cores:
+        narrow = narrow.repartition(cores)
+    return narrow.mapInPandas(
+        _run,
+        schema=("doc_id bigint, container string, make string, "
+                "orientation int, has_gps boolean, gps_lat double, "
+                "stripped_has_exif boolean"),
+    )
