@@ -1383,3 +1383,92 @@ def pipe_multimodal_exif(spark, sf_dir):
                 "orientation int, has_gps boolean, gps_lat double, "
                 "stripped_has_exif boolean"),
     )
+
+
+def _archive_oracle() -> str:
+    """Both container grammars round-trip member facts losslessly, so
+    the oracle replays path/size/md5 per member from the text."""
+    return """
+WITH h AS (SELECT doc_id, coalesce(text, '') AS txt,
+                  CAST(1 + doc_id % 3 AS INT) AS k
+           FROM documents),
+m AS (SELECT doc_id, txt, CAST(unnest(range(0, k)) AS INT) AS i FROM h)
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'zip' ELSE 'tar.gz' END AS kind,
+       i AS member_index,
+       'doc/part_' || CAST(i AS VARCHAR) || '.txt' AS path,
+       octet_length(encode(txt || '#' || CAST(i AS VARCHAR))) AS size,
+       md5(txt || '#' || CAST(i AS VARCHAR)) AS content_md5,
+       TRUE AS parse_ok
+FROM m
+"""
+
+
+@query("pipe_archive_ingest", oracle=_archive_oracle())
+def pipe_archive_ingest(spark, sf_dir):
+    """Round-11 archive-ingestion conformance: each document becomes a
+    REAL archive — a deflate ZIP (stdlib writer) for even doc_ids, a
+    GNU tar.gz for odd — holding 1 + doc_id%3 member files, then
+    explodes back through the REAL operator (sources/archives.py
+    archive_ingest: from-scratch EOCD/central-directory and ustar
+    parsers, CRC-checked inflate, bomb guards).  Member facts are
+    lossless, so the DuckDB oracle replays path/size/md5 per member
+    straight from the text — and because the fixtures come from the
+    STDLIB writers, the row is an independent-anchor check of the
+    from-scratch readers on every run, not just in pytest.  Scale: one
+    Arrow-batched narrow map, ~2 rows out per source, no shuffle; the
+    member rows feed the text/dedup operators directly (the
+    code-dataset ingest path)."""
+    import hashlib
+    import io
+    import tarfile
+    import zipfile
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from impala_cut_spark.sources.archives import archive_ingest
+
+    docs = t(spark, sf_dir, "documents")
+
+    def _pack(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                s = text if isinstance(text, str) else ""
+                k = 1 + d % 3
+                members = [(f"doc/part_{i}.txt", (s + f"#{i}").encode("utf-8"))
+                           for i in range(k)]
+                buf = io.BytesIO()
+                if d % 2 == 0:
+                    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+                        for path, content in members:
+                            z.writestr(
+                                zipfile.ZipInfo(path, (2020, 1, 1, 0, 0, 0)),
+                                content)
+                else:
+                    with tarfile.open(fileobj=buf, mode="w:gz",
+                                      format=tarfile.GNU_FORMAT) as tf:
+                        for path, content in members:
+                            ti = tarfile.TarInfo(path)
+                            ti.size = len(content)
+                            ti.mtime = 1_600_000_000
+                            tf.addfile(ti, io.BytesIO(content))
+                ids.append(d)
+                payloads.append(bytearray(buf.getvalue()))
+            yield pd.DataFrame({"source_id": pd.Series(ids, dtype="int64"),
+                                "payload": pd.Series(payloads, dtype="object")})
+
+    narrow = docs.select("doc_id", "text")
+    cores = spark.sparkContext.defaultParallelism
+    if narrow.rdd.getNumPartitions() < cores:
+        narrow = narrow.repartition(cores)
+    sources = narrow.mapInPandas(_pack, "source_id bigint, payload binary")
+    out = archive_ingest(sources)
+    return out.select(
+        F.col("source_id").alias("doc_id"),
+        "kind", "member_index", "path", "size",
+        F.md5(F.col("content")).alias("content_md5"),
+        "parse_ok",
+    )

@@ -1,0 +1,144 @@
+"""Archive ingestion (sources/archives.py) — APPNOTE ZIP + POSIX
+ustar conformance, cross-anchored against the stdlib zipfile/tarfile
+implementations in both roles (their writers feed our readers; their
+readers confirm member-for-member parity on larger corpora)."""
+
+from __future__ import annotations
+
+import io
+import os
+import tarfile
+import zipfile
+
+import pytest
+
+from impala_cut_spark.sources.archives import (
+    MAX_MEMBER_BYTES,
+    archive_ingest,
+    archive_members,
+    list_tar,
+    list_zip,
+)
+
+
+def _zip_fixture(entries, method=zipfile.ZIP_DEFLATED) -> bytes:
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", method) as z:
+        for path, content in entries:
+            z.writestr(zipfile.ZipInfo(path, (2020, 1, 1, 0, 0, 0)), content)
+    return buf.getvalue()
+
+
+def _tar_fixture(entries, mode="w", fmt=tarfile.GNU_FORMAT) -> bytes:
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode=mode, format=fmt) as t:
+        for path, content in entries:
+            ti = tarfile.TarInfo(path)
+            ti.size = len(content)
+            ti.mtime = 1_600_000_000
+            t.addfile(ti, io.BytesIO(content))
+    return buf.getvalue()
+
+
+class TestZip:
+    def test_member_parity_with_stdlib_reader(self):
+        entries = [(f"src/f{i:03d}.py", (f"line {i}\n" * (i % 23)).encode())
+                   for i in range(150)]
+        payload = _zip_fixture(entries)
+        mine = {m["path"]: m for m in list_zip(payload)}
+        with zipfile.ZipFile(io.BytesIO(payload)) as z:
+            assert sorted(mine) == sorted(z.namelist())
+            for n in z.namelist():
+                assert mine[n]["content"] == z.read(n)
+                assert mine[n]["size"] == z.getinfo(n).file_size
+
+    def test_stored_and_deflate_and_dirs(self):
+        payload = _zip_fixture(
+            [("a.bin", os.urandom(64)), ("d/", b""), ("d/t.txt", b"x" * 999)],
+            method=zipfile.ZIP_STORED)
+        members = list_zip(payload)
+        assert [m["is_dir"] for m in members] == [False, True, False]
+        assert members[2]["content"] == b"x" * 999
+
+    def test_crc_corruption_detected(self):
+        payload = bytearray(_zip_fixture([("f.txt", b"payload bytes here")],
+                                         method=zipfile.ZIP_STORED))
+        i = payload.find(b"payload")
+        payload[i] ^= 0xFF
+        with pytest.raises(ValueError, match="CRC"):
+            list_zip(bytes(payload))
+
+    def test_bomb_guards(self):
+        # a member claiming > MAX_MEMBER_BYTES must be rejected before
+        # inflation; forge the central-directory uncompressed size
+        payload = bytearray(_zip_fixture([("big.bin", b"tiny")]))
+        cd = payload.rfind(b"PK\x01\x02")
+        import struct
+
+        struct.pack_into("<I", payload, cd + 24, MAX_MEMBER_BYTES + 1)
+        with pytest.raises(ValueError, match="exceeds allowed"):
+            list_zip(bytes(payload))
+
+    def test_encrypted_member_rejected(self):
+        payload = bytearray(_zip_fixture([("s.txt", b"secret")]))
+        cd = payload.rfind(b"PK\x01\x02")
+        payload[cd + 8] |= 0x01  # set the encryption flag bit
+        with pytest.raises(ValueError, match="encrypted"):
+            list_zip(bytes(payload))
+
+
+class TestTar:
+    @pytest.mark.parametrize("mode,kind", [("w", "tar"), ("w:gz", "tar.gz"),
+                                           ("w:bz2", "tar.bz2"),
+                                           ("w:xz", "tar.xz")])
+    def test_all_compression_wrappers(self, mode, kind):
+        entries = [("a/b.txt", b"alpha"), ("c.bin", os.urandom(700))]
+        payload = _tar_fixture(entries, mode=mode)
+        got_kind, members = archive_members(payload)
+        assert got_kind == kind
+        assert [(m["path"], m["content"]) for m in members] == entries
+
+    def test_gnu_longname_and_pax_unicode(self):
+        long_name = "deep/" + "sub_" * 40 + "leaf.rs"
+        payload = _tar_fixture([(long_name, b"fn main() {}")])
+        members = list_tar(payload)
+        assert members[0]["path"] == long_name
+        pax = _tar_fixture([("päx/ünï-" + "y" * 120 + ".txt", b"hello")],
+                           fmt=tarfile.PAX_FORMAT)
+        members = list_tar(pax)
+        assert members[0]["path"].startswith("päx/ünï") and \
+            members[0]["content"] == b"hello"
+
+    def test_member_parity_with_stdlib_reader(self):
+        entries = [(f"pkg/m{i}.py", (f"# file {i}\n" * (1 + i % 9)).encode())
+                   for i in range(80)]
+        payload = _tar_fixture(entries, mode="w:gz")
+        mine = {m["path"]: m["content"] for m in list_tar(payload)}
+        with tarfile.open(fileobj=io.BytesIO(payload)) as t:
+            for ti in t.getmembers():
+                assert mine[ti.name] == t.extractfile(ti).read()
+
+    def test_truncated_archive_raises(self):
+        payload = _tar_fixture([("x.txt", b"data!")])
+        with pytest.raises(ValueError):
+            list_tar(payload[:514])  # cut inside the member data
+        bad = bytearray(payload)
+        bad[124:130] = b"zzzzzz"  # non-octal size field
+        with pytest.raises(ValueError):
+            list_tar(bytes(bad))
+
+
+class TestOperator:
+    def test_rows_and_degrade(self, spark):
+        zip_p = _zip_fixture([("a.txt", b"AA"), ("b.txt", b"BBB")])
+        tar_p = _tar_fixture([("c.txt", b"CCCC")], mode="w:gz")
+        df = spark.createDataFrame(
+            [(1, bytearray(zip_p)), (2, bytearray(tar_p)), (3, b"not an archive")],
+            "source_id bigint, payload binary",
+        )
+        rows = {(r.source_id, r.member_index): r
+                for r in archive_ingest(df).collect()}
+        assert rows[(1, 0)].kind == "zip" and rows[(1, 1)].size == 3
+        assert bytes(rows[(2, 0)].content) == b"CCCC"
+        assert rows[(3, -1)].parse_ok is False
+        assert rows[(1, 0)].parse_ok and rows[(2, 0)].parse_ok
