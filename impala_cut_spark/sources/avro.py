@@ -358,7 +358,7 @@ def write_avro(path: str, fields: list[tuple[str, object]], rows: list[tuple],
     elif codec == "zstandard":
         from impala_cut_spark.sources import zstd as _zstd
 
-        data = _zstd.compress(data)  # store-mode frame (zstd.py docstring)
+        data = _zstd.compress(data)  # own-encoder frame (zstd.py docstring)
     elif codec != "null":
         raise ValueError(f"unsupported write codec {codec!r}")
     sync = b"\x00" * 8 + b"impala16"  # any 16 bytes

@@ -1,4 +1,4 @@
-"""Zstandard frame decoder, pure Python (RFC 8878), + store-mode encoder.
+"""Zstandard frame decoder + encoder, pure Python (RFC 8878).
 
 From-scratch implementation of the public Zstandard format — the
 LZO/Snappy/LZ4 precedent taken to the full modern stack: FSE
@@ -10,10 +10,14 @@ literals_length==0 twist, and raw/RLE/compressed block framing.
 
 The DECODER handles anything a standard zstd encoder emits (no
 dictionaries — Avro/Hadoop container use never sets one).  The
-ENCODER is deliberately store-mode: a conformant frame of raw blocks
-(content size declared, no entropy stage) — every standard decoder
-reads it, which closes the Avro ``zstandard`` codec round-trip both
-directions without pretending to ship a competitive entropy encoder.
+ENCODER ships two forms: level 1 (default, round 11) actually
+compresses — greedy LZ77 into sequences over the PREDEFINED FSE
+distributions, driven by a real tANS encoder whose state chains are
+derived backward from the decoder's own tables (so encode and decode
+tables cannot drift) — and level 0 keeps the store-mode frame (raw
+blocks, content size declared).  Both close the Avro ``zstandard``
+codec round-trip; neither pretends to compete with libzstd's
+optimal-parse levels.
 
 Conformance anchors (tests/test_zstd.py): zstd-jni
 (com.github.luben.zstd, bundled with Spark for shuffle/parquet
@@ -567,10 +571,18 @@ def decompress(
     return bytes(out)
 
 
-def compress(data: bytes) -> bytes:
-    """Store-mode zstd frame: declared content size, raw blocks.
-    Conformant per RFC 8878 (every decoder reads it); no entropy stage
-    by design — see the module docstring."""
+def compress(data: bytes, level: int = 1) -> bytes:
+    """Emit a zstd frame.  ``level=0`` is store mode (raw blocks);
+    ``level=1`` (default) actually compresses: greedy hash-chain LZ77
+    into sequences, raw literals, and the PREDEFINED FSE distributions
+    (RFC 8878 §3.1.1.3.2.2) driven by a real tANS ENCODER — the state
+    chain is derived backward from the decoder's own table (pick the
+    state whose baseline range contains the successor, emit the
+    delta), so the encode tables can never drift from the validated
+    decode tables.  Both forms decode via zstd-jni and the decoder
+    above (tests/test_zstd.py)."""
+    if level:
+        return _compress_entropy(data)
     data = bytes(data)
     out = bytearray()
     out += struct.pack("<I", _MAGIC)
@@ -585,3 +597,173 @@ def compress(data: bytes) -> bytes:
         out += (last | (len(block) << 3)).to_bytes(3, "little")
         out += block
     return bytes(out)
+
+
+# -- level-1 encoder (sequences over the predefined FSE tables) ----------------
+
+
+class _BackWriter:
+    """Builds an RFC 8878 backward bitstream: callers supply writes in
+    DECODER READ order; the writer emits them in reverse LSB-first so
+    the first read lands at the top of the stream, then appends the
+    1-bit sentinel."""
+
+    def __init__(self) -> None:
+        self.writes: list[tuple[int, int]] = []
+
+    def put(self, v: int, n: int) -> None:
+        if n:
+            self.writes.append((v, n))
+
+    def bytes(self) -> bytes:
+        out = bytearray()
+        acc = 0
+        nbits = 0
+        for v, n in reversed(self.writes):
+            acc |= (v & ((1 << n) - 1)) << nbits
+            nbits += n
+            while nbits >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+        acc |= 1 << nbits  # sentinel marks the write head
+        out.append(acc & 0xFF)
+        return bytes(out)
+
+
+def _encode_states(table: _FseTable, symbols: list[int]):
+    """Backward state-chain derivation from the DECODE table: state i
+    must carry symbol i, and its baseline range must contain state
+    i+1 (the decoder's advance = base[state] + readBits(nbits[state])).
+    Returns (initial state, per-step (delta, nbits) updates)."""
+    import bisect
+
+    by_symbol: dict[int, list[tuple[int, int]]] = {}
+    for u in range(1 << table.log):
+        by_symbol.setdefault(table.symbol[u], []).append((table.base[u], u))
+    for v in by_symbol.values():
+        v.sort()
+    n = len(symbols)
+    state = by_symbol[symbols[-1]][0][1]
+    updates: list[tuple[int, int]] = [(0, 0)] * (n - 1)
+    for i in range(n - 2, -1, -1):
+        lst = by_symbol[symbols[i]]
+        j = bisect.bisect_right(lst, (state, 1 << 30)) - 1
+        base, u = lst[j]
+        updates[i] = (state - base, table.nbits[u])
+        state = u
+    return state, updates
+
+
+def _code_of(base_table: list[int], v: int) -> int:
+    import bisect
+
+    return bisect.bisect_right(base_table, v) - 1
+
+
+def _compress_entropy(data: bytes) -> bytes:
+    data = bytes(data)
+    out = bytearray()
+    out += struct.pack("<I", _MAGIC)
+    out.append((3 << 6) | (1 << 5))  # 8-byte FCS, single-segment
+    out += struct.pack("<Q", len(data))
+    if not data:
+        out += (1).to_bytes(3, "little")
+        return bytes(out)
+    ll_table = _FseTable(*_LL_DEFAULT)
+    of_table = _FseTable(*_OF_DEFAULT)
+    ml_table = _FseTable(*_ML_DEFAULT)
+    for s in range(0, len(data), _BLOCK_MAX):
+        block = data[s : s + _BLOCK_MAX]
+        last = 1 if s + _BLOCK_MAX >= len(data) else 0
+        body = _encode_block(block, ll_table, of_table, ml_table)
+        if body is None or len(body) >= len(block):
+            out += (last | 0 << 1 | (len(block) << 3)).to_bytes(3, "little")
+            out += block
+        else:
+            out += (last | 2 << 1 | (len(body) << 3)).to_bytes(3, "little")
+            out += body
+    return bytes(out)
+
+
+def _encode_block(block, ll_table, of_table, ml_table) -> bytes | None:
+    # greedy hash matcher (the snappy/brotli idiom); offsets stay
+    # inside the block so cross-block window rules never bite
+    n = len(block)
+    seqs = []  # (ll, ml, offset), literals consumed in order
+    lits = bytearray()
+    table: dict[bytes, int] = {}
+    ip = 0
+    lit_start = 0
+    limit = n - 3
+    while ip < limit:
+        key = block[ip : ip + 4]
+        cand = table.get(key, -1)
+        table[key] = ip
+        if cand < 0:
+            ip += 1
+            continue
+        ml = 4
+        while ip + ml < n and block[cand + ml] == block[ip + ml]:
+            ml += 1
+        lits += block[lit_start:ip]
+        seqs.append((ip - lit_start, ml, ip - cand))
+        ip += ml
+        lit_start = ip
+    if not seqs:
+        return None
+    lits += block[lit_start:]
+
+    body = bytearray()
+    # literals section: raw, size_format by magnitude
+    ln = len(lits)
+    if ln <= 31:
+        body.append(ln << 3)
+    elif ln <= 4095:
+        body += ((ln << 4) | 0b0100).to_bytes(2, "little")
+    else:
+        body += ((ln << 4) | 0b1100).to_bytes(3, "little")
+    body += lits
+    nseq = len(seqs)
+    if nseq < 128:
+        body.append(nseq)
+    elif nseq < 0x7F00:
+        body.append(128 + (nseq >> 8))
+        body.append(nseq & 0xFF)
+    else:
+        body += bytes([255, (nseq - 0x7F00) & 0xFF, (nseq - 0x7F00) >> 8])
+    body.append(0)  # modes: predefined for LL/OF/ML
+
+    ll_codes, of_codes, ml_codes = [], [], []
+    extras = []  # per seq: (of_extra, of_bits, ml_extra, ml_bits, ll_extra, ll_bits)
+    for ll, ml, off in seqs:
+        of_value = off + 3
+        of_c = of_value.bit_length() - 1
+        ll_c = ll if ll < 16 else _code_of(_LL_BASE, ll)
+        ml_c = _code_of(_ML_BASE, ml)
+        ll_codes.append(ll_c)
+        of_codes.append(of_c)
+        ml_codes.append(ml_c)
+        extras.append((
+            of_value - (1 << of_c), of_c,
+            ml - _ML_BASE[ml_c], _ML_BITS[ml_c],
+            ll - _LL_BASE[ll_c], _LL_BITS[ll_c],
+        ))
+    ll_init, ll_upd = _encode_states(ll_table, ll_codes)
+    of_init, of_upd = _encode_states(of_table, of_codes)
+    ml_init, ml_upd = _encode_states(ml_table, ml_codes)
+
+    bw = _BackWriter()
+    bw.put(ll_init, ll_table.log)
+    bw.put(of_init, of_table.log)
+    bw.put(ml_init, ml_table.log)
+    for i, (of_e, of_b, ml_e, ml_b, ll_e, ll_b) in enumerate(extras):
+        bw.put(of_e, of_b)
+        bw.put(ml_e, ml_b)
+        bw.put(ll_e, ll_b)
+        if i + 1 < nseq:
+            bw.put(*ll_upd[i])
+            bw.put(*ml_upd[i])
+            bw.put(*of_upd[i])
+    body += bw.bytes()
+    return bytes(body)

@@ -63,7 +63,7 @@ def test_decodes_zstd_jni_output_all_levels(jzstd):
 
 def test_store_mode_frames_decode_via_zstd_jni(jzstd):
     for name, data in _corpus().items():
-        ours = zstd.compress(data)
+        ours = zstd.compress(data, level=0)
         if not data:
             assert zstd.decompress(ours) == b""
             continue
@@ -75,7 +75,7 @@ def test_store_mode_frames_decode_via_zstd_jni(jzstd):
 
 def test_store_mode_multiblock_framing():
     data = os.urandom(300 * 1024)  # > 2 raw blocks
-    frame = zstd.compress(data)
+    frame = zstd.compress(data, level=0)
     assert zstd.decompress(frame) == data
     # declared frame content size is the 8-byte field after the FHD
     assert struct.unpack_from("<Q", frame, 5)[0] == len(data)
@@ -268,3 +268,40 @@ def test_fse_weight_stream_never_overshoots_limit():
         bb = zstd._BackBits(bytes([0xFF] * 8 + [0x01]))
         out = zstd._fse_decode_stream(table, bb, limit)
         assert len(out) <= limit, (limit, len(out))
+
+
+def test_level1_encoder_roundtrips_via_zstd_jni(jzstd):
+    """The level-1 encoder (sequences over the predefined FSE tables,
+    tANS state chains derived from the decode tables) must decode via
+    the reference implementation AND the own decoder, and actually
+    compress repetitive payloads."""
+    for name, data in _corpus().items():
+        z = zstd.compress(data, level=1)
+        if data:
+            assert bytes(jzstd.decompress(bytearray(z), len(data))) == data, name
+        assert zstd.decompress(z, expected=len(data)) == data, name
+    rep = b"abcdefgh" * 30000
+    assert len(zstd.compress(rep, level=1)) < len(rep) // 50
+
+
+def test_level1_multiblock_and_raw_fallback(jzstd):
+    # > one 128 KiB block, with a random (incompressible) stretch that
+    # must fall back to a raw block mid-frame
+    data = (b"the words repeat " * 9000) + bytes(range(256)) * 520 + \
+        (b"tail tail tail " * 5000)
+    z = zstd.compress(data, level=1)
+    assert zstd.decompress(z, expected=len(data)) == data
+    assert bytes(jzstd.decompress(bytearray(z), len(data))) == data
+
+
+def test_level1_hypothesis_roundtrip():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.binary(max_size=8192))
+    def check(data):
+        assert zstd.decompress(zstd.compress(data, level=1),
+                               expected=len(data)) == data
+
+    check()

@@ -115,6 +115,8 @@ AUDIT = [
     "pipe_multimodal_anim",
     "pipe_multimodal_heif",
     "pipe_pdf_extract",
+    "pipe_multimodal_exif",
+    "pipe_archive_ingest",
 ]
 
 
