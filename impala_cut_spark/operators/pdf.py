@@ -911,10 +911,7 @@ def _page_text(doc: _Document, page: dict) -> str:
         elif op == b"BI":  # inline image: skip to EI
             e = data.find(b"EI", lex.pos)
             lex.pos = n if e < 0 else e + 2
-        if op not in (b"Tf",):
-            stack.clear()
-        else:
-            stack.clear()
+        stack.clear()  # every operator consumes its operands
     text = "".join(out)
     text = re.sub(r"[ \t]+", " ", text)
     text = re.sub(r" ?\n ?", "\n", text)

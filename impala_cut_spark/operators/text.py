@@ -656,3 +656,40 @@ def bigram_nll_scores(docs, text_col: str = "text"):
         F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("bigint").alias("n_bigrams"),
         "avg_nll",
     )
+
+
+#: canonical distinguishing phrases of the common open-source licenses
+#: (the public license texts themselves) — checked in precedence order;
+#: a code-dataset ingest routes/filters on this before training
+LICENSE_PHRASES: list[tuple[str, str, bool]] = [
+    # (license id, lowercase distinguishing phrase, permissive)
+    ("Apache-2.0", "licensed under the apache license, version 2.0", True),
+    ("MIT", "permission is hereby granted, free of charge", True),
+    ("Unlicense", "this is free and unencumbered software", True),
+    ("ISC", "permission to use, copy, modify, and/or distribute this software", True),
+    ("MPL-2.0", "mozilla public license", False),
+    ("LGPL", "gnu lesser general public license", False),
+    ("AGPL-3.0", "gnu affero general public license", False),
+    ("GPL", "gnu general public license", False),
+    ("BSD-3-Clause", "neither the name", True),
+    ("BSD", "redistribution and use in source and binary forms", True),
+]
+
+
+def license_detect(text: Column) -> dict[str, Column]:
+    """License-family classification from canonical license phrases —
+    the route/filter step a code-dataset pipeline runs before training
+    (drop copyleft, keep permissive, flag unknown).  A pure
+    whole-stage-codegen expression chain (lower + contains + CASE):
+    no Python on the data path, trivially linear at 100 TB.  Phrase
+    precedence resolves the real containments (BSD-3's 'neither the
+    name' outranks the shared BSD redistribution clause; LGPL/AGPL
+    outrank GPL's substring)."""
+    low = F.lower(F.coalesce(text, F.lit("")))
+    lic: Column = F.lit("none")
+    perm: Column = F.lit(None).cast("boolean")
+    for name, phrase, permissive in reversed(LICENSE_PHRASES):
+        hit = low.contains(phrase)
+        lic = F.when(hit, F.lit(name)).otherwise(lic)
+        perm = F.when(hit, F.lit(permissive)).otherwise(perm)
+    return {"license": lic, "permissive": perm}

@@ -1472,3 +1472,87 @@ def pipe_archive_ingest(spark, sf_dir):
         F.md5(F.col("content")).alias("content_md5"),
         "parse_ok",
     )
+
+
+def _license_oracle() -> str:
+    """Detection is a pure contains/CASE chain, so the oracle applies
+    the SAME phrase rules (precedence order inlined) to the SAME
+    synthesized headers — a drift in either phrase set or precedence
+    breaks the match."""
+    return """
+WITH lic AS (SELECT doc_id,
+       CASE CAST(doc_id % 6 AS INT)
+         WHEN 0 THEN 'Permission is hereby granted, free of charge, to any person'
+         WHEN 1 THEN 'Licensed under the Apache License, Version 2.0 (the "License")'
+         WHEN 2 THEN 'under the terms of the GNU General Public License as published'
+         WHEN 3 THEN 'Redistribution and use in source and binary forms, with or without'
+         WHEN 4 THEN 'Neither the name of the copyright holder nor the names'
+         ELSE ''
+       END || ' ' || coalesce(text, '') AS body
+       FROM documents)
+SELECT doc_id,
+       CASE
+         WHEN contains(lower(body), 'licensed under the apache license, version 2.0') THEN 'Apache-2.0'
+         WHEN contains(lower(body), 'permission is hereby granted, free of charge') THEN 'MIT'
+         WHEN contains(lower(body), 'this is free and unencumbered software') THEN 'Unlicense'
+         WHEN contains(lower(body), 'permission to use, copy, modify, and/or distribute this software') THEN 'ISC'
+         WHEN contains(lower(body), 'mozilla public license') THEN 'MPL-2.0'
+         WHEN contains(lower(body), 'gnu lesser general public license') THEN 'LGPL'
+         WHEN contains(lower(body), 'gnu affero general public license') THEN 'AGPL-3.0'
+         WHEN contains(lower(body), 'gnu general public license') THEN 'GPL'
+         WHEN contains(lower(body), 'neither the name') THEN 'BSD-3-Clause'
+         WHEN contains(lower(body), 'redistribution and use in source and binary forms') THEN 'BSD'
+         ELSE 'none'
+       END AS license,
+       CASE
+         WHEN contains(lower(body), 'licensed under the apache license, version 2.0') THEN TRUE
+         WHEN contains(lower(body), 'permission is hereby granted, free of charge') THEN TRUE
+         WHEN contains(lower(body), 'this is free and unencumbered software') THEN TRUE
+         WHEN contains(lower(body), 'permission to use, copy, modify, and/or distribute this software') THEN TRUE
+         WHEN contains(lower(body), 'mozilla public license') THEN FALSE
+         WHEN contains(lower(body), 'gnu lesser general public license') THEN FALSE
+         WHEN contains(lower(body), 'gnu affero general public license') THEN FALSE
+         WHEN contains(lower(body), 'gnu general public license') THEN FALSE
+         WHEN contains(lower(body), 'neither the name') THEN TRUE
+         WHEN contains(lower(body), 'redistribution and use in source and binary forms') THEN TRUE
+         ELSE NULL
+       END AS permissive
+FROM lic
+"""
+
+
+@query("pipe_license_detect", oracle=_license_oracle())
+def pipe_license_detect(spark, sf_dir):
+    """Round-11 code-dataset license gate: documents get canonical
+    license headers synthesized by doc_id%6 (MIT / Apache-2.0 / GPL /
+    BSD / BSD-3 / none — the BSD pair exercises the containment-
+    precedence rule), then classify through the REAL operator
+    (text.license_detect: a pure lower+contains+CASE codegen chain, no
+    Python on the data path).  The oracle applies the same phrase
+    rules in DuckDB, so a drift in phrases or precedence breaks the
+    strict match.  Scale: one narrow projection, no shuffle, whole-
+    stage codegen end to end — the cheapest possible 100 TB gate."""
+    from pyspark.sql import functions as F
+
+    from impala_cut_spark.operators.text import license_detect
+
+    docs = t(spark, sf_dir, "documents")
+    headers = [
+        'Permission is hereby granted, free of charge, to any person',
+        'Licensed under the Apache License, Version 2.0 (the "License")',
+        "under the terms of the GNU General Public License as published",
+        "Redistribution and use in source and binary forms, with or without",
+        "Neither the name of the copyright holder nor the names",
+        "",
+    ]
+    hdr = F.element_at(
+        F.array(*[F.lit(h) for h in headers]),
+        (F.col("doc_id") % 6).cast("int") + 1,
+    )
+    body = F.concat(hdr, F.lit(" "), F.coalesce(F.col("text"), F.lit("")))
+    cols = license_detect(body)
+    return docs.select(
+        "doc_id",
+        cols["license"].alias("license"),
+        cols["permissive"].alias("permissive"),
+    )

@@ -2292,3 +2292,46 @@ class TestTiffCcitt:
             decode_ccitt([st.pack(">I", 0)], 10, 1, 2, 1)  # invalid code
         assert (decode_ccitt([b"\x00" * 0 + b"\x35\x00"], 0, 0, 2, 1)
                 == np.zeros((0, 0))).all()
+
+
+class TestLicenseDetect:
+    def test_phrases_and_precedence(self, spark):
+        from impala_cut_spark.operators.text import license_detect
+
+        cases = [
+            ("Permission is hereby granted, free of charge, to anyone", "MIT", True),
+            ("licensed under the Apache License, Version 2.0", "Apache-2.0", True),
+            ("under the GNU General Public License v2", "GPL", False),
+            ("the GNU Lesser General Public License applies", "LGPL", False),
+            ("the GNU Affero General Public License applies", "AGPL-3.0", False),
+            ("Redistribution and use in source and binary forms ok", "BSD", True),
+            ("Redistribution and use in source and binary forms; "
+             "Neither the name of X nor", "BSD-3-Clause", True),
+            ("This is free and unencumbered software released", "Unlicense", True),
+            ("subject to the Mozilla Public License 2.0", "MPL-2.0", False),
+            ("plain text with no license at all", "none", None),
+            (None, "none", None),
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, (t, _, _) in enumerate(cases)], "id int, text string")
+        from pyspark.sql import functions as F
+
+        cols = license_detect(F.col("text"))
+        rows = {r.id: r for r in df.select(
+            "id", cols["license"].alias("lic"),
+            cols["permissive"].alias("perm")).collect()}
+        for i, (_, lic, perm) in enumerate(cases):
+            assert rows[i].lic == lic, (i, rows[i].lic)
+            assert rows[i].perm == perm, (i, rows[i].perm)
+
+    def test_pure_codegen_plan(self, spark):
+        """No Python/Arrow stage: the gate must stay a JVM projection."""
+        from pyspark.sql import functions as F
+
+        from impala_cut_spark.operators.text import license_detect
+
+        df = spark.range(10).select(
+            F.concat(F.lit("x "), F.col("id").cast("string")).alias("text"))
+        cols = license_detect(F.col("text"))
+        plan = df.select(cols["license"])._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan and "Arrow" not in plan
