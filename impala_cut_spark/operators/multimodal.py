@@ -2100,3 +2100,189 @@ def frame_sample(
             )
 
     return assets.mapInPandas(_sample, FRAME_SCHEMA)
+
+
+# -- FLAC / OGG container metadata (round 11) ----------------------------------
+#
+# The prune-before-decode stage for the remaining audio containers a
+# crawl carries: FLAC's STREAMINFO block and the OGG page walk with
+# Vorbis/Opus identification headers.  Sample DATA stays behind the
+# documented codec stub boundary (the mp3_metadata contract); the
+# writers below are the deterministic fixture twins (the
+# build_minimal_mp4 precedent — no codec library exists in this
+# container to anchor against, so the oracle row replays the
+# round-trip and the page CRCs pin the container grammar).
+
+
+def flac_metadata(payload: bytes) -> dict:
+    """fLaC STREAMINFO → {sample_rate, channels, bits_per_sample,
+    total_samples, duration_sec, n_blocks} (RFC 9639 layout)."""
+    if payload[:4] != b"fLaC":
+        raise ValueError("not a FLAC payload")
+    pos = 4
+    out = None
+    n_blocks = 0
+    while pos + 4 <= len(payload):
+        hdr = payload[pos]
+        btype = hdr & 0x7F
+        size = int.from_bytes(payload[pos + 1 : pos + 4], "big")
+        body = payload[pos + 4 : pos + 4 + size]
+        if len(body) != size:
+            raise ValueError("flac: truncated metadata block")
+        n_blocks += 1
+        if btype == 0:  # STREAMINFO
+            if size < 34:
+                raise ValueError("flac: short STREAMINFO")
+            bits = int.from_bytes(body[10:18], "big")
+            rate = (bits >> 44) & 0xFFFFF
+            channels = ((bits >> 41) & 0x7) + 1
+            bps = ((bits >> 36) & 0x1F) + 1
+            total = bits & ((1 << 36) - 1)
+            out = {
+                "sample_rate": rate, "channels": channels,
+                "bits_per_sample": bps, "total_samples": total,
+                "duration_sec": round(total / rate, 6) if rate else None,
+            }
+        pos += 4 + size
+        if hdr & 0x80:  # last-metadata-block flag
+            break
+    if out is None:
+        raise ValueError("flac: no STREAMINFO block")
+    out["n_blocks"] = n_blocks
+    return out
+
+
+def build_flac_header(
+    sample_rate: int, channels: int, bits_per_sample: int, total_samples: int
+) -> bytes:
+    """Minimal fLaC stream head (STREAMINFO only, last-block flag) —
+    the fixture twin of flac_metadata; frame data is the stub
+    boundary."""
+    bits = (sample_rate << 44) | ((channels - 1) << 41) \
+        | ((bits_per_sample - 1) << 36) | total_samples
+    body = (b"\x00" * 10) + bits.to_bytes(8, "big") + b"\x00" * 16
+    return b"fLaC" + bytes([0x80]) + len(body).to_bytes(3, "big") + body
+
+
+#: OGG CRC-32: poly 0x04C11DB7, init 0, NOT reflected (unlike zlib)
+_OGG_CRC_TABLE = []
+for _i in range(256):
+    _r = _i << 24
+    for _ in range(8):
+        _r = ((_r << 1) ^ 0x04C11DB7) & 0xFFFFFFFF if _r & 0x80000000 \
+            else (_r << 1) & 0xFFFFFFFF
+    _OGG_CRC_TABLE.append(_r)
+
+
+def _ogg_crc(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc = ((crc << 8) & 0xFFFFFFFF) ^ _OGG_CRC_TABLE[((crc >> 24) ^ b) & 0xFF]
+    return crc
+
+
+def ogg_metadata(payload: bytes) -> dict:
+    """OGG page walk (RFC 3533: capture pattern, segment lacing,
+    page CRC verified with the spec's unreflected CRC-32) + the codec
+    identification header of the first packet — '\\x01vorbis' (channel
+    count, sample rate) or 'OpusHead' (channels, pre-skip; granules
+    run at 48 kHz).  Duration from the last page's granule position.
+    Returns {codec, channels, sample_rate, n_pages, duration_sec}."""
+    if payload[:4] != b"OggS":
+        raise ValueError("not an OGG payload")
+    pos = 0
+    codec = None
+    channels = None
+    rate = None
+    pre_skip = 0
+    n_pages = 0
+    last_granule = 0
+    while pos + 27 <= len(payload):
+        if payload[pos : pos + 4] != b"OggS":
+            raise ValueError("ogg: lost page capture pattern")
+        if payload[pos + 4] != 0:
+            raise ValueError("ogg: unsupported stream structure version")
+        granule = int.from_bytes(payload[pos + 6 : pos + 14], "little", signed=True)
+        (crc,) = struct.unpack_from("<I", payload, pos + 22)
+        nseg = payload[pos + 26]
+        seg_table = payload[pos + 27 : pos + 27 + nseg]
+        body_len = sum(seg_table)
+        end = pos + 27 + nseg + body_len
+        if end > len(payload):
+            raise ValueError("ogg: truncated page")
+        page = bytearray(payload[pos:end])
+        page[22:26] = b"\x00\x00\x00\x00"
+        if _ogg_crc(bytes(page)) != crc:
+            raise ValueError("ogg: page CRC mismatch")
+        body = payload[pos + 27 + nseg : end]
+        if n_pages == 0:
+            if body[:7] == b"\x01vorbis":
+                codec = "vorbis"
+                channels = body[11]
+                (rate,) = struct.unpack_from("<I", body, 12)
+            elif body[:8] == b"OpusHead":
+                codec = "opus"
+                channels = body[9]
+                (pre_skip,) = struct.unpack_from("<H", body, 10)
+                rate = 48000  # granules always run at 48 kHz for opus
+            else:
+                raise ValueError("ogg: unknown codec identification header")
+        if granule >= 0:
+            last_granule = max(last_granule, granule)
+        n_pages += 1
+        pos = end
+    if n_pages == 0:
+        raise ValueError("ogg: no pages")
+    samples = last_granule - (pre_skip if codec == "opus" else 0)
+    return {
+        "codec": codec, "channels": channels, "sample_rate": rate,
+        "n_pages": n_pages,
+        "duration_sec": round(max(samples, 0) / rate, 6) if rate else None,
+    }
+
+
+def build_ogg_header(
+    codec: str, channels: int, sample_rate: int, total_samples: int,
+    n_data_pages: int = 1,
+) -> bytes:
+    """Minimal OGG stream (id-header page + empty data pages carrying
+    the granule positions, CRC-stamped) — the fixture twin of
+    ogg_metadata; packet payloads are the stub boundary."""
+
+    def page(seq: int, granule: int, body: bytes, htype: int) -> bytes:
+        segs = []
+        rem = len(body)
+        while rem >= 255:
+            segs.append(255)
+            rem -= 255
+        segs.append(rem)
+        hdr = bytearray(b"OggS\x00" + bytes([htype]))
+        hdr += granule.to_bytes(8, "little", signed=True)
+        hdr += (0x1D0).to_bytes(4, "little")  # serial
+        hdr += seq.to_bytes(4, "little")
+        hdr += b"\x00\x00\x00\x00"  # CRC placeholder
+        hdr += bytes([len(segs)]) + bytes(segs)
+        full = bytearray(hdr + body)
+        struct.pack_into("<I", full, 22, _ogg_crc(bytes(full)))
+        return bytes(full)
+
+    if codec == "vorbis":
+        ident = (b"\x01vorbis" + b"\x00\x00\x00\x00"
+                 + bytes([channels]) + sample_rate.to_bytes(4, "little")
+                 + b"\x00" * 12 + b"\xb8\x01")
+        granule_total = total_samples
+    elif codec == "opus":
+        ident = (b"OpusHead\x01" + bytes([channels])
+                 + (312).to_bytes(2, "little")  # pre-skip
+                 + int(sample_rate).to_bytes(4, "little")
+                 + b"\x00\x00\x00")
+        granule_total = total_samples + 312
+    else:
+        raise ValueError("build_ogg_header: codec must be vorbis or opus")
+    out = page(0, 0, ident, 0x02)  # beginning-of-stream
+    for i in range(n_data_pages):
+        frac = (i + 1) / n_data_pages
+        granule = int(granule_total * frac)
+        htype = 0x04 if i + 1 == n_data_pages else 0  # end-of-stream
+        out += page(1 + i, granule, b"\x00", htype)
+    return out

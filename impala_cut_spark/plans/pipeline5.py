@@ -1556,3 +1556,96 @@ def pipe_license_detect(spark, sf_dir):
         cols["license"].alias("license"),
         cols["permissive"].alias("permissive"),
     )
+
+
+def _audio_containers_oracle() -> str:
+    """Container grammars are lossless for the header facts and the
+    fixture durations are integral seconds (no rounding ties), so the
+    oracle replays everything from md5 hex."""
+    return """
+WITH h AS (SELECT doc_id, md5(coalesce(text, '')) AS hx FROM documents),
+b AS (SELECT doc_id,
+             (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) AS b0,
+             (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1) AS b1,
+             (strpos('0123456789abcdef', substr(hx, 5, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(hx, 6, 1)) - 1) AS b2
+      FROM h)
+SELECT doc_id,
+       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'flac'
+            WHEN 1 THEN 'vorbis' ELSE 'opus' END AS codec,
+       CAST(1 + b1 % 2 AS INT) AS channels,
+       CAST(CASE WHEN doc_id % 3 = 2 THEN 48000
+                 WHEN b2 % 3 = 0 THEN 16000
+                 WHEN b2 % 3 = 1 THEN 44100 ELSE 48000 END AS INT)
+         AS sample_rate,
+       CAST(1 + b0 % 30 AS DOUBLE) AS duration_sec,
+       TRUE AS parse_ok
+FROM b
+"""
+
+
+@query("pipe_audio_containers", oracle=_audio_containers_oracle())
+def pipe_audio_containers(spark, sf_dir):
+    """Round-11 audio-container prune conformance: each document
+    becomes a FLAC stream head (doc_id%3==0), an OGG/Vorbis stream
+    (1) or an OGG/Opus stream (2) with md5-derived parameters —
+    integral-second durations so no rounding ties exist — muxed by the
+    engine's own CRC-stamping writers, then read back through the REAL
+    walkers (flac_metadata STREAMINFO bit unpack; ogg_metadata page
+    walk with the spec's unreflected CRC-32 verified per page, id
+    header parse, granule→duration).  The DuckDB oracle replays every
+    fact from md5 hex.  Sample DATA stays the documented codec stub
+    boundary (the mp3_metadata contract).  Scale: one Arrow-batched
+    narrow map, no shuffle."""
+    import hashlib
+
+    import pandas as pd
+
+    from impala_cut_spark.operators.multimodal import (
+        build_flac_header,
+        build_ogg_header,
+        flac_metadata,
+        ogg_metadata,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+
+    def _run(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                s = text if isinstance(text, str) else ""
+                dg = hashlib.md5(s.encode("utf-8")).digest()
+                secs = 1 + dg[0] % 30
+                ch = 1 + dg[1] % 2
+                rate = (16000, 44100, 48000)[dg[2] % 3]
+                if d % 3 == 0:
+                    payload = build_flac_header(rate, ch, 16, rate * secs)
+                    m = flac_metadata(payload)
+                    rows.append((d, "flac", m["channels"], m["sample_rate"],
+                                 float(m["duration_sec"]), True))
+                else:
+                    codec = "vorbis" if d % 3 == 1 else "opus"
+                    if codec == "opus":
+                        rate = 48000  # opus granules always run at 48 kHz
+                    payload = build_ogg_header(
+                        codec, ch, rate, rate * secs,
+                        n_data_pages=1 + dg[3] % 4)
+                    m = ogg_metadata(payload)
+                    rows.append((d, m["codec"], m["channels"],
+                                 m["sample_rate"],
+                                 float(m["duration_sec"]), True))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "codec", "channels", "sample_rate",
+                         "duration_sec", "parse_ok"],
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        _run,
+        schema=("doc_id bigint, codec string, channels int, "
+                "sample_rate int, duration_sec double, parse_ok boolean"),
+    )

@@ -2335,3 +2335,40 @@ class TestLicenseDetect:
         cols = license_detect(F.col("text"))
         plan = df.select(cols["license"])._jdf.queryExecution().executedPlan().toString()
         assert "Python" not in plan and "Arrow" not in plan
+
+
+class TestAudioContainers:
+    def test_flac_streaminfo_roundtrip(self):
+        from impala_cut_spark.operators.multimodal import (
+            build_flac_header, flac_metadata)
+
+        for rate, ch, bps, secs in [(44100, 2, 16, 95), (8000, 1, 8, 1),
+                                    (192000, 8, 24, 3600)]:
+            m = flac_metadata(build_flac_header(rate, ch, bps, rate * secs))
+            assert (m["sample_rate"], m["channels"],
+                    m["bits_per_sample"]) == (rate, ch, bps)
+            assert m["duration_sec"] == float(secs)
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            flac_metadata(b"not flac")
+        with _pt.raises(ValueError):
+            flac_metadata(b"fLaC\x80\x00\x00\x10" + b"\x00" * 16)  # short SI
+
+    def test_ogg_page_walk_and_crc(self):
+        from impala_cut_spark.operators.multimodal import (
+            build_ogg_header, ogg_metadata)
+        import pytest as _pt
+
+        m = ogg_metadata(build_ogg_header("vorbis", 2, 48000, 48000 * 7,
+                                          n_data_pages=3))
+        assert m == {"codec": "vorbis", "channels": 2, "sample_rate": 48000,
+                     "n_pages": 4, "duration_sec": 7.0}
+        m = ogg_metadata(build_ogg_header("opus", 1, 48000, 48000 * 3))
+        assert m["codec"] == "opus" and m["duration_sec"] == 3.0
+        p = bytearray(build_ogg_header("vorbis", 2, 48000, 480))
+        p[40] ^= 1
+        with _pt.raises(ValueError, match="CRC"):
+            ogg_metadata(bytes(p))
+        with _pt.raises(ValueError):
+            ogg_metadata(b"OggS\x01" + b"\x00" * 40)  # bad version

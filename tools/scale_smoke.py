@@ -193,6 +193,10 @@ X100_QUERIES = {
     # r11: the encoded-crawl and animation rows ride the same fixture
     "pipe_crawl_encoded": "crawl wire codings (chunked + gzip/deflate/br/zstd)",
     "pipe_multimodal_anim": "animated GIF/WebP mux+demux+composition",
+    # r11 (second batch): the document-ingestion newcomers with real
+    # per-row decode cost (exif/license are trivial maps)
+    "pipe_pdf_extract": "PDF typeset+extract round-trip (COS/xref/text path)",
+    "pipe_archive_ingest": "zip/tar archive explode (from-scratch readers)",
 }
 X100_DST = "/tmp/scale_sf10"
 X100_REPLICAS = 100
