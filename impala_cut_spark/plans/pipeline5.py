@@ -1649,3 +1649,99 @@ def pipe_audio_containers(spark, sf_dir):
         schema=("doc_id bigint, codec string, channels int, "
                 "sample_rate int, duration_sec double, parse_ok boolean"),
     )
+
+
+def _epub_oracle() -> str:
+    """Container + spine + tag-strip are all lossless around the text
+    (modulo whitespace collapse), and the fixture spine REVERSES file
+    order, so the oracle reconstructs each book as its chapters joined
+    in reverse — a consumer that reads file order instead of the OPF
+    spine breaks the hash."""
+    return """
+WITH h AS (SELECT doc_id,
+                  trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g'))
+                    AS norm,
+                  CAST(1 + doc_id % 3 AS INT) AS k
+           FROM documents),
+seg AS (SELECT doc_id, norm, k,
+               'ch0' || CASE WHEN norm = '' THEN '' ELSE ' ' || norm END AS s0,
+               'ch1' || CASE WHEN norm = '' THEN '' ELSE ' ' || norm END AS s1,
+               'ch2' || CASE WHEN norm = '' THEN '' ELSE ' ' || norm END AS s2
+        FROM h)
+SELECT doc_id, k AS n_chapters,
+       md5(CASE k WHEN 1 THEN s0
+                  WHEN 2 THEN s1 || ' ' || s0
+                  ELSE s2 || ' ' || s1 || ' ' || s0 END) AS book_md5
+FROM seg
+"""
+
+
+@query("pipe_epub_extract", oracle=_epub_oracle())
+def pipe_epub_extract(spark, sf_dir):
+    """Round-11 EPUB (books) ingestion — a genuinely DISTRIBUTED
+    composition over this round's pieces: each document becomes a real
+    EPUB (build_epub: OCF stored-mimetype member, container.xml, OPF
+    manifest + a spine that REVERSES file order) with 1 + doc_id%3
+    xhtml chapters; ingestion then runs the plan a 100 TB books
+    pipeline would: an Arrow-batched demux map (from-scratch zip read
+    + OPF spine walk → one row per chapter), the HTML→text stage as
+    the PURE-CODEGEN html_text expression (including a <script>
+    subtree that must not leak), and ONE doc_id shuffle that
+    reassembles books in spine order (array_sort over (pos, text)
+    structs — no window, no driver).  The DuckDB oracle rebuilds every
+    book in reversed chapter order, so ignoring the spine — or any
+    container/strip defect — breaks the strict hash.  Scale: demux and
+    strip are narrow; the single shuffle carries one row per chapter."""
+    import html as html_mod
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from impala_cut_spark.operators.text import html_text
+    from impala_cut_spark.sources.archives import build_epub, epub_spine
+
+    docs = t(spark, sf_dir, "documents")
+
+    def _demux(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                s = text if isinstance(text, str) else ""
+                k = 1 + d % 3
+                chapters = [
+                    (f"<html><head><script>no()</script></head><body>"
+                     f"<p>ch{i}</p><p>{html_mod.escape(s)}</p>"
+                     f"</body></html>").encode("utf-8")
+                    for i in range(k)
+                ]
+                payload = build_epub(chapters)  # spine reversed
+                for pos, (_path, xhtml) in enumerate(epub_spine(payload)):
+                    rows.append((d, k, pos, xhtml.decode("utf-8")))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_chapters", "spine_pos", "xhtml"])
+
+    narrow = docs.select("doc_id", "text")
+    cores = spark.sparkContext.defaultParallelism
+    if narrow.rdd.getNumPartitions() < cores:
+        narrow = narrow.repartition(cores)
+    chapters = narrow.mapInPandas(
+        _demux,
+        schema="doc_id bigint, n_chapters int, spine_pos int, xhtml string",
+    )
+    stripped = chapters.select(
+        "doc_id", "n_chapters", "spine_pos",
+        html_text(F.col("xhtml")).alias("txt"),
+    )
+    books = stripped.groupBy("doc_id").agg(
+        F.first("n_chapters").alias("n_chapters"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("spine_pos", "txt"))),
+                lambda x: x.getField("txt"),
+            ),
+            " ",
+        ).alias("book"),
+    )
+    return books.select(
+        "doc_id", "n_chapters", F.md5(F.col("book")).alias("book_md5"))

@@ -237,3 +237,88 @@ def archive_ingest(
             )
 
     return sources.mapInPandas(_parse, ARCHIVE_MEMBER_SCHEMA)
+
+
+# -- EPUB (the books container: ZIP + OCF/OPF spine) ----------------------------
+
+
+def epub_spine(payload: bytes) -> list[tuple[str, bytes]]:
+    """EPUB → [(chapter path, xhtml bytes)] in SPINE order (the
+    reading order, which need not match file order): OCF
+    META-INF/container.xml → the OPF package document → manifest
+    id→href map → spine itemrefs.  Raises on non-EPUB zips (no
+    container.xml / rootfile)."""
+    import xml.etree.ElementTree as ET
+
+    members = {m["path"]: m["content"] for m in list_zip(payload)}
+    container = members.get("META-INF/container.xml")
+    if container is None:
+        raise ValueError("epub: missing META-INF/container.xml")
+    cns = "{urn:oasis:names:tc:opendocument:xmlns:container}"
+    rootfile = ET.fromstring(container).find(f".//{cns}rootfile")
+    if rootfile is None:
+        raise ValueError("epub: container.xml has no rootfile")
+    opf_path = rootfile.attrib["full-path"]
+    if opf_path not in members:
+        raise ValueError("epub: OPF package document missing")
+    ons = "{http://www.idpf.org/2007/opf}"
+    opf = ET.fromstring(members[opf_path])
+    manifest = {i.attrib["id"]: i.attrib["href"]
+                for i in opf.findall(f".//{ons}item")}
+    base = opf_path.rsplit("/", 1)[0] + "/" if "/" in opf_path else ""
+    out = []
+    for ref in opf.findall(f".//{ons}itemref"):
+        href = manifest.get(ref.attrib["idref"])
+        if href is None:
+            raise ValueError("epub: spine itemref with no manifest item")
+        path = base + href
+        if path not in members:
+            raise ValueError(f"epub: spine chapter {path!r} missing")
+        out.append((path, members[path]))
+    if not out:
+        raise ValueError("epub: empty spine")
+    return out
+
+
+def build_epub(chapters: list[bytes], spine: list[int] | None = None) -> bytes:
+    """Mux xhtml chapter bodies into a minimal valid EPUB (stored
+    mimetype member first per OCF, container.xml, OPF manifest+spine,
+    OEBPS chapter files) — the fixture twin of epub_spine.  ``spine``
+    permutes reading order against file order (the default reverses
+    it, so consumers that ignore the spine are caught)."""
+    import io
+    import zipfile
+
+    n = len(chapters)
+    spine = spine if spine is not None else list(range(n - 1, -1, -1))
+    items = "".join(
+        f'<item id="c{i}" href="chap_{i}.xhtml" '
+        f'media-type="application/xhtml+xml"/>' for i in range(n))
+    refs = "".join(f'<itemref idref="c{i}"/>' for i in spine)
+    opf = (
+        '<?xml version="1.0"?>'
+        '<package xmlns="http://www.idpf.org/2007/opf" version="3.0" '
+        'unique-identifier="id"><metadata/>'
+        f"<manifest>{items}</manifest><spine>{refs}</spine></package>"
+    ).encode()
+    container = (
+        '<?xml version="1.0"?>'
+        '<container xmlns="urn:oasis:names:tc:opendocument:xmlns:container" '
+        'version="1.0"><rootfiles>'
+        '<rootfile full-path="OEBPS/content.opf" '
+        'media-type="application/oebps-package+xml"/>'
+        "</rootfiles></container>"
+    ).encode()
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        mt = zipfile.ZipInfo("mimetype", (2020, 1, 1, 0, 0, 0))
+        mt.compress_type = zipfile.ZIP_STORED  # OCF: first and stored
+        z.writestr(mt, "application/epub+zip")
+        z.writestr(zipfile.ZipInfo("META-INF/container.xml",
+                                   (2020, 1, 1, 0, 0, 0)), container)
+        z.writestr(zipfile.ZipInfo("OEBPS/content.opf",
+                                   (2020, 1, 1, 0, 0, 0)), opf)
+        for i, body in enumerate(chapters):
+            z.writestr(zipfile.ZipInfo(f"OEBPS/chap_{i}.xhtml",
+                                       (2020, 1, 1, 0, 0, 0)), body)
+    return buf.getvalue()

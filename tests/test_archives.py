@@ -142,3 +142,35 @@ class TestOperator:
         assert bytes(rows[(2, 0)].content) == b"CCCC"
         assert rows[(3, -1)].parse_ok is False
         assert rows[(1, 0)].parse_ok and rows[(2, 0)].parse_ok
+
+
+class TestEpub:
+    def test_spine_order_not_file_order(self):
+        from impala_cut_spark.sources.archives import build_epub, epub_spine
+
+        chaps = [b"<p>one</p>", b"<p>two</p>", b"<p>three</p>"]
+        assert [c for _, c in epub_spine(build_epub(chaps))] == chaps[::-1]
+        assert [c for _, c in epub_spine(build_epub(chaps, spine=[1, 2, 0]))] \
+            == [chaps[1], chaps[2], chaps[0]]
+
+    def test_ocf_mimetype_member_is_first_and_stored(self):
+        from impala_cut_spark.sources.archives import build_epub, list_zip
+
+        members = list_zip(build_epub([b"<p>x</p>"]))
+        assert members[0]["path"] == "mimetype"
+        assert members[0]["content"] == b"application/epub+zip"
+
+    def test_non_epub_zip_raises(self):
+        from impala_cut_spark.sources.archives import epub_spine
+
+        with pytest.raises(ValueError, match="container.xml"):
+            epub_spine(_zip_fixture([("a.txt", b"not a book")]))
+        # container pointing at a missing OPF
+        bad = _zip_fixture([
+            ("META-INF/container.xml",
+             b'<container xmlns="urn:oasis:names:tc:opendocument:xmlns:container">'
+             b'<rootfiles><rootfile full-path="gone.opf" media-type="x"/>'
+             b"</rootfiles></container>"),
+        ])
+        with pytest.raises(ValueError, match="OPF"):
+            epub_spine(bad)
