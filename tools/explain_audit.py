@@ -117,6 +117,9 @@ AUDIT = [
     "pipe_pdf_extract",
     "pipe_multimodal_exif",
     "pipe_archive_ingest",
+    "pipe_license_detect",
+    "pipe_audio_containers",
+    "pipe_epub_extract",
 ]
 
 

@@ -197,6 +197,7 @@ X100_QUERIES = {
     # per-row decode cost (exif/license are trivial maps)
     "pipe_pdf_extract": "PDF typeset+extract round-trip (COS/xref/text path)",
     "pipe_archive_ingest": "zip/tar archive explode (from-scratch readers)",
+    "pipe_epub_extract": "EPUB books (demux + codegen strip + spine shuffle)",
 }
 X100_DST = "/tmp/scale_sf10"
 X100_REPLICAS = 100
