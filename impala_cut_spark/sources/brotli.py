@@ -659,7 +659,9 @@ class _BitWriter:
             self.nbits -= 8
 
     def put_code(self, code: int, length: int) -> None:
-        """Prefix-code bits: first-read bit = MSB of the code."""
+        """Prefix-code bits: first-read bit = MSB of the code.  (The
+        data phase avoids this per-bit loop by pre-reversing codes —
+        see _reversed_codes — and calling put() once per symbol.)"""
         for k in range(length - 1, -1, -1):
             self.put((code >> k) & 1, 1)
 
@@ -869,6 +871,20 @@ def _write_prefix_code(bw: _BitWriter, lengths: list[int]) -> list[tuple[int, in
     return codes
 
 
+def _reversed_codes(codes: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    """Bit-reverse each canonical code within its length: an MSB-first
+    prefix code becomes a single LSB-first put() — one call per symbol
+    instead of one per bit (the data-phase hot path)."""
+    out = []
+    for c, ln in codes:
+        r = 0
+        for _ in range(ln):
+            r = (r << 1) | (c & 1)
+            c >>= 1
+        out.append((r, ln))
+    return out
+
+
 def _canonical(lengths: list[int]) -> list[tuple[int, int]]:
     """Symbol -> (canonical code, length); DEFLATE rule."""
     max_len = max(lengths, default=0)
@@ -946,25 +962,26 @@ def _encode_meta_block(bw: _BitWriter, chunk: bytes, is_last: bool) -> None:
     bw.put(0, 2)  # context mode for the single literal block type
     bw.put(0, 1)  # NTREESL = 1
     bw.put(0, 1)  # NTREESD = 1
-    lit_codes = _write_prefix_code(bw, _histogram(lit_f, 256))
-    cmd_codes = _write_prefix_code(bw, _histogram(cmd_f, 704))
-    dist_codes = _write_prefix_code(bw, _histogram(dist_f, 64))
+    lit_codes = _reversed_codes(_write_prefix_code(bw, _histogram(lit_f, 256)))
+    cmd_codes = _reversed_codes(_write_prefix_code(bw, _histogram(cmd_f, 704)))
+    dist_codes = _reversed_codes(_write_prefix_code(bw, _histogram(dist_f, 64)))
 
+    put = bw.put
     for ls, le, cl, d, cmd, ic, cc in encoded:
         c, w = cmd_codes[cmd]
-        bw.put_code(c, w)
+        put(c, w)
         off, nb = INSERT_LEN[ic]
         if nb:
-            bw.put((le - ls) - off, nb)
+            put((le - ls) - off, nb)
         off, nb = COPY_LEN[cc]
         if nb:
-            bw.put(cl - off if cl else 0, nb)
+            put(cl - off if cl else 0, nb)
         for b in chunk[ls:le]:
             c, w = lit_codes[b]
-            bw.put_code(c, w)
+            put(c, w)
         if cl:
             dc, nb, extra = _dist_symbol(d)
             c, w = dist_codes[dc]
-            bw.put_code(c, w)
+            put(c, w)
             if nb:
-                bw.put(extra, nb)
+                put(extra, nb)
