@@ -422,13 +422,78 @@ class _Document:
         m = None
         for m in re.finditer(rb"startxref\s+(\d+)", tail):
             pass
-        if m is None:
-            raise ValueError("pdf: no startxref")
-        pos = int(m.group(1))
-        seen = set()
-        while pos is not None and pos not in seen:
-            seen.add(pos)
-            pos = self._load_xref_section(pos)
+        try:
+            if m is None:
+                raise ValueError("pdf: no startxref")
+            pos = int(m.group(1))
+            seen = set()
+            while pos is not None and pos not in seen:
+                seen.add(pos)
+                pos = self._load_xref_section(pos)
+        except ValueError:
+            # damaged/absent xref: real crawls carry truncated and
+            # incrementally-mangled PDFs whose OBJECTS are intact —
+            # rebuild the table by scanning for "<n> <g> obj" markers
+            # (later definitions win, matching update order) and take
+            # the last trailer dict in the file
+            self._recover()
+        if not self.offsets and not self.in_objstm:
+            raise ValueError("pdf: no usable cross-reference information")
+
+    def _recover(self) -> None:
+        d = self.d
+        self.offsets.clear()
+        self.in_objstm.clear()
+        for m in re.finditer(rb"(?m)^\s*(\d+)\s+\d+\s+obj\b", d):
+            self.offsets[int(m.group(1))] = m.start()
+        if not self.trailer:
+            for m in re.finditer(rb"trailer", d):
+                try:
+                    lex = _Lexer(d, m.end())
+                    tr = lex.parse()
+                    if isinstance(tr, dict):
+                        self.trailer.update(tr)
+                except ValueError:
+                    continue
+        # walk the scanned objects: index ObjStm members (xref-stream
+        # files keep the catalog/pages INSIDE one) and harvest trailer
+        # keys from any XRef stream dict (that layout has no trailer
+        # keyword — /Root lives in the stream's dictionary)
+        for num in list(self.offsets):
+            try:
+                obj = self._parse_indirect_at(self.offsets[num])
+            except ValueError:
+                continue
+            if not (isinstance(obj, tuple) and len(obj) == 2):
+                continue
+            typ = str(obj[0].get("Type", ""))
+            if typ == "XRef":
+                for k in ("Root", "Info", "Size"):
+                    if k in obj[0] and k not in self.trailer:
+                        self.trailer[k] = obj[0][k]
+            elif typ == "ObjStm":
+                try:
+                    data = _apply_filters(obj[1], obj[0], self.resolve)
+                    n = int(self.resolve(obj[0]["N"]))
+                    head = _Lexer(data, 0)
+                    for idx in range(n):
+                        onum = head.parse()
+                        head.parse()  # offset, unused here
+                        if onum not in self.offsets:
+                            self.in_objstm[onum] = (num, idx)
+                except (ValueError, KeyError):
+                    continue
+        if "Root" not in self.trailer:
+            # last resort: find a catalog among every reachable object
+            candidates = list(self.offsets) + list(self.in_objstm)
+            for num in candidates:
+                try:
+                    obj = self.get_object(num)
+                except ValueError:
+                    continue
+                if isinstance(obj, dict) and str(obj.get("Type", "")) == "Catalog":
+                    self.trailer["Root"] = _Ref(num, 0)
+                    break
 
     def _load_xref_section(self, pos: int) -> int | None:
         d = self.d

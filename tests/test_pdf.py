@@ -221,3 +221,30 @@ class TestOperator:
         assert rows[1].text == "spark pdf row\ftwo pages"
         assert rows[1].producer == "impala-cut-spark"
         assert rows[2].parse_ok is False and rows[3].parse_ok is False
+
+
+class TestXrefRecovery:
+    """Real crawls carry PDFs whose tail (xref + trailer) is damaged
+    or truncated while the objects are intact — recovery rebuilds the
+    table from an object-marker scan, harvests /Root from a trailer
+    keyword, an XRef stream dict, or a catalog-type scan, and indexes
+    ObjStm members."""
+
+    @pytest.mark.parametrize("objstm", [False, True])
+    def test_three_damage_modes(self, objstm):
+        import re as _re
+
+        pages = ["recovered text after xref damage", "page two survives"]
+        p = build_pdf(pages, use_objstm=objstm)
+        assert extract_pdf_text(
+            p.replace(b"startxref", b"startxrXX")).split("\f") == pages
+        m = list(_re.finditer(rb"startxref\s+(\d+)", p))[-1]
+        bad_off = p[: m.start(1)] + b"999999" + p[m.end(1):]
+        assert extract_pdf_text(bad_off).split("\f") == pages
+        truncated = p[: p.rfind(b"startxref")]
+        assert extract_pdf_text(truncated).split("\f") == pages
+
+    def test_object_damage_still_raises(self):
+        p = build_pdf(["x"], compress=False)
+        with pytest.raises(ValueError):
+            extract_pdf_text(p[:40])  # objects themselves gone
