@@ -693,3 +693,22 @@ def license_detect(text: Column) -> dict[str, Column]:
         lic = F.when(hit, F.lit(name)).otherwise(lic)
         perm = F.when(hit, F.lit(permissive)).otherwise(perm)
     return {"license": lic, "permissive": perm}
+
+
+def markdown_text(md: Column) -> Column:
+    """Markdown → plain text as a PURE JVM expression chain (the
+    html_text twin for the other format crawls and code repos carry):
+    drop fenced code blocks (boilerplate for prose corpora — the
+    script/style analogue), unwrap inline code spans, images to their
+    alt text (BEFORE links — the syntaxes nest), links to their text,
+    strip heading/blockquote/list markers at line starts, strip
+    emphasis runs, strip residual inline HTML tags, collapse
+    whitespace.  No Python on the data path."""
+    c = F.regexp_replace(md, r"(?s)```.*?```", " ")
+    c = F.regexp_replace(c, r"`([^`\n]*)`", "$1")
+    c = F.regexp_replace(c, r"!\[([^\]]*)\]\([^)]*\)", "$1")
+    c = F.regexp_replace(c, r"\[([^\]]*)\]\([^)]*\)", "$1")
+    c = F.regexp_replace(c, r"(?m)^\s{0,3}(#{1,6}\s+|>\s?|[-*+]\s+|\d+\.\s+)", "")
+    c = F.regexp_replace(c, r"(\*\*|__|\*|_|~~)", "")
+    c = F.regexp_replace(c, r"(?s)<[^>]*>", " ")
+    return F.trim(F.regexp_replace(c, r"\s+", " "))

@@ -1745,3 +1745,72 @@ def pipe_epub_extract(spark, sf_dir):
     )
     return books.select(
         "doc_id", "n_chapters", F.md5(F.col("book")).alias("book_md5"))
+
+
+def _markdown_oracle() -> str:
+    """The fixture decorations (heading/quote/list markers, bold,
+    links, a fenced block holding only the literal word CODE) all
+    strip back to the original words, so the oracle replays the md5 of
+    the whitespace-collapsed text directly — any under- or
+    over-stripping breaks the hash."""
+    return """
+SELECT doc_id,
+       md5(trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g')))
+         AS text_md5
+FROM documents
+"""
+
+
+@query("pipe_markdown_extract", oracle=_markdown_oracle())
+def pipe_markdown_extract(spark, sf_dir):
+    """Round-11 markdown extraction: each document is typeset into
+    markdown IN-PLAN (lines decorated round-robin as headings,
+    blockquotes, list items, bold-every-3rd-word, and link-wrapped
+    lines, plus a fenced code block that must NOT leak), then
+    recovered through the REAL operator (text.markdown_text — a pure
+    whole-stage-codegen regex chain, html_text's twin).  Every
+    decoration strips losslessly, so the DuckDB oracle is just the
+    md5 of the whitespace-collapsed document text.  Scale: typeset is
+    one Arrow-batched narrow map; the strip is a codegen projection;
+    no shuffle."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from impala_cut_spark.operators.text import markdown_text
+
+    docs = t(spark, sf_dir, "documents")
+
+    def _typeset(batches):
+        for pdf in batches:
+            ids, mds = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                words = [w for w in (text or "").split(" ") if w]
+                lines = [" ".join(words[i : i + 10])
+                         for i in range(0, len(words), 10)] or [""]
+                out = []
+                for j, line in enumerate(lines):
+                    kind = j % 5
+                    if kind == 0:
+                        out.append(f"## {line}")
+                    elif kind == 1:
+                        out.append(f"> {line}")
+                    elif kind == 2:
+                        out.append(f"- {line}")
+                    elif kind == 3:
+                        ws = line.split(" ")
+                        out.append(" ".join(
+                            f"**{w}**" if i % 3 == 0 else w
+                            for i, w in enumerate(ws)))
+                    else:
+                        out.append(f"[{line}](http://example.com/{d}/{j})")
+                out.append("```\nthis fenced block must not leak\n```")
+                ids.append(d)
+                mds.append("\n".join(out))
+            yield pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
+                                "md": pd.Series(mds, dtype="object")})
+
+    assets = docs.select("doc_id", "text").mapInPandas(
+        _typeset, schema="doc_id bigint, md string")
+    return assets.select(
+        "doc_id", F.md5(markdown_text(F.col("md"))).alias("text_md5"))

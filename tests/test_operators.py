@@ -2372,3 +2372,42 @@ class TestAudioContainers:
             ogg_metadata(bytes(p))
         with _pt.raises(ValueError):
             ogg_metadata(b"OggS\x01" + b"\x00" * 40)  # bad version
+
+
+class TestMarkdownText:
+    def test_strip_matrix(self, spark):
+        from pyspark.sql import functions as F
+
+        from impala_cut_spark.operators.text import markdown_text
+
+        cases = [
+            ("# Heading words", "Heading words"),
+            ("## Deep  heading", "Deep heading"),
+            ("> quoted line", "quoted line"),
+            ("- item one\n* item two\n+ item three\n2. item four",
+             "item one item two item three item four"),
+            ("**bold** and _ital_ and ~~gone~~", "bold and ital and gone"),
+            ("a [link text](http://x.y/z) b", "a link text b"),
+            ("pre ![alt words](img.png) post", "pre alt words post"),
+            ("keep `inline code` spans", "keep inline code spans"),
+            ("before\n```py\nsecret()\n```\nafter", "before after"),
+            ("html <b>tags</b> go", "html tags go"),
+            (None, ""),
+        ]
+        df = spark.createDataFrame(
+            [(i, s) for i, (s, _) in enumerate(cases)], "id int, md string")
+        rows = {r.id: r.txt for r in df.select(
+            "id", markdown_text(F.coalesce(F.col("md"), F.lit(""))).alias("txt")
+        ).collect()}
+        for i, (_, want) in enumerate(cases):
+            assert rows[i] == want, (i, rows[i])
+
+    def test_pure_codegen_plan(self, spark):
+        from pyspark.sql import functions as F
+
+        from impala_cut_spark.operators.text import markdown_text
+
+        df = spark.range(5).select(F.lit("# h").alias("md"))
+        plan = df.select(markdown_text(F.col("md")))._jdf \
+            .queryExecution().executedPlan().toString()
+        assert "Python" not in plan and "Arrow" not in plan
