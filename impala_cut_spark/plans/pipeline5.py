@@ -1814,3 +1814,106 @@ def pipe_markdown_extract(spark, sf_dir):
         _typeset, schema="doc_id bigint, md string")
     return assets.select(
         "doc_id", F.md5(markdown_text(F.col("md"))).alias("text_md5"))
+
+
+def _code_pipeline_oracle() -> str:
+    """Member synthesis is deterministic (k = 2 + doc_id%3 files;
+    file i carries extension .py/.rs/.md by i%3 and an MIT header on
+    even i), so the per-repo aggregate replays in SQL."""
+    return """
+WITH h AS (SELECT doc_id, coalesce(text, '') AS txt,
+                  CAST(2 + doc_id % 3 AS INT) AS k
+           FROM documents),
+m AS (SELECT doc_id, txt, k, CAST(unnest(range(0, k)) AS INT) AS i FROM h),
+f AS (SELECT doc_id, k, i,
+             CASE CAST(i % 3 AS INT) WHEN 0 THEN 'py'
+                  WHEN 1 THEN 'rs' ELSE 'md' END AS ext,
+             i % 2 = 0 AS permissive,
+             octet_length(encode(
+               CASE WHEN i % 2 = 0
+                 THEN 'Permission is hereby granted, free of charge. '
+                      || txt || '#' || CAST(i AS VARCHAR)
+                 ELSE txt || '#' || CAST(i AS VARCHAR) END)) AS sz
+      FROM m)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(CASE WHEN ext = 'py' THEN 1 ELSE 0 END) AS BIGINT) AS n_py,
+       CAST(sum(CASE WHEN permissive THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_permissive,
+       CAST(sum(sz) AS BIGINT) AS total_bytes,
+       sum(CASE WHEN permissive THEN 0 ELSE 1 END) = 0 AS all_permissive
+FROM f GROUP BY doc_id
+"""
+
+
+@query("pipe_code_pipeline", oracle=_code_pipeline_oracle())
+def pipe_code_pipeline(spark, sf_dir):
+    """Round-11 code-dataset pipeline COMPOSITION — the end-to-end
+    plan a source-code corpus runs, built entirely from this round's
+    pieces: each document becomes a tar.gz 'repository' (stdlib
+    writer) of 2 + doc_id%3 source files (.py/.rs/.md by position,
+    MIT headers on even members), exploded by the REAL archive_ingest
+    (from-scratch ustar reader), classified per member by the REAL
+    license_detect codegen chain + an extension extractor, then
+    aggregated per repo in ONE doc-keyed shuffle (file counts,
+    per-language counts, permissive share, byte totals — the
+    route/filter facts a training run keys on).  The DuckDB oracle
+    replays the aggregate from the deterministic synthesis.  Scale:
+    explode and classify are narrow; the single shuffle carries one
+    row per member file."""
+    import io
+    import tarfile
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from impala_cut_spark.operators.text import license_detect
+    from impala_cut_spark.sources.archives import archive_ingest
+
+    docs = t(spark, sf_dir, "documents")
+    MIT = "Permission is hereby granted, free of charge. "
+
+    def _pack(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                s = text if isinstance(text, str) else ""
+                k = 2 + d % 3
+                buf = io.BytesIO()
+                with tarfile.open(fileobj=buf, mode="w:gz",
+                                  format=tarfile.GNU_FORMAT) as tf:
+                    for i in range(k):
+                        ext = ("py", "rs", "md")[i % 3]
+                        body = ((MIT if i % 2 == 0 else "")
+                                + s + f"#{i}").encode("utf-8")
+                        ti = tarfile.TarInfo(f"repo/src_{i}.{ext}")
+                        ti.size = len(body)
+                        ti.mtime = 1_600_000_000
+                        tf.addfile(ti, io.BytesIO(body))
+                ids.append(d)
+                payloads.append(bytearray(buf.getvalue()))
+            yield pd.DataFrame({"source_id": pd.Series(ids, dtype="int64"),
+                                "payload": pd.Series(payloads, dtype="object")})
+
+    narrow = docs.select("doc_id", "text")
+    cores = spark.sparkContext.defaultParallelism
+    if narrow.rdd.getNumPartitions() < cores:
+        narrow = narrow.repartition(cores)
+    repos = narrow.mapInPandas(_pack, "source_id bigint, payload binary")
+    members = archive_ingest(repos).where(F.col("parse_ok"))
+    lic = license_detect(F.col("content").cast("string"))
+    classified = members.select(
+        F.col("source_id").alias("doc_id"),
+        F.element_at(F.split(F.col("path"), r"\."), -1).alias("ext"),
+        F.coalesce(lic["permissive"], F.lit(False)).alias("permissive"),
+        F.length(F.col("content")).alias("sz"),
+    )
+    return classified.groupBy("doc_id").agg(
+        F.count("*").alias("n_files"),
+        F.sum(F.when(F.col("ext") == "py", 1).otherwise(0)).alias("n_py"),
+        F.sum(F.when(F.col("permissive"), 1).otherwise(0)).alias("n_permissive"),
+        F.sum("sz").alias("total_bytes"),
+        (F.sum(F.when(F.col("permissive"), 0).otherwise(1)) == 0)
+        .alias("all_permissive"),
+    )
