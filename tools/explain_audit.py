@@ -120,6 +120,8 @@ AUDIT = [
     "pipe_license_detect",
     "pipe_audio_containers",
     "pipe_epub_extract",
+    "pipe_markdown_extract",
+    "pipe_code_pipeline",
 ]
 
 
