@@ -712,3 +712,48 @@ def markdown_text(md: Column) -> Column:
     c = F.regexp_replace(c, r"(\*\*|__|\*|_|~~)", "")
     c = F.regexp_replace(c, r"(?s)<[^>]*>", " ")
     return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def html_metadata(html: Column) -> dict[str, Column]:
+    """The routing signals a crawl reads BEFORE extraction — title,
+    meta description, canonical URL, declared language — as pure
+    codegen regexp_extracts (empty string → NULL via nullif).  These
+    feed dedup (canonical URL), language routing (lang attribute) and
+    quality features (title/description presence) without touching
+    the body text path."""
+    def _nn(c: Column) -> Column:
+        return F.nullif(F.trim(c), F.lit(""))
+
+    title = F.regexp_extract(html, r"(?is)<title[^>]*>(.*?)</title>", 1)
+    title = F.regexp_replace(title, r"\s+", " ")
+    return {
+        "title": _nn(title),
+        "meta_description": _nn(F.regexp_extract(
+            html,
+            r"(?is)<meta\s+[^>]*name\s*=\s*[\"']description[\"'][^>]*"
+            r"content\s*=\s*[\"']([^\"']*)", 1)),
+        "canonical_url": _nn(F.regexp_extract(
+            html,
+            r"(?is)<link\s+[^>]*rel\s*=\s*[\"']canonical[\"'][^>]*"
+            r"href\s*=\s*[\"']([^\"']*)", 1)),
+        "lang": _nn(F.regexp_extract(
+            html, r"(?is)<html\s+[^>]*lang\s*=\s*[\"']([a-zA-Z-]+)", 1)),
+    }
+
+
+def subtitle_text(sub: Column) -> Column:
+    """SRT/WebVTT subtitle payloads → plain dialog text as a pure
+    codegen chain (crawls carry subtitle files as high-quality
+    conversational text): drop the WEBVTT header/NOTE blocks, cue
+    numbers and timestamp lines, cue settings, inline <i>/<b>/voice
+    tags, then collapse whitespace."""
+    # line-structure-preserving strips first (each keeps a newline so
+    # the ^ anchors of later passes still see line starts)
+    c = F.regexp_replace(sub, r"(?m)^WEBVTT[^\n]*$", "")
+    c = F.regexp_replace(c, r"(?ms)^NOTE\b.*?(?=\n\n|\Z)", "")
+    c = F.regexp_replace(c, r"(?m)^\d+\s*$", "")
+    c = F.regexp_replace(
+        c,
+        r"(?m)^[0-9:.,]+\s+-->\s+[0-9:.,]+[^\n]*$", "")
+    c = F.regexp_replace(c, r"(?s)<[^>]*>", " ")
+    return F.trim(F.regexp_replace(c, r"\s+", " "))

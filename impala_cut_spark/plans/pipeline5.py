@@ -1917,3 +1917,154 @@ def pipe_code_pipeline(spark, sf_dir):
         (F.sum(F.when(F.col("permissive"), 0).otherwise(1)) == 0)
         .alias("all_permissive"),
     )
+
+
+def _html_meta_oracle() -> str:
+    """The typeset head fields replay in SQL from the text's leading
+    words and md5 hex."""
+    return """
+WITH w AS (SELECT doc_id,
+                  list_filter(string_split(coalesce(text, ''), ' '),
+                              x -> x <> '') AS tk,
+                  md5(coalesce(text, '')) AS hx
+           FROM documents)
+SELECT doc_id,
+       CASE WHEN len(tk) = 0 THEN 'untitled'
+            ELSE array_to_string(tk[1:3], ' ') END AS title,
+       CASE WHEN len(tk) <= 3 THEN NULL
+            ELSE array_to_string(tk[4:9], ' ') END AS meta_description,
+       'http://example.com/canon/' || CAST(doc_id AS VARCHAR)
+         AS canonical_url,
+       CASE CAST((strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) % 4
+                 AS INT)
+         WHEN 0 THEN 'en' WHEN 1 THEN 'de' WHEN 2 THEN 'fr' ELSE 'ja'
+       END AS lang
+FROM w
+"""
+
+
+@query("pipe_html_meta", oracle=_html_meta_oracle())
+def pipe_html_meta(spark, sf_dir):
+    """Round-11 crawl routing signals: each document is typeset into a
+    full HTML page head (title from its leading words, meta
+    description, canonical link, a lang attribute from md5) and the
+    signals are read back through the REAL operator
+    (text.html_metadata — pure codegen regexp_extracts).  These fields
+    feed canonical-URL dedup and language routing BEFORE body
+    extraction; the DuckDB oracle replays them from the text.  Scale:
+    typeset is a narrow map, extraction a codegen projection, no
+    shuffle."""
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from impala_cut_spark.operators.text import html_metadata
+
+    docs = t(spark, sf_dir, "documents")
+
+    def _typeset(batches):
+        for pdf in batches:
+            ids, pages = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                words = [w for w in (text or "").split(" ") if w]
+                title = " ".join(words[:3]) or "untitled"
+                desc = " ".join(words[3:9])
+                lang = ("en", "de", "fr", "ja")[
+                    hashlib.md5((text or "").encode()).digest()[0] % 4]
+                head = (f'<html lang="{lang}"><head><title>{title}</title>')
+                if desc:
+                    head += f'<meta name="description" content="{desc}">'
+                head += (f'<link rel="canonical" '
+                         f'href="http://example.com/canon/{d}">')
+                pages.append(head + "</head><body>body text</body></html>")
+                ids.append(d)
+            yield pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
+                                "html": pd.Series(pages, dtype="object")})
+
+    assets = docs.select("doc_id", "text").mapInPandas(
+        _typeset, schema="doc_id bigint, html string")
+    m = html_metadata(F.col("html"))
+    return assets.select(
+        "doc_id", m["title"].alias("title"),
+        m["meta_description"].alias("meta_description"),
+        m["canonical_url"].alias("canonical_url"),
+        m["lang"].alias("lang"),
+    )
+
+
+def _subtitle_oracle() -> str:
+    """The cue framing strips losslessly, so the oracle replays the
+    collapsed-text md5 and the cue count from the word count."""
+    return """
+WITH w AS (SELECT doc_id,
+                  len(list_filter(string_split(coalesce(text, ''), ' '),
+                                  x -> x <> '')) AS n_words,
+                  trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g'))
+                    AS norm
+           FROM documents)
+SELECT doc_id,
+       CAST(greatest(1, ceil(n_words / 8.0)) AS INT) AS n_cues,
+       md5(norm) AS text_md5
+FROM w
+"""
+
+
+@query("pipe_subtitle_extract", oracle=_subtitle_oracle())
+def pipe_subtitle_extract(spark, sf_dir):
+    """Round-11 subtitle ingestion: each document is typeset into an
+    SRT file (even doc_ids) or a WebVTT file with a NOTE block (odd) —
+    8 words per cue, running timestamps — and the dialog recovers
+    through the REAL operator (text.subtitle_text, a pure codegen
+    strip).  Subtitles are the high-quality conversational text a
+    crawl yields from video pages; the framing strips losslessly, so
+    the DuckDB oracle replays the collapsed-text md5 and cue counts.
+    Scale: narrow map + codegen projection, no shuffle."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from impala_cut_spark.operators.text import subtitle_text
+
+    docs = t(spark, sf_dir, "documents")
+
+    def _typeset(batches):
+        for pdf in batches:
+            ids, subs, counts = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                words = [w for w in (text or "").split(" ") if w]
+                cues = [" ".join(words[i : i + 8])
+                        for i in range(0, len(words), 8)] or [""]
+                lines = []
+                vtt = d % 2 == 1
+                if vtt:
+                    lines.append("WEBVTT")
+                    lines.append("")
+                    lines.append("NOTE typeset fixture")
+                    lines.append("")
+                for j, cue in enumerate(cues):
+                    if not vtt:
+                        lines.append(str(j + 1))
+                    t0, t1 = j * 4, j * 4 + 3
+                    if vtt:
+                        lines.append(f"00:{t0 // 60:02d}:{t0 % 60:02d}.000 --> "
+                                     f"00:{t1 // 60:02d}:{t1 % 60:02d}.500")
+                    else:
+                        lines.append(f"00:{t0 // 60:02d}:{t0 % 60:02d},000 --> "
+                                     f"00:{t1 // 60:02d}:{t1 % 60:02d},500")
+                    lines.append(cue)
+                    lines.append("")
+                ids.append(d)
+                subs.append("\n".join(lines))
+                counts.append(len(cues))
+            yield pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
+                                "n_cues": pd.Series(counts, dtype="int32"),
+                                "sub": pd.Series(subs, dtype="object")})
+
+    assets = docs.select("doc_id", "text").mapInPandas(
+        _typeset, schema="doc_id bigint, n_cues int, sub string")
+    return assets.select(
+        "doc_id", "n_cues",
+        F.md5(subtitle_text(F.col("sub"))).alias("text_md5"),
+    )

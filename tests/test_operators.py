@@ -2411,3 +2411,51 @@ class TestMarkdownText:
         plan = df.select(markdown_text(F.col("md")))._jdf \
             .queryExecution().executedPlan().toString()
         assert "Python" not in plan and "Arrow" not in plan
+
+
+class TestCrawlSignals:
+    def test_html_metadata_fields_and_absence(self, spark):
+        from pyspark.sql import functions as F
+
+        from impala_cut_spark.operators.text import html_metadata
+
+        page = ('<html lang="en-GB"><head><title>A   Title</title>'
+                '<meta name="description" content="the desc">'
+                '<link rel="canonical" href="http://x/y"></head>'
+                "<body>hi</body></html>")
+        df = spark.createDataFrame([(0, page), (1, "<html><body>bare")],
+                                   "id int, h string")
+        m = html_metadata(F.col("h"))
+        rows = {r.id: r for r in df.select(
+            "id", m["title"].alias("t"), m["meta_description"].alias("d"),
+            m["canonical_url"].alias("c"), m["lang"].alias("l")).collect()}
+        assert rows[0].t == "A Title" and rows[0].d == "the desc"
+        assert rows[0].c == "http://x/y" and rows[0].l == "en-GB"
+        assert rows[1].t is None and rows[1].c is None and rows[1].l is None
+
+    def test_subtitle_text_srt_and_vtt(self, spark):
+        from pyspark.sql import functions as F
+
+        from impala_cut_spark.operators.text import subtitle_text
+
+        srt = ("1\n00:00:01,000 --> 00:00:04,000\nHello <i>there</i>!\n\n"
+               "2\n00:00:05,000 --> 00:00:07,500 position:50%\nGeneral Kenobi.")
+        vtt = ("WEBVTT\n\nNOTE a comment\nspanning\n\n"
+               "00:01.000 --> 00:04.000\n<v Roger>Line one\n\n"
+               "00:05.000 --> 00:06.000\nLine two")
+        df = spark.createDataFrame([(0, srt), (1, vtt)], "id int, s string")
+        rows = {r.id: r.t for r in df.select(
+            "id", subtitle_text(F.col("s")).alias("t")).collect()}
+        assert rows[0] == "Hello there ! General Kenobi."
+        assert rows[1] == "Line one Line two"
+
+    def test_pure_codegen(self, spark):
+        from pyspark.sql import functions as F
+
+        from impala_cut_spark.operators.text import html_metadata, subtitle_text
+
+        df = spark.range(3).select(F.lit("<title>x</title>").alias("h"))
+        m = html_metadata(F.col("h"))
+        plan = df.select(m["title"], subtitle_text(F.col("h")))._jdf \
+            .queryExecution().executedPlan().toString()
+        assert "Python" not in plan and "Arrow" not in plan
