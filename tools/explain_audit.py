@@ -122,6 +122,8 @@ AUDIT = [
     "pipe_epub_extract",
     "pipe_markdown_extract",
     "pipe_code_pipeline",
+    "pipe_html_meta",
+    "pipe_subtitle_extract",
 ]
 
 
