@@ -572,7 +572,20 @@ class _Document:
     # -- object access
 
     def resolve(self, v: Any) -> Any:
+        # Hostile/malformed files can contain reference cycles
+        # (`1 0 obj 2 0 R` / `2 0 obj 1 0 R`); get_object returns the
+        # cached _Ref each iteration, so an unguarded loop never
+        # terminates and would hang the executor task.  Track visited
+        # object numbers and raise — the operator layer degrades the
+        # ValueError to parse_ok=false.
+        seen: set[int] | None = None
         while isinstance(v, _Ref):
+            if seen is None:
+                seen = {v.num}
+            elif v.num in seen:
+                raise ValueError("pdf: circular indirect reference")
+            else:
+                seen.add(v.num)
             v = self.get_object(v.num)
         return v
 
@@ -647,10 +660,18 @@ class _Document:
             raise ValueError("pdf: no document catalog")
         out: list[dict] = []
         inheritable = ("Resources", "MediaBox", "Rotate")
+        # A Kids entry pointing back at an ancestor would make the
+        # depth-capped walk exponential (fan-out × 64 levels); page
+        # tree nodes are visited at most once in a well-formed file.
+        seen_nodes: set[int] = set()
 
         def walk(node_ref, inherited: dict, depth: int) -> None:
             if depth > 64:
                 raise ValueError("pdf: page tree too deep")
+            if isinstance(node_ref, _Ref):
+                if node_ref.num in seen_nodes:
+                    raise ValueError("pdf: circular page tree")
+                seen_nodes.add(node_ref.num)
             node = self.resolve(node_ref)
             if not isinstance(node, dict):
                 return

@@ -23,6 +23,8 @@ SURVEY.md pipeline ops).
 
 from __future__ import annotations
 
+import bz2
+import lzma
 import struct
 import zlib
 from collections.abc import Iterator
@@ -35,6 +37,31 @@ __all__ = ["list_zip", "list_tar", "archive_members", "archive_ingest",
 MAX_MEMBERS = 100_000
 MAX_MEMBER_BYTES = 256 * 1024 * 1024
 MAX_TOTAL_BYTES = 1 << 31
+
+
+def _inflate_capped(raw: bytes, cap: int) -> bytes:
+    """Raw-deflate decode that enforces ``cap`` DURING decompression
+    (the warc.py _zlib_capped pattern): a ~51 KB hostile deflate
+    stream can expand 1000×, so checking len() after a full
+    zlib.decompress() bounds nothing.  decompress(raw, cap+1) stops
+    the inflater at the cap; overflow shows up as output past the cap
+    or unconsumed input."""
+    d = zlib.decompressobj(wbits=-15)
+    out = d.decompress(raw, cap + 1)
+    if len(out) > cap or (d.unconsumed_tail and not d.eof):
+        raise ValueError("zip: member expands past its declared size")
+    return out
+
+
+def _stream_capped(decomp, raw: bytes, cap: int, label: str) -> bytes:
+    """Drive an incremental decompressor (BZ2Decompressor /
+    LZMADecompressor / zlib obj) with max_length so peak memory is
+    bounded by ``cap`` during decode, not checked after full
+    materialization."""
+    out = decomp.decompress(raw, cap + 1)
+    if len(out) > cap:
+        raise ValueError(f"{label}: archive exceeds allowed total size")
+    return out
 
 
 def list_zip(payload: bytes) -> list[dict]:
@@ -80,7 +107,10 @@ def list_zip(payload: bytes) -> list[dict]:
         if method == 0:
             content = raw
         elif method == 8:
-            content = zlib.decompress(raw, wbits=-15)
+            # cap at the declared usize DURING inflate — usize itself
+            # is attacker-controlled but already bounded by the
+            # MAX_MEMBER_BYTES / MAX_TOTAL_BYTES checks above
+            content = _inflate_capped(raw, usize)
         else:
             raise ValueError(f"zip: unsupported compression method {method}")
         if len(content) != usize or (zlib.crc32(content) & 0xFFFFFFFF) != crc:
@@ -112,16 +142,17 @@ def list_tar(payload: bytes) -> list[dict]:
     """Parse a (possibly gzip/bzip2/xz-compressed) POSIX tar: 512-byte
     ustar headers, octal/base-256 sizes, GNU './@LongLink' 'L' name
     extensions and pax 'x' extended headers (path keyword)."""
+    # streaming decompressors with max_length so the total cap bounds
+    # PEAK memory during decode, not just the materialized result
     if payload[:2] == b"\x1f\x8b":
-        payload = zlib.decompress(payload, wbits=31)
+        payload = _stream_capped(
+            zlib.decompressobj(wbits=31), payload, MAX_TOTAL_BYTES, "tar")
     elif payload[:3] == b"BZh":
-        import bz2
-
-        payload = bz2.decompress(payload)
+        payload = _stream_capped(
+            bz2.BZ2Decompressor(), payload, MAX_TOTAL_BYTES, "tar")
     elif payload[:6] == b"\xfd7zXZ\x00":
-        import lzma
-
-        payload = lzma.decompress(payload)
+        payload = _stream_capped(
+            lzma.LZMADecompressor(), payload, MAX_TOTAL_BYTES, "tar")
     if len(payload) > MAX_TOTAL_BYTES:
         raise ValueError("tar: archive exceeds allowed total size")
     out = []
@@ -227,7 +258,11 @@ def archive_ingest(
                              m["is_dir"], bytearray(m["content"]), True)
                         )
                 except (ValueError, KeyError, IndexError, struct.error,
-                        OverflowError, EOFError, zlib.error) as _:
+                        OverflowError, EOFError, zlib.error,
+                        OSError, lzma.LZMAError) as _:
+                    # OSError: bz2.decompress on corrupt data;
+                    # LZMAError: corrupt xz — both must degrade to a
+                    # parse_ok=false row, never a job failure
                     rows.append((int(sid), None, -1, None, None, None,
                                  None, False))
             yield pd.DataFrame(

@@ -404,9 +404,19 @@ def _decode_literals(block: bytes, ctx: _FrameCtx) -> tuple[bytes, int]:
 
 
 def _decode_block(
-    block: bytes, ctx: _FrameCtx, out: bytearray, frame_start: int = 0
+    block: bytes, ctx: _FrameCtx, out: bytearray, frame_start: int = 0,
+    out_cap: int | None = None,
 ) -> None:
+    """``out_cap`` is the max allowed len(out) AFTER this block —
+    min(start + Block_Maximum_Size, caller's max_output).  Enforced
+    inside the sequence loop so a hostile block (~97k sequences ×
+    ~131 KiB repeat-matches) cannot materialize gigabytes before a
+    post-hoc check (the bomb guard decode_http_body relies on)."""
+    if out_cap is None:
+        out_cap = len(out) + _BLOCK_MAX
     literals, pos = _decode_literals(block, ctx)
+    if len(literals) > _BLOCK_MAX:
+        raise ValueError("zstd: literals exceed 128 KiB block limit")
     # Number_of_Sequences
     b0 = block[pos]
     if b0 < 128:
@@ -497,11 +507,15 @@ def _decode_block(
         else:
             piece = bytes(out[start:])
             out += (piece * (ml // offset + 1))[:ml]
+        if len(out) > out_cap:
+            raise ValueError("zstd: block output exceeds allowed size")
         if i + 1 < nseq:  # states not updated after the last sequence
             ll_s = advance("ll", ll_s)
             ml_s = advance("ml", ml_s)
             of_s = advance("of", of_s)
     out += literals[lit_pos:]
+    if len(out) > out_cap:
+        raise ValueError("zstd: block output exceeds allowed size")
 
 
 def decompress(
@@ -549,6 +563,14 @@ def decompress(
             last = hdr & 1
             btype = (hdr >> 1) & 3
             bsize = hdr >> 3
+            if bsize > _BLOCK_MAX:
+                # RFC 8878 §3.1.1.2: Block_Maximum_Size ≤ 128 KiB —
+                # for RLE bsize IS the regenerated size, so this also
+                # bounds the expansion below before it happens
+                raise ValueError("zstd: block size exceeds 128 KiB limit")
+            cap = len(out) + _BLOCK_MAX
+            if max_output is not None:
+                cap = min(cap, max_output)
             if btype == 0:  # raw
                 out += data[pos : pos + bsize]
                 pos += bsize
@@ -556,7 +578,8 @@ def decompress(
                 out += bytes([data[pos]]) * bsize
                 pos += 1
             elif btype == 2:
-                _decode_block(data[pos : pos + bsize], ctx, out, frame_start)
+                _decode_block(
+                    data[pos : pos + bsize], ctx, out, frame_start, cap)
                 pos += bsize
             else:
                 raise ValueError("zstd: reserved block type")

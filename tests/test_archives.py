@@ -143,6 +143,34 @@ class TestOperator:
         assert rows[(3, -1)].parse_ok is False
         assert rows[(1, 0)].parse_ok and rows[(2, 0)].parse_ok
 
+    def test_corrupt_compressed_tar_degrades(self, spark):
+        # Corrupt bz2 raises OSError and corrupt xz raises LZMAError
+        # inside list_tar — archive_ingest must degrade BOTH to a
+        # parse_ok=false row, never a job failure (r11 ADVICE #2).
+        bz2_p = bytearray(_tar_fixture([("x.txt", b"hello")], mode="w:bz2"))
+        xz_p = bytearray(_tar_fixture([("y.txt", b"world")], mode="w:xz"))
+        bz2_p[20] ^= 0xFF  # damage the compressed body, keep 'BZh' magic
+        xz_p[20] ^= 0xFF  # damage the body, keep the xz magic
+        df = spark.createDataFrame(
+            [(1, bytes(bz2_p)), (2, bytes(xz_p))],
+            "source_id bigint, payload binary",
+        )
+        rows = {r.source_id: r for r in archive_ingest(df).collect()}
+        assert rows[1].parse_ok is False and rows[1].member_index == -1
+        assert rows[2].parse_ok is False and rows[2].member_index == -1
+
+    def test_zip_inflate_capped_during_decode(self):
+        # A member whose deflate stream expands PAST its declared
+        # central-directory usize must be stopped during inflate (the
+        # r11 ADVICE #3 streaming-guard), not after materialization.
+        import struct
+
+        payload = bytearray(_zip_fixture([("bomb.bin", b"A" * 50_000)]))
+        cd = payload.rfind(b"PK\x01\x02")
+        struct.pack_into("<I", payload, cd + 24, 10)  # lie: usize=10
+        with pytest.raises(ValueError, match="expands past|CRC|size"):
+            list_zip(bytes(payload))
+
 
 class TestEpub:
     def test_spine_order_not_file_order(self):

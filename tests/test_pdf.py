@@ -248,3 +248,47 @@ class TestXrefRecovery:
         p = build_pdf(["x"], compress=False)
         with pytest.raises(ValueError):
             extract_pdf_text(p[:40])  # objects themselves gone
+
+    def test_circular_indirect_reference_raises_not_hangs(self):
+        # `1 0 obj 2 0 R` / `2 0 obj 1 0 R`: resolve() used to loop
+        # forever (r11 ADVICE #1 — a single hostile PDF permanently
+        # hung an executor task); it must raise so the operator layer
+        # degrades to parse_ok=false.
+        objs = [b"1 0 obj\n2 0 R\nendobj\n", b"2 0 obj\n1 0 R\nendobj\n",
+                b"3 0 obj\n<< /Type /Catalog /Pages 1 0 R >>\nendobj\n"]
+        body = bytearray(b"%PDF-1.4\n")
+        offsets = []
+        for o in objs:
+            offsets.append(len(body))
+            body += o
+        xref_at = len(body)
+        body += b"xref\n0 4\n0000000000 65535 f \n"
+        for off in offsets:
+            body += b"%010d 00000 n \n" % off
+        body += (b"trailer\n<< /Size 4 /Root 3 0 R >>\nstartxref\n%d\n%%%%EOF"
+                 % xref_at)
+        with pytest.raises(ValueError, match="circular"):
+            extract_pdf_text(bytes(body))
+
+    def test_circular_page_tree_raises_not_hangs(self):
+        # a Kids entry pointing back at an ancestor makes the
+        # depth-capped walk exponential without the visited-set guard
+        objs = [
+            b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n",
+            b"2 0 obj\n<< /Type /Pages /Count 1 /Kids [3 0 R] >>\nendobj\n",
+            b"3 0 obj\n<< /Type /Pages /Count 1 /Kids [2 0 R 2 0 R] >>\n"
+            b"endobj\n",
+        ]
+        body = bytearray(b"%PDF-1.4\n")
+        offsets = []
+        for o in objs:
+            offsets.append(len(body))
+            body += o
+        xref_at = len(body)
+        body += b"xref\n0 4\n0000000000 65535 f \n"
+        for off in offsets:
+            body += b"%010d 00000 n \n" % off
+        body += (b"trailer\n<< /Size 4 /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF"
+                 % xref_at)
+        with pytest.raises(ValueError, match="circular|too deep"):
+            extract_pdf_text(bytes(body))

@@ -305,3 +305,30 @@ def test_level1_hypothesis_roundtrip():
                                expected=len(data)) == data
 
     check()
+
+
+def test_max_output_enforced_inside_block():
+    # r11 ADVICE #4: the bomb guard must fire DURING block decode, not
+    # after a hostile block materializes gigabytes.  A highly
+    # repetitive input compresses to long repeat-matches; decoding
+    # with a tiny max_output must raise, with len(out) never running
+    # far past the cap.
+    data = b"A" * 100_000
+    z = zstd.compress(data, level=1)
+    with pytest.raises(ValueError, match="exceeds allowed"):
+        zstd.decompress(z, max_output=1024)
+
+
+def test_block_size_over_128k_rejected():
+    # RFC 8878 §3.1.1.2: Block_Maximum_Size is 128 KiB; an RLE block
+    # header claiming a bigger regenerated size (bsize is the EXPANSION
+    # for RLE — 1 byte in, bsize out) must be rejected before expanding.
+    frame = bytearray()
+    frame += struct.pack("<I", 0xFD2FB528)
+    frame.append((3 << 6) | (1 << 5))  # 8-byte FCS, single-segment
+    frame += struct.pack("<Q", 1 << 20)
+    bsize = 1 << 20  # 1 MiB claimed RLE expansion
+    frame += ((1) | (1 << 1) | (bsize << 3)).to_bytes(3, "little")
+    frame.append(0x41)
+    with pytest.raises(ValueError, match="128 KiB"):
+        zstd.decompress(bytes(frame))
