@@ -72,14 +72,28 @@ def main() -> None:
     warm = next(iter(headline.values()))
     warm.spark(spark, sf_dir).count()
 
-    # Three timed runs per query, report the min: run 1 of a query
-    # compiles its (large) codegen unit and grows the heap — measured
-    # on the similarity-join headliners, run 1 can read 3-10× steady
-    # state and run 2 is still settling (JIT tiers + heap growth).
-    # min-of-3 measures the engine's steady state, which is what the
-    # 100 TB design point amortizes to.
+    # Warm-up-aware timing (round-11 verdict Next #1): a query's
+    # whole-stage-codegen unit reaches JIT steady state only after
+    # ~8-10 executions (measured on pipe_dedup_substring — runs 1-8
+    # read 1.1-3× steady state as C2 tiers compile and the heap
+    # grows), so the old min-of-3 systematically sampled the warm-up
+    # tail and produced three consecutive rounds of false perf flags
+    # (jaccard r9, substring r10, minhash r11).  Per query: WARMUPS
+    # untimed executions first, then min-of-3 timed — the steady
+    # state, which is what the 100 TB design point amortizes to (a
+    # production stage executes its codegen unit thousands of times
+    # per task batch, not three).  cold_sec (the first warm-up
+    # execution, codegen compile included) is reported alongside so
+    # first-touch latency stays visible round over round.
+    WARMUPS = 8
     times: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name, spec in headline.items():
+        for i in range(WARMUPS):
+            t0 = time.perf_counter()
+            spec.spark(spark, sf_dir).count()
+            if i == 0:
+                cold[name] = round(time.perf_counter() - t0, 4)
         per_run = []
         for _ in range(3):
             t0 = time.perf_counter()
@@ -110,6 +124,11 @@ def main() -> None:
         for name, spec in headline.items():
             if not spec.oracle:
                 continue
+            # two untimed warm-ups for symmetry (DuckDB has no JIT
+            # tiering — steady state arrives within 2-3 executions,
+            # the warm-ups just take first-touch I/O out of the min)
+            for _ in range(2):
+                con.sql(spec.oracle).fetchall()
             per_run = []
             for _ in range(3):
                 t0 = time.perf_counter()
@@ -142,6 +161,8 @@ def main() -> None:
                 "value": round(sum(times.values()), 4),
                 "unit": "sec",
                 "queries": times,
+                "cold_first_run": cold,
+                "warmups_per_query": WARMUPS,
                 "duckdb_proxy": duck,
                 "proxy_ratio": round(spark_common / duck_common, 3)
                 if duck_common
