@@ -35,3 +35,35 @@ def test_window_is_exactly_fifty_and_oracle_bearing():
     assert list(REGISTRY)[:50] == DRIVER_WINDOW
     missing = [n for n in DRIVER_WINDOW if REGISTRY[n].oracle is None]
     assert not missing, f"window rows without an oracle: {missing}"
+
+
+def test_baseline_and_coverage_registry_tallies_match():
+    """r11 verdict Next #8: the second doc-count drift in two rounds
+    (BASELINE.md said 206/199 while the registry held 208/201).  The
+    newest 'Registry grows ... → N queries / ... → M oracle-bearing'
+    note in BASELINE.md and COVERAGE.md's 'With N registry entries'
+    must equal the live registry, so growing the registry without
+    updating the docs fails CI."""
+    import re as _re
+
+    from impala_cut_spark.plans import REGISTRY
+
+    n_q = len(REGISTRY)
+    n_o = sum(1 for s in REGISTRY.values() if s.oracle is not None)
+
+    baseline = (REPO / "BASELINE.md").read_text()
+    grows = _re.findall(
+        r"Registry grows \d+ → (\d+) queries / \d+ → (\d+) oracle-bearing",
+        baseline,
+    )
+    assert grows, "BASELINE.md lost its registry-growth ledger"
+    latest = max((int(a), int(b)) for a, b in grows)
+    assert latest == (n_q, n_o), (
+        f"BASELINE.md newest registry tally {latest} != live {(n_q, n_o)}"
+    )
+
+    coverage = (REPO / "COVERAGE.md").read_text()
+    m = _re.search(r"With (\d+) registry entries", coverage)
+    assert m and int(m.group(1)) == n_q, (
+        f"COVERAGE.md registry tally != {n_q}"
+    )

@@ -174,15 +174,26 @@ def test_driver_window_is_first_50():
         # q34 to q89 (category pivot); q65 keeps the big star agg
         # round-11 newcomers: q7 (demographics star) and q63 (the
         # manufacturer-pivot twin of in-window q53)
-        "tpcds": ["tpcds_q53", "tpcds_q89", "tpcds_q65", "tpcds_q8",
-                  "tpcds_q7", "tpcds_q63"],
+        # round-12: q7 → pipe_pdf_extract, q53 → pipe_license_detect,
+        # q89 → pipe_markdown_extract, q8 → tpcds_q73 (the
+        # never-witnessed counts twin) — q65 keeps the big star agg and
+        # q63 the manufacturer-pivot shape; all donors keep oracles below
+        "tpcds": ["tpcds_q65", "tpcds_q63", "tpcds_q73"],
         # round-10: cov_lzo_scan ceded to cov_text_compressed (the
         # compressed-text axis keeps a window row either way)
         # round-11: cov_text_compressed ceded to cov_text_exact — the
         # §2.1 text axis keeps a window row either way, now via the
         # Impala-exact semantics pair
-        "formats": ["cov_seqfile_scan", "cov_rcfile_scan",
-                    "cov_text_exact", "cov_warc_scan"],
+        # round-12: cov_seqfile_scan → pipe_epub_extract and
+        # cov_warc_scan → pipe_archive_ingest — the legacy-format axis
+        # keeps cov_rcfile_scan, the container-ingest axis swaps
+        # warc → zip/tar (crawl keeps pipe_crawl_encoded in-window)
+        "formats": ["cov_rcfile_scan", "cov_text_exact"],
+        "containers": ["pipe_archive_ingest"],
+        "documents": ["pipe_pdf_extract", "pipe_epub_extract",
+                      "pipe_markdown_extract", "pipe_subtitle_extract",
+                      "pipe_license_detect", "pipe_code_pipeline",
+                      "pipe_html_meta"],
         "predicates": ["cov_predicates_views"],
         "joins": ["cov_join_all"],
         "aggs": ["cov_agg_all"],
@@ -220,7 +231,10 @@ def test_driver_window_is_first_50():
         # pipe_embed_semdedup; its bench pin is window-independent)
         # round-11: pipe_dedup_weights ceded to pipe_sample_stratified
         # (md5-fingerprint agg stays via clusters + dup_block_share)
-        "dedup": ["pipe_dedup_jaccard", "pipe_dedup_clusters",
+        # round-12: pipe_dedup_clusters (witnessed r3-r11) ceded to
+        # pipe_multimodal_heif; the incremental new-vs-corpus row
+        # enters via the second rotation
+        "dedup": ["pipe_dedup_jaccard", "pipe_dedup_incremental",
                   "pipe_dedup_substring"],
         # second r6 rotation: pipe_embed_neardup (0 rows at sf0.01 —
         # zero-information evidence; LSH-cosine shape held by
@@ -240,8 +254,11 @@ def test_driver_window_is_first_50():
         # round-trip row (tier rule #25); second r11 rotation:
         # pipe_multimodal_video ceded to the r11-born animation row
         # (MP4 box-tree walk keeps its oracle below the window)
-        "multimodal": ["pipe_multimodal_audio", "pipe_multimodal_webp",
-                       "pipe_multimodal_anim"],
+        # round-12: audio → pipe_audio_containers (the richer FLAC/OGG
+        # container row keeps the audio axis in-window) and anim →
+        # pipe_multimodal_exif; webp keeps the codec round-trip shape
+        "multimodal": ["pipe_audio_containers", "pipe_multimodal_webp",
+                       "pipe_multimodal_exif", "pipe_multimodal_heif"],
         # round-8: stream_events_hourly ceded to stream_topk_trending;
         # round-9: stream_dedup ceded to stream_join (keyed state stays
         # via stream_neardup)
@@ -250,8 +267,12 @@ def test_driver_window_is_first_50():
         # round-10: stream_topk_trending ceded to stream_enrich and
         # stream_neardup to stream_budget_gate (itself a keyed-state
         # gate, so the custom-state shape stays in-window)
-        "streaming": ["stream_enrich", "stream_join",
-                      "stream_sliding", "stream_budget_gate", "pipe_sessions"],
+        # round-12: enrich → stream_sessions_stateful (the
+        # applyInPandasWithState session-gap family's first window row),
+        # join → pipe_events_json, pipe_sessions → pipe_subtitle_extract
+        # — watermarked windows + keyed-state gates stay in-window
+        "streaming": ["stream_sliding", "stream_budget_gate",
+                      "stream_sessions_stateful"],
         # second r7 rotation: pipe_embed_quantize ceded to
         # pipe_dsir_weights; round-8: pipe_pii_redact ceded to
         # pipe_dup_block_share (regex-transform shape held by
@@ -262,23 +283,38 @@ def test_driver_window_is_first_50():
         # round-8 crawl front-end families; second r9 rotation:
         # pipe_warc_ingest ceded to its strictly richer file-mount
         # twin cov_warc_scan (same oracle, real archives on disk)
-        "crawl": ["cov_warc_scan"],
+        # round-12: cov_warc_scan ceded to pipe_archive_ingest; the
+        # WARC container + wire codings stay via pipe_crawl_encoded
+        "crawl": ["pipe_crawl_encoded"],
         # round-11: pipe_dsir_weights ceded to pipe_pack_greedy (the
         # broadcast-scoring shape stays via pipe_quality_classifier);
         # the five Tier-B newcomer families now hold driver slots
         "temporal": ["pipe_asof"],
-        "sampling": ["pipe_sample_stratified", "pipe_split_hash"],
+        # round-12: split_hash → pipe_mixture_sample (same
+        # deterministic hash-rank primitive, mixture composition)
+        "sampling": ["pipe_sample_stratified", "pipe_mixture_sample"],
         "packing": ["pipe_pack_greedy"],
-        "chunking": ["pipe_chunking"],
+        # round-12 family-internal swap: the overlap chunker ceded to
+        # its fixed-length token-tiler twin
+        "chunking": ["pipe_seq_chunks"],
         # round-8 newcomers (r7 verdict #1): the bench-headliner
         # retrieval row, a perf_* adaptation, and the four new r7
         # families now hold driver slots
-        "retrieval": ["pipe_bm25"],
+        # round-12: pipe_bm25 (witnessed r8-r11, bench-pinned
+        # independently of the window) ceded to pipe_code_pipeline —
+        # the retrieval family keeps its oracle + headliner pin below
+        # the window; corpus-wide stats enter via pipe_corpus_stats
+        "corpus_stats": ["pipe_corpus_stats"],
         # round-10: perf_web_revenue ceded to perf_grep_scan (same
         # scan+filter+agg perf family) and perf_string_like entered
-        "perf": ["perf_grep_scan", "perf_string_like", "perf_sort_stress",
-                 "perf_agg_types"],
-        "block_dedup": ["pipe_dup_block_share"],
+        # round-12: perf_grep_scan → pipe_html_meta (scan+filter shape
+        # stays via perf_string_like) and perf_agg_types →
+        # pipe_corpus_stats (the same all-aggregate shape over documents)
+        "perf": ["perf_string_like", "perf_sort_stress"],
+        # round-12: pipe_dup_block_share (witnessed r7-r11) ceded to
+        # pipe_dedup_incremental — the agg+join-back first-seen shape
+        # keeps its oracle below the window
+        "events_json": ["pipe_events_json"],
         # second r11 rotation: pipe_ngram_novelty ceded to the r11-born
         # encoded-crawl wire-codings row (first-seen agg+join-back
         # shape stays via pipe_dup_block_share)
