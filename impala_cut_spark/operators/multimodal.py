@@ -275,6 +275,65 @@ def image_kernel_name() -> str:
     return name
 
 
+def _libwebp_rgba(payload: bytes) -> "np.ndarray":
+    """WebPDecodeRGBA keeping all four channels — the per-frame
+    decoder for the native animation kernel (the still kernel's
+    webp_native_decode drops alpha per decode_image's RGB contract;
+    animation composition needs it)."""
+    import ctypes
+
+    lw = _libwebp()
+    w, h = ctypes.c_int(), ctypes.c_int()
+    ptr = lw.WebPDecodeRGBA(payload, len(payload), ctypes.byref(w),
+                            ctypes.byref(h))
+    if not ptr:
+        raise ValueError("webp-native: libwebp rejected payload")
+    try:
+        arr = np.ctypeslib.as_array(ptr, shape=(h.value, w.value, 4))
+        rgba = arr.copy()
+    finally:
+        lw.WebPFree(ctypes.cast(ptr, ctypes.c_void_p))
+    return rgba
+
+
+def webp_anim_native_decode(payload: bytes) -> list:
+    """decode_webp_anim twin with the per-FRAME pixel decode routed to
+    libwebp (r11 verdict Missing #2: bulk animated-WebP decode is the
+    second-heaviest new family and had no native arm).  This container
+    ships libwebp.so.7 WITHOUT the demux library (no WebPAnimDecoder
+    symbol), so the cheap pure ANMF chunk walk and the numpy
+    blend/dispose composition stay shared with the pure kernel and
+    only the per-pixel VP8/VP8L frame decode — where the time goes —
+    swaps to WebPDecodeRGBA on the rewrapped sub-bitstream.  Frames
+    are byte-identical to the pure kernel's (vp8/vp8l conformance
+    suites + test_multimodal parity), so kernel choice cannot change
+    query results."""
+    from impala_cut_spark.operators.vp8l import decode_webp_anim
+
+    return decode_webp_anim(payload, frame_decode=_libwebp_rgba)
+
+
+#: pluggable animation kernels, selected like IMAGE_KERNELS at PLAN
+#: time via $SPARK_GRAFT_ANIM_KERNEL (name closed over, callable
+#: resolved worker-side).  The GIF branch is pure in both kernels.
+ANIM_KERNELS: dict = {
+    "pure": None,  # resolved lazily to vp8l.decode_webp_anim
+    "webp-native": webp_anim_native_decode,
+}
+
+
+def anim_kernel_name() -> str:
+    import os
+
+    name = os.environ.get("SPARK_GRAFT_ANIM_KERNEL", "pure")
+    if name not in ANIM_KERNELS:
+        raise ValueError(
+            f"SPARK_GRAFT_ANIM_KERNEL={name!r}: known kernels "
+            f"{sorted(ANIM_KERNELS)}"
+        )
+    return name
+
+
 def _decode_ppm(payload: bytes) -> np.ndarray:
     """Binary PPM (P6): ASCII header 'P6 <w> <h> <maxval>' + raw RGB.
     maxval > 255 (16-bit, big-endian sample pairs per the netpbm spec)
@@ -2018,13 +2077,19 @@ def animation_frames(
     frame decoders, blend/dispose composition).  ``ts_ms`` is the
     frame's start time (cumulative prior durations; GIF centiseconds
     normalized to ms), ``mean_rgba`` the mean over the full RGBA
-    canvas.  Malformed payloads degrade to ONE parse_ok=false row,
-    never a job failure.  Scale: Arrow-batched narrow map, no
-    shuffle; one animation resident per iteration."""
+    canvas.  The WebP frame-decode kernel is pluggable
+    ($SPARK_GRAFT_ANIM_KERNEL, resolved at plan time, name closed
+    over — same seam as extract_features' still kernel; 'webp-native'
+    routes per-frame pixel decode through libwebp).  Malformed
+    payloads degrade to ONE parse_ok=false row, never a job failure.
+    Scale: Arrow-batched narrow map, no shuffle; one animation
+    resident per iteration."""
+    kernel_name = anim_kernel_name()
 
     def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from impala_cut_spark.operators.vp8l import decode_webp_anim
 
+        anim_decode = ANIM_KERNELS[kernel_name] or decode_webp_anim
         for pdf in batches:
             rows = []
             for aid, p in zip(pdf[id_col], pdf[payload_col]):
@@ -2035,7 +2100,7 @@ def animation_frames(
                         frames = [(c, d * 10) for c, d in decode_gif_frames(raw)]
                     elif raw[:4] == b"RIFF" and raw[8:12] == b"WEBP":
                         codec = "webp"
-                        frames = decode_webp_anim(raw)
+                        frames = anim_decode(raw)
                     else:
                         raise ValueError("not an animation container")
                     ts = 0

@@ -1177,15 +1177,23 @@ def encode_webp_lossless(arr: np.ndarray) -> bytes:
 # from the container spec, and a mux twin for fixtures/round-trips.
 
 
-def webp_frames(payload: bytes) -> dict:
+def webp_frames(payload: bytes, frame_decode=None) -> dict:
     """Demux an animated WebP: RIFF → VP8X (animation flag) → ANIM
     (background color, loop count) → one entry per ANMF chunk.  Each
     frame decodes through the SAME still-image path (decode_webp on a
     rewrapped minimal container), so demux adds no codec surface.
-    Returns ``{w, h, bg_rgba, loop, frames: [{x, y, duration_ms,
-    blend, dispose, rgba}]}``.  Raises on still images (callers route
-    those to decode_webp directly) and on malformed containers."""
+    ``frame_decode`` swaps the per-frame still decoder (the native
+    kernel seam: multimodal.webp_anim_native_decode injects libwebp's
+    WebPDecodeRGBA here — the per-pixel work — while this chunk walk
+    and the composition stay shared, so kernel choice cannot change
+    composition semantics).  Returns ``{w, h, bg_rgba, loop, frames:
+    [{x, y, duration_ms, blend, dispose, rgba}]}``.  Raises on still
+    images (callers route those to decode_webp directly) and on
+    malformed containers."""
     import struct
+
+    if frame_decode is None:
+        frame_decode = decode_webp
 
     if len(payload) < 16 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
         raise ValueError("webp: not a RIFF/WEBP payload")
@@ -1226,7 +1234,7 @@ def webp_frames(payload: bytes) -> dict:
             sub = body[16:]
             wrapped = (b"RIFF"
                        + struct.pack("<I", 4 + len(sub)) + b"WEBP" + sub)
-            rgba = decode_webp(wrapped)
+            rgba = frame_decode(wrapped)
             if rgba.shape[:2] != (fh, fw):
                 raise ValueError("webp: ANMF size disagrees with bitstream")
             out["frames"].append({
@@ -1243,7 +1251,9 @@ def webp_frames(payload: bytes) -> dict:
     return out
 
 
-def decode_webp_anim(payload: bytes) -> list[tuple[np.ndarray, int]]:
+def decode_webp_anim(
+    payload: bytes, frame_decode=None
+) -> list[tuple[np.ndarray, int]]:
     """Animated WebP → [(composited RGBA canvas, duration ms)], one
     per frame, composed per the container spec: the canvas starts
     fully transparent; blending method 0 alpha-composites the frame
@@ -1251,11 +1261,14 @@ def decode_webp_anim(payload: bytes) -> list[tuple[np.ndarray, int]]:
     clears the frame rectangle back to transparent AFTER the frame is
     shown (the libwebp demuxer's behavior — the ANIM background color
     is a renderer hint, not part of the composition).  Still images
-    return a single (decode_webp(payload), 0) entry."""
+    return a single (decode(payload), 0) entry.  ``frame_decode``
+    swaps the per-frame still decoder (see webp_frames)."""
+    if frame_decode is None:
+        frame_decode = decode_webp
     try:
-        anim = webp_frames(payload)
+        anim = webp_frames(payload, frame_decode=frame_decode)
     except ValueError:
-        return [(decode_webp(payload), 0)]
+        return [(frame_decode(payload), 0)]
     canvas = np.zeros((anim["h"], anim["w"], 4), dtype=np.uint8)
     shown: list[tuple[np.ndarray, int]] = []
     for fr in anim["frames"]:

@@ -238,3 +238,121 @@ class TestAnimationFramesOperator:
         assert rows[(2, 2)].codec == "gif" and rows[(2, 2)].ts_ms == 100
         assert rows[(3, -1)].parse_ok is False
         assert all(r.parse_ok for k, r in rows.items() if k[0] != 3)
+
+
+class TestAnimNativeKernel:
+    def test_anim_native_kernel_matches_pure(self):
+        """r11 verdict Next #3: the native animation arm must be
+        frame-by-frame byte-identical to the pure kernel.  The
+        container ships libwebp WITHOUT the demux library, so the
+        native arm shares the pure ANMF walk/composition and swaps
+        only the per-frame pixel decode to WebPDecodeRGBA — parity
+        covers lossless frames with blend+dispose+offsets, a
+        hand-muxed LOSSY (VP8) frame animation, and the still-image
+        fallthrough."""
+        try:
+            ctypes.CDLL("libwebp.so.7")
+        except OSError:
+            pytest.skip("libwebp not available")
+        import struct
+
+        from impala_cut_spark.operators import multimodal as mm
+        from impala_cut_spark.operators.vp8l import encode_webp_lossless
+
+        rng = np.random.default_rng(21)
+        frames = [rng.integers(0, 256, (10, 12, 4), dtype=np.uint8)
+                  for _ in range(3)]
+        p = encode_webp_anim(frames, [10, 20, 30],
+                             offsets=[(0, 0), (2, 2), (0, 0)],
+                             blend=True, dispose=True, canvas=(14, 12))
+        pure = decode_webp_anim(p)
+        native = mm.webp_anim_native_decode(p)
+        assert len(pure) == len(native) == 3
+        for (pc, pd_), (nc, nd) in zip(pure, native):
+            assert pd_ == nd
+            assert np.array_equal(pc, nc)
+
+        # lossy VP8 frames: mux two libwebp-encoded stills into ANMF
+        lw = ctypes.CDLL("libwebp.so.7")
+        lw.WebPEncodeRGBA.restype = ctypes.c_size_t
+        lw.WebPEncodeRGBA.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_float, ctypes.POINTER(ctypes.c_char_p),
+        ]
+
+        def lossy_still(img):
+            out = ctypes.c_char_p()
+            n = lw.WebPEncodeRGBA(
+                np.ascontiguousarray(img).tobytes(), img.shape[1],
+                img.shape[0], img.shape[1] * 4, 75.0, ctypes.byref(out))
+            assert n > 0
+            return ctypes.string_at(out, n)
+
+        def chunk(fourcc, body):
+            return (fourcc + struct.pack("<I", len(body)) + body
+                    + (b"\x00" if len(body) & 1 else b""))
+
+        def inner_chunks(riff):
+            # keep ALPH/VP8/VP8L sub-chunks, drop any VP8X
+            pos, keep = 12, b""
+            while pos + 8 <= len(riff):
+                fc = riff[pos:pos + 4]
+                (sz,) = struct.unpack_from("<I", riff, pos + 4)
+                if fc in (b"ALPH", b"VP8 ", b"VP8L"):
+                    keep += riff[pos:pos + 8 + sz + (sz & 1)]
+                pos += 8 + sz + (sz & 1)
+            return keep
+
+        w, h = 16, 10
+        opaque = [rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
+                  for _ in range(2)]
+        for f in opaque:
+            f[..., 3] = 255
+        parts = [chunk(b"VP8X", bytes([0x02, 0, 0, 0])
+                       + (w - 1).to_bytes(3, "little")
+                       + (h - 1).to_bytes(3, "little")),
+                 chunk(b"ANIM", b"\x00\x00\x00\x00\x00\x00")]
+        for img, dur in zip(opaque, (40, 60)):
+            hdr = (bytes(3) + bytes(3)
+                   + (w - 1).to_bytes(3, "little")
+                   + (h - 1).to_bytes(3, "little")
+                   + dur.to_bytes(3, "little") + bytes([0x02]))
+            parts.append(chunk(b"ANMF", hdr + inner_chunks(lossy_still(img))))
+        body = b"WEBP" + b"".join(parts)
+        lossy_anim = b"RIFF" + struct.pack("<I", len(body)) + body
+        pure = decode_webp_anim(lossy_anim)
+        native = mm.webp_anim_native_decode(lossy_anim)
+        assert [d for _, d in pure] == [d for _, d in native] == [40, 60]
+        for (pc, _), (nc, _) in zip(pure, native):
+            assert np.array_equal(pc, nc)
+
+        # still-image fallthrough: both kernels return one frame
+        still = encode_webp_lossless(frames[0][..., :3])
+        sp, sn = decode_webp_anim(still), mm.webp_anim_native_decode(still)
+        assert len(sp) == len(sn) == 1
+        assert np.array_equal(sp[0][0], sn[0][0])
+
+    def test_anim_kernel_selector(self, spark, monkeypatch):
+        """$SPARK_GRAFT_ANIM_KERNEL resolves at plan time and the
+        operator output is identical under both kernels."""
+        from impala_cut_spark.operators import multimodal as mm
+
+        assert mm.anim_kernel_name() == "pure"
+        monkeypatch.setenv("SPARK_GRAFT_ANIM_KERNEL", "nope")
+        with pytest.raises(ValueError, match="known kernels"):
+            mm.anim_kernel_name()
+        webp = encode_webp_anim(
+            [_solid(4, 4, (1, 2, 3, 255)), _solid(4, 4, (4, 5, 6, 255))],
+            [40, 60],
+        )
+        df = spark.createDataFrame(
+            [(1, bytearray(webp)), (2, b"garbage")],
+            "asset_id bigint, payload binary",
+        )
+        monkeypatch.setenv("SPARK_GRAFT_ANIM_KERNEL", "webp-native")
+        assert mm.anim_kernel_name() == "webp-native"
+        native_rows = sorted(map(tuple, animation_frames(df).collect()))
+        monkeypatch.delenv("SPARK_GRAFT_ANIM_KERNEL")
+        pure_rows = sorted(map(tuple, animation_frames(df).collect()))
+        assert native_rows == pure_rows
+        assert len(native_rows) == 3

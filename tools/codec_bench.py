@@ -10,6 +10,7 @@ Rewrites only the "## Codec throughput" section of SCALE.md.
 
 from __future__ import annotations
 
+import struct
 import sys
 import time
 from pathlib import Path
@@ -125,6 +126,40 @@ def main() -> None:
             wpayload, webp_native_decode, mp, reps=5)
         add("webp-vp8-native", "same VP8 payload, libwebp kernel",
             lossy_payload, webp_native_decode, mp, reps=5)
+        # animated WebP (r11 verdict Next #3): 8 quarter-MP lossy
+        # frames through the shared ANMF walk — pure per-frame decode
+        # vs the $SPARK_GRAFT_ANIM_KERNEL libwebp arm (no demux
+        # library in this container, so composition is shared and
+        # only the per-frame pixel decode differs)
+        from impala_cut_spark.operators.multimodal import (
+            webp_anim_native_decode,
+        )
+        from impala_cut_spark.operators.vp8l import decode_webp_anim
+
+        qimg = np.ascontiguousarray(rgba[:500, :500])
+        aout = ctypes.c_char_p()
+        an = lwc.WebPEncodeRGBA(
+            qimg.tobytes(), 500, 500, 500 * 4, 75.0, ctypes.byref(aout))
+        astill = ctypes.string_at(aout, an)
+
+        def _chunkit(fourcc, bod):
+            return (fourcc + struct.pack("<I", len(bod)) + bod
+                    + (b"\x00" if len(bod) & 1 else b""))
+
+        sub = astill[12:]  # the VP8 chunk of the still container
+        hdr = (bytes(6) + (499).to_bytes(3, "little") * 2
+               + (40).to_bytes(3, "little") + bytes([0x02]))
+        aparts = [_chunkit(b"VP8X", bytes([0x02, 0, 0, 0])
+                           + (499).to_bytes(3, "little") * 2),
+                  _chunkit(b"ANIM", bytes(6))]
+        aparts += [_chunkit(b"ANMF", hdr + sub)] * 8
+        abody = b"WEBP" + b"".join(aparts)
+        anim_payload = b"RIFF" + struct.pack("<I", len(abody)) + abody
+        anim_mp = 8 * 0.25
+        add("webp-anim", "8x quarter-MP VP8 frames, pure",
+            anim_payload, decode_webp_anim, anim_mp, reps=3)
+        add("webp-anim-native", "same animation, libwebp frame kernel",
+            anim_payload, webp_anim_native_decode, anim_mp, reps=3)
     except OSError:
         print("  webp rows skipped: no libwebp")
     add("tiff-lzw", "our LZW+predictor, 1 MP",
