@@ -198,6 +198,10 @@ X100_QUERIES = {
     "pipe_pdf_extract": "PDF typeset+extract round-trip (COS/xref/text path)",
     "pipe_archive_ingest": "zip/tar archive explode (from-scratch readers)",
     "pipe_epub_extract": "EPUB books (demux + codegen strip + spine shuffle)",
+    # r12 (r11 verdict Next #6): the composed code-dataset pipeline —
+    # the one new row with a SHUFFLE in its family (per-member rows
+    # into one doc-keyed agg); expect archive-ingest-dominated wall
+    "pipe_code_pipeline": "code pipeline (tar.gz repos → license gate → repo agg)",
 }
 X100_DST = "/tmp/scale_sf10"
 X100_REPLICAS = 100
