@@ -27,6 +27,7 @@ from impala_cut_spark.plans import pipeline2  # noqa: E402,F401
 from impala_cut_spark.plans import pipeline3  # noqa: E402,F401
 from impala_cut_spark.plans import pipeline4  # noqa: E402,F401
 from impala_cut_spark.plans import pipeline5  # noqa: E402,F401
+from impala_cut_spark.plans import pipeline6  # noqa: E402,F401
 from impala_cut_spark.plans import perf  # noqa: E402,F401
 
 #: the first 50 registry entries — the driver's correctness window.
