@@ -174,3 +174,105 @@ def pipe_host_rank(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
     edges = host_edges(_pages(docs))
     return host_rank(edges, iterations=3)
+
+
+# ---------------------------------------------------------------------------
+# Office Open XML ingestion (round 12)
+# ---------------------------------------------------------------------------
+
+
+def _office_oracle() -> str:
+    """The synthesis is deterministic from doc_id + text (even ids →
+    DOCX with 8-word paragraphs and a 3-word title; odd → XLSX with
+    10 shared-string cells on sheet 1, the rest inline on sheet 2,
+    plus 1 + d%4 numeric cells), so every output column replays in
+    SQL; text_md5 hashes the whitespace-NORMALIZED extraction, which
+    equals the normalized source text for both kinds."""
+    return """
+WITH w AS (SELECT doc_id AS d,
+                  list_filter(string_split(coalesce(text, ''), ' '),
+                              x -> x <> '') AS ws,
+                  trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g'))
+                    AS norm
+           FROM documents),
+f AS (SELECT d, len(ws) AS nw, norm,
+             CASE WHEN len(ws) >= 3
+                  THEN ws[1] || ' ' || ws[2] || ' ' || ws[3]
+                  WHEN len(ws) > 0
+                  THEN array_to_string(ws, ' ') ELSE 'untitled' END AS ttl
+      FROM w)
+SELECT d AS doc_id,
+       CASE WHEN d % 2 = 0 THEN 'docx' ELSE 'xlsx' END AS kind,
+       CAST(CASE WHEN d % 2 = 0 THEN 4
+                 ELSE 5 + (CASE WHEN nw > 0 THEN 1 ELSE 0 END) END AS INT)
+         AS n_parts,
+       CAST(CASE WHEN d % 2 = 0 THEN (nw + 7) // 8 ELSE nw END AS BIGINT)
+         AS n_units,
+       CAST(CASE WHEN d % 2 = 0 THEN 0 ELSE 1 + d % 4 END AS BIGINT)
+         AS n_numeric,
+       CASE WHEN d % 2 = 0 THEN ttl ELSE NULL END AS title,
+       md5(norm) AS text_md5
+FROM f
+"""
+
+
+@query("pipe_office_extract", oracle=_office_oracle())
+def pipe_office_extract(spark, sf_dir):
+    """Round-12 Office Open XML ingestion (operators/office.py):
+    each document is packaged as a REAL ECMA-376 container with the
+    stdlib zipfile writer twins — even doc_ids a DOCX (8-word
+    paragraphs, Dublin-Core title = first 3 words), odd an XLSX
+    (first 10 words as SHARED-STRING cells on sheet 1, the rest as
+    INLINE strings on sheet 2, plus 1 + d%4 numeric cells) — and
+    extracted back through the from-scratch zip walk + DOCTYPE-gated
+    XML text path.  The whitespace-normalized extraction must hash
+    equal to the normalized source text, and every count (parts,
+    paragraphs/string cells, numeric cells) replays in DuckDB.
+    Scale: Arrow-batched narrow map, no shuffle."""
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from impala_cut_spark.operators.office import (
+        build_docx,
+        build_xlsx,
+        office_extract,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+
+    def _pack(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                words = [x for x in (text or "").split(" ") if x]
+                if d % 2 == 0:
+                    paras = [" ".join(words[i : i + 8])
+                             for i in range(0, len(words), 8)]
+                    title = " ".join(words[:3]) or "untitled"
+                    payloads.append(bytearray(build_docx(
+                        paras, title=title, creator="corpus")))
+                else:
+                    s1 = [words[i : i + 5]
+                          for i in range(0, min(len(words), 10), 5)]
+                    rest = words[10:]
+                    s2 = [rest[i : i + 5] for i in range(0, len(rest), 5)]
+                    s2.append(list(range(1 + d % 4)))
+                    payloads.append(bytearray(build_xlsx(
+                        [s1, s2], inline_from_sheet=1)))
+                ids.append(d)
+            yield pd.DataFrame({"source_id": pd.Series(ids, dtype="int64"),
+                                "payload": pd.Series(payloads, dtype="object")})
+
+    assets = docs.select("doc_id", "text").mapInPandas(
+        _pack, schema="source_id bigint, payload binary")
+    out = office_extract(assets)
+    return out.select(
+        F.col("source_id").alias("doc_id"),
+        "kind", "n_parts", "n_units", "n_numeric", "title",
+        F.md5(F.trim(F.regexp_replace(
+            F.coalesce(F.col("text"), F.lit("")), r"\s+", " "))
+        ).alias("text_md5"),
+    )
