@@ -50,8 +50,10 @@ _DC = "{http://purl.org/dc/elements/1.1/}"
 MAX_XML_BYTES = 64 * 1024 * 1024
 
 
-def _parse_xml(data: bytes):
-    """DOCTYPE-gated ElementTree parse (see module docstring)."""
+def guarded_xml(data: bytes):
+    """DOCTYPE-gated ElementTree parse (see module docstring) — shared
+    by every OOXML/sitemap consumer so the billion-laughs gate is one
+    choke point."""
     import xml.etree.ElementTree as ET
 
     if len(data) > MAX_XML_BYTES:
@@ -98,12 +100,12 @@ def docx_text(payload: bytes) -> dict:
     doc = parts.get("word/document.xml")
     if doc is None:
         raise ValueError("docx: no word/document.xml part")
-    root = _parse_xml(doc)
+    root = guarded_xml(doc)
     paras = [_para_text(p) for p in root.iter(f"{_W}p")]
     title = creator = None
     core = parts.get("docProps/core.xml")
     if core is not None:
-        croot = _parse_xml(core)
+        croot = guarded_xml(core)
         t = croot.find(f"{_DC}title")
         c = croot.find(f"{_DC}creator")
         title = t.text if t is not None else None
@@ -136,7 +138,7 @@ def xlsx_cells(payload: bytes) -> dict:
     shared: list[str] = []
     ss = parts.get("xl/sharedStrings.xml")
     if ss is not None:
-        sroot = _parse_xml(ss)
+        sroot = guarded_xml(ss)
         for si in sroot.iter(f"{_S}si"):
             shared.append("".join(t.text or "" for t in si.iter(f"{_S}t")))
     sheets = sorted(
@@ -148,7 +150,7 @@ def xlsx_cells(payload: bytes) -> dict:
     n_cells = n_shared = n_inline = n_numeric = 0
     texts: list[str] = []
     for path in sheets:
-        root = _parse_xml(parts[path])
+        root = guarded_xml(parts[path])
         for c in root.iter(f"{_S}c"):
             n_cells += 1
             t = c.get("t", "n")

@@ -276,3 +276,169 @@ def pipe_office_extract(spark, sf_dir):
             F.coalesce(F.col("text"), F.lit("")), r"\s+", " "))
         ).alias("text_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# robots.txt + sitemap (round 12)
+# ---------------------------------------------------------------------------
+
+#: hosts for the crawl-politeness rows: s{d%31}.example
+_RH = 31
+
+
+def _robots_oracle() -> str:
+    """The synthetic policy per host h is fixed (trainbot group:
+    Disallow /raw/, Allow /raw/pub/, Crawl-delay 1 + h%5; '*' group
+    Disallow: /), and path selection by d%4 is deterministic, so the
+    longest-match verdict collapses to a CASE replay: d%4=0 no rule
+    matches (allowed, 0 octets), 1 hits /raw/ (disallowed, 5), 2 hits
+    the longer /raw/pub/ allow (allowed, 9), 3 — the prefix edge
+    /raw/pub without the slash — hits only /raw/ (disallowed, 5).
+    The '*' group's Disallow: / must never apply to the trainbot
+    agent, or every row flips."""
+    return f"""
+SELECT doc_id AS url_id,
+       's' || CAST(doc_id % {_RH} AS VARCHAR) || '.example' AS host,
+       CASE CAST(doc_id % 4 AS INT)
+         WHEN 0 THEN '/page/' || CAST(doc_id AS VARCHAR)
+         WHEN 1 THEN '/raw/' || CAST(doc_id AS VARCHAR)
+         WHEN 2 THEN '/raw/pub/' || CAST(doc_id AS VARCHAR)
+         ELSE '/raw/pub' END AS path,
+       CAST(doc_id % 4 IN (0, 2) AS BOOLEAN) AS allowed,
+       CAST(CASE CAST(doc_id % 4 AS INT)
+         WHEN 0 THEN 0 WHEN 1 THEN 5 WHEN 2 THEN 9 ELSE 5 END AS INT)
+         AS matched_octets,
+       CAST(1 + (doc_id % {_RH}) % 5 AS DOUBLE) AS crawl_delay
+FROM documents
+"""
+
+
+@query("pipe_robots_gate", oracle=_robots_oracle())
+def pipe_robots_gate(spark, sf_dir):
+    """RFC 9309 admission gate (operators/robots.py): per-host
+    robots.txt bodies and per-doc URL paths are synthesized in PURE
+    CODEGEN (host policy: a trainbot group with Disallow /raw/ +
+    Allow /raw/pub/ + Crawl-delay, a '*' group with Disallow: /, a
+    comment line and a Sitemap line), then every URL is gated through
+    the real parser + longest-match engine under agent
+    'trainbot-1.0' — group selection (prefix token match beats '*'),
+    longest-match precedence, and the /raw/pub-without-slash prefix
+    edge are all live in the window.  Scale: the robots side is ONE
+    broadcast row per host; the URL volume never shuffles."""
+    from pyspark.sql import functions as F
+
+    from impala_cut_spark.operators.robots import robots_gate
+
+    docs = t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    h = (d % _RH).cast("string")
+    urls = docs.select(
+        d.alias("url_id"),
+        F.concat(F.lit("s"), h, F.lit(".example")).alias("host"),
+        F.when(d % 4 == 0, F.concat(F.lit("/page/"), d.cast("string")))
+        .when(d % 4 == 1, F.concat(F.lit("/raw/"), d.cast("string")))
+        .when(d % 4 == 2, F.concat(F.lit("/raw/pub/"), d.cast("string")))
+        .otherwise(F.lit("/raw/pub"))
+        .alias("path"),
+    )
+    hosts = docs.select((d % _RH).alias("h")).distinct()
+    hv = F.col("h").cast("string")
+    robots = hosts.select(
+        F.concat(F.lit("s"), hv, F.lit(".example")).alias("host"),
+        F.concat(
+            F.lit("# corpus crawler policy\n"
+                  "User-agent: trainbot\n"
+                  "Disallow: /raw/\n"
+                  "Allow: /raw/pub/\n"
+                  "Crawl-delay: "),
+            (F.lit(1) + F.col("h") % 5).cast("string"),
+            F.lit("\n\nUser-agent: *\nDisallow: /\n\nSitemap: http://s"),
+            hv, F.lit(".example/sitemap.xml\n"),
+        ).alias("robots_txt"),
+    )
+    return robots_gate(urls, robots, agent="trainbot-1.0")
+
+
+def _sitemap_oracle() -> str:
+    """Replay of the deterministic sitemap synthesis: every 5th doc
+    is a <sitemapindex> with two pointer entries, the rest are
+    <urlset> documents with 1 + d%3 url entries carrying lastmod
+    2026-01-(1 + d%28, zero-padded) and priority 0.(d%10)."""
+    return f"""
+WITH idx AS (
+  SELECT doc_id AS d, CAST(unnest(range(1, 3)) AS BIGINT) AS j
+  FROM documents WHERE doc_id % 5 = 0
+),
+urls AS (
+  SELECT doc_id AS d, CAST(unnest(range(0, 1 + doc_id % 3)) AS BIGINT) AS i
+  FROM documents WHERE doc_id % 5 <> 0
+)
+SELECT d AS doc_id, 'index' AS kind,
+       'http://s' || CAST(d % {_RH} AS VARCHAR) || '.example/sm/'
+         || CAST(d AS VARCHAR) || '/' || CAST(j AS VARCHAR) || '.xml' AS loc,
+       '2026-01-' || lpad(CAST(1 + d % 28 AS VARCHAR), 2, '0') AS lastmod,
+       CAST(NULL AS VARCHAR) AS priority
+FROM idx
+UNION ALL
+SELECT d, 'url',
+       'http://s' || CAST(d % {_RH} AS VARCHAR) || '.example/p/'
+         || CAST(d AS VARCHAR) || '/' || CAST(i AS VARCHAR),
+       '2026-01-' || lpad(CAST(1 + d % 28 AS VARCHAR), 2, '0'),
+       '0.' || CAST(d % 10 AS VARCHAR)
+FROM urls
+"""
+
+
+@query("pipe_sitemap_urls", oracle=_sitemap_oracle())
+def pipe_sitemap_urls(spark, sf_dir):
+    """Sitemap discovery (operators/robots.py sitemap_extract): every
+    5th document synthesizes as a <sitemapindex> (two child-sitemap
+    POINTER rows — recursion is the fetcher's job, so the parser
+    emits them as kind='index'), the rest as <urlset> documents with
+    1 + d%3 <url> entries (loc/lastmod/priority).  Parsing goes
+    through the shared DOCTYPE-rejection gate.  Scale: Arrow-batched
+    narrow map, no shuffle."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from impala_cut_spark.operators.robots import sitemap_extract
+
+    docs = t(spark, sf_dir, "documents")
+
+    def _synth(batches):
+        ns = 'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"'
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                h = d % _RH
+                lastmod = f"2026-01-{1 + d % 28:02d}"
+                if d % 5 == 0:
+                    body = "".join(
+                        f"<sitemap><loc>http://s{h}.example/sm/{d}/{j}.xml"
+                        f"</loc><lastmod>{lastmod}</lastmod></sitemap>"
+                        for j in (1, 2)
+                    )
+                    xml = (f'<?xml version="1.0" encoding="UTF-8"?>'
+                           f"<sitemapindex {ns}>{body}</sitemapindex>")
+                else:
+                    body = "".join(
+                        f"<url><loc> http://s{h}.example/p/{d}/{i} </loc>"
+                        f"<lastmod>{lastmod}</lastmod>"
+                        f"<priority>0.{d % 10}</priority></url>"
+                        for i in range(1 + d % 3)
+                    )
+                    xml = (f'<?xml version="1.0" encoding="UTF-8"?>'
+                           f"<urlset {ns}>{body}</urlset>")
+                ids.append(d)
+                payloads.append(bytearray(xml.encode("utf-8")))
+            yield pd.DataFrame({"source_id": pd.Series(ids, dtype="int64"),
+                                "payload": pd.Series(payloads, dtype="object")})
+
+    assets = docs.select("doc_id").mapInPandas(
+        _synth, schema="source_id bigint, payload binary")
+    out = sitemap_extract(assets)
+    return out.select(
+        F.col("source_id").alias("doc_id"),
+        "kind", "loc", "lastmod", "priority",
+    )
