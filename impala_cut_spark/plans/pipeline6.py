@@ -442,3 +442,89 @@ def pipe_sitemap_urls(spark, sf_dir):
         F.col("source_id").alias("doc_id"),
         "kind", "loc", "lastmod", "priority",
     )
+
+
+# ---------------------------------------------------------------------------
+# Matroska/WebM container metadata (round 12)
+# ---------------------------------------------------------------------------
+
+
+def _mkv_oracle() -> str:
+    """Every muxed fact is a pure function of doc_id (+ first words
+    for the title), so the metadata walk replays as a projection;
+    duration is an integer number of seconds written as an exact
+    IEEE double, so the DOUBLE column hash-matches with no
+    tolerance."""
+    return """
+WITH w AS (SELECT doc_id AS d,
+                  list_filter(string_split(coalesce(text, ''), ' '),
+                              x -> x <> '') AS ws
+           FROM documents),
+f AS (SELECT d,
+             CASE WHEN len(ws) >= 3
+                  THEN ws[1] || ' ' || ws[2] || ' ' || ws[3]
+                  WHEN len(ws) > 0
+                  THEN array_to_string(ws, ' ') ELSE 'untitled' END AS ttl
+      FROM w)
+SELECT d AS doc_id,
+       CASE WHEN d % 5 = 0 THEN 'webm' ELSE 'matroska' END AS doctype,
+       CAST(1 + (CASE WHEN d % 2 = 1 THEN 1 ELSE 0 END) AS INT) AS n_tracks,
+       CASE WHEN d % 3 = 0 THEN 'V_VP8' ELSE 'V_VP9' END AS video_codec,
+       CAST(160 + 16 * (d % 8) AS INT) AS width,
+       CAST(120 + 8 * (d % 8) AS INT) AS height,
+       CASE WHEN d % 2 = 1 THEN 'A_OPUS' ELSE NULL END AS audio_codec,
+       CAST(CASE WHEN d % 2 = 1 THEN 1 + (d // 2) % 2 ELSE NULL END AS INT)
+         AS channels,
+       CAST(1 + d % 60 AS DOUBLE) AS duration_s,
+       ttl AS title
+FROM f
+"""
+
+
+@query("pipe_video_mkv", oracle=_mkv_oracle())
+def pipe_video_mkv(spark, sf_dir):
+    """Round-12 Matroska/WebM metadata prune (operators/mkv.py):
+    each document muxes to a minimal EBML container (VP8/VP9 video
+    track with per-doc resolution, an Opus audio track on odd ids,
+    title, exact-double duration; every 7th file uses the
+    streaming-muxer UNKNOWN-size Segment form and every 5th the webm
+    doctype) and walks back through the from-scratch VINT/master
+    parser — the prune-before-decode stage for the second video
+    container family after ISO BMFF.  Scale: Arrow-batched narrow
+    map, Clusters skipped structurally, no shuffle."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from impala_cut_spark.operators.mkv import build_mkv, mkv_video_metadata
+
+    docs = t(spark, sf_dir, "documents")
+
+    def _mux(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                words = [x for x in (text or "").split(" ") if x]
+                title = " ".join(words[:3]) or "untitled"
+                payloads.append(bytearray(build_mkv(
+                    doctype="webm" if d % 5 == 0 else "matroska",
+                    title=title,
+                    duration_s=float(1 + d % 60),
+                    video=("V_VP8" if d % 3 == 0 else "V_VP9",
+                           160 + 16 * (d % 8), 120 + 8 * (d % 8)),
+                    audio_tracks=([("A_OPUS", 48000.0, 1 + (d // 2) % 2)]
+                                  if d % 2 == 1 else []),
+                    unknown_segment_size=(d % 7 == 0),
+                )))
+                ids.append(d)
+            yield pd.DataFrame({"asset_id": pd.Series(ids, dtype="int64"),
+                                "payload": pd.Series(payloads, dtype="object")})
+
+    assets = docs.select("doc_id", "text").mapInPandas(
+        _mux, schema="asset_id bigint, payload binary")
+    out = mkv_video_metadata(assets)
+    return out.select(
+        F.col("asset_id").alias("doc_id"),
+        "doctype", "n_tracks", "video_codec", "width", "height",
+        "audio_codec", "channels", "duration_s", "title",
+    )
