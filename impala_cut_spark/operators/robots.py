@@ -265,3 +265,93 @@ def sitemap_extract(
             )
 
     return docs.mapInPandas(_extract, SITEMAP_SCHEMA)
+
+
+# -- RSS / Atom feeds ----------------------------------------------------------
+#
+# The third discovery surface after sitemaps and links: feeds
+# advertise fresh URLs with timestamps — the incremental-crawl
+# frontier source.  Both grammars parse through the same
+# DOCTYPE-rejection gate.
+
+#: Atom namespace (RFC 4287)
+_ATOM = "{http://www.w3.org/2005/Atom}"
+
+
+def feed_entries(payload: bytes) -> dict:
+    """RSS 2.0 / Atom feed → ``{kind, feed_title, entries: [{title,
+    link, ts, entry_id}]}``.  RSS: <channel><title> and per-<item>
+    title/link/pubDate/guid.  Atom (RFC 4287): <feed><title> and
+    per-<entry> title, the first <link href>, <updated>, <id>.
+    Anything else raises (degrades at the operator layer)."""
+    from impala_cut_spark.operators.office import guarded_xml
+
+    root = guarded_xml(payload)
+    entries: list[dict] = []
+    if root.tag == "rss":
+        ch = root.find("channel")
+        if ch is None:
+            raise ValueError("feed: rss without channel")
+        t = ch.find("title")
+        feed_title = t.text.strip() if t is not None and t.text else None
+        for it in ch.iter("item"):
+            def _txt(tag):
+                e = it.find(tag)
+                return e.text.strip() if e is not None and e.text else None
+            entries.append({"title": _txt("title"), "link": _txt("link"),
+                            "ts": _txt("pubDate"), "entry_id": _txt("guid")})
+        return {"kind": "rss", "feed_title": feed_title, "entries": entries}
+    if root.tag == f"{_ATOM}feed":
+        t = root.find(f"{_ATOM}title")
+        feed_title = t.text.strip() if t is not None and t.text else None
+        for en in root.iter(f"{_ATOM}entry"):
+            def _atxt(tag):
+                e = en.find(f"{_ATOM}{tag}")
+                return e.text.strip() if e is not None and e.text else None
+            link = en.find(f"{_ATOM}link")
+            entries.append({
+                "title": _atxt("title"),
+                "link": link.get("href") if link is not None else None,
+                "ts": _atxt("updated"),
+                "entry_id": _atxt("id"),
+            })
+        return {"kind": "atom", "feed_title": feed_title, "entries": entries}
+    raise ValueError("feed: root is neither rss nor atom feed")
+
+
+#: output schema of feed_extract — one row per feed entry
+FEED_SCHEMA = (
+    "source_id bigint, kind string, feed_title string, title string, "
+    "link string, ts string, entry_id string, parse_ok boolean"
+)
+
+
+def feed_extract(
+    docs: DataFrame, id_col: str = "source_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Feed payloads → one row per entry (FEED_SCHEMA); malformed
+    XML degrades to ONE parse_ok=false row per document.
+    Arrow-batched narrow map, no shuffle."""
+    import pandas as pd
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for sid, p in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(p) if p is not None else b""
+                try:
+                    f = feed_entries(raw)
+                    for e in f["entries"]:
+                        rows.append((int(sid), f["kind"], f["feed_title"],
+                                     e["title"], e["link"], e["ts"],
+                                     e["entry_id"], True))
+                except ValueError:
+                    rows.append((int(sid), None, None, None, None, None,
+                                 None, False))
+            yield pd.DataFrame(
+                rows,
+                columns=["source_id", "kind", "feed_title", "title",
+                         "link", "ts", "entry_id", "parse_ok"],
+            )
+
+    return docs.mapInPandas(_extract, FEED_SCHEMA)

@@ -528,3 +528,102 @@ def pipe_video_mkv(spark, sf_dir):
         "doctype", "n_tracks", "video_codec", "width", "height",
         "audio_codec", "channels", "duration_s", "title",
     )
+
+
+# ---------------------------------------------------------------------------
+# RSS/Atom feed discovery (round 12)
+# ---------------------------------------------------------------------------
+
+
+def _feed_oracle() -> str:
+    """Even docs are RSS 2.0, odd are Atom; both carry 1 + d%3
+    entries with id/link/timestamp fields derived from (d, i) — a
+    range-unnest replay."""
+    return f"""
+WITH w AS (SELECT doc_id AS d,
+                  list_filter(string_split(coalesce(text, ''), ' '),
+                              x -> x <> '') AS ws
+           FROM documents),
+f AS (SELECT d,
+             CASE WHEN len(ws) >= 2 THEN ws[1] || ' ' || ws[2]
+                  WHEN len(ws) = 1 THEN ws[1] ELSE 'feed' END AS ft
+      FROM w),
+e AS (SELECT d, ft, CAST(unnest(range(0, 1 + d % 3)) AS BIGINT) AS i
+      FROM f)
+SELECT d AS doc_id,
+       CASE WHEN d % 2 = 0 THEN 'rss' ELSE 'atom' END AS kind,
+       ft AS feed_title,
+       'entry ' || CAST(d AS VARCHAR) || ' ' || CAST(i AS VARCHAR) AS title,
+       'http://s' || CAST(d % {_RH} AS VARCHAR) || '.example/a/'
+         || CAST(d AS VARCHAR) || '/' || CAST(i AS VARCHAR) AS link,
+       '2026-02-' || lpad(CAST(1 + d % 28 AS VARCHAR), 2, '0')
+         || 'T00:00:0' || CAST(i % 10 AS VARCHAR) || 'Z' AS ts,
+       CASE WHEN d % 2 = 0
+            THEN 'g' || CAST(d AS VARCHAR) || '-' || CAST(i AS VARCHAR)
+            ELSE 'tag:s' || CAST(d % {_RH} AS VARCHAR) || '.example,2026:'
+                 || CAST(d AS VARCHAR) || ':' || CAST(i AS VARCHAR) END
+         AS entry_id
+FROM e
+"""
+
+
+@query("pipe_feed_extract", oracle=_feed_oracle())
+def pipe_feed_extract(spark, sf_dir):
+    """RSS/Atom feed discovery (operators/robots.py feed_extract):
+    even documents synthesize as RSS 2.0 channels, odd as RFC 4287
+    Atom feeds, each with 1 + d%3 entries (title/link/timestamp/id;
+    the Atom link rides the href ATTRIBUTE, exercising the attribute
+    path) — the incremental-crawl frontier source after sitemaps.
+    Parsing shares the DOCTYPE gate.  Scale: Arrow-batched narrow
+    map, no shuffle."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from impala_cut_spark.operators.robots import feed_extract
+
+    docs = t(spark, sf_dir, "documents")
+
+    def _synth(batches):
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                from xml.sax.saxutils import escape
+
+                d = int(doc_id)
+                words = [x for x in (text or "").split(" ") if x]
+                ft = escape(" ".join(words[:2]) or "feed")
+                h = d % _RH
+                n = 1 + d % 3
+                ts = [f"2026-02-{1 + d % 28:02d}T00:00:0{i % 10}Z"
+                      for i in range(n)]
+                if d % 2 == 0:
+                    items = "".join(
+                        f"<item><title>entry {d} {i}</title>"
+                        f"<link>http://s{h}.example/a/{d}/{i}</link>"
+                        f"<pubDate>{ts[i]}</pubDate>"
+                        f"<guid>g{d}-{i}</guid></item>"
+                        for i in range(n)
+                    )
+                    xml = (f'<rss version="2.0"><channel><title>{ft}'
+                           f"</title>{items}</channel></rss>")
+                else:
+                    entries = "".join(
+                        f"<entry><title>entry {d} {i}</title>"
+                        f'<link href="http://s{h}.example/a/{d}/{i}"/>'
+                        f"<updated>{ts[i]}</updated>"
+                        f"<id>tag:s{h}.example,2026:{d}:{i}</id></entry>"
+                        for i in range(n)
+                    )
+                    xml = ('<feed xmlns="http://www.w3.org/2005/Atom">'
+                           f"<title>{ft}</title>{entries}</feed>")
+                ids.append(d)
+                payloads.append(bytearray(xml.encode("utf-8")))
+            yield pd.DataFrame({"source_id": pd.Series(ids, dtype="int64"),
+                                "payload": pd.Series(payloads, dtype="object")})
+
+    assets = docs.select("doc_id", "text").mapInPandas(
+        _synth, schema="source_id bigint, payload binary")
+    return feed_extract(assets).select(
+        F.col("source_id").alias("doc_id"),
+        "kind", "feed_title", "title", "link", "ts", "entry_id",
+    )

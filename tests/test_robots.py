@@ -141,3 +141,52 @@ class TestOperators:
                       key=lambda r: r.source_id)
         assert rows[0].parse_ok and rows[0].loc == "http://a/1"
         assert not rows[1].parse_ok
+
+
+class TestFeeds:
+    def test_rss_fields(self):
+        from impala_cut_spark.operators.robots import feed_entries
+
+        rss = (b'<rss version="2.0"><channel><title>My Feed</title>'
+               b"<item><title>a</title><link>http://x/1</link>"
+               b"<pubDate>Sun, 01 Feb 2026 00:00:00 GMT</pubDate>"
+               b"<guid>g1</guid></item>"
+               b"<item><title>b</title></item></channel></rss>")
+        f = feed_entries(rss)
+        assert f["kind"] == "rss" and f["feed_title"] == "My Feed"
+        assert len(f["entries"]) == 2
+        assert f["entries"][0]["link"] == "http://x/1"
+        assert f["entries"][1]["link"] is None
+
+    def test_atom_link_attribute(self):
+        from impala_cut_spark.operators.robots import feed_entries
+
+        atom = (b'<feed xmlns="http://www.w3.org/2005/Atom">'
+                b"<title>A</title><entry><title>e</title>"
+                b'<link href="http://y/1"/><updated>2026-02-01</updated>'
+                b"<id>i1</id></entry></feed>")
+        f = feed_entries(atom)
+        assert f["kind"] == "atom"
+        assert f["entries"][0]["link"] == "http://y/1"
+        assert f["entries"][0]["entry_id"] == "i1"
+
+    def test_foreign_root_and_doctype(self):
+        from impala_cut_spark.operators.robots import feed_entries
+
+        with pytest.raises(ValueError, match="neither rss nor atom"):
+            feed_entries(b"<html/>")
+        with pytest.raises(ValueError, match="DTD not allowed"):
+            feed_entries(b'<!DOCTYPE r [<!ENTITY a "b">]><rss/>')
+
+    def test_operator_degrade(self, spark):
+        from impala_cut_spark.operators.robots import feed_extract
+
+        rss = (b'<rss version="2.0"><channel><title>F</title>'
+               b"<item><title>a</title></item></channel></rss>")
+        df = spark.createDataFrame(
+            [(1, bytearray(rss)), (2, b"plainly not xml <")],
+            "source_id bigint, payload binary",
+        )
+        rows = sorted(feed_extract(df).collect(), key=lambda r: r.source_id)
+        assert rows[0].parse_ok and rows[0].feed_title == "F"
+        assert not rows[1].parse_ok
