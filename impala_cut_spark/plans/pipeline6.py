@@ -627,3 +627,99 @@ def pipe_feed_extract(spark, sf_dir):
         F.col("source_id").alias("doc_id"),
         "kind", "feed_title", "title", "link", "ts", "entry_id",
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking dedup (round 12)
+# ---------------------------------------------------------------------------
+
+#: shared chunk-CTE for the CDC oracles: the polynomial boundary
+#: predicate is per-position, so DuckDB rebuilds the exact chunk set
+#: with range-unnest + substr (base 31, window 4 → 29791/961/31/1)
+_SQL_CDC = """
+d AS (SELECT doc_id, coalesce(text, '') AS t,
+             len(coalesce(text, '')) AS n FROM documents),
+pos AS (SELECT doc_id, t, n, CAST(unnest(range(4, n + 1)) AS INT) AS i
+        FROM d),
+hb AS (SELECT doc_id, i FROM pos
+       WHERE (ord(substr(t, i - 3, 1)) * 29791
+            + ord(substr(t, i - 2, 1)) * 961
+            + ord(substr(t, i - 1, 1)) * 31
+            + ord(substr(t, i, 1))) % 64 = 0),
+b AS (SELECT d.doc_id, d.t, d.n,
+             coalesce(list_sort(list(hb.i)
+                                FILTER (WHERE hb.i IS NOT NULL)), [])
+               AS bs
+      FROM d LEFT JOIN hb ON d.doc_id = hb.doc_id
+      GROUP BY d.doc_id, d.t, d.n),
+c AS (SELECT doc_id, t, list_prepend(0, bs) AS ss,
+             list_append(bs, n) AS es FROM b),
+g AS (SELECT doc_id, t, ss, es,
+             CAST(unnest(range(1, len(ss) + 1)) AS INT) AS gi FROM c),
+ch AS (SELECT doc_id, t, ss[gi] AS s, es[gi] AS e FROM g
+       WHERE es[gi] > ss[gi]),
+chunks AS (SELECT doc_id,
+                  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY s)
+                       - 1 AS INT) AS chunk_idx,
+                  CAST(e - s AS INT) AS chunk_len,
+                  md5(substr(t, s + 1, e - s)) AS chunk_md5
+           FROM ch)"""
+
+
+def _cdc_chunks_oracle() -> str:
+    return f"WITH {_SQL_CDC} SELECT * FROM chunks"
+
+
+@query("pipe_cdc_chunks", oracle=_cdc_chunks_oracle())
+def pipe_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking (operators/cdc.py, the 'poly' oracle
+    arm): every document splits at windowed-polynomial boundary
+    positions (H over the last 4 chars ≡ 0 mod 64 → ~64-char chunks)
+    — each boundary a pure per-position predicate, so DuckDB rebuilds
+    the exact chunk set and the md5s strict-match.  The clamped
+    FastCDC gear arm (stateful min/max, not SQL-replayable) is the
+    production twin, pytest-verified for shift resistance.  Scale:
+    linear Arrow-batched narrow map, chunk text never leaves the
+    executor."""
+    from impala_cut_spark.operators.cdc import cdc_chunk_rows
+
+    docs = t(spark, sf_dir, "documents")
+    return cdc_chunk_rows(docs, arm="poly")
+
+
+def _cdc_dedup_oracle() -> str:
+    return f"""
+WITH {_SQL_CDC},
+owners AS (SELECT chunk_md5, count(DISTINCT doc_id) AS nd
+           FROM chunks GROUP BY chunk_md5),
+fl AS (SELECT c.doc_id, c.chunk_len, o.nd > 1 AS is_dup
+       FROM chunks c JOIN owners o ON c.chunk_md5 = o.chunk_md5)
+SELECT s.source,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN fl.is_dup THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_chunks,
+       CAST(sum(CASE WHEN fl.is_dup THEN fl.chunk_len ELSE 0 END)
+            AS BIGINT) AS dup_len,
+       CAST(sum(fl.chunk_len) AS BIGINT) AS total_len
+FROM fl JOIN documents s ON fl.doc_id = s.doc_id
+GROUP BY s.source
+"""
+
+
+@query("pipe_cdc_dedup", oracle=_cdc_dedup_oracle())
+def pipe_cdc_dedup(spark, sf_dir):
+    """Chunk-level dedup report (operators/cdc.py cdc_dup_stats):
+    content-defined chunks keyed by md5, a chunk counting as
+    duplicate when its hash appears in MORE THAN ONE document
+    corpus-wide, aggregated per source — the byte-shift-resistant
+    dedup granularity between whole-doc fingerprints and shingle
+    families.  Scale: three hash shuffles (ownership count with
+    map-side combine — its partitioning reused by the join build
+    side — the probe-side repartition, the source aggregate);
+    per-hash rows carry counts, never chunk text; the doc→source
+    attach is a broadcast."""
+    from impala_cut_spark.operators.cdc import cdc_chunk_rows, cdc_dup_stats
+
+    docs = t(spark, sf_dir, "documents")
+    chunks = cdc_chunk_rows(docs, arm="poly")
+    return cdc_dup_stats(chunks, docs)
