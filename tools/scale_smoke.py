@@ -202,6 +202,13 @@ X100_QUERIES = {
     # the one new row with a SHUFFLE in its family (per-member rows
     # into one doc-keyed agg); expect archive-ingest-dominated wall
     "pipe_code_pipeline": "code pipeline (tar.gz repos → license gate → repo agg)",
+    # r12-born heavy families: iterative graph rank (per-iteration
+    # shuffles over a FIXED-size host table — wall should grow far
+    # below data), OOXML decode, EBML walk, chunk-dedup shuffles
+    "pipe_host_rank": "host PageRank (3 fixed-point iterations, broadcast ranks)",
+    "pipe_office_extract": "DOCX/XLSX build+extract round-trip (zip+XML)",
+    "pipe_video_mkv": "Matroska metadata walk (EBML VINT parse)",
+    "pipe_cdc_dedup": "content-defined chunk dedup (hash-keyed shuffles)",
 }
 X100_DST = "/tmp/scale_sf10"
 X100_REPLICAS = 100
