@@ -723,3 +723,143 @@ def pipe_cdc_dedup(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
     chunks = cdc_chunk_rows(docs, arm="poly")
     return cdc_dup_stats(chunks, docs)
+
+
+# ---------------------------------------------------------------------------
+# Crawl-frontier composition (round 12): discovery → politeness → priority
+# ---------------------------------------------------------------------------
+
+
+def _frontier_oracle() -> str:
+    """End-to-end replay from already-proven pieces: the link-graph
+    host universe (h{d%97}.example) produces the 3-iteration
+    fixed-point PageRank exactly as in _host_rank_oracle; candidate
+    URLs (1 + d%3 per doc, every (d+i)%3==0 path under the
+    disallowed /raw/ prefix) gate through the same per-host policy as
+    pipe_robots_gate; surviving URLs score priority = rank_micro div
+    crawl_delay — all bigint ops, strict hash."""
+    base_cte = f"""
+edges AS (
+  SELECT DISTINCT src_host, dst_host FROM pairs
+  WHERE src_host <> dst_host
+),
+nodes AS (
+  SELECT DISTINCT h AS host FROM (
+    SELECT src_host AS h FROM edges
+    UNION ALL SELECT dst_host FROM edges)
+),
+deg AS (SELECT src_host, CAST(count(*) AS BIGINT) AS out_deg
+        FROM edges GROUP BY src_host),
+base AS (SELECT host, coalesce(out_deg, 0) AS out_deg
+         FROM nodes LEFT JOIN deg ON host = src_host),
+params AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+r0 AS (SELECT host, out_deg, {SCALE} // n AS rank FROM base, params)"""
+    its = []
+    for k in range(1, 4):
+        p = k - 1
+        its.append(f"""
+d{k} AS (SELECT coalesce(sum(rank), 0) AS dang
+         FROM r{p} WHERE out_deg = 0),
+c{k} AS (SELECT e.dst_host, sum(r.rank // r.out_deg) AS contrib
+         FROM edges e JOIN r{p} r
+           ON e.src_host = r.host AND r.out_deg > 0
+         GROUP BY e.dst_host),
+r{k} AS (SELECT b.host, b.out_deg,
+                ({DAMP_DEN - DAMP_NUM} * ({SCALE} // n)
+                 + {DAMP_NUM} * (coalesce(c.contrib, 0) + dang // n))
+                // {DAMP_DEN} AS rank
+         FROM base b
+         LEFT JOIN c{k} c ON b.host = c.dst_host, params, d{k})""")
+    return f"""
+WITH {_SQL_LINKS},{base_cte},{",".join(its)},
+cand AS (
+  SELECT doc_id AS d,
+         CAST(unnest(range(0, 1 + doc_id % 3)) AS BIGINT) AS i
+  FROM documents
+),
+u AS (
+  SELECT d, i,
+         'h' || CAST(d % {_H} AS VARCHAR) || '.example' AS host,
+         CASE WHEN (d + i) % 3 = 0
+              THEN '/raw/' || CAST(d AS VARCHAR) || '/' || CAST(i AS VARCHAR)
+              ELSE '/p/' || CAST(d AS VARCHAR) || '/' || CAST(i AS VARCHAR)
+              END AS path,
+         CAST(1 + (d % {_H}) % 5 AS BIGINT) AS delay
+  FROM cand
+)
+SELECT u.d * 10 + u.i AS url_id, u.host, u.path,
+       CAST(r.rank AS BIGINT) AS rank_micro,
+       u.delay AS crawl_delay_s,
+       CAST(r.rank // u.delay AS BIGINT) AS priority_micro
+FROM u JOIN r3 r ON u.host = r.host
+WHERE (u.d + u.i) % 3 <> 0
+"""
+
+
+@query("pipe_crawl_frontier", oracle=_frontier_oracle())
+def pipe_crawl_frontier(spark, sf_dir):
+    """The round-12 CAPSTONE composition — the incremental-crawl
+    frontier a web-scale pipeline schedules from, built ENTIRELY
+    from this round's proven pieces: candidate URLs (1 + d%3 per
+    document, codegen synthesis, every third under the disallowed
+    /raw/ prefix) are admission-gated through the REAL RFC 9309
+    engine (per-host policy broadcast, longest-match verdicts), the
+    link graph of the same host universe feeds the REAL fixed-point
+    integer PageRank (3 iterations), and surviving URLs score
+    priority = rank_micro div crawl_delay — the rank-weighted,
+    politeness-discounted fetch order.  Every stage is bigint-exact,
+    so the whole composition strict-hash-matches one DuckDB replay.
+    Scale: rank iterations touch only the fixed-size host table; the
+    URL volume crosses one broadcast gate and one broadcast rank
+    join — it never shuffles."""
+    from pyspark.sql import functions as F
+
+    from impala_cut_spark.operators.linkgraph import host_edges, host_rank
+    from impala_cut_spark.operators.robots import robots_gate
+
+    docs = t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    h = (d % _H).cast("string")
+    host = F.concat(F.lit("h"), h, F.lit(".example"))
+    urls = (
+        docs.select(d.alias("d"), host.alias("host"),
+                    F.explode(F.sequence(F.lit(0), (d % 3).cast("int")))
+                    .alias("i"))
+        .select(
+            (F.col("d") * 10 + F.col("i")).alias("url_id"),
+            "host",
+            F.when(
+                (F.col("d") + F.col("i")) % 3 == 0,
+                F.concat(F.lit("/raw/"), F.col("d").cast("string"),
+                         F.lit("/"), F.col("i").cast("string")),
+            ).otherwise(
+                F.concat(F.lit("/p/"), F.col("d").cast("string"),
+                         F.lit("/"), F.col("i").cast("string")),
+            ).alias("path"),
+        )
+    )
+    hosts = docs.select((d % _H).alias("h")).distinct()
+    hv = F.col("h").cast("string")
+    robots = hosts.select(
+        F.concat(F.lit("h"), hv, F.lit(".example")).alias("host"),
+        F.concat(
+            F.lit("User-agent: trainbot\n"
+                  "Disallow: /raw/\nAllow: /raw/pub/\nCrawl-delay: "),
+            (F.lit(1) + F.col("h") % 5).cast("string"),
+            F.lit("\n\nUser-agent: *\nDisallow: /\n"),
+        ).alias("robots_txt"),
+    )
+    gated = robots_gate(urls, robots, agent="trainbot-1.0")
+    ranks = host_rank(host_edges(_pages(docs)), iterations=3)
+    return (
+        gated.where(F.col("allowed"))
+        .join(F.broadcast(ranks.select(F.col("host").alias("r_host"),
+                                       "rank_micro")),
+              F.col("host") == F.col("r_host"))
+        .select(
+            "url_id", "host", "path", "rank_micro",
+            F.col("crawl_delay").cast("long").alias("crawl_delay_s"),
+            F.expr("rank_micro div cast(crawl_delay as bigint)")
+            .alias("priority_micro"),
+        )
+    )
