@@ -124,6 +124,20 @@ AUDIT = [
     "pipe_code_pipeline",
     "pipe_html_meta",
     "pipe_subtitle_extract",
+    # round-12 additions: the link-graph/PageRank pair (the audit
+    # proves the edges-stay-put iteration shape), the crawl
+    # politeness/discovery rows, Office/Matroska ingestion, CDC
+    # dedup shuffles, and the frontier capstone composition
+    "pipe_link_graph",
+    "pipe_host_rank",
+    "pipe_robots_gate",
+    "pipe_sitemap_urls",
+    "pipe_feed_extract",
+    "pipe_office_extract",
+    "pipe_video_mkv",
+    "pipe_cdc_chunks",
+    "pipe_cdc_dedup",
+    "pipe_crawl_frontier",
 ]
 
 
