@@ -146,3 +146,28 @@ class TestOperators:
         assert stats["a"].n_dup_chunks > 0          # shared prefix dedups
         assert stats["b"].n_dup_chunks == 0
         assert stats["a"].dup_len <= stats["a"].total_len
+
+
+def test_hypothesis_partitions():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=80, deadline=None)
+    @given(st.binary(max_size=4096), st.integers(1, 64), st.integers(0, 256))
+    def check_gear(data, min_size, extra):
+        spans = gear_chunks(data, min_size=min_size,
+                            max_size=min_size + extra)
+        assert b"".join(data[a:b] for a, b in spans) == data
+        for a, b in spans[:-1]:
+            assert b - a <= min_size + extra
+
+    check_gear()
+
+    @settings(max_examples=80, deadline=None)
+    @given(st.text(max_size=2048))
+    def check_poly(text):
+        spans = poly_chunks(text)
+        assert "".join(text[a:b] for a, b in spans) == text
+        assert all(b > a for a, b in spans)
+
+    check_poly()

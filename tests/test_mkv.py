@@ -124,3 +124,43 @@ class TestOperator:
         assert rows[1].parse_ok and rows[1].video_codec == "V_VP9"
         assert rows[1].audio_codec == "A_OPUS" and rows[1].duration_s == 3.0
         assert not rows[2].parse_ok and not rows[3].parse_ok
+
+
+def test_hypothesis_mkv_roundtrip():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    name = st.text(alphabet=st.characters(
+        blacklist_categories=("Cs", "Cc")), min_size=1, max_size=24)
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.sampled_from(["matroska", "webm"]),
+        st.one_of(st.none(), name),
+        st.one_of(st.none(), st.integers(0, 10**6).map(float)),
+        st.one_of(st.none(), st.tuples(
+            name, st.integers(1, 1 << 24), st.integers(1, 1 << 24))),
+        st.lists(st.tuples(name, st.integers(8000, 192000).map(float),
+                           st.integers(1, 8)), max_size=3),
+        st.booleans(),
+    )
+    def check(doctype, title, dur, video, audio, unknown):
+        p = build_mkv(doctype=doctype, title=title, duration_s=dur,
+                      video=video, audio_tracks=audio,
+                      unknown_segment_size=unknown)
+        m = mkv_metadata(p)
+        assert m["doctype"] == doctype and m["title"] == title
+        if dur is None:
+            assert m["duration_s"] is None
+        else:
+            assert m["duration_s"] == pytest.approx(dur)
+        assert m["n_tracks"] == (1 if video else 0) + len(audio)
+        if video:
+            v = m["tracks"][0]
+            assert (v["codec"], v["width"], v["height"]) == video
+        for got, (codec, freq, ch) in zip(
+                m["tracks"][1 if video else 0:], audio):
+            assert (got["codec"], got["sample_freq"], got["channels"]) == (
+                codec, freq, ch)
+
+    check()

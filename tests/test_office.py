@@ -158,3 +158,53 @@ class TestOfficeExtractOperator:
         assert rows[2].text == "a b"
         assert not rows[3].parse_ok and rows[3].kind is None
         assert not rows[4].parse_ok
+
+
+def test_hypothesis_docx_roundtrip():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    # XML 1.0-legal text (no control chars); \r normalizes in XML
+    xtext = st.text(
+        alphabet=st.characters(
+            blacklist_categories=("Cs", "Cc"), max_codepoint=0x2FFF),
+        max_size=80,
+    ).map(lambda s: s.replace("\r", " "))
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.lists(xtext, max_size=8),
+           st.one_of(st.none(), xtext.filter(bool)))
+    def check(paras, title):
+        out = docx_text(build_docx(paras, title=title))
+        assert out["text"] == "\n".join(paras)
+        assert out["title"] == title
+        assert out["n_paragraphs"] == sum(1 for p in paras if p.strip())
+
+    check()
+
+
+def test_hypothesis_xlsx_roundtrip():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    xtext = st.text(
+        alphabet=st.characters(
+            blacklist_categories=("Cs", "Cc"), max_codepoint=0x2FFF),
+        max_size=40,
+    ).map(lambda s: s.replace("\r", " "))
+    cell = st.one_of(xtext, st.integers(-10**6, 10**6))
+    sheet = st.lists(st.lists(cell, max_size=5), max_size=4)
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.lists(sheet, min_size=1, max_size=3), st.integers(0, 3))
+    def check(sheets, inline_from):
+        out = xlsx_cells(build_xlsx(sheets, inline_from_sheet=inline_from))
+        flat = [v for s in sheets for row in s for v in row]
+        strings = [v for v in flat if isinstance(v, str)]
+        assert out["n_sheets"] == len(sheets)
+        assert out["n_cells"] == len(flat)
+        assert out["n_shared"] + out["n_inline"] == len(strings)
+        assert out["n_numeric"] == len(flat) - len(strings)
+        assert out["text"] == " ".join(strings)
+
+    check()
