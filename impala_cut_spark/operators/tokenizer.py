@@ -151,3 +151,208 @@ def bpe_encode(
     return docs.select("doc_id", text_col).mapInPandas(
         run, "doc_id long, n_words int, n_bpe_tokens int, chars_per_token double"
     )
+
+
+# -- Unigram-LM tokenizer (round 12) -------------------------------------------
+#
+# The second real-world tokenizer algorithm after BPE: a
+# SentencePiece-style unigram LM (Kudo 2018, public) in a
+# deterministic INTEGER-score variant — piece scores are usage
+# counts, Viterbi compares exact bigint products, ties resolve to
+# fewer pieces then lexicographically — so training is bit-stable
+# across partitionings and replays (the same property as the
+# fixed-point PageRank).
+#
+# Split of labor (Spark-first, one step beyond the BPE precedent):
+# the E-step is DISTRIBUTED — Viterbi runs per distinct word in the
+# executors against a broadcast score table and usage aggregates as
+# one map-combined shuffle; only the M-step prune collects, bounded
+# by vocab_size (the vocabulary IS the artifact, like a PQ codebook).
+
+
+def viterbi_segment_unigram(
+    word: str,
+    scores: dict[str, int],
+    max_piece_len: int = 6,
+    total: int | None = None,
+) -> list[str]:
+    """Maximum-LIKELIHOOD segmentation of ``word`` under the integer
+    unigram LM: each piece has probability score/T (T = total score
+    mass), so a path's likelihood is prod(scores)/T^k.  Comparisons
+    are EXACT rational arithmetic via bigint cross-multiplication —
+    path A beats B iff prod_a·T^k_b > prod_b·T^k_a — then ties break
+    to fewer pieces, then the lexicographically smallest piece list:
+    the result is engine- and partitioning-independent.  A char
+    absent from the vocab scores 1 (the unknown fallback every
+    unigram tokenizer keeps)."""
+    n = len(word)
+    T = total if total is not None else (sum(scores.values()) or 1)
+    # best[i]: (product, n_pieces, pieces_tuple) for word[:i]
+    best: list[tuple] = [(1, 0, ())] + [None] * n  # type: ignore[list-item]
+    for i in range(1, n + 1):
+        cand = None
+        for j in range(max(0, i - max_piece_len), i):
+            if best[j] is None:
+                continue
+            piece = word[j:i]
+            sc = scores.get(piece)
+            if sc is None:
+                if i - j > 1:
+                    continue
+                sc = 1  # unknown single char
+            prod, k, pieces = best[j]
+            key = (prod * sc, k + 1, pieces + (piece,))
+            if cand is None:
+                cand = key
+                continue
+            lhs = key[0] * T ** cand[1]
+            rhs = cand[0] * T ** key[1]
+            if lhs > rhs or (
+                lhs == rhs
+                and (key[1], key[2]) < (cand[1], cand[2])
+            ):
+                cand = key
+        best[i] = cand
+    assert best[n] is not None  # single chars always available
+    return list(best[n][2])
+
+
+def learn_unigram_vocab(
+    docs: DataFrame,
+    vocab_size: int = 512,
+    max_piece_len: int = 6,
+    em_iters: int = 2,
+    text_col: str = "text",
+    max_words: int = 50_000,
+) -> dict[str, int]:
+    """Train the unigram vocabulary → {piece: integer score}.
+
+    Seeding: every substring of every frequent word up to
+    ``max_piece_len`` chars, weighted by word count, top 4×vocab_size
+    by (weight DESC, piece ASC) plus ALL single characters (coverage
+    guarantee).  Each EM round re-segments the distinct-word table
+    under the current scores (executor-side, broadcast scores, one
+    usage shuffle) and keeps the top pieces by usage.  All counts are
+    integers; ordering ties break on the piece string — training is
+    deterministic by construction."""
+    spark = docs.sparkSession
+    freqs = word_frequencies(docs, text_col=text_col, max_words=max_words)
+    words_df = spark.createDataFrame(freqs, "w string, n long")
+
+    # seed candidates: distributed substring explode + count
+    def _subs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            piece, weight = [], []
+            for w, n in zip(pdf["w"], pdf["n"]):
+                n = int(n)
+                L = len(w)
+                for a in range(L):
+                    for b in range(a + 1, min(a + max_piece_len, L) + 1):
+                        piece.append(w[a:b])
+                        weight.append(n)
+            yield pd.DataFrame({"piece": pd.Series(piece, dtype="object"),
+                                "weight": pd.Series(weight, dtype="int64")})
+
+    seed = (
+        words_df.mapInPandas(_subs, "piece string, weight long")
+        .groupBy("piece").agg(F.sum("weight").alias("weight"))
+        .orderBy(F.desc("weight"), F.asc("piece"))
+        .limit(4 * vocab_size)
+        .collect()
+    )
+    singles = {w[a] for w, _ in freqs for a in range(len(w))}
+    scores: dict[str, int] = {r.piece: int(r.weight) for r in seed}
+    for ch in singles:
+        scores.setdefault(ch, 1)
+
+    for _ in range(em_iters):
+        b_scores = spark.sparkContext.broadcast(scores)
+
+        def _estep(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            sc = b_scores.value
+            for pdf in batches:
+                piece, usage = [], []
+                T = sum(sc.values()) or 1
+                for w, n in zip(pdf["w"], pdf["n"]):
+                    for p in viterbi_segment_unigram(
+                            w, sc, max_piece_len=max_piece_len, total=T):
+                        piece.append(p)
+                        usage.append(int(n))
+                yield pd.DataFrame({
+                    "piece": pd.Series(piece, dtype="object"),
+                    "usage": pd.Series(usage, dtype="int64"),
+                })
+
+        used = (
+            words_df.mapInPandas(_estep, "piece string, usage long")
+            .groupBy("piece").agg(F.sum("usage").alias("usage"))
+            .orderBy(F.desc("usage"), F.asc("piece"))
+            .limit(vocab_size + len(singles))
+            .collect()
+        )
+        usage = {r.piece: int(r.usage) for r in used}
+        multi = [(p, u) for p, u in usage.items() if len(p) > 1]
+        multi.sort(key=lambda x: (-x[1], x[0]))
+        keep = multi[: max(0, vocab_size - len(singles))]
+        scores = {p: u for p, u in keep}
+        for ch in singles:
+            scores[ch] = usage.get(ch, 1) or 1
+        b_scores.destroy()
+    return scores
+
+
+def unigram_encode(
+    docs: DataFrame,
+    scores: dict[str, int],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_piece_len: int = 6,
+) -> DataFrame:
+    """Distributed encode under a frozen unigram vocabulary → one row
+    per document: ``(doc_id, n_words, n_tokens, n_unk,
+    stream_md5)`` where stream_md5 hashes the space-joined piece
+    stream (the segmentation witness).  Broadcast scores, per-batch
+    word cache (Zipf), Arrow-batched."""
+    import hashlib
+
+    spark = docs.sparkSession
+    b_scores = spark.sparkContext.broadcast(scores)
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sc = b_scores.value
+        T = sum(sc.values()) or 1
+        cache: dict[str, list[str]] = {}
+        for pdf in batches:
+            ids, nw, nt, nu, hs = [], [], [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                words = [w for w in (text or "").split(" ") if w]
+                n_tokens = n_unk = 0
+                h = hashlib.md5()
+                for w in words:
+                    seg = cache.get(w)
+                    if seg is None:
+                        seg = cache[w] = viterbi_segment_unigram(
+                            w, sc, max_piece_len=max_piece_len, total=T)
+                    n_tokens += len(seg)
+                    n_unk += sum(1 for p in seg if p not in sc)
+                    for p in seg:
+                        h.update(p.encode("utf-8"))
+                        h.update(b"\x00")
+                ids.append(int(did))
+                nw.append(len(words))
+                nt.append(n_tokens)
+                nu.append(n_unk)
+                hs.append(h.hexdigest())
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "n_words": pd.Series(nw, dtype="int64"),
+                "n_tokens": pd.Series(nt, dtype="int64"),
+                "n_unk": pd.Series(nu, dtype="int64"),
+                "stream_md5": pd.Series(hs, dtype="object"),
+            })
+
+    return docs.select(id_col, text_col).mapInPandas(
+        _encode,
+        "doc_id bigint, n_words bigint, n_tokens bigint, "
+        "n_unk bigint, stream_md5 string",
+    )

@@ -863,3 +863,33 @@ def pipe_crawl_frontier(spark, sf_dir):
             .alias("priority_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer (round 12) — rows-only by design, like BPE
+# ---------------------------------------------------------------------------
+
+
+@query("pipe_tokenize_unigram", oracle=None)
+def pipe_tokenize_unigram(spark, sf_dir):
+    """SentencePiece-style unigram-LM tokenizer
+    (operators/tokenizer.py, round 12): the vocabulary trains with a
+    DISTRIBUTED E-step (Viterbi per distinct word executor-side
+    against broadcast integer scores, usage aggregated in one
+    map-combined shuffle; only the vocab_size-bounded M-step prune
+    collects), then the corpus encodes under the frozen vocab —
+    per-document token counts, unknown rates, and the segmentation
+    witness md5.  Viterbi compares exact rational likelihoods
+    (bigint cross-multiplication), so training and encoding are
+    bit-deterministic.  Rows-only by design (iterative EM + DP is
+    not SQL-expressible — the BPE precedent); correctness is
+    property-tested: reconstruction, coverage, determinism, and
+    likelihood-optimality vs brute force on short words."""
+    from impala_cut_spark.operators.tokenizer import (
+        learn_unigram_vocab,
+        unigram_encode,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    vocab = learn_unigram_vocab(docs, vocab_size=256, em_iters=2)
+    return unigram_encode(docs, vocab)

@@ -75,3 +75,88 @@ class TestLearnAndEncode:
         assert a == b
         counts = [n for _, n in a]
         assert counts == sorted(counts, reverse=True)
+
+
+class TestUnigram:
+    SC = {"low": 100, "er": 80, "lower": 30,
+          "l": 5, "o": 5, "w": 5, "e": 5, "r": 5, "x": 5}
+
+    def test_viterbi_prefers_likely_merge(self):
+        from impala_cut_spark.operators.tokenizer import (
+            viterbi_segment_unigram,
+        )
+
+        assert viterbi_segment_unigram("lower", self.SC) == ["low", "er"]
+        assert viterbi_segment_unigram("er", self.SC) == ["er"]
+
+    def test_viterbi_reconstruction_and_unknowns(self):
+        from impala_cut_spark.operators.tokenizer import (
+            viterbi_segment_unigram,
+        )
+
+        for w in ("lower", "lowerlower", "zzz", "xlowerz", ""):
+            seg = viterbi_segment_unigram(w, self.SC)
+            assert "".join(seg) == w
+
+    def test_viterbi_matches_bruteforce_likelihood(self):
+        """Exhaustive check on short words: the DP's segmentation has
+        maximal likelihood prod/T^k among ALL segmentations."""
+        from itertools import combinations
+
+        from impala_cut_spark.operators.tokenizer import (
+            viterbi_segment_unigram,
+        )
+
+        sc = self.SC
+        T = sum(sc.values())
+
+        def lik(seg):
+            p = 1
+            for piece in seg:
+                s = sc.get(piece)
+                if s is None:
+                    if len(piece) > 1:
+                        return None
+                    s = 1
+                p *= s
+            return (p, len(seg))
+
+        for w in ("lower", "erlow", "xxer", "wolre"):
+            best = viterbi_segment_unigram(w, sc)
+            bp, bk = lik(best)
+            for cuts in range(len(w)):
+                for pos in combinations(range(1, len(w)), cuts):
+                    seg = [w[a:b] for a, b in
+                           zip((0,) + pos, pos + (len(w),))]
+                    r = lik(seg)
+                    if r is None:
+                        continue
+                    p, k = r
+                    # best likelihood: bp/T^bk >= p/T^k exactly
+                    assert bp * T**k >= p * T**bk
+
+    def test_learn_and_encode_deterministic(self, spark):
+        from impala_cut_spark.operators.tokenizer import (
+            learn_unigram_vocab,
+            unigram_encode,
+        )
+
+        df = spark.createDataFrame(
+            [(i, "the lower tower shower " * 3) for i in range(4)]
+            + [(9, "unrelated words here")],
+            "doc_id bigint, text string",
+        )
+        v1 = learn_unigram_vocab(df, vocab_size=64, em_iters=2)
+        v2 = learn_unigram_vocab(df, vocab_size=64, em_iters=2)
+        assert v1 == v2  # bit-deterministic training
+        # single-char coverage guarantee
+        chars = {c for _, t in df.collect() for w in t.split() for c in w}
+        assert chars <= set(v1)
+        rows = {r.doc_id: r for r in unigram_encode(df, v1).collect()}
+        assert rows[0].n_tokens == rows[1].n_tokens
+        assert rows[0].stream_md5 == rows[1].stream_md5
+        assert rows[0].n_words == 12
+        # a shared suffix family should compress below char count
+        assert rows[0].n_tokens < sum(
+            len(w) for w in ("the lower tower shower " * 3).split())
+        assert rows[9].n_unk == 0  # all chars covered by singles
