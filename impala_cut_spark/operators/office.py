@@ -40,6 +40,16 @@ from pyspark.sql import DataFrame
 
 from impala_cut_spark.sources.archives import list_zip
 
+#: the degrade-contract exception set for the OOXML path — everything
+#: hostile container bytes can raise out of the zip walk (struct /
+#: zlib on truncated or corrupt members — the archives.py tuple minus
+#: the tar-only members) plus the XML/value layer
+import struct as _struct
+import zlib as _zlib
+
+OOXML_ERRORS = (ValueError, KeyError, IndexError, OverflowError,
+                _struct.error, _zlib.error)
+
 #: namespaces ECMA-376 fixes for the parts we read
 _W = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"
 _S = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
@@ -221,7 +231,7 @@ def office_extract(
                                      x["n_numeric"], None, x["text"], True))
                     else:
                         raise ValueError("ooxml: neither word/ nor xl/ parts")
-                except (ValueError, KeyError, OverflowError):
+                except OOXML_ERRORS:
                     rows.append((int(sid), None, 0, 0, 0, None, None, False))
             yield pd.DataFrame(
                 rows,

@@ -33,7 +33,6 @@ executor-side at batch granularity.
 
 from __future__ import annotations
 
-import re
 from typing import Iterator
 
 from pyspark.sql import DataFrame
@@ -102,14 +101,42 @@ def parse_robots(text: str, agent: str) -> dict:
     return {"rules": rules, "crawl_delay": delay, "sitemaps": sitemaps}
 
 
-def _pattern_re(pattern: str) -> re.Pattern:
-    """RFC 9309 pattern → anchored regex: '*' is any octet run, a
-    trailing '$' anchors the end, everything else is literal."""
+#: hostile-input caps (RFC 9309 §2.4 allows implementation limits;
+#: the major crawlers impose comparable ones): rules beyond MAX_RULES
+#: are ignored, patterns truncate to MAX_PATTERN octets
+MAX_RULES = 1000
+MAX_PATTERN = 256
+
+
+def _glob_match(pattern: str, path: str) -> bool:
+    """RFC 9309 pattern match as an ITERATIVE two-pointer glob — '*'
+    matches any octet run, a trailing '$' anchors the end — with
+    guaranteed O(len(pattern)·len(path)) worst case (a hostile
+    many-star pattern cannot trigger regex catastrophic
+    backtracking).  Unanchored patterns are prefix matches, i.e. the
+    pattern consumes any prefix of ``path``."""
     anchor = pattern.endswith("$")
     if anchor:
         pattern = pattern[:-1]
-    parts = [re.escape(p) for p in pattern.split("*")]
-    return re.compile("^" + ".*".join(parts) + ("$" if anchor else ""))
+    else:
+        pattern = pattern + "*"  # prefix semantics: trailing freedom
+    pi = si = 0
+    star_pi = star_si = -1
+    while si < len(path):
+        if pi < len(pattern) and (pattern[pi] == path[si]):
+            pi += 1
+            si += 1
+        elif pi < len(pattern) and pattern[pi] == "*":
+            star_pi, star_si = pi, si
+            pi += 1
+        elif star_pi >= 0:
+            star_si += 1
+            pi, si = star_pi + 1, star_si
+        else:
+            return False
+    while pi < len(pattern) and pattern[pi] == "*":
+        pi += 1
+    return pi == len(pattern)
 
 
 def robots_allowed(rules: list, path: str) -> tuple[bool, int]:
@@ -117,12 +144,15 @@ def robots_allowed(rules: list, path: str) -> tuple[bool, int]:
     (§2.2.2): every matching rule scores the length of its pattern
     (minus wildcard/anchor metachars — the 'octets of the rule' the
     RFC counts); the longest wins, Allow winning exact ties.  No rule
-    matching → allowed (0)."""
+    matching → allowed (0).  Hostile-policy bounds: only the first
+    MAX_RULES rules are consulted and each pattern is truncated to
+    MAX_PATTERN octets before matching."""
     verdict, best = True, -1
-    for allow, pattern in rules:
+    for allow, pattern in rules[:MAX_RULES]:
         if pattern == "":
             continue  # empty pattern matches nothing
-        if _pattern_re(pattern).match(path):
+        pattern = pattern[:MAX_PATTERN]
+        if _glob_match(pattern, path):
             score = len(pattern.replace("*", "").rstrip("$"))
             if score > best or (score == best and allow and not verdict):
                 verdict, best = allow, score

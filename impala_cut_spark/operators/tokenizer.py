@@ -170,6 +170,27 @@ def bpe_encode(
 # by vocab_size (the vocabulary IS the artifact, like a PQ codebook).
 
 
+#: pathological-input bound: a single unbroken "word" above this
+#: length (minified JS, base64 blobs) segments in MAX_WORD_LEN-char
+#: slices — Viterbi's exact-bigint comparisons are O(len²·log T)
+#: bits, so an unbounded word would be a hostile-input blowup, and
+#: slicing keeps the result deterministic
+MAX_WORD_LEN = 64
+
+
+def _segment_capped(word: str, scores: dict[str, int],
+                    max_piece_len: int, total: int) -> list[str]:
+    if len(word) <= MAX_WORD_LEN:
+        return viterbi_segment_unigram(
+            word, scores, max_piece_len=max_piece_len, total=total)
+    out: list[str] = []
+    for a in range(0, len(word), MAX_WORD_LEN):
+        out.extend(viterbi_segment_unigram(
+            word[a:a + MAX_WORD_LEN], scores,
+            max_piece_len=max_piece_len, total=total))
+    return out
+
+
 def viterbi_segment_unigram(
     word: str,
     scores: dict[str, int],
@@ -274,8 +295,7 @@ def learn_unigram_vocab(
                 piece, usage = [], []
                 T = sum(sc.values()) or 1
                 for w, n in zip(pdf["w"], pdf["n"]):
-                    for p in viterbi_segment_unigram(
-                            w, sc, max_piece_len=max_piece_len, total=T):
+                    for p in _segment_capped(w, sc, max_piece_len, T):
                         piece.append(p)
                         usage.append(int(n))
                 yield pd.DataFrame({
@@ -331,8 +351,8 @@ def unigram_encode(
                 for w in words:
                     seg = cache.get(w)
                     if seg is None:
-                        seg = cache[w] = viterbi_segment_unigram(
-                            w, sc, max_piece_len=max_piece_len, total=T)
+                        seg = cache[w] = _segment_capped(
+                            w, sc, max_piece_len, T)
                     n_tokens += len(seg)
                     n_unk += sum(1 for p in seg if p not in sc)
                     for p in seg:

@@ -208,3 +208,25 @@ def test_hypothesis_xlsx_roundtrip():
         assert out["text"] == " ".join(strings)
 
     check()
+
+
+def test_truncated_zip_degrades_not_raises(spark):
+    """r12 hardening: hostile container bytes that blow up inside the
+    zip walk (struct on truncated central directory, zlib on corrupt
+    deflate) must degrade to parse_ok=false, never fail the job."""
+    good = build_docx(["hello paragraph body long enough to deflate"])
+    # EOCD magic present but the record truncated → struct.error in
+    # the zip walk
+    short_eocd = b"PK\x03\x04" + b"\x00" * 8 + b"PK\x05\x06\x00\x00"
+    # flip bytes inside word/document.xml's deflate stream → zlib
+    # error or CRC mismatch
+    corrupt = bytearray(good)
+    at = good.find(b"word/document.xml") + len(b"word/document.xml")
+    corrupt[at + 4 : at + 12] = b"\xff" * 8
+    df = spark.createDataFrame(
+        [(1, bytearray(short_eocd)), (2, bytes(corrupt))],
+        "source_id bigint, payload binary",
+    )
+    rows = office_extract(df).collect()
+    assert len(rows) == 2
+    assert not any(r.parse_ok for r in rows)

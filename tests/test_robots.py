@@ -190,3 +190,29 @@ class TestFeeds:
         rows = sorted(feed_extract(df).collect(), key=lambda r: r.source_id)
         assert rows[0].parse_ok and rows[0].feed_title == "F"
         assert not rows[1].parse_ok
+
+
+class TestHostileBounds:
+    def test_many_star_pattern_is_linear(self):
+        """The r12 hardening: a hostile many-star pattern must match
+        in polynomial time (the iterative glob cannot backtrack
+        catastrophically the way a regex translation could)."""
+        import time
+
+        rules = [(False, "/*a" * 40 + "zz$")]
+        t0 = time.time()
+        verdict = robots_allowed(rules, "/" + "a" * 2000)
+        assert time.time() - t0 < 1.0
+        assert verdict == (True, 0)  # no zz → no match → allowed
+
+    def test_rule_and_pattern_caps(self):
+        from impala_cut_spark.operators.robots import MAX_RULES
+
+        # a disallow hidden past the rule cap must be ignored
+        rules = [(True, f"/x{i}") for i in range(MAX_RULES)]
+        rules.append((False, "/secret"))
+        assert robots_allowed(rules, "/secret")[0] is True
+        # an over-long pattern truncates rather than matching fully
+        long_pat = "/" + "p" * 1000
+        assert robots_allowed([(False, long_pat)], long_pat)[0] is False
+        assert robots_allowed([(False, long_pat)], "/" + "p" * 255)[0] is False

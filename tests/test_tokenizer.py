@@ -160,3 +160,28 @@ class TestUnigram:
         assert rows[0].n_tokens < sum(
             len(w) for w in ("the lower tower shower " * 3).split())
         assert rows[9].n_unk == 0  # all chars covered by singles
+
+
+def test_unigram_long_word_capped():
+    """r12 hardening: a pathological unbroken 'word' (minified JS,
+    base64 blob) segments in bounded slices instead of feeding an
+    O(len²) exact-bigint Viterbi."""
+    import time
+
+    from impala_cut_spark.operators.tokenizer import (
+        MAX_WORD_LEN,
+        _segment_capped,
+        viterbi_segment_unigram,
+    )
+
+    sc = {chr(c): 2 for c in range(97, 123)}
+    T = sum(sc.values())
+    t0 = time.time()
+    seg = _segment_capped("a" * 50_000, sc, 6, T)
+    assert time.time() - t0 < 5.0
+    assert "".join(seg) == "a" * 50_000
+    # below the cap the slice path and the direct path agree
+    w = "abcdef" * 10
+    assert len(w) <= MAX_WORD_LEN
+    assert _segment_capped(w, sc, 6, T) == viterbi_segment_unigram(
+        w, sc, max_piece_len=6, total=T)
