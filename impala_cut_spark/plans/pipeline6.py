@@ -893,3 +893,18 @@ def pipe_tokenize_unigram(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
     vocab = learn_unigram_vocab(docs, vocab_size=256, em_iters=2)
     return unigram_encode(docs, vocab)
+
+
+@query("pipe_cdc_chunks_gear", oracle=None)
+def pipe_cdc_chunks_gear(spark, sf_dir):
+    """The PRODUCTION CDC twin (rows-only, the xxhash-twin
+    precedent): the same chunk-row shape as pipe_cdc_chunks but under
+    the clamped FastCDC gear hash over utf-8 bytes — stateful min/max
+    boundaries, so no SQL replay; pytest pins partition/clamp
+    invariants and shift resistance, and the plan-shape identity
+    with the oracle twin is test-asserted so the poly arm's plan
+    audit covers both."""
+    from impala_cut_spark.operators.cdc import cdc_chunk_rows
+
+    docs = t(spark, sf_dir, "documents")
+    return cdc_chunk_rows(docs, arm="gear")

@@ -171,3 +171,20 @@ def test_hypothesis_partitions():
         assert all(b > a for a, b in spans)
 
     check_poly()
+
+
+def test_gear_twin_shares_plan_shape(spark):
+    """The gear production arm must plan IDENTICALLY to the
+    oracle-checked poly arm (same mapInPandas narrow map over the
+    same scan) — so the poly twin's plan audit covers both (the
+    xxhash-twin pattern from test_plans)."""
+    import re
+
+    from impala_cut_spark.plans import REGISTRY
+
+    def shape(name):
+        df = REGISTRY[name].spark(spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        return re.sub(r"#\d+", "#N", plan)
+
+    assert shape("pipe_cdc_chunks") == shape("pipe_cdc_chunks_gear")
