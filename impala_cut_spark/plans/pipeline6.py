@@ -908,3 +908,53 @@ def pipe_cdc_chunks_gear(spark, sf_dir):
 
     docs = t(spark, sf_dir, "documents")
     return cdc_chunk_rows(docs, arm="gear")
+
+
+# ---------------------------------------------------------------------------
+# Parquet footer introspection (round 12) — SURVEY §2.1 footer-first
+# ---------------------------------------------------------------------------
+
+#: the flat tables whose leaf paths equal their logical columns (the
+#: embeddings list column nests to embedding.list.element and its
+#: num_values counts ELEMENTS — covered by the pytest differential,
+#: not this oracle row)
+_PQ_TABLES = ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents"]
+
+
+def _parquet_meta_oracle() -> str:
+    """Footer num_values summed per column must equal the LIVE row
+    count of the registered view (flat schemas: one value per row per
+    leaf) — replayed via pragma_table_info over the same views."""
+    parts = [
+        f"""SELECT '{t}' AS table_name, name AS column_path,
+       (SELECT CAST(count(*) AS BIGINT) FROM {t}) AS n_values
+FROM pragma_table_info('{t}')"""
+        for t in _PQ_TABLES
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+@query("pipe_parquet_meta", oracle=_parquet_meta_oracle())
+def pipe_parquet_meta(spark, sf_dir):
+    """Parquet footer introspection (sources/parquet_meta.py): the
+    reference parses footers FIRST (hdfs-parquet-scanner.cc:52-54;
+    SURVEY §2.1) — this row carries that surface as a from-scratch
+    thrift-COMPACT FileMetaData walk (varint/zigzag, short-form field
+    headers, nested structs/lists), reading ONLY each file's tail.
+    The oracle cross-checks footer value counts per column against
+    the live row counts of the same views; the full chunk surface
+    (codecs, page offsets, compressed sizes) is differentialed
+    against DuckDB's parquet_metadata() in pytest.  Scale: one task
+    per file, footer-tail reads only, one shuffle for the per-column
+    sum."""
+    from pyspark.sql import functions as F
+
+    from impala_cut_spark.sources.parquet_meta import parquet_meta_rows
+
+    rows = parquet_meta_rows(spark, sf_dir, _PQ_TABLES)
+    return (
+        rows.where(F.col("parse_ok"))
+        .groupBy("table_name", "column_path")
+        .agg(F.sum("num_values").alias("n_values"))
+    )
