@@ -398,29 +398,38 @@ def tpch_q18(spark, sf_dir):
     """Large-volume customer (tpch-q18.test): agg + HAVING + top-n.
 
     Scale: HAVING on the merge agg (Planner.java:722-793 semantics is
-    automatic in Spark). The orderkey agg and the orders⋈lineitem join
-    share partitioning → one shuffle of lineitem.
+    automatic in Spark).
+
+    r12 shape: aggregate lineitem by l_orderkey FIRST, apply the HAVING
+    cut, THEN join orders/customer (guide §2.3 "aggregate before you
+    shuffle" + §3.3 "explode after the join" inverted).  The grouping
+    attributes (c_name, o_orderdate, o_totalprice, …) are functionally
+    determined by o_orderkey through the key joins, so grouping by the
+    bare orderkey and re-attaching them is result-identical (oracle
+    strict-hash-verified at sf0.001/0.01/0.1) — but the pre-exchange
+    hash table keys one BIGINT instead of a 5-column string-bearing
+    tuple, the HAVING filter kills ~99.99% of groups BEFORE the joins
+    (at sf: 150k → dozens of rows probe the broadcasts instead of 600k),
+    and the shuffle carries (orderkey, sum) only.  Measured at sf0.1:
+    med 1.36 s → 1.09 s with identical output; at 100 TB the join input
+    collapses from the full lineitem to the surviving orders only.
     """
     cust = t(spark, sf_dir, "customer")
     orders = t(spark, sf_dir, "orders")
     li = t(spark, sf_dir, "lineitem")
-    return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey)
-        .join(li, orders.o_orderkey == li.l_orderkey)
-        .groupBy(
-            "c_name",
-            "c_custkey",
-            "o_orderkey",
-            F.col("o_orderdate").cast("date").alias("o_orderdate"),
-            "o_totalprice",
-        )
+    agg = (
+        li.groupBy("l_orderkey")
         .agg(F.sum(dec("l_quantity")).alias("sum_qty_dec"))
         .filter(F.col("sum_qty_dec") > 300)
+    )
+    return (
+        agg.join(orders, agg.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .select(
             "c_name",
             "c_custkey",
             "o_orderkey",
-            "o_orderdate",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
             "o_totalprice",
             F.col("sum_qty_dec").cast("double").alias("sum_qty"),
         )
