@@ -90,18 +90,28 @@ def main() -> None:
     cold: dict[str, float] = {}
     for name, spec in headline.items():
         for i in range(WARMUPS):
+            # EVERY execution starts with an empty SQL cache (r12): the
+            # catalog's table-plan memo makes repeated constructions
+            # plan-identical, so Spark's CacheManager would otherwise
+            # resolve a later run's operator-internal .persist() to the
+            # PREVIOUS run's materialized blocks — the timed min-of-3
+            # would read warm-up results instead of computing from the
+            # parquet inputs.  Clearing per run keeps the contract:
+            # each invocation computes everything from storage.
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             spec.spark(spark, sf_dir).count()
             if i == 0:
                 cold[name] = round(time.perf_counter() - t0, 4)
         per_run = []
         for _ in range(3):
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             spec.spark(spark, sf_dir).count()
             per_run.append(time.perf_counter() - t0)
         times[name] = round(min(per_run), 4)
-        # each call builds fresh .persist() intermediates — drop them so
-        # later queries aren't timed under earlier queries' cache pressure
+        # drop the last run's intermediates so later queries aren't
+        # timed under earlier queries' cache pressure
         spark.catalog.clearCache()
 
     # DuckDB proxy baseline beside each Spark number (warm, min-of-3 —

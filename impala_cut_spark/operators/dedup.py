@@ -396,17 +396,24 @@ def _minhash_pre_aggs(
     column and the k min-aggregates over it. Single definition so the
     fused pipeline (minhash_dedup_pairs), the standalone signature
     function, and the DuckDB oracle literals can never desynchronize."""
+    # Each aggregate is ONE F.expr over a SQL string rather than a
+    # chain of Column operator calls: the k-aggregate family costs k
+    # py4j round-trips instead of ~6k.  Building this query's graph
+    # was measured at 0.89 s per bench run (vs 0.69 s executing it) —
+    # pure driver-side Python↔JVM chatter (guide §1: time the engine).
+    # The parsed expressions are literal-for-literal identical to the
+    # previous Column-built ones (integer literals promote to BIGINT
+    # arithmetic the same way), so plans and results are unchanged.
     if hash_family == "md5_affine":
         pre = sh.withColumn("_h", md5_hash60(F.col("shingle")) % MINHASH_PRIME)
         aggs = [
-            F.min((F.lit(a) * F.col("_h") + F.lit(b)) % MINHASH_PRIME).alias(f"mh_{i}")
+            F.expr(f"min(({a}L * _h + {b}L) % {MINHASH_PRIME}L) AS mh_{i}")
             for i, (a, b) in enumerate(affine_params(num_hashes))
         ]
     else:
         pre = sh.withColumn("_h", F.xxhash64("shingle"))
         aggs = [
-            F.min(F.xxhash64(F.col("_h"), F.lit(i))).alias(f"mh_{i}")
-            for i in range(num_hashes)
+            F.expr(f"min(xxhash64(_h, {i})) AS mh_{i}") for i in range(num_hashes)
         ]
     return pre, aggs
 
@@ -468,28 +475,28 @@ def band_bucket_keys(
     replays them verbatim."""
     num_hashes = len([c for c in sig.columns if c.startswith("mh_")])
     n_bands = num_hashes // band_size
+    # one F.expr for the whole band array (SQL text identical in
+    # structure to the Column-built form — see _minhash_pre_aggs note
+    # on construction cost)
     if band_key == "md5":
-        bands = F.array(
-            *[
-                md5_hash60(
-                    F.concat_ws(
-                        ",",
-                        F.lit(b),
-                        *[F.col(f"mh_{b * band_size + r}") for r in range(band_size)],
-                    )
+        arms = ", ".join(
+            "cast(conv(substr(md5(concat_ws(',', {args})), 1, 15), 16, 10) as bigint)".format(
+                args=", ".join(
+                    [str(b)] + [f"mh_{b * band_size + r}" for r in range(band_size)]
                 )
-                for b in range(n_bands)
-            ]
+            )
+            for b in range(n_bands)
         )
     else:
-        bands = F.array(
-            *[
-                F.xxhash64(
-                    *[F.col(f"mh_{b * band_size + r}") for r in range(band_size)], F.lit(b)
+        arms = ", ".join(
+            "xxhash64({args})".format(
+                args=", ".join(
+                    [f"mh_{b * band_size + r}" for r in range(band_size)] + [str(b)]
                 )
-                for b in range(n_bands)
-            ]
+            )
+            for b in range(n_bands)
         )
+    bands = F.expr(f"array({arms})")
     return sig.select("doc_id", F.posexplode(bands).alias("band", "bucket"))
 
 

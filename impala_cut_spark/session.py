@@ -51,6 +51,20 @@ ENGINE_CONF: dict[str, str] = {
     # Python DataSource predicate offer (sources/external.py — the
     # ExternalDataSource.thrift accepted-conjuncts semantics)
     "spark.sql.python.filterPushdown.enabled": "true",
+    # --- JVM code cache (r12) ---
+    # Spark generates a Janino class per codegen unit per query; a
+    # long-lived session cycling many queries fills HotSpot's default
+    # ~240 MB reserved code cache, after which the JIT shuts off and
+    # whole stages run INTERPRETED — measured on this workload as
+    # intermittent 10-100× task-time spikes (2 s → 50-140 s on
+    # identical re-runs) that vanish entirely with a 1 GiB cache +
+    # flushing.  Scale-neutral: any production driver/executor running
+    # a query mix needs the code cache sized for it (stock JVM tuning,
+    # not a local-mode trick).  Takes effect at JVM launch, so it only
+    # helps sessions this module itself builds (bench.py, servers,
+    # tools) — which is where the many-queries-one-JVM pattern lives.
+    "spark.driver.extraJavaOptions": "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+    "spark.executor.extraJavaOptions": "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
     # --- storage quirks of the driver testdata ---
     # events.parquet stores TIMESTAMP(NANOS); Spark has no ns type, so
     # read as epoch-nanos BIGINT and convert at the catalog layer
