@@ -71,17 +71,19 @@ def exact_dedup_keep_first(docs: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _pair_combos(ids: Column) -> Column:
-    """All ordered pairs (a<b) from an id array, as structs."""
-    sorted_ids = F.array_sort(ids)
-    return F.flatten(
-        F.transform(
-            sorted_ids,
-            lambda x, i: F.transform(
-                F.slice(sorted_ids, i + 2, F.size(sorted_ids)),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
+def _pair_combos(ids: str) -> Column:
+    """All ordered pairs (a<b) from an id-array COLUMN NAME, as structs.
+
+    One F.expr over SQL text rather than nested Column HOF lambdas:
+    each PySpark lambda conversion costs ~40 ms of py4j round-trips at
+    construction time (the r12 MinHash F.expr finding, guide §1), and
+    this expression has three of them. The SQL parses to the same
+    tree — named_struct is exactly what F.struct(alias) creates."""
+    s = f"array_sort({ids})"
+    return F.expr(
+        f"flatten(transform({s}, (x, i) -> "
+        f"transform(slice({s}, i + 2, size({s})), "
+        f"y -> named_struct('id_a', x, 'id_b', y))))"
     )
 
 
@@ -139,7 +141,7 @@ def candidate_pairs_from_groups(
         .filter(F.size("ids") > 1)
     )
     return (
-        grouped.select(F.explode(_pair_combos(F.col("ids"))).alias("p"))
+        grouped.select(F.explode(_pair_combos("ids")).alias("p"))
         .select("p.id_a", "p.id_b")
         .distinct()
     )
@@ -165,25 +167,23 @@ def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     """
     from impala_cut_spark.partitioning import fan_out
 
-    tok = fan_out(docs).select("doc_id", tokens(F.col("text")).alias("toks"))
-    # native higher-order shingle build (replaces the earlier
-    # pyspark.ml NGram transformer — a row-at-a-time Scala UDF;
-    # transform/slice/concat_ws stay JVM-expression-level and were
-    # measured output-identical and slightly faster)
-    # short docs (< n tokens) must yield ZERO shingles — sequence()
-    # infers a NEGATIVE step when start > stop (sequence(0,-1) is
-    # [0,-1], not empty), so the branch is gated by a CASE
+    # SQL-text construction (one parse round-trip instead of two
+    # converted HOF lambdas — see _pair_combos): same expression tree,
+    # same results. Short docs (< n tokens) must yield ZERO shingles —
+    # sequence() infers a NEGATIVE step when start > stop
+    # (sequence(0,-1) is [0,-1], not empty), so the branch is gated by
+    # a CASE.
+    tok = fan_out(docs).select(
+        "doc_id", F.expr("filter(split(text, ' '), x -> x != '')").alias("toks")
+    )
     grams = tok.select(
         "doc_id",
-        F.when(
-            F.size("toks") >= n,
-            F.transform(
-                F.sequence(F.lit(0), F.size("toks") - n),
-                lambda i: F.concat_ws(" ", F.slice("toks", i + 1, n)),
-            ),
-        )
-        .otherwise(F.array().cast("array<string>"))
-        .alias("grams"),
+        F.expr(
+            f"CASE WHEN size(toks) >= {n} THEN "
+            f"transform(sequence(0, size(toks) - {n}), "
+            f"i -> concat_ws(' ', slice(toks, i + 1, {n}))) "
+            f"ELSE cast(array() as array<string>) END"
+        ).alias("grams"),
     )
     return grams.select("doc_id", F.explode(F.array_distinct("grams")).alias("shingle"))
 
@@ -206,6 +206,10 @@ MAX_SHINGLE_DF = 10_000
 def _pair_jaccard(sh: DataFrame, threshold: float, max_df: int = MAX_SHINGLE_DF) -> DataFrame:
     """Exact Jaccard over an inverted index: count common shingles per
     pair via a self-join on the shingle key, |A∪B| = |A|+|B|−common.
+
+    ``sh`` is either (doc_id, shingle) or the pre-hashed (doc_id, h) —
+    callers that persist the index pass the hashed form so the cache
+    holds 8-byte keys and the md5 runs exactly once.
 
     Pair generation is a relational self-join — Catalyst/AQE picks the
     physical strategy: broadcast hash join on a small corpus, shuffled
@@ -236,7 +240,9 @@ def _pair_jaccard(sh: DataFrame, threshold: float, max_df: int = MAX_SHINGLE_DF)
     affect both engines identically.
     """
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    hsh = sh.select("doc_id", md5_hash60(F.col("shingle")).alias("h"))
+    hsh = sh if set(sh.columns) == {"doc_id", "h"} else sh.select(
+        "doc_id", md5_hash60(F.col("shingle")).alias("h")
+    )
     hot = (
         hsh.groupBy("h")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -280,7 +286,17 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.2) -> 
     long documents where the prefix is a small fraction of the doc;
     both forms are exact and differential-tested identical.
     """
-    sh = shingles(docs, n).persist(StorageLevel.MEMORY_AND_DISK)
+    # persist the HASHED index (doc_id, h): the md5 runs once in the
+    # cached projection instead of once per consumer branch (the old
+    # string-keyed cache fed hot-key count and anti-join arms that each
+    # re-hashed), and the cached rows are two fixed 8-byte columns
+    # instead of a ~25-byte string (guide §2.3 narrow types / §5 cache
+    # pressure). sizes count rows, which a projection leaves unchanged.
+    sh = (
+        shingles(docs, n)
+        .select("doc_id", md5_hash60(F.col("shingle")).alias("h"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     return _pair_jaccard(sh, threshold)
 
 
@@ -840,21 +856,21 @@ def positional_shingles(docs: DataFrame, k: int = 8) -> DataFrame:
     (which dedups per doc and drops positions). posexplode keeps the
     start index; short docs (< k tokens) yield zero rows via the same
     sequence()-gate as shingles()."""
-    from impala_cut_spark.operators.text import tokens
     from impala_cut_spark.partitioning import fan_out
 
-    tok = fan_out(docs).select("doc_id", tokens(F.col("text")).alias("toks"))
+    # SQL-text construction — see shingles() (same tree, fewer py4j
+    # lambda conversions at construction time)
+    tok = fan_out(docs).select(
+        "doc_id", F.expr("filter(split(text, ' '), x -> x != '')").alias("toks")
+    )
     grams = tok.select(
         "doc_id",
-        F.when(
-            F.size("toks") >= k,
-            F.transform(
-                F.sequence(F.lit(0), F.size("toks") - k),
-                lambda i: F.concat_ws(" ", F.slice("toks", i + 1, k)),
-            ),
-        )
-        .otherwise(F.array().cast("array<string>"))
-        .alias("grams"),
+        F.expr(
+            f"CASE WHEN size(toks) >= {k} THEN "
+            f"transform(sequence(0, size(toks) - {k}), "
+            f"i -> concat_ws(' ', slice(toks, i + 1, {k}))) "
+            f"ELSE cast(array() as array<string>) END"
+        ).alias("grams"),
     )
     return grams.select(
         "doc_id", F.posexplode("grams").alias("p0", "g")

@@ -94,17 +94,18 @@ def brute_force_topk(
     ~nothing.  The bounded driver-side collect of the queries is the
     same data movement the previous broadcast did.
     """
-    qrows = (
-        with_norm(queries)
-        .select("vec_id", "embedding", "_norm")
-        .orderBy("vec_id")
-        .collect()
-    )
+    # norms are computed in numpy on BOTH sides (guide §4.2: batch
+    # native code, not per-row interpreted HOF folds): sqrt of the
+    # einsum self-product is the same sequential float64 accumulation
+    # over exact f32 widenings as the JVM `dot` fold it replaces —
+    # bit-identical values, one less per-row interpreted expression
+    # over the corpus, and one less double in the Arrow batch.
+    qrows = queries.select("vec_id", "embedding").orderBy("vec_id").collect()
     if not qrows:
         schema = "q_id long, n_id long, rank int, cos double"
         return embeddings.sparkSession.createDataFrame([], schema)
     Q = np.array([r["embedding"] for r in qrows], dtype=np.float64)
-    qnorm = np.array([r["_norm"] for r in qrows], dtype=np.float64)
+    qnorm = np.sqrt(np.einsum("ij,ij->i", Q, Q))
     qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
 
     def score(batches):
@@ -113,7 +114,7 @@ def brute_force_topk(
                 continue
             M = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
             nids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            nnorm = pdf["_norm"].to_numpy(dtype=np.float64)
+            nnorm = np.sqrt(np.einsum("ij,ij->i", M, M))
             # sequential inner accumulation (optimize=False) — matches
             # the oracle's sequential fold over exact f32 products
             cos = np.einsum("ij,kj->ik", M, Q) / np.outer(nnorm, qnorm)
@@ -157,9 +158,7 @@ def brute_force_topk(
 
     # batched-numpy kernel: only fan out when there are enough bytes
     # for the shuffle to pay for itself (see partitioning.fan_out)
-    corpus = with_norm(fan_out(embeddings, min_bytes=4 << 20)).select(
-        "vec_id", "embedding", "_norm"
-    )
+    corpus = fan_out(embeddings, min_bytes=4 << 20).select("vec_id", "embedding")
     scored = corpus.mapInPandas(score, "q_id long, n_id long, cos double").withColumn(
         "cos", F.round("cos", 6)
     )

@@ -430,40 +430,44 @@ def quality_classifier_score(
     from pyspark.sql import functions as F
 
     w = weights if weights is not None else QC_WEIGHTS
-    warr = F.array(*[F.lit(int(x)).cast("bigint") for x in w])
     b = len(w)
 
-    def bucket_weight(s: Column) -> Column:
-        h = F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
-        return F.element_at(warr, (h % b + 1).cast("int"))
+    # The whole projection is built as SQL text and parsed JVM-side in
+    # ONE round-trip per output column (the r12 MinHash F.expr move,
+    # guide §1/§4 driver boundary): the Column-built form cost ~1,400
+    # py4j round-trips per construction (64 lit+cast for the weight
+    # array, ~40 ms per converted HOF lambda) — 0.26 s of driver-side
+    # construction for a 0.07 s execution. The SQL is
+    # literal-for-literal the same expression tree (BIGINT literals,
+    # same md5/conv hash, same CASE gate), so plans and results are
+    # unchanged.
+    w_sql = "array(" + ",".join(f"{int(x)}L" for x in w) + ")"
+
+    def bw(x: str) -> str:
+        h = f"cast(conv(substr(md5({x}),1,15),16,10) as bigint)"
+        return f"element_at({w_sql}, cast(({h} % {b} + 1) as int))"
 
     # NULL text scores as the empty document (n_tok=0, score=bias,
     # keep = bias>0), matching the oracle's coalesce(...,0) semantics —
     # without this, size(NULL)=-1 and a NULL score/keep diverge
     # cross-engine (round-5 advice)
-    toks = tokens(F.coalesce(F.col(text_col), F.lit("")))
-    uni = F.aggregate(
-        toks, F.lit(0).cast("bigint"), lambda acc, x: acc + bucket_weight(x)
-    )
+    ts = f"filter(split(coalesce({text_col}, ''), ' '), x -> x != '')"
+    uni = f"aggregate({ts}, cast(0 as bigint), (acc, x) -> acc + {bw('x')})"
     # bigrams: zip each token with its successor ("a b" joined by one
     # space, matching the shingle text convention)
-    bi_terms = F.when(
-        F.size(toks) >= 2,
-        F.aggregate(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            F.lit(0).cast("bigint"),
-            lambda acc, i: acc
-            + bucket_weight(
-                F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1))
-            ),
-        ),
-    ).otherwise(F.lit(0).cast("bigint"))
-    score = F.lit(int(bias)).cast("bigint") + uni + bi_terms
+    pair = bw(f"concat_ws(' ', element_at({ts}, i), element_at({ts}, i + 1))")
+    bi_terms = (
+        f"CASE WHEN size({ts}) >= 2 THEN "
+        f"aggregate(sequence(1, size({ts}) - 1), cast(0 as bigint), "
+        f"(acc, i) -> acc + {pair}) "
+        f"ELSE cast(0 as bigint) END"
+    )
+    score = f"(cast({int(bias)} as bigint) + {uni} + {bi_terms})"
     return docs.select(
         "doc_id",
-        F.size(toks).alias("n_tok"),
-        score.alias("score_micro"),
-        (score > 0).alias("keep"),
+        F.expr(f"size({ts})").alias("n_tok"),
+        F.expr(score).alias("score_micro"),
+        F.expr(f"{score} > 0").alias("keep"),
     )
 
 

@@ -396,32 +396,47 @@ def tpch_q21(spark, sf_dir):
     ADAPTED: no receipt/commit dates → "late" = l_shipdate >
     o_orderdate; the NOT-EXISTS (no other supplier was late) leg is
     dropped with the date columns, keeping the EXISTS (multi-supplier
-    order) leg as a LEFT SEMI self-join on lineitem.
+    order) leg.
 
-    Scale: the lineitem self-semi-join shuffles on orderkey (same
-    partitioning as the orders join — exchange reuse); nation
-    broadcast; final agg on s_name.
+    The EXISTS leg is an aggregate, not a lineitem self-join: for an
+    l1 row (orderkey, suppkey) the row itself is in lineitem, so
+    "another lineitem of the order with a different supplier exists"
+    ⟺ the order has ≥2 distinct suppliers ⟺ min(l_suppkey) ≠
+    max(l_suppkey) over the order (l_suppkey is non-null). The
+    per-order min/max combines map-side — the exchange carries one
+    narrow row per order per input partition instead of every
+    lineitem row through a semi-join probe.
+
+    Scale: supplier×nation broadcasts onto l1 FIRST (cuts l1 to one
+    nation's suppliers before the multi-supplier check), the
+    multi-order key set joins on orderkey (semi), final agg on s_name.
     """
-    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    orders = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
     li = t(spark, sf_dir, "lineitem")
+    multi_orders = (
+        li.groupBy("l_orderkey")
+        .agg(F.min("l_suppkey").alias("_mn"), F.max("l_suppkey").alias("_mx"))
+        .filter(F.col("_mn") != F.col("_mx"))
+        .select(F.col("l_orderkey").alias("mo_orderkey"))
+    )
     l1 = (
-        li.join(orders, orders.o_orderkey == li.l_orderkey)
+        li.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(orders, orders.o_orderkey == li.l_orderkey)
         .filter(F.col("l_shipdate") > F.col("o_orderdate"))
         .select("l_orderkey", "l_suppkey")
-    )
-    l2 = li.select(F.col("l_orderkey").alias("l2_orderkey"), F.col("l_suppkey").alias("l2_suppkey"))
-    multi = l1.join(
-        l2,
-        (F.col("l2_orderkey") == l1.l_orderkey) & (F.col("l2_suppkey") != l1.l_suppkey),
-        "left_semi",
     )
     supp = t(spark, sf_dir, "supplier")
     nation = F.broadcast(
         t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
     )
+    supp_n = supp.join(nation, supp.s_nationkey == nation.n_nationkey).select(
+        "s_suppkey", "s_name"
+    )
     return (
-        supp.join(nation, supp.s_nationkey == nation.n_nationkey)
-        .join(multi, supp.s_suppkey == multi.l_suppkey)
+        l1.join(supp_n, l1.l_suppkey == supp_n.s_suppkey)
+        .join(multi_orders, F.col("l_orderkey") == F.col("mo_orderkey"), "left_semi")
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")

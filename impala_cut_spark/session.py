@@ -107,7 +107,27 @@ def build_session(
     for k, v in ENGINE_CONF.items():
         builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():
+        if k.endswith(".extraJavaOptions") and k in ENGINE_CONF:
+            # APPEND caller JVM flags to the engine's code-cache flags
+            # instead of silently replacing them (ADVICE r12 #2) —
+            # within one extraJavaOptions string the last occurrence of
+            # a -XX flag wins, so caller overrides still apply.
+            v = f"{ENGINE_CONF[k]} {v}"
         builder = builder.config(k, v)
+    from pyspark import SparkContext
+
+    if SparkContext._active_spark_context is not None:
+        # getOrCreate will REUSE the live JVM: launch-time flags
+        # (extraJavaOptions — the code-cache sizing) silently cannot
+        # apply to it (ADVICE r12 #2). Surface that instead of letting
+        # a long session hit JIT-off cliffs with no breadcrumb.
+        import warnings
+
+        warnings.warn(
+            "build_session: reusing an already-running SparkContext — "
+            "launch-time JVM flags (ReservedCodeCacheSize) do not apply",
+            stacklevel=2,
+        )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
