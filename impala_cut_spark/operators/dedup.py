@@ -121,9 +121,15 @@ def candidate_pairs_from_groups(
     """
     key_cols = [c for c in keyed.columns if c != id_col]
     if max_group is not None:
-        sizes = keyed.groupBy(*key_cols).agg(
-            F.countDistinct(id_col).alias("_group_n")
-        )
+        # count(1), NOT countDistinct: every capped caller feeds rows
+        # unique per (key, id) by construction (band/block tables are
+        # exploded from one-row-per-doc signature aggregates), and a
+        # distinct-aggregate plans as TWO aggregation phases — a whole
+        # extra exchange of the band table for a count that cannot
+        # differ. Callers with duplicate (key, id) rows must dedupe
+        # before the cap or the cap fires early (still safe, the cap
+        # is an upper-bound guard).
+        sizes = keyed.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_group_n"))
         oversized = sizes.filter(F.col("_group_n") > max_group).drop("_group_n")
         # eqNullSafe, not a name-list equi-join: groupBy puts NULL keys in
         # one group, and a plain anti-join would never match that group

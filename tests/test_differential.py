@@ -15,6 +15,9 @@ with ANSI SQL.
 from __future__ import annotations
 
 import pytest
+
+#: slow tier: randomized hypothesis differential sweep (~6 min) — run with `pytest -m slow`
+pytestmark = pytest.mark.slow
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 

@@ -1176,6 +1176,7 @@ class TestMultimodal:
         assert np.allclose(a, b)
 
 
+@pytest.mark.slow
 class TestIvf:
     def test_ivf_scores_exact_and_recall(self, emb):
         probe = emb.filter("vec_id < 5")
@@ -1203,6 +1204,7 @@ class TestIvf:
         assert recall >= 0.5, f"IVF recall@5 = {recall:.2f}"
 
 
+@pytest.mark.slow
 class TestNeardupBanded:
     """embedding_neardup_pairs is banded sign-LSH + exact verify (the
     registered, scale-safe form); ground truth is the quadratic
@@ -1746,6 +1748,7 @@ class TestUrlOps:
             assert r.c1 == r.c2, (r.c1, r.c2)
 
 
+@pytest.mark.slow
 class TestSemDeDup:
     def test_semdedup_matches_brute_force_contract(self, spark, sf_dir):
         """keep=0 ⇔ some lower-id same-cluster vector has
@@ -1791,6 +1794,7 @@ class TestSemDeDup:
         assert n_dup > 0, "synthetic corpus should contain semantic dups"
 
 
+@pytest.mark.slow
 class TestProductQuantization:
     """PQ encode + ADC (similarity.pq_encode_fixed / pq_adc_topk_fixed):
     semantic properties the DuckDB oracle can't express — distortion
@@ -1874,6 +1878,7 @@ class TestProductQuantization:
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
 
 
+@pytest.mark.slow
 class TestIvfPq:
     """ivfpq_topk_fixed: composition contract with its two parts."""
 
@@ -1916,6 +1921,7 @@ class TestIvfPq:
             assert cell_n in probed, (r.q_id, r.n_id, cell_n, probed)
 
 
+@pytest.mark.slow
 class TestTrainedPq:
     def test_trained_distortion_dominates_frozen(self, emb):
         """Lloyd's-trained codebooks must reconstruct better than the

@@ -9,6 +9,9 @@ import glob
 import duckdb
 import pytest
 
+#: slow tier: full DuckDB parquet_metadata differential — run with `pytest -m slow`
+pytestmark = pytest.mark.slow
+
 from impala_cut_spark.sources.parquet_meta import (
     parquet_footer,
     parquet_meta_rows,

@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import math
 
+import pytest
+
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -210,6 +212,7 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 
+@pytest.mark.slow
 @settings(
     max_examples=12,
     deadline=None,
@@ -478,6 +481,7 @@ def test_remove_spans_consistent_with_decontaminate_spans(spark):
 # -- two-stage retrieval (IVF-PQ + exact rerank) ------------------------------
 
 
+@pytest.mark.slow
 def test_ivfpq_rerank_refines_within_candidates(spark, sf_dir):
     """The reranked top-k is (a) a subset of the stage-1 candidate
     set, (b) ordered by EXACT cosine, and (c) at least as good as raw
@@ -501,6 +505,7 @@ def test_ivfpq_rerank_refines_within_candidates(spark, sf_dir):
         assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
 
 
+@pytest.mark.slow
 def test_ivfpq_rerank_corpus_not_shuffled(spark, sf_dir):
     """Stage 2's corpus join is a broadcast hash join — the full
     vector scan is never exchanged."""
@@ -655,6 +660,7 @@ def test_seq_chunks_zero_token_and_determinism(spark):
 # -- property-based invariants for the decontamination family ----------------
 
 
+@pytest.mark.slow
 @settings(
     max_examples=10,
     deadline=None,

@@ -20,6 +20,9 @@ import random
 
 import pytest
 
+#: slow tier: property fuzz over the query grammar — run with `pytest -m slow`
+pytestmark = pytest.mark.slow
+
 from query_grammar import (
     SCHEMA,
     LiteralPool,

@@ -19,6 +19,9 @@ import random
 
 import pytest
 
+#: slow tier: property fuzz over the wire grammar — run with `pytest -m slow`
+pytestmark = pytest.mark.slow
+
 from query_grammar import LiteralPool, QueryGen, install_oracle_macros
 
 #: pinned window, disjoint from the in-process differential's seeds
