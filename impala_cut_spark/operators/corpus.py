@@ -508,6 +508,7 @@ def decontaminate_neardup(
         NUM_HASHES,
         _minhash_pre_aggs,
         band_bucket_keys,
+        minhash_set_col,
         shingles,
     )
 
@@ -515,7 +516,10 @@ def decontaminate_neardup(
         sh = shingles(df, n)
         pre, aggs = _minhash_pre_aggs(sh, NUM_HASHES, "md5_affine")
         return pre.groupBy("doc_id").agg(
-            F.collect_set("shingle").alias("shset"), *aggs
+            # 60-bit hashes, not strings, in the verify doc sets — the
+            # oracle replays the same hash (dedup.minhash_set_col)
+            F.collect_set(minhash_set_col("md5_affine")).alias("shset"),
+            *aggs,
         )
 
     train = per_doc_tbl(docs).persist(StorageLevel.MEMORY_AND_DISK)

@@ -427,7 +427,12 @@ def _minhash_pre_aggs(
     # previous Column-built ones (integer literals promote to BIGINT
     # arithmetic the same way), so plans and results are unchanged.
     if hash_family == "md5_affine":
-        pre = sh.withColumn("_h", md5_hash60(F.col("shingle")) % MINHASH_PRIME)
+        # _h60 (full 60-bit) is the doc-set element for the verify
+        # stage (collision odds ~2^-60·n²); _h (mod P) feeds the affine
+        # family. One md5 per shingle serves both.
+        pre = sh.withColumn("_h60", md5_hash60(F.col("shingle"))).withColumn(
+            "_h", F.col("_h60") % MINHASH_PRIME
+        )
         aggs = [
             F.expr(f"min(({a}L * _h + {b}L) % {MINHASH_PRIME}L) AS mh_{i}")
             for i, (a, b) in enumerate(affine_params(num_hashes))
@@ -438,6 +443,19 @@ def _minhash_pre_aggs(
             F.expr(f"min(xxhash64(_h, {i})) AS mh_{i}") for i in range(num_hashes)
         ]
     return pre, aggs
+
+
+def minhash_set_col(hash_family: str) -> str:
+    """The per-shingle HASH column of `_minhash_pre_aggs` output that
+    verify-stage doc sets collect: 8-byte bigints through the per-doc
+    aggregate, the persisted cache and both verify joins instead of
+    ~25-byte shingle strings (guide §2.3: shuffle keys, not payloads).
+    Intersection sizes over the hashes equal the string-set sizes
+    unless two distinct shingles collide (≤ n²/2⁶⁰ for md5's leading
+    60 bits) — and the md5-affine oracle replays the SAME hash, so
+    even a collision lands identically in both engines (the r4 band-key
+    precedent)."""
+    return "_h60" if hash_family == "md5_affine" else "_h"
 
 
 def lsh_candidate_pairs(
@@ -576,7 +594,7 @@ def minhash_dedup_pairs(
     pre, aggs = _minhash_pre_aggs(sh, NUM_HASHES, hash_family)
     per_doc = (
         pre.groupBy("doc_id")
-        .agg(F.collect_set("shingle").alias("shset"), *aggs)
+        .agg(F.collect_set(minhash_set_col(hash_family)).alias("shset"), *aggs)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     cands = lsh_candidate_pairs(
@@ -944,14 +962,26 @@ def substring_dup_spans(docs: DataFrame, k: int = 8) -> DataFrame:
     """
     from impala_cut_spark.operators.text import token_count
 
-    pos = positional_shingles(docs, k)
+    # persist the positional index with the 60-bit md5 of the shingle
+    # text as its key: the index feeds BOTH the occurrence count and
+    # the join-back, and without the persist the tokenize+shingle
+    # build ran twice (no exchange reuse — the two consumers project
+    # differently). Hashed keys shuffle 8 bytes through the count and
+    # the join instead of a ~50-byte 8-token string (guide §2.3); the
+    # oracle replays the same hash, so a collision (≤ n²/2⁶⁰) would
+    # land identically in both engines.
+    pos = (
+        positional_shingles(docs, k)
+        .select("doc_id", "p", md5_hash60(F.col("g")).alias("h"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     dup_g = (
-        pos.groupBy("g")
+        pos.groupBy("h")
         .agg(F.count(F.lit(1)).alias("occ"))
         .filter(F.col("occ") > 1)
-        .select("g")
+        .select("h")
     )
-    dup = pos.join(dup_g, "g")
+    dup = pos.join(dup_g, "h")
     spans = merge_token_islands(dup, k)
     per_doc = spans.groupBy("doc_id").agg(
         F.count("*").alias("n_spans"),

@@ -339,7 +339,8 @@ bands AS (
 cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          FROM bands a JOIN bands b
            ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
-ds AS (SELECT doc_id, list(shingle) AS s FROM sh GROUP BY doc_id),
+ds AS (SELECT doc_id, list({SQL_H60.format(x='shingle')}) AS s
+       FROM sh GROUP BY doc_id),
 sc AS (SELECT id_a, id_b,
               len(list_intersect(x.s, y.s)) AS ni,
               sa.sz AS sza, sb.sz AS szb

@@ -35,7 +35,10 @@ WITH l AS (SELECT doc_id, {_SQL_TOKS} AS ls FROM documents),
 pos AS (SELECT doc_id, i AS p, array_to_string(ls[i:i+{SUBSTR_K - 1}], ' ') AS g
         FROM l, unnest(range(1, greatest(len(ls) - {SUBSTR_K - 1}, 0) + 1)) s(i)),
 dup AS (SELECT doc_id, p
-        FROM (SELECT doc_id, p, count(*) OVER (PARTITION BY g) AS occ FROM pos)
+        FROM (SELECT doc_id, p,
+                     count(*) OVER (PARTITION BY {_SQL_H60_TOK.format(x='g')})
+                       AS occ
+              FROM pos)
         WHERE occ > 1),
 brk AS (SELECT doc_id, p,
                CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p)
@@ -199,8 +202,10 @@ bbands AS (
   {arms('bsig', 'bench_id')}),
 cand AS (SELECT DISTINCT t.doc_id, b.bench_id
          FROM tbands t JOIN bbands b ON t.bkey = b.bkey),
-tds AS (SELECT doc_id, list(shingle) AS s, count(*) AS sz FROM tsh GROUP BY doc_id),
-bds AS (SELECT bench_id, list(shingle) AS s, count(*) AS sz FROM bsh GROUP BY bench_id),
+tds AS (SELECT doc_id, list({h60.format(x='shingle')}) AS s, count(*) AS sz
+        FROM tsh GROUP BY doc_id),
+bds AS (SELECT bench_id, list({h60.format(x='shingle')}) AS s, count(*) AS sz
+        FROM bsh GROUP BY bench_id),
 sc AS (SELECT c.doc_id,
               round(cast(len(list_intersect(x.s, y.s)) as double)
                     / cast(x.sz + y.sz - len(list_intersect(x.s, y.s)) as double),
