@@ -79,63 +79,87 @@ def bm25_topk(
     a race under the concurrent clients the thrift/HS2 servers serve
     (see operators/_cache.py).
     """
-    toks = tokens(F.col("text"))
-    qarr = F.array(*[F.lit(str(t)) for t in query_terms])
-    base = docs.select(
-        "doc_id",
-        F.size(toks).alias("dl"),
-        F.explode(F.filter(toks, lambda x: F.array_contains(qarr, x))).alias("tok"),
+    # Round-13 single-pass shape (guide §2.3 aggregate-before-shuffle /
+    # §2.4 remove shuffles): per-document dl and per-term tf come out
+    # of ONE fold over ONE tokenize evaluation — the previous shape
+    # evaluated split() three times (dl projection, filtered explode,
+    # totals arm) and shuffled the exploded matches into a
+    # (doc, dl, tok) tf aggregate. With tf folded per document there
+    # is nothing to group: corpus totals AND per-term document
+    # frequencies aggregate in one row, broadcast once, and scoring is
+    # a narrow map over the cached per-doc stats — zero corpus
+    # shuffles; the only ordering work is the top-k
+    # (TakeOrderedAndProject). Every number replicates the previous
+    # form exactly: tf/dl/df are the same integers, idf the same
+    # rounded double, and the per-doc score sums the same
+    # decimal(18,6) terms (unmatched terms add decimal zero).
+    terms = [str(t) for t in query_terms]
+    nt = len(terms)
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    toks = "filter(split(text, ' '), x -> x != '')"
+    init = ", ".join(["'dl', 0"] + [f"'c{i}', 0L" for i in range(nt)])
+    upd = ", ".join(
+        ["'dl', acc.dl + 1"]
+        + [f"'c{i}', acc.c{i} + IF(x = {q(t)}, 1L, 0L)" for i, t in enumerate(terms)]
     )
-    # n_docs/sum_dl over docs with >=1 token (empty docs contribute no
-    # rows to an exploded token stream — kept identical to the oracle)
-    totals = (
-        docs.select(F.size(toks).alias("dl"))
-        .filter(F.col("dl") > 0)
-        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl"))
+    fold = f"aggregate({toks}, named_struct({init}), (acc, x) -> named_struct({upd}))"
+    doc_stats = docs.selectExpr("doc_id", f"{fold} AS st").persist()
+    register_persisted(doc_stats, "bm25_tf")
+
+    stats = doc_stats.agg(
+        F.expr("count(CASE WHEN st.dl > 0 THEN 1 END) AS n_docs"),
+        F.expr("sum(CASE WHEN st.dl > 0 THEN st.dl END) AS sum_dl"),
+        *[F.expr(f"sum(IF(st.c{i} > 0, 1L, 0L)) AS df{i}") for i in range(nt)],
     )
 
-    tf = base.groupBy("doc_id", "dl", "tok").agg(F.count(F.lit(1)).alias("tf")).persist()
-    register_persisted(tf, "bm25_tf")
-    df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-
+    sc = doc_stats.crossJoin(F.broadcast(stats))
     n = F.col("n_docs").cast("double")
-    idf = F.round(
-        F.log(F.lit(1.0) + (n - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))),
-        6,
+    norm_dl = (
+        F.col("st.dl").cast("double") * n / F.col("sum_dl").cast("double")
     )
-    stats = df_t.crossJoin(F.broadcast(totals)).select(
-        "tok", "df", "n_docs", "sum_dl", idf.alias("idf")
-    )
-
-    scored = (
-        tf.join(F.broadcast(stats), "tok")
-        .withColumn(
-            "norm_dl",
-            F.col("dl").cast("double")
-            * F.col("n_docs").cast("double")
-            / F.col("sum_dl").cast("double"),
-        )
-        .withColumn(
-            "term_score",
-            F.round(
-                F.col("idf")
-                * (F.col("tf").cast("double") * F.lit(k1 + 1.0))
-                / (
-                    F.col("tf").cast("double")
-                    + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("norm_dl"))
-                ),
-                6,
+    term_scores = []
+    matched = []
+    for i in range(nt):
+        tf_d = F.col(f"st.c{i}").cast("double")
+        idf_i = F.round(
+            F.log(
+                F.lit(1.0)
+                + (n - F.col(f"df{i}") + F.lit(0.5)) / (F.col(f"df{i}") + F.lit(0.5))
             ),
+            6,
         )
-    )
+        ts_i = F.round(
+            idf_i
+            * (tf_d * F.lit(k1 + 1.0))
+            / (tf_d + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * norm_dl)),
+            6,
+        )
+        term_scores.append(
+            F.when(F.col(f"st.c{i}") > 0, ts_i)
+            .otherwise(F.lit(0.0))
+            .cast("decimal(18,6)")
+        )
+        matched.append(
+            F.when(F.col(f"st.c{i}") > 0, F.lit(1).cast("bigint")).otherwise(
+                F.lit(0).cast("bigint")
+            )
+        )
+    dec_sum = term_scores[0]
+    for t in term_scores[1:]:
+        dec_sum = dec_sum + t
+    n_matched = matched[0]
+    for m in matched[1:]:
+        n_matched = n_matched + m
     return (
-        scored.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_terms_matched"),
-            F.round(
-                F.sum(F.col("term_score").cast("decimal(18,6)")).cast("double"), 6
-            ).alias("score"),
+        sc.select(
+            "doc_id",
+            n_matched.alias("n_terms_matched"),
+            F.round(dec_sum.cast("double"), 6).alias("score"),
         )
+        .filter(F.col("n_terms_matched") > 0)
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
